@@ -1,0 +1,92 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end through a noop sink (full plan runs, no
+driver collect). Pixel-operator benchmarks use a bench-scale synthetic
+volume (~6.3M voxels) exercising the same plans as the gate queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ngff_zarr_spark import gate
+from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+from ngff_zarr_spark.operators import bin_shrink, gaussian_downsample
+from ngff_zarr_spark.session import get_spark
+
+BENCH_IMG = ImageSpec("bench3d", z=96, y=256, x=257)  # ~6.3M voxels, odd x
+
+
+def bench_bin_shrink(spark, sf_dir):
+    return bin_shrink(pixel_df(spark, BENCH_IMG), BENCH_IMG.shape, {"z": 2, "y": 2, "x": 2})
+
+
+def bench_gaussian(spark, sf_dir):
+    return gaussian_downsample(
+        pixel_df(spark, BENCH_IMG), BENCH_IMG.shape, {"z": 2, "y": 2, "x": 2}
+    )
+
+
+QUERIES = {
+    "tpch_q1": gate.q_tpch_q1,
+    "tpch_q3": gate.q_tpch_q3,
+    "tpch_q5": gate.q_tpch_q5,
+    "a2_bin_shrink": bench_bin_shrink,
+    "a1_gaussian": bench_gaussian,
+    "dedup_minhash": gate.q_dedup_minhash,
+    "dedup_exact": gate.q_dedup_exact,
+    "text_quality": gate.q_text_quality,
+    "text_lang_id": gate.q_text_lang_id,
+    "ann_cosine_topk": gate.q_ann_cosine_topk,
+    "events_sessionize": gate.q_events_sessionize,
+    "events_hourly": gate.q_events_hourly,
+}
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet reader so per-query numbers reflect the plans
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings = {}
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        run_query(fn(spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB posture:
+- exact dedup is one hash aggregate on a digest (map-side combine, one
+  shuffle of digests — never of document text);
+- MinHash/LSH turns all-pairs O(n^2) into a band-bucket equi-join whose
+  cost is bounded by bucket collision counts;
+- SimHash pairs join on signature bands the same way;
+- n-gram Jaccard joins on shared shingles (an inverted index join), so
+  only documents sharing at least one shingle ever meet.
+
+Everything is built-in expressions (md5/conv/array ops) — no Python in
+the hot path — and every operator has an exact DuckDB-oracle twin
+because the hashes are the portable ``h64`` md5 derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import h64, tokens_col
+
+NUM_PERM = 16       # minhash permutations
+BAND_SIZE = 4       # rows per LSH band → 4 bands
+SHINGLE_K = 3       # words per shingle
+
+
+def _norm_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text. Returns one row
+    per distinct content: (content md5, group size, representative =
+    smallest doc_id). ``n_dups > 1`` marks duplicated content."""
+    keyed = docs.select(F.md5(_norm_text(F.col("text"))).alias("content_md5"), "doc_id")
+    return keyed.groupBy("content_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("representative"),
+    )
+
+
+def shingle_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, shingle).
+    Built with a positional array transform (no self-join): shingle i =
+    tokens[i..i+k-1] joined by spaces."""
+    toks = tokens_col(_norm_text(F.col("text")))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """MinHash signature matrix in long form: (doc_id, perm, minhash).
+    Permutation p's hash of a shingle is h64(p || ':' || shingle); the
+    signature is the per-doc minimum. One explode + one aggregate."""
+    sh = shingle_df(docs)
+    hashed = (
+        sh.select("doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"))
+        .select(
+            "doc_id",
+            "perm",
+            h64(F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle"))).alias("h"),
+        )
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    min_est_jaccard: float = 0.125,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (band id = perm / band_size,
+    band key = portable hash of the band's concatenated minhashes), join
+    docs sharing any band bucket, then estimate Jaccard as the fraction
+    of matching minhash positions. Returns (doc_a, doc_b, est_jaccard)
+    with doc_a < doc_b.
+
+    Scale: the join key is (band, band_hash) — collision-bounded; the
+    signature-agreement count is a join of two narrow signature tables
+    on (perm) restricted to candidate pairs."""
+    sig = minhash_signatures(docs, num_perm).cache()
+    bands = (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
+        .select(
+            "doc_id",
+            "band",
+            h64(F.concat_ws(",", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string")))).alias("band_key"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("hb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg((F.sum((F.col("ha") == F.col("hb")).cast("long")) / num_perm).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+    return est
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """SimHash signature per document: bit b is set when the sum over
+    tokens of ±1 (sign of bit b of the token hash) is positive. 60 bits
+    so the signature fits the portable h64 domain. Returns
+    (doc_id, simhash).
+
+    The bit votes are one explode (tokens × bits) + one aggregate; the
+    production path for huge corpora is a Pandas-UDF vectorized variant,
+    but the relational form is exactly oracle-checkable."""
+    toks = docs.select("doc_id", F.explode(tokens_col(_norm_text(F.col("text")))).alias("tok"))
+    hashed = toks.select("doc_id", h64(F.col("tok")).alias("h"))
+    votes = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        (F.expr("shiftright(h, cast(b as int))").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    )
+    bitsum = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_candidates(docs: DataFrame, bits: int = 60, n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into ``n_bands``
+    equal bit-slices, equi-join on any matching band (a pair within
+    Hamming distance < n_bands must agree on ≥1 band — pigeonhole), then
+    verify with bit_count(xor) ≤ max_hamming."""
+    band_bits = bits // n_bands
+    sig = simhash(docs, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(simhash, cast(band * {band_bits} as int))")
+        .bitwiseAND(F.lit((1 << band_bits) - 1)),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K, min_jaccard: float = 0.1) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle
+    (inverted-index join — no all-pairs blowup). Returns
+    (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
+    sh = shingle_df(docs, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,152 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All run over the ``documents`` table ``(doc_id, text, lang, source,
+n_chars)`` with JVM-side built-ins only (no Python UDFs): per-row string
+expressions + hash aggregates, so they scale linearly and shuffle only
+on the final aggregate (if any).
+
+Portable-hash note: every hash used here is
+``h64(s) = int(md5(s)[:15 hex], 16)`` — a 60-bit value both Spark
+(``conv``) and DuckDB (``CAST('0x…' AS BIGINT)``) produce identically,
+which is what makes the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic
+# language id. Deliberately small and embedded as literals so the oracle
+# SQL carries the identical lists.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def h64(col: Column) -> Column:
+    """Portable 60-bit hash of a string column (md5-derived)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization, identical in both engines: split on a
+    single space after whitespace-normalizing. Empty strings removed."""
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.filter(F.split(norm, " "), lambda t: t != "")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish sub-word proxy —
+    runs of letters, runs of digits, or single other non-space chars
+    (``[a-z]+|[0-9]+|[^a-z0-9\\s]`` on the lowercased text)."""
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_subtokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: mean token length, punctuation density,
+    stopword ratio, and a composite score. All ratios are exact-integer
+    divisions evaluated once → deterministic doubles cross-engine."""
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length("text").cast("long")
+    n_punct = (n_char - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS))).cast("long")
+    mean_tok_len = (n_char - (n_tok - 1)) / n_tok
+    punct_ratio = n_punct / n_char
+    stop_ratio = n_stop / n_tok
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: per language, count tokens in that
+    language's function-word list; argmax with lexicographic tie-break.
+    Implemented as one pass of array intersections per language — no
+    explode, no shuffle."""
+    toks = tokens_col(F.lower(F.col("text")))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda t: t.isin(words))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # argmax: max score, ties → lexicographically first lang. Sorting the
+    # struct array ascending puts (max score, max lang) last; to get the
+    # smallest lang among max scores, negate... simpler: reduce with a
+    # comparator via array_sort on (score desc => use -score asc, lang asc).
+    best = F.array_sort(
+        F.transform(
+            scored,
+            lambda s: F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang")),
+        )
+    )[0]
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        (-best["neg"]).cast("long").alias("votes"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the case-folded, whitespace-collapsed
+    text (the exact-dedup key), plus its 60-bit integer form."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        h64(norm).alias("fp64"),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, window: int = 5) -> DataFrame:
+    """Winnowing-style rolling fingerprints (Schleimer et al., SIGMOD'03):
+    hash every token, take the min hash of each sliding window of
+    ``window`` tokens, keep the distinct mins per document. Returns the
+    per-doc fingerprint-set summary (count, min, max) — the full set is
+    the intermediate ``explode`` relation.
+
+    Scale: explode(tokens) is linear; the sliding min is a bounded
+    window frame per doc — partitions by doc_id, no global sort."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select("doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"))
+    hashed = toks.select("doc_id", "pos", h64(F.col("tok")).alias("h"))
+    frame = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    mins = hashed.select("doc_id", F.min("h").over(frame).alias("fp")).distinct()
+    return mins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )

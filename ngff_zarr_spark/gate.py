@@ -1,0 +1,395 @@
+"""Correctness-gate query registry: Spark implementations + DuckDB oracles.
+
+Every operator from SURVEY.md §2 that has a SQL-checkable form appears
+here twice: as a Spark DataFrame program built from the engine's
+operator library, and as an independent ANSI-SQL oracle string DuckDB
+runs over the same parquet tables. The driver executes both at sf=0.01
+and compares row-count + schema + order-insensitive value hash.
+
+Determinism rules that make the comparison exact (see fixtures.py and
+functions/*.py docstrings):
+- pixel fixtures and all hashes are pure integer arithmetic / md5;
+- averages only over integers (exact sums), money aggregates go through
+  DECIMAL before the final double cast;
+- floating cosine values are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures as FX
+from .fixtures import IMG2D_LABEL, IMG3D, IMG5D, pixel_cte_sql, pixel_df
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as TX
+from .hcs import PlateSpec, synthesize_plate, well_image_catalog
+from .operators import (
+    bin_shrink,
+    gaussian_downsample,
+    label_downsample,
+    level_pick,
+    min_max,
+    mode_downsample,
+    nearest,
+    roi,
+    timepoint,
+)
+from .operators.gaussian import fixed_point_weights, kernel_radius
+from .plans.planner import compute_sigma, pyramid_scale_factors
+
+# ---------------------------------------------------------------------------
+# Shared constants (must match between Spark and oracle SQL)
+
+F3D = {"z": 2, "y": 2, "x": 2}
+F2D4 = {"z": 1, "y": 4, "x": 4}
+ROI_RANGES = dict(z=(4, 20), y=(10, 50), x=(10, 50))
+SIGMA2 = compute_sigma([2])[0]          # ≈ 0.7355
+G_RADIUS = kernel_radius(SIGMA2)        # 3
+G_WEIGHTS = fixed_point_weights(SIGMA2, G_RADIUS, bits=8)
+N_LEVELS = 6
+IMG3D_SCALE = {"z": 2.5, "y": 1.4, "x": 1.4}
+IMG3D_TRANSLATION = {"z": 332.5, "y": 360.0, "x": 0.0}
+CHUNKS3D = {"z": 16, "y": 32, "x": 32}
+DTYPE_BYTES = 2  # uint16 logical dtype of img3d
+ANN_K = 5
+EMB_DIM = 64
+NEAR_DUP_COS = 0.38
+SESSION_GAP_S = 1800.0
+TPCH_Q1_CUTOFF = "1998-09-02 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-01-01 00:00:00"
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01 00:00:00"
+Q5_HI = "1998-01-01 00:00:00"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects by default — read nanos as long (the oracle mirrors
+    with epoch_ns), keeping all event-time arithmetic in exact integers."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+
+
+def q_f1_level_pick(spark, sf_dir):
+    """F1: two-level pyramid union tagged with a scale column; pick 1."""
+    p0 = pixel_df(spark, IMG3D).withColumn("scale", F.lit(0).cast("long"))
+    p1 = (
+        nearest(pixel_df(spark, IMG3D), IMG3D.shape, F3D)
+        .withColumn("scale", F.lit(1).cast("long"))
+    )
+    pyramid = p0.unionByName(p1)
+    return level_pick(pyramid, 1).select("scale", "t", "c", "z", "y", "x", "v")
+
+
+def q_f2_roi(spark, sf_dir):
+    return roi(pixel_df(spark, IMG3D), **ROI_RANGES)
+
+
+def q_f3_f4_tc_select(spark, sf_dir):
+    """F3+F4: timepoint and channel selection on the 5-D image."""
+    return timepoint(pixel_df(spark, IMG5D), 1).filter(F.col("c") == 1)
+
+
+def q_f5_transpose(spark, sf_dir):
+    """F5: axis permutation = column rename on a ROI slice (no data move)."""
+    from .operators import transpose_dims
+
+    sliced = roi(pixel_df(spark, IMG3D), z=(0, 4))
+    return transpose_dims(sliced, {"y": "x", "x": "y"}).select("t", "c", "z", "y", "x", "v")
+
+
+def q_a2_bin_shrink(spark, sf_dir):
+    return bin_shrink(pixel_df(spark, IMG3D), IMG3D.shape, F3D)
+
+
+def q_a2_bin_shrink_aniso(spark, sf_dir):
+    """Anisotropic factors (z untouched) — per-dim factor handling."""
+    return bin_shrink(pixel_df(spark, IMG3D), IMG3D.shape, {"z": 1, "y": 2, "x": 2})
+
+
+def q_a7_nearest(spark, sf_dir):
+    return nearest(pixel_df(spark, IMG3D), IMG3D.shape, F3D)
+
+
+def q_a8_mode(spark, sf_dir):
+    return mode_downsample(
+        pixel_df(spark, IMG2D_LABEL, label=True), IMG2D_LABEL.shape, F2D4
+    )
+
+
+def q_a3_label_downsample(spark, sf_dir):
+    return label_downsample(
+        pixel_df(spark, IMG2D_LABEL, label=True), IMG2D_LABEL.shape, F2D4
+    )
+
+
+def q_a1_gaussian(spark, sf_dir):
+    return gaussian_downsample(
+        pixel_df(spark, IMG3D), IMG3D.shape, F3D, fixed_point_bits=8
+    )
+
+
+def q_a10_minmax(spark, sf_dir):
+    return min_max(pixel_df(spark, IMG3D))
+
+
+def q_a11_chunk_cost(spark, sf_dir):
+    """A11: chunk-table cost estimate. The chunk table is synthesized from
+    the chunk grid (ceil-division counts, edge chunks clipped) — the same
+    table the ome_zarr DataSource reader exposes."""
+    sh, ch = IMG3D.shape, CHUNKS3D
+    ncz = -(-sh["z"] // ch["z"])
+    ncy = -(-sh["y"] // ch["y"])
+    ncx = -(-sh["x"] // ch["x"])
+    grid = spark.range(ncz * ncy * ncx).select(
+        (F.col("id") / (ncy * ncx)).cast("long").alias("cz"),
+        ((F.col("id") / ncx).cast("long") % ncy).alias("cy"),
+        (F.col("id") % ncx).alias("cx"),
+    )
+    ext = grid.select(
+        F.least(F.lit(ch["z"]), F.lit(sh["z"]) - F.col("cz") * ch["z"]).alias("ez"),
+        F.least(F.lit(ch["y"]), F.lit(sh["y"]) - F.col("cy") * ch["y"]).alias("ey"),
+        F.least(F.lit(ch["x"]), F.lit(sh["x"]) - F.col("cx") * ch["x"]).alias("ex"),
+    )
+    chunks = ext.select(
+        (F.col("ez") * F.col("ey") * F.col("ex") * DTYPE_BYTES).cast("long").alias("nbytes")
+    )
+    from .operators import chunk_cost
+
+    return chunk_cost(chunks)
+
+
+def q_c2_scale_translation(spark, sf_dir):
+    """C2 closed form over levels 0..N: s_i = 2^i * s0,
+    t_i = t0 + 0.5*(2^i - 1)*s0 (telescoped per-level law)."""
+    lv = spark.range(N_LEVELS).select(F.col("id").alias("level"))
+    cols = [F.col("level")]
+    for d in ("z", "y", "x"):
+        s0, t0 = IMG3D_SCALE[d], IMG3D_TRANSLATION[d]
+        p = F.pow(F.lit(2.0), F.col("level"))
+        cols.append((F.lit(s0) * p).alias(f"scale_{d}"))
+        cols.append((F.lit(t0) + F.lit(0.5) * (p - F.lit(1.0)) * F.lit(s0)).alias(f"translation_{d}"))
+    return lv.select(*cols)
+
+
+def q_a9_pyramid_plan(spark, sf_dir):
+    """A9 planner — driver-side pure function materialized as a DataFrame.
+    No SQL oracle (iterative algorithm); unit-tested against the
+    reference's expected-value tables instead (tests/test_planner.py)."""
+    plan = pyramid_scale_factors({"z": 512, "y": 1024, "x": 2048}, min_length=128)
+    rows = [
+        (i, lvl.get("z", 1), lvl.get("y", 1), lvl.get("x", 1))
+        for i, lvl in enumerate(plan)
+    ]
+    return spark.createDataFrame(rows, "level long, fz long, fy long, fx long")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_candidates(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_text_token_count(spark, sf_dir):
+    return TX.token_count(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+def q_text_winnow(spark, sf_dir):
+    return TX.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    return S.embedding_near_dup(_emb(spark, sf_dir), dim=EMB_DIM, min_cosine=NEAR_DUP_COS)
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour event-time aggregate (the batch shape of the
+    streaming windowed agg in streaming/pipeline.py)."""
+    ev = _events(spark, sf_dir)
+    ns_per_hour = 3_600_000_000_000
+    return ev.groupBy(
+        ((F.col("ts") / ns_per_hour).cast("long") * 3600).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        ).alias("sum_value"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap splits sessions; per-user
+    session and event counts. Window (lag) + conditional sum — the
+    standard Spark sessionization shape."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).select("user_id", F.col("ts").alias("ns"))
+    gap_ns = int(SESSION_GAP_S) * 1_000_000_000
+    w = W.partitionBy("user_id").orderBy("ns")
+    gaps = ev.withColumn(
+        "new_session",
+        (F.col("ns") - F.lag("ns").over(w) > gap_ns).cast("long"),
+    ).fillna({"new_session": 1})
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= TPCH_Q1_CUTOFF)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < Q3_DATE)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > Q3_DATE)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q5_LO) & (F.col("o_orderdate") < Q5_HI)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_j3_well_catalog(spark, sf_dir):
+    cat = synthesize_plate(spark, PlateSpec())
+    return well_image_catalog(cat["wells"], cat["well_images"])
+
+
+def q_f7_well_lookup(spark, sf_dir):
+    from .hcs import get_well
+
+    cat = synthesize_plate(spark, PlateSpec())
+    return get_well(cat["wells"], "D", "7")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "f1_level_pick": q_f1_level_pick,
+        "f2_roi": q_f2_roi,
+        "f3_f4_tc_select": q_f3_f4_tc_select,
+        "f5_transpose": q_f5_transpose,
+        "a2_bin_shrink": q_a2_bin_shrink,
+        "a2_bin_shrink_aniso": q_a2_bin_shrink_aniso,
+        "a7_nearest": q_a7_nearest,
+        "a8_mode": q_a8_mode,
+        "a3_label_downsample": q_a3_label_downsample,
+        "a1_gaussian": q_a1_gaussian,
+        "a10_minmax": q_a10_minmax,
+        "a11_chunk_cost": q_a11_chunk_cost,
+        "c2_scale_translation": q_c2_scale_translation,
+        "a9_pyramid_plan": q_a9_pyramid_plan,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "j3_well_catalog": q_j3_well_catalog,
+        "f7_well_lookup": q_f7_well_lookup,
+    }

@@ -1,0 +1,140 @@
+"""Downsampling operators over the pixel table (SURVEY.md §2.3).
+
+Each operator consumes/produces a pixel DataFrame ``(t, c, z, y, x, v)``
+and is a pure declarative Catalyst plan:
+
+- ``bin_shrink``       (A2/A5) — local mean over f-blocks: one hash
+  aggregate; map-side partial aggregation makes this a single shuffle of
+  ~1/f^3 the input volume. Parity: itkwasm/itk BinShrink
+  (/root/reference py/ngff_zarr/methods/_itkwasm.py:63-81, _itk.py:129-211).
+- ``nearest``          (A7) — stride subsample: a pure filter, fully
+  pushed down to the scan when the source supports it (no shuffle at all).
+  Parity: order-0 affine (methods/_dask_image.py:167-168).
+- ``mode_downsample``  (A8) — per-block mode with smallest-value
+  tie-break (np.unique argmax semantics, methods/_dask_image.py:153-166):
+  two hash aggregates (block+value count, then max_by) — still only
+  shuffle-bounded, no sort of the whole table.
+- ``label_downsample`` (A3) — label-aware mode where each pixel's vote is
+  weighted by its distance from the block center (approximation of
+  itkwasm downsample_label_image's linear weighting,
+  methods/_itkwasm.py:50-55); same two-aggregate shape as A8.
+
+Floor-crop semantics: the reference floors the output shape
+(methods/_support.py:215-230) so trailing partial blocks are DROPPED.
+``crop_to_factor`` applies that crop; every operator calls it first.
+
+Scale posture: all of these are single exchange-on-block-key plans. At
+100 TB the aggregate keys (t, c, z/f, y/f, x/f) are near-uniform (dense
+grid), so there is no skew; AQE coalesces the post-shuffle partitions.
+When the input is chunk-aligned (plans/planner.aligned_chunks) a
+chunk-grid repartition makes the aggregate shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIMS = ("t", "c", "z", "y", "x")
+SPATIAL = ("z", "y", "x")
+
+
+def _factors(factors: dict[str, int]) -> dict[str, int]:
+    return {d: int(factors.get(d, 1)) for d in SPATIAL}
+
+
+def crop_to_factor(df: DataFrame, shape: dict[str, int], factors: dict[str, int]) -> DataFrame:
+    """Drop trailing partial blocks: keep coord < f * floor(n/f)."""
+    f = _factors(factors)
+    cond = None
+    for d in SPATIAL:
+        if f[d] > 1:
+            limit = f[d] * (shape[d] // f[d])
+            c = F.col(d) < limit
+            cond = c if cond is None else (cond & c)
+    return df.filter(cond) if cond is not None else df
+
+
+def _block_cols(factors: dict[str, int]):
+    f = _factors(factors)
+    cols = [F.col("t"), F.col("c")]
+    for d in SPATIAL:
+        cols.append((F.col(d) / f[d]).cast("long").alias(d) if f[d] > 1 else F.col(d))
+    return cols
+
+
+def bin_shrink(df: DataFrame, shape: dict[str, int], factors: dict[str, int]) -> DataFrame:
+    """Mean over each f-block → one groupBy aggregate. Output ``v`` is
+    DOUBLE (the reference casts back to the input dtype at store-write
+    time, which the sink handles)."""
+    df = crop_to_factor(df, shape, factors)
+    return (
+        df.groupBy(*_block_cols(factors))
+        .agg(F.avg("v").alias("v"))
+    )
+
+
+def nearest(df: DataFrame, shape: dict[str, int], factors: dict[str, int]) -> DataFrame:
+    """Order-0 subsample: keep pixels at stride f, renumber coordinates.
+    Catalyst pushes the modulo filter into the scan; zero shuffle."""
+    f = _factors(factors)
+    df = crop_to_factor(df, shape, factors)
+    cond = None
+    for d in SPATIAL:
+        if f[d] > 1:
+            c = (F.col(d) % f[d]) == 0
+            cond = c if cond is None else (cond & c)
+    if cond is not None:
+        df = df.filter(cond)
+    return df.select(
+        "t", "c",
+        *[(F.col(d) / f[d]).cast("long").alias(d) if f[d] > 1 else F.col(d) for d in SPATIAL],
+        "v",
+    )
+
+
+def _mode_over_blocks(grouped_counts: DataFrame, weight_col: str) -> DataFrame:
+    """Pick per-block argmax of (count, then smallest value wins ties).
+
+    Implemented with ``max_by`` over a struct whose ordering encodes the
+    tie-break: higher count first, then smaller v (negated for max
+    ordering). Single aggregate, no window sort."""
+    return grouped_counts.groupBy("t", "c", "z", "y", "x").agg(
+        F.max_by("v", F.struct(F.col(weight_col), (-F.col("v")).alias("nv"))).alias("v")
+    )
+
+
+def mode_downsample(df: DataFrame, shape: dict[str, int], factors: dict[str, int]) -> DataFrame:
+    """Per-block mode, ties → smallest value (np.unique argmax returns the
+    first, i.e. smallest, of equally-frequent values)."""
+    df = crop_to_factor(df, shape, factors)
+    counts = (
+        df.groupBy(*_block_cols(factors), F.col("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _mode_over_blocks(counts, "cnt")
+
+
+def label_downsample(
+    df: DataFrame, shape: dict[str, int], factors: dict[str, int]
+) -> DataFrame:
+    """Label image downsampling: mode with *linear center weighting* —
+    votes nearer the block center count more, approximating the
+    reference's itkwasm ``downsample_label_image`` linear interpolation
+    weighting. Weight for offset o in a block of factor f:
+    w = prod_dims (f - |2*o - (f-1)|), an integer tent function, so the
+    weighted counts stay exactly reproducible cross-engine.
+    Ties → smallest label."""
+    f = _factors(factors)
+    df = crop_to_factor(df, shape, factors)
+    w = F.lit(1)
+    for d in SPATIAL:
+        if f[d] > 1:
+            off = F.col(d) % f[d]
+            w = w * (F.lit(f[d]) - F.abs(off * 2 - (f[d] - 1)))
+    counts = (
+        df.withColumn("w", w.cast("long"))
+        .groupBy(*_block_cols(factors), F.col("v"))
+        .agg(F.sum("w").alias("wsum"))
+    )
+    return _mode_over_blocks(counts, "wsum")

@@ -1,0 +1,570 @@
+"""DuckDB oracle SQL for every gate query (the independent check side).
+
+Each SQL string recomputes the Spark query's semantics from scratch in
+DuckDB's dialect over the same parquet views (plus the shared
+``range``-derived pixel/plate fixtures). The SQL here deliberately does
+NOT share code with the Spark implementations — it is the oracle.
+
+Dialect correspondences used throughout (verified in tests):
+- Spark ``conv(substr(md5(s),1,15),16,10)``  ==  DuckDB
+  ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` (the portable h64)
+- Spark ``regexp_replace`` is global; DuckDB needs the ``'g'`` flag.
+- Spark ``sequence(0,n)`` is inclusive; DuckDB ``range(0,n)`` exclusive.
+- DuckDB ``SUM(BIGINT)`` widens to HUGEINT → always CAST back.
+- Spark list indexing ``element_at`` is 1-based, as is DuckDB ``l[i]``.
+"""
+
+from __future__ import annotations
+
+from .fixtures import IMG2D_LABEL, IMG3D, IMG5D, pixel_cte_sql
+from .functions.text import EN_STOPWORDS, LANG_STOPWORDS
+from .gate import (
+    ANN_K,
+    CHUNKS3D,
+    DTYPE_BYTES,
+    EMB_DIM,
+    F2D4,
+    G_WEIGHTS,
+    IMG3D_SCALE,
+    IMG3D_TRANSLATION,
+    N_LEVELS,
+    NEAR_DUP_COS,
+    Q3_DATE,
+    Q3_SEGMENT,
+    Q5_HI,
+    Q5_LO,
+    Q5_REGION,
+    ROI_RANGES,
+    TPCH_Q1_CUTOFF,
+)
+
+H64 = "CAST(concat('0x', substr(md5({s}),1,15)) AS BIGINT)"
+NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+TOKS_RAW = "list_filter(string_split(trim(regexp_replace({c}, '\\s+', ' ', 'g')), ' '), t -> t != '')"
+
+
+def _crop3d(spec, f):
+    conds = []
+    for d in ("z", "y", "x"):
+        fd = f.get(d, 1)
+        if fd > 1:
+            lim = fd * (spec.shape[d] // fd)
+            conds.append(f"{d} < {lim}")
+    return " AND ".join(conds) if conds else "TRUE"
+
+
+def _block_sel(f):
+    cols = ["t", "c"]
+    for d in ("z", "y", "x"):
+        fd = f.get(d, 1)
+        cols.append(f"{d}//{fd} AS {d}" if fd > 1 else d)
+    return ", ".join(cols)
+
+
+def _stride(f):
+    return " AND ".join(f"{d}%{f[d]}=0" for d in ("z", "y", "x") if f.get(d, 1) > 1) or "TRUE"
+
+
+def sql_f1_level_pick():
+    f = {"z": 2, "y": 2, "x": 2}
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT CAST(1 AS BIGINT) AS scale, t, c, z//2 AS z, y//2 AS y, x//2 AS x, v
+FROM P WHERE {_crop3d(IMG3D, f)} AND {_stride(f)}"""
+
+
+def sql_f2_roi():
+    r = ROI_RANGES
+    conds = " AND ".join(f"{d} >= {lo} AND {d} < {hi}" for d, (lo, hi) in r.items())
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT t, c, z, y, x, v FROM P WHERE {conds}"""
+
+
+def sql_f3_f4_tc_select():
+    return f"""WITH {pixel_cte_sql(IMG5D)}
+SELECT t, c, z, y, x, v FROM P WHERE t = 1 AND c = 1"""
+
+
+def sql_f5_transpose():
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT t, c, z, x AS y, y AS x, v FROM P WHERE z >= 0 AND z < 4"""
+
+
+def _sql_bin_shrink(spec, f, label=False):
+    return f"""WITH {pixel_cte_sql(spec, label=label)}
+SELECT {_block_sel(f)}, AVG(v) AS v
+FROM P WHERE {_crop3d(spec, f)}
+GROUP BY 1,2,3,4,5"""
+
+
+def sql_a2_bin_shrink():
+    return _sql_bin_shrink(IMG3D, {"z": 2, "y": 2, "x": 2})
+
+
+def sql_a2_bin_shrink_aniso():
+    return _sql_bin_shrink(IMG3D, {"z": 1, "y": 2, "x": 2})
+
+
+def sql_a7_nearest():
+    f = {"z": 2, "y": 2, "x": 2}
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT {_block_sel(f)}, v FROM P WHERE {_crop3d(IMG3D, f)} AND {_stride(f)}"""
+
+
+def sql_a8_mode():
+    f = F2D4
+    return f"""WITH {pixel_cte_sql(IMG2D_LABEL, label=True)},
+cnt AS (
+  SELECT {_block_sel(f)}, v, COUNT(*) AS cnt
+  FROM P WHERE {_crop3d(IMG2D_LABEL, f)}
+  GROUP BY 1,2,3,4,5,6
+),
+rk AS (
+  SELECT t, c, z, y, x, v,
+         row_number() OVER (PARTITION BY t, c, z, y, x ORDER BY cnt DESC, v ASC) AS rn
+  FROM cnt
+)
+SELECT t, c, z, y, x, v FROM rk WHERE rn = 1"""
+
+
+def sql_a3_label_downsample():
+    f = F2D4
+    wt_terms = []
+    for d in ("z", "y", "x"):
+        fd = f.get(d, 1)
+        if fd > 1:
+            wt_terms.append(f"({fd} - abs(({d}%{fd})*2 - {fd - 1}))")
+    wt = " * ".join(wt_terms)
+    return f"""WITH {pixel_cte_sql(IMG2D_LABEL, label=True)},
+w AS (
+  SELECT t, c, z, y, x, v, {wt} AS wt
+  FROM P WHERE {_crop3d(IMG2D_LABEL, f)}
+),
+cnt AS (
+  SELECT {_block_sel(f)}, v, CAST(SUM(wt) AS BIGINT) AS wsum
+  FROM w GROUP BY 1,2,3,4,5,6
+),
+rk AS (
+  SELECT t, c, z, y, x, v,
+         row_number() OVER (PARTITION BY t, c, z, y, x ORDER BY wsum DESC, v ASC) AS rn
+  FROM cnt
+)
+SELECT t, c, z, y, x, v FROM rk WHERE rn = 1"""
+
+
+def _gauss_pass(src: str, axis: str, weights: list[int]) -> str:
+    others = ", ".join(d for d in ("t", "c", "z", "y", "x") if d != axis)
+    terms = [f"{weights[0]}*v"]
+    for k in range(1, len(weights)):
+        terms.append(
+            f"{weights[k]}*(COALESCE(lag(v,{k}) OVER line_w, first_value(v) OVER full_w)"
+            f" + COALESCE(lead(v,{k}) OVER line_w, last_value(v) OVER full_w))"
+        )
+    expr = " + ".join(terms)
+    return f"""SELECT t, c, z, y, x, CAST({expr} AS BIGINT) AS v
+  FROM {src}
+  WINDOW line_w AS (PARTITION BY {others} ORDER BY {axis}),
+         full_w AS (PARTITION BY {others} ORDER BY {axis}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+
+
+def sql_a1_gaussian():
+    f = {"z": 2, "y": 2, "x": 2}
+    w = G_WEIGHTS
+    return f"""WITH {pixel_cte_sql(IMG3D)},
+gz AS ({_gauss_pass('P', 'z', w)}),
+gy AS ({_gauss_pass('gz', 'y', w)}),
+gx AS ({_gauss_pass('gy', 'x', w)})
+SELECT {_block_sel(f)}, v FROM gx WHERE {_crop3d(IMG3D, f)} AND {_stride(f)}"""
+
+
+def sql_a10_minmax():
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT MIN(v) AS v_min, MAX(v) AS v_max FROM P"""
+
+
+def sql_a11_chunk_cost():
+    sh, ch = IMG3D.shape, CHUNKS3D
+    ncz = -(-sh["z"] // ch["z"])
+    ncy = -(-sh["y"] // ch["y"])
+    ncx = -(-sh["x"] // ch["x"])
+    return f"""WITH g AS (
+  SELECT CAST(i//{ncy * ncx} AS BIGINT) AS cz,
+         CAST((i//{ncx})%{ncy} AS BIGINT) AS cy,
+         CAST(i%{ncx} AS BIGINT) AS cx
+  FROM range({ncz * ncy * ncx}) r(i)
+),
+e AS (
+  SELECT least({ch['z']}, {sh['z']} - cz*{ch['z']}) AS ez,
+         least({ch['y']}, {sh['y']} - cy*{ch['y']}) AS ey,
+         least({ch['x']}, {sh['x']} - cx*{ch['x']}) AS ex
+  FROM g
+)
+SELECT COUNT(*) AS n_chunks,
+       CAST(SUM(CAST(ez*ey*ex*{DTYPE_BYTES} AS BIGINT)) AS BIGINT) AS total_bytes
+FROM e"""
+
+
+def sql_c2_scale_translation():
+    cols = ["CAST(i AS BIGINT) AS level"]
+    for d in ("z", "y", "x"):
+        s0, t0 = IMG3D_SCALE[d], IMG3D_TRANSLATION[d]
+        cols.append(f"{s0} * pow(2, i) AS scale_{d}")
+        cols.append(f"{t0} + 0.5 * (pow(2, i) - 1.0) * {s0} AS translation_{d}")
+    sel = ",\n       ".join(cols)
+    return f"SELECT {sel}\nFROM range({N_LEVELS}) r(i)"
+
+
+# ---------------------------------------------------------------------------
+# Documents / embeddings / events
+
+
+def _toks_cte(lower: bool) -> str:
+    src = NORM.format(c="text") if lower else None
+    if lower:
+        toks = f"list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '')"
+    else:
+        toks = TOKS_RAW.format(c="text")
+    return f"q AS (SELECT doc_id, {toks} AS toks FROM documents)"
+
+
+_SHINGLE = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(0, len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) "
+    "ELSE [] END"
+)
+
+_SIG_CTE = f"""{_toks_cte(lower=True)},
+sh0 AS (SELECT doc_id, unnest({_SHINGLE}) AS shingle FROM q),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hp AS (SELECT doc_id, shingle, p.i AS perm FROM sh CROSS JOIN range(16) p(i)),
+sig AS (
+  SELECT doc_id, perm,
+         MIN({H64.format(s="concat(CAST(perm AS VARCHAR), ':', shingle)")}) AS minhash
+  FROM hp GROUP BY 1, 2
+)"""
+
+
+def sql_dedup_exact():
+    return f"""SELECT md5({NORM.format(c='text')}) AS content_md5,
+       COUNT(*) AS n_docs, MIN(doc_id) AS representative
+FROM documents GROUP BY 1"""
+
+
+def sql_dedup_minhash_sig():
+    return f"WITH {_SIG_CTE}\nSELECT doc_id, perm, minhash FROM sig"
+
+
+def sql_dedup_minhash():
+    band_sig = H64.format(s="string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)")
+    return f"""WITH {_SIG_CTE},
+bands AS (
+  SELECT doc_id, band, {band_sig} AS band_key
+  FROM (SELECT doc_id, perm, minhash, perm//4 AS band FROM sig)
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.125"""
+
+
+def sql_dedup_simhash():
+    h = H64.format(s="tok")
+    return f"""WITH {_toks_cte(lower=True)},
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM q),
+hs AS (SELECT doc_id, {h} AS h FROM tk),
+votes AS (
+  SELECT doc_id, b.i AS b,
+         CAST(SUM(((h >> CAST(b.i AS INTEGER)) & 1) * 2 - 1) AS BIGINT) AS s
+  FROM hs CROSS JOIN range(60) b(i)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1"""
+
+
+def sql_dedup_ngram_jaccard():
+    return f"""WITH {_toks_cte(lower=True)},
+sh0 AS (SELECT doc_id, unnest({_SHINGLE}) AS shingle FROM q),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1"""
+
+
+def sql_text_token_count():
+    return f"""SELECT doc_id,
+       CAST(len({TOKS_RAW.format(c='text')}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+
+def sql_text_quality():
+    stop_list = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""WITH q AS (
+  SELECT doc_id, {TOKS_RAW.format(c='text')} AS toks,
+         CAST(length(text) AS BIGINT) AS n_char,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(toks, t -> list_contains({stop_list}, lower(t)))) AS BIGINT) AS n_stop,
+         n_char, n_punct
+  FROM q
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round((n_char - (n_tok - 1)) / n_tok, 6) AS mean_token_len,
+       round(n_punct / n_char, 6) AS punct_ratio,
+       round(n_stop / n_tok, 6) AS stopword_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.4 + (n_stop / n_tok) * 0.4 + (1.0 - n_punct / n_char) * 0.2, 6) AS quality
+FROM m"""
+
+
+def sql_text_lang_id():
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        lst = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter(toks, t -> list_contains({lst}, t))) AS BIGINT) AS s_{lang}"
+        )
+    scores = ",\n         ".join(score_cols)
+    # argmax with lexicographic tie-break (langs checked in sorted order)
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(cases) + " END"
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""WITH {_toks_cte(lower=True)},
+s AS (
+  SELECT doc_id,
+         {scores}
+  FROM q
+)
+SELECT doc_id, {case_expr} AS pred_lang, {greatest} AS votes FROM s"""
+
+
+def sql_text_fingerprint():
+    return f"""WITH n AS (SELECT doc_id, {NORM.format(c='text')} AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fp_md5, {H64.format(s='norm')} AS fp64 FROM n"""
+
+
+def sql_text_winnow():
+    h = H64.format(s="tok")
+    return f"""WITH {_toks_cte(lower=False)},
+tk AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos FROM q),
+hs AS (SELECT doc_id, pos, {h} AS h FROM tk),
+m AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM hs
+)
+SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min, MAX(fp) AS fp_max FROM m GROUP BY 1"""
+
+
+_UNROLL = f"""u AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS norm,
+         embedding
+  FROM embeddings
+)"""
+
+
+def sql_ann_cosine_topk():
+    return f"""WITH {_UNROLL},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.norm AS qn, c.norm AS cn,
+         SUM(CAST(c.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) * CAST(q.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+  FROM u q
+  JOIN u c ON c.vec_id != q.vec_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2, 3, 4
+),
+rk AS (
+  SELECT query_id, neighbor_id, dot / (qn * cn) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot / (qn * cn) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
+FROM rk WHERE rank <= {ANN_K}"""
+
+
+def sql_emb_near_dup():
+    return f"""WITH {_UNROLL},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm AS na, b.norm AS nb,
+         SUM(CAST(a.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) * CAST(b.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+FROM dots WHERE round(dot / (na * nb), 6) >= {NEAR_DUP_COS}"""
+
+
+def sql_events_hourly():
+    return """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour_epoch, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def sql_events_sessionize():
+    return """WITH e AS (SELECT user_id, epoch_ns(ts) AS ns FROM events),
+g AS (
+  SELECT user_id,
+         CASE WHEN lag(ns) OVER w IS NULL
+                OR ns - lag(ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY 1"""
+
+
+def sql_tpch_q1():
+    return f"""SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{TPCH_Q1_CUTOFF}'
+GROUP BY 1, 2"""
+
+
+def sql_tpch_q3():
+    return f"""SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10"""
+
+
+def sql_tpch_q5():
+    return f"""SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_LO}'
+  AND o_orderdate < TIMESTAMP '{Q5_HI}'
+GROUP BY 1"""
+
+
+_WELLS_CTE = """wells AS (
+  SELECT 'plate0' AS plate_id,
+         CAST(i//12 AS BIGINT) AS row_index,
+         CAST(i%12 AS BIGINT) AS col_index,
+         chr(65 + CAST(i//12 AS INTEGER)) AS row_name,
+         CAST(i%12 + 1 AS VARCHAR) AS col_name
+  FROM range(96) r(i)
+),
+wells2 AS (SELECT *, row_name || '/' || col_name AS well_path FROM wells)"""
+
+_IMAGES_CTE = """imgs AS (
+  SELECT 'plate0' AS plate_id,
+         CAST((i//2)//12 AS BIGINT) AS row_index,
+         CAST((i//2)%12 AS BIGINT) AS col_index,
+         CAST((i//2)%1 AS BIGINT) AS acquisition_id,
+         CAST(i%2 AS BIGINT) AS field_index
+  FROM range(192) r(i)
+),
+imgs2 AS (
+  SELECT *,
+         chr(65 + CAST(row_index AS INTEGER)) || '/' || CAST(col_index + 1 AS VARCHAR) AS well_path
+  FROM imgs
+),
+imgs3 AS (
+  SELECT *, well_path || '/' || CAST(field_index AS VARCHAR) AS image_path FROM imgs2
+)"""
+
+
+def sql_j3_well_catalog():
+    return f"""WITH {_WELLS_CTE},
+{_IMAGES_CTE}
+SELECT i.plate_id, i.well_path, w.row_name, w.col_name,
+       i.acquisition_id, i.field_index, i.image_path
+FROM imgs3 i JOIN wells2 w ON i.plate_id = w.plate_id AND i.well_path = w.well_path"""
+
+
+def sql_f7_well_lookup():
+    return f"""WITH {_WELLS_CTE}
+SELECT plate_id, row_index, col_index, row_name, col_name, well_path
+FROM wells2 WHERE row_name = 'D' AND col_name = '7'"""
+
+
+def oracles() -> dict[str, str]:
+    """All oracle SQL keyed identically to gate.queries(). Keys absent
+    here (e.g. a9_pyramid_plan) get the driver's rows-only check."""
+    return {
+        "f1_level_pick": sql_f1_level_pick(),
+        "f2_roi": sql_f2_roi(),
+        "f3_f4_tc_select": sql_f3_f4_tc_select(),
+        "f5_transpose": sql_f5_transpose(),
+        "a2_bin_shrink": sql_a2_bin_shrink(),
+        "a2_bin_shrink_aniso": sql_a2_bin_shrink_aniso(),
+        "a7_nearest": sql_a7_nearest(),
+        "a8_mode": sql_a8_mode(),
+        "a3_label_downsample": sql_a3_label_downsample(),
+        "a1_gaussian": sql_a1_gaussian(),
+        "a10_minmax": sql_a10_minmax(),
+        "a11_chunk_cost": sql_a11_chunk_cost(),
+        "c2_scale_translation": sql_c2_scale_translation(),
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_minhash_sig": sql_dedup_minhash_sig(),
+        "dedup_minhash": sql_dedup_minhash(),
+        "dedup_simhash": sql_dedup_simhash(),
+        "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+        "text_token_count": sql_text_token_count(),
+        "text_quality": sql_text_quality(),
+        "text_lang_id": sql_text_lang_id(),
+        "text_fingerprint": sql_text_fingerprint(),
+        "text_winnow": sql_text_winnow(),
+        "ann_cosine_topk": sql_ann_cosine_topk(),
+        "emb_near_dup": sql_emb_near_dup(),
+        "events_hourly": sql_events_hourly(),
+        "events_sessionize": sql_events_sessionize(),
+        "tpch_q1": sql_tpch_q1(),
+        "tpch_q3": sql_tpch_q3(),
+        "tpch_q5": sql_tpch_q5(),
+        "j3_well_catalog": sql_j3_well_catalog(),
+        "f7_well_lookup": sql_f7_well_lookup(),
+    }

@@ -1,0 +1,87 @@
+"""Text / dedup / similarity operators: semantic sanity checks on a tiny
+in-memory corpus (engine-vs-oracle equivalence is covered by the gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark.functions import (
+    cosine_topk,
+    exact_dedup,
+    lang_id,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    simhash_candidates,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup
+        (2, "the quick brown fox leaps over the lazy dog", "en", "s", 43),  # near dup
+        (3, "completely different words appear here today folks", "en", "s", 50),
+        (4, "el la de que y en un por con los gatos", "es", "s", 38),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups(corpus):
+    out = {r["representative"]: r["n_docs"] for r in exact_dedup(corpus).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 5
+
+
+def test_minhash_finds_near_dup(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_candidates(corpus).collect()}
+    assert pairs[(0, 1)] == 1.0           # identical docs agree on every perm
+    # (jaccard-0.4 pairs hit a 4-row band only ~10% of the time — by design)
+    assert (0, 3) not in pairs and (0, 4) not in pairs  # unrelated docs never collide
+
+
+def test_ngram_jaccard_exact_value(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(corpus).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # 7 shingles each, 4 shared ("fox jumps over" vs "fox leaps over" differ in 3)
+    assert pairs[(0, 2)] == pytest.approx(4 / 10, abs=1e-6)
+
+
+def test_simhash_near_dup_distance(corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert sigs[0] == sigs[1]
+    ham = bin(sigs[0] ^ sigs[2]).count("1")
+    far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham < far
+
+
+def test_lang_id_votes(corpus):
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(corpus).collect()}
+    assert out[0] == "en"
+    assert out[4] == "es"
+
+
+def test_token_and_quality(corpus):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(corpus).collect()}
+    assert tc[0] == 9
+    q = {r["doc_id"]: r["stopword_ratio"] for r in quality_score(corpus).collect()}
+    assert q[0] == pytest.approx(2 / 9, abs=1e-6)  # 'the' appears twice in 9 tokens
+
+
+def test_cosine_topk_self_similar(spark):
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cosine_topk(emb, [0], k=2, dim=4).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-4)
