@@ -205,6 +205,56 @@ def q_a9_pyramid_plan(spark, sf_dir):
     return spark.createDataFrame(rows, "level long, fz long, fy long, fx long")
 
 
+def q_s1_s4_zarr_roundtrip(spark, sf_dir):
+    """S4 write + S1 read: push the IMG3D pixel table through the
+    ome_zarr DataSource (zarr v2, gzip chunks) and read it back. The
+    oracle recomputes the pixel table directly — any codec/layout bug
+    breaks the hash match."""
+    import tempfile, os
+    from .model import NgffImage
+    from .ome_zarr_api import to_multiscales as _tm, to_ngff_zarr as _tz, read_image
+
+    store = os.path.join(tempfile.gettempdir(), "gate_roundtrip.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="gate",
+    )
+    ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
+    _tz(store, ms, version="0.4")
+    return read_image(spark, store, "scale0/image").select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_s4_multiscale_level1(spark, sf_dir):
+    """S4/A2 composite: write a two-level pyramid (level 1 recomputed
+    from the *stored* level 0 — the O3 write-then-read checkpoint), read
+    level 1 back. Oracle: bin-shrink SQL over the synthesized pixels."""
+    import tempfile, os
+    from .model import NgffImage
+    from .ome_zarr_api import to_multiscales as _tm, to_ngff_zarr as _tz, read_image
+
+    store = os.path.join(tempfile.gettempdir(), "gate_pyramid.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="gate",
+    )
+    ms = _tm(img, scale_factors=[F3D], method="ITKWASM_BIN_SHRINK",
+             chunks={"z": 16, "y": 32, "x": 32})
+    _tz(store, ms, version="0.5")
+    return read_image(spark, store, "scale1/image", zarr_format=3).select(
+        "t", "c", "z", "y", "x", "v"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -373,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_chunk_cost": q_a11_chunk_cost,
         "c2_scale_translation": q_c2_scale_translation,
         "a9_pyramid_plan": q_a9_pyramid_plan,
+        "s1_s4_zarr_roundtrip": q_s1_s4_zarr_roundtrip,
+        "s4_multiscale_level1": q_s4_multiscale_level1,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash": q_dedup_minhash,

@@ -1,0 +1,294 @@
+"""High-level OME-Zarr API: the engine's equivalents of the reference's
+``to_multiscales`` / ``to_ngff_zarr`` / ``from_ngff_zarr`` entry points
+(py/ngff_zarr/to_multiscales.py:251-418, to_ngff_zarr.py:982-1183,
+from_ngff_zarr.py:38-307), re-expressed over pixel-table DataFrames and
+the ``ome_zarr`` DataSource.
+
+Execution shape (O3, the reference's ``_prepare_next_scale``
+checkpointing): each pyramid level is *written, then read back* as the
+source for the next level — per-level Spark jobs bound the logical-plan
+depth exactly like the reference bounds its Dask graph, and the shuffle
+for level i+1 reads only the (8x smaller) level i.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .metadata import group_attributes, parse_group_attributes, validate_metadata
+from .model import (
+    Axis,
+    Dataset,
+    Metadata,
+    Multiscales,
+    NgffImage,
+    ScaleTransform,
+    TranslationTransform,
+    dim_axis_type,
+)
+from .operators import bin_shrink, gaussian_downsample, label_downsample, mode_downsample, nearest
+from .plans.planner import (
+    next_scale_metadata,
+    pyramid_scale_factors,
+    relative_dim_factors,
+    update_previous_dim_factors,
+)
+from .sources.ome_zarr import PIXEL_DIMS, OmeZarrDataSource, register
+from .sources.zarr_store import ZarrStore
+
+# Method registry (reference Methods enum dispatch,
+# to_multiscales.py:325-359). The *_GAUSSIAN variants share one
+# separable-convolution engine operator; ITK/ITKWASM/DASK_IMAGE only
+# differ in kernel weights, which this engine treats as one tag.
+METHODS: dict[str, Callable] = {
+    "ITKWASM_GAUSSIAN": lambda df, shape, f: gaussian_downsample(df, shape, f),
+    "ITK_GAUSSIAN": lambda df, shape, f: gaussian_downsample(df, shape, f),
+    "DASK_IMAGE_GAUSSIAN": lambda df, shape, f: gaussian_downsample(df, shape, f),
+    "ITKWASM_BIN_SHRINK": bin_shrink,
+    "ITK_BIN_SHRINK": bin_shrink,
+    "DASK_IMAGE_NEAREST": nearest,
+    "DASK_IMAGE_MODE": mode_downsample,
+    "ITKWASM_LABEL_IMAGE": label_downsample,
+}
+
+DEFAULT_CHUNKS_3D = 128
+DEFAULT_CHUNKS_2D = 256
+
+
+def default_chunks(dims: list[str]) -> dict[str, int]:
+    """128^3 (3D) / 256^2 (2D), t/c chunk = 1 (reference
+    to_multiscales.py:296-300, 'IPFS and visualization friendly')."""
+    spatial = [d for d in dims if d in ("z", "y", "x")]
+    size = DEFAULT_CHUNKS_3D if len(spatial) >= 3 else DEFAULT_CHUNKS_2D
+    return {d: (size if d in ("z", "y", "x") else 1) for d in dims}
+
+
+def to_multiscales(
+    image: NgffImage,
+    scale_factors: int | list = 128,
+    method: str = "ITKWASM_BIN_SHRINK",
+    chunks: Optional[dict[str, int]] = None,
+) -> Multiscales:
+    """Build the (lazy) pyramid: each level's DataFrame derives from the
+    previous by one downsample operator; nothing executes until write.
+    Integer ``scale_factors`` invokes the A9 planner with it as
+    min_length (reference to_multiscales.py:316-317)."""
+    if method not in METHODS:
+        raise ValueError(f"Unknown method {method!r}; options: {sorted(METHODS)}")
+    chunks = chunks or default_chunks(image.dims)
+    if isinstance(scale_factors, int):
+        scale_factors = pyramid_scale_factors(
+            image.shape, min_length=scale_factors, out_chunks=chunks
+        )
+
+    op = METHODS[method]
+    images = [image]
+    previous = {d: 1 for d in image.spatial_dims()}
+    current = image
+    for level in scale_factors:
+        rel = relative_dim_factors(current.dims, level, previous)
+        data = op(current.data, current.shape, rel)
+        scale, translation = next_scale_metadata(current.scale, current.translation, rel)
+        shape = {
+            d: (current.shape[d] // rel.get(d, 1)) for d in current.shape
+        }
+        current = NgffImage(
+            data=data,
+            dims=current.dims,
+            shape=shape,
+            scale=scale,
+            translation=translation,
+            name=current.name,
+            axes_units=current.axes_units,
+        )
+        images.append(current)
+        previous = update_previous_dim_factors(level, image.spatial_dims(), previous)
+
+    axes = [
+        Axis(name=d, type=dim_axis_type(d), unit=(image.axes_units or {}).get(d))
+        for d in image.dims
+    ]
+    datasets = []
+    for i, img in enumerate(images):
+        datasets.append(
+            Dataset(
+                path=f"scale{i}/image",
+                coordinateTransformations=[
+                    ScaleTransform(scale=[img.scale.get(d, 1.0) for d in img.dims]),
+                    TranslationTransform(
+                        translation=[img.translation.get(d, 0.0) for d in img.dims]
+                    ),
+                ],
+            )
+        )
+    meta = Metadata(axes=axes, datasets=datasets, name=image.name, type=method.lower())
+    return Multiscales(
+        images=images, metadata=meta, scale_factors=scale_factors, method=method, chunks=chunks
+    )
+
+
+def _chunk_key_cols(dims: list[str], chunks: dict[str, int]):
+    return [
+        (F.col(d) / chunks.get(d, 1)).cast("long").alias(f"_ck_{d}") for d in dims
+    ]
+
+
+def write_image(
+    df: DataFrame,
+    store_path: str,
+    array_path: str,
+    shape: dict[str, int],
+    dims: list[str],
+    chunks: dict[str, int],
+    dtype: str = "float64",
+    compressor: Optional[str] = "gzip",
+    zarr_format: int = 2,
+) -> None:
+    """Write one pixel-table DataFrame as one Zarr array. Repartitions by
+    chunk key first so every chunk is wholly owned by one task (the
+    writer's correctness invariant; also the write-locality optimization
+    the reference gets from rechunking, O5)."""
+    spark = df.sparkSession
+    register(spark)
+    n_chunks = math.prod(-(-shape[d] // chunks.get(d, 1)) for d in dims)
+    key_names = [f"_ck_{d}" for d in dims]
+    df = (
+        df.withColumns(dict(zip(key_names, _chunk_key_cols(dims, chunks))))
+        .repartition(max(1, min(n_chunks, 512)), *key_names)
+        .drop(*key_names)
+    )
+    (
+        df.select(*PIXEL_DIMS, "v")
+        .write.format("ome_zarr")
+        .mode("overwrite")
+        .option("path", store_path)
+        .option("array_path", array_path)
+        .option("zarr_format", str(zarr_format))
+        .option("shape", ",".join(str(shape[d]) for d in dims))
+        .option("chunks", ",".join(str(chunks.get(d, 1)) for d in dims))
+        .option("dims", ",".join(dims))
+        .option("dtype", dtype)
+        .option("compressor", compressor or "")
+        .save()
+    )
+
+
+def read_image(
+    spark: SparkSession,
+    store_path: str,
+    array_path: str,
+    zarr_format: int = 2,
+) -> DataFrame:
+    """Read one Zarr array as the pixel table (chunk-parallel scan with
+    predicate-pushdown chunk pruning)."""
+    register(spark)
+    return (
+        spark.read.format("ome_zarr")
+        .option("path", store_path)
+        .option("array_path", array_path)
+        .option("zarr_format", str(zarr_format))
+        .load()
+    )
+
+
+def to_ngff_zarr(
+    store_path: str,
+    multiscales: Multiscales,
+    version: str = "0.4",
+    compressor: Optional[str] = "gzip",
+    dtype: str = "float64",
+    validate: bool = False,
+) -> None:
+    """Write the pyramid to an OME-Zarr store (S4). Levels are written
+    sequentially; level i>0 is recomputed *from the stored level i-1*
+    (O3) rather than from the level-0 plan, so each job's lineage is one
+    downsample step deep and reads the smaller input."""
+    meta = multiscales.metadata
+    if validate and meta is not None:
+        problems = validate_metadata(meta)
+        if problems:
+            raise ValueError(f"Invalid OME metadata: {problems}")
+    zarr_format = 3 if version == "0.5" else 2
+    base = multiscales.images[0]
+    spark = base.data.sparkSession
+    store = ZarrStore(store_path)
+    store.write_group("", group_attributes(meta, version), zarr_format)
+
+    chunks = multiscales.chunks or default_chunks(base.dims)
+    op = METHODS[multiscales.method or "ITKWASM_BIN_SHRINK"]
+    previous = {d: 1 for d in base.spatial_dims()}
+    prev_img = base
+    prev_path = None
+    for i, img in enumerate(multiscales.images):
+        path = f"scale{i}/image"
+        if i == 0:
+            df = img.data
+        else:
+            level = multiscales.scale_factors[i - 1]
+            rel = relative_dim_factors(prev_img.dims, level, previous)
+            source = read_image(spark, store_path, prev_path, zarr_format)
+            df = op(source, prev_img.shape, rel)
+            previous = update_previous_dim_factors(level, base.spatial_dims(), previous)
+        lvl_chunks = {d: min(chunks.get(d, 1), max(1, img.shape[d])) for d in img.dims}
+        write_image(
+            df,
+            store_path,
+            path,
+            img.shape,
+            img.dims,
+            lvl_chunks,
+            dtype=dtype,
+            compressor=compressor,
+            zarr_format=zarr_format,
+        )
+        prev_img, prev_path = img, path
+    if zarr_format == 2:
+        store.consolidate_metadata_v2()
+
+
+def from_ngff_zarr(
+    spark: SparkSession, store_path: str, validate: bool = False
+) -> Multiscales:
+    """Read an OME-Zarr store back as a Multiscales of lazy pixel-table
+    DataFrames (S1)."""
+    store = ZarrStore(store_path)
+    if store.exists("zarr.json"):
+        attrs = store.get_json("zarr.json").get("attributes", {})
+        zarr_format = 3
+    else:
+        attrs = store.get_json(".zattrs")
+        zarr_format = 2
+    meta, version = parse_group_attributes(attrs)
+    if validate:
+        problems = validate_metadata(meta)
+        if problems:
+            raise ValueError(f"Invalid OME metadata: {problems}")
+    dims = [a.name for a in meta.axes]
+    images = []
+    for ds in meta.datasets:
+        arr_meta = store.read_array_meta(ds.path, zarr_format)
+        df = read_image(spark, store_path, ds.path, zarr_format)
+        scale = {}
+        translation = {}
+        for t in ds.coordinateTransformations:
+            if isinstance(t, ScaleTransform):
+                scale = dict(zip(dims, t.scale))
+            elif isinstance(t, TranslationTransform):
+                translation = dict(zip(dims, t.translation))
+        images.append(
+            NgffImage(
+                data=df,
+                dims=dims,
+                shape=dict(zip(dims, arr_meta.shape)),
+                scale=scale,
+                translation=translation,
+                name=meta.name,
+                chunks=dict(zip(dims, arr_meta.chunks)),
+            )
+        )
+    return Multiscales(images=images, metadata=meta)

@@ -244,6 +244,17 @@ sig AS (
 )"""
 
 
+def sql_s1_s4_zarr_roundtrip():
+    # The Spark side goes pixels → zarr store → pixels; the oracle just
+    # recomputes the pixels. Equality proves the store codec round-trips.
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT t, c, z, y, x, v FROM P"""
+
+
+def sql_s4_multiscale_level1():
+    return _sql_bin_shrink(IMG3D, {"z": 2, "y": 2, "x": 2})
+
+
 def sql_dedup_exact():
     return f"""SELECT md5({NORM.format(c='text')}) AS content_md5,
        COUNT(*) AS n_docs, MIN(doc_id) AS representative
@@ -548,6 +559,8 @@ def oracles() -> dict[str, str]:
         "a10_minmax": sql_a10_minmax(),
         "a11_chunk_cost": sql_a11_chunk_cost(),
         "c2_scale_translation": sql_c2_scale_translation(),
+        "s1_s4_zarr_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "s4_multiscale_level1": sql_s4_multiscale_level1(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),
         "dedup_minhash": sql_dedup_minhash(),

@@ -1,0 +1,262 @@
+"""``ome_zarr`` PySpark DataSource (Python DataSource API, Spark 4):
+
+    spark.dataSource.register(OmeZarrDataSource)
+    df = (spark.read.format("ome_zarr")
+          .option("path", "/data/img.ome.zarr").option("scale", 0).load())
+    # → pixel table (t, c, z, y, x, v)
+
+Read side (S1): one ``InputPartition`` per Zarr chunk — the unit of
+parallelism matches the storage grid, so a 100 TB store fans out to
+millions of independent chunk reads with no driver materialization.
+``pushFilters`` implements O11: comparison predicates on the coordinate
+columns prune non-intersecting chunks *before* tasks launch (the classic
+partition-pruning shape); all filters are still returned to Spark for
+exact row-level re-evaluation inside surviving chunks. Chunk bytes are
+decoded to numpy and emitted as Arrow RecordBatches (vectorized, no
+per-row Python).
+
+Write side (S4/S6): ``DataSourceArrowWriter`` — each task assembles the
+chunks wholly contained in its partition and puts them to the store;
+``commit`` runs once on the driver. Callers must pre-partition by chunk
+key (ome_zarr_api.write_image does) so no chunk spans two tasks — the
+same invariant the reference establishes by rechunking before write
+(_align_chunks, to_ngff_zarr.py:1093-1101).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .zarr_store import ZarrArrayMeta, ZarrStore
+
+PIXEL_DIMS = ("t", "c", "z", "y", "x")
+
+PIXEL_SCHEMA = StructType(
+    [StructField(d, LongType(), False) for d in PIXEL_DIMS]
+    + [StructField("v", DoubleType(), True)]
+)
+
+
+@dataclass
+class ChunkPartition(InputPartition):
+    """One Zarr chunk = one Spark task."""
+
+    idx: tuple
+    origin: tuple
+    extent: tuple
+
+
+def _axis_map(dimension_names: Optional[list], ndim: int) -> list[str]:
+    """Store axis order → pixel-dim names; positional (t,c,z,y,x) trailing
+    default when the store has no dimension_names (v2 without
+    _ARRAY_DIMENSIONS)."""
+    if dimension_names:
+        return list(dimension_names)
+    return list(PIXEL_DIMS[5 - ndim:])
+
+
+class OmeZarrReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.zarr_format = int(options.get("zarr_format", "2"))
+        self.array_path = options.get("array_path")
+        if self.array_path is None:
+            scale = int(options.get("scale", "0"))
+            self.array_path = f"scale{scale}/image"
+        store = ZarrStore(self.path)
+        self.meta = store.read_array_meta(self.array_path, self.zarr_format)
+        self.axes = _axis_map(self.meta.dimension_names, len(self.meta.shape))
+        # pruning ranges per pixel dim: [lo, hi) — refined by pushFilters
+        self.bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """O11 chunk pruning: absorb comparison predicates on coordinate
+        columns into per-dim ranges. All filters are returned (pruning is
+        chunk-granular; Spark still applies exact row filters)."""
+        for f in filters:
+            col = None
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                if len(f.attribute) == 1 and f.attribute[0] in self.axes:
+                    col = f.attribute[0]
+            if col is None:
+                continue
+            lo, hi = self.bounds.get(col, [None, None])
+            v = f.value
+            if isinstance(f, EqualTo):
+                lo = v if lo is None else max(lo, v)
+                hi = v + 1 if hi is None else min(hi, v + 1)
+            elif isinstance(f, GreaterThan):
+                lo = v + 1 if lo is None else max(lo, v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                lo = v if lo is None else max(lo, v)
+            elif isinstance(f, LessThan):
+                hi = v if hi is None else min(hi, v)
+            elif isinstance(f, LessThanOrEqual):
+                hi = v + 1 if hi is None else min(hi, v + 1)
+            self.bounds[col] = [lo, hi]
+        return filters
+
+    def partitions(self):
+        m = self.meta
+        grid = m.chunk_grid
+        parts = []
+        for flat in range(int(np.prod(grid))):
+            idx = np.unravel_index(flat, grid)
+            idx = tuple(int(i) for i in idx)
+            origin = m.chunk_origin(idx)
+            extent = m.chunk_extent(idx)
+            if self._chunk_pruned(origin, extent):
+                continue
+            parts.append(ChunkPartition(idx=idx, origin=origin, extent=extent))
+        return parts
+
+    def _chunk_pruned(self, origin, extent) -> bool:
+        for ax, o, e in zip(self.axes, origin, extent):
+            b = self.bounds.get(ax)
+            if not b:
+                continue
+            lo, hi = b
+            if lo is not None and o + e <= lo:
+                return True
+            if hi is not None and o >= hi:
+                return True
+        return False
+
+    def read(self, partition: ChunkPartition) -> Iterator[pa.RecordBatch]:
+        store = ZarrStore(self.path)
+        arr = store.read_chunk(self.meta, partition.idx)
+        coords = np.meshgrid(
+            *[np.arange(o, o + e, dtype=np.int64) for o, e in zip(partition.origin, partition.extent)],
+            indexing="ij",
+        )
+        cols: dict[str, np.ndarray] = {}
+        for ax, grid in zip(self.axes, coords):
+            cols[ax] = grid.ravel()
+        n = arr.size
+        arrays = []
+        for d in PIXEL_DIMS:
+            arrays.append(pa.array(cols.get(d, np.zeros(n, dtype=np.int64))))
+        arrays.append(pa.array(arr.astype(np.float64).ravel()))
+        yield pa.RecordBatch.from_arrays(arrays, names=list(PIXEL_DIMS) + ["v"])
+
+
+@dataclass
+class ChunkWriteCommit(WriterCommitMessage):
+    chunk_keys: list
+
+
+class OmeZarrWriter(DataSourceArrowWriter):
+    """Executor-side chunk assembly + put (S6 direct write shape)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.zarr_format = int(options.get("zarr_format", "2"))
+        self.array_path = options.get("array_path", "scale0/image")
+        shape = [int(s) for s in options["shape"].split(",")]
+        chunks = [int(s) for s in options["chunks"].split(",")]
+        dims = options.get("dims", ",".join(PIXEL_DIMS[5 - len(shape):])).split(",")
+        self.dims = dims
+        self.meta = ZarrArrayMeta(
+            path=self.array_path,
+            shape=tuple(shape),
+            chunks=tuple(chunks),
+            dtype=np.dtype(options.get("dtype", "float64")),
+            compressor=options.get("compressor") or None,
+            zarr_format=self.zarr_format,
+            dimension_names=dims if self.zarr_format == 3 else None,
+        )
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> ChunkWriteCommit:
+        store = ZarrStore(self.path)
+        m = self.meta
+        buffers: dict[tuple, np.ndarray] = {}
+        for batch in iterator:
+            tbl = batch.to_pydict()
+            coord_cols = [np.asarray(tbl[d], dtype=np.int64) for d in self.dims]
+            vals = np.asarray(tbl["v"])
+            if len(vals) == 0:
+                continue
+            chunk_ids = [c // s for c, s in zip(coord_cols, m.chunks)]
+            flat = chunk_ids[0]
+            grid = m.chunk_grid
+            for g, ci in zip(grid[1:], chunk_ids[1:]):
+                flat = flat * g + ci
+            order = np.argsort(flat, kind="stable")
+            flat_sorted = flat[order]
+            boundaries = np.flatnonzero(np.diff(flat_sorted)) + 1
+            groups = np.split(order, boundaries)
+            for grp in groups:
+                i0 = grp[0]
+                idx = tuple(int(c[i0] // s) for c, s in zip(coord_cols, m.chunks))
+                if idx not in buffers:
+                    buffers[idx] = np.full(m.chunks, m.fill_value, dtype=m.dtype)
+                local = tuple(
+                    c[grp] - i * s for c, i, s in zip(coord_cols, idx, m.chunks)
+                )
+                buffers[idx][local] = vals[grp].astype(m.dtype)
+        keys = []
+        for idx, arr in buffers.items():
+            extent = m.chunk_extent(idx)
+            store.write_chunk(m, idx, arr[tuple(slice(0, e) for e in extent)])
+            keys.append(m.chunk_key(idx))
+        return ChunkWriteCommit(chunk_keys=keys)
+
+    def commit(self, messages):
+        store = ZarrStore(self.path)
+        attrs = None
+        if self.zarr_format == 2:
+            attrs = {"_ARRAY_DIMENSIONS": list(self.dims)}
+        store.write_array_meta(self.meta, attributes=attrs)
+
+    def abort(self, messages):
+        pass
+
+
+class OmeZarrDataSource(DataSource):
+    """spark.read.format("ome_zarr") / df.write.format("ome_zarr")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ome_zarr"
+
+    def schema(self):
+        return PIXEL_SCHEMA
+
+    def reader(self, schema) -> OmeZarrReader:
+        return OmeZarrReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> OmeZarrWriter:
+        return OmeZarrWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    # chunk pruning via pushFilters needs the (off-by-default) Python
+    # data source pushdown flag; runtime-settable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OmeZarrDataSource)

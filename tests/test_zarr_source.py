@@ -1,0 +1,181 @@
+"""OME-Zarr store layer + DataSource: codec roundtrips, store layout,
+pyramid write/read, chunk pruning, metadata versioning.
+
+Mirrors the reference's golden-store strategy (SURVEY §5.1): byte-level
+chunk checks and structural metadata checks, with numpy as the
+independent decoder."""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+from ngff_zarr_spark.metadata import (
+    convert_version,
+    group_attributes,
+    parse_group_attributes,
+    validate_metadata,
+)
+from ngff_zarr_spark.model import NgffImage
+from ngff_zarr_spark.sources.zarr_store import (
+    ZarrArrayMeta,
+    ZarrStore,
+    decode_chunk,
+    encode_chunk,
+)
+
+
+def test_chunk_codec_roundtrip():
+    rng = np.random.default_rng(12345)
+    arr = rng.integers(0, 255, size=(4, 8, 8)).astype(np.uint16)
+    for comp in (None, "gzip", "zlib"):
+        data = encode_chunk(arr, comp)
+        back = decode_chunk(data, np.dtype("uint16"), (4, 8, 8), comp)
+        assert np.array_equal(arr, back)
+
+
+def test_store_chunk_padding(tmp_path):
+    """Edge chunks are stored full-size (fill-padded) and clipped on read."""
+    store = ZarrStore(str(tmp_path))
+    meta = ZarrArrayMeta(path="a", shape=(5,), chunks=(4,), dtype=np.dtype("float64"))
+    store.write_chunk(meta, (1,), np.array([7.0]))
+    raw = store.get("a/1")
+    assert len(raw) == 4 * 8  # full chunk, uncompressed float64
+    back = store.read_chunk(meta, (1,))
+    assert back.shape == (1,) and back[0] == 7.0
+
+
+def test_v2_zarray_layout(tmp_path):
+    store = ZarrStore(str(tmp_path))
+    meta = ZarrArrayMeta(
+        path="scale0/image", shape=(16, 32), chunks=(8, 16),
+        dtype=np.dtype("uint16"), compressor="gzip",
+    )
+    store.write_array_meta(meta, attributes={"_ARRAY_DIMENSIONS": ["y", "x"]})
+    doc = json.loads((tmp_path / "scale0/image/.zarray").read_text())
+    assert doc["zarr_format"] == 2
+    assert doc["dtype"] == "<u2"
+    assert doc["compressor"]["id"] == "gzip"
+    assert doc["dimension_separator"] == "/"
+    back = store.read_array_meta("scale0/image", 2)
+    assert back.shape == (16, 32) and back.dtype == np.dtype("uint16")
+
+
+def test_v3_zarr_json_layout(tmp_path):
+    store = ZarrStore(str(tmp_path))
+    meta = ZarrArrayMeta(
+        path="scale0/image", shape=(16, 32), chunks=(8, 16),
+        dtype=np.dtype("float32"), compressor="gzip", zarr_format=3,
+        dimension_names=["y", "x"],
+    )
+    store.write_array_meta(meta)
+    doc = json.loads((tmp_path / "scale0/image/zarr.json").read_text())
+    assert doc["node_type"] == "array"
+    assert doc["data_type"] == "float32"
+    assert doc["chunk_grid"]["configuration"]["chunk_shape"] == [8, 16]
+    assert [c["name"] for c in doc["codecs"]] == ["bytes", "gzip"]
+    assert doc["dimension_names"] == ["y", "x"]
+    assert meta.chunk_key((1, 0)) == "scale0/image/c/1/0"
+
+
+def test_pyramid_write_read_roundtrip(spark, tmp_path):
+    from ngff_zarr_spark.ome_zarr_api import from_ngff_zarr, to_multiscales, to_ngff_zarr
+
+    spec = ImageSpec("rt", z=8, y=17, x=19)
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 8, "y": 17, "x": 19},
+        scale={"z": 2.0, "y": 1.0, "x": 1.0},
+        translation={"z": 10.0, "y": 0.0, "x": 0.0},
+    )
+    ms = to_multiscales(img, scale_factors=[{"z": 2, "y": 2, "x": 2}],
+                        chunks={"z": 4, "y": 8, "x": 8})
+    store = str(tmp_path / "rt.ome.zarr")
+    to_ngff_zarr(store, ms, version="0.4")
+
+    back = from_ngff_zarr(spark, store)
+    assert len(back.images) == 2
+    assert back.images[1].shape == {"z": 4, "y": 8, "x": 9}
+    # scale/translation propagation survived serialization
+    assert back.images[1].scale["z"] == 4.0
+    assert back.images[1].translation["z"] == 11.0  # 10 + 0.5*(2-1)*2
+    orig = {(r.z, r.y, r.x): r.v for r in img.data.collect()}
+    got = {(r.z, r.y, r.x): r.v for r in back.images[0].data.collect()}
+    assert orig == got
+    # consolidated metadata exists and indexes every doc (S10)
+    zmeta = json.loads((tmp_path / "rt.ome.zarr/.zmetadata").read_text())
+    assert ".zattrs" in zmeta["metadata"]
+    assert "scale1/image/.zarray" in zmeta["metadata"]
+
+
+def test_chunk_pruning_counts(spark, tmp_path):
+    """O11: comparison filters prune non-intersecting chunk partitions."""
+    from ngff_zarr_spark.ome_zarr_api import write_image
+    from ngff_zarr_spark.sources.ome_zarr import OmeZarrReader
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    spec = ImageSpec("pr", z=16, y=32, x=32)
+    store = str(tmp_path / "pr.ome.zarr")
+    write_image(
+        pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        store, "scale0/image",
+        {"z": 16, "y": 32, "x": 32}, ["z", "y", "x"],
+        {"z": 8, "y": 16, "x": 16},
+    )
+    r = OmeZarrReader({"path": store, "array_path": "scale0/image"})
+    assert len(r.partitions()) == 2 * 2 * 2
+    r.pushFilters([LessThan(("z",), 8), GreaterThanOrEqual(("x",), 16)])
+    assert len(r.partitions()) == 1 * 2 * 1
+    # pruned scan still returns exactly the filtered rows
+    from ngff_zarr_spark.ome_zarr_api import read_image
+
+    got = read_image(spark, store, "scale0/image").filter("z < 8 and x >= 16")
+    assert got.count() == 8 * 32 * 16
+
+
+def test_metadata_version_conversion():
+    from ngff_zarr_spark.model import Axis, Dataset, Metadata, ScaleTransform, TranslationTransform
+
+    meta = Metadata(
+        axes=[Axis("z", "space", unit="micrometer"), Axis("y", "space"), Axis("x", "space")],
+        datasets=[
+            Dataset(
+                path="scale0/image",
+                coordinateTransformations=[
+                    ScaleTransform([1.0, 1.0, 1.0]),
+                    TranslationTransform([0.0, 0.0, 0.0]),
+                ],
+            )
+        ],
+        name="m",
+    )
+    assert validate_metadata(meta) == []
+    a04 = group_attributes(meta, "0.4")
+    assert a04["multiscales"][0]["version"] == "0.4"
+    a05 = group_attributes(convert_version(meta, "0.5"), "0.5")
+    assert a05["ome"]["version"] == "0.5"
+    # parse both back; round-trips structurally
+    m04, v04 = parse_group_attributes(a04)
+    m05, v05 = parse_group_attributes(a05)
+    assert v04 == "0.4" and v05 == "0.5"
+    assert [a.name for a in m04.axes] == ["z", "y", "x"]
+    assert m05.datasets[0].path == "scale0/image"
+
+
+def test_validate_catches_bad_metadata():
+    from ngff_zarr_spark.model import Axis, Dataset, Metadata, TranslationTransform
+
+    meta = Metadata(
+        axes=[Axis("z", "space"), Axis("y", "space")],
+        datasets=[
+            Dataset(
+                path="s0",
+                coordinateTransformations=[TranslationTransform([0.0, 0.0])],
+            )
+        ],
+    )
+    problems = validate_metadata(meta)
+    assert any("first transform must be scale" in p for p in problems)
