@@ -68,10 +68,12 @@ def pixel_df(spark: SparkSession, spec: ImageSpec, label: bool = False) -> DataF
     czyx = spec.c * spec.z * spec.y * spec.x
     zyx = spec.z * spec.y * spec.x
     yx = spec.y * spec.x
-    t = (i / czyx).cast("long")
-    c = (i / zyx).cast("long") % spec.c
-    z = (i / yx).cast("long") % spec.z
-    y = (i / spec.x).cast("long") % spec.y
+    # exact integer division (`div`), not `/`+cast: double division is
+    # only exact below 2^53 and bench-scale specs must stay exact
+    t = F.expr(f"id div {czyx}")
+    c = F.expr(f"id div {zyx}") % spec.c
+    z = F.expr(f"id div {yx}") % spec.z
+    y = F.expr(f"id div {spec.x}") % spec.y
     x = i % spec.x
     mod = _LABEL_MOD if label else _MOD
     v = (

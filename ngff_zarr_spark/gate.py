@@ -77,9 +77,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default — read nanos as long (the oracle mirrors
-    with epoch_ns), keeping all event-time arithmetic in exact integers."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader rejects by default — session.get_spark sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` so the column arrives as an
+    exact integer (the oracle mirrors with epoch_ns). The conf is also
+    set here defensively for sessions not built by get_spark; it is a
+    static parquet-reader option, never mutated back."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -134,6 +138,16 @@ def q_a7_nearest(spark, sf_dir):
 
 def q_a8_mode(spark, sf_dir):
     return mode_downsample(
+        pixel_df(spark, IMG2D_LABEL, label=True), IMG2D_LABEL.shape, F2D4
+    )
+
+
+def q_a8_mode_centered(spark, sf_dir):
+    """A8 with the reference's exact generic_filter window placement
+    (centered sliding window at stride f, nearest-edge clamping)."""
+    from .operators import mode_downsample_centered
+
+    return mode_downsample_centered(
         pixel_df(spark, IMG2D_LABEL, label=True), IMG2D_LABEL.shape, F2D4
     )
 
@@ -308,8 +322,10 @@ def q_events_hourly(spark, sf_dir):
     streaming windowed agg in streaming/pipeline.py)."""
     ev = _events(spark, sf_dir)
     ns_per_hour = 3_600_000_000_000
+    # exact integer bucketing: nanosecond longs exceed double's 2^53
+    # exact range, so use `div` (integer division), never `/`+cast
     return ev.groupBy(
-        ((F.col("ts") / ns_per_hour).cast("long") * 3600).alias("hour_epoch"),
+        (F.expr(f"ts div {ns_per_hour}") * 3600).alias("hour_epoch"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -417,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_bin_shrink_aniso": q_a2_bin_shrink_aniso,
         "a7_nearest": q_a7_nearest,
         "a8_mode": q_a8_mode,
+        "a8_mode_centered": q_a8_mode_centered,
         "a3_label_downsample": q_a3_label_downsample,
         "a1_gaussian": q_a1_gaussian,
         "a10_minmax": q_a10_minmax,

@@ -71,7 +71,7 @@ def default_chunks(dims: list[str]) -> dict[str, int]:
 def to_multiscales(
     image: NgffImage,
     scale_factors: int | list = 128,
-    method: str = "ITKWASM_BIN_SHRINK",
+    method: str = "ITKWASM_GAUSSIAN",
     chunks: Optional[dict[str, int]] = None,
 ) -> Multiscales:
     """Build the (lazy) pyramid: each level's DataFrame derives from the
@@ -157,9 +157,15 @@ def write_image(
     register(spark)
     n_chunks = math.prod(-(-shape[d] // chunks.get(d, 1)) for d in dims)
     key_names = [f"_ck_{d}" for d in dims]
+    # task count proportional to chunk count (≤8 chunks/task, floor 32):
+    # at a million chunks this fans out instead of buffering thousands
+    # of chunks per task; sortWithinPartitions makes chunk rows
+    # contiguous so the writer streams one chunk buffer at a time.
+    n_tasks = max(1, min(n_chunks, max(32, n_chunks // 8)))
     df = (
         df.withColumns(dict(zip(key_names, _chunk_key_cols(dims, chunks))))
-        .repartition(max(1, min(n_chunks, 512)), *key_names)
+        .repartition(n_tasks, *key_names)
+        .sortWithinPartitions(*key_names)
         .drop(*key_names)
     )
     (
@@ -183,17 +189,22 @@ def read_image(
     store_path: str,
     array_path: str,
     zarr_format: int = 2,
+    dims: Optional[list[str]] = None,
 ) -> DataFrame:
     """Read one Zarr array as the pixel table (chunk-parallel scan with
-    predicate-pushdown chunk pruning)."""
+    predicate-pushdown chunk pruning). ``dims`` overrides the store's
+    dimension names (from_ngff_zarr passes the multiscales axes — the
+    authoritative order for OME stores)."""
     register(spark)
-    return (
+    reader = (
         spark.read.format("ome_zarr")
         .option("path", store_path)
         .option("array_path", array_path)
         .option("zarr_format", str(zarr_format))
-        .load()
     )
+    if dims:
+        reader = reader.option("dims", ",".join(dims))
+    return reader.load()
 
 
 def to_ngff_zarr(
@@ -220,7 +231,8 @@ def to_ngff_zarr(
     store.write_group("", group_attributes(meta, version), zarr_format)
 
     chunks = multiscales.chunks or default_chunks(base.dims)
-    op = METHODS[multiscales.method or "ITKWASM_BIN_SHRINK"]
+    # same default as the reference (to_multiscales.py:325-331)
+    op = METHODS[multiscales.method or "ITKWASM_GAUSSIAN"]
     previous = {d: 1 for d in base.spatial_dims()}
     prev_img = base
     prev_path = None
@@ -272,7 +284,7 @@ def from_ngff_zarr(
     images = []
     for ds in meta.datasets:
         arr_meta = store.read_array_meta(ds.path, zarr_format)
-        df = read_image(spark, store_path, ds.path, zarr_format)
+        df = read_image(spark, store_path, ds.path, zarr_format, dims=dims)
         scale = {}
         translation = {}
         for t in ds.coordinateTransformations:

@@ -106,13 +106,88 @@ def _mode_over_blocks(grouped_counts: DataFrame, weight_col: str) -> DataFrame:
 
 def mode_downsample(df: DataFrame, shape: dict[str, int], factors: dict[str, int]) -> DataFrame:
     """Per-block mode, ties → smallest value (np.unique argmax returns the
-    first, i.e. smallest, of equally-frequent values)."""
+    first, i.e. smallest, of equally-frequent values).
+
+    DELIBERATE DEVIATION from the reference's DASK_IMAGE_MODE window
+    *placement*: the reference computes the mode over a centered sliding
+    window at each strided sample point (generic_filter(size=f,
+    mode='nearest') then order-0 affine at stride f — window
+    [f*k - f//2, f*k + (f-1) - f//2] with edge replication,
+    /root/reference py/ngff_zarr/methods/_dask_image.py:153-166), while
+    this operator uses disjoint f-blocks [f*k, f*k + f). The tie-break
+    (smallest value) matches; the window placement does not. The
+    centered formulation is available as ``mode_downsample_centered``;
+    this block form is kept as the default because disjoint blocks are a
+    single hash aggregate (no window overlap duplication) and are the
+    standard pyramid semantics of the other downsamplers."""
     df = crop_to_factor(df, shape, factors)
     counts = (
         df.groupBy(*_block_cols(factors), F.col("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return _mode_over_blocks(counts, "cnt")
+
+
+def _window_map(spark, n: int, f: int) -> DataFrame:
+    """Per-dim centered-window source map: (src, out, mult) rows where
+    output cell ``out`` samples input coordinate ``src`` with
+    multiplicity ``mult`` (edge clamping can hit the same source more
+    than once). Exactly generic_filter(size=f, mode='nearest') at
+    stride f: offsets d in [-(f//2), f-1-f//2], src = clamp(out*f+d).
+    Tiny table (n//f * f rows) — always broadcast."""
+    n_out = n // f
+    half = f // 2
+    m = (
+        spark.range(n_out * f)
+        .select(
+            F.expr(f"id div {f}").alias("out"),
+            (F.col("id") % f - half).alias("d"),
+        )
+        .select(
+            "out",
+            F.greatest(F.lit(0), F.least(F.lit(n - 1), F.col("out") * f + F.col("d"))).alias("src"),
+        )
+        .groupBy("src", "out")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    return m
+
+
+def mode_downsample_centered(
+    df: DataFrame, shape: dict[str, int], factors: dict[str, int]
+) -> DataFrame:
+    """A8 with the reference's exact window placement: mode over a
+    centered sliding window at each strided sample point
+    (generic_filter(size=f, mode='nearest') then order-0 affine at
+    stride f, /root/reference py/ngff_zarr/methods/_dask_image.py:153-166).
+    Ties → smallest value (np.unique argmax).
+
+    Plan shape: one broadcast join per downsampled spatial dim against a
+    tiny per-dim (src → out, mult) window map — the window is separable
+    as a cross product of per-dim source sets — then a weighted mode
+    aggregate. No all-pairs, no window sort; the only shuffle is the
+    final block aggregate."""
+    f = _factors(factors)
+    spark = df.sparkSession
+    out = df
+    weight = F.lit(1)
+    for d in SPATIAL:
+        if f[d] <= 1:
+            continue
+        wm = _window_map(spark, shape[d], f[d]).select(
+            F.col("src").alias(d), F.col("out").alias(f"_out_{d}"), F.col("mult").alias(f"_m_{d}")
+        )
+        out = out.join(F.broadcast(wm), d)
+        weight = weight * F.col(f"_m_{d}")
+    sel = [F.col("t"), F.col("c")]
+    for d in SPATIAL:
+        sel.append(F.col(f"_out_{d}").alias(d) if f[d] > 1 else F.col(d))
+    counts = (
+        out.select(*sel, "v", weight.alias("w"))
+        .groupBy("t", "c", "z", "y", "x", "v")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    return _mode_over_blocks(counts, "wsum")
 
 
 def label_downsample(

@@ -126,6 +126,52 @@ rk AS (
 SELECT t, c, z, y, x, v FROM rk WHERE rn = 1"""
 
 
+def sql_a8_mode_centered():
+    """Centered-window mode (generic_filter size=f mode='nearest' at
+    stride f): per-dim window maps from range(), broadcast-joined, then
+    weighted mode with smallest-value tie-break."""
+    f = F2D4
+    spec = IMG2D_LABEL
+    maps = []
+    join_conds = []
+    out_cols = {"t": "t", "c": "c"}
+    for d in ("z", "y", "x"):
+        fd = f.get(d, 1)
+        if fd <= 1:
+            out_cols[d] = f"P.{d}"
+            continue
+        n = spec.shape[d]
+        half = fd // 2
+        maps.append(
+            f"""m_{d} AS (
+  SELECT src, outp, COUNT(*) AS mult FROM (
+    SELECT CAST(i//{fd} AS BIGINT) AS outp,
+           greatest(0, least({n - 1}, CAST(i//{fd} AS BIGINT)*{fd} + (i%{fd}) - {half})) AS src
+    FROM range({(n // fd) * fd}) r(i)
+  ) GROUP BY 1, 2
+)"""
+        )
+        join_conds.append(f"JOIN m_{d} ON m_{d}.src = P.{d}")
+        out_cols[d] = f"m_{d}.outp"
+    mult = " * ".join(f"m_{d}.mult" for d in ("z", "y", "x") if f.get(d, 1) > 1)
+    sel = ", ".join(f"{out_cols[d]} AS {d}" for d in ("t", "c", "z", "y", "x"))
+    joins = "\n  ".join(join_conds)
+    return f"""WITH {pixel_cte_sql(IMG2D_LABEL, label=True)},
+{",".join(maps)},
+cnt AS (
+  SELECT {sel}, P.v AS v, CAST(SUM({mult}) AS BIGINT) AS wsum
+  FROM P
+  {joins}
+  GROUP BY 1,2,3,4,5,6
+),
+rk AS (
+  SELECT t, c, z, y, x, v,
+         row_number() OVER (PARTITION BY t, c, z, y, x ORDER BY wsum DESC, v ASC) AS rn
+  FROM cnt
+)
+SELECT t, c, z, y, x, v FROM rk WHERE rn = 1"""
+
+
 def sql_a3_label_downsample():
     f = F2D4
     wt_terms = []
@@ -554,6 +600,7 @@ def oracles() -> dict[str, str]:
         "a2_bin_shrink_aniso": sql_a2_bin_shrink_aniso(),
         "a7_nearest": sql_a7_nearest(),
         "a8_mode": sql_a8_mode(),
+        "a8_mode_centered": sql_a8_mode_centered(),
         "a3_label_downsample": sql_a3_label_downsample(),
         "a1_gaussian": sql_a1_gaussian(),
         "a10_minmax": sql_a10_minmax(),

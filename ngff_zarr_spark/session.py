@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects by default; read nanos as long session-wide so
+        # no query function has to mutate shared conf mid-session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

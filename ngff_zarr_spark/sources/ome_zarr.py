@@ -89,7 +89,14 @@ class OmeZarrReader(DataSourceReader):
             self.array_path = f"scale{scale}/image"
         store = ZarrStore(self.path)
         self.meta = store.read_array_meta(self.array_path, self.zarr_format)
-        self.axes = _axis_map(self.meta.dimension_names, len(self.meta.shape))
+        # explicit dims option (from_ngff_zarr passes the multiscales
+        # axes) wins over stored dimension_names / positional default
+        explicit = options.get("dims")
+        self.axes = (
+            explicit.split(",")
+            if explicit
+            else _axis_map(self.meta.dimension_names, len(self.meta.shape))
+        )
         # pruning ranges per pixel dim: [lo, hi) — refined by pushFilters
         self.bounds: dict[str, list] = {}
 
@@ -178,6 +185,17 @@ class OmeZarrWriter(DataSourceArrowWriter):
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
         self.array_path = options.get("array_path", "scale0/image")
+        if overwrite:
+            # __init__ runs on the driver before tasks launch: clear the
+            # array subtree so a rewrite with a different shape/chunk
+            # grid can't leave stale chunk files behind (reference
+            # semantics: zarr overwrite recreates the array node).
+            import shutil
+            from pathlib import Path
+
+            target = Path(self.path) / self.array_path
+            if target.exists():
+                shutil.rmtree(target)
         shape = [int(s) for s in options["shape"].split(",")]
         chunks = [int(s) for s in options["chunks"].split(",")]
         dims = options.get("dims", ",".join(PIXEL_DIMS[5 - len(shape):])).split(",")
@@ -193,9 +211,26 @@ class OmeZarrWriter(DataSourceArrowWriter):
         )
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ChunkWriteCommit:
+        """Input is pre-partitioned AND pre-sorted by chunk key
+        (write_image), so each chunk's rows arrive contiguously: keep at
+        most one chunk buffer in memory, flush when the key advances.
+        (Unsorted input still works — a finished chunk just flushes and a
+        reappearing key would overwrite, which sortedness precludes.)"""
         store = ZarrStore(self.path)
         m = self.meta
-        buffers: dict[tuple, np.ndarray] = {}
+        keys: list = []
+        cur_idx: tuple | None = None
+        cur_buf: np.ndarray | None = None
+
+        def flush():
+            nonlocal cur_idx, cur_buf
+            if cur_idx is None:
+                return
+            extent = m.chunk_extent(cur_idx)
+            store.write_chunk(m, cur_idx, cur_buf[tuple(slice(0, e) for e in extent)])
+            keys.append(m.chunk_key(cur_idx))
+            cur_idx, cur_buf = None, None
+
         for batch in iterator:
             tbl = batch.to_pydict()
             coord_cols = [np.asarray(tbl[d], dtype=np.int64) for d in self.dims]
@@ -214,17 +249,15 @@ class OmeZarrWriter(DataSourceArrowWriter):
             for grp in groups:
                 i0 = grp[0]
                 idx = tuple(int(c[i0] // s) for c, s in zip(coord_cols, m.chunks))
-                if idx not in buffers:
-                    buffers[idx] = np.full(m.chunks, m.fill_value, dtype=m.dtype)
+                if idx != cur_idx:
+                    flush()
+                    cur_idx = idx
+                    cur_buf = np.full(m.chunks, m.fill_value, dtype=m.dtype)
                 local = tuple(
                     c[grp] - i * s for c, i, s in zip(coord_cols, idx, m.chunks)
                 )
-                buffers[idx][local] = vals[grp].astype(m.dtype)
-        keys = []
-        for idx, arr in buffers.items():
-            extent = m.chunk_extent(idx)
-            store.write_chunk(m, idx, arr[tuple(slice(0, e) for e in extent)])
-            keys.append(m.chunk_key(idx))
+                cur_buf[local] = vals[grp].astype(m.dtype)
+        flush()
         return ChunkWriteCommit(chunk_keys=keys)
 
     def commit(self, messages):
@@ -235,7 +268,17 @@ class OmeZarrWriter(DataSourceArrowWriter):
         store.write_array_meta(self.meta, attributes=attrs)
 
     def abort(self, messages):
-        pass
+        """Best-effort cleanup of chunks written by tasks that committed
+        before the job failed (messages may contain None for failed
+        tasks)."""
+        store = ZarrStore(self.path)
+        for msg in messages or []:
+            if msg is None:
+                continue
+            for key in msg.chunk_keys:
+                p = store.root / key
+                if p.exists():
+                    p.unlink()
 
 
 class OmeZarrDataSource(DataSource):

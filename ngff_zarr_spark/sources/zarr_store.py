@@ -258,6 +258,16 @@ class ZarrStore:
         doc = self.get_json(f"{path}/.zarray")
         comp_doc = doc.get("compressor")
         comp = comp_doc["id"] if comp_doc else None
+        # v2 has no in-array dimension names; xarray convention stores
+        # them as _ARRAY_DIMENSIONS in the sibling .zattrs (which this
+        # engine's writer emits) — read them back so stores whose dim
+        # order is not a (t,c,z,y,x) suffix map to the right columns.
+        dim_names = None
+        if self.exists(f"{path}/.zattrs"):
+            try:
+                dim_names = self.get_json(f"{path}/.zattrs").get("_ARRAY_DIMENSIONS")
+            except Exception:
+                dim_names = None
         return ZarrArrayMeta(
             path=path,
             shape=tuple(doc["shape"]),
@@ -266,6 +276,7 @@ class ZarrStore:
             compressor=comp,
             fill_value=doc.get("fill_value", 0) or 0,
             zarr_format=2,
+            dimension_names=list(dim_names) if dim_names else None,
         )
 
     def write_chunk(self, meta: ZarrArrayMeta, idx: tuple[int, ...], arr: np.ndarray) -> None:
