@@ -31,7 +31,11 @@ def bench_bin_shrink(spark, sf_dir):
 
 
 def bench_gaussian(spark, sf_dir):
-    return gaussian_downsample(
+    """Chunk-local kernel path (the production plan; the window form is
+    the oracle-semantics twin and is ~3 shuffles slower)."""
+    from ngff_zarr_spark.operators.kernels import gaussian_downsample_chunked
+
+    return gaussian_downsample_chunked(
         pixel_df(spark, BENCH_IMG), BENCH_IMG.shape, {"z": 2, "y": 2, "x": 2}
     )
 
@@ -47,6 +51,8 @@ QUERIES = {
     "text_quality": gate.q_text_quality,
     "text_lang_id": gate.q_text_lang_id,
     "ann_cosine_topk": gate.q_ann_cosine_topk,
+    "ann_lsh_topk": gate.q_ann_lsh_topk,
+    "emb_near_dup_lsh": gate.q_emb_near_dup_lsh,
     "events_sessionize": gate.q_events_sessionize,
     "events_hourly": gate.q_events_hourly,
 }
@@ -64,6 +70,18 @@ def main():
     spark = get_spark("bench")
     # warm the JVM + parquet reader so per-query numbers reflect the plans
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the Python UDF workers too (spawn cost ~100ms x 32 workers is
+    # a fixed cluster-lifetime cost, not a per-query plan property)
+    import pyarrow as _pa
+    from pyspark.sql import functions as _F
+
+    (
+        spark.range(64)
+        .withColumn("g", _F.col("id") % 8)
+        .groupBy("g")
+        .applyInArrow(lambda t: t, "id long, g long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings = {}
     total = 0.0

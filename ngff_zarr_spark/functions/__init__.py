@@ -16,7 +16,14 @@ from .dedup import (
     simhash_candidates,
     ngram_jaccard_pairs,
 )
-from .similarity import cosine_topk, embedding_near_dup, lsh_bucket_topk
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup,
+    embedding_near_dup_allpairs,
+    lsh_band_buckets,
+    lsh_bucket_topk,
+    lsh_buckets,
+)
 
 __all__ = [
     "h64",
@@ -35,5 +42,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "embedding_near_dup",
+    "embedding_near_dup_allpairs",
+    "lsh_band_buckets",
     "lsh_bucket_topk",
+    "lsh_buckets",
 ]

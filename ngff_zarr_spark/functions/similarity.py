@@ -1,49 +1,112 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, per the scale brief:
-- ``cosine_topk``: brute-force cosine top-k — the exact baseline. The
-  query set is broadcast (it is small by construction); each executor
-  scores its slice of the corpus and a per-query top-k aggregate
-  finishes it. Corpus is scanned once, no all-pairs shuffle.
-- ``lsh_bucket_topk``: random-hyperplane LSH — deterministic ±1
-  hyperplanes derived from the portable h64 hash, so the *same* buckets
-  are computable in the DuckDB oracle. Candidates = corpus vectors
-  sharing a bucket with the query; exact cosine re-rank inside buckets.
-  At 100 TB this turns a full scan per query batch into a bucket-pruned
-  probe (the bucket column is a partition/cluster key on disk).
+Three paths, per the scale brief:
 
-The positional dot product uses an explicit join with a 64-row position
-table (``element_at``) rather than ``F.aggregate`` lambda-fold so the
-identical computation is expressible in DuckDB (list indexing + range
-join). Cosine values are rounded to 6 decimals in outputs to absorb
-last-ulp summation-order differences across engines.
+- ``cosine_topk``: brute-force cosine top-k — the exact baseline. The
+  query set is broadcast (small by construction); each executor scores
+  its corpus slice with an ARRAY-NATIVE dot product (``zip_with`` +
+  ``aggregate`` fold, JVM-side) — no positional explode, no join on a
+  64-value key. One corpus scan, then a per-query top-k window.
+- ``lsh_band_buckets`` / ``lsh_bucket_topk``: random-hyperplane LSH with
+  banding. Hyperplane sign s(p, i) = ±1 is derived from the portable
+  md5-based h64 hash of "p:i" — computed ONCE at plan-build time in
+  Python and embedded as literal ±1 arrays (the DuckDB oracle recomputes
+  the same signs symbolically with SQL md5; md5 is md5 in both engines).
+  Bucketing is pure per-row expression work — zero shuffle until the
+  (band, bucket) equi-join, whose cost is collision-bounded.
+- ``embedding_near_dup``: LSH-banded candidate pairs + exact cosine
+  re-rank — the production near-dup path. The all-pairs form
+  (``embedding_near_dup_allpairs``) is retained ONLY as a small-scale
+  test oracle; it must never appear in a gate or bench plan (it is an
+  O(n²·dim) scale-killer).
+
+Cosine values are rounded to 6 decimals in outputs AND rank ordering so
+last-ulp summation-order differences across engines cannot flip ranks.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import h64
+N_BANDS = 8         # LSH bands
+BAND_PLANES = 8     # hyperplanes per band → 2^8 buckets per band
+# Bucket count per band is 2^BAND_PLANES — THE scale knob: buckets must
+# grow with corpus size or intra-bucket candidate sets go quadratic.
+# 8 planes (256 buckets) suits the 10^3-10^5 test corpora; a 10^9-vector
+# production corpus wants 16-20 planes per band (65k-1M buckets) plus
+# multi-probe on the query side to recover recall.
 
 
-def _dims_df(spark, dim: int):
-    return spark.range(dim).select(F.col("id").cast("int").alias("pos"))
+def h64_py(s: str) -> int:
+    """Python twin of functions.text.h64 (15-hex-char md5 prefix)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def _unrolled(emb: DataFrame, dim: int, id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, pos, val, norm) in long form — one explode, carries the
-    per-vector L2 norm alongside (computed once with aggregate)."""
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
+def hyperplane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 weights of hyperplane ``plane``: sign of bit 0
+    of h64('plane:pos'). Same values the oracle derives with SQL md5."""
+    return [float((h64_py(f"{plane}:{pos}") & 1) * 2 - 1) for pos in range(dim)]
+
+
+def _norm(col=None):
+    col = col if col is not None else F.col("embedding")
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
-    return emb.select(
-        F.col(id_col),
-        norm.alias("norm"),
-        F.posexplode(F.col("embedding")).alias("pos", "val"),
-    ).select(id_col, "norm", "pos", F.col("val").cast("double").alias("val"))
+
+
+def _dot(a, b):
+    """Array-native dot product: zip_with product + aggregate fold —
+    stays in whole-stage codegen, no explode, no join."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda u, w: u.cast("double") * w.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _signed_projection(emb_col, plane: int, dim: int):
+    """dot(v, hyperplane_plane) against the literal ±1 sign vector."""
+    signs = F.array(*[F.lit(s) for s in hyperplane_signs(plane, dim)])
+    return _dot(emb_col, signs)
+
+
+def _band_buckets_udf(dim: int, n_bands: int, band_planes: int):
+    """Arrow-vectorized bucket computation: all n_bands*band_planes
+    hyperplane projections for a batch of vectors in one numpy pass
+    (position-sequential accumulation — the same left-to-right order as
+    the SQL SUM / Spark aggregate fold, so float results agree with the
+    oracle to the last ulp in practice). The per-element higher-order-
+    function form costs ~4k interpreted lambda calls per row; this is
+    the vectorized production path."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = n_bands * band_planes
+    S = np.array(
+        [hyperplane_signs(p, dim) for p in range(n_planes)], dtype=np.float64
+    )  # (planes, dim)
+
+    @pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        E = np.array(list(emb.values), dtype=np.float64)  # (n, dim)
+        n = E.shape[0]
+        proj = np.zeros((n, n_planes), dtype=np.float64)
+        for i in range(dim):  # sequential per-position accumulation
+            proj += E[:, i : i + 1] * S[None, :, i][0]
+        bits = proj > 0
+        bu = np.zeros((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for p in range(band_planes):
+                bu[:, b] += bits[:, b * band_planes + p].astype(np.int64) << p
+        return pd.Series(list(bu))
+
+    return buckets
 
 
 def cosine_topk(
@@ -53,90 +116,57 @@ def cosine_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).
-    Returns (query_id, rank, neighbor_id, cosine). Broadcast the
-    (tiny) query side; corpus side streams."""
-    q = _unrolled(emb.filter(F.col("vec_id").isin(query_ids)), dim).select(
+    Returns (query_id, rank, neighbor_id, cosine). Broadcast-nested-loop
+    against the tiny query side; corpus side streams once."""
+    from .text import spread
+
+    e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
         F.col("norm").alias("qnorm"),
-        "pos",
-        F.col("val").alias("qval"),
     )
-    c = _unrolled(emb, dim)
     dots = (
-        c.join(F.broadcast(q), "pos")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id", "qnorm", "norm")
-        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (F.col("dot") / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qemb")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         dots.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", "cosine")
     )
 
 
-def embedding_near_dup(emb: DataFrame, dim: int = 64, min_cosine: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
-    threshold). All-pairs via the positional join — exact; for web-scale
-    corpora the LSH bucketing below prunes the candidate set first."""
-    u = _unrolled(emb, dim)
-    a = u.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("na"), "pos", F.col("val").alias("va"))
-    b = u.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("nb"), "pos", F.col("val").alias("vb"))
+def lsh_band_buckets(
+    emb: DataFrame, dim: int = 64, n_bands: int = N_BANDS, band_planes: int = BAND_PLANES
+) -> DataFrame:
+    """(vec_id, band, bucket): band b's bucket is the sign pattern of
+    ``band_planes`` hyperplane projections (global plane index =
+    b*band_planes + p). One Arrow-vectorized pass computes every band's
+    bucket; posexplode yields n_bands small rows per vector."""
+    from .text import spread
+
+    udf = _band_buckets_udf(dim, n_bands, band_planes)
     return (
-        a.join(b, "pos")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b", "na", "nb")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= min_cosine)
+        spread(emb)
+        .select("vec_id", F.posexplode(udf(F.col("embedding"))).alias("band", "bucket"))
+        .select("vec_id", F.col("band").cast("long"), "bucket")
     )
-
-
-def hyperplane_sign(pos_col, plane: int) -> F.Column:
-    """Deterministic ±1 weight of dimension ``pos`` in hyperplane
-    ``plane``: sign of bit 0 of h64('plane:pos'). Portable to DuckDB."""
-    h = h64(F.concat_ws(":", F.lit(plane).cast("string"), pos_col.cast("string")))
-    return (h.bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
 
 
 def lsh_buckets(emb: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector: bit p = 1 iff
-    dot(v, hyperplane_p) > 0. Returns (vec_id, bucket)."""
-    u = _unrolled(emb, dim)
-    # per-plane signed projection: sum val * sign(plane, pos)
-    proj = (
-        u.select("vec_id", "pos", "val", F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"))
-        .select(
-            "vec_id",
-            "plane",
-            (
-                F.col("val")
-                * (
-                    h64(F.concat_ws(":", F.col("plane").cast("string"), F.col("pos").cast("string")))
-                    .bitwiseAND(F.lit(1))
-                    * 2
-                    - 1
-                ).cast("double")
-            ).alias("term"),
-        )
-        .groupBy("vec_id", "plane")
-        .agg(F.sum("term").alias("proj"))
-    )
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("plane").cast("int"))).otherwise(0)
-        ).alias("bucket")
-    )
+    """Single-table hyperplane LSH bucket per vector (vec_id, bucket) —
+    the disk-layout/cluster-key variant (bucket = partition key). For
+    candidate generation prefer the banded form (recall)."""
+    udf = _band_buckets_udf(dim, n_bands=1, band_planes=n_planes)
+    return emb.select("vec_id", udf(F.col("embedding"))[0].alias("bucket"))
 
 
 def lsh_bucket_topk(
@@ -144,37 +174,117 @@ def lsh_bucket_topk(
     query_ids: list[int],
     k: int = 3,
     dim: int = 64,
-    n_planes: int = 8,
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine re-rank within the bucket. Returns
-    (query_id, rank, neighbor_id, cosine)."""
-    buckets = lsh_buckets(emb, dim, n_planes)
-    u = _unrolled(emb, dim).join(buckets, "vec_id")
-    q = u.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("qbucket"),
-        F.col("norm").alias("qnorm"),
-        F.col("pos").alias("qpos"),
-        F.col("val").alias("qval"),
+    """Approximate top-k: candidates share ≥1 LSH band bucket with the
+    query; exact cosine re-rank on the candidate set. Returns
+    (query_id, rank, neighbor_id, cosine). At scale the (band, bucket)
+    join replaces the full corpus scan per query batch."""
+    from .text import spread
+
+    e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
+    bands = lsh_band_buckets(emb, dim, n_bands, band_planes)
+    qb = bands.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
     )
-    cand = (
-        u.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("pos") == F.col("qpos")),
-        )
+    cand_ids = (
+        bands.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id", "qnorm", "norm")
-        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    ).filter(F.col("query_id").isin(query_ids))
+    scored = (
+        cand_ids.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (F.col("dot") / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qemb")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    dim: int = 64,
+    min_cosine: float = 0.9,
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
+    threshold) — LSH-banded candidates + exact re-rank. Only pairs that
+    collide in ≥1 band are ever scored, so the worst case is bounded by
+    bucket collision counts, not n². (Recall is the standard LSH
+    trade-off: a pair at exactly the threshold angle is found with
+    probability 1-(1-p^band_planes)^n_bands; the DuckDB oracle applies
+    the identical bucketing, so the comparison is exact.)"""
+    bands = lsh_band_buckets(emb, dim, n_bands, band_planes)
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    from .text import spread
+
+    e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("nb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def embedding_near_dup_allpairs(
+    emb: DataFrame, dim: int = 64, min_cosine: float = 0.9
+) -> DataFrame:
+    """All-pairs exact near-dup — TEST ORACLE ONLY (O(n²·dim)). Used by
+    unit tests to measure the LSH path's recall at small n; never wire
+    this into a gate or bench plan."""
+    e = emb.select("vec_id", "embedding", _norm().alias("norm"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
     )

@@ -36,6 +36,19 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least default-parallelism partitions before per-row
+    heavy work (regex/shingling/vector math). A small single-file
+    parquet scan arrives as ONE partition, serializing everything
+    downstream onto one core; at production scale inputs already have
+    many partitions and this is a no-op (the guard avoids a gratuitous
+    shuffle)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization, identical in both engines: split on a
     single space after whitespace-normalizing. Empty strings removed."""
@@ -62,10 +75,20 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality: mean token length, punctuation density,
     stopword ratio, and a composite score. All ratios are exact-integer
     divisions evaluated once → deterministic doubles cross-engine."""
-    toks = tokens_col(F.col("text"))
+    # projection boundary: tokenize ONCE per row (multiple references to
+    # an expensive expression would otherwise re-run the regex+split)
+    base = docs.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("toks"),
+        F.length("text").cast("long").alias("n_char"),
+        (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, "")))
+        .cast("long")
+        .alias("n_punct"),
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks).cast("long")
-    n_char = F.length("text").cast("long")
-    n_punct = (n_char - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))).cast("long")
+    n_char = F.col("n_char")
+    n_punct = F.col("n_punct")
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS))).cast("long")
     mean_tok_len = (n_char - (n_tok - 1)) / n_tok
     punct_ratio = n_punct / n_char
@@ -75,7 +98,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + stop_ratio * 0.4
         + (F.lit(1.0) - punct_ratio) * 0.2
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
@@ -90,7 +113,8 @@ def lang_id(docs: DataFrame) -> DataFrame:
     language's function-word list; argmax with lexicographic tie-break.
     Implemented as one pass of array intersections per language — no
     explode, no shuffle."""
-    toks = tokens_col(F.lower(F.col("text")))
+    base = docs.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("toks"))
+    toks = F.col("toks")
     scored = F.array(
         *[
             F.struct(
@@ -110,7 +134,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
             lambda s: F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang")),
         )
     )[0]
-    return docs.select(
+    return base.select(
         "doc_id",
         best["lang"].alias("pred_lang"),
         (-best["neg"]).cast("long").alias("votes"),

@@ -159,6 +159,20 @@ def q_a3_label_downsample(spark, sf_dir):
 
 
 def q_a1_gaussian(spark, sf_dir):
+    """A1 production path: chunk-local applyInPandas convolution with
+    halo exchange (operators/kernels.py). Bit-identical to the window
+    form under fixed-point weights — the oracle is the window-form SQL."""
+    from .operators.kernels import gaussian_downsample_chunked
+
+    return gaussian_downsample_chunked(
+        pixel_df(spark, IMG3D), IMG3D.shape, F3D,
+        chunks={"z": 16, "y": 32, "x": 32}, fixed_point_bits=8,
+    )
+
+
+def q_a1_gaussian_window(spark, sf_dir):
+    """A1 oracle semantics: separable window-function convolution (the
+    SQL-checkable reference form of the same operator)."""
     return gaussian_downsample(
         pixel_df(spark, IMG3D), IMG3D.shape, F3D, fixed_point_bits=8
     )
@@ -313,8 +327,15 @@ def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
 
-def q_emb_near_dup(spark, sf_dir):
+def q_emb_near_dup_lsh(spark, sf_dir):
+    """LSH-banded near-dup: candidates from hyperplane band buckets,
+    exact cosine re-rank. No all-pairs join anywhere in the plan."""
     return S.embedding_near_dup(_emb(spark, sf_dir), dim=EMB_DIM, min_cosine=NEAR_DUP_COS)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via LSH band buckets + exact re-rank."""
+    return S.lsh_bucket_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
 
 def q_events_hourly(spark, sf_dir):
@@ -436,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_mode_centered": q_a8_mode_centered,
         "a3_label_downsample": q_a3_label_downsample,
         "a1_gaussian": q_a1_gaussian,
+        "a1_gaussian_window": q_a1_gaussian_window,
         "a10_minmax": q_a10_minmax,
         "a11_chunk_cost": q_a11_chunk_cost,
         "c2_scale_translation": q_c2_scale_translation,
@@ -453,7 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "emb_near_dup": q_emb_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,

@@ -282,11 +282,16 @@ _SHINGLE = (
 _SIG_CTE = f"""{_toks_cte(lower=True)},
 sh0 AS (SELECT doc_id, unnest({_SHINGLE}) AS shingle FROM q),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-hp AS (SELECT doc_id, shingle, p.i AS perm FROM sh CROSS JOIN range(16) p(i)),
+h2 AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle),1,8)) AS BIGINT) AS ha,
+         CAST(concat('0x', substr(md5(shingle),9,8)) AS BIGINT) AS hb
+  FROM sh
+),
 sig AS (
-  SELECT doc_id, perm,
-         MIN({H64.format(s="concat(CAST(perm AS VARCHAR), ':', shingle)")}) AS minhash
-  FROM hp GROUP BY 1, 2
+  SELECT doc_id, p.i AS perm,
+         MIN((ha + p.i * hb) % 4294967291) AS minhash
+  FROM h2 CROSS JOIN range(16) p(i) GROUP BY 1, 2
 )"""
 
 
@@ -312,7 +317,8 @@ def sql_dedup_minhash_sig():
 
 
 def sql_dedup_minhash():
-    band_sig = H64.format(s="string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)")
+    # order-independent polynomial band key (sum of minhash * 31^(perm%4))
+    band_sig = "CAST(SUM(minhash * ([1,31,961,29791])[CAST(perm%4 AS INTEGER)+1]) AS BIGINT)"
     return f"""WITH {_SIG_CTE},
 bands AS (
   SELECT doc_id, band, {band_sig} AS band_key
@@ -452,6 +458,8 @@ _UNROLL = f"""u AS (
 
 
 def sql_ann_cosine_topk():
+    # ranks on the ROUNDED cosine (ties → neighbor_id) so last-ulp
+    # summation-order differences across engines cannot flip ranks
     return f"""WITH {_UNROLL},
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.norm AS qn, c.norm AS cn,
@@ -463,20 +471,77 @@ dots AS (
   GROUP BY 1, 2, 3, 4
 ),
 rk AS (
-  SELECT query_id, neighbor_id, dot / (qn * cn) AS cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY dot / (qn * cn) DESC, neighbor_id) AS rank
+  SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id) AS rank
   FROM dots
 )
-SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
 FROM rk WHERE rank <= {ANN_K}"""
 
 
-def sql_emb_near_dup():
+# hyperplane sign s(plane, pos) = ±1 from bit 0 of the portable h64 of
+# 'plane:pos' — recomputed symbolically here; the Spark side embeds the
+# same values as compile-time literal arrays (hyperplane_signs).
+from .functions.similarity import BAND_PLANES as _BP, N_BANDS as _NB  # noqa: E402
+
+_N_PLANES = _NB * _BP
+_LSH_BANDS_CTE = f"""planes AS (
+  SELECT p.i AS plane, r.i AS pos,
+         ((CAST(concat('0x', substr(md5(concat(CAST(p.i AS VARCHAR), ':', CAST(r.i AS VARCHAR))),1,15)) AS BIGINT) & 1) * 2 - 1) AS s
+  FROM range({_N_PLANES}) p(i) CROSS JOIN range({EMB_DIM}) r(i)
+),
+proj AS (
+  SELECT e.vec_id, pl.plane,
+         SUM(CAST(e.embedding[CAST(pl.pos AS INTEGER)+1] AS DOUBLE) * pl.s) AS proj
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+bb AS (
+  SELECT vec_id, plane//{_BP} AS band,
+         CAST(SUM(CASE WHEN proj > 0 THEN (1 << CAST(plane % {_BP} AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+)"""
+
+
+def sql_ann_lsh_topk():
     return f"""WITH {_UNROLL},
+{_LSH_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bb c JOIN bb q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
 dots AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm AS na, b.norm AS nb,
-         SUM(CAST(a.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) * CAST(b.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
-  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  SELECT cd.query_id, cd.neighbor_id, q.norm AS qn, c.norm AS cn,
+         SUM(CAST(c.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) * CAST(q.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+  FROM cand cd
+  JOIN u q ON q.vec_id = cd.query_id
+  JOIN u c ON c.vec_id = cd.neighbor_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2, 3, 4
+),
+rk AS (
+  SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM rk WHERE rank <= {ANN_K}"""
+
+
+def sql_emb_near_dup_lsh():
+    return f"""WITH {_UNROLL},
+{_LSH_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, ea.norm AS na, eb.norm AS nb,
+         SUM(CAST(ea.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) * CAST(eb.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+  FROM cand c
+  JOIN u ea ON ea.vec_id = c.vec_a
+  JOIN u eb ON eb.vec_id = c.vec_b
   CROSS JOIN range({EMB_DIM}) r(i)
   GROUP BY 1, 2, 3, 4
 )
@@ -603,6 +668,7 @@ def oracles() -> dict[str, str]:
         "a8_mode_centered": sql_a8_mode_centered(),
         "a3_label_downsample": sql_a3_label_downsample(),
         "a1_gaussian": sql_a1_gaussian(),
+        "a1_gaussian_window": sql_a1_gaussian(),
         "a10_minmax": sql_a10_minmax(),
         "a11_chunk_cost": sql_a11_chunk_cost(),
         "c2_scale_translation": sql_c2_scale_translation(),
@@ -619,7 +685,8 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": sql_text_fingerprint(),
         "text_winnow": sql_text_winnow(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
-        "emb_near_dup": sql_emb_near_dup(),
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
         "events_hourly": sql_events_hourly(),
         "events_sessionize": sql_events_sessionize(),
         "tpch_q1": sql_tpch_q1(),

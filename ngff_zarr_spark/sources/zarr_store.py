@@ -8,9 +8,16 @@ Implements exactly what OME-Zarr stores need (reference behavior:
   chunk keys, C-order chunks, optional compressor, consolidated
   ``.zmetadata``.
 - Zarr v3: ``zarr.json`` group/array documents, ``c/``-prefixed chunk
-  keys, ``bytes`` + optional ``gzip``/``zstd`` codecs, dimension_names.
-- Codecs available here: raw (None), ``gzip``, ``zlib`` (stdlib);
-  ``zstd``/``blosc`` gated behind import-try (absent in this image).
+  keys, ``bytes`` + compressor codecs, dimension_names, and the
+  ``sharding_indexed`` codec (S8): shard files of concatenated encoded
+  inner chunks + a ["bytes","crc32c"] (offset, nbytes) index at the end
+  (reference shard assembly: to_ngff_zarr.py:446-489, 661-703).
+- Codecs (S9): raw (None), ``gzip``/``zlib`` (stdlib), ``zstd``
+  (pyarrow frame codec), and ``blosc`` containers with lz4/zstd/zlib/
+  snappy inner codecs + byte-shuffle (sources/blosc.py — zarr-python's
+  DEFAULT v2 compressor is blosc-lz4, so real-world stores need this).
+  Compressor spec strings: "gzip" | "zlib" | "zstd" |
+  "blosc:<cname>:<clevel>:<shuffle 0|1>".
 - Edge chunks are stored full-size and sliced on read (zarr v2 pads;
   v3 regular grid does the same) — matching zarr-python behavior.
 
@@ -23,19 +30,16 @@ from __future__ import annotations
 
 import gzip
 import json
+import struct
 import zlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
+import pyarrow as pa
 
-try:  # optional, not in this image
-    import zstandard  # type: ignore
-
-    _HAS_ZSTD = True
-except ImportError:
-    _HAS_ZSTD = False
+from .blosc import SHUFFLE, blosc_compress, blosc_decompress, crc32c
 
 # dtype ↔ zarr representations (reference _numpy_to_zarr_dtype,
 # to_ngff_zarr.py:89-117)
@@ -68,9 +72,19 @@ def v2_dtype_to_np(s: str) -> np.dtype:
     return np.dtype(s).newbyteorder("=")
 
 
-def encode_chunk(arr: np.ndarray, compressor: Optional[str]) -> bytes:
+def parse_blosc_spec(compressor: str) -> tuple[str, int, int]:
+    """'blosc:<cname>:<clevel>:<shuffle>' → (cname, clevel, shuffle)."""
+    parts = compressor.split(":")
+    cname = parts[1] if len(parts) > 1 and parts[1] else "lz4"
+    clevel = int(parts[2]) if len(parts) > 2 and parts[2] else 5
+    shuffle = int(parts[3]) if len(parts) > 3 and parts[3] else SHUFFLE
+    return cname, clevel, shuffle
+
+
+def encode_chunk(arr: np.ndarray, compressor: Optional[str], typesize: int = 0) -> bytes:
     """C-order little-endian bytes, then the (single) compressor."""
     raw = np.ascontiguousarray(arr).astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
+    ts = typesize or arr.dtype.itemsize
     if compressor is None:
         return raw
     if compressor == "gzip":
@@ -78,32 +92,109 @@ def encode_chunk(arr: np.ndarray, compressor: Optional[str]) -> bytes:
     if compressor == "zlib":
         return zlib.compress(raw, 5)
     if compressor == "zstd":
-        if not _HAS_ZSTD:
-            raise RuntimeError("zstd codec requested but zstandard is not installed")
-        return zstandard.ZstdCompressor(level=3).compress(raw)
+        return pa.compress(raw, codec="zstd", asbytes=True)
+    if compressor.startswith("blosc"):
+        cname, clevel, shuffle = parse_blosc_spec(compressor)
+        return blosc_compress(raw, ts, cname, clevel, shuffle)
     raise ValueError(f"Unknown compressor {compressor!r}")
+
+
+def decode_chunk_bytes(data: bytes, nbytes: int, compressor: Optional[str]) -> bytes:
+    if compressor == "gzip":
+        return gzip.decompress(data)
+    if compressor == "zlib":
+        return zlib.decompress(data)
+    if compressor == "zstd":
+        return pa.decompress(data, nbytes, codec="zstd", asbytes=True)
+    if compressor is not None and compressor.startswith("blosc"):
+        return blosc_decompress(data)
+    if compressor is not None:
+        raise ValueError(f"Unknown compressor {compressor!r}")
+    return data
 
 
 def decode_chunk(
     data: bytes, dtype: np.dtype, chunk_shape: tuple[int, ...], compressor: Optional[str]
 ) -> np.ndarray:
-    if compressor == "gzip":
-        data = gzip.decompress(data)
-    elif compressor == "zlib":
-        data = zlib.decompress(data)
-    elif compressor == "zstd":
-        if not _HAS_ZSTD:
-            raise RuntimeError("zstd codec requested but zstandard is not installed")
-        data = zstandard.ZstdDecompressor().decompress(data)
-    elif compressor is not None:
-        raise ValueError(f"Unknown compressor {compressor!r}")
+    nbytes = int(np.prod(chunk_shape)) * np.dtype(dtype).itemsize
+    data = decode_chunk_bytes(data, nbytes, compressor)
     arr = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<"))
     return arr.reshape(chunk_shape).astype(dtype, copy=False)
 
 
+# -- codec spec ↔ store JSON translation (S9; reference
+#    create_compression_codec, to_ngff_zarr.py:193-256) -----------------
+
+
+def compressor_to_v2_json(compressor: Optional[str]) -> Optional[dict]:
+    if compressor is None:
+        return None
+    if compressor == "gzip":
+        return {"id": "gzip", "level": 5}
+    if compressor == "zlib":
+        return {"id": "zlib", "level": 5}
+    if compressor == "zstd":
+        return {"id": "zstd", "level": 3}
+    if compressor.startswith("blosc"):
+        cname, clevel, shuffle = parse_blosc_spec(compressor)
+        return {"id": "blosc", "cname": cname, "clevel": clevel, "shuffle": shuffle, "blocksize": 0}
+    raise ValueError(f"Unknown compressor {compressor!r}")
+
+
+def compressor_from_v2_json(doc: Optional[dict]) -> Optional[str]:
+    if not doc:
+        return None
+    cid = doc.get("id")
+    if cid == "blosc":
+        return f"blosc:{doc.get('cname', 'lz4')}:{doc.get('clevel', 5)}:{doc.get('shuffle', 1)}"
+    if cid in ("gzip", "zlib", "zstd"):
+        return cid
+    raise ValueError(f"Unsupported zarr v2 compressor {cid!r}")
+
+
+def compressor_to_v3_codec(compressor: Optional[str], typesize: int) -> Optional[dict]:
+    if compressor is None:
+        return None
+    if compressor == "gzip":
+        return {"name": "gzip", "configuration": {"level": 5}}
+    if compressor == "zstd":
+        return {"name": "zstd", "configuration": {"level": 3, "checksum": False}}
+    if compressor.startswith("blosc"):
+        cname, clevel, shuffle = parse_blosc_spec(compressor)
+        return {
+            "name": "blosc",
+            "configuration": {
+                "cname": cname,
+                "clevel": clevel,
+                "shuffle": "shuffle" if shuffle == 1 else ("bitshuffle" if shuffle == 2 else "noshuffle"),
+                "typesize": typesize,
+                "blocksize": 0,
+            },
+        }
+    raise ValueError(f"Unknown compressor for v3 {compressor!r}")
+
+
+def compressor_from_v3_codecs(codecs: list[dict]) -> Optional[str]:
+    for c in codecs:
+        name = c.get("name")
+        cfg = c.get("configuration", {})
+        if name in ("gzip", "zstd", "zlib"):
+            return name
+        if name == "blosc":
+            shuffle = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(cfg.get("shuffle", "shuffle"), 1)
+            return f"blosc:{cfg.get('cname', 'lz4')}:{cfg.get('clevel', 5)}:{shuffle}"
+    return None
+
+
 @dataclass
 class ZarrArrayMeta:
-    """One stored array (a pyramid level)."""
+    """One stored array (a pyramid level).
+
+    ``chunks`` is always the INNER chunk shape (the read/compute unit).
+    When ``chunks_per_shard`` is set (Zarr v3 only), chunks are grouped
+    into shard files of ``chunks * chunks_per_shard`` elements, stored
+    under shard-grid keys with a trailing (offset, nbytes) index
+    (sharding_indexed codec, S8)."""
 
     path: str  # store-relative, e.g. "scale0/image"
     shape: tuple[int, ...]
@@ -113,15 +204,42 @@ class ZarrArrayMeta:
     fill_value: float = 0
     zarr_format: int = 2
     dimension_names: Optional[list[str]] = None
+    chunks_per_shard: Optional[tuple[int, ...]] = None
 
     @property
     def chunk_grid(self) -> tuple[int, ...]:
         return tuple(-(-s // c) for s, c in zip(self.shape, self.chunks))
 
+    @property
+    def shard_shape(self) -> tuple[int, ...]:
+        assert self.chunks_per_shard is not None
+        return tuple(c * n for c, n in zip(self.chunks, self.chunks_per_shard))
+
+    @property
+    def shard_grid(self) -> tuple[int, ...]:
+        ss = self.shard_shape
+        return tuple(-(-s // c) for s, c in zip(self.shape, ss))
+
+    def shard_index_of(self, chunk_idx: tuple[int, ...]) -> tuple[tuple[int, ...], tuple[int, ...]]:
+        """chunk idx → (shard idx, inner chunk idx within the shard)."""
+        cps = self.chunks_per_shard
+        return (
+            tuple(i // n for i, n in zip(chunk_idx, cps)),
+            tuple(i % n for i, n in zip(chunk_idx, cps)),
+        )
+
     def chunk_key(self, idx: tuple[int, ...]) -> str:
+        """Store key holding this chunk: the chunk file itself, or (when
+        sharded) the shard file containing it."""
+        if self.chunks_per_shard is not None:
+            sidx, _ = self.shard_index_of(idx)
+            return self.shard_key(sidx)
         if self.zarr_format == 3:
             return f"{self.path}/c/" + "/".join(str(i) for i in idx)
         return f"{self.path}/" + "/".join(str(i) for i in idx)
+
+    def shard_key(self, sidx: tuple[int, ...]) -> str:
+        return f"{self.path}/c/" + "/".join(str(i) for i in sidx)
 
     def chunk_origin(self, idx: tuple[int, ...]) -> tuple[int, ...]:
         return tuple(i * c for i, c in zip(idx, self.chunks))
@@ -133,31 +251,45 @@ class ZarrArrayMeta:
         )
 
     def to_v2_json(self) -> dict:
-        comp = None
-        if self.compressor == "gzip":
-            comp = {"id": "gzip", "level": 5}
-        elif self.compressor == "zlib":
-            comp = {"id": "zlib", "level": 5}
-        elif self.compressor == "zstd":
-            comp = {"id": "zstd", "level": 3}
         return {
             "zarr_format": 2,
             "shape": list(self.shape),
             "chunks": list(self.chunks),
             "dtype": np_to_v2_dtype(self.dtype),
-            "compressor": comp,
+            "compressor": compressor_to_v2_json(self.compressor),
             "fill_value": self.fill_value,
             "order": "C",
             "filters": None,
             "dimension_separator": "/",
         }
 
-    def to_v3_json(self) -> dict:
+    def _v3_inner_codecs(self) -> list[dict]:
         codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
-        if self.compressor == "gzip":
-            codecs.append({"name": "gzip", "configuration": {"level": 5}})
-        elif self.compressor == "zstd":
-            codecs.append({"name": "zstd", "configuration": {"level": 3, "checksum": False}})
+        comp = compressor_to_v3_codec(self.compressor, np.dtype(self.dtype).itemsize)
+        if comp:
+            codecs.append(comp)
+        return codecs
+
+    def to_v3_json(self) -> dict:
+        if self.chunks_per_shard is not None:
+            grid_chunks = list(self.shard_shape)
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(self.chunks),
+                        "codecs": self._v3_inner_codecs(),
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
+        else:
+            grid_chunks = list(self.chunks)
+            codecs = self._v3_inner_codecs()
         doc = {
             "zarr_format": 3,
             "node_type": "array",
@@ -165,7 +297,7 @@ class ZarrArrayMeta:
             "data_type": np_to_v3_dtype(self.dtype),
             "chunk_grid": {
                 "name": "regular",
-                "configuration": {"chunk_shape": list(self.chunks)},
+                "configuration": {"chunk_shape": grid_chunks},
             },
             "chunk_key_encoding": {
                 "name": "default",
