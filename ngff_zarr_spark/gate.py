@@ -258,6 +258,59 @@ def q_s1_s4_zarr_roundtrip(spark, sf_dir):
     )
 
 
+def q_s9_blosc_roundtrip(spark, sf_dir):
+    """S9: zarr v2 store with the zarr-python DEFAULT compressor
+    (blosc lz4, clevel 5, byte-shuffle — implemented from the public
+    c-blosc chunk format in sources/blosc.py) written and read back.
+    Oracle recomputes the pixels — any container/shuffle/codec bug
+    breaks the hash."""
+    import os
+    import tempfile
+
+    from .model import NgffImage
+    from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    store = os.path.join(tempfile.gettempdir(), "gate_blosc.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="gate",
+    )
+    ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
+    _tz(store, ms, version="0.4", compressor="blosc:lz4:5:1")
+    return read_image(spark, store, "scale0/image").select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_s8_sharded_roundtrip(spark, sf_dir):
+    """S8: zarr v3 sharded store (sharding_indexed codec, 2x2x2 chunks
+    per shard, zstd inner codec, crc32c index) written and read back."""
+    import os
+    import tempfile
+
+    from .model import NgffImage
+    from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    store = os.path.join(tempfile.gettempdir(), "gate_sharded.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="gate",
+    )
+    ms = _tm(img, scale_factors=[], chunks={"z": 8, "y": 16, "x": 16})
+    _tz(store, ms, version="0.5", compressor="zstd", chunks_per_shard=2)
+    return read_image(spark, store, "scale0/image", zarr_format=3).select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_s4_multiscale_level1(spark, sf_dir):
     """S4/A2 composite: write a two-level pyramid (level 1 recomputed
     from the *stored* level 0 — the O3 write-then-read checkpoint), read
@@ -463,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_scale_translation": q_c2_scale_translation,
         "a9_pyramid_plan": q_a9_pyramid_plan,
         "s1_s4_zarr_roundtrip": q_s1_s4_zarr_roundtrip,
+        "s9_blosc_roundtrip": q_s9_blosc_roundtrip,
+        "s8_sharded_roundtrip": q_s8_sharded_roundtrip,
         "s4_multiscale_level1": q_s4_multiscale_level1,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,

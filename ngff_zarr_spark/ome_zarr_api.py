@@ -148,27 +148,51 @@ def write_image(
     dtype: str = "float64",
     compressor: Optional[str] = "gzip",
     zarr_format: int = 2,
+    chunks_per_shard: Optional[dict[str, int]] = None,
 ) -> None:
     """Write one pixel-table DataFrame as one Zarr array. Repartitions by
     chunk key first so every chunk is wholly owned by one task (the
     writer's correctness invariant; also the write-locality optimization
-    the reference gets from rechunking, O5)."""
+    the reference gets from rechunking, O5). With ``chunks_per_shard``
+    (Zarr v3 sharding, S8) the ownership/sort unit is the SHARD — each
+    task emits whole shard files (a shard ≈ an output file grouping,
+    exactly the reference's shard = rechunk-to-shard-shape semantics,
+    to_ngff_zarr.py:1093-1101)."""
     spark = df.sparkSession
     register(spark)
     n_chunks = math.prod(-(-shape[d] // chunks.get(d, 1)) for d in dims)
     key_names = [f"_ck_{d}" for d in dims]
-    # task count proportional to chunk count (≤8 chunks/task, floor 32):
-    # at a million chunks this fans out instead of buffering thousands
-    # of chunks per task; sortWithinPartitions makes chunk rows
-    # contiguous so the writer streams one chunk buffer at a time.
-    n_tasks = max(1, min(n_chunks, max(32, n_chunks // 8)))
-    df = (
-        df.withColumns(dict(zip(key_names, _chunk_key_cols(dims, chunks))))
-        .repartition(n_tasks, *key_names)
-        .sortWithinPartitions(*key_names)
-        .drop(*key_names)
-    )
-    (
+    key_cols = _chunk_key_cols(dims, chunks)
+    if chunks_per_shard:
+        shard_sizes = {
+            d: chunks.get(d, 1) * chunks_per_shard.get(d, 1) for d in dims
+        }
+        shard_names = [f"_sk_{d}" for d in dims]
+        shard_cols = [
+            (F.col(d) / shard_sizes[d]).cast("long").alias(f"_sk_{d}") for d in dims
+        ]
+        n_shards = math.prod(-(-shape[d] // shard_sizes[d]) for d in dims)
+        n_tasks = max(1, min(n_shards, max(32, n_shards // 4)))
+        df = (
+            df.withColumns(dict(zip(shard_names + key_names, shard_cols + key_cols)))
+            .repartition(n_tasks, *shard_names)
+            .sortWithinPartitions(*(shard_names + key_names))
+            .drop(*(shard_names + key_names))
+        )
+    else:
+        # task count proportional to chunk count (≤8 chunks/task, floor
+        # 32): at a million chunks this fans out instead of buffering
+        # thousands of chunks per task; sortWithinPartitions makes chunk
+        # rows contiguous so the writer streams one chunk buffer at a
+        # time.
+        n_tasks = max(1, min(n_chunks, max(32, n_chunks // 8)))
+        df = (
+            df.withColumns(dict(zip(key_names, key_cols)))
+            .repartition(n_tasks, *key_names)
+            .sortWithinPartitions(*key_names)
+            .drop(*key_names)
+        )
+    writer = (
         df.select(*PIXEL_DIMS, "v")
         .write.format("ome_zarr")
         .mode("overwrite")
@@ -180,8 +204,13 @@ def write_image(
         .option("dims", ",".join(dims))
         .option("dtype", dtype)
         .option("compressor", compressor or "")
-        .save()
     )
+    if chunks_per_shard:
+        writer = writer.option(
+            "chunks_per_shard",
+            ",".join(str(chunks_per_shard.get(d, 1)) for d in dims),
+        )
+    writer.save()
 
 
 def read_image(
@@ -214,6 +243,7 @@ def to_ngff_zarr(
     compressor: Optional[str] = "gzip",
     dtype: str = "float64",
     validate: bool = False,
+    chunks_per_shard: Optional[int | dict[str, int]] = None,
 ) -> None:
     """Write the pyramid to an OME-Zarr store (S4). Levels are written
     sequentially; level i>0 is recomputed *from the stored level i-1*
@@ -225,6 +255,9 @@ def to_ngff_zarr(
         if problems:
             raise ValueError(f"Invalid OME metadata: {problems}")
     zarr_format = 3 if version == "0.5" else 2
+    if chunks_per_shard is not None and zarr_format != 3:
+        # reference rejects sharding for zarr v2 (to_ngff_zarr.py:1052-1055)
+        raise ValueError("chunks_per_shard requires OME-Zarr version 0.5 (Zarr v3)")
     base = multiscales.images[0]
     spark = base.data.sparkSession
     store = ZarrStore(store_path)
@@ -247,6 +280,20 @@ def to_ngff_zarr(
             df = op(source, prev_img.shape, rel)
             previous = update_previous_dim_factors(level, base.spatial_dims(), previous)
         lvl_chunks = {d: min(chunks.get(d, 1), max(1, img.shape[d])) for d in img.dims}
+        cps = None
+        if chunks_per_shard is not None:
+            # int → same count per spatial dim, t/c stay 1 (reference
+            # _configure_sharding, to_ngff_zarr.py:446-489); clamp so a
+            # shard never exceeds the level's chunk grid
+            as_dict = (
+                chunks_per_shard
+                if isinstance(chunks_per_shard, dict)
+                else {d: chunks_per_shard for d in img.dims if d in ("z", "y", "x")}
+            )
+            cps = {}
+            for d in img.dims:
+                grid_d = -(-img.shape[d] // lvl_chunks[d])
+                cps[d] = max(1, min(int(as_dict.get(d, 1)), grid_d))
         write_image(
             df,
             store_path,
@@ -257,6 +304,7 @@ def to_ngff_zarr(
             dtype=dtype,
             compressor=compressor,
             zarr_format=zarr_format,
+            chunks_per_shard=cps,
         )
         prev_img, prev_path = img, path
     if zarr_format == 2:

@@ -673,6 +673,8 @@ def oracles() -> dict[str, str]:
         "a11_chunk_cost": sql_a11_chunk_cost(),
         "c2_scale_translation": sql_c2_scale_translation(),
         "s1_s4_zarr_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "s9_blosc_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "s8_sharded_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s4_multiscale_level1": sql_s4_multiscale_level1(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),

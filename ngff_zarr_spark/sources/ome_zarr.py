@@ -130,7 +130,24 @@ class OmeZarrReader(DataSourceReader):
         return filters
 
     def partitions(self):
+        """One InputPartition per chunk — or per SHARD when the array is
+        sharded (the shard is the I/O unit: one file open + one index
+        read serves all its inner chunks)."""
         m = self.meta
+        if m.chunks_per_shard is not None:
+            sgrid = m.shard_grid
+            ss = m.shard_shape
+            parts = []
+            for flat in range(int(np.prod(sgrid))):
+                sidx = tuple(int(i) for i in np.unravel_index(flat, sgrid))
+                origin = tuple(i * c for i, c in zip(sidx, ss))
+                extent = tuple(
+                    min(c, s - i * c) for i, c, s in zip(sidx, ss, m.shape)
+                )
+                if self._chunk_pruned(origin, extent):
+                    continue
+                parts.append(ChunkPartition(idx=sidx, origin=origin, extent=extent))
+            return parts
         grid = m.chunk_grid
         parts = []
         for flat in range(int(np.prod(grid))):
@@ -155,11 +172,9 @@ class OmeZarrReader(DataSourceReader):
                 return True
         return False
 
-    def read(self, partition: ChunkPartition) -> Iterator[pa.RecordBatch]:
-        store = ZarrStore(self.path)
-        arr = store.read_chunk(self.meta, partition.idx)
+    def _chunk_batch(self, arr: np.ndarray, origin, extent) -> pa.RecordBatch:
         coords = np.meshgrid(
-            *[np.arange(o, o + e, dtype=np.int64) for o, e in zip(partition.origin, partition.extent)],
+            *[np.arange(o, o + e, dtype=np.int64) for o, e in zip(origin, extent)],
             indexing="ij",
         )
         cols: dict[str, np.ndarray] = {}
@@ -170,7 +185,30 @@ class OmeZarrReader(DataSourceReader):
         for d in PIXEL_DIMS:
             arrays.append(pa.array(cols.get(d, np.zeros(n, dtype=np.int64))))
         arrays.append(pa.array(arr.astype(np.float64).ravel()))
-        yield pa.RecordBatch.from_arrays(arrays, names=list(PIXEL_DIMS) + ["v"])
+        return pa.RecordBatch.from_arrays(arrays, names=list(PIXEL_DIMS) + ["v"])
+
+    def read(self, partition: ChunkPartition) -> Iterator[pa.RecordBatch]:
+        store = ZarrStore(self.path)
+        m = self.meta
+        if m.chunks_per_shard is not None:
+            # partition = one shard: iterate its inner chunks (pruning
+            # still applies per chunk), one index parse for the file
+            cps = m.chunks_per_shard
+            base = tuple(i * n for i, n in zip(partition.idx, cps))
+            for flat in range(int(np.prod(cps))):
+                inner = np.unravel_index(flat, cps)
+                cidx = tuple(int(b + i) for b, i in zip(base, inner))
+                if any(ci >= g for ci, g in zip(cidx, m.chunk_grid)):
+                    continue
+                origin = m.chunk_origin(cidx)
+                extent = m.chunk_extent(cidx)
+                if self._chunk_pruned(origin, extent):
+                    continue
+                arr = store.read_chunk(m, cidx)
+                yield self._chunk_batch(arr, origin, extent)
+            return
+        arr = store.read_chunk(m, partition.idx)
+        yield self._chunk_batch(arr, partition.origin, partition.extent)
 
 
 @dataclass
@@ -200,6 +238,8 @@ class OmeZarrWriter(DataSourceArrowWriter):
         chunks = [int(s) for s in options["chunks"].split(",")]
         dims = options.get("dims", ",".join(PIXEL_DIMS[5 - len(shape):])).split(",")
         self.dims = dims
+        cps_opt = options.get("chunks_per_shard")
+        cps = tuple(int(s) for s in cps_opt.split(",")) if cps_opt else None
         self.meta = ZarrArrayMeta(
             path=self.array_path,
             shape=tuple(shape),
@@ -208,6 +248,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
             compressor=options.get("compressor") or None,
             zarr_format=self.zarr_format,
             dimension_names=dims if self.zarr_format == 3 else None,
+            chunks_per_shard=cps,
         )
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ChunkWriteCommit:
@@ -221,14 +262,36 @@ class OmeZarrWriter(DataSourceArrowWriter):
         keys: list = []
         cur_idx: tuple | None = None
         cur_buf: np.ndarray | None = None
+        # sharded writes buffer the current shard's finished chunks and
+        # emit one shard file when the shard key advances (write_image
+        # sorts rows by shard-then-chunk key, so both are contiguous)
+        cur_shard: tuple | None = None
+        shard_chunks: dict = {}
+
+        def flush_shard():
+            nonlocal cur_shard, shard_chunks
+            if cur_shard is None or not shard_chunks:
+                cur_shard, shard_chunks = None, {}
+                return
+            store.write_shard(m, cur_shard, shard_chunks)
+            keys.append(m.shard_key(cur_shard))
+            cur_shard, shard_chunks = None, {}
 
         def flush():
-            nonlocal cur_idx, cur_buf
+            nonlocal cur_idx, cur_buf, cur_shard
             if cur_idx is None:
                 return
             extent = m.chunk_extent(cur_idx)
-            store.write_chunk(m, cur_idx, cur_buf[tuple(slice(0, e) for e in extent)])
-            keys.append(m.chunk_key(cur_idx))
+            clipped = cur_buf[tuple(slice(0, e) for e in extent)]
+            if m.chunks_per_shard is not None:
+                sidx, inner = m.shard_index_of(cur_idx)
+                if cur_shard is not None and sidx != cur_shard:
+                    flush_shard()
+                cur_shard = sidx
+                shard_chunks[inner] = clipped
+            else:
+                store.write_chunk(m, cur_idx, clipped)
+                keys.append(m.chunk_key(cur_idx))
             cur_idx, cur_buf = None, None
 
         for batch in iterator:
@@ -242,7 +305,18 @@ class OmeZarrWriter(DataSourceArrowWriter):
             grid = m.chunk_grid
             for g, ci in zip(grid[1:], chunk_ids[1:]):
                 flat = flat * g + ci
-            order = np.argsort(flat, kind="stable")
+            if m.chunks_per_shard is not None:
+                # order by (shard, chunk): flat chunk order interleaves
+                # shards, which would flush (and overwrite) a shard file
+                # more than once
+                sgrid = m.shard_grid
+                sflat = chunk_ids[0] // m.chunks_per_shard[0]
+                for sg, ci, cp in zip(sgrid[1:], chunk_ids[1:], m.chunks_per_shard[1:]):
+                    sflat = sflat * sg + ci // cp
+                sortkey = sflat * int(np.prod(grid)) + flat
+            else:
+                sortkey = flat
+            order = np.argsort(sortkey, kind="stable")
             flat_sorted = flat[order]
             boundaries = np.flatnonzero(np.diff(flat_sorted)) + 1
             groups = np.split(order, boundaries)
@@ -258,6 +332,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
                 )
                 cur_buf[local] = vals[grp].astype(m.dtype)
         flush()
+        flush_shard()
         return ChunkWriteCommit(chunk_keys=keys)
 
     def commit(self, messages):

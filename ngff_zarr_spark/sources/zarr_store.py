@@ -373,23 +373,33 @@ class ZarrStore:
         if zarr_format == 3:
             doc = self.get_json(f"{path}/zarr.json")
             codecs = doc.get("codecs", [])
-            comp = None
-            for c in codecs:
-                if c.get("name") in ("gzip", "zstd", "zlib"):
-                    comp = c["name"]
+            grid_chunks = tuple(doc["chunk_grid"]["configuration"]["chunk_shape"])
+            sharding = next(
+                (c for c in codecs if c.get("name") == "sharding_indexed"), None
+            )
+            if sharding is not None:
+                cfg = sharding["configuration"]
+                inner = tuple(cfg["chunk_shape"])
+                cps = tuple(g // i for g, i in zip(grid_chunks, inner))
+                comp = compressor_from_v3_codecs(cfg.get("codecs", []))
+                chunks = inner
+            else:
+                cps = None
+                comp = compressor_from_v3_codecs(codecs)
+                chunks = grid_chunks
             return ZarrArrayMeta(
                 path=path,
                 shape=tuple(doc["shape"]),
-                chunks=tuple(doc["chunk_grid"]["configuration"]["chunk_shape"]),
+                chunks=chunks,
                 dtype=np.dtype(doc["data_type"]),
                 compressor=comp,
                 fill_value=doc.get("fill_value", 0),
                 zarr_format=3,
                 dimension_names=doc.get("dimension_names"),
+                chunks_per_shard=cps,
             )
         doc = self.get_json(f"{path}/.zarray")
-        comp_doc = doc.get("compressor")
-        comp = comp_doc["id"] if comp_doc else None
+        comp = compressor_from_v2_json(doc.get("compressor"))
         # v2 has no in-array dimension names; xarray convention stores
         # them as _ARRAY_DIMENSIONS in the sibling .zattrs (which this
         # engine's writer emits) — read them back so stores whose dim
@@ -411,19 +421,79 @@ class ZarrStore:
             dimension_names=list(dim_names) if dim_names else None,
         )
 
-    def write_chunk(self, meta: ZarrArrayMeta, idx: tuple[int, ...], arr: np.ndarray) -> None:
-        """Store one chunk; edge chunks are padded to full chunk shape
-        with fill_value (zarr stores full-size chunks)."""
+    def _encode_padded(self, meta: ZarrArrayMeta, arr: np.ndarray) -> bytes:
         if tuple(arr.shape) != tuple(meta.chunks):
             full = np.full(meta.chunks, meta.fill_value, dtype=meta.dtype)
             full[tuple(slice(0, s) for s in arr.shape)] = arr
             arr = full
-        self.put(meta.chunk_key(idx), encode_chunk(arr.astype(meta.dtype), meta.compressor))
+        return encode_chunk(arr.astype(meta.dtype), meta.compressor)
+
+    def write_chunk(self, meta: ZarrArrayMeta, idx: tuple[int, ...], arr: np.ndarray) -> None:
+        """Store one chunk; edge chunks are padded to full chunk shape
+        with fill_value (zarr stores full-size chunks). Sharded arrays
+        must go through write_shard (a chunk is not individually
+        addressable inside a shard file)."""
+        if meta.chunks_per_shard is not None:
+            sidx, inner = meta.shard_index_of(idx)
+            self.write_shard(meta, sidx, {inner: arr})
+            return
+        self.put(meta.chunk_key(idx), self._encode_padded(meta, arr))
+
+    def write_shard(
+        self, meta: ZarrArrayMeta, sidx: tuple[int, ...], chunks: dict[tuple[int, ...], np.ndarray]
+    ) -> None:
+        """Assemble one shard file (S8, sharding_indexed): concatenated
+        encoded inner chunks, then the (offset, nbytes) uint64-LE index
+        in C-order of the chunks-per-shard grid, crc32c-terminated,
+        index at end. Missing chunks get the 2^64-1 sentinel pair."""
+        cps = meta.chunks_per_shard
+        n = int(np.prod(cps))
+        index = np.full((n, 2), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        body = bytearray()
+        for inner, arr in sorted(chunks.items()):
+            flat = 0
+            for i, g in zip(inner, cps):
+                flat = flat * g + i
+            enc = self._encode_padded(meta, arr)
+            index[flat] = (len(body), len(enc))
+            body += enc
+        index_bytes = index.astype("<u8").tobytes()
+        index_bytes += struct.pack("<I", crc32c(index_bytes))
+        self.put(meta.shard_key(sidx), bytes(body) + index_bytes)
+
+    def _read_shard_index(self, meta: ZarrArrayMeta, data: bytes) -> np.ndarray:
+        n = int(np.prod(meta.chunks_per_shard))
+        index_len = n * 16 + 4
+        raw = data[-index_len:]
+        stored_crc = struct.unpack("<I", raw[-4:])[0]
+        if crc32c(raw[:-4]) != stored_crc:
+            raise ValueError("sharding_indexed: index crc32c mismatch")
+        return np.frombuffer(raw[:-4], dtype="<u8").reshape(n, 2)
 
     def read_chunk(self, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np.ndarray:
-        """Read one chunk, clipped to its valid extent (edge chunks)."""
-        key = meta.chunk_key(idx)
+        """Read one chunk, clipped to its valid extent (edge chunks).
+        For sharded arrays: locate the chunk through the shard's
+        trailing index (a local-FS seek; on object storage the same two
+        reads are ranged GETs)."""
         extent = meta.chunk_extent(idx)
+        if meta.chunks_per_shard is not None:
+            sidx, inner = meta.shard_index_of(idx)
+            key = meta.shard_key(sidx)
+            if not self.exists(key):
+                return np.full(extent, meta.fill_value, dtype=meta.dtype)
+            data = self.get(key)
+            index = self._read_shard_index(meta, data)
+            flat = 0
+            for i, g in zip(inner, meta.chunks_per_shard):
+                flat = flat * g + i
+            offset, nbytes = int(index[flat][0]), int(index[flat][1])
+            if offset == 0xFFFFFFFFFFFFFFFF:
+                return np.full(extent, meta.fill_value, dtype=meta.dtype)
+            arr = decode_chunk(
+                data[offset : offset + nbytes], meta.dtype, meta.chunks, meta.compressor
+            )
+            return arr[tuple(slice(0, e) for e in extent)]
+        key = meta.chunk_key(idx)
         if not self.exists(key):
             return np.full(extent, meta.fill_value, dtype=meta.dtype)
         arr = decode_chunk(self.get(key), meta.dtype, meta.chunks, meta.compressor)
