@@ -311,6 +311,34 @@ def q_s8_sharded_roundtrip(spark, sf_dir):
     )
 
 
+def q_dtype_uint16_roundtrip(spark, sf_dir):
+    """Dtype fidelity (SURVEY §1.2): a logical-uint16 image is stored as
+    ``<u2`` on disk (2 bytes/voxel, not float64's 8) and round-trips
+    value-exactly; tests/test_zarr_source.py asserts the .zarray dtype
+    byte-level, this gate entry hash-checks the values."""
+    import os
+    import tempfile
+
+    from .model import NgffImage
+    from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    store = os.path.join(tempfile.gettempdir(), "gate_u16.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="gate",
+        dtype="uint16",
+    )
+    ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
+    _tz(store, ms, version="0.4", compressor="blosc:lz4:5:1")  # dtype defaults to uint16
+    return read_image(spark, store, "scale0/image").select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_s4_multiscale_level1(spark, sf_dir):
     """S4/A2 composite: write a two-level pyramid (level 1 recomputed
     from the *stored* level 0 — the O3 write-then-read checkpoint), read
@@ -518,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_s4_zarr_roundtrip": q_s1_s4_zarr_roundtrip,
         "s9_blosc_roundtrip": q_s9_blosc_roundtrip,
         "s8_sharded_roundtrip": q_s8_sharded_roundtrip,
+        "dtype_uint16_roundtrip": q_dtype_uint16_roundtrip,
         "s4_multiscale_level1": q_s4_multiscale_level1,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,

@@ -186,6 +186,11 @@ class NgffImage:
     axes_units: Optional[dict[str, str]] = None
     axes_orientations: Optional[dict[str, str]] = None
     chunks: Optional[dict[str, int]] = None
+    # logical array dtype (numpy name, e.g. 'uint16'): the pixel table's
+    # v column is always DOUBLE (exact for ints ≤ 2^53 and float32), but
+    # stores must round-trip the source dtype byte-identically (SURVEY
+    # §1.2; reference keeps it on the Dask array). Writers default to it.
+    dtype: str = "float64"
 
     def __post_init__(self):
         for d in self.dims:

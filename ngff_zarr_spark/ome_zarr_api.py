@@ -105,6 +105,7 @@ def to_multiscales(
             translation=translation,
             name=current.name,
             axes_units=current.axes_units,
+            dtype=current.dtype,
         )
         images.append(current)
         previous = update_previous_dim_factors(level, image.spatial_dims(), previous)
@@ -241,14 +242,18 @@ def to_ngff_zarr(
     multiscales: Multiscales,
     version: str = "0.4",
     compressor: Optional[str] = "gzip",
-    dtype: str = "float64",
+    dtype: Optional[str] = None,
     validate: bool = False,
     chunks_per_shard: Optional[int | dict[str, int]] = None,
 ) -> None:
     """Write the pyramid to an OME-Zarr store (S4). Levels are written
     sequentially; level i>0 is recomputed *from the stored level i-1*
     (O3) rather than from the level-0 plan, so each job's lineage is one
-    downsample step deep and reads the smaller input."""
+    downsample step deep and reads the smaller input.
+
+    ``dtype`` defaults to the base image's logical dtype (reference
+    behavior: the store preserves the input array dtype — a uint16
+    volume stays ``<u2`` on disk, not a 4x-larger float64)."""
     meta = multiscales.metadata
     if validate and meta is not None:
         problems = validate_metadata(meta)
@@ -259,6 +264,8 @@ def to_ngff_zarr(
         # reference rejects sharding for zarr v2 (to_ngff_zarr.py:1052-1055)
         raise ValueError("chunks_per_shard requires OME-Zarr version 0.5 (Zarr v3)")
     base = multiscales.images[0]
+    if dtype is None:
+        dtype = base.dtype or "float64"
     spark = base.data.sparkSession
     store = ZarrStore(store_path)
     store.write_group("", group_attributes(meta, version), zarr_format)
@@ -349,6 +356,7 @@ def from_ngff_zarr(
                 translation=translation,
                 name=meta.name,
                 chunks=dict(zip(dims, arr_meta.chunks)),
+                dtype=np.dtype(arr_meta.dtype).name,
             )
         )
     return Multiscales(images=images, metadata=meta)

@@ -675,6 +675,7 @@ def oracles() -> dict[str, str]:
         "s1_s4_zarr_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s9_blosc_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s8_sharded_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "dtype_uint16_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s4_multiscale_level1": sql_s4_multiscale_level1(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),

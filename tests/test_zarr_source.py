@@ -179,3 +179,43 @@ def test_validate_catches_bad_metadata():
     )
     problems = validate_metadata(meta)
     assert any("first transform must be scale" in p for p in problems)
+
+
+def test_dtype_uint16_store_bytes(spark, tmp_path):
+    """Dtype fidelity: logical uint16 → stored .zarray dtype '<u2',
+    2-byte voxels on disk, exact value round-trip (SURVEY §1.2;
+    reference preserves the input array dtype at write time)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+    from ngff_zarr_spark.model import NgffImage
+    from ngff_zarr_spark.ome_zarr_api import from_ngff_zarr, to_multiscales, to_ngff_zarr
+
+    spec = ImageSpec("u16", z=4, y=8, x=8)
+    store = str(tmp_path / "u16.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 4, "y": 8, "x": 8},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+        dtype="uint16",
+    )
+    ms = to_multiscales(img, scale_factors=[], chunks={"z": 4, "y": 8, "x": 8})
+    to_ngff_zarr(store, ms, version="0.4", compressor=None)
+    zarray = json.loads((tmp_path / "u16.ome.zarr/scale0/image/.zarray").read_text())
+    assert zarray["dtype"] == "<u2"
+    chunk = (tmp_path / "u16.ome.zarr/scale0/image/0/0/0").read_bytes()
+    assert len(chunk) == 4 * 8 * 8 * 2  # 2 bytes per voxel, raw
+    # read back: values exact, logical dtype recovered
+    back = from_ngff_zarr(spark, store)
+    assert back.images[0].dtype == "uint16"
+    n_bad = (
+        back.images[0].data.alias("a")
+        .join(img.data.alias("b"), ["t", "c", "z", "y", "x"])
+        .filter(F.col("a.v") != F.col("b.v"))
+        .count()
+    )
+    assert n_bad == 0
