@@ -364,6 +364,81 @@ def q_s4_multiscale_level1(spark, sf_dir):
     )
 
 
+NIFTI_SHAPE = (13, 11, 7)   # (nx, ny, nz)
+TIFF_SHAPE = (33, 29)       # (h, w) = (y, x)
+SERIES_SHAPE = (5, 17, 19)  # (nz, h, w)
+
+
+def q_s16_nifti_ingest(spark, sf_dir):
+    """S16: NIfTI-1 ingest through the pure-binary parser (sform affine,
+    Fortran voxel order). The fixture is written from a deterministic
+    integer formula that the oracle recomputes with pure SQL range()."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .ingest.nifti import nifti_to_ngff_image, write_nifti
+
+    nx, ny, nz = NIFTI_SHAPE
+    path = os.path.join(tempfile.gettempdir(), "gate_ingest.nii.gz")
+    xi, yi, zi = np.indices((nx, ny, nz))
+    arr = ((xi * 283 + yi * 179 + zi * 73) % 251).astype("uint16")
+    affine = np.diag([1.5, 2.0, 2.5, 1.0])
+    affine[:3, 3] = (10.0, 20.0, 30.0)
+    write_nifti(path, arr, affine)
+    img = nifti_to_ngff_image(spark, path)
+    assert img.dtype == "uint16" and img.scale == {"x": 1.5, "y": 2.0, "z": 2.5}
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
+def q_s11_tiff_ingest(spark, sf_dir):
+    """S11 (tifffile backend stand-in): baseline-TIFF ingest with
+    backend auto-detection (S12) picking the route."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.tiff import tiff_encode
+
+    h, w = TIFF_SHAPE
+    path = os.path.join(tempfile.gettempdir(), "gate_ingest.tif")
+    yi, xi = np.indices((h, w))
+    arr = ((yi * 179 + xi * 283) % 251).astype("uint16")
+    with open(path, "wb") as f:
+        f.write(tiff_encode(arr))
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.TIFFFILE
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    assert img.dtype == "uint16"
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
+def q_s13_png_series(spark, sf_dir):
+    """S13: glob-of-PNG-slices → z-stacked volume via the binaryFile
+    source + executor-side mapInPandas decode."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .ingest.png import png_encode
+    from .ingest.series import series_to_pixel_df
+
+    nz, h, w = SERIES_SHAPE
+    d = os.path.join(tempfile.gettempdir(), "gate_series")
+    os.makedirs(d, exist_ok=True)
+    yi, xi = np.indices((h, w))
+    for z in range(nz):
+        arr = ((z * 73 + yi * 179 + xi * 283) % 251).astype("uint8")
+        with open(os.path.join(d, f"slice_{z:03d}.png"), "wb") as f:
+            f.write(png_encode(arr))
+    df = series_to_pixel_df(spark, os.path.join(d, "slice_*.png"))
+    return df.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -548,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_sharded_roundtrip": q_s8_sharded_roundtrip,
         "dtype_uint16_roundtrip": q_dtype_uint16_roundtrip,
         "s4_multiscale_level1": q_s4_multiscale_level1,
+        "s16_nifti_ingest": q_s16_nifti_ingest,
+        "s11_tiff_ingest": q_s11_tiff_ingest,
+        "s13_png_series": q_s13_png_series,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash": q_dedup_minhash,

@@ -306,6 +306,41 @@ def sql_s4_multiscale_level1():
     return _sql_bin_shrink(IMG3D, {"z": 2, "y": 2, "x": 2})
 
 
+def sql_s16_nifti_ingest():
+    from .gate import NIFTI_SHAPE
+
+    nx, ny, nz = NIFTI_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(i % {nz} AS BIGINT) AS z,
+       CAST((i // {nz}) % {ny} AS BIGINT) AS y,
+       CAST(i // {ny * nz} AS BIGINT) AS x,
+       CAST(((i // {ny * nz}) * 283 + ((i // {nz}) % {ny}) * 179 + (i % {nz}) * 73) % 251 AS BIGINT) AS v
+FROM range({nx * ny * nz}) r(i)"""
+
+
+def sql_s11_tiff_ingest():
+    from .gate import TIFF_SHAPE
+
+    h, w = TIFF_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS z,
+       CAST(i // {w} AS BIGINT) AS y,
+       CAST(i % {w} AS BIGINT) AS x,
+       CAST(((i // {w}) * 179 + (i % {w}) * 283) % 251 AS BIGINT) AS v
+FROM range({h * w}) r(i)"""
+
+
+def sql_s13_png_series():
+    from .gate import SERIES_SHAPE
+
+    nz, h, w = SERIES_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(i // {h * w} AS BIGINT) AS z,
+       CAST((i // {w}) % {h} AS BIGINT) AS y,
+       CAST(i % {w} AS BIGINT) AS x,
+       CAST(((i // {h * w}) * 73 + ((i // {w}) % {h}) * 179 + (i % {w}) * 283) % 251 AS BIGINT) AS v
+FROM range({nz * h * w}) r(i)"""
+
+
 def sql_dedup_exact():
     return f"""SELECT md5({NORM.format(c='text')}) AS content_md5,
        COUNT(*) AS n_docs, MIN(doc_id) AS representative
@@ -677,6 +712,9 @@ def oracles() -> dict[str, str]:
         "s8_sharded_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "dtype_uint16_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s4_multiscale_level1": sql_s4_multiscale_level1(),
+        "s16_nifti_ingest": sql_s16_nifti_ingest(),
+        "s11_tiff_ingest": sql_s11_tiff_ingest(),
+        "s13_png_series": sql_s13_png_series(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),
         "dedup_minhash": sql_dedup_minhash(),
