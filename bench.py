@@ -53,6 +53,7 @@ QUERIES = {
     "ann_cosine_topk": gate.q_ann_cosine_topk,
     "ann_lsh_topk": gate.q_ann_lsh_topk,
     "emb_near_dup_lsh": gate.q_emb_near_dup_lsh,
+    "multimodal_features": gate.q_multimodal_features,
     "events_sessionize": gate.q_events_sessionize,
     "events_hourly": gate.q_events_hourly,
 }

@@ -38,7 +38,7 @@ from .operators import (
     roi,
     timepoint,
 )
-from .operators.gaussian import fixed_point_weights, kernel_radius
+from .operators.gaussian import fixed_point_weights, kernel_radius, kernel_weights
 from .plans.planner import compute_sigma, pyramid_scale_factors
 
 # ---------------------------------------------------------------------------
@@ -50,6 +50,8 @@ ROI_RANGES = dict(z=(4, 20), y=(10, 50), x=(10, 50))
 SIGMA2 = compute_sigma([2])[0]          # ≈ 0.7355
 G_RADIUS = kernel_radius(SIGMA2)        # 3
 G_WEIGHTS = fixed_point_weights(SIGMA2, G_RADIUS, bits=8)
+# ITK discrete-Gaussian (modified-Bessel) fixed-point weights (A4)
+ITK_G_WEIGHTS = kernel_weights(SIGMA2, "itk_bessel", fixed_point_bits=8)
 N_LEVELS = 6
 IMG3D_SCALE = {"z": 2.5, "y": 1.4, "x": 1.4}
 IMG3D_TRANSLATION = {"z": 332.5, "y": 360.0, "x": 0.0}
@@ -175,6 +177,17 @@ def q_a1_gaussian_window(spark, sf_dir):
     SQL-checkable reference form of the same operator)."""
     return gaussian_downsample(
         pixel_df(spark, IMG3D), IMG3D.shape, F3D, fixed_point_bits=8
+    )
+
+
+def q_a4_itk_gaussian(spark, sf_dir):
+    """A4: ITK discrete-Gaussian weights (exp(-σ²)·I_k(σ²) modified
+    Bessel, error-capped width) — a DIFFERENT kernel from A1's sampled
+    Gaussian, behind the ITK/ITKWASM method tags. Fixed-point for exact
+    oracle comparison."""
+    return gaussian_downsample(
+        pixel_df(spark, IMG3D), IMG3D.shape, F3D,
+        fixed_point_bits=8, kernel="itk_bessel",
     )
 
 
@@ -494,6 +507,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_bucket_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binding: per-document binary PNG payload → executor-
+    side decode → image features joined with text stats. The oracle
+    recomputes the deterministic image formula in pure SQL — the Spark
+    side decodes REAL PNG bytes, so any codec/plumbing bug mismatches."""
+    from .functions.multimodal import document_image_features
+
+    return document_image_features(_docs(spark, sf_dir))
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling 1-hour event-time aggregate (the batch shape of the
     streaming windowed agg in streaming/pipeline.py)."""
@@ -588,6 +611,60 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_s18_hcs_store_read(spark, sf_dir):
+    """S18/S19/S20: write a real plate store (plate attrs + per-well
+    image writes with attr upsert), read it back, return the enriched
+    well-image catalog. Oracle: literal expected catalog."""
+    import os
+    import shutil
+    import tempfile
+
+    from .hcs import (
+        Plate,
+        PlateColumn,
+        PlateRow,
+        PlateWell,
+        from_hcs_zarr,
+        to_hcs_zarr,
+        well_image_catalog,
+        write_hcs_well_image,
+    )
+    from .model import NgffImage
+    from .ome_zarr_api import to_multiscales as _tm
+
+    store = os.path.join(tempfile.gettempdir(), "gate_plate.ome.zarr")
+    shutil.rmtree(store, ignore_errors=True)
+    plate = Plate(
+        columns=[PlateColumn("1"), PlateColumn("2")],
+        rows=[PlateRow("A"), PlateRow("B")],
+        wells=[
+            PlateWell("A/1", 0, 0),
+            PlateWell("A/2", 0, 1),
+            PlateWell("B/1", 1, 0),
+            PlateWell("B/2", 1, 1),
+        ],
+        name="Gate Plate",
+        field_count=2,
+    )
+    to_hcs_zarr(plate, store)
+    tiny = FX.ImageSpec("well", z=2, y=4, x=4)
+    img = NgffImage(
+        data=pixel_df(spark, tiny).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 2, "y": 4, "x": 4},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+    )
+    ms = _tm(img, scale_factors=[], chunks={"z": 2, "y": 4, "x": 4})
+    write_hcs_well_image(spark, store, ms, plate, "A", "1", field_index=0)
+    write_hcs_well_image(spark, store, ms, plate, "A", "1", field_index=1)
+    write_hcs_well_image(spark, store, ms, plate, "B", "2", field_index=0)
+    cat = from_hcs_zarr(spark, store)
+    return well_image_catalog(cat["wells"], cat["well_images"]).select(
+        "well_path", "row_name", "col_name", "acquisition_id", "field_index", "image_path"
+    )
+
+
 def q_j3_well_catalog(spark, sf_dir):
     cat = synthesize_plate(spark, PlateSpec())
     return well_image_catalog(cat["wells"], cat["well_images"])
@@ -614,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_label_downsample": q_a3_label_downsample,
         "a1_gaussian": q_a1_gaussian,
         "a1_gaussian_window": q_a1_gaussian_window,
+        "a4_itk_gaussian": q_a4_itk_gaussian,
         "a10_minmax": q_a10_minmax,
         "a11_chunk_cost": q_a11_chunk_cost,
         "c2_scale_translation": q_c2_scale_translation,
@@ -639,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,
@@ -646,4 +725,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "j3_well_catalog": q_j3_well_catalog,
         "f7_well_lookup": q_f7_well_lookup,
+        "s18_hcs_store_read": q_s18_hcs_store_read,
     }

@@ -16,9 +16,64 @@ as DuckDB SQL by oracle.py so lookups/joins are oracle-checked.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Plate metadata model (reference v04/zarr_metadata.py:206-253)
+
+
+@dataclass
+class PlateColumn:
+    name: str
+
+
+@dataclass
+class PlateRow:
+    name: str
+
+
+@dataclass
+class PlateWell:
+    path: str
+    rowIndex: int
+    columnIndex: int
+
+
+@dataclass
+class PlateAcquisition:
+    id: int
+    name: Optional[str] = None
+    maximumfieldcount: Optional[int] = None
+    description: Optional[str] = None
+    starttime: Optional[int] = None
+    endtime: Optional[int] = None
+
+
+@dataclass
+class Plate:
+    columns: list
+    rows: list
+    wells: list
+    version: str = "0.4"
+    acquisitions: Optional[list] = None
+    field_count: Optional[int] = None
+    name: Optional[str] = None
+
+
+@dataclass
+class WellImage:
+    path: str
+    acquisition: int = 0
+
+
+@dataclass
+class Well:
+    images: list
+    version: Optional[str] = None
 
 
 @dataclass
@@ -86,6 +141,255 @@ def get_image_by_acquisition(
     return well_images.filter(
         (F.col("acquisition_id") == acquisition_id) & (F.col("field_index") == field_index)
     )
+
+
+# ---------------------------------------------------------------------------
+# Real HCS store I/O (S18-S20)
+
+
+def _plate_to_dict(plate: Plate) -> dict:
+    """Parity: to_hcs_zarr's plate_dict assembly (reference hcs.py:481-512)."""
+    doc: dict = {
+        "columns": [{"name": c.name} for c in plate.columns],
+        "rows": [{"name": r.name} for r in plate.rows],
+        "wells": [
+            {"path": w.path, "rowIndex": w.rowIndex, "columnIndex": w.columnIndex}
+            for w in plate.wells
+        ],
+        "version": plate.version,
+    }
+    if plate.acquisitions:
+        doc["acquisitions"] = []
+        for a in plate.acquisitions:
+            acq: dict = {"id": a.id}
+            for key in ("name", "maximumfieldcount", "description", "starttime", "endtime"):
+                v = getattr(a, key)
+                if v is not None:
+                    acq[key] = v
+            doc["acquisitions"].append(acq)
+    if plate.field_count is not None:
+        doc["field_count"] = plate.field_count
+    if plate.name is not None:
+        doc["name"] = plate.name
+    return doc
+
+
+def _plate_from_dict(plate_data: dict) -> Plate:
+    """Defensive-typed parse (parity from_hcs_zarr, hcs.py:369-456)."""
+    columns = [
+        PlateColumn(name=c["name"])
+        for c in plate_data.get("columns", [])
+        if isinstance(c, dict) and isinstance(c.get("name"), str)
+    ]
+    rows = [
+        PlateRow(name=r["name"])
+        for r in plate_data.get("rows", [])
+        if isinstance(r, dict) and isinstance(r.get("name"), str)
+    ]
+    wells = [
+        PlateWell(path=w["path"], rowIndex=w["rowIndex"], columnIndex=w["columnIndex"])
+        for w in plate_data.get("wells", [])
+        if isinstance(w, dict)
+        and isinstance(w.get("path"), str)
+        and isinstance(w.get("rowIndex"), int)
+        and isinstance(w.get("columnIndex"), int)
+    ]
+    acquisitions = None
+    if isinstance(plate_data.get("acquisitions"), list):
+        acquisitions = []
+        for a in plate_data["acquisitions"]:
+            if isinstance(a, dict) and isinstance(a.get("id"), int):
+                acquisitions.append(
+                    PlateAcquisition(
+                        id=a["id"],
+                        name=a.get("name") if isinstance(a.get("name"), str) else None,
+                        maximumfieldcount=a.get("maximumfieldcount")
+                        if isinstance(a.get("maximumfieldcount"), int)
+                        else None,
+                        description=a.get("description")
+                        if isinstance(a.get("description"), str)
+                        else None,
+                        starttime=a.get("starttime") if isinstance(a.get("starttime"), int) else None,
+                        endtime=a.get("endtime") if isinstance(a.get("endtime"), int) else None,
+                    )
+                )
+    return Plate(
+        columns=columns,
+        rows=rows,
+        wells=wells,
+        version=plate_data.get("version") if isinstance(plate_data.get("version"), str) else "0.4",
+        acquisitions=acquisitions,
+        field_count=plate_data.get("field_count")
+        if isinstance(plate_data.get("field_count"), int)
+        else None,
+        name=plate_data.get("name") if isinstance(plate_data.get("name"), str) else None,
+    )
+
+
+def to_hcs_zarr(plate: Plate, store_path: str) -> None:
+    """S19: write the plate structure (root group + ome/plate attrs) —
+    reference to_hcs_zarr (hcs.py:460-535): zarr v2 for 0.4, v3 for
+    0.5+, attrs under the 'ome' key in both."""
+    from .sources.zarr_store import ZarrStore
+
+    zarr_format = 2 if plate.version == "0.4" else 3
+    store = ZarrStore(store_path)
+    attrs = {"ome": {"version": plate.version, "plate": _plate_to_dict(plate)}}
+    store.write_group("", attrs, zarr_format)
+
+
+def from_hcs_zarr(spark: SparkSession, store_path: str) -> dict:
+    """S18: read a real plate store → Plate metadata + catalog
+    DataFrames (wells / well_images), image loads lazily via read_image
+    at ``{well}/{field}`` prefixes (S1 with path pushdown)."""
+    from .sources.zarr_store import ZarrStore
+
+    store = ZarrStore(store_path)
+    if store.exists("zarr.json"):
+        attrs = store.get_json("zarr.json").get("attributes", {})
+    else:
+        attrs = store.get_json(".zattrs")
+    if isinstance(attrs.get("ome"), dict) and "plate" in attrs["ome"]:
+        plate_data = attrs["ome"]["plate"]
+    elif "plate" in attrs:
+        plate_data = attrs["plate"]
+    else:
+        raise ValueError("No plate metadata found in store")
+    plate = _plate_from_dict(plate_data)
+
+    wells_rows = []
+    for w in plate.wells:
+        row_name = plate.rows[w.rowIndex].name if w.rowIndex < len(plate.rows) else None
+        col_name = (
+            plate.columns[w.columnIndex].name if w.columnIndex < len(plate.columns) else None
+        )
+        wells_rows.append((store_path.rstrip("/").rsplit("/", 1)[-1], w.rowIndex, w.columnIndex, row_name, col_name, w.path))
+    wells = spark.createDataFrame(
+        wells_rows,
+        "plate_id string, row_index long, col_index long, row_name string, col_name string, well_path string",
+    )
+
+    image_rows = []
+    for w in plate.wells:
+        well_attrs = None
+        for key in (f"{w.path}/.zattrs", f"{w.path}/zarr.json"):
+            if store.exists(key):
+                doc = store.get_json(key)
+                well_attrs = doc.get("attributes", doc)
+                break
+        if well_attrs is None:
+            continue
+        well_doc = (
+            well_attrs.get("ome", {}).get("well")
+            if isinstance(well_attrs.get("ome"), dict)
+            else None
+        ) or well_attrs.get("well")
+        if not well_doc:
+            continue
+        for img in well_doc.get("images", []):
+            image_rows.append(
+                (
+                    store_path.rstrip("/").rsplit("/", 1)[-1],
+                    w.rowIndex,
+                    w.columnIndex,
+                    int(img.get("acquisition", 0)),
+                    int(img["path"]) if str(img.get("path", "")).isdigit() else 0,
+                    w.path,
+                    f"{w.path}/{img['path']}",
+                )
+            )
+    well_images = spark.createDataFrame(
+        image_rows,
+        "plate_id string, row_index long, col_index long, acquisition_id long, "
+        "field_index long, well_path string, image_path string",
+    )
+    return {"plate": plate, "wells": wells, "well_images": well_images}
+
+
+def write_hcs_well_image(
+    spark: SparkSession,
+    store_path: str,
+    multiscales,
+    plate_metadata: Plate,
+    row_name: str,
+    column_name: str,
+    field_index: int = 0,
+    acquisition_id: int = 0,
+    well_metadata: Optional[Well] = None,
+    version: str = "0.4",
+    **kwargs,
+) -> None:
+    """S20: write one field-of-view into a plate store — validates
+    row/col/well against the plate metadata, UPSERTS the well's image
+    list into its attrs, then delegates the pixel write to to_ngff_zarr
+    at ``{row}/{col}/{field}`` (reference hcs.py:538-765; the attr-merge
+    branch :655-716 is the incremental-acquisition hook T1 builds on)."""
+    from .ome_zarr_api import to_ngff_zarr
+    from .sources.zarr_store import ZarrStore
+
+    if not any(r.name == row_name for r in plate_metadata.rows):
+        raise ValueError(f"Row '{row_name}' not found in plate metadata")
+    if not any(c.name == column_name for c in plate_metadata.columns):
+        raise ValueError(f"Column '{column_name}' not found in plate metadata")
+    well_path = f"{row_name}/{column_name}"
+    if not any(w.path == well_path for w in plate_metadata.wells):
+        raise ValueError(f"Well '{well_path}' not found in plate metadata")
+
+    zarr_format = 2 if version == "0.4" else 3
+    store = ZarrStore(store_path)
+
+    # merge with any existing well attrs (metadata upsert)
+    if well_metadata is None:
+        existing = None
+        for key in (f"{well_path}/.zattrs", f"{well_path}/zarr.json"):
+            if store.exists(key):
+                doc = store.get_json(key)
+                existing = doc.get("attributes", doc)
+                break
+        if existing:
+            well_doc = (
+                existing.get("ome", {}).get("well")
+                if isinstance(existing.get("ome"), dict)
+                else None
+            ) or existing.get("well")
+            if well_doc:
+                well_metadata = Well(
+                    images=[
+                        WellImage(path=i["path"], acquisition=i.get("acquisition", 0))
+                        for i in well_doc.get("images", [])
+                    ],
+                    version=well_doc.get("version", version),
+                )
+    if well_metadata is None:
+        well_metadata = Well(
+            images=[WellImage(path=str(field_index), acquisition=acquisition_id)],
+            version=version,
+        )
+    elif not any(
+        i.path == str(field_index) and i.acquisition == acquisition_id
+        for i in well_metadata.images
+    ):
+        well_metadata.images.append(
+            WellImage(path=str(field_index), acquisition=acquisition_id)
+        )
+
+    well_dict = {
+        "images": [
+            {"path": i.path, "acquisition": i.acquisition} for i in well_metadata.images
+        ],
+        "version": well_metadata.version or version,
+    }
+    if version == "0.4":
+        well_attrs = {"well": well_dict}
+    elif version == "0.5":
+        well_dict.pop("version", None)
+        well_attrs = {"ome": {"well": well_dict, "version": version}}
+    else:
+        raise ValueError(f"Unsupported OME-Zarr version: {version}")
+    store.write_group(well_path, well_attrs, zarr_format)
+
+    field_store = f"{store_path}/{well_path}/{field_index}"
+    to_ngff_zarr(field_store, multiscales, version=version, **kwargs)
 
 
 def well_image_catalog(wells: DataFrame, well_images: DataFrame) -> DataFrame:

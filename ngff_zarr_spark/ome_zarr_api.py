@@ -43,18 +43,52 @@ from .sources.zarr_store import ZarrStore
 
 # Method registry (reference Methods enum dispatch,
 # to_multiscales.py:325-359). The *_GAUSSIAN variants share one
-# separable-convolution engine operator; ITK/ITKWASM/DASK_IMAGE only
-# differ in kernel weights, which this engine treats as one tag.
+# separable-convolution engine operator but select DIFFERENT kernel
+# weights: ITK/ITK-Wasm use the discrete Gaussian (modified-Bessel
+# coefficients, operators/itk_gaussian.py), dask-image the sampled
+# continuous Gaussian — matching each backend's published math.
 METHODS: dict[str, Callable] = {
-    "ITKWASM_GAUSSIAN": lambda df, shape, f: gaussian_downsample(df, shape, f),
-    "ITK_GAUSSIAN": lambda df, shape, f: gaussian_downsample(df, shape, f),
-    "DASK_IMAGE_GAUSSIAN": lambda df, shape, f: gaussian_downsample(df, shape, f),
+    "ITKWASM_GAUSSIAN": lambda df, shape, f: gaussian_downsample(
+        df, shape, f, kernel="itk_bessel"
+    ),
+    "ITK_GAUSSIAN": lambda df, shape, f: gaussian_downsample(
+        df, shape, f, kernel="itk_bessel"
+    ),
+    "DASK_IMAGE_GAUSSIAN": lambda df, shape, f: gaussian_downsample(
+        df, shape, f, kernel="sampled"
+    ),
     "ITKWASM_BIN_SHRINK": bin_shrink,
     "ITK_BIN_SHRINK": bin_shrink,
     "DASK_IMAGE_NEAREST": nearest,
     "DASK_IMAGE_MODE": mode_downsample,
     "ITKWASM_LABEL_IMAGE": label_downsample,
 }
+
+# C10 method provenance (reference methods/_metadata.py:11-90): the
+# package+function that produced each level, recorded in the
+# multiscales 'metadata' field.
+_METHOD_INFO: dict[str, tuple[str, str]] = {
+    "ITKWASM_GAUSSIAN": ("ngff_zarr_spark", "gaussian_downsample[itk_bessel]"),
+    "ITK_GAUSSIAN": ("ngff_zarr_spark", "gaussian_downsample[itk_bessel]"),
+    "DASK_IMAGE_GAUSSIAN": ("ngff_zarr_spark", "gaussian_downsample[sampled]"),
+    "ITKWASM_BIN_SHRINK": ("ngff_zarr_spark", "bin_shrink"),
+    "ITK_BIN_SHRINK": ("ngff_zarr_spark", "bin_shrink"),
+    "DASK_IMAGE_NEAREST": ("ngff_zarr_spark", "nearest"),
+    "DASK_IMAGE_MODE": ("ngff_zarr_spark", "mode_downsample"),
+    "ITKWASM_LABEL_IMAGE": ("ngff_zarr_spark", "label_downsample"),
+}
+
+
+def get_method_metadata(method: str) -> dict:
+    """C10: provenance dict {method, package, version, function}."""
+    package, function = _METHOD_INFO[method]
+    try:
+        from importlib.metadata import version as _pkg_version
+
+        ver = _pkg_version(package)
+    except Exception:
+        from . import __version__ as ver  # type: ignore
+    return {"method": method, "package": package, "version": ver, "function": function}
 
 DEFAULT_CHUNKS_3D = 128
 DEFAULT_CHUNKS_2D = 256
@@ -127,7 +161,13 @@ def to_multiscales(
                 ],
             )
         )
-    meta = Metadata(axes=axes, datasets=datasets, name=image.name, type=method.lower())
+    meta = Metadata(
+        axes=axes,
+        datasets=datasets,
+        name=image.name,
+        type=method.lower(),
+        metadata=get_method_metadata(method),
+    )
     return Multiscales(
         images=images, metadata=meta, scale_factors=scale_factors, method=method, chunks=chunks
     )
@@ -276,9 +316,15 @@ def to_ngff_zarr(
     previous = {d: 1 for d in base.spatial_dims()}
     prev_img = base
     prev_path = None
+    # A pyramid built by to_multiscales carries scale_factors+method and
+    # is RECOMPUTED level-by-level from the stored previous level (O3).
+    # A read-back pyramid (from_ngff_zarr) has no build recipe — its
+    # levels are data, not plans, and are copied through verbatim
+    # (version conversion C9 depends on not re-deriving them).
+    recompute = bool(multiscales.scale_factors) and multiscales.method is not None
     for i, img in enumerate(multiscales.images):
         path = f"scale{i}/image"
-        if i == 0:
+        if i == 0 or not recompute:
             df = img.data
         else:
             level = multiscales.scale_factors[i - 1]
@@ -316,6 +362,24 @@ def to_ngff_zarr(
         prev_img, prev_path = img, path
     if zarr_format == 2:
         store.consolidate_metadata_v2()
+
+
+def convert_ome_zarr_version(
+    spark: SparkSession,
+    src_store: str,
+    dst_store: str,
+    version: str,
+    compressor: Optional[str] = "gzip",
+) -> None:
+    """C9: store→store version conversion (0.4 ↔ 0.5) — read the source
+    pyramid, retag the metadata version, write the target layout (zarr
+    v2 ↔ v3). Pixel data is copied through level-by-level, never
+    re-derived (reference _prepare_metadata + roundtrip test
+    test_convert_ome_zarr_version.py:22-42)."""
+    ms = from_ngff_zarr(spark, src_store)
+    if ms.metadata is not None:
+        ms.metadata.version = version
+    to_ngff_zarr(dst_store, ms, version=version, compressor=compressor)
 
 
 def from_ngff_zarr(

@@ -82,11 +82,37 @@ def _axis_pass(df: DataFrame, axis: str, weights: list[float | int]) -> DataFram
     return df.select(*ALL_DIMS, acc.alias("v"))
 
 
+def kernel_weights(
+    sigma: float,
+    kernel: str = "sampled",
+    truncate: float = 4.0,
+    fixed_point_bits: int | None = None,
+) -> list[float | int]:
+    """Half-kernel for one axis. ``kernel``:
+    - 'sampled': sampled-and-normalized continuous Gaussian (the
+      scipy/dask-image convention — DASK_IMAGE_GAUSSIAN parity);
+    - 'itk_bessel': ITK's discrete Gaussian, exp(-σ²)·I_k(σ²) modified-
+      Bessel coefficients with error-capped width (ITK_GAUSSIAN /
+      ITKWASM_GAUSSIAN parity; operators/itk_gaussian.py)."""
+    if kernel == "itk_bessel":
+        from .itk_gaussian import itk_gaussian_kernel
+
+        w = itk_gaussian_kernel(sigma)
+    elif kernel == "sampled":
+        w = sampled_weights(sigma, kernel_radius(sigma, truncate))
+    else:
+        raise ValueError(f"Unknown gaussian kernel {kernel!r}")
+    if fixed_point_bits is not None:
+        return [max(1, round(x * (1 << fixed_point_bits))) for x in w]
+    return w
+
+
 def gaussian_blur(
     df: DataFrame,
     sigmas: dict[str, float],
     fixed_point_bits: int | None = None,
     truncate: float = 4.0,
+    kernel: str = "sampled",
 ) -> DataFrame:
     """Separable Gaussian blur; one axis pass per spatial dim with
     sigma > 0. With ``fixed_point_bits`` set, uses integer weights and
@@ -96,11 +122,7 @@ def gaussian_blur(
         sigma = float(sigmas.get(axis, 0.0))
         if sigma <= 0.0:
             continue
-        r = kernel_radius(sigma, truncate)
-        if fixed_point_bits is not None:
-            weights = fixed_point_weights(sigma, r, fixed_point_bits)
-        else:
-            weights = sampled_weights(sigma, r)
+        weights = kernel_weights(sigma, kernel, truncate, fixed_point_bits)
         df = _axis_pass(df, axis, weights)
     return df
 
@@ -110,14 +132,17 @@ def gaussian_downsample(
     shape: dict[str, int],
     factors: dict[str, int],
     fixed_point_bits: int | None = None,
+    kernel: str = "sampled",
 ) -> DataFrame:
     """A1/A4/A6 composite: anti-alias blur at the sigma implied by the
     shrink factors, then stride subsample (order-1 interpolation at exact
-    grid points is a point sample — SURVEY.md A6 note)."""
+    grid points is a point sample — SURVEY.md A6 note). ``kernel`` picks
+    the weight function per method tag (sampled ↔ dask-image,
+    itk_bessel ↔ ITK/ITK-Wasm)."""
     from ..plans.planner import compute_sigma
     from .downsample import nearest
 
     spatial = [d for d in SPATIAL if factors.get(d, 1) > 1]
     sigmas = dict(zip(spatial, compute_sigma([factors[d] for d in spatial])))
-    blurred = gaussian_blur(df, sigmas, fixed_point_bits=fixed_point_bits)
+    blurred = gaussian_blur(df, sigmas, fixed_point_bits=fixed_point_bits, kernel=kernel)
     return nearest(blurred, shape, factors)

@@ -30,7 +30,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .gaussian import fixed_point_weights, kernel_radius, sampled_weights
 
 SPATIAL = ("z", "y", "x")
 ALL_DIMS = ("t", "c", "z", "y", "x")
@@ -62,6 +61,7 @@ def gaussian_downsample_chunked(
     chunks: Optional[dict[str, int]] = None,
     fixed_point_bits: Optional[int] = None,
     truncate: float = 4.0,
+    kernel_weights_kind: str = "sampled",
 ) -> DataFrame:
     """A1/A4/A6 production path: chunk-local separable Gaussian blur +
     stride subsample via ``applyInPandas`` with halo replication.
@@ -73,16 +73,16 @@ def gaussian_downsample_chunked(
     """
     from ..plans.planner import compute_sigma
     from .gaussian import SPATIAL as GS
+    from .gaussian import kernel_weights as _kw
 
     spatial = [d for d in GS if factors.get(d, 1) > 1]
     sigmas = dict(zip(spatial, compute_sigma([factors[d] for d in spatial])))
-    radii = {d: kernel_radius(s, truncate) for d, s in sigmas.items()}
-    if fixed_point_bits is not None:
-        weights = {d: fixed_point_weights(sigmas[d], radii[d], fixed_point_bits) for d in spatial}
-        out_type = "long"
-    else:
-        weights = {d: sampled_weights(sigmas[d], radii[d]) for d in spatial}
-        out_type = "double"
+    weights = {
+        d: _kw(sigmas[d], kernel_weights_kind, truncate, fixed_point_bits)
+        for d in spatial
+    }
+    radii = {d: len(weights[d]) - 1 for d in spatial}
+    out_type = "long" if fixed_point_bits is not None else "double"
 
     chunks = dict(chunks or {})
     for d in SPATIAL:

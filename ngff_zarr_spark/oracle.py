@@ -213,14 +213,23 @@ def _gauss_pass(src: str, axis: str, weights: list[int]) -> str:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
 
 
-def sql_a1_gaussian():
+def _sql_gaussian(weights):
     f = {"z": 2, "y": 2, "x": 2}
-    w = G_WEIGHTS
     return f"""WITH {pixel_cte_sql(IMG3D)},
-gz AS ({_gauss_pass('P', 'z', w)}),
-gy AS ({_gauss_pass('gz', 'y', w)}),
-gx AS ({_gauss_pass('gy', 'x', w)})
+gz AS ({_gauss_pass('P', 'z', weights)}),
+gy AS ({_gauss_pass('gz', 'y', weights)}),
+gx AS ({_gauss_pass('gy', 'x', weights)})
 SELECT {_block_sel(f)}, v FROM gx WHERE {_crop3d(IMG3D, f)} AND {_stride(f)}"""
+
+
+def sql_a1_gaussian():
+    return _sql_gaussian(G_WEIGHTS)
+
+
+def sql_a4_itk_gaussian():
+    from .gate import ITK_G_WEIGHTS
+
+    return _sql_gaussian(ITK_G_WEIGHTS)
 
 
 def sql_a10_minmax():
@@ -584,6 +593,29 @@ SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
 FROM dots WHERE round(dot / (na * nb), 6) >= {NEAR_DUP_COS}"""
 
 
+def sql_multimodal_features():
+    from .functions.multimodal import H_BASE, H_MOD, PIX_A, PIX_MOD, PIX_X, PIX_Y, W_BASE, W_MOD
+
+    max_px = (W_BASE + W_MOD - 1) * (H_BASE + H_MOD - 1)
+    return f"""WITH dims AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         {H_BASE} + doc_id % {H_MOD} AS h,
+         {W_BASE} + doc_id % {W_MOD} AS w
+  FROM documents
+),
+px AS (
+  SELECT doc_id, n_chars, h, w,
+         SUM((doc_id * {PIX_A} + (i // w) * {PIX_Y} + (i % w) * {PIX_X}) % {PIX_MOD}) AS s
+  FROM dims CROSS JOIN range({max_px}) r(i)
+  WHERE i < h * w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, n_chars, CAST(h AS BIGINT) AS img_h, CAST(w AS BIGINT) AS img_w,
+       CAST(h * w AS BIGINT) AS n_px,
+       round(CAST(s AS DOUBLE) / (h * w), 6) AS px_mean
+FROM px"""
+
+
 def sql_events_hourly():
     return """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour_epoch, event_type,
        COUNT(*) AS n,
@@ -688,6 +720,16 @@ SELECT plate_id, row_index, col_index, row_name, col_name, well_path
 FROM wells2 WHERE row_name = 'D' AND col_name = '7'"""
 
 
+def sql_s18_hcs_store_read():
+    # expected catalog of the gate's 3 written fields (A/1 f0, A/1 f1,
+    # B/2 f0) joined with the plate grid
+    return """SELECT * FROM (VALUES
+  ('A/1', 'A', '1', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'A/1/0'),
+  ('A/1', 'A', '1', CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'A/1/1'),
+  ('B/2', 'B', '2', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'B/2/0')
+) t(well_path, row_name, col_name, acquisition_id, field_index, image_path)"""
+
+
 def oracles() -> dict[str, str]:
     """All oracle SQL keyed identically to gate.queries(). Keys absent
     here (e.g. a9_pyramid_plan) get the driver's rows-only check."""
@@ -704,6 +746,7 @@ def oracles() -> dict[str, str]:
         "a3_label_downsample": sql_a3_label_downsample(),
         "a1_gaussian": sql_a1_gaussian(),
         "a1_gaussian_window": sql_a1_gaussian(),
+        "a4_itk_gaussian": sql_a4_itk_gaussian(),
         "a10_minmax": sql_a10_minmax(),
         "a11_chunk_cost": sql_a11_chunk_cost(),
         "c2_scale_translation": sql_c2_scale_translation(),
@@ -728,6 +771,7 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
+        "multimodal_features": sql_multimodal_features(),
         "events_hourly": sql_events_hourly(),
         "events_sessionize": sql_events_sessionize(),
         "tpch_q1": sql_tpch_q1(),
@@ -735,4 +779,5 @@ def oracles() -> dict[str, str]:
         "tpch_q5": sql_tpch_q5(),
         "j3_well_catalog": sql_j3_well_catalog(),
         "f7_well_lookup": sql_f7_well_lookup(),
+        "s18_hcs_store_read": sql_s18_hcs_store_read(),
     }

@@ -88,7 +88,9 @@ def encode_chunk(arr: np.ndarray, compressor: Optional[str], typesize: int = 0) 
     if compressor is None:
         return raw
     if compressor == "gzip":
-        return gzip.compress(raw, compresslevel=5)
+        # mtime=0: byte-deterministic output (same data → same chunk
+        # bytes across runs — golden-store comparisons depend on it)
+        return gzip.compress(raw, compresslevel=5, mtime=0)
     if compressor == "zlib":
         return zlib.compress(raw, 5)
     if compressor == "zstd":

@@ -1,0 +1,143 @@
+"""Structured Streaming pipelines (SURVEY §2.7, T1-T3).
+
+The reference has no streaming engine; its streaming-shaped capability
+is incremental HCS acquisition — fields written one at a time as the
+instrument acquires, with the well's image list upserted on every write
+(/root/reference py/ngff_zarr/hcs.py:538-765, attr merge :655-716).
+Spark shape: a file-source stream of acquisition manifests driving a
+``foreachBatch`` sink that calls write_hcs_well_image per field — each
+micro-batch appends ``{row}/{col}/{field}`` data and upserts metadata,
+so the store after N increments equals the batch-written store (the
+equality tests/test_streaming.py proves).
+
+Also here: the streaming twin of the events_hourly batch aggregate
+(watermarked tumbling window) — the standard late-data shape.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = "row_name string, column_name string, field_index long, acquisition_id long"
+
+
+def incremental_well_write_stream(
+    spark: SparkSession,
+    manifest_dir: str,
+    store_path: str,
+    plate,
+    multiscales_for_field: Callable,
+    version: str = "0.4",
+    checkpoint_dir: Optional[str] = None,
+    **to_zarr_kwargs,
+):
+    """T1: stream acquisition manifests (one JSON per acquired field)
+    into incremental well writes.
+
+    ``multiscales_for_field(row_name, column_name, field_index)`` builds
+    the field's Multiscales (in production: reads the instrument's
+    staging area). Returns the StreamingQuery; callers trigger
+    ``availableNow`` for drain-and-stop or leave it continuous.
+
+    Each micro-batch is collected to the driver ONLY as the manifest
+    rows (a handful of field descriptors, not pixels) — the pixel
+    writes inside write_hcs_well_image are normal distributed jobs.
+    """
+    from ..hcs import write_hcs_well_image
+
+    manifests = (
+        spark.readStream.schema(MANIFEST_SCHEMA).json(manifest_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        # deterministic order within a batch (manifests may arrive
+        # together): well path then field
+        rows.sort(key=lambda r: (r.row_name, r.column_name, r.field_index))
+        for r in rows:
+            ms = multiscales_for_field(r.row_name, r.column_name, int(r.field_index))
+            write_hcs_well_image(
+                spark,
+                store_path,
+                ms,
+                plate,
+                r.row_name,
+                r.column_name,
+                field_index=int(r.field_index),
+                acquisition_id=int(r.acquisition_id or 0),
+                version=version,
+                **to_zarr_kwargs,
+            )
+
+    writer = manifests.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def write_manifest(manifest_dir: str, row_name: str, column_name: str,
+                   field_index: int, acquisition_id: int = 0) -> None:
+    """Drop one acquisition manifest (the instrument-side producer)."""
+    import os
+    import uuid
+
+    os.makedirs(manifest_dir, exist_ok=True)
+    doc = {
+        "row_name": row_name,
+        "column_name": column_name,
+        "field_index": field_index,
+        "acquisition_id": acquisition_id,
+    }
+    path = os.path.join(manifest_dir, f"acq-{uuid.uuid4().hex}.json")
+    with open(path, "w") as f:
+        f.write(json.dumps(doc))
+
+
+def streaming_events_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming twin of the events_hourly batch aggregate: tumbling
+    1-hour event-time windows with a watermark for late data. Events
+    arrive as parquet files (TIMESTAMP(NANOS) read as long via the
+    session's nanosAsLong, converted to timestamps for the window).
+    Returns (stream_df, start_fn) — start_fn(sink_table) runs
+    availableNow into an in-memory table for tests; production swaps
+    the sink for kafka/delta."""
+    schema = "event_id long, user_id long, ts long, event_type string, value double"
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    with_time = ev.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    agg = (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+    def start(sink_table: str):
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return agg, start

@@ -1,0 +1,111 @@
+"""HCS store I/O (S18-S20): real plate attrs, well attr upsert, field
+image pixel round-trip. Attr layout parity: reference
+py/test/test_hcs.py:244-250 (ome/plate keys), test_hcs_zarr_format.py
+(v0.4 → zarr2, v0.5 → zarr3), write_hcs_well_image merge semantics
+(hcs.py:655-716).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+from ngff_zarr_spark.hcs import (
+    Plate,
+    PlateAcquisition,
+    PlateColumn,
+    PlateRow,
+    PlateWell,
+    from_hcs_zarr,
+    to_hcs_zarr,
+    write_hcs_well_image,
+)
+from ngff_zarr_spark.model import NgffImage
+from ngff_zarr_spark.ome_zarr_api import read_image, to_multiscales
+
+
+def _plate():
+    return Plate(
+        columns=[PlateColumn("1"), PlateColumn("2")],
+        rows=[PlateRow("A"), PlateRow("B")],
+        wells=[PlateWell("A/1", 0, 0), PlateWell("B/2", 1, 1)],
+        acquisitions=[PlateAcquisition(id=0, name="acq0", maximumfieldcount=2)],
+        name="Test Plate",
+        field_count=2,
+    )
+
+
+def _image(spark):
+    spec = ImageSpec("w", z=2, y=4, x=4)
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 2, "y": 4, "x": 4},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+    )
+    return to_multiscales(img, scale_factors=[], chunks={"z": 2, "y": 4, "x": 4})
+
+
+def test_plate_attrs_layout(tmp_path):
+    store = str(tmp_path / "p.ome.zarr")
+    to_hcs_zarr(_plate(), store)
+    attrs = json.loads((tmp_path / "p.ome.zarr/.zattrs").read_text())
+    assert "plate" in attrs["ome"]
+    assert attrs["ome"]["version"] == "0.4"
+    plate_attrs = attrs["ome"]["plate"]
+    assert plate_attrs["name"] == "Test Plate"
+    assert len(plate_attrs["wells"]) == 2
+    assert plate_attrs["wells"][0] == {"path": "A/1", "rowIndex": 0, "columnIndex": 0}
+    assert plate_attrs["acquisitions"][0] == {
+        "id": 0, "name": "acq0", "maximumfieldcount": 2,
+    }
+
+
+def test_plate_v05_layout(tmp_path):
+    store = str(tmp_path / "p5.ome.zarr")
+    plate = _plate()
+    plate.version = "0.5"
+    to_hcs_zarr(plate, store)
+    doc = json.loads((tmp_path / "p5.ome.zarr/zarr.json").read_text())
+    assert doc["node_type"] == "group"
+    assert doc["attributes"]["ome"]["version"] == "0.5"
+
+
+def test_well_write_upsert_and_readback(spark, tmp_path):
+    store = str(tmp_path / "plate.ome.zarr")
+    plate = _plate()
+    to_hcs_zarr(plate, store)
+    ms = _image(spark)
+    write_hcs_well_image(spark, store, ms, plate, "A", "1", field_index=0)
+    write_hcs_well_image(spark, store, ms, plate, "A", "1", field_index=1)
+    # upsert: well attrs accumulate both images, no duplicates on rewrite
+    write_hcs_well_image(spark, store, ms, plate, "A", "1", field_index=1)
+    well_attrs = json.loads((tmp_path / "plate.ome.zarr/A/1/.zattrs").read_text())
+    images = well_attrs["well"]["images"]
+    assert images == [
+        {"path": "0", "acquisition": 0},
+        {"path": "1", "acquisition": 0},
+    ]
+    # catalog sees both fields; pixel data readable at the field prefix
+    cat = from_hcs_zarr(spark, store)
+    assert cat["plate"].name == "Test Plate"
+    rows = {(r.well_path, r.field_index) for r in cat["well_images"].collect()}
+    assert rows == {("A/1", 0), ("A/1", 1)}
+    df = read_image(spark, f"{store}/A/1/0", "scale0/image")
+    assert df.count() == 2 * 4 * 4
+
+
+def test_well_write_validates_grid(spark, tmp_path):
+    store = str(tmp_path / "v.ome.zarr")
+    plate = _plate()
+    to_hcs_zarr(plate, store)
+    ms = _image(spark)
+    with pytest.raises(ValueError, match="Row 'C'"):
+        write_hcs_well_image(spark, store, ms, plate, "C", "1")
+    with pytest.raises(ValueError, match="Column '9'"):
+        write_hcs_well_image(spark, store, ms, plate, "A", "9")
+    with pytest.raises(ValueError, match="Well 'A/2'"):
+        write_hcs_well_image(spark, store, ms, plate, "A", "2")

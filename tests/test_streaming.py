@@ -1,0 +1,127 @@
+"""Streaming (T1): incremental HCS acquisition equals the batch-written
+store; streaming hourly aggregate equals the batch aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+from ngff_zarr_spark.hcs import (
+    Plate,
+    PlateColumn,
+    PlateRow,
+    PlateWell,
+    from_hcs_zarr,
+    to_hcs_zarr,
+    write_hcs_well_image,
+)
+from ngff_zarr_spark.model import NgffImage
+from ngff_zarr_spark.ome_zarr_api import to_multiscales
+from ngff_zarr_spark.sources.zarr_store import ZarrStore
+from ngff_zarr_spark.streaming.pipeline import (
+    incremental_well_write_stream,
+    streaming_events_hourly,
+    write_manifest,
+)
+
+
+def _plate():
+    return Plate(
+        columns=[PlateColumn("1"), PlateColumn("2")],
+        rows=[PlateRow("A")],
+        wells=[PlateWell("A/1", 0, 0), PlateWell("A/2", 0, 1)],
+        name="Stream Plate",
+    )
+
+
+def _field_ms(spark, seed: int):
+    spec = ImageSpec(f"f{seed}", z=2, y=4, x=4)
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 2, "y": 4, "x": 4},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+    )
+    return to_multiscales(img, scale_factors=[], chunks={"z": 2, "y": 4, "x": 4})
+
+
+def _store_state(root) -> dict:
+    """Store content key → bytes (JSON docs parsed for order-insensitive
+    comparison)."""
+    store = ZarrStore(str(root))
+    out = {}
+    for key in store.list_keys():
+        data = store.get(key)
+        if key.endswith((".zattrs", ".zgroup", ".zarray", "zarr.json", ".zmetadata")):
+            out[key] = json.loads(data)
+        else:
+            out[key] = data
+    return out
+
+
+def test_incremental_stream_equals_batch(spark, tmp_path):
+    plate = _plate()
+    fields = [("A", "1", 0), ("A", "1", 1), ("A", "2", 0)]
+
+    # batch-written reference store
+    batch_store = str(tmp_path / "batch.ome.zarr")
+    to_hcs_zarr(plate, batch_store)
+    for row, col, fi in fields:
+        write_hcs_well_image(
+            spark, batch_store, _field_ms(spark, fi), plate, row, col, field_index=fi
+        )
+
+    # streaming store: manifests dropped one at a time, drained by a
+    # foreachBatch availableNow pass each time (incremental acquisition)
+    stream_store = str(tmp_path / "stream.ome.zarr")
+    to_hcs_zarr(plate, stream_store)
+    manifest_dir = str(tmp_path / "manifests")
+    ckpt = str(tmp_path / "ckpt")
+    for i, (row, col, fi) in enumerate(fields):
+        write_manifest(manifest_dir, row, col, fi)
+        q = incremental_well_write_stream(
+            spark,
+            manifest_dir,
+            stream_store,
+            plate,
+            lambda r, c, f: _field_ms(spark, f),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    assert _store_state(tmp_path / "stream.ome.zarr") == _store_state(
+        tmp_path / "batch.ome.zarr"
+    )
+    cat = from_hcs_zarr(spark, stream_store)
+    got = {(r.well_path, r.field_index) for r in cat["well_images"].collect()}
+    assert got == {("A/1", 0), ("A/1", 1), ("A/2", 0)}
+
+
+def test_streaming_hourly_matches_batch(spark, tmp_path):
+    import shutil
+
+    from ngff_zarr_spark import gate
+
+    sf_dir = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+
+    agg, start = streaming_events_hourly(
+        spark, str(events_dir), str(tmp_path / "ckpt2")
+    )
+    q = start("stream_hourly")
+    q.awaitTermination(120)
+    got = {
+        (r.hour_epoch, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in spark.sql("select * from stream_hourly").collect()
+    }
+    want = {
+        (r.hour_epoch, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in gate.q_events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
