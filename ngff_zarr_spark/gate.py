@@ -352,6 +352,52 @@ def q_dtype_uint16_roundtrip(spark, sf_dir):
     )
 
 
+def q_chunk_table_sums(spark, sf_dir):
+    """Chunk-table representation (SURVEY §1.3): read the store as one
+    row per chunk (binary payload), decode per-chunk buffers in an
+    Arrow mapInPandas, emit per-chunk voxel count + value sum. The
+    oracle recomputes both from the pixel formula grouped by the chunk
+    grid — proving payload bytes, extents, and indices all line up."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import numpy as np
+
+    from .model import NgffImage
+    from .ome_zarr_api import read_chunk_table, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    store = os.path.join(tempfile.gettempdir(), "gate_chunktab.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="gate",
+    )
+    ms = _tm(img, scale_factors=[], chunks=dict(CHUNKS3D))
+    _tz(store, ms, version="0.4")
+    chunks = read_chunk_table(spark, store, "scale0/image")
+
+    def sums(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["payload"], dtype="<f8")
+                rows.append(
+                    (
+                        int(row["ck_z"]), int(row["ck_y"]), int(row["ck_x"]),
+                        int(arr.size), int(arr.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["cz", "cy", "cx", "n_vox", "vsum"]
+            )
+
+    return chunks.mapInPandas(sums, "cz long, cy long, cx long, n_vox long, vsum long")
+
+
 def q_s4_multiscale_level1(spark, sf_dir):
     """S4/A2 composite: write a two-level pyramid (level 1 recomputed
     from the *stored* level 0 — the O3 write-then-read checkpoint), read
@@ -700,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_blosc_roundtrip": q_s9_blosc_roundtrip,
         "s8_sharded_roundtrip": q_s8_sharded_roundtrip,
         "dtype_uint16_roundtrip": q_dtype_uint16_roundtrip,
+        "chunk_table_sums": q_chunk_table_sums,
         "s4_multiscale_level1": q_s4_multiscale_level1,
         "s16_nifti_ingest": q_s16_nifti_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,

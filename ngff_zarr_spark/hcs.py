@@ -238,7 +238,7 @@ def to_hcs_zarr(plate: Plate, store_path: str) -> None:
     store.write_group("", attrs, zarr_format)
 
 
-def from_hcs_zarr(spark: SparkSession, store_path: str) -> dict:
+def from_hcs_zarr(spark: SparkSession, store_path: str, validate: bool = False) -> dict:
     """S18: read a real plate store → Plate metadata + catalog
     DataFrames (wells / well_images), image loads lazily via read_image
     at ``{well}/{field}`` prefixes (S1 with path pushdown)."""
@@ -249,6 +249,10 @@ def from_hcs_zarr(spark: SparkSession, store_path: str) -> dict:
         attrs = store.get_json("zarr.json").get("attributes", {})
     else:
         attrs = store.get_json(".zattrs")
+    if validate:
+        from .validate import validate as validate_attrs
+
+        validate_attrs(attrs, model="plate", strict=True)
     if isinstance(attrs.get("ome"), dict) and "plate" in attrs["ome"]:
         plate_data = attrs["ome"]["plate"]
     elif "plate" in attrs:

@@ -277,6 +277,87 @@ def read_image(
     return reader.load()
 
 
+def read_chunk_table(
+    spark: SparkSession,
+    store_path: str,
+    array_path: str,
+    zarr_format: int = 2,
+) -> DataFrame:
+    """Chunk-table scan (SURVEY §1.3): one row per stored chunk with its
+    raw little-endian buffer — itemsize bytes/voxel instead of the
+    exploded pixel table's ~40. The representation for I/O-bound ops
+    (copy, rechunk, per-chunk kernels) where voxel rows would be pure
+    overhead."""
+    register(spark)
+    return (
+        spark.read.format("ome_zarr")
+        .option("path", store_path)
+        .option("array_path", array_path)
+        .option("zarr_format", str(zarr_format))
+        .option("mode", "chunk")
+        .load()
+    )
+
+
+def copy_array(
+    spark: SparkSession,
+    src_store: str,
+    dst_store: str,
+    array_path: str,
+    zarr_format: int = 2,
+) -> int:
+    """Distributed store→store array copy over the chunk table: each
+    task decodes nothing and moves chunk buffers straight to the
+    destination (re-encoding with the destination codec). No pixel
+    explosion, no shuffle — a pure parallel byte pipeline, the way a
+    100 TB store migration must run. Returns the number of chunks
+    copied."""
+    import pandas as pd
+
+    from .sources.zarr_store import ZarrArrayMeta, ZarrStore
+
+    src = ZarrStore(src_store)
+    meta = src.read_array_meta(array_path, zarr_format)
+    dst = ZarrStore(dst_store)
+    dst_meta = ZarrArrayMeta(
+        path=meta.path,
+        shape=meta.shape,
+        chunks=meta.chunks,
+        dtype=meta.dtype,
+        compressor=meta.compressor,
+        fill_value=meta.fill_value,
+        zarr_format=meta.zarr_format,
+        dimension_names=meta.dimension_names,
+    )
+    dst.write_array_meta(
+        dst_meta,
+        attributes={"_ARRAY_DIMENSIONS": list(meta.dimension_names)}
+        if meta.zarr_format == 2 and meta.dimension_names
+        else None,
+    )
+    chunks_df = read_chunk_table(spark, src_store, array_path, zarr_format)
+    axes = meta.dimension_names or list(PIXEL_DIMS[5 - len(meta.shape):])
+    np_dtype = str(meta.dtype)
+
+    def write_parts(batches):
+        store = ZarrStore(dst_store)
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                cidx = tuple(int(row[f"ck_{d}"]) for d in axes)
+                extent = tuple(int(row[f"ex_{d}"]) for d in axes)
+                # payload is the clipped (valid-extent) buffer
+                arr = np.frombuffer(
+                    row["payload"], dtype=np.dtype(np_dtype).newbyteorder("<")
+                ).reshape(extent)
+                store.write_chunk(dst_meta, cidx, arr)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = chunks_df.mapInPandas(write_parts, "n long")
+    return int(counts.agg(F.sum("n")).first()[0] or 0)
+
+
 def to_ngff_zarr(
     store_path: str,
     multiscales: Multiscales,
@@ -394,6 +475,12 @@ def from_ngff_zarr(
     else:
         attrs = store.get_json(".zattrs")
         zarr_format = 2
+    if validate:
+        # C7 structural schema check runs BEFORE parsing (a store that
+        # fails it may not even be parseable)
+        from .validate import validate as validate_attrs
+
+        validate_attrs(attrs, model="image", strict=True)
     meta, version = parse_group_attributes(attrs)
     if validate:
         problems = validate_metadata(meta)

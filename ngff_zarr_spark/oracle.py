@@ -315,6 +315,14 @@ def sql_s4_multiscale_level1():
     return _sql_bin_shrink(IMG3D, {"z": 2, "y": 2, "x": 2})
 
 
+def sql_chunk_table_sums():
+    ch = CHUNKS3D
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT z//{ch['z']} AS cz, y//{ch['y']} AS cy, x//{ch['x']} AS cx,
+       COUNT(*) AS n_vox, CAST(SUM(v) AS BIGINT) AS vsum
+FROM P GROUP BY 1, 2, 3"""
+
+
 def sql_s16_nifti_ingest():
     from .gate import NIFTI_SHAPE
 
@@ -754,6 +762,7 @@ def oracles() -> dict[str, str]:
         "s9_blosc_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s8_sharded_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "dtype_uint16_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "chunk_table_sums": sql_chunk_table_sums(),
         "s4_multiscale_level1": sql_s4_multiscale_level1(),
         "s16_nifti_ingest": sql_s16_nifti_ingest(),
         "s11_tiff_ingest": sql_s11_tiff_ingest(),

@@ -60,6 +60,22 @@ PIXEL_SCHEMA = StructType(
     + [StructField("v", DoubleType(), True)]
 )
 
+# chunk-table representation (SURVEY §1.3): one row per stored chunk —
+# chunk grid indices, valid (clipped) extents, and the chunk's RAW
+# little-endian C-order buffer. ~40 bytes/voxel in the exploded pixel
+# table vs itemsize bytes/voxel here: the representation for I/O-bound
+# ops (store copy, rechunk, per-chunk kernels) at 100 TB.
+from pyspark.sql.types import BinaryType  # noqa: E402
+
+CHUNK_SCHEMA = StructType(
+    [StructField(f"ck_{d}", LongType(), False) for d in PIXEL_DIMS]
+    + [StructField(f"ex_{d}", LongType(), False) for d in PIXEL_DIMS]
+    + [
+        StructField("nbytes", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
 
 @dataclass
 class ChunkPartition(InputPartition):
@@ -83,6 +99,7 @@ class OmeZarrReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
+        self.mode = options.get("mode", "pixel")  # pixel | chunk
         self.array_path = options.get("array_path")
         if self.array_path is None:
             scale = int(options.get("scale", "0"))
@@ -187,9 +204,48 @@ class OmeZarrReader(DataSourceReader):
         arrays.append(pa.array(arr.astype(np.float64).ravel()))
         return pa.RecordBatch.from_arrays(arrays, names=list(PIXEL_DIMS) + ["v"])
 
+    def _chunk_row_batch(self, store, cidx) -> pa.RecordBatch:
+        """One chunk-table row: indices + clipped extents + raw buffer."""
+        m = self.meta
+        extent = m.chunk_extent(cidx)
+        arr = store.read_chunk(m, cidx)
+        raw = np.ascontiguousarray(arr).astype(
+            arr.dtype.newbyteorder("<"), copy=False
+        ).tobytes()
+        idx_by_axis = dict(zip(self.axes, cidx))
+        ext_by_axis = dict(zip(self.axes, extent))
+        cols = []
+        for d in PIXEL_DIMS:
+            cols.append(pa.array([int(idx_by_axis.get(d, 0))], type=pa.int64()))
+        for d in PIXEL_DIMS:
+            cols.append(pa.array([int(ext_by_axis.get(d, 1))], type=pa.int64()))
+        cols.append(pa.array([len(raw)], type=pa.int64()))
+        cols.append(pa.array([raw], type=pa.binary()))
+        names = (
+            [f"ck_{d}" for d in PIXEL_DIMS]
+            + [f"ex_{d}" for d in PIXEL_DIMS]
+            + ["nbytes", "payload"]
+        )
+        return pa.RecordBatch.from_arrays(cols, names=names)
+
     def read(self, partition: ChunkPartition) -> Iterator[pa.RecordBatch]:
         store = ZarrStore(self.path)
         m = self.meta
+        if self.mode == "chunk":
+            if m.chunks_per_shard is not None:
+                cps = m.chunks_per_shard
+                base = tuple(i * n for i, n in zip(partition.idx, cps))
+                for flat in range(int(np.prod(cps))):
+                    inner = np.unravel_index(flat, cps)
+                    cidx = tuple(int(b + i) for b, i in zip(base, inner))
+                    if any(ci >= g for ci, g in zip(cidx, m.chunk_grid)):
+                        continue
+                    if self._chunk_pruned(m.chunk_origin(cidx), m.chunk_extent(cidx)):
+                        continue
+                    yield self._chunk_row_batch(store, cidx)
+            else:
+                yield self._chunk_row_batch(store, partition.idx)
+            return
         if m.chunks_per_shard is not None:
             # partition = one shard: iterate its inner chunks (pruning
             # still applies per chunk), one index parse for the file
@@ -364,6 +420,8 @@ class OmeZarrDataSource(DataSource):
         return "ome_zarr"
 
     def schema(self):
+        if self.options.get("mode", "pixel") == "chunk":
+            return CHUNK_SCHEMA
         return PIXEL_SCHEMA
 
     def reader(self, schema) -> OmeZarrReader:

@@ -313,6 +313,69 @@ class ZarrArrayMeta:
         return doc
 
 
+def open_store(url: str, storage_options: Optional[dict] = None) -> "ZarrStore":
+    """S2 remote-store entry point (reference from_ngff_zarr.py:69-80):
+    local paths / file:// URLs map to the local store; s3://, gs://,
+    az://, http(s):// go through fsspec when it is installed (it is not
+    in this image — the error says so instead of failing obscurely).
+    On a Spark cluster the usual deployment is s3a:// through the
+    executors' Hadoop FS credentials; the store layer stays a plain
+    key→bytes mapping either way."""
+    scheme = url.split("://", 1)[0] if "://" in url else "file"
+    if scheme == "file":
+        return ZarrStore(url.removeprefix("file://"))
+    if scheme in ("s3", "s3a", "gs", "gcs", "az", "abfs", "http", "https"):
+        try:
+            import fsspec  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                f"reading {scheme}:// stores requires fsspec (plus the "
+                f"filesystem's driver, e.g. s3fs/gcsfs) which is not "
+                f"installed in this environment"
+            ) from e
+        fs, path = fsspec.core.url_to_fs(url, **(storage_options or {}))
+        return FsspecStore(fs, path)
+    raise ValueError(f"Unsupported store URL scheme {scheme!r}")
+
+
+class FsspecStore:
+    """fsspec-backed (key → bytes) mapping with the same surface as
+    ZarrStore — everything above the byte layer (codecs, sharding,
+    metadata, readers/writers) is storage-agnostic."""
+
+    def __init__(self, fs, root: str):
+        self.fs = fs
+        self.root = root.rstrip("/")
+
+    def _k(self, key: str) -> str:
+        return f"{self.root}/{key}"
+
+    def put(self, key: str, data: bytes) -> None:
+        with self.fs.open(self._k(key), "wb") as f:
+            f.write(data)
+
+    def get(self, key: str) -> bytes:
+        with self.fs.open(self._k(key), "rb") as f:
+            return f.read()
+
+    def exists(self, key: str) -> bool:
+        return self.fs.exists(self._k(key))
+
+    def put_json(self, key: str, doc: dict) -> None:
+        self.put(key, json.dumps(doc, indent=1, sort_keys=False).encode())
+
+    def get_json(self, key: str) -> dict:
+        return json.loads(self.get(key))
+
+    def list_keys(self, prefix: str = "") -> list[str]:
+        base = self._k(prefix) if prefix else self.root
+        try:
+            files = self.fs.find(base)
+        except FileNotFoundError:
+            return []
+        return sorted(f[len(self.root) + 1 :] for f in files)
+
+
 class ZarrStore:
     """Thin (key → bytes) mapping over a local directory."""
 

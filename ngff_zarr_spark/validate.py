@@ -1,0 +1,158 @@
+"""OME-NGFF structural metadata validation (C7).
+
+The reference validates collected store attributes against the bundled
+OME-NGFF JSON Schemas (/root/reference py/ngff_zarr/validate.py:32-52,
+schema files py/ngff_zarr/spec/{0.1..0.5}/schemas/*.schema). The
+jsonschema library is not available in this environment, so the schema
+REQUIREMENTS for the three models the reference validates (image /
+plate / well) are encoded directly as structural checks over the raw
+attribute dicts — same inputs (store attrs), same failure surface
+(a list of problems, raise on request), driver-side only (validation is
+metadata work, never a distributed op).
+
+Versions: 0.4 attrs carry the model at the top level ('multiscales' /
+'plate' / 'well'); 0.5 nests it under 'ome' with a top-level version
+(RFC 2). Both accepted, like the reference's readers.
+"""
+
+from __future__ import annotations
+
+from .model import is_dimension_supported, is_unit_supported
+from .rfc4 import validate_axis_orientation
+
+AXIS_TYPES = {"time", "space", "channel"}
+
+
+def _unwrap(attrs: dict, key: str):
+    """Find model payload in 0.4 (top-level) or 0.5 ('ome'-nested) layout."""
+    if isinstance(attrs.get("ome"), dict) and key in attrs["ome"]:
+        return attrs["ome"][key]
+    return attrs.get(key)
+
+
+def _validate_image(attrs: dict) -> list[str]:
+    problems: list[str] = []
+    multiscales = _unwrap(attrs, "multiscales")
+    if not isinstance(multiscales, list) or not multiscales:
+        return ["missing or empty 'multiscales'"]
+    for i, ms in enumerate(multiscales):
+        where = f"multiscales[{i}]"
+        axes = ms.get("axes")
+        if not isinstance(axes, list) or not axes:
+            problems.append(f"{where}: missing axes")
+            axes = []
+        if not 2 <= len(axes) <= 5:
+            problems.append(f"{where}: must have 2-5 axes, got {len(axes)}")
+        seen = set()
+        for ax in axes:
+            name = ax.get("name")
+            if not is_dimension_supported(name or ""):
+                problems.append(f"{where}: unsupported axis name {name!r}")
+            if name in seen:
+                problems.append(f"{where}: duplicate axis {name!r}")
+            seen.add(name)
+            if ax.get("type") is not None and ax["type"] not in AXIS_TYPES:
+                problems.append(f"{where}: axis {name!r} bad type {ax['type']!r}")
+            if ax.get("unit") is not None and not is_unit_supported(ax["unit"]):
+                problems.append(f"{where}: axis {name!r} unsupported unit {ax['unit']!r}")
+            problems.extend(validate_axis_orientation(ax))
+        datasets = ms.get("datasets")
+        if not isinstance(datasets, list) or not datasets:
+            problems.append(f"{where}: missing datasets")
+            datasets = []
+        ndim = len(axes)
+        for ds in datasets:
+            path = ds.get("path")
+            if not isinstance(path, str) or not path:
+                problems.append(f"{where}: dataset missing path")
+            cts = ds.get("coordinateTransformations")
+            if not isinstance(cts, list) or not cts:
+                problems.append(f"{where}: dataset {path!r} missing coordinateTransformations")
+                continue
+            if cts[0].get("type") != "scale":
+                problems.append(f"{where}: dataset {path!r} first transform must be scale")
+            for ct in cts:
+                t = ct.get("type")
+                if t not in ("scale", "translation", "identity"):
+                    problems.append(f"{where}: dataset {path!r} bad transform type {t!r}")
+                    continue
+                vals = ct.get(t) if t != "identity" else None
+                if t != "identity":
+                    if not isinstance(vals, list) or (ndim and len(vals) != ndim):
+                        problems.append(
+                            f"{where}: dataset {path!r} {t} length "
+                            f"{len(vals) if isinstance(vals, list) else 'missing'} != ndim {ndim}"
+                        )
+    return problems
+
+
+def _validate_plate(attrs: dict) -> list[str]:
+    problems: list[str] = []
+    plate = _unwrap(attrs, "plate")
+    if not isinstance(plate, dict):
+        return ["missing 'plate'"]
+    rows = plate.get("rows")
+    cols = plate.get("columns")
+    wells = plate.get("wells")
+    if not isinstance(rows, list) or not rows:
+        problems.append("plate: missing rows")
+        rows = []
+    if not isinstance(cols, list) or not cols:
+        problems.append("plate: missing columns")
+        cols = []
+    for grp, name in ((rows, "row"), (cols, "column")):
+        for entry in grp:
+            if not isinstance(entry, dict) or not isinstance(entry.get("name"), str):
+                problems.append(f"plate: {name} entry missing name")
+    if not isinstance(wells, list) or not wells:
+        problems.append("plate: missing wells")
+        wells = []
+    for w in wells:
+        if not isinstance(w, dict):
+            problems.append("plate: well entry not an object")
+            continue
+        path = w.get("path")
+        ri, ci = w.get("rowIndex"), w.get("columnIndex")
+        if not isinstance(path, str) or "/" not in path:
+            problems.append(f"plate: well path {path!r} must be 'row/col'")
+        if not isinstance(ri, int) or not 0 <= ri < max(1, len(rows)):
+            problems.append(f"plate: well {path!r} rowIndex {ri!r} out of range")
+        if not isinstance(ci, int) or not 0 <= ci < max(1, len(cols)):
+            problems.append(f"plate: well {path!r} columnIndex {ci!r} out of range")
+    for acq in plate.get("acquisitions") or []:
+        if not isinstance(acq, dict) or not isinstance(acq.get("id"), int):
+            problems.append("plate: acquisition missing integer id")
+    return problems
+
+
+def _validate_well(attrs: dict) -> list[str]:
+    problems: list[str] = []
+    well = _unwrap(attrs, "well")
+    if not isinstance(well, dict):
+        return ["missing 'well'"]
+    images = well.get("images")
+    if not isinstance(images, list) or not images:
+        problems.append("well: missing images")
+        images = []
+    for img in images:
+        if not isinstance(img, dict) or not isinstance(img.get("path"), str):
+            problems.append("well: image entry missing path")
+        elif img.get("acquisition") is not None and not isinstance(img["acquisition"], int):
+            problems.append(f"well: image {img['path']!r} acquisition must be int")
+    return problems
+
+
+_MODELS = {"image": _validate_image, "plate": _validate_plate, "well": _validate_well}
+
+
+def validate(attrs: dict, model: str = "image", strict: bool = False) -> list[str]:
+    """Validate store attributes against the named model's structural
+    requirements. Returns the problem list; with ``strict`` raises
+    ValueError on the first batch of problems (the reference's behavior
+    when validate=True)."""
+    if model not in _MODELS:
+        raise ValueError(f"Unknown validation model {model!r}; options {sorted(_MODELS)}")
+    problems = _MODELS[model](attrs)
+    if strict and problems:
+        raise ValueError(f"Invalid OME-NGFF {model} metadata: {problems}")
+    return problems
