@@ -191,6 +191,10 @@ class NgffImage:
     # stores must round-trip the source dtype byte-identically (SURVEY
     # §1.2; reference keeps it on the Dask array). Writers default to it.
     dtype: str = "float64"
+    # T3: callbacks fired after this level's data is materialized by a
+    # write (reference ngff_image.py:11,23; invoked to_ngff_zarr.py:
+    # 949-951,1170-1174 — used there for cache cleanup)
+    computed_callbacks: list = field(default_factory=list)
 
     def __post_init__(self):
         for d in self.dims:

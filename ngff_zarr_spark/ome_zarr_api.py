@@ -94,6 +94,31 @@ DEFAULT_CHUNKS_3D = 128
 DEFAULT_CHUNKS_2D = 256
 
 
+class NgffProgress:
+    """T2 progress/observability hook (reference NgffProgress /
+    NgffProgressCallback over the Dask scheduler,
+    rich_dask_progress.py:9-70). The engine's unit of progress is the
+    per-level Spark write job; subclass or pass callables for custom
+    sinks (a rich bar, a log line, a metrics emitter). Deeper task-level
+    telemetry comes from Spark's own listener bus / UI — this hook is
+    the pipeline-level reporter the reference exposes."""
+
+    def __init__(self, on_update=None, on_done=None):
+        self._on_update = on_update
+        self._on_done = on_done
+        self.events: list = []
+
+    def update(self, stage: str, index: int, total: int) -> None:
+        self.events.append(("update", stage, index, total))
+        if self._on_update:
+            self._on_update(stage, index, total)
+
+    def done(self, total: int) -> None:
+        self.events.append(("done", total))
+        if self._on_done:
+            self._on_done(total)
+
+
 def default_chunks(dims: list[str]) -> dict[str, int]:
     """128^3 (3D) / 256^2 (2D), t/c chunk = 1 (reference
     to_multiscales.py:296-300, 'IPFS and visualization friendly')."""
@@ -366,6 +391,7 @@ def to_ngff_zarr(
     dtype: Optional[str] = None,
     validate: bool = False,
     chunks_per_shard: Optional[int | dict[str, int]] = None,
+    progress: Optional["NgffProgress"] = None,
 ) -> None:
     """Write the pyramid to an OME-Zarr store (S4). Levels are written
     sequentially; level i>0 is recomputed *from the stored level i-1*
@@ -428,6 +454,8 @@ def to_ngff_zarr(
             for d in img.dims:
                 grid_d = -(-img.shape[d] // lvl_chunks[d])
                 cps[d] = max(1, min(int(as_dict.get(d, 1)), grid_d))
+        if progress is not None:
+            progress.update(f"scale{i}", i, len(multiscales.images))
         write_image(
             df,
             store_path,
@@ -440,9 +468,15 @@ def to_ngff_zarr(
             zarr_format=zarr_format,
             chunks_per_shard=cps,
         )
+        # T3: the write is the materialization point — fire this level's
+        # computed callbacks (reference to_ngff_zarr.py:949-951,1170-1174)
+        for cb in list(img.computed_callbacks):
+            cb()
         prev_img, prev_path = img, path
     if zarr_format == 2:
         store.consolidate_metadata_v2()
+    if progress is not None:
+        progress.done(len(multiscales.images))
 
 
 def convert_ome_zarr_version(

@@ -264,3 +264,35 @@ def test_chunk_table_and_copy_array(spark, tmp_path):
     j = a.join(b, ["t", "c", "z", "y", "x"])
     assert j.count() == 5 * 10 * 9
     assert j.filter(F.col("va") != F.col("vb")).count() == 0
+
+
+def test_progress_and_computed_callbacks(spark, tmp_path):
+    """T2/T3: per-level progress events fire in order; computed
+    callbacks fire after each level's write materializes."""
+    from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+    from ngff_zarr_spark.model import NgffImage
+    from ngff_zarr_spark.ome_zarr_api import NgffProgress, to_multiscales, to_ngff_zarr
+
+    spec = ImageSpec("cb", z=4, y=8, x=8)
+    fired = []
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 4, "y": 8, "x": 8},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+        computed_callbacks=[lambda: fired.append("level0")],
+    )
+    ms = to_multiscales(
+        img, scale_factors=[{"z": 2, "y": 2, "x": 2}],
+        method="ITKWASM_BIN_SHRINK", chunks={"z": 4, "y": 8, "x": 8},
+    )
+    ms.images[1].computed_callbacks.append(lambda: fired.append("level1"))
+    progress = NgffProgress()
+    to_ngff_zarr(str(tmp_path / "cb.ome.zarr"), ms, progress=progress)
+    assert fired == ["level0", "level1"]
+    assert progress.events == [
+        ("update", "scale0", 0, 2),
+        ("update", "scale1", 1, 2),
+        ("done", 2),
+    ]
