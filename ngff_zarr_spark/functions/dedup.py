@@ -227,11 +227,32 @@ def simhash_candidates(docs: DataFrame, bits: int = 60, n_bands: int = 4, max_ha
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K, min_jaccard: float = 0.1) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    min_jaccard: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle
     (inverted-index join — no all-pairs blowup). Returns
-    (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
-    sh = shingle_df(docs, k).cache()
+    (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+
+    ``max_df`` is the hot-shingle skew guard: a stop-phrase shingle
+    shared by 10⁶ documents makes its inverted-index bucket quadratic.
+    With max_df set, shingles whose document frequency exceeds it are
+    excluded from BOTH candidate generation and the intersection/union
+    counts (standard inverted-index df-capping: jaccard is computed
+    over the discriminative shingle vocabulary; near-identical
+    documents still share plenty of sub-cap shingles). At 100 TB this
+    bound is what keeps the join's worst bucket O(max_df²) instead of
+    O(n²)."""
+    sh = shingle_df(docs, k)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle")
+        )
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

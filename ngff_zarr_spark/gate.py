@@ -518,6 +518,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Hot-shingle skew guard: document-frequency cap on the inverted
+    index (the 100 TB posture — worst join bucket O(max_df²))."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), max_df=20)
+
+
 def q_text_token_count(spark, sf_dir):
     return TX.token_count(_docs(spark, sf_dir))
 
@@ -756,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,

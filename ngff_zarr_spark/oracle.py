@@ -304,6 +304,23 @@ sig AS (
 )"""
 
 
+def sql_a9_pyramid_plan():
+    """Independently hand-derived from the reference's planner rule
+    (halve every spatial dim whose size exceeds half the current
+    maximum; stop when another halving would drop below 2×min_length —
+    to_multiscales.py:45-79) for shape (z=512, y=1024, x=2048),
+    min_length=128:
+      L1: only x (2048>1024)        → cumulative (1,1,2)
+      L2: y,x (1024>512)            → cumulative (1,2,4)
+      L3: all (512=max)             → cumulative (2,4,8)
+      stop: next halving → 128 < 2·128."""
+    return """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(8 AS BIGINT))
+) t(level, fz, fy, fx)"""
+
+
 def sql_s1_s4_zarr_roundtrip():
     # The Spark side goes pixels → zarr store → pixels; the oracle just
     # recomputes the pixels. Equality proves the store codec round-trips.
@@ -409,14 +426,21 @@ SELECT doc_id,
 FROM votes GROUP BY 1"""
 
 
-def sql_dedup_ngram_jaccard():
+def sql_dedup_ngram_jaccard(max_df: int | None = None):
+    cap_cte = ""
+    sh_src = "sh"
+    if max_df is not None:
+        cap_cte = f""",
+dfreq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle))"""
+        sh_src = "shc"
     return f"""WITH {_toks_cte(lower=True)},
 sh0 AS (SELECT doc_id, unnest({_SHINGLE}) AS shingle FROM q),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0){cap_cte},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM {sh_src} GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {sh_src} a JOIN {sh_src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -758,6 +782,7 @@ def oracles() -> dict[str, str]:
         "a10_minmax": sql_a10_minmax(),
         "a11_chunk_cost": sql_a11_chunk_cost(),
         "c2_scale_translation": sql_c2_scale_translation(),
+        "a9_pyramid_plan": sql_a9_pyramid_plan(),
         "s1_s4_zarr_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s9_blosc_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s8_sharded_roundtrip": sql_s1_s4_zarr_roundtrip(),
@@ -772,6 +797,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+        "dedup_ngram_jaccard_capped": sql_dedup_ngram_jaccard(max_df=20),
         "text_token_count": sql_text_token_count(),
         "text_quality": sql_text_quality(),
         "text_lang_id": sql_text_lang_id(),
