@@ -230,10 +230,10 @@ def to_hcs_zarr(plate: Plate, store_path: str) -> None:
     """S19: write the plate structure (root group + ome/plate attrs) —
     reference to_hcs_zarr (hcs.py:460-535): zarr v2 for 0.4, v3 for
     0.5+, attrs under the 'ome' key in both."""
-    from .sources.zarr_store import ZarrStore
+    from .sources.zarr_store import open_store
 
     zarr_format = 2 if plate.version == "0.4" else 3
-    store = ZarrStore(store_path)
+    store = open_store(store_path)
     attrs = {"ome": {"version": plate.version, "plate": _plate_to_dict(plate)}}
     store.write_group("", attrs, zarr_format)
 
@@ -242,9 +242,9 @@ def from_hcs_zarr(spark: SparkSession, store_path: str, validate: bool = False) 
     """S18: read a real plate store → Plate metadata + catalog
     DataFrames (wells / well_images), image loads lazily via read_image
     at ``{well}/{field}`` prefixes (S1 with path pushdown)."""
-    from .sources.zarr_store import ZarrStore
+    from .sources.zarr_store import open_store
 
-    store = ZarrStore(store_path)
+    store = open_store(store_path)
     if store.exists("zarr.json"):
         attrs = store.get_json("zarr.json").get("attributes", {})
     else:
@@ -329,7 +329,7 @@ def write_hcs_well_image(
     at ``{row}/{col}/{field}`` (reference hcs.py:538-765; the attr-merge
     branch :655-716 is the incremental-acquisition hook T1 builds on)."""
     from .ome_zarr_api import to_ngff_zarr
-    from .sources.zarr_store import ZarrStore
+    from .sources.zarr_store import open_store
 
     if not any(r.name == row_name for r in plate_metadata.rows):
         raise ValueError(f"Row '{row_name}' not found in plate metadata")
@@ -340,7 +340,7 @@ def write_hcs_well_image(
         raise ValueError(f"Well '{well_path}' not found in plate metadata")
 
     zarr_format = 2 if version == "0.4" else 3
-    store = ZarrStore(store_path)
+    store = open_store(store_path)
 
     # merge with any existing well attrs (metadata upsert)
     if well_metadata is None:

@@ -39,7 +39,7 @@ from .plans.planner import (
     update_previous_dim_factors,
 )
 from .sources.ome_zarr import PIXEL_DIMS, OmeZarrDataSource, register
-from .sources.zarr_store import ZarrStore
+from .sources.zarr_store import open_store
 
 # Method registry (reference Methods enum dispatch,
 # to_multiscales.py:325-359). The *_GAUSSIAN variants share one
@@ -339,11 +339,11 @@ def copy_array(
     copied."""
     import pandas as pd
 
-    from .sources.zarr_store import ZarrArrayMeta, ZarrStore
+    from .sources.zarr_store import ZarrArrayMeta, open_store
 
-    src = ZarrStore(src_store)
+    src = open_store(src_store)
     meta = src.read_array_meta(array_path, zarr_format)
-    dst = ZarrStore(dst_store)
+    dst = open_store(dst_store)
     dst_meta = ZarrArrayMeta(
         path=meta.path,
         shape=meta.shape,
@@ -365,7 +365,7 @@ def copy_array(
     np_dtype = str(meta.dtype)
 
     def write_parts(batches):
-        store = ZarrStore(dst_store)
+        store = open_store(dst_store)
         n = 0
         for pdf in batches:
             for _, row in pdf.iterrows():
@@ -414,7 +414,7 @@ def to_ngff_zarr(
     if dtype is None:
         dtype = base.dtype or "float64"
     spark = base.data.sparkSession
-    store = ZarrStore(store_path)
+    store = open_store(store_path)
     store.write_group("", group_attributes(meta, version), zarr_format)
 
     chunks = multiscales.chunks or default_chunks(base.dims)
@@ -502,7 +502,7 @@ def from_ngff_zarr(
 ) -> Multiscales:
     """Read an OME-Zarr store back as a Multiscales of lazy pixel-table
     DataFrames (S1)."""
-    store = ZarrStore(store_path)
+    store = open_store(store_path)
     if store.exists("zarr.json"):
         attrs = store.get_json("zarr.json").get("attributes", {})
         zarr_format = 3

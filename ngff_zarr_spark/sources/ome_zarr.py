@@ -51,7 +51,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .zarr_store import ZarrArrayMeta, ZarrStore
+from .zarr_store import ZarrArrayMeta, ZarrStore, open_store
 
 PIXEL_DIMS = ("t", "c", "z", "y", "x")
 
@@ -104,7 +104,7 @@ class OmeZarrReader(DataSourceReader):
         if self.array_path is None:
             scale = int(options.get("scale", "0"))
             self.array_path = f"scale{scale}/image"
-        store = ZarrStore(self.path)
+        store = open_store(self.path)
         self.meta = store.read_array_meta(self.array_path, self.zarr_format)
         # explicit dims option (from_ngff_zarr passes the multiscales
         # axes) wins over stored dimension_names / positional default
@@ -229,7 +229,7 @@ class OmeZarrReader(DataSourceReader):
         return pa.RecordBatch.from_arrays(cols, names=names)
 
     def read(self, partition: ChunkPartition) -> Iterator[pa.RecordBatch]:
-        store = ZarrStore(self.path)
+        store = open_store(self.path)
         m = self.meta
         if self.mode == "chunk":
             if m.chunks_per_shard is not None:
@@ -284,12 +284,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
             # array subtree so a rewrite with a different shape/chunk
             # grid can't leave stale chunk files behind (reference
             # semantics: zarr overwrite recreates the array node).
-            import shutil
-            from pathlib import Path
-
-            target = Path(self.path) / self.array_path
-            if target.exists():
-                shutil.rmtree(target)
+            open_store(self.path).delete_prefix(self.array_path)
         shape = [int(s) for s in options["shape"].split(",")]
         chunks = [int(s) for s in options["chunks"].split(",")]
         dims = options.get("dims", ",".join(PIXEL_DIMS[5 - len(shape):])).split(",")
@@ -313,7 +308,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
         most one chunk buffer in memory, flush when the key advances.
         (Unsorted input still works — a finished chunk just flushes and a
         reappearing key would overwrite, which sortedness precludes.)"""
-        store = ZarrStore(self.path)
+        store = open_store(self.path)
         m = self.meta
         keys: list = []
         cur_idx: tuple | None = None
@@ -392,7 +387,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
         return ChunkWriteCommit(chunk_keys=keys)
 
     def commit(self, messages):
-        store = ZarrStore(self.path)
+        store = open_store(self.path)
         attrs = None
         if self.zarr_format == 2:
             attrs = {"_ARRAY_DIMENSIONS": list(self.dims)}
@@ -402,14 +397,13 @@ class OmeZarrWriter(DataSourceArrowWriter):
         """Best-effort cleanup of chunks written by tasks that committed
         before the job failed (messages may contain None for failed
         tasks)."""
-        store = ZarrStore(self.path)
+        store = open_store(self.path)
         for msg in messages or []:
             if msg is None:
                 continue
             for key in msg.chunk_keys:
-                p = store.root / key
-                if p.exists():
-                    p.unlink()
+                if store.exists(key):
+                    store.delete(key)
 
 
 class OmeZarrDataSource(DataSource):

@@ -313,18 +313,26 @@ class ZarrArrayMeta:
         return doc
 
 
-def open_store(url: str, storage_options: Optional[dict] = None) -> "ZarrStore":
+def open_store(url: str, storage_options: Optional[dict] = None) -> "StoreBase":
     """S2 remote-store entry point (reference from_ngff_zarr.py:69-80):
-    local paths / file:// URLs map to the local store; s3://, gs://,
-    az://, http(s):// go through fsspec when it is installed (it is not
-    in this image — the error says so instead of failing obscurely).
-    On a Spark cluster the usual deployment is s3a:// through the
-    executors' Hadoop FS credentials; the store layer stays a plain
-    key→bytes mapping either way."""
+
+    - local paths / ``file://`` → :class:`ZarrStore`
+    - ``http(s)://`` → :class:`HttpStore` (stdlib urllib; read-only —
+      the reference's http case is likewise read-only)
+    - ``s3:// gs:// az:// …`` → :class:`FsspecStore` when fsspec (plus
+      the filesystem driver) is installed; on a Spark cluster the usual
+      deployment instead reads through the executors' Hadoop FS
+      credentials (s3a://), which needs no Python-side driver.
+
+    Everything above the byte layer is storage-agnostic
+    (:class:`StoreBase`), so a new backend is only the four byte ops.
+    """
     scheme = url.split("://", 1)[0] if "://" in url else "file"
     if scheme == "file":
         return ZarrStore(url.removeprefix("file://"))
-    if scheme in ("s3", "s3a", "gs", "gcs", "az", "abfs", "http", "https"):
+    if scheme in ("http", "https"):
+        return HttpStore(url)
+    if scheme in ("s3", "s3a", "gs", "gcs", "az", "abfs"):
         try:
             import fsspec  # type: ignore
         except ImportError as e:
@@ -338,76 +346,53 @@ def open_store(url: str, storage_options: Optional[dict] = None) -> "ZarrStore":
     raise ValueError(f"Unsupported store URL scheme {scheme!r}")
 
 
-class FsspecStore:
-    """fsspec-backed (key → bytes) mapping with the same surface as
-    ZarrStore — everything above the byte layer (codecs, sharding,
-    metadata, readers/writers) is storage-agnostic."""
+class StoreBase:
+    """Array-level Zarr logic over an abstract (key → bytes) surface.
 
-    def __init__(self, fs, root: str):
-        self.fs = fs
-        self.root = root.rstrip("/")
+    Subclasses provide the four byte ops — ``put / get / exists /
+    list_keys`` — plus optionally ranged reads (``get_range`` /
+    ``get_suffix``).  Ranged reads matter at scale: a sharded store
+    packs thousands of chunks per shard file, and reading one chunk
+    must cost two small ranged GETs (trailing index + chunk span), not
+    a whole-shard download.  The defaults below fall back to a full
+    ``get`` so correctness never depends on range support.
+    """
 
-    def _k(self, key: str) -> str:
-        return f"{self.root}/{key}"
+    # -- byte surface (subclass contract) -----------------------------------
 
-    def put(self, key: str, data: bytes) -> None:
-        with self.fs.open(self._k(key), "wb") as f:
-            f.write(data)
+    def put(self, key: str, data: bytes) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
 
-    def get(self, key: str) -> bytes:
-        with self.fs.open(self._k(key), "rb") as f:
-            return f.read()
+    def get(self, key: str) -> bytes:  # pragma: no cover - abstract
+        raise NotImplementedError
 
-    def exists(self, key: str) -> bool:
-        return self.fs.exists(self._k(key))
+    def exists(self, key: str) -> bool:  # pragma: no cover - abstract
+        raise NotImplementedError
 
-    def put_json(self, key: str, doc: dict) -> None:
-        self.put(key, json.dumps(doc, indent=1, sort_keys=False).encode())
+    def list_keys(self, prefix: str = "") -> list[str]:  # pragma: no cover
+        raise NotImplementedError
 
-    def get_json(self, key: str) -> dict:
-        return json.loads(self.get(key))
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        return self.get(key)[offset : offset + length]
 
-    def list_keys(self, prefix: str = "") -> list[str]:
-        base = self._k(prefix) if prefix else self.root
-        try:
-            files = self.fs.find(base)
-        except FileNotFoundError:
-            return []
-        return sorted(f[len(self.root) + 1 :] for f in files)
+    def get_suffix(self, key: str, length: int) -> bytes:
+        data = self.get(key)
+        return data[-length:]
 
+    def delete(self, key: str) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
 
-class ZarrStore:
-    """Thin (key → bytes) mapping over a local directory."""
+    def delete_prefix(self, prefix: str) -> None:
+        for k in self.list_keys(prefix):
+            self.delete(k)
 
-    def __init__(self, root: str):
-        self.root = Path(root)
-
-    def put(self, key: str, data: bytes) -> None:
-        p = self.root / key
-        p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_bytes(data)
-
-    def get(self, key: str) -> bytes:
-        return (self.root / key).read_bytes()
-
-    def exists(self, key: str) -> bool:
-        return (self.root / key).exists()
+    # -- JSON helpers --------------------------------------------------------
 
     def put_json(self, key: str, doc: dict) -> None:
         self.put(key, json.dumps(doc, indent=1, sort_keys=False).encode())
 
     def get_json(self, key: str) -> dict:
         return json.loads(self.get(key))
-
-    def list_keys(self, prefix: str = "") -> list[str]:
-        base = self.root / prefix if prefix else self.root
-        if not base.exists():
-            return []
-        return sorted(
-            str(p.relative_to(self.root))
-            for p in base.rglob("*")
-            if p.is_file()
-        )
 
     # -- array-level helpers -------------------------------------------------
 
@@ -526,28 +511,30 @@ class ZarrStore:
         index_bytes += struct.pack("<I", crc32c(index_bytes))
         self.put(meta.shard_key(sidx), bytes(body) + index_bytes)
 
-    def _read_shard_index(self, meta: ZarrArrayMeta, data: bytes) -> np.ndarray:
-        n = int(np.prod(meta.chunks_per_shard))
-        index_len = n * 16 + 4
-        raw = data[-index_len:]
+    def _parse_shard_index(self, raw: bytes, n: int) -> np.ndarray:
+        """raw = the trailing n*16+4 bytes of a shard file."""
         stored_crc = struct.unpack("<I", raw[-4:])[0]
         if crc32c(raw[:-4]) != stored_crc:
             raise ValueError("sharding_indexed: index crc32c mismatch")
         return np.frombuffer(raw[:-4], dtype="<u8").reshape(n, 2)
 
+    def _read_shard_index(self, meta: ZarrArrayMeta, data: bytes) -> np.ndarray:
+        n = int(np.prod(meta.chunks_per_shard))
+        return self._parse_shard_index(data[-(n * 16 + 4) :], n)
+
     def read_chunk(self, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np.ndarray:
         """Read one chunk, clipped to its valid extent (edge chunks).
-        For sharded arrays: locate the chunk through the shard's
-        trailing index (a local-FS seek; on object storage the same two
-        reads are ranged GETs)."""
+        For sharded arrays: two ranged reads — the trailing index, then
+        the chunk's byte span (ranged GETs on object storage / HTTP,
+        seeks on a local FS) — never a whole-shard download."""
         extent = meta.chunk_extent(idx)
         if meta.chunks_per_shard is not None:
             sidx, inner = meta.shard_index_of(idx)
             key = meta.shard_key(sidx)
             if not self.exists(key):
                 return np.full(extent, meta.fill_value, dtype=meta.dtype)
-            data = self.get(key)
-            index = self._read_shard_index(meta, data)
+            n = int(np.prod(meta.chunks_per_shard))
+            index = self._parse_shard_index(self.get_suffix(key, n * 16 + 4), n)
             flat = 0
             for i, g in zip(inner, meta.chunks_per_shard):
                 flat = flat * g + i
@@ -555,7 +542,7 @@ class ZarrStore:
             if offset == 0xFFFFFFFFFFFFFFFF:
                 return np.full(extent, meta.fill_value, dtype=meta.dtype)
             arr = decode_chunk(
-                data[offset : offset + nbytes], meta.dtype, meta.chunks, meta.compressor
+                self.get_range(key, offset, nbytes), meta.dtype, meta.chunks, meta.compressor
             )
             return arr[tuple(slice(0, e) for e in extent)]
         key = meta.chunk_key(idx)
@@ -575,3 +562,172 @@ class ZarrStore:
             if name in (".zgroup", ".zattrs", ".zarray"):
                 meta[key] = self.get_json(key)
         self.put_json(".zmetadata", {"zarr_consolidated_format": 1, "metadata": meta})
+
+
+class ZarrStore(StoreBase):
+    """Thin (key → bytes) mapping over a local directory."""
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+
+    def put(self, key: str, data: bytes) -> None:
+        p = self.root / key
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+
+    def get(self, key: str) -> bytes:
+        return (self.root / key).read_bytes()
+
+    def exists(self, key: str) -> bool:
+        return (self.root / key).exists()
+
+    def delete(self, key: str) -> None:
+        (self.root / key).unlink(missing_ok=True)
+
+    def delete_prefix(self, prefix: str) -> None:
+        import shutil
+
+        target = self.root / prefix if prefix else self.root
+        if target.exists():
+            shutil.rmtree(target)
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        with open(self.root / key, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def get_suffix(self, key: str, length: int) -> bytes:
+        with open(self.root / key, "rb") as f:
+            f.seek(-length, 2)
+            return f.read(length)
+
+    def list_keys(self, prefix: str = "") -> list[str]:
+        base = self.root / prefix if prefix else self.root
+        if not base.exists():
+            return []
+        return sorted(
+            str(p.relative_to(self.root))
+            for p in base.rglob("*")
+            if p.is_file()
+        )
+
+
+class FsspecStore(StoreBase):
+    """fsspec-backed byte surface (s3/gs/az/… when fsspec + the
+    filesystem driver are installed)."""
+
+    def __init__(self, fs, root: str):
+        self.fs = fs
+        self.root = root.rstrip("/")
+
+    def _k(self, key: str) -> str:
+        return f"{self.root}/{key}"
+
+    def put(self, key: str, data: bytes) -> None:
+        with self.fs.open(self._k(key), "wb") as f:
+            f.write(data)
+
+    def get(self, key: str) -> bytes:
+        with self.fs.open(self._k(key), "rb") as f:
+            return f.read()
+
+    def exists(self, key: str) -> bool:
+        return self.fs.exists(self._k(key))
+
+    def delete(self, key: str) -> None:
+        self.fs.rm(self._k(key))
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        # fsspec translates seek+read on object stores into a ranged GET
+        with self.fs.open(self._k(key), "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def get_suffix(self, key: str, length: int) -> bytes:
+        with self.fs.open(self._k(key), "rb") as f:
+            f.seek(-length, 2)
+            return f.read(length)
+
+    def list_keys(self, prefix: str = "") -> list[str]:
+        base = self._k(prefix) if prefix else self.root
+        try:
+            files = self.fs.find(base)
+        except FileNotFoundError:
+            return []
+        return sorted(f[len(self.root) + 1 :] for f in files)
+
+
+class HttpStore(StoreBase):
+    """Read-only (key → bytes) mapping over http(s) using stdlib urllib
+    (S2 — reference from_ngff_zarr.py:69-80 handles http URLs through
+    fsspec; this engine needs no extra dependency for them).
+
+    - ``get_range``/``get_suffix`` send RFC-7233 ``Range`` headers so
+      sharded reads stay two small GETs; a server that ignores Range
+      (responds 200) degrades gracefully to slicing the full body.
+    - ``exists`` is a HEAD request (404 → False).
+    - HTTP can't list objects, so ``list_keys`` is unsupported — reads
+      navigate by metadata documents (``.zattrs``/``zarr.json``/
+      ``.zmetadata``), never by listing, exactly like the reference's
+      consolidated-metadata fast path.
+    - Picklable (just a URL), so Spark executors can each open their
+      own connections — no driver-side bottleneck.
+    """
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def _url(self, key: str) -> str:
+        return f"{self.root}/{key}"
+
+    def _request(self, key: str, method: str = "GET", headers: Optional[dict] = None):
+        import urllib.request
+
+        req = urllib.request.Request(self._url(key), method=method, headers=headers or {})
+        return urllib.request.urlopen(req)
+
+    def put(self, key: str, data: bytes) -> None:
+        raise NotImplementedError("HttpStore is read-only")
+
+    def get(self, key: str) -> bytes:
+        with self._request(key) as resp:
+            return resp.read()
+
+    def exists(self, key: str) -> bool:
+        import urllib.error
+
+        try:
+            with self._request(key, method="HEAD"):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 403, 405):
+                # 405: server without HEAD support — retry as GET
+                if e.code == 405:
+                    try:
+                        with self._request(key):
+                            return True
+                    except urllib.error.HTTPError:
+                        return False
+                return False
+            raise
+
+    def _ranged(self, key: str, range_header: str, offset: int, length: int) -> bytes:
+        with self._request(key, headers={"Range": range_header}) as resp:
+            body = resp.read()
+            if resp.status == 206:
+                return body
+            # server ignored Range: slice the full body
+            if range_header.startswith("bytes=-"):
+                return body[-length:]
+            return body[offset : offset + length]
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        return self._ranged(key, f"bytes={offset}-{offset + length - 1}", offset, length)
+
+    def get_suffix(self, key: str, length: int) -> bytes:
+        return self._ranged(key, f"bytes=-{length}", 0, length)
+
+    def list_keys(self, prefix: str = "") -> list[str]:
+        raise NotImplementedError(
+            "HTTP stores cannot list keys; read through metadata documents"
+        )
