@@ -70,21 +70,22 @@ def shingle_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return toksed.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
-def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """MinHash signature matrix in long form: (doc_id, perm, minhash).
+def minhash_signatures_wide(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """MinHash signature matrix in wide form: (doc_id, m0..m{P-1}).
 
     Double-hashing construction (Kirsch & Mitzenmacher): each shingle is
     hashed ONCE (one md5, split into two 32-bit halves ha/hb) and
     permutation p's value is ``(ha + p*hb) mod P32`` — pure integer
     arithmetic per permutation instead of p string-concat+md5 passes.
-    This is the scale-critical difference from the naive form: the
-    cryptographic hash leaves the inner loop (16× fewer md5 evaluations
-    per shingle; was 56% of the whole round-1 bench). The identical
-    derivation runs in the DuckDB oracle (md5 is md5 in both engines;
-    the arithmetic stays below 2^36, exact in BIGINT).
+    The cryptographic hash stays out of the inner loop (16× fewer md5
+    evaluations per shingle; was 56% of the whole round-1 bench). The
+    identical derivation runs in the DuckDB oracle (md5 is md5 in both
+    engines; the arithmetic stays below 2^36, exact in BIGINT).
 
-    The signature is the per-doc minimum per permutation: one explode
-    over ``num_perm`` cheap arithmetic rows + one aggregate."""
+    Wide is the 100 TB shape: ONE hash aggregate with ``num_perm`` min
+    expressions — no perm-explode (16× fewer shuffle rows than the long
+    form), map-side combine collapses to one 16-column row per doc per
+    task before the exchange."""
     sh = shingle_df(docs)
     md5c = F.md5(F.col("shingle"))
     hashed2 = sh.select(
@@ -92,20 +93,25 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
         F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long").alias("ha"),
         F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long").alias("hb"),
     )
-    return (
-        hashed2.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
-            "ha",
-            "hb",
-        )
-        .select(
-            "doc_id",
-            "perm",
-            ((F.col("ha") + F.col("perm") * F.col("hb")) % MINHASH_MOD).alias("h"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    return hashed2.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("ha") + p * F.col("hb")) % MINHASH_MOD).alias(f"m{p}")
+            for p in range(num_perm)
+        ]
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """Long-form view (doc_id, perm, minhash) of the wide signature —
+    the oracle-friendly shape; derived by a cheap posexplode projection
+    over :func:`minhash_signatures_wide` (the aggregate itself never
+    materializes long form)."""
+    wide = minhash_signatures_wide(docs, num_perm)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{p}") for p in range(num_perm)])
+        ).alias("perm", "minhash"),
     )
 
 
@@ -121,22 +127,25 @@ def minhash_candidates(
     of matching minhash positions. Returns (doc_a, doc_b, est_jaccard)
     with doc_a < doc_b.
 
-    Scale: the join key is (band, band_hash) — collision-bounded; the
-    signature-agreement count is a join of two narrow signature tables
-    on (perm) restricted to candidate pairs."""
-    sig = minhash_signatures(docs, num_perm).cache()
-    # order-independent polynomial band key: sum of minhash * 31^(perm
-    # mod band_size) — one hash aggregate, no collect_list/sort/concat/
-    # md5 in the reduction (minhash < 2^32, * 31^3, summed over 4 → the
-    # key stays < 2^49: exact BIGINT in both engines)
-    pow_col = F.element_at(
-        F.array(*[F.lit(31 ** i) for i in range(band_size)]),
-        (F.col("perm") % band_size + 1).cast("int"),
-    )
-    bands = (
-        sig.withColumn("band", F.expr(f"perm div {band_size}"))
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.col("minhash") * pow_col).alias("band_key"))
+    Scale: the join key is (band, band_key) — collision-bounded; the
+    signature-agreement count is a 16-column comparison in a projection
+    after joining the candidate pairs back to the WIDE signature (one
+    row per doc) — no perm-level join, no per-pair aggregate."""
+    wide = minhash_signatures_wide(docs, num_perm).cache()
+    n_bands = num_perm // band_size
+    # order-independent polynomial band key: sum of minhash * 31^i over
+    # the band's positions — plain projection arithmetic on the wide row
+    # (minhash < 2^32, * 31^3, summed over 4 → the key stays < 2^49:
+    # exact BIGINT in both engines)
+    band_keys = [
+        sum(
+            (F.col(f"m{b * band_size + i}") * F.lit(31 ** i) for i in range(band_size)),
+            start=F.lit(0).cast("long"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = wide.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -149,16 +158,24 @@ def minhash_candidates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("hb"))
-    est = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg((F.sum((F.col("ha") == F.col("hb")).cast("long")) / num_perm).alias("est_jaccard"))
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(num_perm)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(num_perm)],
+    )
+    agree = sum(
+        ((F.col(f"a{p}") == F.col(f"b{p}")).cast("long") for p in range(num_perm)),
+        start=F.lit(0).cast("long"),
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (agree / num_perm).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
-    return est
 
 
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:

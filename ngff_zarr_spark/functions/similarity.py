@@ -145,17 +145,26 @@ def cosine_topk(
 
 
 def lsh_band_buckets(
-    emb: DataFrame, dim: int = 64, n_bands: int = N_BANDS, band_planes: int = BAND_PLANES
+    emb: DataFrame,
+    dim: int = 64,
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
+    spread_input: bool = True,
 ) -> DataFrame:
     """(vec_id, band, bucket): band b's bucket is the sign pattern of
     ``band_planes`` hyperplane projections (global plane index =
     b*band_planes + p). One Arrow-vectorized pass computes every band's
-    bucket; posexplode yields n_bands small rows per vector."""
+    bucket; posexplode yields n_bands small rows per vector.
+
+    ``spread_input=False`` skips the parallelism guard — right for
+    already-tiny inputs (e.g. a filtered query set), where a repartition
+    to core count costs more than the whole UDF pass."""
     from .text import spread
 
+    src = spread(emb) if spread_input else emb
     udf = _band_buckets_udf(dim, n_bands, band_planes)
     return (
-        spread(emb)
+        src
         .select("vec_id", F.posexplode(udf(F.col("embedding"))).alias("band", "bucket"))
         .select("vec_id", F.col("band").cast("long"), "bucket")
     )
@@ -185,7 +194,11 @@ def lsh_bucket_topk(
 
     e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
     bands = lsh_band_buckets(emb, dim, n_bands, band_planes)
-    qb = bands.filter(F.col("vec_id").isin(query_ids)).select(
+    # query buckets from a PRE-FILTERED scan (vec_id IN (...) pushes
+    # into the parquet read): the bucket UDF runs over |query_ids| rows,
+    # not a second full-corpus pass
+    qemb = emb.filter(F.col("vec_id").isin(query_ids))
+    qb = lsh_band_buckets(qemb, dim, n_bands, band_planes, spread_input=False).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
     cand_ids = (
@@ -194,11 +207,11 @@ def lsh_bucket_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
-    q = e.select(
+    q = qemb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
-        F.col("norm").alias("qnorm"),
-    ).filter(F.col("query_id").isin(query_ids))
+        _norm().alias("qnorm"),
+    )
     scored = (
         cand_ids.join(e, "vec_id")
         .join(F.broadcast(q), "query_id")
@@ -232,7 +245,11 @@ def embedding_near_dup(
     trade-off: a pair at exactly the threshold angle is found with
     probability 1-(1-p^band_planes)^n_bands; the DuckDB oracle applies
     the identical bucketing, so the comparison is exact.)"""
-    bands = lsh_band_buckets(emb, dim, n_bands, band_planes)
+    # the self-join's two sides are differently-aliased subplans, so
+    # Catalyst won't reuse one exchange for both — cache the bands table
+    # (n_vectors × n_bands rows of three longs, ~50 B/vector: tiny
+    # relative to the corpus it indexes) so the bucket UDF runs once
+    bands = lsh_band_buckets(emb, dim, n_bands, band_planes).cache()
     a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
