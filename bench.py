@@ -6,6 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query executes end-to-end through a noop sink (full plan runs, no
 driver collect). Pixel-operator benchmarks use a bench-scale synthetic
 volume (~6.3M voxels) exercising the same plans as the gate queries.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); ``queries``
+reports the BEST run (the plan's steady-state cost, insensitive to
+one-off JIT/contention spikes) and ``first_run`` the cold first
+execution (compile + first-shuffle cost) separately.
 """
 
 from __future__ import annotations
@@ -84,15 +89,23 @@ def main():
         .write.format("noop").mode("overwrite").save()
     )
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings = {}
+    first_run = {}
     total = 0.0
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        run_query(fn(spark, sf_dir))
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        runs = []
+        for i in range(n_runs):
+            t0 = time.time()
+            run_query(fn(spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        best = min(runs)
+        timings[name] = best
+        first_run[name] = runs[0]
+        total += best
+        print(
+            f"# {name}: best {best:.3f}s  runs {runs}", file=sys.stderr
+        )
 
     print(
         json.dumps(
@@ -101,6 +114,8 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "first_run": first_run,
+                "runs": n_runs,
                 "sf": sf,
             }
         )

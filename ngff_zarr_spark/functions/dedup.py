@@ -25,6 +25,12 @@ NUM_PERM = 16       # minhash permutations
 BAND_SIZE = 4       # rows per LSH band → 4 bands
 SHINGLE_K = 3       # words per shingle
 MINHASH_MOD = 4294967291  # largest 32-bit prime (2^32 - 5)
+# default document-frequency cap for the n-gram inverted-index join: a
+# shingle in more than this many documents is a stop-phrase, not a
+# similarity signal, and its bucket joins as df² pairs — 10^4 bounds the
+# worst bucket at ~10^8 comparisons (minutes on one executor) where an
+# uncapped stop-phrase at 10^6 df would be 10^12 (never finishes).
+DEFAULT_MAX_DF = 10_000
 
 
 def _norm_text(col):
@@ -248,7 +254,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = SHINGLE_K,
     min_jaccard: float = 0.1,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle
     (inverted-index join — no all-pairs blowup). Returns
@@ -256,13 +262,16 @@ def ngram_jaccard_pairs(
 
     ``max_df`` is the hot-shingle skew guard: a stop-phrase shingle
     shared by 10⁶ documents makes its inverted-index bucket quadratic.
-    With max_df set, shingles whose document frequency exceeds it are
-    excluded from BOTH candidate generation and the intersection/union
-    counts (standard inverted-index df-capping: jaccard is computed
-    over the discriminative shingle vocabulary; near-identical
-    documents still share plenty of sub-cap shingles). At 100 TB this
-    bound is what keeps the join's worst bucket O(max_df²) instead of
-    O(n²)."""
+    Shingles whose document frequency exceeds it are excluded from BOTH
+    candidate generation and the intersection/union counts (standard
+    inverted-index df-capping: jaccard is computed over the
+    discriminative shingle vocabulary; near-identical documents still
+    share plenty of sub-cap shingles). At 100 TB this bound is what
+    keeps the join's worst bucket O(max_df²) instead of O(n²).
+
+    The guard is ON by default (``DEFAULT_MAX_DF`` = 10⁴); pass
+    ``max_df=None`` to opt out explicitly — exact whole-vocabulary
+    jaccard, safe only when the corpus is known stop-phrase-free."""
     sh = shingle_df(docs, k)
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -40,7 +40,31 @@ BAND_PLANES = 8     # hyperplanes per band → 2^8 buckets per band
 # grow with corpus size or intra-bucket candidate sets go quadratic.
 # 8 planes (256 buckets) suits the 10^3-10^5 test corpora; a 10^9-vector
 # production corpus wants 16-20 planes per band (65k-1M buckets) plus
-# multi-probe on the query side to recover recall.
+# multi-probe on the query side to recover recall. Since r03 the knob
+# has a COMPUTED default: pass band_planes=None to the candidate-path
+# entry points and :func:`auto_band_planes` sizes it from the corpus
+# count (kept explicit in the gates so the oracle twin stays pinned).
+_TARGET_BUCKET_OCCUPANCY = 32  # expected vectors per bucket at auto size
+
+
+def auto_band_planes(
+    n_vectors: int,
+    target_occupancy: int = _TARGET_BUCKET_OCCUPANCY,
+    min_planes: int = BAND_PLANES,
+    max_planes: int = 24,
+) -> int:
+    """Computed default for the bucket-count knob: the smallest
+    ``band_planes`` whose 2^planes buckets keep expected occupancy at
+    ``target_occupancy`` (planes = ceil(log2(n / target))), clamped to
+    [min_planes, max_planes]. Expected intra-bucket join work is then
+    n·target per band instead of n²/2^planes with a stale constant:
+    10^9 vectors → 2^25/32 → clamped 24 planes (16M buckets/band)."""
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    planes = math.ceil(math.log2(max(1.0, n_vectors / float(target_occupancy))))
+    return max(min_planes, min(max_planes, planes))
 
 
 def h64_py(s: str) -> int:
@@ -184,13 +208,19 @@ def lsh_bucket_topk(
     k: int = 3,
     dim: int = 64,
     n_bands: int = N_BANDS,
-    band_planes: int = BAND_PLANES,
+    band_planes: int | None = BAND_PLANES,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 LSH band bucket with the
     query; exact cosine re-rank on the candidate set. Returns
     (query_id, rank, neighbor_id, cosine). At scale the (band, bucket)
-    join replaces the full corpus scan per query batch."""
+    join replaces the full corpus scan per query batch.
+
+    ``band_planes=None`` → sized by :func:`auto_band_planes` from the
+    corpus count (one metadata-cheap count job at plan-build time)."""
     from .text import spread
+
+    if band_planes is None:
+        band_planes = auto_band_planes(emb.count())
 
     e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
     bands = lsh_band_buckets(emb, dim, n_bands, band_planes)
@@ -236,7 +266,7 @@ def embedding_near_dup(
     dim: int = 64,
     min_cosine: float = 0.9,
     n_bands: int = N_BANDS,
-    band_planes: int = BAND_PLANES,
+    band_planes: int | None = BAND_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
     threshold) — LSH-banded candidates + exact re-rank. Only pairs that
@@ -244,7 +274,12 @@ def embedding_near_dup(
     bucket collision counts, not n². (Recall is the standard LSH
     trade-off: a pair at exactly the threshold angle is found with
     probability 1-(1-p^band_planes)^n_bands; the DuckDB oracle applies
-    the identical bucketing, so the comparison is exact.)"""
+    the identical bucketing, so the comparison is exact.)
+
+    ``band_planes=None`` → sized by :func:`auto_band_planes` from the
+    corpus count."""
+    if band_planes is None:
+        band_planes = auto_band_planes(emb.count())
     # the self-join's two sides are differently-aliased subplans, so
     # Catalyst won't reuse one exchange for both — cache the bands table
     # (n_vectors × n_bands rows of three longs, ~50 B/vector: tiny

@@ -69,6 +69,15 @@ Q5_LO = "1996-01-01 00:00:00"
 Q5_HI = "1998-01-01 00:00:00"
 
 
+def _tmp_store(name: str) -> str:
+    """Per-process temp fixture path — concurrent gate/bench runs must
+    not collide on a shared /tmp name."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"gate_{os.getpid()}_{name}")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -255,7 +264,7 @@ def q_s1_s4_zarr_roundtrip(spark, sf_dir):
     from .model import NgffImage
     from .ome_zarr_api import to_multiscales as _tm, to_ngff_zarr as _tz, read_image
 
-    store = os.path.join(tempfile.gettempdir(), "gate_roundtrip.ome.zarr")
+    store = _tmp_store("roundtrip.ome.zarr")
     img = NgffImage(
         data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
         dims=["z", "y", "x"],
@@ -267,6 +276,61 @@ def q_s1_s4_zarr_roundtrip(spark, sf_dir):
     ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
     _tz(store, ms, version="0.4")
     return read_image(spark, store, "scale0/image").select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_s1_dot_separator_read(spark, sf_dir):
+    """S1 interop: a LEGACY zarr v2 store — ``.zarray`` WITHOUT a
+    ``dimension_separator`` field (the v2 spec default is '.') and
+    dot-separated chunk keys — exactly what plain ``zarr.save()``
+    produces (reference reads these via zarr-python; its writer pins
+    '/' — _zarr_kwargs.py:7-10). Before r03 such stores read back as
+    silent all-fill; the oracle recomputes the true pixels, so any
+    separator regression breaks the hash. Fixture written driver-side
+    with numpy (18 chunks — fixture cost, not a query plan)."""
+    import shutil
+
+    import numpy as np
+
+    from .ome_zarr_api import read_image
+    from .sources.zarr_store import ZarrArrayMeta, ZarrStore
+
+    store_path = _tmp_store("dotsep.ome.zarr")
+    shutil.rmtree(store_path, ignore_errors=True)
+    store = ZarrStore(store_path)
+    spec = IMG3D
+    z, y, x = np.meshgrid(
+        np.arange(spec.z), np.arange(spec.y), np.arange(spec.x), indexing="ij"
+    )
+    vol = ((z * 73 + y * 179 + x * 283) % 251).astype(np.int64)
+    meta = ZarrArrayMeta(
+        path="scale0/image",
+        shape=(spec.z, spec.y, spec.x),
+        chunks=(16, 32, 32),
+        dtype=np.dtype("int64"),
+        compressor="gzip",
+        zarr_format=2,
+        dimension_separator=".",
+    )
+    store.write_group("", {}, 2)
+    store.write_array_meta(meta)
+    for iz in range(meta.chunk_grid[0]):
+        for iy in range(meta.chunk_grid[1]):
+            for ix in range(meta.chunk_grid[2]):
+                idx = (iz, iy, ix)
+                o = meta.chunk_origin(idx)
+                e = meta.chunk_extent(idx)
+                store.write_chunk(
+                    meta,
+                    idx,
+                    vol[o[0] : o[0] + e[0], o[1] : o[1] + e[1], o[2] : o[2] + e[2]],
+                )
+    # strip the field entirely: legacy stores predate it
+    doc = store.get_json("scale0/image/.zarray")
+    doc.pop("dimension_separator", None)
+    store.put_json("scale0/image/.zarray", doc)
+    return read_image(spark, store_path, "scale0/image", dims=["z", "y", "x"]).select(
         "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
     )
 
@@ -283,7 +347,7 @@ def q_s9_blosc_roundtrip(spark, sf_dir):
     from .model import NgffImage
     from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
 
-    store = os.path.join(tempfile.gettempdir(), "gate_blosc.ome.zarr")
+    store = _tmp_store("blosc.ome.zarr")
     img = NgffImage(
         data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
         dims=["z", "y", "x"],
@@ -308,7 +372,7 @@ def q_s8_sharded_roundtrip(spark, sf_dir):
     from .model import NgffImage
     from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
 
-    store = os.path.join(tempfile.gettempdir(), "gate_sharded.ome.zarr")
+    store = _tmp_store("sharded.ome.zarr")
     img = NgffImage(
         data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
         dims=["z", "y", "x"],
@@ -335,7 +399,7 @@ def q_dtype_uint16_roundtrip(spark, sf_dir):
     from .model import NgffImage
     from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
 
-    store = os.path.join(tempfile.gettempdir(), "gate_u16.ome.zarr")
+    store = _tmp_store("u16.ome.zarr")
     img = NgffImage(
         data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
         dims=["z", "y", "x"],
@@ -367,7 +431,7 @@ def q_chunk_table_sums(spark, sf_dir):
     from .model import NgffImage
     from .ome_zarr_api import read_chunk_table, to_multiscales as _tm, to_ngff_zarr as _tz
 
-    store = os.path.join(tempfile.gettempdir(), "gate_chunktab.ome.zarr")
+    store = _tmp_store("chunktab.ome.zarr")
     img = NgffImage(
         data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
         dims=["z", "y", "x"],
@@ -406,7 +470,7 @@ def q_s4_multiscale_level1(spark, sf_dir):
     from .model import NgffImage
     from .ome_zarr_api import to_multiscales as _tm, to_ngff_zarr as _tz, read_image
 
-    store = os.path.join(tempfile.gettempdir(), "gate_pyramid.ome.zarr")
+    store = _tmp_store("pyramid.ome.zarr")
     img = NgffImage(
         data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
         dims=["z", "y", "x"],
@@ -440,7 +504,7 @@ def q_s16_nifti_ingest(spark, sf_dir):
     from .ingest.nifti import nifti_to_ngff_image, write_nifti
 
     nx, ny, nz = NIFTI_SHAPE
-    path = os.path.join(tempfile.gettempdir(), "gate_ingest.nii.gz")
+    path = _tmp_store("ingest.nii.gz")
     xi, yi, zi = np.indices((nx, ny, nz))
     arr = ((xi * 283 + yi * 179 + zi * 73) % 251).astype("uint16")
     affine = np.diag([1.5, 2.0, 2.5, 1.0])
@@ -463,7 +527,7 @@ def q_s11_tiff_ingest(spark, sf_dir):
     from .ingest.tiff import tiff_encode
 
     h, w = TIFF_SHAPE
-    path = os.path.join(tempfile.gettempdir(), "gate_ingest.tif")
+    path = _tmp_store("ingest.tif")
     yi, xi = np.indices((h, w))
     arr = ((yi * 179 + xi * 283) % 251).astype("uint16")
     with open(path, "wb") as f:
@@ -487,7 +551,7 @@ def q_s13_png_series(spark, sf_dir):
     from .ingest.series import series_to_pixel_df
 
     nz, h, w = SERIES_SHAPE
-    d = os.path.join(tempfile.gettempdir(), "gate_series")
+    d = _tmp_store("series")
     os.makedirs(d, exist_ok=True)
     yi, xi = np.indices((h, w))
     for z in range(nz):
@@ -515,7 +579,10 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    """Uncapped (explicit ``max_df=None`` opt-out — the guard is ON by
+    default since r03): exact jaccard over the whole shingle
+    vocabulary, oracle-matched."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), max_df=None)
 
 
 def q_dedup_ngram_jaccard_capped(spark, sf_dir):
@@ -684,7 +751,7 @@ def q_s18_hcs_store_read(spark, sf_dir):
     from .model import NgffImage
     from .ome_zarr_api import to_multiscales as _tm
 
-    store = os.path.join(tempfile.gettempdir(), "gate_plate.ome.zarr")
+    store = _tmp_store("plate.ome.zarr")
     shutil.rmtree(store, ignore_errors=True)
     plate = Plate(
         columns=[PlateColumn("1"), PlateColumn("2")],
@@ -749,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_scale_translation": q_c2_scale_translation,
         "a9_pyramid_plan": q_a9_pyramid_plan,
         "s1_s4_zarr_roundtrip": q_s1_s4_zarr_roundtrip,
+        "s1_dot_separator_read": q_s1_dot_separator_read,
         "s9_blosc_roundtrip": q_s9_blosc_roundtrip,
         "s8_sharded_roundtrip": q_s8_sharded_roundtrip,
         "dtype_uint16_roundtrip": q_dtype_uint16_roundtrip,

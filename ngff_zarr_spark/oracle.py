@@ -784,6 +784,7 @@ def oracles() -> dict[str, str]:
         "c2_scale_translation": sql_c2_scale_translation(),
         "a9_pyramid_plan": sql_a9_pyramid_plan(),
         "s1_s4_zarr_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "s1_dot_separator_read": sql_s1_s4_zarr_roundtrip(),
         "s9_blosc_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s8_sharded_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "dtype_uint16_roundtrip": sql_s1_s4_zarr_roundtrip(),

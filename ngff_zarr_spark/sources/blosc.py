@@ -184,23 +184,35 @@ def blosc_decompress(chunk: bytes) -> bytes:
         blocksize = nbytes
     nblocks = max(1, -(-nbytes // blocksize))
     bstarts = struct.unpack_from(f"<{nblocks}i", chunk, 16)
+    # c-blosc 1.18+ records the split decision in flags bit 0x10
+    # ("doesn't split"); older chunks rely on the heuristic alone
+    dont_split = bool(flags & 0x10)
 
-    def parse(nstreams_for):
+    unshuffle = bool(flags & 0x1) and typesize > 1
+
+    def parse(split: bool):
+        # c-blosc decides nstreams PER BLOCK (blosc_d leftoverblock):
+        # the trailing partial block is never split even when the full
+        # blocks are — a multi-block chunk mixes both parses. Likewise
+        # byte-shuffle is applied PER BLOCK on compress (blosc_c), so
+        # the inverse must run per block, not over the joined buffer.
         out = bytearray()
         for j in range(nblocks):
             bsize = min(blocksize, nbytes - j * blocksize)
-            out += _parse_block(chunk, bstarts[j], codec, bsize, typesize, nstreams_for)
+            ns = typesize if (split and bsize == blocksize) else 1
+            block = _parse_block(chunk, bstarts[j], codec, bsize, typesize, ns)
+            if unshuffle:
+                block = _byteunshuffle(block, typesize)
+            out += block
         return bytes(out)
 
-    primary = typesize if _split_block(codec, typesize, blocksize) else 1
+    primary = (not dont_split) and _split_block(codec, typesize, blocksize)
     try:
         body = parse(primary)
     except Exception:
         # fallback: other split interpretation (c-blosc versions differ
         # slightly in the heuristic; the stream framing disambiguates)
-        body = parse(1 if primary != 1 else typesize)
-    if flags & 0x1 and typesize > 1:
-        body = _byteunshuffle(body, typesize)
+        body = parse(not primary)
     return body
 
 

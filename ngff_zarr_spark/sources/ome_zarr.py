@@ -78,12 +78,19 @@ CHUNK_SCHEMA = StructType(
 
 
 @dataclass
-class ChunkPartition(InputPartition):
-    """One Zarr chunk = one Spark task."""
+class ChunkRangePartition(InputPartition):
+    """A contiguous flat range [start, end) of chunk (or shard) indices
+    inside the pruned index box ``box_lo + [0, box_shape)``.
 
-    idx: tuple
-    origin: tuple
-    extent: tuple
+    Partition planning is pure range arithmetic — the driver never
+    enumerates individual chunks, so a 10⁸-chunk store plans in
+    milliseconds with a bounded partition list; each task unravels its
+    own flat range back to concrete grid indices."""
+
+    box_lo: tuple
+    box_shape: tuple
+    start: int
+    end: int
 
 
 def _axis_map(dimension_names: Optional[list], ndim: int) -> list[str]:
@@ -116,6 +123,11 @@ class OmeZarrReader(DataSourceReader):
         )
         # pruning ranges per pixel dim: [lo, hi) — refined by pushFilters
         self.bounds: dict[str, list] = {}
+        # cap on the partition-list length: tasks stay chunk-granular up
+        # to this, then each partition serves a contiguous chunk range.
+        # 4096 ≈ 4 waves on a 1000-executor cluster while keeping the
+        # driver's plan O(max_partitions) regardless of grid size.
+        self.max_partitions = int(options.get("max_partitions", "4096"))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """O11 chunk pruning: absorb comparison predicates on coordinate
@@ -146,36 +158,50 @@ class OmeZarrReader(DataSourceReader):
             self.bounds[col] = [lo, hi]
         return filters
 
-    def partitions(self):
-        """One InputPartition per chunk — or per SHARD when the array is
-        sharded (the shard is the I/O unit: one file open + one index
-        read serves all its inner chunks)."""
+    def _pruned_box(self, units: tuple[int, ...]) -> tuple[tuple, tuple]:
+        """Per-dim surviving index range [lo_i, hi_i) for chunks (or
+        shards) of per-dim size ``units`` — the arithmetic form of
+        per-chunk interval pruning: unit i intersects [lo, hi) iff
+        i >= lo // c and i < ceil(hi / c)."""
         m = self.meta
-        if m.chunks_per_shard is not None:
-            sgrid = m.shard_grid
-            ss = m.shard_shape
-            parts = []
-            for flat in range(int(np.prod(sgrid))):
-                sidx = tuple(int(i) for i in np.unravel_index(flat, sgrid))
-                origin = tuple(i * c for i, c in zip(sidx, ss))
-                extent = tuple(
-                    min(c, s - i * c) for i, c, s in zip(sidx, ss, m.shape)
-                )
-                if self._chunk_pruned(origin, extent):
-                    continue
-                parts.append(ChunkPartition(idx=sidx, origin=origin, extent=extent))
-            return parts
-        grid = m.chunk_grid
-        parts = []
-        for flat in range(int(np.prod(grid))):
-            idx = np.unravel_index(flat, grid)
-            idx = tuple(int(i) for i in idx)
-            origin = m.chunk_origin(idx)
-            extent = m.chunk_extent(idx)
-            if self._chunk_pruned(origin, extent):
-                continue
-            parts.append(ChunkPartition(idx=idx, origin=origin, extent=extent))
-        return parts
+        grid = tuple(-(-s // c) for s, c in zip(m.shape, units))
+        lo_idx, hi_idx = [], []
+        for ax, c, g in zip(self.axes, units, grid):
+            lo, hi = (self.bounds.get(ax) or [None, None])
+            i_lo = 0 if lo is None else max(0, int(lo) // c)
+            i_hi = g if hi is None else min(g, -(-max(0, int(hi)) // c))
+            lo_idx.append(min(i_lo, g))
+            hi_idx.append(max(i_hi, min(i_lo, g)))
+        box_lo = tuple(lo_idx)
+        box_shape = tuple(h - l for l, h in zip(lo_idx, hi_idx))
+        return box_lo, box_shape
+
+    def partitions(self):
+        """Range-arithmetic planning: prune to a per-dim index box, then
+        split its flat index space into at most ``max_partitions``
+        contiguous ranges. The I/O unit is the chunk — or the SHARD when
+        sharded (one file open + one index fetch serves all its inner
+        chunks). No per-chunk driver loop at any grid size."""
+        m = self.meta
+        units = m.shard_shape if m.chunks_per_shard is not None else m.chunks
+        box_lo, box_shape = self._pruned_box(units)
+        total = 1
+        for s in box_shape:
+            total *= s
+        if total == 0:
+            # fully pruned: one empty partition (Spark requires >= 1)
+            return [ChunkRangePartition(box_lo, box_shape, 0, 0)]
+        n_parts = min(total, self.max_partitions)
+        per = -(-total // n_parts)
+        return [
+            ChunkRangePartition(box_lo, box_shape, s, min(s + per, total))
+            for s in range(0, total, per)
+        ]
+
+    def _box_indices(self, part: ChunkRangePartition):
+        for flat in range(part.start, part.end):
+            rel = np.unravel_index(flat, part.box_shape)
+            yield tuple(int(b + r) for b, r in zip(part.box_lo, rel))
 
     def _chunk_pruned(self, origin, extent) -> bool:
         for ax, o, e in zip(self.axes, origin, extent):
@@ -204,11 +230,8 @@ class OmeZarrReader(DataSourceReader):
         arrays.append(pa.array(arr.astype(np.float64).ravel()))
         return pa.RecordBatch.from_arrays(arrays, names=list(PIXEL_DIMS) + ["v"])
 
-    def _chunk_row_batch(self, store, cidx) -> pa.RecordBatch:
+    def _chunk_row_batch(self, arr: np.ndarray, cidx, extent) -> pa.RecordBatch:
         """One chunk-table row: indices + clipped extents + raw buffer."""
-        m = self.meta
-        extent = m.chunk_extent(cidx)
-        arr = store.read_chunk(m, cidx)
         raw = np.ascontiguousarray(arr).astype(
             arr.dtype.newbyteorder("<"), copy=False
         ).tobytes()
@@ -228,43 +251,38 @@ class OmeZarrReader(DataSourceReader):
         )
         return pa.RecordBatch.from_arrays(cols, names=names)
 
-    def read(self, partition: ChunkPartition) -> Iterator[pa.RecordBatch]:
+    def read(self, partition: ChunkRangePartition) -> Iterator[pa.RecordBatch]:
         store = open_store(self.path)
         m = self.meta
-        if self.mode == "chunk":
-            if m.chunks_per_shard is not None:
+        sharded = m.chunks_per_shard is not None
+        for unit_idx in self._box_indices(partition):
+            if sharded:
+                # one shard: ONE index fetch serves every inner-chunk
+                # ranged read (3 requests/chunk → 1/shard + 1/chunk)
+                index = store.shard_index(m, unit_idx)
                 cps = m.chunks_per_shard
-                base = tuple(i * n for i, n in zip(partition.idx, cps))
+                base = tuple(i * n for i, n in zip(unit_idx, cps))
                 for flat in range(int(np.prod(cps))):
                     inner = np.unravel_index(flat, cps)
                     cidx = tuple(int(b + i) for b, i in zip(base, inner))
                     if any(ci >= g for ci, g in zip(cidx, m.chunk_grid)):
                         continue
-                    if self._chunk_pruned(m.chunk_origin(cidx), m.chunk_extent(cidx)):
+                    origin = m.chunk_origin(cidx)
+                    extent = m.chunk_extent(cidx)
+                    if self._chunk_pruned(origin, extent):
                         continue
-                    yield self._chunk_row_batch(store, cidx)
+                    arr = store.read_chunk_via_index(m, cidx, index)
+                    if self.mode == "chunk":
+                        yield self._chunk_row_batch(arr, cidx, extent)
+                    else:
+                        yield self._chunk_batch(arr, origin, extent)
             else:
-                yield self._chunk_row_batch(store, partition.idx)
-            return
-        if m.chunks_per_shard is not None:
-            # partition = one shard: iterate its inner chunks (pruning
-            # still applies per chunk), one index parse for the file
-            cps = m.chunks_per_shard
-            base = tuple(i * n for i, n in zip(partition.idx, cps))
-            for flat in range(int(np.prod(cps))):
-                inner = np.unravel_index(flat, cps)
-                cidx = tuple(int(b + i) for b, i in zip(base, inner))
-                if any(ci >= g for ci, g in zip(cidx, m.chunk_grid)):
-                    continue
-                origin = m.chunk_origin(cidx)
-                extent = m.chunk_extent(cidx)
-                if self._chunk_pruned(origin, extent):
-                    continue
-                arr = store.read_chunk(m, cidx)
-                yield self._chunk_batch(arr, origin, extent)
-            return
-        arr = store.read_chunk(m, partition.idx)
-        yield self._chunk_batch(arr, partition.origin, partition.extent)
+                extent = m.chunk_extent(unit_idx)
+                arr = store.read_chunk(m, unit_idx)
+                if self.mode == "chunk":
+                    yield self._chunk_row_batch(arr, unit_idx, extent)
+                else:
+                    yield self._chunk_batch(arr, m.chunk_origin(unit_idx), extent)
 
 
 @dataclass

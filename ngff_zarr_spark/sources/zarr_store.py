@@ -94,7 +94,10 @@ def encode_chunk(arr: np.ndarray, compressor: Optional[str], typesize: int = 0) 
     if compressor == "zlib":
         return zlib.compress(raw, 5)
     if compressor == "zstd":
-        return pa.compress(raw, codec="zstd", asbytes=True)
+        # explicit level: must match the level recorded in the store
+        # metadata (compressor_to_v2_json / _to_v3_codec advertise 3) —
+        # pyarrow's default could drift and break byte reproducibility
+        return pa.Codec("zstd", compression_level=3).compress(raw, asbytes=True)
     if compressor.startswith("blosc"):
         cname, clevel, shuffle = parse_blosc_spec(compressor)
         return blosc_compress(raw, ts, cname, clevel, shuffle)
@@ -207,6 +210,13 @@ class ZarrArrayMeta:
     zarr_format: int = 2
     dimension_names: Optional[list[str]] = None
     chunks_per_shard: Optional[tuple[int, ...]] = None
+    # chunk-key separator. The v2 SPEC default is "." (zarr-python's
+    # plain ``zarr.save()`` writes dot keys); this engine — like the
+    # reference (_zarr_kwargs.py:7-10, asserted by
+    # py/test/test_dimension_separator.py:38-40) — always WRITES "/",
+    # but READS either, honoring the stored ``dimension_separator`` /
+    # ``chunk_key_encoding`` field.
+    dimension_separator: str = "/"
 
     @property
     def chunk_grid(self) -> tuple[int, ...]:
@@ -236,12 +246,15 @@ class ZarrArrayMeta:
         if self.chunks_per_shard is not None:
             sidx, _ = self.shard_index_of(idx)
             return self.shard_key(sidx)
+        sep = self.dimension_separator
         if self.zarr_format == 3:
-            return f"{self.path}/c/" + "/".join(str(i) for i in idx)
-        return f"{self.path}/" + "/".join(str(i) for i in idx)
+            # v3 "default" chunk_key_encoding: c<sep><i0><sep><i1>…
+            return f"{self.path}/c{sep}" + sep.join(str(i) for i in idx)
+        return f"{self.path}/" + sep.join(str(i) for i in idx)
 
     def shard_key(self, sidx: tuple[int, ...]) -> str:
-        return f"{self.path}/c/" + "/".join(str(i) for i in sidx)
+        sep = self.dimension_separator
+        return f"{self.path}/c{sep}" + sep.join(str(i) for i in sidx)
 
     def chunk_origin(self, idx: tuple[int, ...]) -> tuple[int, ...]:
         return tuple(i * c for i, c in zip(idx, self.chunks))
@@ -262,7 +275,7 @@ class ZarrArrayMeta:
             "fill_value": self.fill_value,
             "order": "C",
             "filters": None,
-            "dimension_separator": "/",
+            "dimension_separator": self.dimension_separator,
         }
 
     def _v3_inner_codecs(self) -> list[dict]:
@@ -303,7 +316,7 @@ class ZarrArrayMeta:
             },
             "chunk_key_encoding": {
                 "name": "default",
-                "configuration": {"separator": "/"},
+                "configuration": {"separator": self.dimension_separator},
             },
             "fill_value": self.fill_value,
             "codecs": codecs,
@@ -437,6 +450,10 @@ class StoreBase:
                 cps = None
                 comp = compressor_from_v3_codecs(codecs)
                 chunks = grid_chunks
+            cke = doc.get("chunk_key_encoding", {}) or {}
+            sep = (cke.get("configuration") or {}).get(
+                "separator", "." if cke.get("name") == "v2" else "/"
+            )
             return ZarrArrayMeta(
                 path=path,
                 shape=tuple(doc["shape"]),
@@ -447,6 +464,7 @@ class StoreBase:
                 zarr_format=3,
                 dimension_names=doc.get("dimension_names"),
                 chunks_per_shard=cps,
+                dimension_separator=sep,
             )
         doc = self.get_json(f"{path}/.zarray")
         comp = compressor_from_v2_json(doc.get("compressor"))
@@ -460,7 +478,7 @@ class StoreBase:
                 dim_names = self.get_json(f"{path}/.zattrs").get("_ARRAY_DIMENSIONS")
             except Exception:
                 dim_names = None
-        return ZarrArrayMeta(
+        meta = ZarrArrayMeta(
             path=path,
             shape=tuple(doc["shape"]),
             chunks=tuple(doc["chunks"]),
@@ -469,7 +487,33 @@ class StoreBase:
             fill_value=doc.get("fill_value", 0) or 0,
             zarr_format=2,
             dimension_names=list(dim_names) if dim_names else None,
+            # v2 SPEC default is "." — a store without the field (plain
+            # zarr.save()) uses dot keys; reading it with "/" keys would
+            # silently return all-fill (the r02 #1 interop bug)
+            dimension_separator=doc.get("dimension_separator") or ".",
         )
+        return self._probe_separator(meta)
+
+    def _probe_separator(self, meta: ZarrArrayMeta) -> ZarrArrayMeta:
+        """Guard against silent all-fill reads on v2 stores whose chunk
+        keys disagree with the declared/default ``dimension_separator``
+        (pre-2.8 zarr-python never wrote the field and some writers use
+        '/' keys without declaring it). Two exists() probes on the
+        origin chunk; a sparse store (neither present) keeps the
+        declared value."""
+        if meta.zarr_format != 2 or meta.chunks_per_shard is not None:
+            return meta
+        origin = (0,) * len(meta.shape)
+        try:
+            if self.exists(meta.chunk_key(origin)):
+                return meta
+            flipped = "." if meta.dimension_separator == "/" else "/"
+            alt = ZarrArrayMeta(**{**meta.__dict__, "dimension_separator": flipped})
+            if self.exists(alt.chunk_key(origin)):
+                return alt
+        except NotImplementedError:
+            pass  # store cannot probe (e.g. no exists); trust metadata
+        return meta
 
     def _encode_padded(self, meta: ZarrArrayMeta, arr: np.ndarray) -> bytes:
         if tuple(arr.shape) != tuple(meta.chunks):
@@ -480,12 +524,30 @@ class StoreBase:
 
     def write_chunk(self, meta: ZarrArrayMeta, idx: tuple[int, ...], arr: np.ndarray) -> None:
         """Store one chunk; edge chunks are padded to full chunk shape
-        with fill_value (zarr stores full-size chunks). Sharded arrays
-        must go through write_shard (a chunk is not individually
-        addressable inside a shard file)."""
+        with fill_value (zarr stores full-size chunks). On a sharded
+        array this is a read-modify-write of the containing shard file
+        (chunks are not individually addressable inside a shard): the
+        shard's existing chunks are loaded, merged with the new one, and
+        the file rewritten. Batch writers should use write_shard."""
         if meta.chunks_per_shard is not None:
             sidx, inner = meta.shard_index_of(idx)
-            self.write_shard(meta, sidx, {inner: arr})
+            merged = {inner: arr}
+            key = meta.shard_key(sidx)
+            if self.exists(key):
+                data = self.get(key)
+                index = self._read_shard_index(meta, data)
+                cps = meta.chunks_per_shard
+                for flat in range(index.shape[0]):
+                    off, nb = int(index[flat][0]), int(index[flat][1])
+                    if off == 0xFFFFFFFFFFFFFFFF:
+                        continue
+                    other = tuple(int(i) for i in np.unravel_index(flat, cps))
+                    if other == inner:
+                        continue
+                    merged[other] = decode_chunk(
+                        data[off : off + nb], meta.dtype, meta.chunks, meta.compressor
+                    )
+            self.write_shard(meta, sidx, merged)
             return
         self.put(meta.chunk_key(idx), self._encode_padded(meta, arr))
 
@@ -522,6 +584,42 @@ class StoreBase:
         n = int(np.prod(meta.chunks_per_shard))
         return self._parse_shard_index(data[-(n * 16 + 4) :], n)
 
+    def shard_index(self, meta: ZarrArrayMeta, sidx: tuple[int, ...]) -> Optional[np.ndarray]:
+        """Fetch + verify a shard file's trailing (offset, nbytes) index
+        once; None when the shard file is absent. Pair with
+        read_chunk_via_index so a shard-partition scan costs ONE index
+        fetch per shard instead of exists+index+range per chunk (3
+        requests per chunk on HTTP/object stores)."""
+        key = meta.shard_key(sidx)
+        if not self.exists(key):
+            return None
+        n = int(np.prod(meta.chunks_per_shard))
+        return self._parse_shard_index(self.get_suffix(key, n * 16 + 4), n)
+
+    def read_chunk_via_index(
+        self, meta: ZarrArrayMeta, idx: tuple[int, ...], index: Optional[np.ndarray]
+    ) -> np.ndarray:
+        """Read one inner chunk of a sharded array reusing an already
+        fetched shard index (from :meth:`shard_index`): exactly one
+        ranged GET, or zero for missing chunks."""
+        extent = meta.chunk_extent(idx)
+        sidx, inner = meta.shard_index_of(idx)
+        if index is None:
+            return np.full(extent, meta.fill_value, dtype=meta.dtype)
+        flat = 0
+        for i, g in zip(inner, meta.chunks_per_shard):
+            flat = flat * g + i
+        offset, nbytes = int(index[flat][0]), int(index[flat][1])
+        if offset == 0xFFFFFFFFFFFFFFFF:
+            return np.full(extent, meta.fill_value, dtype=meta.dtype)
+        arr = decode_chunk(
+            self.get_range(meta.shard_key(sidx), offset, nbytes),
+            meta.dtype,
+            meta.chunks,
+            meta.compressor,
+        )
+        return arr[tuple(slice(0, e) for e in extent)]
+
     def read_chunk(self, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np.ndarray:
         """Read one chunk, clipped to its valid extent (edge chunks).
         For sharded arrays: two ranged reads — the trailing index, then
@@ -529,22 +627,8 @@ class StoreBase:
         seeks on a local FS) — never a whole-shard download."""
         extent = meta.chunk_extent(idx)
         if meta.chunks_per_shard is not None:
-            sidx, inner = meta.shard_index_of(idx)
-            key = meta.shard_key(sidx)
-            if not self.exists(key):
-                return np.full(extent, meta.fill_value, dtype=meta.dtype)
-            n = int(np.prod(meta.chunks_per_shard))
-            index = self._parse_shard_index(self.get_suffix(key, n * 16 + 4), n)
-            flat = 0
-            for i, g in zip(inner, meta.chunks_per_shard):
-                flat = flat * g + i
-            offset, nbytes = int(index[flat][0]), int(index[flat][1])
-            if offset == 0xFFFFFFFFFFFFFFFF:
-                return np.full(extent, meta.fill_value, dtype=meta.dtype)
-            arr = decode_chunk(
-                self.get_range(key, offset, nbytes), meta.dtype, meta.chunks, meta.compressor
-            )
-            return arr[tuple(slice(0, e) for e in extent)]
+            sidx, _ = meta.shard_index_of(idx)
+            return self.read_chunk_via_index(meta, idx, self.shard_index(meta, sidx))
         key = meta.chunk_key(idx)
         if not self.exists(key):
             return np.full(extent, meta.fill_value, dtype=meta.dtype)
@@ -700,15 +784,19 @@ class HttpStore(StoreBase):
             with self._request(key, method="HEAD"):
                 return True
         except urllib.error.HTTPError as e:
-            if e.code in (404, 403, 405):
-                # 405: server without HEAD support — retry as GET
-                if e.code == 405:
-                    try:
-                        with self._request(key):
-                            return True
-                    except urllib.error.HTTPError:
-                        return False
+            if e.code == 404:
                 return False
+            if e.code == 405:
+                # server without HEAD support — retry as GET
+                try:
+                    with self._request(key):
+                        return True
+                except urllib.error.HTTPError as e2:
+                    if e2.code == 404:
+                        return False
+                    raise
+            # 403 etc. must SURFACE: mapping auth failures to "missing"
+            # silently reads an all-fill array from a misconfigured store
             raise
 
     def _ranged(self, key: str, range_header: str, offset: int, length: int) -> bytes:

@@ -1,0 +1,321 @@
+"""Round-3 fixes: zarr v2 dimension_separator interop, range-arithmetic
+partition planning, sharded read-modify-write, multi-block blosc decode,
+and HTTP auth-failure surfacing.
+
+Reference behaviors covered:
+- v2 separator: the reference WRITES '/' (_zarr_kwargs.py:7-10, asserted
+  by py/test/test_dimension_separator.py:38-40) but READS either via
+  zarr-python, whose v2 spec default is '.'.
+- c-blosc block semantics (public README_CHUNK_FORMAT.rst + blosc.c):
+  split and shuffle are decided/applied PER BLOCK; the trailing partial
+  block is never split.
+"""
+
+import struct
+import threading
+import time
+from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+import numpy as np
+import pytest
+
+from ngff_zarr_spark.sources.blosc import (
+    CODEC_NAMES,
+    _byteshuffle,
+    _compress_stream,
+    _split_block,
+    blosc_decompress,
+)
+from ngff_zarr_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore
+
+
+def _write_v2_fixture(tmp_path, separator, declare=True, name="dot.zarr"):
+    """A small v2 store with the given chunk-key separator; optionally
+    omit the .zarray field (legacy stores predate it)."""
+    store = ZarrStore(str(tmp_path / name))
+    vol = np.arange(4 * 6 * 5, dtype=np.int32).reshape(4, 6, 5)
+    meta = ZarrArrayMeta(
+        path="scale0/image",
+        shape=vol.shape,
+        chunks=(2, 4, 4),
+        dtype=np.dtype("int32"),
+        compressor="gzip",
+        zarr_format=2,
+        dimension_separator=separator,
+    )
+    store.write_group("", {}, 2)
+    store.write_array_meta(meta)
+    for iz in range(meta.chunk_grid[0]):
+        for iy in range(meta.chunk_grid[1]):
+            for ix in range(meta.chunk_grid[2]):
+                idx = (iz, iy, ix)
+                o, e = meta.chunk_origin(idx), meta.chunk_extent(idx)
+                store.write_chunk(
+                    meta, idx, vol[o[0] : o[0] + e[0], o[1] : o[1] + e[1], o[2] : o[2] + e[2]]
+                )
+    if not declare:
+        doc = store.get_json("scale0/image/.zarray")
+        doc.pop("dimension_separator", None)
+        store.put_json("scale0/image/.zarray", doc)
+    return store, meta, vol
+
+
+def _read_all(store, meta):
+    out = np.zeros(meta.shape, dtype=meta.dtype)
+    for iz in range(meta.chunk_grid[0]):
+        for iy in range(meta.chunk_grid[1]):
+            for ix in range(meta.chunk_grid[2]):
+                idx = (iz, iy, ix)
+                o, e = meta.chunk_origin(idx), meta.chunk_extent(idx)
+                out[o[0] : o[0] + e[0], o[1] : o[1] + e[1], o[2] : o[2] + e[2]] = (
+                    store.read_chunk(meta, idx)
+                )
+    return out
+
+
+class TestDimensionSeparator:
+    def test_dot_keys_on_disk(self, tmp_path):
+        store, meta, _ = _write_v2_fixture(tmp_path, ".")
+        assert (tmp_path / "dot.zarr/scale0/image/0.0.0").exists()
+        assert not (tmp_path / "dot.zarr/scale0/image/0/0/0").exists()
+
+    def test_read_legacy_default_dot(self, tmp_path):
+        """No dimension_separator field at all → spec default '.'."""
+        store, meta, vol = _write_v2_fixture(tmp_path, ".", declare=False)
+        back = store.read_array_meta("scale0/image", 2)
+        assert back.dimension_separator == "."
+        assert np.array_equal(_read_all(store, back), vol)
+
+    def test_read_declared_slash(self, tmp_path):
+        store, meta, vol = _write_v2_fixture(tmp_path, "/", name="slash.zarr")
+        back = store.read_array_meta("scale0/image", 2)
+        assert back.dimension_separator == "/"
+        assert np.array_equal(_read_all(store, back), vol)
+
+    def test_probe_flips_wrong_declaration(self, tmp_path):
+        """Store declares '/' but its keys are dot-separated (writer
+        bug / hand-edited store): the origin-chunk probe flips the
+        separator instead of silently reading all-fill."""
+        store, meta, vol = _write_v2_fixture(tmp_path, ".")
+        doc = store.get_json("scale0/image/.zarray")
+        doc["dimension_separator"] = "/"
+        store.put_json("scale0/image/.zarray", doc)
+        back = store.read_array_meta("scale0/image", 2)
+        assert back.dimension_separator == "."
+        assert np.array_equal(_read_all(store, back), vol)
+
+    def test_datasource_reads_dot_store(self, spark, tmp_path):
+        from ngff_zarr_spark.ome_zarr_api import read_image
+
+        store, meta, vol = _write_v2_fixture(tmp_path, ".", declare=False)
+        df = read_image(spark, str(tmp_path / "dot.zarr"), "scale0/image")
+        rows = {(r.z, r.y, r.x): r.v for r in df.collect()}
+        assert len(rows) == vol.size
+        assert rows[(1, 2, 3)] == float(vol[1, 2, 3])
+        assert rows[(3, 5, 4)] == float(vol[3, 5, 4])
+
+
+class TestRangePartitions:
+    def _reader(self, tmp_path, shape, chunks, options=None):
+        from ngff_zarr_spark.sources.ome_zarr import OmeZarrReader
+
+        store = ZarrStore(str(tmp_path / "meta.zarr"))
+        meta = ZarrArrayMeta(
+            path="a", shape=shape, chunks=chunks, dtype=np.dtype("uint8")
+        )
+        store.write_array_meta(meta)
+        opts = {"path": str(tmp_path / "meta.zarr"), "array_path": "a"}
+        opts.update(options or {})
+        return OmeZarrReader(opts)
+
+    def test_million_chunk_grid_plans_fast(self, tmp_path):
+        """10^6-chunk metadata-only grid: planning is range arithmetic,
+        bounded partition list, well under a second (VERDICT r02 #3)."""
+        r = self._reader(tmp_path, (1024, 1024, 1024), (8, 8, 8))  # 128^3 ≈ 2.1e6 chunks
+        t0 = time.time()
+        parts = r.partitions()
+        dt = time.time() - t0
+        assert dt < 1.0, f"partitions() took {dt:.2f}s"
+        assert len(parts) == 4096  # max_partitions cap
+        total = sum(p.end - p.start for p in parts)
+        assert total == 128 ** 3
+
+    def test_small_grid_stays_chunk_granular(self, tmp_path):
+        r = self._reader(tmp_path, (16, 32, 32), (8, 16, 16))
+        parts = r.partitions()
+        assert len(parts) == 2 * 2 * 2
+        assert all(p.end - p.start == 1 for p in parts)
+
+    def test_pruning_box_arithmetic(self, tmp_path):
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+        r = self._reader(tmp_path, (1024, 1024, 1024), (8, 8, 8))
+        r.pushFilters([LessThan(("z",), 16), GreaterThanOrEqual(("x",), 1016)])
+        parts = r.partitions()
+        # z: chunks [0,2), y: all 128, x: [127,128) → 2*128*1 = 256
+        assert sum(p.end - p.start for p in parts) == 2 * 128 * 1
+
+    def test_fully_pruned_returns_empty_partition(self, tmp_path):
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        r = self._reader(tmp_path, (16, 32, 32), (8, 16, 16))
+        r.pushFilters([GreaterThanOrEqual(("z",), 100)])
+        parts = r.partitions()
+        assert sum(p.end - p.start for p in parts) == 0
+
+
+class TestShardedWriteChunk:
+    def test_read_modify_write_preserves_others(self, tmp_path):
+        """write_chunk into an existing shard merges instead of
+        clobbering the shard's other chunks (ADVICE r02)."""
+        store = ZarrStore(str(tmp_path / "s.zarr"))
+        meta = ZarrArrayMeta(
+            path="a",
+            shape=(4, 4),
+            chunks=(2, 2),
+            dtype=np.dtype("int32"),
+            compressor="zstd",
+            zarr_format=3,
+            chunks_per_shard=(2, 2),
+        )
+        a = np.arange(4, dtype=np.int32).reshape(2, 2)
+        b = a + 100
+        store.write_shard(meta, (0, 0), {(0, 0): a})
+        store.write_chunk(meta, (1, 1), b)  # same shard file
+        assert np.array_equal(store.read_chunk(meta, (0, 0)), a)
+        assert np.array_equal(store.read_chunk(meta, (1, 1)), b)
+
+
+def _synth_multiblock_chunk(raw, typesize, blocksize, cname="lz4", clevel=5):
+    """Model c-blosc's writer for a multi-block chunk: per-block
+    shuffle, per-block split decision (full blocks split when the
+    heuristic says; the partial tail never splits)."""
+    codec = CODEC_NAMES[cname]
+    nbytes = len(raw)
+    nblocks = -(-nbytes // blocksize)
+    blocks = []
+    for j in range(nblocks):
+        bsize = min(blocksize, nbytes - j * blocksize)
+        block = _byteshuffle(raw[j * blocksize : j * blocksize + bsize], typesize)
+        ns = typesize if (_split_block(codec, typesize, blocksize) and bsize == blocksize) else 1
+        per = bsize // ns
+        out = b""
+        pos = 0
+        for i in range(ns):
+            want = per if i < ns - 1 else bsize - per * (ns - 1)
+            s = block[pos : pos + want]
+            pos += want
+            comp = _compress_stream(codec, s, clevel)
+            if len(comp) >= len(s):
+                comp = s
+            out += struct.pack("<i", len(comp)) + comp
+        blocks.append(out)
+    header_len = 16 + 4 * nblocks
+    bstarts, body = [], b""
+    for b in blocks:
+        bstarts.append(header_len + len(body))
+        body += b
+    flags = 0x1 | (codec << 5)  # byte-shuffle
+    cbytes = header_len + len(body)
+    header = struct.pack("<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, cbytes)
+    return header + struct.pack(f"<{nblocks}i", *bstarts) + body
+
+
+class TestBloscMultiBlock:
+    def test_multiblock_with_partial_tail(self):
+        """2 full split blocks + a non-split partial tail — the layout
+        zarr-python's default Blosc(lz4, shuffle) produces for chunks
+        larger than the auto blocksize (ADVICE r02 medium)."""
+        n = 2048 * 2 + 1000  # two full 2048B blocks + 1000B tail
+        raw = np.arange(n // 8, dtype="<f8").tobytes()
+        chunk = _synth_multiblock_chunk(raw, typesize=8, blocksize=2048)
+        assert blosc_decompress(chunk) == raw
+
+    def test_multiblock_dont_split_flag(self):
+        """flags bit 0x10 forces non-split parsing of full blocks."""
+        n = 2048 * 2
+        raw = np.arange(n // 4, dtype="<u4").tobytes()
+        codec = CODEC_NAMES["lz4"]
+        nblocks = 2
+        blocks = []
+        for j in range(nblocks):
+            block = _byteshuffle(raw[j * 2048 : (j + 1) * 2048], 4)
+            comp = _compress_stream(codec, block, 5)
+            if len(comp) >= len(block):
+                comp = block
+            blocks.append(struct.pack("<i", len(comp)) + comp)
+        header_len = 16 + 4 * nblocks
+        bstarts, body = [], b""
+        for b in blocks:
+            bstarts.append(header_len + len(body))
+            body += b
+        flags = 0x1 | 0x10 | (codec << 5)
+        header = struct.pack("<BBBBiii", 2, 1, flags, 4, n, 2048, header_len + len(body))
+        chunk = header + struct.pack(f"<{nblocks}i", *bstarts) + body
+        assert blosc_decompress(chunk) == raw
+
+    def test_multiblock_multiple_of_blocksize(self):
+        """No partial tail: every block full and split."""
+        n = 2048 * 3
+        raw = np.arange(n // 8, dtype="<f8").tobytes()
+        chunk = _synth_multiblock_chunk(raw, typesize=8, blocksize=2048)
+        assert blosc_decompress(chunk) == raw
+
+
+class TestAutoLshAndMaxDf:
+    def test_auto_band_planes_monotone_and_clamped(self):
+        from ngff_zarr_spark.functions.similarity import BAND_PLANES, auto_band_planes
+
+        assert auto_band_planes(0) == BAND_PLANES
+        assert auto_band_planes(8_192) == BAND_PLANES  # floor at test scale
+        assert auto_band_planes(10**6) == 15
+        assert auto_band_planes(10**9) == 24  # max clamp
+        vals = [auto_band_planes(10**k) for k in range(3, 10)]
+        assert vals == sorted(vals)
+
+    def test_auto_sizing_end_to_end(self, spark, sf_dir):
+        """band_planes=None derives the knob from the corpus count; at
+        test scale auto == BAND_PLANES so results match the pinned
+        gate path exactly."""
+        from ngff_zarr_spark.functions.similarity import lsh_bucket_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        auto = lsh_bucket_topk(emb, [0, 1], k=2, band_planes=None).collect()
+        pinned = lsh_bucket_topk(emb, [0, 1], k=2).collect()
+        assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+
+    def test_ngram_max_df_default_on(self):
+        import inspect
+
+        from ngff_zarr_spark.functions.dedup import DEFAULT_MAX_DF, ngram_jaccard_pairs
+
+        assert inspect.signature(ngram_jaccard_pairs).parameters["max_df"].default == DEFAULT_MAX_DF
+        assert DEFAULT_MAX_DF == 10_000
+
+
+class _Deny403Handler(SimpleHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_HEAD(self):
+        self.send_error(403)
+
+    def do_GET(self):
+        self.send_error(403)
+
+
+class TestHttp403:
+    def test_403_surfaces_not_missing(self):
+        import urllib.error
+
+        from ngff_zarr_spark.sources.zarr_store import HttpStore
+
+        srv = HTTPServer(("127.0.0.1", 0), _Deny403Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            store = HttpStore(f"http://127.0.0.1:{srv.server_port}")
+            with pytest.raises(urllib.error.HTTPError):
+                store.exists("some/chunk/0.0.0")
+        finally:
+            srv.shutdown()
