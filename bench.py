@@ -96,6 +96,11 @@ def main():
     for name, fn in QUERIES.items():
         runs = []
         for i in range(n_runs):
+            # each run re-executes the FULL plan: some queries .cache()
+            # intermediates, and Spark's plan-matching CacheManager would
+            # otherwise serve runs 2..n from run 1's cache (intra-run
+            # caching is part of the plan and still measured)
+            spark.catalog.clearCache()
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             runs.append(round(time.time() - t0, 3))

@@ -173,25 +173,31 @@ SELECT t, c, z, y, x, v FROM rk WHERE rn = 1"""
 
 
 def sql_a3_label_downsample():
+    # Linear-weighted label interpolation (the itkwasm
+    # downsample_label_image algorithm): only the per-dim center voxels
+    # (floor/ceil of the sample point f*k + (f-1)/2) vote, equal
+    # weights → integer vote count; ties → smallest label.
     f = F2D4
-    wt_terms = []
+    center_terms = []
     for d in ("z", "y", "x"):
         fd = f.get(d, 1)
         if fd > 1:
-            wt_terms.append(f"({fd} - abs(({d}%{fd})*2 - {fd - 1}))")
-    wt = " * ".join(wt_terms)
+            offs = sorted({(fd - 1) // 2, fd // 2})
+            in_list = ", ".join(str(o) for o in offs)
+            center_terms.append(f"({d} % {fd}) IN ({in_list})")
+    centers = " AND ".join(center_terms)
     return f"""WITH {pixel_cte_sql(IMG2D_LABEL, label=True)},
 w AS (
-  SELECT t, c, z, y, x, v, {wt} AS wt
-  FROM P WHERE {_crop3d(IMG2D_LABEL, f)}
+  SELECT t, c, z, y, x, v
+  FROM P WHERE {_crop3d(IMG2D_LABEL, f)} AND {centers}
 ),
 cnt AS (
-  SELECT {_block_sel(f)}, v, CAST(SUM(wt) AS BIGINT) AS wsum
+  SELECT {_block_sel(f)}, v, CAST(COUNT(*) AS BIGINT) AS votes
   FROM w GROUP BY 1,2,3,4,5,6
 ),
 rk AS (
   SELECT t, c, z, y, x, v,
-         row_number() OVER (PARTITION BY t, c, z, y, x ORDER BY wsum DESC, v ASC) AS rn
+         row_number() OVER (PARTITION BY t, c, z, y, x ORDER BY votes DESC, v ASC) AS rn
   FROM cnt
 )
 SELECT t, c, z, y, x, v FROM rk WHERE rn = 1"""

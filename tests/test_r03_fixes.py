@@ -262,6 +262,65 @@ class TestBloscMultiBlock:
         assert blosc_decompress(chunk) == raw
 
 
+class TestLabelDownsampleLinear:
+    """A3 ported algorithm: linear label interpolation at the resample
+    point f*k + (f-1)/2 → only the per-dim center voxels vote."""
+
+    def _run(self, spark, grid, f):
+        from ngff_zarr_spark.operators import label_downsample
+
+        ny, nx = len(grid), len(grid[0])
+        rows = [
+            (0, 0, 0, y, x, int(grid[y][x]))
+            for y in range(ny)
+            for x in range(nx)
+        ]
+        df = spark.createDataFrame(rows, "t long, c long, z long, y long, x long, v long")
+        out = label_downsample(df, {"z": 1, "y": ny, "x": nx}, {"y": f, "x": f})
+        return {(r.y, r.x): r.v for r in out.collect()}
+
+    def test_hand_computed_4x4(self, spark):
+        # f=4: sample point at block offset 1.5 per dim → voters are
+        # offsets {1,2}×{1,2} = the 4 center voxels. Corner values never
+        # matter no matter how frequent they are in the block.
+        grid = [
+            [9, 9, 9, 9],
+            [9, 3, 3, 9],
+            [9, 5, 7, 9],
+            [9, 9, 9, 9],
+        ]
+        # votes: 3→2, 5→1, 7→1 → label 3 (9 has 12 cells but 0 votes)
+        assert self._run(spark, grid, 4) == {(0, 0): 3}
+
+    def test_hand_computed_tie_smallest(self, spark):
+        grid = [
+            [0, 0, 0, 0],
+            [0, 5, 3, 0],
+            [0, 3, 5, 0],
+            [0, 0, 0, 0],
+        ]
+        # votes 3→2, 5→2 → tie → smallest label 3
+        assert self._run(spark, grid, 4) == {(0, 0): 3}
+
+    def test_odd_factor_is_center_voxel(self, spark):
+        # f=3: sample point at offset 1.0 exactly → single voter (1,1)
+        grid = [
+            [7, 7, 7],
+            [7, 2, 7],
+            [7, 7, 7],
+        ]
+        assert self._run(spark, grid, 3) == {(0, 0): 2}
+
+    def test_matches_oracle_formula_f2(self, spark):
+        # f=2: all 4 voxels are center voxels (offsets {0,1}) → plain
+        # block mode with smallest-label ties
+        grid = [
+            [1, 2],
+            [2, 4],
+        ]
+        assert self._run(spark, grid, 2) == {(0, 0): 2}
+
+
 class TestAutoLshAndMaxDf:
     def test_auto_band_planes_monotone_and_clamped(self):
         from ngff_zarr_spark.functions.similarity import BAND_PLANES, auto_band_planes
