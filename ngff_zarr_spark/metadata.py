@@ -106,15 +106,27 @@ def parse_group_attributes(attrs: dict) -> tuple[Metadata, str]:
         ms = attrs["multiscales"][0]
         version = ms.get("version", "0.4")
         omero_doc = attrs.get("omero")
-    axes = [
-        Axis(
-            name=a["name"],
-            type=a.get("type", dim_axis_type(a["name"])),
-            unit=a.get("unit"),
-            orientation=a.get("orientation"),
-        )
-        for a in ms.get("axes", [])
-    ]
+    # Axes across layout generations (reference from_ngff_zarr.py:107-179):
+    # 0.1/0.2 — no "axes" key at all → implicit (t, c, z, y, x);
+    # 0.3     — axes are plain name strings;
+    # 0.4/0.5 — axes are {name, type, unit[, orientation]} dicts.
+    raw_axes = ms.get("axes")
+    if not raw_axes:
+        axes = [Axis(name=d, type=dim_axis_type(d)) for d in ("t", "c", "z", "y", "x")]
+    else:
+        axes = [
+            (
+                Axis(name=a, type=dim_axis_type(a))
+                if isinstance(a, str)
+                else Axis(
+                    name=a["name"],
+                    type=a.get("type", dim_axis_type(a["name"])),
+                    unit=a.get("unit"),
+                    orientation=a.get("orientation"),
+                )
+            )
+            for a in raw_axes
+        ]
     datasets = []
     for d in ms["datasets"]:
         transforms = []
@@ -126,21 +138,30 @@ def parse_group_attributes(attrs: dict) -> tuple[Metadata, str]:
         datasets.append(Dataset(path=d["path"], coordinateTransformations=transforms))
     omero = None
     if omero_doc:
-        omero = Omero(
-            channels=[
+        channels = []
+        for ch in omero_doc.get("channels", []):
+            w = ch.get("window")
+            if not isinstance(w, dict):
+                continue
+            # backward compat (reference from_ngff_zarr.py:209-238): old
+            # stores carry min/max only, some start/end only, some both
+            if "start" in w and "end" in w:
+                start, end = float(w["start"]), float(w["end"])
+                mn = float(w.get("min", start))
+                mx = float(w.get("max", end))
+            elif "min" in w and "max" in w:
+                mn, mx = float(w["min"]), float(w["max"])
+                start, end = mn, mx
+            else:
+                continue
+            channels.append(
                 OmeroChannel(
-                    color=ch["color"],
-                    window=OmeroWindow(
-                        min=ch["window"]["min"],
-                        max=ch["window"]["max"],
-                        start=ch["window"]["start"],
-                        end=ch["window"]["end"],
-                    ),
+                    color=ch.get("color", "FFFFFF"),
+                    window=OmeroWindow(min=mn, max=mx, start=start, end=end),
                     label=ch.get("label"),
                 )
-                for ch in omero_doc.get("channels", [])
-            ]
-        )
+            )
+        omero = Omero(channels=channels)
     meta = Metadata(
         axes=axes,
         datasets=datasets,

@@ -525,8 +525,10 @@ def from_ngff_zarr(
     for ds in meta.datasets:
         arr_meta = store.read_array_meta(ds.path, zarr_format)
         df = read_image(spark, store_path, ds.path, zarr_format, dims=dims)
-        scale = {}
-        translation = {}
+        # defaults for 0.1-0.3 datasets without transforms (reference
+        # from_ngff_zarr.py:133-135)
+        scale = {d: 1.0 for d in dims}
+        translation = {d: 0.0 for d in dims}
         for t in ds.coordinateTransformations:
             if isinstance(t, ScaleTransform):
                 scale = dict(zip(dims, t.scale))

@@ -30,44 +30,81 @@ def _unwrap(attrs: dict, key: str):
     return attrs.get(key)
 
 
+def _image_version(attrs: dict, ms: dict) -> str:
+    if isinstance(attrs.get("ome"), dict):
+        return str(attrs["ome"].get("version", "0.5"))
+    return str(ms.get("version") or "0.4")
+
+
 def _validate_image(attrs: dict) -> list[str]:
+    """Version-aware structural validation (reference validates against
+    per-version jsonschema, from_ngff_zarr.py:38-307 reads all of
+    0.1-0.5):
+
+    - 0.1/0.2 — NO axes field (arrays are implicitly 5-D t,c,z,y,x);
+      datasets carry only paths, no coordinateTransformations.
+    - 0.3     — axes are plain name strings; still no transforms.
+    - 0.4/0.5 — axes are {name, type, unit} objects; every dataset
+      needs coordinateTransformations starting with a scale.
+    """
     problems: list[str] = []
     multiscales = _unwrap(attrs, "multiscales")
     if not isinstance(multiscales, list) or not multiscales:
         return ["missing or empty 'multiscales'"]
     for i, ms in enumerate(multiscales):
         where = f"multiscales[{i}]"
+        version = _image_version(attrs, ms)
+        old_axes_optional = version in ("0.1", "0.2")
+        string_axes = version == "0.3"
+        transforms_required = version not in ("0.1", "0.2", "0.3")
+
         axes = ms.get("axes")
-        if not isinstance(axes, list) or not axes:
-            problems.append(f"{where}: missing axes")
+        if axes is None and old_axes_optional:
             axes = []
-        if not 2 <= len(axes) <= 5:
-            problems.append(f"{where}: must have 2-5 axes, got {len(axes)}")
+            ndim = 5  # implicit t,c,z,y,x
+        else:
+            if not isinstance(axes, list) or not axes:
+                problems.append(f"{where}: missing axes")
+                axes = []
+            elif not 2 <= len(axes) <= 5:
+                problems.append(f"{where}: must have 2-5 axes, got {len(axes)}")
+            ndim = len(axes)
         seen = set()
         for ax in axes:
-            name = ax.get("name")
+            if isinstance(ax, str):
+                if not string_axes:
+                    problems.append(
+                        f"{where}: version {version} axes must be objects, got string {ax!r}"
+                    )
+                name = ax
+            else:
+                if string_axes:
+                    problems.append(f"{where}: version 0.3 axes are name strings")
+                name = ax.get("name")
+                if ax.get("type") is not None and ax["type"] not in AXIS_TYPES:
+                    problems.append(f"{where}: axis {name!r} bad type {ax['type']!r}")
+                if ax.get("unit") is not None and not is_unit_supported(ax["unit"]):
+                    problems.append(f"{where}: axis {name!r} unsupported unit {ax['unit']!r}")
+                problems.extend(validate_axis_orientation(ax))
             if not is_dimension_supported(name or ""):
                 problems.append(f"{where}: unsupported axis name {name!r}")
             if name in seen:
                 problems.append(f"{where}: duplicate axis {name!r}")
             seen.add(name)
-            if ax.get("type") is not None and ax["type"] not in AXIS_TYPES:
-                problems.append(f"{where}: axis {name!r} bad type {ax['type']!r}")
-            if ax.get("unit") is not None and not is_unit_supported(ax["unit"]):
-                problems.append(f"{where}: axis {name!r} unsupported unit {ax['unit']!r}")
-            problems.extend(validate_axis_orientation(ax))
         datasets = ms.get("datasets")
         if not isinstance(datasets, list) or not datasets:
             problems.append(f"{where}: missing datasets")
             datasets = []
-        ndim = len(axes)
         for ds in datasets:
             path = ds.get("path")
             if not isinstance(path, str) or not path:
                 problems.append(f"{where}: dataset missing path")
             cts = ds.get("coordinateTransformations")
             if not isinstance(cts, list) or not cts:
-                problems.append(f"{where}: dataset {path!r} missing coordinateTransformations")
+                if transforms_required:
+                    problems.append(
+                        f"{where}: dataset {path!r} missing coordinateTransformations"
+                    )
                 continue
             if cts[0].get("type") != "scale":
                 problems.append(f"{where}: dataset {path!r} first transform must be scale")

@@ -262,6 +262,105 @@ class TestBloscMultiBlock:
         assert blosc_decompress(chunk) == raw
 
 
+class TestOldLayouts:
+    """OME-Zarr 0.1-0.3 read layouts (reference from_ngff_zarr.py:38-307):
+    0.1/0.2 have no axes; 0.3 axes are name strings; none carry
+    coordinateTransformations."""
+
+    V02_ATTRS = {
+        "multiscales": [
+            {"version": "0.2", "datasets": [{"path": "0"}, {"path": "1"}], "name": "old"}
+        ]
+    }
+    V03_ATTRS = {
+        "multiscales": [
+            {
+                "version": "0.3",
+                "axes": ["t", "c", "z", "y", "x"],
+                "datasets": [{"path": "0"}],
+            }
+        ]
+    }
+
+    def test_parse_v02_implicit_axes(self):
+        from ngff_zarr_spark.metadata import parse_group_attributes
+
+        meta, version = parse_group_attributes(self.V02_ATTRS)
+        assert version == "0.2"
+        assert [a.name for a in meta.axes] == ["t", "c", "z", "y", "x"]
+        assert [a.type for a in meta.axes] == ["time", "channel", "space", "space", "space"]
+        assert [d.path for d in meta.datasets] == ["0", "1"]
+        assert meta.datasets[0].coordinateTransformations == []
+
+    def test_parse_v03_string_axes(self):
+        from ngff_zarr_spark.metadata import parse_group_attributes
+
+        meta, version = parse_group_attributes(self.V03_ATTRS)
+        assert version == "0.3"
+        assert [a.name for a in meta.axes] == ["t", "c", "z", "y", "x"]
+        assert meta.axes[0].unit is None
+
+    def test_validate_old_layouts_green(self):
+        from ngff_zarr_spark.validate import validate
+
+        assert validate(self.V02_ATTRS) == []
+        assert validate(self.V03_ATTRS) == []
+
+    def test_validate_04_still_strict(self):
+        from ngff_zarr_spark.validate import validate
+
+        bad_04 = {
+            "multiscales": [
+                {"version": "0.4", "axes": ["y", "x"], "datasets": [{"path": "0"}]}
+            ]
+        }
+        problems = validate(bad_04)
+        assert any("must be objects" in p for p in problems)
+        assert any("coordinateTransformations" in p for p in problems)
+
+    def test_parse_omero_min_max_only(self):
+        from ngff_zarr_spark.metadata import parse_group_attributes
+
+        attrs = {
+            "multiscales": [{"version": "0.2", "datasets": [{"path": "0"}]}],
+            "omero": {"channels": [{"window": {"min": 0, "max": 255}}]},
+        }
+        meta, _ = parse_group_attributes(attrs)
+        w = meta.omero.channels[0].window
+        assert (w.min, w.max, w.start, w.end) == (0.0, 255.0, 0.0, 255.0)
+
+    def test_read_v02_store_end_to_end(self, spark, tmp_path):
+        """A flat 0.2-layout store (paths '0', no axes, 5-D arrays, no
+        transforms) reads into a Multiscales with implicit dims and
+        default scale/translation."""
+        from ngff_zarr_spark.ome_zarr_api import from_ngff_zarr
+
+        store = ZarrStore(str(tmp_path / "old.zarr"))
+        vol = np.arange(1 * 1 * 2 * 4 * 5, dtype=np.int32).reshape(1, 1, 2, 4, 5)
+        meta = ZarrArrayMeta(
+            path="0", shape=vol.shape, chunks=vol.shape, dtype=np.dtype("int32"),
+            compressor="gzip", zarr_format=2, dimension_separator=".",
+        )
+        attrs = {
+            "multiscales": [
+                {"version": "0.2", "datasets": [{"path": "0"}], "name": "old"}
+            ]
+        }
+        store.write_group("", attrs, 2)
+        store.write_array_meta(meta)
+        # legacy stores also predate the dimension_separator field
+        doc = store.get_json("0/.zarray")
+        doc.pop("dimension_separator", None)
+        store.put_json("0/.zarray", doc)
+        store.write_chunk(meta, (0, 0, 0, 0, 0), vol)
+        ms = from_ngff_zarr(spark, str(tmp_path / "old.zarr"), validate=True)
+        img = ms.images[0]
+        assert img.dims == ["t", "c", "z", "y", "x"]
+        assert img.scale == {d: 1.0 for d in img.dims}
+        got = {(r.z, r.y, r.x): r.v for r in img.data.collect()}
+        assert got[(1, 3, 4)] == float(vol[0, 0, 1, 3, 4])
+
+
 class TestLabelDownsampleLinear:
     """A3 ported algorithm: linear label interpolation at the resample
     point f*k + (f-1)/2 → only the per-dim center voxels vote."""
