@@ -52,11 +52,13 @@ QUERIES = {
     "a2_bin_shrink": bench_bin_shrink,
     "a1_gaussian": bench_gaussian,
     "dedup_minhash": gate.q_dedup_minhash,
+    "dedup_clusters": gate.q_dedup_clusters,
     "dedup_exact": gate.q_dedup_exact,
     "text_quality": gate.q_text_quality,
     "text_lang_id": gate.q_text_lang_id,
     "ann_cosine_topk": gate.q_ann_cosine_topk,
     "ann_lsh_topk": gate.q_ann_lsh_topk,
+    "ann_ivf_topk": gate.q_ann_ivf_topk,
     "emb_near_dup_lsh": gate.q_emb_near_dup_lsh,
     "multimodal_features": gate.q_multimodal_features,
     "events_sessionize": gate.q_events_sessionize,

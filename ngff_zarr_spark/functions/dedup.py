@@ -184,6 +184,80 @@ def minhash_candidates(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → duplicate
+    clusters: (doc_id, cluster_id) where cluster_id is the SMALLEST
+    doc_id reachable through the pair graph. This is the step that
+    turns pairwise candidates into dedup decisions (keep one doc per
+    cluster) — the standard tail of a MinHash/LSH pipeline.
+
+    Algorithm: hash-min label propagation. Every node starts labeled
+    with its own id; each round propagates the minimum label across
+    edges (one shuffle per round: edges join labels, groupBy min). The
+    round count is bounded by the graph diameter, which for near-dup
+    clusters is tiny (duplicates of one source form near-cliques:
+    diameter ≤ 2-3 in practice); ``max_iters`` is a hard stop and the
+    loop exits EARLY via one cheap count when no label changed.
+
+    100 TB posture: labels are (doc_id, long) pairs — never the text;
+    each iteration is edge-count-bounded work; candidate pairs are
+    already collision-bounded by the LSH band join feeding this. The
+    alternating large-star/small-star optimization (Kiveris et al.)
+    halves rounds on adversarial graphs but near-dup graphs never need
+    it — diameter stays small because duplicate groups are dense.
+
+    Returns every doc that appears in ≥1 pair with its cluster label
+    (singletons are by definition not duplicates — callers keep them)."""
+    # edges are reused every round and labels feed round i+1 from round
+    # i: materialize both (localCheckpoint truncates the lineage, which
+    # would otherwise double per iteration and re-run the LSH candidate
+    # generation each round; on a production cluster with fault-
+    # tolerance needs, swap for checkpoint() on reliable storage)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # candidate label per node = min(own, min over neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("u", "w"), "w")
+            .select("u", "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """End-to-end dedup decision: drop every doc whose cluster
+    representative (smallest doc_id in its connected component) is a
+    different doc. Returns the surviving documents — the 'keep' set a
+    training-data pipeline feeds downstream. Anti-join on the small
+    (doc_id, cluster) label table; document text shuffles nowhere."""
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """SimHash signature per document: bit b is set when the sum over
     tokens of ±1 (sign of bit b of the token hash) is positive. 60 bits

@@ -261,6 +261,136 @@ def lsh_bucket_topk(
     )
 
 
+def _centroids(emb: DataFrame, n_cells: int):
+    """Deterministic coarse-quantizer centroids: the n_cells lowest-id
+    vectors (collected once at plan time — n_cells rows) plus their
+    norms computed with the SAME sequential left-to-right accumulation
+    the SQL twin uses (dim=64 < numpy's pairwise-summation threshold of
+    128, so np.add.reduce is sequential)."""
+    rows = emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
+    C = np.array(
+        [r.embedding for r in sorted(rows, key=lambda r: r.vec_id)], dtype=np.float64
+    )
+    Cn = np.sqrt(np.add.reduce(C * C, axis=1))
+    return C, Cn
+
+
+def _cell_dots(e, C: np.ndarray, Cn: np.ndarray) -> np.ndarray:
+    """Rounded cosine-to-centroid matrix for a batch: sequential
+    per-position accumulation (matches SQL SUM order), divide by the
+    centroid norm, round to 6 decimals. |v| is constant per row so it
+    never affects the argmax/probe ORDER and is omitted — identical on
+    the oracle side."""
+    E = np.array(list(e.values), dtype=np.float64)
+    n, dim = E.shape
+    proj = np.zeros((n, C.shape[0]), dtype=np.float64)
+    for i in range(dim):
+        proj += E[:, i : i + 1] * C[None, :, i][0]
+    return np.round(proj / Cn[None, :], 6)
+
+
+def ivf_cells(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = 16,
+) -> DataFrame:
+    """IVF coarse quantization: (vec_id, cell) — assign every vector to
+    its nearest centroid by cosine. Centroids here are the ``n_cells``
+    lowest-id vectors, unit-normalized (a deterministic, oracle-twin
+    choice; production swaps in offline k-means centroids — the
+    assignment/probe plans are identical). Because centroids are unit
+    vectors, cosine argmax == dot-product argmax: no corpus norms
+    needed at assignment time.
+
+    One Arrow-vectorized pass computes all n_cells dots per batch
+    (numpy matmul); dots are rounded to 6 decimals and ties break to
+    the lowest cell so the DuckDB twin sorts identically. Scale: cell
+    count ~ sqrt(n) keeps cells ~sqrt(n) wide; the assignment pass is a
+    single map stage (no shuffle)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import spread
+
+    C, Cn = _centroids(emb, n_cells)
+
+    @pandas_udf("long")
+    def cell_of(e: pd.Series) -> pd.Series:
+        dots = _cell_dots(e, C, Cn)
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int64))
+
+    return spread(emb).select("vec_id", cell_of(F.col("embedding")).alias("cell"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the ``n_probe`` nearest cells
+    per query, exact-cosine re-rank only the vectors in those cells.
+    Returns (query_id, rank, neighbor_id, cosine).
+
+    The scale path next to LSH (`lsh_bucket_topk`): where LSH buckets
+    by random hyperplanes, IVF partitions by data-derived centroids —
+    at 10^9 vectors an IVF list is also the natural PHYSICAL partition
+    (write the corpus bucketed by cell and a probe reads n_probe/n_cells
+    of the data; the cell column is the partition key). Probe factor
+    n_probe/n_cells is the recall/cost knob."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import spread
+
+    C, Cn = _centroids(emb, n_cells)
+
+    @pandas_udf("array<long>")
+    def probe_cells(e: pd.Series) -> pd.Series:
+        dots = _cell_dots(e, C, Cn)
+        # order by (dot desc, cell asc): stable argsort on -dot
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    cells = ivf_cells(emb, dim, n_cells)
+    e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
+    qemb = emb.filter(F.col("vec_id").isin(query_ids))
+    qprobe = qemb.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+    )
+    cand_ids = (
+        cells.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = qemb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        _norm().alias("qnorm"),
+    )
+    scored = (
+        cand_ids.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qemb")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     dim: int = 64,

@@ -59,6 +59,8 @@ CHUNKS3D = {"z": 16, "y": 32, "x": 32}
 DTYPE_BYTES = 2  # uint16 logical dtype of img3d
 ANN_K = 5
 EMB_DIM = 64
+IVF_CELLS = 16
+IVF_PROBE = 4
 NEAR_DUP_COS = 0.38
 SESSION_GAP_S = 1800.0
 TPCH_Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -574,6 +576,21 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_candidates(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash/LSH candidate pairs →
+    duplicate clusters (hash-min label propagation; oracle = recursive
+    transitive closure in DuckDB)."""
+    return D.duplicate_clusters(D.minhash_candidates(_docs(spark, sf_dir)))
+
+
+def q_dedup_keep(spark, sf_dir):
+    """End-to-end dedup decision: the surviving doc_id set after
+    dropping every non-representative member of each duplicate
+    cluster."""
+    docs = _docs(spark, sf_dir)
+    return D.dedup_keep_representatives(docs, D.minhash_candidates(docs)).select("doc_id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -624,6 +641,16 @@ def q_emb_near_dup_lsh(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via LSH band buckets + exact re-rank."""
     return S.lsh_bucket_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k: deterministic coarse quantizer
+    (lowest-id centroids), n_probe nearest cells per query, exact
+    cosine re-rank of the probed cells only."""
+    return S.ivf_topk(
+        _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -828,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
@@ -838,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,

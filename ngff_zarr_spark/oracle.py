@@ -416,6 +416,30 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.125"""
 
 
+def sql_dedup_clusters():
+    # transitive closure by recursive CTE over the SAME candidate pairs
+    # the Spark side feeds its hash-min propagation; cluster label =
+    # smallest reachable doc_id
+    return f"""WITH RECURSIVE pairs AS ({sql_dedup_minhash()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u"""
+
+
+def sql_dedup_keep():
+    return f"""WITH clusters AS ({sql_dedup_clusters()})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"""
+
+
 def sql_dedup_simhash():
     h = H64.format(s="tok")
     return f"""WITH {_toks_cte(lower=True)},
@@ -583,6 +607,62 @@ bb AS (
          CAST(SUM(CASE WHEN proj > 0 THEN (1 << CAST(plane % {_BP} AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY 1, 2
 )"""
+
+
+def sql_ann_ivf_topk():
+    # IVF-flat twin: centroids = lowest-id vectors; assignment/probe by
+    # rounded dot with the (norm-divided) centroid — |v| is constant
+    # per row so it cannot change the per-vector ORDER over cells and
+    # is omitted on both sides; re-rank = the exact rounded cosine.
+    from .gate import IVF_CELLS, IVF_PROBE
+
+    return f"""WITH {_UNROLL},
+cent AS (
+  SELECT vec_id AS cell, embedding, norm FROM u WHERE vec_id < {IVF_CELLS}
+),
+adots AS (
+  SELECT e.vec_id, ct.cell,
+         round(SUM(CAST(e.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)
+                   * CAST(ct.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) / ct.norm, 6) AS dot
+  FROM embeddings e CROSS JOIN cent ct CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY e.vec_id, ct.cell, ct.norm
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots WHERE vec_id < 10
+  ) WHERE rn <= {IVF_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM cells c JOIN probes p USING (cell)
+  WHERE c.vec_id != p.query_id
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, q.norm AS qn, c.norm AS cn,
+         SUM(CAST(c.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)
+             * CAST(q.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+  FROM cand cd
+  JOIN u q ON q.vec_id = cd.query_id
+  JOIN u c ON c.vec_id = cd.neighbor_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2, 3, 4
+),
+rk AS (
+  SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM rk WHERE rank <= {ANN_K}"""
 
 
 def sql_ann_lsh_topk():
@@ -802,6 +882,8 @@ def oracles() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),
         "dedup_minhash": sql_dedup_minhash(),
+        "dedup_clusters": sql_dedup_clusters(),
+        "dedup_keep": sql_dedup_keep(),
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_ngram_jaccard_capped": sql_dedup_ngram_jaccard(max_df=20),
@@ -812,6 +894,7 @@ def oracles() -> dict[str, str]:
         "text_winnow": sql_text_winnow(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_ivf_topk": sql_ann_ivf_topk(),
         "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
         "multimodal_features": sql_multimodal_features(),
         "events_hourly": sql_events_hourly(),

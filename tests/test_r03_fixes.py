@@ -451,6 +451,58 @@ class TestAutoLshAndMaxDf:
         assert DEFAULT_MAX_DF == 10_000
 
 
+class TestClustersAndIvf:
+    def test_duplicate_clusters_hand_graph(self, spark):
+        from ngff_zarr_spark.functions.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_graph_converges(self, spark):
+        """Path graph 0-1-…-9: worst case for hash-min (label moves one
+        hop per round); must converge inside max_iters with early exit."""
+        from ngff_zarr_spark.functions.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+        assert len(got) == 10 and set(got.values()) == {0}
+
+    def test_keep_representatives(self, spark):
+        from ngff_zarr_spark.functions.dedup import dedup_keep_representatives
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+        kept = sorted(r.doc_id for r in dedup_keep_representatives(docs, pairs).collect())
+        assert kept == [0, 1, 2, 4]  # 3 and 5 fold into representative 0
+
+    def test_ivf_recall_vs_exact(self, spark, sf_dir):
+        """IVF with 4/16 probes finds most exact top-3 neighbors; exact
+        re-rank means every returned cosine equals the true cosine."""
+        from ngff_zarr_spark.functions.similarity import cosine_topk, ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = [0, 1, 2, 3]
+        exact = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in cosine_topk(emb, qs, k=3).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in ivf_topk(emb, qs, k=3).collect()
+        }
+        hits = set(exact) & set(approx)
+        assert len(hits) / len(exact) >= 0.5
+        for key in hits:
+            assert exact[key] == approx[key]
+
+
 class _Deny403Handler(SimpleHTTPRequestHandler):
     def log_message(self, *a):
         pass
