@@ -811,6 +811,293 @@ def q_s18_hcs_store_read(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Gates for the formerly test-only surfaces (r03): driver-side adapters
+# and streaming, each with an independent oracle — VALUES literals for
+# pure metadata functions, recomputed-formula SQL for data paths.
+
+
+def q_s14_itk_adapter(spark, sf_dir):
+    """S14/S15 data path: dict-shaped ITK image (data + xyz-ordered
+    spacing/origin) → NgffImage; returns pixels WITH physical
+    coordinates so the reversed spacing/origin mapping is value-checked
+    (reference itk_image_to_ngff_image.py:11-82)."""
+    import numpy as np
+
+    from .ingest.itk import itk_image_to_ngff_image
+
+    z, y, x = np.indices((3, 4, 5))
+    arr = ((z * 73 + y * 179 + x * 283) % 251).astype("float64")
+    itk_img = {
+        "data": arr,
+        "spacing": [0.5, 0.75, 2.0],   # ITK order: (x, y, z)
+        "origin": [1.0, 2.0, 3.0],
+        "name": "itk-gate",
+    }
+    img = itk_image_to_ngff_image(spark, itk_img)
+    s, t = img.scale, img.translation
+    return img.data.select(
+        "z", "y", "x",
+        F.col("v").cast("long").alias("v"),
+        (F.col("z") * s["z"] + t["z"]).alias("pz"),
+        (F.col("y") * s["y"] + t["y"]).alias("py"),
+        (F.col("x") * s["x"] + t["x"]).alias("px"),
+    )
+
+
+def q_s17_omero_nifti(spark, sf_dir):
+    """S17: OMERO display window from NIfTI cal_min/cal_max + data
+    range (reference nibabel_image_to_ngff_image.py:183-239). Oracle
+    recomputes the data min/max from the same integer formula."""
+    import numpy as np
+
+    from .ingest.nifti import extract_omero_metadata, read_nifti, write_nifti
+
+    nx, ny, nz = NIFTI_SHAPE
+    path = _tmp_store("omero.nii.gz")
+    xi, yi, zi = np.indices((nx, ny, nz))
+    arr = ((xi * 283 + yi * 179 + zi * 73) % 251).astype("uint16")
+    write_nifti(path, arr, cal_min=5.0, cal_max=200.0)
+    omero = extract_omero_metadata(read_nifti(path))
+    w = omero.channels[0].window
+    return spark.createDataFrame(
+        [(omero.channels[0].color, float(w.min), float(w.max), float(w.start), float(w.end))],
+        "color string, wmin double, wmax double, wstart double, wend double",
+    )
+
+
+def q_c8_rfc4_orientation(spark, sf_dir):
+    """C8: RFC-4 anatomical orientation maps (LPS = ITK default, RAS =
+    NIfTI world) as rows (reference rfc4.py value tables)."""
+    from .rfc4 import LPS, RAS
+
+    rows = [
+        (d, LPS[d].value, RAS[d].value, LPS[d].type)
+        for d in ("x", "y", "z")
+    ]
+    return spark.createDataFrame(rows, "axis string, lps string, ras string, otype string")
+
+
+def q_c9_version_roundtrip(spark, sf_dir):
+    """C9: 0.4 → 0.5 → 0.4 metadata conversion; each step's serialized
+    layout distilled to checkable fields (version key placement, axes,
+    dataset transforms survive)."""
+    import json as _json
+
+    from .metadata import convert_version, group_attributes, parse_group_attributes
+    from .model import Axis, Dataset, Metadata, ScaleTransform, TranslationTransform
+
+    meta = Metadata(
+        axes=[Axis("z", "space", unit="micrometer"), Axis("y", "space"), Axis("x", "space")],
+        datasets=[
+            Dataset(
+                path="scale0/image",
+                coordinateTransformations=[
+                    ScaleTransform([2.5, 1.4, 1.4]),
+                    TranslationTransform([332.5, 360.0, 0.0]),
+                ],
+            )
+        ],
+        name="conv",
+        version="0.4",
+    )
+    rows = []
+    steps = [
+        ("a04", group_attributes(meta, "0.4")),
+        ("a05", group_attributes(convert_version(meta, "0.5"), "0.5")),
+    ]
+    back, back_version = parse_group_attributes(steps[1][1])
+    steps.append(("back04", group_attributes(convert_version(back, "0.4"), "0.4")))
+    for step, attrs in steps:
+        ms = attrs["ome"]["multiscales"][0] if "ome" in attrs else attrs["multiscales"][0]
+        version = attrs["ome"]["version"] if "ome" in attrs else ms["version"]
+        rows.append(
+            (
+                step,
+                version,
+                ",".join(a["name"] for a in ms["axes"]),
+                ms["datasets"][0]["path"],
+                _json.dumps(ms["datasets"][0]["coordinateTransformations"][0]["scale"]),
+                _json.dumps(ms["datasets"][0]["coordinateTransformations"][1]["translation"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "step string, version string, axes string, ds_path string, ds_scale string, ds_translation string"
+    )
+
+
+def q_c10_method_provenance(spark, sf_dir):
+    """C10: method → (package, function) provenance records for every
+    registered downsampler (reference methods/_metadata.py:11-90).
+    Version string excluded (environment-dependent)."""
+    from .ome_zarr_api import METHODS, get_method_metadata
+
+    rows = []
+    for m in sorted(METHODS):
+        info = get_method_metadata(m)
+        rows.append((m, info["package"], info["function"]))
+    return spark.createDataFrame(rows, "method string, package string, function string")
+
+
+def q_c7_validate_battery(spark, sf_dir):
+    """C7: structural validation verdicts over a fixed battery of attr
+    documents spanning 0.2/0.3/0.4 layouts and broken variants."""
+    from .validate import validate
+
+    battery = {
+        "v02_ok": {"multiscales": [{"version": "0.2", "datasets": [{"path": "0"}]}]},
+        "v03_ok": {
+            "multiscales": [
+                {"version": "0.3", "axes": ["z", "y", "x"], "datasets": [{"path": "0"}]}
+            ]
+        },
+        "v04_ok": {
+            "multiscales": [
+                {
+                    "version": "0.4",
+                    "axes": [
+                        {"name": "y", "type": "space"},
+                        {"name": "x", "type": "space"},
+                    ],
+                    "datasets": [
+                        {
+                            "path": "0",
+                            "coordinateTransformations": [
+                                {"type": "scale", "scale": [1.0, 1.0]}
+                            ],
+                        }
+                    ],
+                }
+            ]
+        },
+        "v04_no_transforms": {
+            "multiscales": [
+                {
+                    "version": "0.4",
+                    "axes": [{"name": "y", "type": "space"}, {"name": "x", "type": "space"}],
+                    "datasets": [{"path": "0"}],
+                }
+            ]
+        },
+        "v04_bad_axis": {
+            "multiscales": [
+                {
+                    "version": "0.4",
+                    "axes": [{"name": "q", "type": "space"}, {"name": "x", "type": "space"}],
+                    "datasets": [
+                        {
+                            "path": "0",
+                            "coordinateTransformations": [
+                                {"type": "scale", "scale": [1.0, 1.0]}
+                            ],
+                        }
+                    ],
+                }
+            ]
+        },
+        "empty": {},
+    }
+    rows = [(k, len(validate(v))) for k, v in sorted(battery.items())]
+    return spark.createDataFrame(rows, "doc string, n_problems int")
+
+
+def q_t2_t3_callbacks(spark, sf_dir):
+    """T2/T3: progress events and computed callbacks from a real
+    2-level pyramid write — deterministic event stream."""
+    from .model import NgffImage
+    from .ome_zarr_api import NgffProgress, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    store = _tmp_store("callbacks.ome.zarr")
+    spec = FX.ImageSpec("cb", z=4, y=8, x=8)
+    fired = []
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 4, "y": 8, "x": 8},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+        computed_callbacks=[lambda: fired.append("base")],
+    )
+    ms = _tm(img, scale_factors=[{"z": 2, "y": 2, "x": 2}], chunks={"z": 4, "y": 8, "x": 8})
+    progress = NgffProgress()
+    _tz(store, ms, version="0.4", progress=progress)
+    rows = [
+        (str(ev[0]), str(ev[1]), int(ev[2]), int(ev[3]))
+        for ev in progress.events
+        if ev[0] == "update"
+    ] + [("callback", f, len(fired), len(fired)) for f in fired]
+    return spark.createDataFrame(rows, "kind string, what string, a int, b int")
+
+
+def q_t1_stream_pixels(spark, sf_dir):
+    """T1: incremental acquisition stream (foreachBatch availableNow)
+    writes a well image; the gate returns the STORE-READ pixels of the
+    streamed field — oracle recomputes the fixture formula."""
+    import shutil
+
+    from .hcs import Plate, PlateColumn, PlateRow, PlateWell, to_hcs_zarr
+    from .model import NgffImage
+    from .ome_zarr_api import read_image, to_multiscales as _tm
+    from .streaming.pipeline import incremental_well_write_stream, write_manifest
+
+    store = _tmp_store("stream.ome.zarr")
+    manifests = _tmp_store("stream_manifests")
+    ckpt = _tmp_store("stream_ckpt")
+    for p in (store, manifests, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    plate = Plate(
+        columns=[PlateColumn("1")],
+        rows=[PlateRow("A")],
+        wells=[PlateWell("A/1", 0, 0)],
+        name="Stream Gate",
+    )
+    to_hcs_zarr(plate, store)
+    spec = FX.ImageSpec("sg", z=4, y=8, x=8)
+
+    def field_ms(row, col, fi):
+        img = NgffImage(
+            data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+            dims=["z", "y", "x"],
+            shape={"z": 4, "y": 8, "x": 8},
+            scale={"z": 1.0, "y": 1.0, "x": 1.0},
+            translation={"z": 0.0, "y": 0.0, "x": 0.0},
+        )
+        return _tm(img, scale_factors=[], chunks={"z": 4, "y": 8, "x": 8})
+
+    write_manifest(manifests, "A", "1", 0)
+    q = incremental_well_write_stream(
+        spark, manifests, store, plate, field_ms, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    return read_image(spark, store, "A/1/0/scale0/image").select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_events_hourly_stream(spark, sf_dir):
+    """Structured Streaming twin of events_hourly: readStream over the
+    same parquet, availableNow drain into an in-memory sink; oracle is
+    the batch SQL — stream == batch is the correctness claim."""
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import streaming_events_hourly
+
+    events_dir = _tmp_store("stream_events")
+    ckpt = _tmp_store("stream_events_ckpt")
+    shutil.rmtree(events_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    import os
+
+    os.makedirs(events_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(events_dir, "events.parquet"))
+    table = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    agg, start = streaming_events_hourly(spark, events_dir, ckpt)
+    q = start(table)
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {table}")
+
+
 def q_j3_well_catalog(spark, sf_dir):
     cat = synthesize_plate(spark, PlateSpec())
     return well_image_catalog(cat["wells"], cat["well_images"])
@@ -871,7 +1158,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
         "events_sessionize": q_events_sessionize,
+        "s14_itk_adapter": q_s14_itk_adapter,
+        "s17_omero_nifti": q_s17_omero_nifti,
+        "c8_rfc4_orientation": q_c8_rfc4_orientation,
+        "c9_version_roundtrip": q_c9_version_roundtrip,
+        "c10_method_provenance": q_c10_method_provenance,
+        "c7_validate_battery": q_c7_validate_battery,
+        "t2_t3_callbacks": q_t2_t3_callbacks,
+        "t1_stream_pixels": q_t1_stream_pixels,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,

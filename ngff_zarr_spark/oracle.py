@@ -416,6 +416,92 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.125"""
 
 
+def sql_s14_itk_adapter():
+    # deterministic 3x4x5 ITK fixture: v = (z*73+y*179+x*283) % 251,
+    # spacing (x,y,z)=(0.5,0.75,2.0) origin (1,2,3) — physical coords
+    # recomputed straight from the mapping the adapter must implement
+    return """SELECT z, y, x,
+       CAST((z*73 + y*179 + x*283) % 251 AS BIGINT) AS v,
+       CAST(z*2.0 + 3.0 AS DOUBLE) AS pz,
+       CAST(y*0.75 + 2.0 AS DOUBLE) AS py,
+       CAST(x*0.5 + 1.0 AS DOUBLE) AS px
+FROM (
+  SELECT CAST(i // 20 AS BIGINT) AS z,
+         CAST((i // 5) % 4 AS BIGINT) AS y,
+         CAST(i % 5 AS BIGINT) AS x
+  FROM range(60) r(i)
+)"""
+
+
+def sql_s17_omero_nifti():
+    # window min/max = data range of the NIfTI formula volume;
+    # start/end = the cal_min/cal_max literals the fixture writes
+    nx, ny, nz = 13, 11, 7
+    return f"""WITH v AS (
+  SELECT CAST(((i % {nx})*283 + ((i // {nx}) % {ny})*179 + (i // {nx * ny})*73) % 251 AS DOUBLE) AS val
+  FROM range({nx * ny * nz}) r(i)
+)
+SELECT 'FFFFFF' AS color, MIN(val) AS wmin, MAX(val) AS wmax,
+       CAST(5.0 AS DOUBLE) AS wstart, CAST(200.0 AS DOUBLE) AS wend
+FROM v"""
+
+
+def sql_c8_rfc4_orientation():
+    return """SELECT * FROM (VALUES
+  ('x', 'right-to-left', 'left-to-right', 'anatomical'),
+  ('y', 'anterior-to-posterior', 'posterior-to-anterior', 'anatomical'),
+  ('z', 'inferior-to-superior', 'inferior-to-superior', 'anatomical')
+) AS t(axis, lps, ras, otype)"""
+
+
+def sql_c9_version_roundtrip():
+    row = "'z,y,x', 'scale0/image', '[2.5, 1.4, 1.4]', '[332.5, 360.0, 0.0]'"
+    return f"""SELECT * FROM (VALUES
+  ('a04', '0.4', {row}),
+  ('a05', '0.5', {row}),
+  ('back04', '0.4', {row})
+) AS t(step, version, axes, ds_path, ds_scale, ds_translation)"""
+
+
+def sql_c10_method_provenance():
+    return """SELECT * FROM (VALUES
+  ('DASK_IMAGE_GAUSSIAN', 'ngff_zarr_spark', 'gaussian_downsample[sampled]'),
+  ('DASK_IMAGE_MODE', 'ngff_zarr_spark', 'mode_downsample'),
+  ('DASK_IMAGE_NEAREST', 'ngff_zarr_spark', 'nearest'),
+  ('ITKWASM_BIN_SHRINK', 'ngff_zarr_spark', 'bin_shrink'),
+  ('ITKWASM_GAUSSIAN', 'ngff_zarr_spark', 'gaussian_downsample[itk_bessel]'),
+  ('ITKWASM_LABEL_IMAGE', 'ngff_zarr_spark', 'label_downsample'),
+  ('ITK_BIN_SHRINK', 'ngff_zarr_spark', 'bin_shrink'),
+  ('ITK_GAUSSIAN', 'ngff_zarr_spark', 'gaussian_downsample[itk_bessel]')
+) AS t(method, package, function)"""
+
+
+def sql_c7_validate_battery():
+    return """SELECT doc, CAST(n_problems AS INTEGER) AS n_problems FROM (VALUES
+  ('empty', 1),
+  ('v02_ok', 0),
+  ('v03_ok', 0),
+  ('v04_bad_axis', 1),
+  ('v04_no_transforms', 1),
+  ('v04_ok', 0)
+) AS t(doc, n_problems)"""
+
+
+def sql_t2_t3_callbacks():
+    return """SELECT kind, what, CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b FROM (VALUES
+  ('update', 'scale0', 0, 2),
+  ('update', 'scale1', 1, 2),
+  ('callback', 'base', 1, 1)
+) AS t(kind, what, a, b)"""
+
+
+def sql_t1_stream_pixels():
+    from .fixtures import ImageSpec
+
+    return f"""WITH {pixel_cte_sql(ImageSpec("sg", z=4, y=8, x=8))}
+SELECT t, c, z, y, x, v FROM P"""
+
+
 def sql_dedup_clusters():
     # transitive closure by recursive CTE over the SAME candidate pairs
     # the Spark side feeds its hash-min propagation; cluster label =
@@ -898,6 +984,15 @@ def oracles() -> dict[str, str]:
         "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
         "multimodal_features": sql_multimodal_features(),
         "events_hourly": sql_events_hourly(),
+        "events_hourly_stream": sql_events_hourly(),
+        "s14_itk_adapter": sql_s14_itk_adapter(),
+        "s17_omero_nifti": sql_s17_omero_nifti(),
+        "c8_rfc4_orientation": sql_c8_rfc4_orientation(),
+        "c9_version_roundtrip": sql_c9_version_roundtrip(),
+        "c10_method_provenance": sql_c10_method_provenance(),
+        "c7_validate_battery": sql_c7_validate_battery(),
+        "t2_t3_callbacks": sql_t2_t3_callbacks(),
+        "t1_stream_pixels": sql_t1_stream_pixels(),
         "events_sessionize": sql_events_sessionize(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
