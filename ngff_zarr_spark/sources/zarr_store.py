@@ -217,6 +217,10 @@ class ZarrArrayMeta:
     # but READS either, honoring the stored ``dimension_separator`` /
     # ``chunk_key_encoding`` field.
     dimension_separator: str = "/"
+    # zarr v3 chunk_key_encoding NAME: "default" prefixes keys with
+    # "c<sep>"; "v2" uses bare v2-style keys (separator default "."
+    # under that encoding). Read-side tolerance; writes stay "default".
+    key_encoding: str = "default"
 
     @property
     def chunk_grid(self) -> tuple[int, ...]:
@@ -247,13 +251,15 @@ class ZarrArrayMeta:
             sidx, _ = self.shard_index_of(idx)
             return self.shard_key(sidx)
         sep = self.dimension_separator
-        if self.zarr_format == 3:
+        if self.zarr_format == 3 and self.key_encoding != "v2":
             # v3 "default" chunk_key_encoding: c<sep><i0><sep><i1>…
             return f"{self.path}/c{sep}" + sep.join(str(i) for i in idx)
         return f"{self.path}/" + sep.join(str(i) for i in idx)
 
     def shard_key(self, sidx: tuple[int, ...]) -> str:
         sep = self.dimension_separator
+        if self.key_encoding == "v2":
+            return f"{self.path}/" + sep.join(str(i) for i in sidx)
         return f"{self.path}/c{sep}" + sep.join(str(i) for i in sidx)
 
     def chunk_origin(self, idx: tuple[int, ...]) -> tuple[int, ...]:
@@ -451,8 +457,9 @@ class StoreBase:
                 comp = compressor_from_v3_codecs(codecs)
                 chunks = grid_chunks
             cke = doc.get("chunk_key_encoding", {}) or {}
+            encoding = cke.get("name", "default")
             sep = (cke.get("configuration") or {}).get(
-                "separator", "." if cke.get("name") == "v2" else "/"
+                "separator", "." if encoding == "v2" else "/"
             )
             return ZarrArrayMeta(
                 path=path,
@@ -465,6 +472,7 @@ class StoreBase:
                 dimension_names=doc.get("dimension_names"),
                 chunks_per_shard=cps,
                 dimension_separator=sep,
+                key_encoding=encoding,
             )
         doc = self.get_json(f"{path}/.zarray")
         comp = compressor_from_v2_json(doc.get("compressor"))

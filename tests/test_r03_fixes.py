@@ -104,6 +104,34 @@ class TestDimensionSeparator:
         assert back.dimension_separator == "."
         assert np.array_equal(_read_all(store, back), vol)
 
+    def test_v3_v2_key_encoding(self, tmp_path):
+        """zarr v3 with chunk_key_encoding name 'v2': bare keys without
+        the c/ prefix, separator default '.' under that encoding."""
+        import json
+
+        store = ZarrStore(str(tmp_path / "v3v2.zarr"))
+        vol = np.arange(4 * 4, dtype=np.int32).reshape(4, 4)
+        meta = ZarrArrayMeta(
+            path="a", shape=(4, 4), chunks=(2, 2), dtype=np.dtype("int32"),
+            compressor=None, zarr_format=3,
+        )
+        store.write_array_meta(meta)
+        doc = store.get_json("a/zarr.json")
+        doc["chunk_key_encoding"] = {"name": "v2"}
+        store.put_json("a/zarr.json", doc)
+        back = store.read_array_meta("a", 3)
+        assert back.key_encoding == "v2" and back.dimension_separator == "."
+        assert back.chunk_key((1, 0)) == "a/1.0"
+        for iy in range(2):
+            for ix in range(2):
+                store.write_chunk(back, (iy, ix), vol[iy*2:(iy+1)*2, ix*2:(ix+1)*2])
+        assert (tmp_path / "v3v2.zarr/a/0.1").exists()
+        out = np.zeros((4, 4), dtype=np.int32)
+        for iy in range(2):
+            for ix in range(2):
+                out[iy*2:(iy+1)*2, ix*2:(ix+1)*2] = store.read_chunk(back, (iy, ix))
+        assert np.array_equal(out, vol)
+
     def test_datasource_reads_dot_store(self, spark, tmp_path):
         from ngff_zarr_spark.ome_zarr_api import read_image
 
