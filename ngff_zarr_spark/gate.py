@@ -700,6 +700,28 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_session_window(spark, sf_dir):
+    """Sessionization with Spark's native ``session_window`` operator —
+    the structured-streaming-capable form (the same expression runs
+    under readStream with a watermark; test_streaming proves stream ==
+    batch). Session = events within 30-min gaps; window end = last
+    event + gap. Timestamps stay exact: ns → µs integer division, µs
+    back out via unix_micros."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("t")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("t", f"{int(SESSION_GAP_S)} seconds"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= TPCH_Q1_CUTOFF)
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -1160,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
         "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
         "s14_itk_adapter": q_s14_itk_adapter,
         "s17_omero_nifti": q_s17_omero_nifti,
         "c8_rfc4_orientation": q_c8_rfc4_orientation,

@@ -839,6 +839,30 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_ev
 FROM g GROUP BY 1"""
 
 
+def sql_events_session_window():
+    # session windows by 30-min gap: session id = running sum of gap
+    # breaks; start = first event, end = last event + gap (Spark
+    # session_window semantics). µs integer arithmetic throughout.
+    return """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
 def sql_tpch_q1():
     return f"""SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -985,6 +1009,7 @@ def oracles() -> dict[str, str]:
         "multimodal_features": sql_multimodal_features(),
         "events_hourly": sql_events_hourly(),
         "events_hourly_stream": sql_events_hourly(),
+        "events_session_window": sql_events_session_window(),
         "s14_itk_adapter": sql_s14_itk_adapter(),
         "s17_omero_nifti": sql_s17_omero_nifti(),
         "c8_rfc4_orientation": sql_c8_rfc4_orientation(),

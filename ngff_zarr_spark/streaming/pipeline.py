@@ -113,7 +113,9 @@ def streaming_events_hourly(
     schema = "event_id long, user_id long, ts long, event_type string, value double"
     ev = spark.readStream.schema(schema).parquet(events_dir)
     with_time = ev.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # exact integer `div`: ns longs exceed double's 2^53 range, so
+        # `/`+cast can land ±1 µs off (breaks session identity equality)
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
     agg = (
         with_time.withWatermark("event_time", watermark)
@@ -133,6 +135,53 @@ def streaming_events_hourly(
     def start(sink_table: str):
         return (
             agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return agg, start
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = 1800,
+    watermark: str = "1 hour",
+):
+    """Streaming sessionization with Spark's native ``session_window``:
+    per-user sessions split by ``gap_s`` inactivity, watermarked for
+    late data. Append mode — a session row is emitted once the
+    watermark passes its end (the only correct streaming semantics for
+    sessions: they must be CLOSED before they are final). The batch
+    twin (gate events_session_window) runs the identical expression;
+    tests prove stream output == batch sessions closed before the
+    final watermark."""
+    schema = "event_id long, user_id long, ts long, event_type string, value double"
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    with_time = ev.withColumn(
+        # exact integer `div`: ns longs exceed double's 2^53 range, so
+        # `/`+cast can land ±1 µs off (breaks session identity equality)
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+    def start(sink_table: str):
+        return (
+            agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(sink_table)
             .option("checkpointLocation", checkpoint_dir)

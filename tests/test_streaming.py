@@ -125,3 +125,38 @@ def test_streaming_hourly_matches_batch(spark, tmp_path):
         for r in gate.q_events_hourly(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window under readStream: append-mode output equals
+    the batch sessions whose end precedes the final watermark."""
+    import shutil
+
+    from ngff_zarr_spark import gate
+    from ngff_zarr_spark.streaming.pipeline import streaming_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "events_sw"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+
+    agg, start = streaming_sessionize(
+        spark, str(events_dir), str(tmp_path / "ckpt_sw")
+    )
+    q = start("stream_sessions")
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.start_us, r.end_us): r.n_events
+        for r in spark.sql("select * from stream_sessions").collect()
+    }
+
+    batch = gate.q_events_session_window(spark, sf_dir).collect()
+    # final watermark = max event time - 1 hour delay
+    max_us = max(r.end_us - 1800 * 1_000_000 for r in batch)
+    want = {
+        (r.user_id, r.start_us, r.end_us): r.n_events
+        for r in batch
+        if r.end_us <= max_us - 3600 * 1_000_000
+    }
+    assert want, "fixture must close at least one session before the watermark"
+    assert got == want
