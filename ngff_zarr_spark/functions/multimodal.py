@@ -94,6 +94,126 @@ def image_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_image_pixels(docs: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFrame:
+    """Decode each document's PNG and nearest-neighbor resize to
+    (out_h, out_w): source pixel (y·h)//out_h, (x·w)//out_w — the
+    standard integer nearest mapping, fully SQL-recomputable. Returns
+    per-pixel rows (doc_id, y, x, v). Same Arrow plumbing as the
+    feature path; a production JPEG/WebP resize swaps the codec import
+    inside the UDF, nothing else."""
+    imgs = attach_images(docs)
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..ingest.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                arr = png_decode(bytes(blob))
+                h, w = arr.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = arr[np.ix_(ys, xs)]
+                for yy in range(out_h):
+                    for xx in range(out_w):
+                        rows.append((int(doc_id), yy, xx, int(small[yy, xx])))
+            yield pd.DataFrame(rows, columns=["doc_id", "y", "x", "v"])
+
+    return imgs.mapInPandas(rz, "doc_id long, y long, x long, v long")
+
+
+# deterministic fake video/audio parameters (shared with the oracle)
+FRAME_H, FRAME_W = 4, 4
+N_FRAMES_BASE, N_FRAMES_MOD = 6, 4      # n_frames = 6 + doc_id % 4
+VID_A, VID_F, VID_Y, VID_X, VID_MOD = 17, 11, 5, 2, 256
+AUD_LEN_BASE, AUD_LEN_MOD = 64, 17      # samples = 64 + doc_id % 17
+AUD_A, AUD_I, AUD_MOD = 37, 13, 2048    # sample = (doc*37 + i*13) % 2048
+
+
+def synth_video_bytes(doc_id: int, n_frames: int) -> bytes:
+    """Concatenated raw uint8 frames (a real container format would be
+    decoded by an executor-side library import — absent in this image,
+    so the payload is a deterministic raw stream with the SAME binary-
+    column + typed-metadata plumbing)."""
+    f, y, x = np.indices((n_frames, FRAME_H, FRAME_W))
+    frames = (doc_id * VID_A + f * VID_F + y * VID_Y + x * VID_X) % VID_MOD
+    return frames.astype("uint8").tobytes()
+
+
+def sample_video_frames(docs: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video columns: binary payload + typed n_frames metadata; frame
+    sampling (every ``every_n``-th frame) runs executor-side over the
+    byte stream — the frame STRIDE means a container with an index
+    (mp4 stbl) seeks, never decoding skipped frames. Emits per-sampled-
+    frame features (doc_id, frame, px_sum)."""
+    from .text import spread
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            nfs = [N_FRAMES_BASE + int(d) % N_FRAMES_MOD for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "video": [
+                        synth_video_bytes(int(d), nf) for d, nf in zip(ids, nfs)
+                    ],
+                }
+            )
+
+    vids = (
+        spread(docs)
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, n_frames long, video binary")
+    )
+
+    frame_bytes = FRAME_H * FRAME_W
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, nf, blob in zip(pdf["doc_id"], pdf["n_frames"], pdf["video"]):
+                raw = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(
+                    int(nf), FRAME_H, FRAME_W
+                )
+                for f in range(0, int(nf), every_n):
+                    rows.append((int(doc_id), f, int(raw[f].sum(dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame", "px_sum"])
+
+    return vids.mapInPandas(sample, "doc_id long, frame long, px_sum long")
+
+
+def audio_features(docs: DataFrame) -> DataFrame:
+    """Audio columns: int16-LE waveform payload; per-document features
+    (n_samples, sum of squares — the integer core of RMS) extracted
+    executor-side. Deterministic fake waveform; a real decoder (wav/
+    flac lib) slots into the same UDF."""
+    from .text import spread
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = AUD_LEN_BASE + d % AUD_LEN_MOD
+                wave = ((d * AUD_A + np.arange(n) * AUD_I) % AUD_MOD).astype("<i2")
+                rows.append((d, wave.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "audio"])
+
+    auds = spread(docs).select("doc_id").mapInPandas(gen, "doc_id long, audio binary")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                wave = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+                rows.append((int(doc_id), len(wave), int((wave * wave).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "sq_sum"])
+
+    return auds.mapInPandas(feats, "doc_id long, n_samples long, sq_sum long")
+
+
 def document_image_features(docs: DataFrame) -> DataFrame:
     """The full multimodal binding: attach image payloads, decode to
     features, join back to document text statistics — one row per

@@ -663,6 +663,30 @@ def q_multimodal_features(spark, sf_dir):
     return document_image_features(_docs(spark, sf_dir))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal: real PNG decode + nearest-neighbor resize to 4x4,
+    per-pixel rows; oracle recomputes the integer nearest mapping."""
+    from .functions.multimodal import resize_image_pixels
+
+    return resize_image_pixels(_docs(spark, sf_dir))
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Multimodal video: frame-sample every 2nd frame from the binary
+    payload, per-frame pixel sums."""
+    from .functions.multimodal import sample_video_frames
+
+    return sample_video_frames(_docs(spark, sf_dir))
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Multimodal audio: int16 waveform payload → (n_samples, sum of
+    squares) per document."""
+    from .functions.multimodal import audio_features
+
+    return audio_features(_docs(spark, sf_dir))
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling 1-hour event-time aggregate (the batch shape of the
     streaming windowed agg in streaming/pipeline.py)."""
@@ -1179,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio": q_multimodal_audio,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
         "events_sessionize": q_events_sessionize,

@@ -820,6 +820,59 @@ SELECT doc_id, n_chars, CAST(h AS BIGINT) AS img_h, CAST(w AS BIGINT) AS img_w,
 FROM px"""
 
 
+def sql_multimodal_resize():
+    from .functions.multimodal import H_BASE, H_MOD, PIX_A, PIX_MOD, PIX_X, PIX_Y, W_BASE, W_MOD
+
+    return f"""WITH dims AS (
+  SELECT doc_id, {H_BASE} + doc_id % {H_MOD} AS h, {W_BASE} + doc_id % {W_MOD} AS w
+  FROM documents
+)
+SELECT doc_id, CAST(yy.i AS BIGINT) AS y, CAST(xx.i AS BIGINT) AS x,
+       CAST((doc_id * {PIX_A} + ((yy.i * h) // 4) * {PIX_Y} + ((xx.i * w) // 4) * {PIX_X}) % {PIX_MOD} AS BIGINT) AS v
+FROM dims CROSS JOIN range(4) yy(i) CROSS JOIN range(4) xx(i)"""
+
+
+def sql_multimodal_frame_sample():
+    from .functions.multimodal import (
+        FRAME_H,
+        FRAME_W,
+        N_FRAMES_BASE,
+        N_FRAMES_MOD,
+        VID_A,
+        VID_F,
+        VID_MOD,
+        VID_X,
+        VID_Y,
+    )
+
+    max_f = N_FRAMES_BASE + N_FRAMES_MOD - 1
+    return f"""WITH vids AS (
+  SELECT doc_id, {N_FRAMES_BASE} + doc_id % {N_FRAMES_MOD} AS nf FROM documents
+),
+frames AS (
+  SELECT doc_id, f.i AS frame, nf FROM vids CROSS JOIN range({max_f}) f(i)
+  WHERE f.i < nf AND f.i % 2 = 0
+)
+SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+       CAST(SUM((doc_id * {VID_A} + frame * {VID_F} + (p.i // {FRAME_W}) * {VID_Y} + (p.i % {FRAME_W}) * {VID_X}) % {VID_MOD}) AS BIGINT) AS px_sum
+FROM frames CROSS JOIN range({FRAME_H * FRAME_W}) p(i)
+GROUP BY doc_id, frame"""
+
+
+def sql_multimodal_audio():
+    from .functions.multimodal import AUD_A, AUD_I, AUD_LEN_BASE, AUD_LEN_MOD, AUD_MOD
+
+    max_n = AUD_LEN_BASE + AUD_LEN_MOD - 1
+    return f"""WITH auds AS (
+  SELECT doc_id, {AUD_LEN_BASE} + doc_id % {AUD_LEN_MOD} AS n FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(((doc_id * {AUD_A} + s.i * {AUD_I}) % {AUD_MOD}) * ((doc_id * {AUD_A} + s.i * {AUD_I}) % {AUD_MOD})) AS BIGINT) AS sq_sum
+FROM auds CROSS JOIN range({max_n}) s(i)
+WHERE s.i < n
+GROUP BY doc_id, n"""
+
+
 def sql_events_hourly():
     return """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour_epoch, event_type,
        COUNT(*) AS n,
@@ -1007,6 +1060,9 @@ def oracles() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
         "multimodal_features": sql_multimodal_features(),
+        "multimodal_resize": sql_multimodal_resize(),
+        "multimodal_frame_sample": sql_multimodal_frame_sample(),
+        "multimodal_audio": sql_multimodal_audio(),
         "events_hourly": sql_events_hourly(),
         "events_hourly_stream": sql_events_hourly(),
         "events_session_window": sql_events_session_window(),

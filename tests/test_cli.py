@@ -97,3 +97,27 @@ def test_cli_flag_surface_matches_reference_core():
         "-c", "--chunks-per-shard", "-m", "-q", "--input-backend",
     ]:
         assert needed in flags, needed
+
+
+def test_cli_ngff_to_ngff_version_upgrade(spark, tmp_path, tiff_file):
+    """The reference CLI's NGFF->NGFF passthrough: an existing OME-Zarr
+    store as input, re-written at another version (0.4 store -> 0.5
+    sharded store), pixel-identical."""
+    p, arr = tiff_file
+    v04 = tmp_path / "v04.ome.zarr"
+    assert main(["-i", str(p), "-o", str(v04), "-c", "16", "--min-length", "64", "-q"], spark=spark) == 0
+
+    v05 = tmp_path / "v05.ome.zarr"
+    rc = main(
+        ["-i", str(v04), "-o", str(v05), "--ome-zarr-version", "0.5",
+         "-c", "16", "--min-length", "64", "-q"],
+        spark=spark,
+    )
+    assert rc == 0
+    doc = json.loads((v05 / "zarr.json").read_text())
+    assert doc["attributes"]["ome"]["version"] == "0.5"
+    from ngff_zarr_spark.ome_zarr_api import read_image
+
+    a = {(r.y, r.x): r.v for r in read_image(spark, str(v04), "scale0/image").collect()}
+    b = {(r.y, r.x): r.v for r in read_image(spark, str(v05), "scale0/image", zarr_format=3).collect()}
+    assert a == b and a[(0, 0)] == float(arr[0, 0])
