@@ -663,6 +663,23 @@ def q_multimodal_features(spark, sf_dir):
     return document_image_features(_docs(spark, sf_dir))
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """Deterministic KMV distinct-count sketch over document text —
+    the estimate itself is oracle-checked (portable h64 hashing means
+    DuckDB computes the identical sketch)."""
+    from .functions.sketch import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), "text", k=64)
+
+
+def q_sketch_count_min(spark, sf_dir):
+    """Deterministic count-min frequency estimates for event types
+    (min over 4 hash rows, 256 buckets) joined with exact counts."""
+    from .functions.sketch import count_min_estimate
+
+    return count_min_estimate(_events(spark, sf_dir), "event_type")
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal: real PNG decode + nearest-neighbor resize to 4x4,
     per-pixel rows; oracle recomputes the integer nearest mapping."""
@@ -1206,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio": q_multimodal_audio,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_count_min": q_sketch_count_min,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
         "events_sessionize": q_events_sessionize,

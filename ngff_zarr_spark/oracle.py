@@ -873,6 +873,43 @@ WHERE s.i < n
 GROUP BY doc_id, n"""
 
 
+def sql_sketch_kmv_distinct():
+    h = H64.format(s="text")
+    return f"""WITH hs AS (SELECT DISTINCT {h} AS h FROM documents),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+agg AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth_hash FROM topk)
+SELECT CAST(k_used AS BIGINT) AS k_used, kth_hash,
+       round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                  ELSE (k_used - 1) * CAST({1 << 60} AS DOUBLE) / kth_hash END, 6) AS est
+FROM agg"""
+
+
+def sql_sketch_count_min():
+    depth, width = 4, 256
+    h = lambda r: H64.format(s=f"concat('{r}:', CAST(event_type AS VARCHAR))")
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS row, {h(r)} % {width} AS bucket FROM events" for r in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT value, exact_n, {r} AS row, "
+        + H64.format(s=f"concat('{r}:', value)")
+        + f" % {width} AS bucket FROM vals"
+        for r in range(depth)
+    )
+    return f"""WITH cm AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM ({cells}) GROUP BY 1, 2
+),
+vals AS (
+  SELECT CAST(event_type AS VARCHAR) AS value, COUNT(*) AS exact_n
+  FROM events GROUP BY 1
+),
+probes AS ({probes})
+SELECT p.value, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(cm.cnt) AS BIGINT) AS cm_est
+FROM probes p JOIN cm ON cm.row = p.row AND cm.bucket = p.bucket
+GROUP BY 1, 2"""
+
+
 def sql_events_hourly():
     return """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour_epoch, event_type,
        COUNT(*) AS n,
@@ -1063,6 +1100,8 @@ def oracles() -> dict[str, str]:
         "multimodal_resize": sql_multimodal_resize(),
         "multimodal_frame_sample": sql_multimodal_frame_sample(),
         "multimodal_audio": sql_multimodal_audio(),
+        "sketch_kmv_distinct": sql_sketch_kmv_distinct(),
+        "sketch_count_min": sql_sketch_count_min(),
         "events_hourly": sql_events_hourly(),
         "events_hourly_stream": sql_events_hourly(),
         "events_session_window": sql_events_session_window(),

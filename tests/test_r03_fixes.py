@@ -531,6 +531,38 @@ class TestClustersAndIvf:
             assert exact[key] == approx[key]
 
 
+class TestSketches:
+    def test_kmv_estimate_accuracy(self, spark):
+        from ngff_zarr_spark.functions.sketch import kmv_distinct
+
+        n = 5000
+        from pyspark.sql import functions as F
+
+        df = spark.range(n).select(F.col("id").cast("string").alias("s"))
+        row = kmv_distinct(df, "s", k=256).collect()[0]
+        assert row.k_used == 256
+        assert abs(row.est - n) / n < 0.2  # KMV stderr ~ 1/sqrt(k) ≈ 6%
+
+    def test_kmv_small_cardinality_exact(self, spark):
+        from ngff_zarr_spark.functions.sketch import kmv_distinct
+
+        df = spark.createDataFrame([(str(i % 7),) for i in range(100)], "s string")
+        row = kmv_distinct(df, "s", k=256).collect()[0]
+        assert row.k_used == 7 and row.est == 7.0
+
+    def test_count_min_upper_bound(self, spark):
+        from ngff_zarr_spark.functions.sketch import count_min_estimate
+
+        df = spark.createDataFrame(
+            [(f"k{i % 10}",) for i in range(1000)], "v string"
+        )
+        rows = count_min_estimate(df, "v").collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r.cm_est >= r.exact_n  # CM never underestimates
+            assert r.exact_n == 100
+
+
 class _Deny403Handler(SimpleHTTPRequestHandler):
     def log_message(self, *a):
         pass
