@@ -123,11 +123,17 @@ class OmeZarrReader(DataSourceReader):
         )
         # pruning ranges per pixel dim: [lo, hi) — refined by pushFilters
         self.bounds: dict[str, list] = {}
-        # cap on the partition-list length: tasks stay chunk-granular up
-        # to this, then each partition serves a contiguous chunk range.
-        # 4096 ≈ 4 waves on a 1000-executor cluster while keeping the
-        # driver's plan O(max_partitions) regardless of grid size.
-        self.max_partitions = int(options.get("max_partitions", "4096"))
+        # partition sizing: chunk-granular below ``min_partitions`` (a
+        # small store should still use every core); above it, pack
+        # ``target_chunks`` chunks per task (sequential streaming reads,
+        # the parquet-split shape — ~64 × 1-8 MB chunks ≈ 0.1-0.5 GB of
+        # I/O per task); hard cap ``max_partitions`` bounds the driver's
+        # plan at any grid size (a 10^8-chunk store plans 65536 ranges,
+        # ~1500 chunks each — hours of work still spread over 65 waves
+        # of a 1000-executor cluster).
+        self.min_partitions = int(options.get("min_partitions", "4096"))
+        self.target_chunks = int(options.get("target_chunks_per_partition", "64"))
+        self.max_partitions = int(options.get("max_partitions", "65536"))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """O11 chunk pruning: absorb comparison predicates on coordinate
@@ -191,7 +197,10 @@ class OmeZarrReader(DataSourceReader):
         if total == 0:
             # fully pruned: one empty partition (Spark requires >= 1)
             return [ChunkRangePartition(box_lo, box_shape, 0, 0)]
-        n_parts = min(total, self.max_partitions)
+        by_target = -(-total // self.target_chunks)
+        n_parts = max(
+            min(total, self.min_partitions), min(by_target, self.max_partitions)
+        )
         per = -(-total // n_parts)
         return [
             ChunkRangePartition(box_lo, box_shape, s, min(s + per, total))

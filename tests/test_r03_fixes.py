@@ -164,9 +164,20 @@ class TestRangePartitions:
         parts = r.partitions()
         dt = time.time() - t0
         assert dt < 1.0, f"partitions() took {dt:.2f}s"
-        assert len(parts) == 4096  # max_partitions cap
+        # adaptive sizing: ceil(total / target_chunks=64) ranges
+        assert len(parts) == -(-(128 ** 3) // 64)
         total = sum(p.end - p.start for p in parts)
         assert total == 128 ** 3
+
+    def test_huge_grid_hits_hard_cap(self, tmp_path):
+        # 512^3 = 1.3e8 chunks: the 65536-partition hard cap bounds the
+        # driver plan; ~2048 chunks per range
+        r = self._reader(tmp_path, (4096, 4096, 4096), (8, 8, 8))
+        t0 = time.time()
+        parts = r.partitions()
+        assert time.time() - t0 < 2.0
+        assert len(parts) == 65536
+        assert sum(p.end - p.start for p in parts) == 512 ** 3
 
     def test_small_grid_stays_chunk_granular(self, tmp_path):
         r = self._reader(tmp_path, (16, 32, 32), (8, 16, 16))
