@@ -263,10 +263,19 @@ def from_hcs_zarr(spark: SparkSession, store_path: str, validate: bool = False) 
 
     wells_rows = []
     for w in plate.wells:
-        row_name = plate.rows[w.rowIndex].name if w.rowIndex < len(plate.rows) else None
-        col_name = (
-            plate.columns[w.columnIndex].name if w.columnIndex < len(plate.columns) else None
-        )
+        # names come from the WELL PATH ("{row}/{column}", authoritative
+        # per the NGFF spec) — rowIndex/columnIndex are LOGICAL plate
+        # coordinates and need not index into the rows/columns arrays
+        # (sparse plates; reference bug class
+        # py/test/test_index_out_of_range.py)
+        parts = w.path.split("/")
+        if len(parts) == 2:
+            row_name, col_name = parts
+        else:
+            row_name = plate.rows[w.rowIndex].name if w.rowIndex < len(plate.rows) else None
+            col_name = (
+                plate.columns[w.columnIndex].name if w.columnIndex < len(plate.columns) else None
+            )
         wells_rows.append((store_path.rstrip("/").rsplit("/", 1)[-1], w.rowIndex, w.columnIndex, row_name, col_name, w.path))
     wells = spark.createDataFrame(
         wells_rows,

@@ -109,3 +109,54 @@ def test_well_write_validates_grid(spark, tmp_path):
         write_hcs_well_image(spark, store, ms, plate, "A", "9")
     with pytest.raises(ValueError, match="Well 'A/2'"):
         write_hcs_well_image(spark, store, ms, plate, "A", "2")
+
+
+def test_sparse_plate_logical_indices(spark, tmp_path):
+    """Reference parity (py/test/test_index_out_of_range.py): a sparse
+    plate whose PlateWell rowIndex/columnIndex are LOGICAL plate
+    coordinates (row 'C' has rowIndex=2 with only 2 rows present) must
+    write and read correctly — well resolution is by NAME, never by
+    indexing the rows/columns arrays."""
+    from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+    from ngff_zarr_spark.hcs import (
+        Plate, PlateColumn, PlateRow, PlateWell,
+        from_hcs_zarr, to_hcs_zarr, write_hcs_well_image,
+    )
+    from ngff_zarr_spark.model import NgffImage
+    from ngff_zarr_spark.ome_zarr_api import to_multiscales
+
+    plate = Plate(
+        columns=[PlateColumn("1"), PlateColumn("3"), PlateColumn("5")],
+        rows=[PlateRow("A"), PlateRow("C")],
+        wells=[
+            PlateWell("A/1", 0, 0),
+            PlateWell("A/3", 0, 2),
+            PlateWell("C/1", 2, 0),
+            PlateWell("C/5", 2, 4),
+        ],
+        name="Sparse Plate",
+        field_count=1,
+    )
+    store = str(tmp_path / "sparse.ome.zarr")
+    to_hcs_zarr(plate, store)
+    spec = ImageSpec("sp", z=2, y=4, x=4)
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 2, "y": 4, "x": 4},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+    )
+    ms = to_multiscales(img, scale_factors=[], chunks={"z": 2, "y": 4, "x": 4})
+    write_hcs_well_image(spark, store, ms, plate, "C", "5", field_index=0)
+    write_hcs_well_image(spark, store, ms, plate, "A", "3", field_index=0)
+
+    cat = from_hcs_zarr(spark, store)
+    wells = {(r.row_name, r.col_name): (r.row_index, r.col_index) for r in cat["wells"].collect()}
+    assert wells[("C", "5")] == (2, 4)  # logical indices preserved
+    imgs = {r.well_path for r in cat["well_images"].collect()}
+    assert imgs == {"C/5", "A/3"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        write_hcs_well_image(spark, store, ms, plate, "B", "1")
