@@ -1,0 +1,100 @@
+"""Physical-plan pins: the scale claims in PLANS.md, CI-enforced.
+
+Each test captures `.explain("formatted")` and asserts the plan SHAPE —
+shuffle counts, broadcast joins, filter pushdown — so a regression that
+keeps results correct but degrades the 100 TB posture (an extra
+exchange, a broadcast that became a sort-merge join, a filter that
+stopped pushing down) fails loudly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark import gate
+from ngff_zarr_spark.fixtures import IMG3D, pixel_df
+from ngff_zarr_spark.operators import bin_shrink, nearest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    # formatted explain prints each node twice (tree + detail section);
+    # count the unique "(N) Exchange" detail headers
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_bin_shrink_single_exchange(spark):
+    """A2 is ONE hash aggregate: exactly one shuffle, with a map-side
+    partial aggregate before it."""
+    plan = plan_of(bin_shrink(pixel_df(spark, IMG3D), IMG3D.shape, {"z": 2, "y": 2, "x": 2}))
+    assert n_exchanges(plan) == 1
+    assert "HashAggregate" in plan
+
+
+def test_nearest_zero_exchange(spark):
+    """A7 is a pure filter + projection: NO shuffle anywhere."""
+    plan = plan_of(nearest(pixel_df(spark, IMG3D), IMG3D.shape, {"z": 2, "y": 2, "x": 2}))
+    assert n_exchanges(plan) == 0
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, sf_dir):
+    """Q5's small sides broadcast; the fact table is never broadcast
+    and shuffles only for joins/aggregate, never more than once per
+    operator."""
+    plan = plan_of(gate.q_tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # date-range predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(gate.q_tpch_q1(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert n_exchanges(plan) == 1  # one shuffle for the final agg
+
+
+def test_exact_dedup_single_exchange(spark, sf_dir):
+    """Exact dedup: digest computed map-side, one shuffle of digests —
+    document text never moves."""
+    plan = plan_of(gate.q_dedup_exact(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """The LSH candidate join must be an equi-join on (band, band_key) —
+    never a cartesian/broadcast-nested-loop over documents."""
+    plan = plan_of(gate.q_dedup_minhash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pixel_scan_filter_reaches_source(spark, tmp_path):
+    """Coordinate predicates appear as a Filter directly over the
+    ome_zarr BatchScan (and prune partitions, proven by counts in
+    test_zarr_source); no exchange is introduced by slicing."""
+    from ngff_zarr_spark.ome_zarr_api import read_image, write_image
+
+    spec_shape = {"z": 8, "y": 16, "x": 16}
+    store = str(tmp_path / "p.ome.zarr")
+    from ngff_zarr_spark.fixtures import ImageSpec
+
+    spec = ImageSpec("pp", z=8, y=16, x=16)
+    write_image(
+        pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        store, "scale0/image", spec_shape, ["z", "y", "x"], {"z": 4, "y": 8, "x": 8},
+    )
+    df = read_image(spark, store, "scale0/image").filter((F.col("z") < 4) & (F.col("x") >= 8))
+    plan = plan_of(df)
+    assert "BatchScan" in plan
+    assert n_exchanges(plan) == 0

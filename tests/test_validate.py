@@ -106,3 +106,34 @@ def test_open_store_local_and_remote_error(tmp_path):
         open_store("s3://bucket/store.zarr")
     with pytest.raises(ValueError, match="scheme"):
         open_store("weird://x")
+
+
+def test_omero_metadata_store_roundtrip():
+    """Omero display metadata survives 0.4 and 0.5 serialization."""
+    from ngff_zarr_spark.metadata import group_attributes, parse_group_attributes
+    from ngff_zarr_spark.model import (
+        Axis, Dataset, Metadata, Omero, OmeroChannel, OmeroWindow, ScaleTransform,
+    )
+
+    meta = Metadata(
+        axes=[Axis("y", "space"), Axis("x", "space")],
+        datasets=[Dataset(path="0", coordinateTransformations=[ScaleTransform([1.0, 1.0])])],
+        name="om",
+        omero=Omero(
+            channels=[
+                OmeroChannel(
+                    color="FF0000",
+                    window=OmeroWindow(min=0.0, max=255.0, start=10.0, end=200.0),
+                    label="red",
+                )
+            ]
+        ),
+    )
+    for version in ("0.4", "0.5"):
+        attrs = group_attributes(meta, version)
+        back, v = parse_group_attributes(attrs)
+        assert v == version
+        ch = back.omero.channels[0]
+        assert ch.color == "FF0000" and ch.label == "red"
+        w = ch.window
+        assert (w.min, w.max, w.start, w.end) == (0.0, 255.0, 10.0, 200.0)
