@@ -391,6 +391,94 @@ def ivf_topk(
     )
 
 
+def write_ivf_partitioned(emb: DataFrame, path: str, dim: int = 64, n_cells: int = 16) -> None:
+    """Materialize the corpus PHYSICALLY partitioned by IVF cell
+    (``cell=N/`` parquet directories) plus a ``_centroids`` side table.
+    This is the 10⁹-vector layout: a probe becomes PARTITION PRUNING —
+    the scan itself reads only ``n_probe/n_cells`` of the data, no
+    filter evaluation over the rest (see ivf_topk_partitioned)."""
+    cells = ivf_cells(emb, dim, n_cells)
+    (
+        emb.join(cells, "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}_centroids")
+    )
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the partitioned layout: probe cells are computed
+    driver-side from the tiny centroid table, and the corpus scan is
+    ``filter(cell IN probed)`` — Catalyst turns that into partition
+    pruning (the plan's PartitionFilters; pytest-pinned), so only the
+    probed directories are ever read. Results are identical to
+    :func:`ivf_topk` on the same corpus."""
+    cent_rows = spark.read.parquet(f"{path}_centroids").collect()
+    C = np.array(
+        [r.embedding for r in sorted(cent_rows, key=lambda r: r.vec_id)], dtype=np.float64
+    )
+    Cn = np.sqrt(np.add.reduce(C * C, axis=1))
+
+    corpus_all = spark.read.parquet(path)
+    qrows = (
+        corpus_all.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    import pandas as pd
+
+    dots = _cell_dots(pd.Series([r.embedding for r in qrows]), C, Cn)
+    order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+    probe_pairs = [
+        (int(r.vec_id), int(c)) for r, cells in zip(qrows, order) for c in cells
+    ]
+    probed = sorted({c for _, c in probe_pairs})
+
+    corpus = corpus_all.filter(F.col("cell").isin(probed))
+    e = corpus.select("vec_id", "cell", "embedding", _norm().alias("norm"))
+    qb = spark.createDataFrame(probe_pairs, "query_id long, cell long")
+    cand_ids = (
+        e.join(F.broadcast(qb), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = spark.createDataFrame(
+        [(int(r.vec_id), list(r.embedding)) for r in qrows],
+        "query_id long, qemb array<double>",
+    ).select("query_id", "qemb", _norm(F.col("qemb")).alias("qnorm"))
+    scored = (
+        cand_ids.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qemb")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     dim: int = 64,

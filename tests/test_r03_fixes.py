@@ -542,6 +542,44 @@ class TestClustersAndIvf:
             assert exact[key] == approx[key]
 
 
+class TestIvfPartitionedLayout:
+    def test_partitioned_probe_equals_ivf_topk(self, spark, sf_dir, tmp_path):
+        from ngff_zarr_spark.functions.similarity import (
+            ivf_topk,
+            ivf_topk_partitioned,
+            write_ivf_partitioned,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = str(tmp_path / "corpus_ivf")
+        write_ivf_partitioned(emb, path)
+        got = sorted(
+            map(tuple, ivf_topk_partitioned(spark, path, [0, 1, 2], k=3).collect())
+        )
+        want = sorted(map(tuple, ivf_topk(emb, [0, 1, 2], k=3).collect()))
+        assert got == want
+
+    def test_probe_scan_partition_prunes(self, spark, sf_dir, tmp_path):
+        """cell IN (...) on the partitioned layout shows up as
+        PartitionFilters — the scan reads only probed directories."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from ngff_zarr_spark.functions.similarity import write_ivf_partitioned
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = str(tmp_path / "corpus_ivf2")
+        write_ivf_partitioned(emb, path)
+        df = spark.read.parquet(path).filter(F.col("cell").isin([0, 3]))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan and "cell" in plan
+
+
 class TestSketches:
     def test_kmv_estimate_accuracy(self, spark):
         from ngff_zarr_spark.functions.sketch import kmv_distinct
