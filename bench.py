@@ -61,6 +61,8 @@ QUERIES = {
     "ann_ivf_topk": gate.q_ann_ivf_topk,
     "emb_near_dup_lsh": gate.q_emb_near_dup_lsh,
     "multimodal_features": gate.q_multimodal_features,
+    "multimodal_resize": gate.q_multimodal_resize,
+    "sketch_count_min": gate.q_sketch_count_min,
     "events_sessionize": gate.q_events_sessionize,
     "events_hourly": gate.q_events_hourly,
 }
