@@ -122,6 +122,36 @@ def resize_image_pixels(docs: DataFrame, out_h: int = 4, out_w: int = 4) -> Data
     return imgs.mapInPandas(rz, "doc_id long, y long, x long, v long")
 
 
+def resize_image_packed(docs: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFrame:
+    """Production variant of :func:`resize_image_pixels`: one row per
+    document, resized raster packed row-major as ``array<long>``.
+
+    At 100 TB the per-pixel form multiplies row count by out_h*out_w
+    and pays per-row overhead (null bitmap, coordinates, shuffle
+    serialization) in every downstream exchange; the array form keeps
+    one row per document, stays inside a single Arrow column, and
+    downstream math runs JVM-side via F.aggregate / F.zip_with.
+    ``resize_image_pixels`` is the oracle twin: posexplode(pixels) ==
+    the per-pixel rows (pytest-pinned)."""
+    imgs = attach_images(docs)
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..ingest.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                arr = png_decode(bytes(blob))
+                h, w = arr.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = arr[np.ix_(ys, xs)]
+                rows.append((int(doc_id), [int(v) for v in small.ravel()]))
+            yield pd.DataFrame(rows, columns=["doc_id", "pixels"])
+
+    return imgs.mapInPandas(rz, "doc_id long, pixels array<long>")
+
+
 # deterministic fake video/audio parameters (shared with the oracle)
 FRAME_H, FRAME_W = 4, 4
 N_FRAMES_BASE, N_FRAMES_MOD = 6, 4      # n_frames = 6 + doc_id % 4

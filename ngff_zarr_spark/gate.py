@@ -1161,6 +1161,172 @@ def q_events_hourly_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def _dtype_roundtrip(spark, dtype: str) -> DataFrame:
+    """Shared body for dtype-fidelity gates (SURVEY §1.2): store the
+    IMG3D pixel table with the given logical dtype (written natively on
+    disk per the reference's dtype map, to_ngff_zarr.py:89-117) and read
+    it back. Fixture values are 0..250 — exactly representable in every
+    supported dtype including float16 — so the oracle is the same pixel
+    SQL for every variant."""
+    from .model import NgffImage
+    from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    store = _tmp_store(f"dt_{dtype}.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="gate",
+        dtype=dtype,
+    )
+    ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
+    _tz(store, ms, version="0.4", compressor="blosc:lz4:5:1")
+    return read_image(spark, store, "scale0/image").select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_dtype_float16_roundtrip(spark, sf_dir):
+    """float16 on disk (``<f2``): Spark has no half type so the pixel
+    column is widened in-flight, but the store keeps the logical dtype
+    (SURVEY §1.2 widen-with-tag contract)."""
+    return _dtype_roundtrip(spark, "float16")
+
+
+def q_dtype_int64_roundtrip(spark, sf_dir):
+    return _dtype_roundtrip(spark, "int64")
+
+
+def q_dtype_uint64_roundtrip(spark, sf_dir):
+    """uint64: unsigned tail of the reference dtype map — Spark holds
+    the values in signed longs (all fixture values < 2^63), disk keeps
+    ``<u8``."""
+    return _dtype_roundtrip(spark, "uint64")
+
+
+# ---------------------------------------------------------------------------
+# Battery gates (r4): the driver verifies the FIRST 50 entries of
+# queries(); the registry outgrew that window in r3, starving 18 gates
+# of oracle rows. Each battery below is the tagged union (or join) of
+# single-operator gates that were individually green in r2/r3, folding
+# them into one driver slot. The constituent gates REMAIN registered
+# past slot 50 (and pytest-covered) so their names stay addressable;
+# equivalence battery ≡ constituents is structural (same functions,
+# same fixtures) and pinned in tests/test_r04_batteries.py.
+
+
+def _tagged_union(parts: dict[str, DataFrame]) -> DataFrame:
+    out = None
+    for name, df in parts.items():
+        t = df.select(F.lit(name).alias("gate"), "*")
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+_PIX6 = ["t", "c", "z", "y", "x", "v"]
+
+
+def q_slicing_battery(spark, sf_dir):
+    """F1+F2+F3/F4+F5 in one slot: full output of each slicing operator
+    tagged with a ``gate`` column (f1 drops its constant scale=1 col)."""
+    return _tagged_union(
+        {
+            "f1": q_f1_level_pick(spark, sf_dir).select(*_PIX6),
+            "f2": q_f2_roi(spark, sf_dir).select(*_PIX6),
+            "f3_f4": q_f3_f4_tc_select(spark, sf_dir).select(*_PIX6),
+            "f5": q_f5_transpose(spark, sf_dir).select(*_PIX6),
+        }
+    )
+
+
+def q_downsample_battery(spark, sf_dir):
+    """A2+A7+A8(+centered)+A3 in one slot; v cast to double everywhere
+    because A2's block mean is fractional (exact: integer sums / block
+    size, bit-stable across engines)."""
+
+    def cast(df):
+        return df.select("t", "c", "z", "y", "x", F.col("v").cast("double").alias("v"))
+
+    return _tagged_union(
+        {
+            "a2": cast(q_a2_bin_shrink(spark, sf_dir)),
+            "a7": cast(q_a7_nearest(spark, sf_dir)),
+            "a8": cast(q_a8_mode(spark, sf_dir)),
+            "a8c": cast(q_a8_mode_centered(spark, sf_dir)),
+            "a3": cast(q_a3_label_downsample(spark, sf_dir)),
+        }
+    )
+
+
+def q_gaussian_battery(spark, sf_dir):
+    """A1 (chunk-local Arrow kernel, the production path) + A4 (ITK
+    modified-Bessel weights) in one slot."""
+    return _tagged_union(
+        {
+            "a1": q_a1_gaussian(spark, sf_dir).select(*_PIX6),
+            "a4": q_a4_itk_gaussian(spark, sf_dir).select(*_PIX6),
+        }
+    )
+
+
+def q_storage_roundtrip_battery(spark, sf_dir):
+    """S1/S4/S8/S9/C3 in one slot: every container/codec/dtype
+    write→read roundtrip tagged and unioned. One hash mismatch in any
+    layout (v2 gzip, legacy '.'-separator, blosc, v3 sharded, or the
+    uint16/float16/int64/uint64 dtype tail) fails the whole battery."""
+    return _tagged_union(
+        {
+            "v2_gzip": q_s1_s4_zarr_roundtrip(spark, sf_dir),
+            "v2_dotsep": q_s1_dot_separator_read(spark, sf_dir),
+            "v2_blosc": q_s9_blosc_roundtrip(spark, sf_dir),
+            "v3_sharded": q_s8_sharded_roundtrip(spark, sf_dir),
+            "uint16": q_dtype_uint16_roundtrip(spark, sf_dir),
+            "float16": q_dtype_float16_roundtrip(spark, sf_dir),
+            "int64": q_dtype_int64_roundtrip(spark, sf_dir),
+            "uint64": q_dtype_uint64_roundtrip(spark, sf_dir),
+        }
+    )
+
+
+def q_text_battery(spark, sf_dir):
+    """All five text-analysis operators joined on doc_id into one wide
+    row per document (token counts, quality, lang-id, fingerprints,
+    winnowing stats). quality's n_tokens is definitionally equal to
+    token_count's and is dropped from the join."""
+    docs = _docs(spark, sf_dir)
+    return (
+        TX.token_count(docs)
+        .join(TX.quality_score(docs).drop("n_tokens"), "doc_id")
+        .join(TX.lang_id(docs).withColumnRenamed("votes", "lang_votes"), "doc_id")
+        .join(TX.fingerprint(docs), "doc_id")
+        .join(TX.winnow_fingerprints(docs), "doc_id")
+    )
+
+
+def q_multimodal_resize_packed(spark, sf_dir):
+    """Array-native production form of multimodal_resize: one row per
+    document with the resized raster as array<long> (the row shape you
+    ship at 100 TB — per-pixel rows multiply row count 16× and pay
+    per-row overhead in every downstream exchange). The gate projects
+    the array to order-sensitive JVM-side digests (count, sum,
+    position-weighted sum) so the full raster content is hash-checked;
+    packed ≡ posexplode(per-pixel) is pinned in pytest."""
+    from .functions.multimodal import resize_image_packed
+
+    packed = resize_image_packed(_docs(spark, sf_dir))
+    return packed.select(
+        "doc_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda a, v: a + v).alias("px_sum"),
+        F.expr(
+            "aggregate(zip_with(pixels, sequence(1, size(pixels)),"
+            " (v, i) -> v * cast(i as long)), cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_wsum"),
+    )
+
+
 def q_j3_well_catalog(spark, sf_dir):
     cat = synthesize_plate(spark, PlateSpec())
     return well_image_catalog(cat["wells"], cat["well_images"])
@@ -1174,7 +1340,69 @@ def q_f7_well_lookup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the verification protocol: the driver oracle-
+    checks the FIRST 50 entries only. Slots 1–18 are the gates the r3
+    window starved (VERDICT r3 ask #1); slots 19–50 cover every other
+    operator, with multi-gate families folded into tagged battery
+    gates. Entries past slot 50 are the batteries' constituent
+    single-operator gates — kept addressable for pytest and targeted
+    runs (tools/check_correctness.py), proven via their battery.
+    tests/test_r04_batteries.py pins both the 50-slot layout and
+    battery ≡ constituents."""
     return {
+        # --- slots 1–18: starved-in-r3 gates, now verified first ---
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
+        "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
+        "s18_hcs_store_read": q_s18_hcs_store_read,
+        "f7_well_lookup": q_f7_well_lookup,
+        "j3_well_catalog": q_j3_well_catalog,
+        "s14_itk_adapter": q_s14_itk_adapter,
+        "s17_omero_nifti": q_s17_omero_nifti,
+        "c7_validate_battery": q_c7_validate_battery,
+        "c8_rfc4_orientation": q_c8_rfc4_orientation,
+        "c9_version_roundtrip": q_c9_version_roundtrip,
+        "c10_method_provenance": q_c10_method_provenance,
+        "t1_stream_pixels": q_t1_stream_pixels,
+        "t2_t3_callbacks": q_t2_t3_callbacks,
+        # --- slots 19–50: everything else, families folded ---
+        "slicing_battery": q_slicing_battery,
+        "downsample_battery": q_downsample_battery,
+        "gaussian_battery": q_gaussian_battery,
+        "a10_minmax": q_a10_minmax,
+        "a11_chunk_cost": q_a11_chunk_cost,
+        "c2_scale_translation": q_c2_scale_translation,
+        "a9_pyramid_plan": q_a9_pyramid_plan,
+        "storage_roundtrip_battery": q_storage_roundtrip_battery,
+        "chunk_table_sums": q_chunk_table_sums,
+        "s4_multiscale_level1": q_s4_multiscale_level1,
+        "s16_nifti_ingest": q_s16_nifti_ingest,
+        "s11_tiff_ingest": q_s11_tiff_ingest,
+        "s13_png_series": q_s13_png_series,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_battery": q_text_battery,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_resize_packed": q_multimodal_resize_packed,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio": q_multimodal_audio,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_count_min": q_sketch_count_min,
+        # --- slots 51+: battery constituents + pytest-proven twins ---
         "f1_level_pick": q_f1_level_pick,
         "f2_roi": q_f2_roi,
         "f3_f4_tc_select": q_f3_f4_tc_select,
@@ -1188,59 +1416,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_gaussian": q_a1_gaussian,
         "a1_gaussian_window": q_a1_gaussian_window,
         "a4_itk_gaussian": q_a4_itk_gaussian,
-        "a10_minmax": q_a10_minmax,
-        "a11_chunk_cost": q_a11_chunk_cost,
-        "c2_scale_translation": q_c2_scale_translation,
-        "a9_pyramid_plan": q_a9_pyramid_plan,
         "s1_s4_zarr_roundtrip": q_s1_s4_zarr_roundtrip,
         "s1_dot_separator_read": q_s1_dot_separator_read,
         "s9_blosc_roundtrip": q_s9_blosc_roundtrip,
         "s8_sharded_roundtrip": q_s8_sharded_roundtrip,
         "dtype_uint16_roundtrip": q_dtype_uint16_roundtrip,
-        "chunk_table_sums": q_chunk_table_sums,
-        "s4_multiscale_level1": q_s4_multiscale_level1,
-        "s16_nifti_ingest": q_s16_nifti_ingest,
-        "s11_tiff_ingest": q_s11_tiff_ingest,
-        "s13_png_series": q_s13_png_series,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep": q_dedup_keep,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dtype_float16_roundtrip": q_dtype_float16_roundtrip,
+        "dtype_int64_roundtrip": q_dtype_int64_roundtrip,
+        "dtype_uint64_roundtrip": q_dtype_uint64_roundtrip,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_audio": q_multimodal_audio,
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "sketch_count_min": q_sketch_count_min,
-        "events_hourly": q_events_hourly,
-        "events_hourly_stream": q_events_hourly_stream,
-        "events_sessionize": q_events_sessionize,
-        "events_session_window": q_events_session_window,
-        "s14_itk_adapter": q_s14_itk_adapter,
-        "s17_omero_nifti": q_s17_omero_nifti,
-        "c8_rfc4_orientation": q_c8_rfc4_orientation,
-        "c9_version_roundtrip": q_c9_version_roundtrip,
-        "c10_method_provenance": q_c10_method_provenance,
-        "c7_validate_battery": q_c7_validate_battery,
-        "t2_t3_callbacks": q_t2_t3_callbacks,
-        "t1_stream_pixels": q_t1_stream_pixels,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "j3_well_catalog": q_j3_well_catalog,
-        "f7_well_lookup": q_f7_well_lookup,
-        "s18_hcs_store_read": q_s18_hcs_store_read,
     }

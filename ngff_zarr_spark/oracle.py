@@ -1048,6 +1048,86 @@ def sql_s18_hcs_store_read():
 ) t(well_path, row_name, col_name, acquisition_id, field_index, image_path)"""
 
 
+def sql_multimodal_resize_packed():
+    """Digest form of the packed-array resize: count / sum /
+    position-weighted sum per document over the same per-pixel mapping
+    (row-major position = y*4 + x, 1-based — matches the Spark side's
+    zip_with(pixels, sequence(1, n)))."""
+    return f"""SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * (y * 4 + x + 1)) AS BIGINT) AS px_wsum
+FROM ({sql_multimodal_resize()})
+GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Battery oracles (r4 driver-slot consolidation): tagged unions / joins
+# of the single-operator oracles, mirroring gate.py's battery gates.
+
+
+def _tagged_union_sql(parts: dict[str, str], cols: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS gate, {cols} FROM ({sql})" for name, sql in parts.items()
+    )
+
+
+def sql_slicing_battery():
+    return _tagged_union_sql(
+        {
+            "f1": sql_f1_level_pick(),
+            "f2": sql_f2_roi(),
+            "f3_f4": sql_f3_f4_tc_select(),
+            "f5": sql_f5_transpose(),
+        },
+        "t, c, z, y, x, v",
+    )
+
+
+def sql_downsample_battery():
+    return _tagged_union_sql(
+        {
+            "a2": sql_a2_bin_shrink(),
+            "a7": sql_a7_nearest(),
+            "a8": sql_a8_mode(),
+            "a8c": sql_a8_mode_centered(),
+            "a3": sql_a3_label_downsample(),
+        },
+        "t, c, z, y, x, CAST(v AS DOUBLE) AS v",
+    )
+
+
+def sql_gaussian_battery():
+    return _tagged_union_sql(
+        {"a1": sql_a1_gaussian(), "a4": sql_a4_itk_gaussian()},
+        "t, c, z, y, x, v",
+    )
+
+
+def sql_storage_roundtrip_battery():
+    # every storage variant round-trips the SAME pixel table — the
+    # oracle is the recomputed pixel formula per tag
+    tags = [
+        "v2_gzip", "v2_dotsep", "v2_blosc", "v3_sharded",
+        "uint16", "float16", "int64", "uint64",
+    ]
+    return _tagged_union_sql(
+        {t: sql_s1_s4_zarr_roundtrip() for t in tags}, "t, c, z, y, x, v"
+    )
+
+
+def sql_text_battery():
+    return f"""SELECT tc.doc_id, tc.n_tokens, tc.n_subtokens, tc.n_chars,
+       q.mean_token_len, q.punct_ratio, q.stopword_ratio, q.quality,
+       l.pred_lang, l.votes AS lang_votes,
+       f.fp_md5, f.fp64,
+       w.n_fp, w.fp_min, w.fp_max
+FROM ({sql_text_token_count()}) tc
+JOIN ({sql_text_quality()}) q ON q.doc_id = tc.doc_id
+JOIN ({sql_text_lang_id()}) l ON l.doc_id = tc.doc_id
+JOIN ({sql_text_fingerprint()}) f ON f.doc_id = tc.doc_id
+JOIN ({sql_text_winnow()}) w ON w.doc_id = tc.doc_id"""
+
+
 def oracles() -> dict[str, str]:
     """All oracle SQL keyed identically to gate.queries(). Keys absent
     here (e.g. a9_pyramid_plan) get the driver's rows-only check."""
@@ -1074,6 +1154,15 @@ def oracles() -> dict[str, str]:
         "s9_blosc_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "s8_sharded_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "dtype_uint16_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "dtype_float16_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "dtype_int64_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "dtype_uint64_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "slicing_battery": sql_slicing_battery(),
+        "downsample_battery": sql_downsample_battery(),
+        "gaussian_battery": sql_gaussian_battery(),
+        "storage_roundtrip_battery": sql_storage_roundtrip_battery(),
+        "text_battery": sql_text_battery(),
+        "multimodal_resize_packed": sql_multimodal_resize_packed(),
         "chunk_table_sums": sql_chunk_table_sums(),
         "s4_multiscale_level1": sql_s4_multiscale_level1(),
         "s16_nifti_ingest": sql_s16_nifti_ingest(),

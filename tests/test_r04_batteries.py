@@ -1,0 +1,163 @@
+"""Round-4 driver-slot consolidation: the driver oracle-checks the
+FIRST 50 entries of queries() only, and the registry outgrew that
+window in r3 (68 entries, 18 gates starved of oracle rows). r4 fix:
+the 18 starved gates occupy slots 1-18, and multi-gate families are
+folded into tagged "battery" gates so every operator family fits
+inside the window. This module pins
+
+1. the 50-slot layout (starved gates first, every battery inside the
+   window, nothing previously-verified silently dropped), and
+2. battery == union-of-constituents equivalence, so a battery row is
+   evidence for each constituent single-operator gate, and
+3. resize_image_packed == posexplode(resize_image_pixels) (the
+   array-native production twin of the per-pixel oracle form).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark import gate, oracle
+
+# gates that were green in r2/r3 but fell outside the r3 window, or
+# were registered and never slotted (VERDICT r3 "What's missing" #1)
+STARVED_R3 = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly",
+    "events_hourly_stream",
+    "events_sessionize",
+    "events_session_window",
+    "s18_hcs_store_read",
+    "f7_well_lookup",
+    "j3_well_catalog",
+    "s14_itk_adapter",
+    "s17_omero_nifti",
+    "c7_validate_battery",
+    "c8_rfc4_orientation",
+    "c9_version_roundtrip",
+    "c10_method_provenance",
+    "t1_stream_pixels",
+    "t2_t3_callbacks",
+]
+
+BATTERIES = {
+    "slicing_battery": ["f1_level_pick", "f2_roi", "f3_f4_tc_select", "f5_transpose"],
+    "downsample_battery": [
+        "a2_bin_shrink",
+        "a7_nearest",
+        "a8_mode",
+        "a8_mode_centered",
+        "a3_label_downsample",
+    ],
+    "gaussian_battery": ["a1_gaussian", "a4_itk_gaussian"],
+    "storage_roundtrip_battery": [
+        "s1_s4_zarr_roundtrip",
+        "s1_dot_separator_read",
+        "s9_blosc_roundtrip",
+        "s8_sharded_roundtrip",
+        "dtype_uint16_roundtrip",
+        "dtype_float16_roundtrip",
+        "dtype_int64_roundtrip",
+        "dtype_uint64_roundtrip",
+    ],
+    "text_battery": [
+        "text_token_count",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprint",
+        "text_winnow",
+    ],
+}
+
+
+def test_first_50_layout():
+    qs = list(gate.queries())
+    first50 = qs[:50]
+    # the 18 r3-starved gates are verified first
+    assert first50[:18] == STARVED_R3
+    # every battery sits inside the window
+    for b in BATTERIES:
+        assert b in first50, b
+    # every first-50 entry has an oracle (full value-hash check, not
+    # the weaker rows-only fallback) except the genuinely non-SQL ones
+    rows_only_ok = set()
+    oracles = oracle.oracles()
+    missing = [k for k in first50 if k not in oracles and k not in rows_only_ok]
+    assert missing == [], missing
+
+
+def test_nothing_dropped():
+    """Every gate that ever had a green CORRECTNESS row is still
+    registered (possibly past slot 50, proven via its battery)."""
+    qs = set(gate.queries())
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rnd in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        with open(os.path.join(here, rnd)) as f:
+            for key in json.load(f):
+                assert key in qs, f"{key} (green in {rnd}) dropped from registry"
+
+
+def test_battery_constituents_registered():
+    qs = list(gate.queries())
+    for battery, parts in BATTERIES.items():
+        for p in parts:
+            assert p in qs, f"{battery} constituent {p} not registered"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("battery", ["slicing_battery", "downsample_battery"])
+def test_battery_equals_constituents(spark, sf_dir, battery):
+    """The tagged union in the battery is exactly the per-gate outputs
+    (checked on the two cheap pixel batteries; gaussian/storage/text
+    batteries literally call the same constituent functions, pinned by
+    construction and by the sf0.01 oracle run)."""
+    qs = gate.queries()
+    bat = qs[battery](spark, sf_dir)
+    tags = [r[0] for r in bat.select("gate").distinct().collect()]
+    mapping = {
+        "f1": "f1_level_pick",
+        "f2": "f2_roi",
+        "f3_f4": "f3_f4_tc_select",
+        "f5": "f5_transpose",
+        "a2": "a2_bin_shrink",
+        "a7": "a7_nearest",
+        "a8": "a8_mode",
+        "a8c": "a8_mode_centered",
+        "a3": "a3_label_downsample",
+    }
+    cols = [c for c in bat.columns if c != "gate"]
+    for tag in tags:
+        part = bat.filter(F.col("gate") == tag).select(*cols)
+        solo = qs[mapping[tag]](spark, sf_dir).select(
+            *[F.col(c).cast(dict(part.dtypes)[c]).alias(c) for c in cols]
+        )
+        assert _rows(part) == _rows(solo), f"{battery}:{tag}"
+
+
+def test_resize_packed_equals_pixels(spark, sf_dir):
+    """posexplode(packed.pixels) with y=pos//4, x=pos%4 reproduces the
+    per-pixel oracle form row-for-row."""
+    from ngff_zarr_spark.functions.multimodal import (
+        resize_image_packed,
+        resize_image_pixels,
+    )
+
+    docs = gate._docs(spark, sf_dir).limit(50)
+    packed = resize_image_packed(docs)
+    exploded = packed.select(
+        "doc_id", F.posexplode("pixels").alias("pos", "v")
+    ).select(
+        "doc_id",
+        (F.col("pos") / 4).cast("long").alias("y"),
+        (F.col("pos") % 4).cast("long").alias("x"),
+        "v",
+    )
+    pixels = resize_image_pixels(docs)
+    assert _rows(exploded) == _rows(pixels)
