@@ -184,7 +184,12 @@ def minhash_candidates(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+    reliable: bool | None = None,
+) -> DataFrame:
     """Connected components over near-duplicate pairs → duplicate
     clusters: (doc_id, cluster_id) where cluster_id is the SMALLEST
     doc_id reachable through the pair graph. This is the step that
@@ -196,8 +201,29 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges (one shuffle per round: edges join labels, groupBy min). The
     round count is bounded by the graph diameter, which for near-dup
     clusters is tiny (duplicates of one source form near-cliques:
-    diameter ≤ 2-3 in practice); ``max_iters`` is a hard stop and the
-    loop exits EARLY via one cheap count when no label changed.
+    diameter ≤ 2-3 in practice); the loop exits EARLY via one cheap
+    count when no label changed. If ``max_iters`` rounds pass without
+    convergence the function RAISES rather than return wrong labels —
+    the DuckDB oracle computes exact transitive closure, and a
+    too-long chain silently mislabeled would drop the wrong documents
+    downstream. Raise ``max_iters`` (rounds needed ≈ graph diameter)
+    if that ever fires on a real corpus.
+
+    Fault-tolerance contract: each round's labels are materialized to
+    truncate lineage (otherwise the plan doubles per round and re-runs
+    LSH candidate generation every iteration). Two modes:
+
+    - ``reliable=False`` → ``localCheckpoint`` (executor-local blocks;
+      fastest, but an executor loss mid-loop kills the query). Right
+      for interactive / short jobs.
+    - ``reliable=True`` → ``checkpoint()`` to the session's checkpoint
+      directory on reliable storage (HDFS/object store): executor loss
+      only recomputes from the last round. Right for the multi-hour
+      100 TB dedup jobs this feeds (SURVEY §7 phase 5).
+
+    Default (``reliable=None``): reliable checkpointing is ON whenever
+    the SparkContext has a checkpoint dir configured; passing
+    ``checkpoint_dir`` sets one and implies reliable mode.
 
     100 TB posture: labels are (doc_id, long) pairs — never the text;
     each iteration is edge-count-bounded work; candidate pairs are
@@ -208,31 +234,39 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Returns every doc that appears in ≥1 pair with its cluster label
     (singletons are by definition not duplicates — callers keep them)."""
-    # edges are reused every round and labels feed round i+1 from round
-    # i: materialize both (localCheckpoint truncates the lineage, which
-    # would otherwise double per iteration and re-run the LSH candidate
-    # generation each round; on a production cluster with fault-
-    # tolerance needs, swap for checkpoint() on reliable storage)
-    edges = (
+    sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+        if reliable is None:
+            reliable = True
+    if reliable is None:
+        reliable = sc.getCheckpointDir() is not None
+    if reliable:
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    edges = _pin(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = edges.select("u").distinct().select(
-        "u", F.col("u").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = _pin(
+        edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    )
+    converged = False
     for _ in range(max_iters):
         # candidate label per node = min(own, min over neighbors' labels)
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("u", "w"), "w")
             .select("u", "label")
         )
-        new_labels = (
+        new_labels = _pin(
             labels.unionByName(neighbor_labels)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -243,7 +277,14 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in max_iters={max_iters} "
+            "rounds; the pair graph has a longer chain than expected — "
+            "raise max_iters (rounds needed ~= graph diameter)"
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

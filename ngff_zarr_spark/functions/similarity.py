@@ -438,6 +438,12 @@ def ivf_topk_partitioned(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:
+        # no query id matched the corpus: empty result, stable schema
+        # (np broadcasting below would crash on a 0-row embedding matrix)
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine double"
+        )
     import pandas as pd
 
     dots = _cell_dots(pd.Series([r.embedding for r in qrows]), C, Cn)
