@@ -275,6 +275,84 @@ def _centroids(emb: DataFrame, n_cells: int):
     return C, Cn
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    round_decimals: int = 9,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed Lloyd k-means for the IVF coarse quantizer —
+    replaces the lowest-id stand-in with learned centroids while
+    keeping every step deterministic and oracle-reproducible.
+
+    Per iteration (all distributed, nothing driver-side but the
+    n_cells × dim centroid matrix itself):
+
+    1. assign: one Arrow map pass scores every vector against the
+       current centroids (rounded cosine argmax, ties → lowest cell) —
+       no shuffle;
+    2. re-center: ONE hash aggregate computes per-cell per-component
+       sums with map-side combine — a shuffle of n_cells × (dim+1)
+       values total. Components are quantized to integers first
+       (``CAST(round(v·10⁹) AS BIGINT)``) so the sums are EXACT and
+       order-independent — that is what makes the learned centroids
+       bit-reproducible by the DuckDB oracle (double sums would drift
+       by summation order across engines/partitions, and decimal casts
+       of floats differ by engine string-repr rules). New component =
+       sum / (count·10⁹), one deterministic IEEE division; empty cells
+       keep their previous centroid.
+
+    Init is the deterministic seed the stand-in used (the n_cells
+    lowest-id vectors), so ``n_iters=0`` degrades to :func:`_centroids`
+    exactly. Fixed small ``n_iters`` is the production shape too:
+    k-means for IVF is run to a handful of iterations, not to
+    convergence (FAISS default niter=10 at a 256k training sample).
+
+    100 TB posture: per iteration one scan + one tiny aggregate; the
+    centroid matrix (n_cells × dim doubles) is the only driver state.
+    Returns (C, Cn) like :func:`_centroids`."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import spread
+
+    C, Cn = _centroids(emb, n_cells)
+    if n_iters <= 0:
+        return C, Cn
+    e = spread(emb).select("embedding")
+    for _ in range(n_iters):
+        C_cur, Cn_cur = C, Cn
+
+        @pandas_udf("long")
+        def cell_of(col: pd.Series) -> pd.Series:
+            dots = _cell_dots(col, C_cur, Cn_cur)
+            return pd.Series(np.argmax(dots, axis=1).astype(np.int64))
+
+        scale = float(10 ** round_decimals)
+        sums = (
+            e.select(cell_of(F.col("embedding")).alias("cell"), "embedding")
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(
+                        F.round(F.col("embedding")[i].cast("double") * scale)
+                        .cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        C = C.copy()
+        for row in sums:
+            cell, n = int(row["cell"]), int(row["n"])
+            for i in range(dim):
+                C[cell, i] = int(row[f"s{i}"]) / (n * scale)
+        Cn = np.sqrt(np.add.reduce(C * C, axis=1))
+    return C, Cn
+
+
 def _cell_dots(e, C: np.ndarray, Cn: np.ndarray) -> np.ndarray:
     """Rounded cosine-to-centroid matrix for a batch: sequential
     per-position accumulation (matches SQL SUM order), divide by the
@@ -293,14 +371,17 @@ def ivf_cells(
     emb: DataFrame,
     dim: int = 64,
     n_cells: int = 16,
+    kmeans_iters: int = 0,
+    centroids: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: (vec_id, cell) — assign every vector to
-    its nearest centroid by cosine. Centroids here are the ``n_cells``
-    lowest-id vectors, unit-normalized (a deterministic, oracle-twin
-    choice; production swaps in offline k-means centroids — the
-    assignment/probe plans are identical). Because centroids are unit
-    vectors, cosine argmax == dot-product argmax: no corpus norms
-    needed at assignment time.
+    its nearest centroid by cosine. ``kmeans_iters=0`` uses the
+    deterministic seed centroids (the n_cells lowest-id vectors);
+    ``kmeans_iters>0`` runs that many distributed Lloyd iterations
+    first (:func:`kmeans_centroids` — exact-decimal re-centering, so
+    the learned centroids stay oracle-reproducible). Callers that
+    already hold a (C, Cn) pair pass it via ``centroids`` to skip
+    recomputation.
 
     One Arrow-vectorized pass computes all n_cells dots per batch
     (numpy matmul); dots are rounded to 6 decimals and ties break to
@@ -312,7 +393,7 @@ def ivf_cells(
 
     from .text import spread
 
-    C, Cn = _centroids(emb, n_cells)
+    C, Cn = centroids or kmeans_centroids(emb, dim, n_cells, kmeans_iters)
 
     @pandas_udf("long")
     def cell_of(e: pd.Series) -> pd.Series:
@@ -329,6 +410,7 @@ def ivf_topk(
     dim: int = 64,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``n_probe`` nearest cells
     per query, exact-cosine re-rank only the vectors in those cells.
@@ -339,13 +421,15 @@ def ivf_topk(
     at 10^9 vectors an IVF list is also the natural PHYSICAL partition
     (write the corpus bucketed by cell and a probe reads n_probe/n_cells
     of the data; the cell column is the partition key). Probe factor
-    n_probe/n_cells is the recall/cost knob."""
+    n_probe/n_cells is the recall/cost knob. ``kmeans_iters`` selects
+    the quantizer: 0 = deterministic seed centroids, >0 = that many
+    Lloyd iterations (:func:`kmeans_centroids`)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from .text import spread
 
-    C, Cn = _centroids(emb, n_cells)
+    C, Cn = kmeans_centroids(emb, dim, n_cells, kmeans_iters)
 
     @pandas_udf("array<long>")
     def probe_cells(e: pd.Series) -> pd.Series:
@@ -354,7 +438,7 @@ def ivf_topk(
         order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int64)))
 
-    cells = ivf_cells(emb, dim, n_cells)
+    cells = ivf_cells(emb, dim, n_cells, centroids=(C, Cn))
     e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
     qemb = emb.filter(F.col("vec_id").isin(query_ids))
     qprobe = qemb.select(
@@ -391,13 +475,24 @@ def ivf_topk(
     )
 
 
-def write_ivf_partitioned(emb: DataFrame, path: str, dim: int = 64, n_cells: int = 16) -> None:
+def write_ivf_partitioned(
+    emb: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+) -> None:
     """Materialize the corpus PHYSICALLY partitioned by IVF cell
     (``cell=N/`` parquet directories) plus a ``_centroids`` side table.
     This is the 10⁹-vector layout: a probe becomes PARTITION PRUNING —
     the scan itself reads only ``n_probe/n_cells`` of the data, no
-    filter evaluation over the rest (see ivf_topk_partitioned)."""
-    cells = ivf_cells(emb, dim, n_cells)
+    filter evaluation over the rest (see ivf_topk_partitioned).
+    ``kmeans_iters>0`` learns the quantizer with that many distributed
+    Lloyd iterations before bucketing; the probe path is unchanged
+    because it reads whatever centroids this wrote."""
+    spark = emb.sparkSession
+    C, Cn = kmeans_centroids(emb, dim, n_cells, kmeans_iters)
+    cells = ivf_cells(emb, dim, n_cells, centroids=(C, Cn))
     (
         emb.join(cells, "vec_id")
         .write.partitionBy("cell")
@@ -405,8 +500,10 @@ def write_ivf_partitioned(emb: DataFrame, path: str, dim: int = 64, n_cells: int
         .parquet(path)
     )
     (
-        emb.filter(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
+        spark.createDataFrame(
+            [(i, [float(v) for v in C[i]]) for i in range(n_cells)],
+            "vec_id long, embedding array<double>",
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}_centroids")

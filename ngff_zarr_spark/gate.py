@@ -61,6 +61,7 @@ ANN_K = 5
 EMB_DIM = 64
 IVF_CELLS = 16
 IVF_PROBE = 4
+KMEANS_ITERS = 2  # Lloyd iterations for the learned IVF quantizer
 NEAR_DUP_COS = 0.38
 SESSION_GAP_S = 1800.0
 TPCH_Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -644,12 +645,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-flat approximate top-k: deterministic coarse quantizer
-    (lowest-id centroids), n_probe nearest cells per query, exact
-    cosine re-rank of the probed cells only."""
+    """IVF-flat approximate top-k with a LEARNED coarse quantizer:
+    KMEANS_ITERS distributed Lloyd iterations from the deterministic
+    lowest-id seed (integer-quantized re-centering, so the DuckDB twin
+    unrolls the identical iterations), then n_probe nearest cells per
+    query, exact cosine re-rank of the probed cells only."""
     return S.ivf_topk(
         _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
-        n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, kmeans_iters=KMEANS_ITERS,
     )
 
 

@@ -695,23 +695,89 @@ bb AS (
 )"""
 
 
+def _kmeans_ctes(n_iters: int) -> str:
+    """Unrolled k-means CTE chain mirroring
+    similarity.kmeans_centroids: centroids kept in LONG form
+    (cell, pos, val); per iteration assign by rounded cosine argmax
+    (ties → lowest cell), then re-center with the integer-quantized
+    mean — ``CAST(round(v·10⁹) AS BIGINT)`` sums are exact and
+    order-independent, so both engines land on bit-identical
+    centroids; empty cells COALESCE to the previous centroid. Ends
+    with ``kcent``/``knorm`` = the final centroids and their norms."""
+    from .gate import IVF_CELLS
+
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS cell, r.i AS pos,
+         CAST(embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range({EMB_DIM}) r(i) WHERE vec_id < {IVF_CELLS}
+)"""
+    ]
+    for t in range(n_iters):
+        parts.append(
+            f"""n{t} AS (SELECT cell, sqrt(SUM(val*val)) AS norm FROM c{t} GROUP BY cell)"""
+        )
+        parts.append(
+            f"""ad{t} AS (
+  SELECT d.vec_id, d.cell, round(d.dot / n{t}.norm, 6) AS dot FROM (
+    SELECT e.vec_id, c.cell,
+           SUM(CAST(e.embedding[CAST(c.pos AS INTEGER)+1] AS DOUBLE) * c.val) AS dot
+    FROM embeddings e CROSS JOIN c{t} c
+    GROUP BY e.vec_id, c.cell
+  ) d JOIN n{t} USING (cell)
+)"""
+        )
+        parts.append(
+            f"""asg{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM ad{t}
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""sm{t} AS (
+  SELECT a.cell, r.i AS pos,
+         CAST(SUM(CAST(round(CAST(e.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)
+                             * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1000000000.0) AS val
+  FROM embeddings e JOIN asg{t} a USING (vec_id) CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY a.cell, r.i
+)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT p.cell, p.pos, COALESCE(s.val, p.val) AS val
+  FROM c{t} p LEFT JOIN sm{t} s ON s.cell = p.cell AND s.pos = p.pos
+)"""
+        )
+    parts.append(
+        f"""kcent AS (SELECT cell, pos, val FROM c{n_iters})"""
+    )
+    parts.append(
+        """knorm AS (SELECT cell, sqrt(SUM(val*val)) AS norm FROM kcent GROUP BY cell)"""
+    )
+    return ",\n".join(parts)
+
+
 def sql_ann_ivf_topk():
-    # IVF-flat twin: centroids = lowest-id vectors; assignment/probe by
-    # rounded dot with the (norm-divided) centroid — |v| is constant
+    # IVF-flat twin with the LEARNED quantizer: unroll KMEANS_ITERS
+    # Lloyd iterations from the lowest-id seed, then assignment/probe
+    # by rounded dot with the (norm-divided) centroid — |v| is constant
     # per row so it cannot change the per-vector ORDER over cells and
     # is omitted on both sides; re-rank = the exact rounded cosine.
-    from .gate import IVF_CELLS, IVF_PROBE
+    from .gate import IVF_PROBE, KMEANS_ITERS
 
     return f"""WITH {_UNROLL},
-cent AS (
-  SELECT vec_id AS cell, embedding, norm FROM u WHERE vec_id < {IVF_CELLS}
-),
+{_kmeans_ctes(KMEANS_ITERS)},
 adots AS (
-  SELECT e.vec_id, ct.cell,
-         round(SUM(CAST(e.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)
-                   * CAST(ct.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) / ct.norm, 6) AS dot
-  FROM embeddings e CROSS JOIN cent ct CROSS JOIN range({EMB_DIM}) r(i)
-  GROUP BY e.vec_id, ct.cell, ct.norm
+  SELECT d.vec_id, d.cell, round(d.dot / knorm.norm, 6) AS dot FROM (
+    SELECT e.vec_id, c.cell,
+           SUM(CAST(e.embedding[CAST(c.pos AS INTEGER)+1] AS DOUBLE) * c.val) AS dot
+    FROM embeddings e CROSS JOIN kcent c
+    GROUP BY e.vec_id, c.cell
+  ) d JOIN knorm USING (cell)
 ),
 cells AS (
   SELECT vec_id, cell FROM (
