@@ -274,7 +274,7 @@ def q_s1_s4_zarr_roundtrip(spark, sf_dir):
         shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
         scale=dict(IMG3D_SCALE),
         translation=dict(IMG3D_TRANSLATION),
-        name="gate",
+        name="image",
     )
     ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
     _tz(store, ms, version="0.4")
@@ -357,7 +357,7 @@ def q_s9_blosc_roundtrip(spark, sf_dir):
         shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
         scale=dict(IMG3D_SCALE),
         translation=dict(IMG3D_TRANSLATION),
-        name="gate",
+        name="image",
     )
     ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
     _tz(store, ms, version="0.4", compressor="blosc:lz4:5:1")
@@ -382,7 +382,7 @@ def q_s8_sharded_roundtrip(spark, sf_dir):
         shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
         scale=dict(IMG3D_SCALE),
         translation=dict(IMG3D_TRANSLATION),
-        name="gate",
+        name="image",
     )
     ms = _tm(img, scale_factors=[], chunks={"z": 8, "y": 16, "x": 16})
     _tz(store, ms, version="0.5", compressor="zstd", chunks_per_shard=2)
@@ -409,7 +409,7 @@ def q_dtype_uint16_roundtrip(spark, sf_dir):
         shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
         scale=dict(IMG3D_SCALE),
         translation=dict(IMG3D_TRANSLATION),
-        name="gate",
+        name="image",
         dtype="uint16",
     )
     ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
@@ -441,7 +441,7 @@ def q_chunk_table_sums(spark, sf_dir):
         shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
         scale=dict(IMG3D_SCALE),
         translation=dict(IMG3D_TRANSLATION),
-        name="gate",
+        name="image",
     )
     ms = _tm(img, scale_factors=[], chunks=dict(CHUNKS3D))
     _tz(store, ms, version="0.4")
@@ -480,7 +480,7 @@ def q_s4_multiscale_level1(spark, sf_dir):
         shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
         scale=dict(IMG3D_SCALE),
         translation=dict(IMG3D_TRANSLATION),
-        name="gate",
+        name="image",
     )
     ms = _tm(img, scale_factors=[F3D], method="ITKWASM_BIN_SHRINK",
              chunks={"z": 16, "y": 32, "x": 32})
@@ -1001,7 +1001,8 @@ def q_c10_method_provenance(spark, sf_dir):
     rows = []
     for m in sorted(METHODS):
         info = get_method_metadata(m)
-        rows.append((m, info["package"], info["function"]))
+        package, function = info["method"].split(".", 1)
+        rows.append((m, package, function))
     return spark.createDataFrame(rows, "method string, package string, function string")
 
 
@@ -1181,7 +1182,7 @@ def _dtype_roundtrip(spark, dtype: str) -> DataFrame:
         shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
         scale=dict(IMG3D_SCALE),
         translation=dict(IMG3D_TRANSLATION),
-        name="gate",
+        name="image",
         dtype=dtype,
     )
     ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})

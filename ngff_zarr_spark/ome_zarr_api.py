@@ -67,28 +67,65 @@ METHODS: dict[str, Callable] = {
 # C10 method provenance (reference methods/_metadata.py:11-90): the
 # package+function that produced each level, recorded in the
 # multiscales 'metadata' field.
-_METHOD_INFO: dict[str, tuple[str, str]] = {
-    "ITKWASM_GAUSSIAN": ("ngff_zarr_spark", "gaussian_downsample[itk_bessel]"),
-    "ITK_GAUSSIAN": ("ngff_zarr_spark", "gaussian_downsample[itk_bessel]"),
-    "DASK_IMAGE_GAUSSIAN": ("ngff_zarr_spark", "gaussian_downsample[sampled]"),
-    "ITKWASM_BIN_SHRINK": ("ngff_zarr_spark", "bin_shrink"),
-    "ITK_BIN_SHRINK": ("ngff_zarr_spark", "bin_shrink"),
-    "DASK_IMAGE_NEAREST": ("ngff_zarr_spark", "nearest"),
-    "DASK_IMAGE_MODE": ("ngff_zarr_spark", "mode_downsample"),
-    "ITKWASM_LABEL_IMAGE": ("ngff_zarr_spark", "label_downsample"),
+# (package, function, description): description strings are stored-
+# metadata parity constants transcribed from the reference's method
+# table (methods/_metadata.py:49-90) — they describe the downsampling
+# algorithm a reader of the store should expect; the method string
+# records OUR implementing function (honest provenance, same
+# package.function format the reference uses).
+_METHOD_INFO: dict[str, tuple[str, str, str]] = {
+    "ITKWASM_GAUSSIAN": (
+        "ngff_zarr_spark", "gaussian_downsample[itk_bessel]",
+        "Smoothed with a discrete gaussian filter to generate a scale space, ideal for intensity images.",
+    ),
+    "ITK_GAUSSIAN": (
+        "ngff_zarr_spark", "gaussian_downsample[itk_bessel]",
+        "Smoothed with a discrete gaussian filter to generate a scale space, ideal for intensity images.",
+    ),
+    "DASK_IMAGE_GAUSSIAN": (
+        "ngff_zarr_spark", "gaussian_downsample[sampled]",
+        "Smoothed with a discrete gaussian filter to generate a scale space, ideal for intensity images.",
+    ),
+    "ITKWASM_BIN_SHRINK": (
+        "ngff_zarr_spark", "bin_shrink",
+        "Uses the local mean for the output value. Fast but generates more artifacts than gaussian-based methods. Appropriate for intensity images.",
+    ),
+    "ITK_BIN_SHRINK": (
+        "ngff_zarr_spark", "bin_shrink",
+        "Uses the local mean for the output value. Fast but generates more artifacts than gaussian-based methods. Appropriate for intensity images.",
+    ),
+    "DASK_IMAGE_NEAREST": (
+        "ngff_zarr_spark", "nearest",
+        "Nearest neighbor for label images. Will have many artifacts for high-frequency content and/or multiple scales.",
+    ),
+    "DASK_IMAGE_MODE": (
+        "ngff_zarr_spark", "mode_downsample",
+        "Local mode for label images. Fewer artifacts than simple nearest neighbor interpolation. Slower.",
+    ),
+    "ITKWASM_LABEL_IMAGE": (
+        "ngff_zarr_spark", "label_downsample",
+        "A sample is the mode of the linearly weighted local labels in the image. Fast and minimal artifacts. For label images.",
+    ),
 }
 
 
 def get_method_metadata(method: str) -> dict:
-    """C10: provenance dict {method, package, version, function}."""
-    package, function = _METHOD_INFO[method]
+    """C10: provenance dict in the reference's serialized MethodMetadata
+    shape {description, method, version} (v04/zarr_metadata.py:200-203,
+    methods/_metadata.py:41-45); ``method`` is package.function of the
+    implementing operator."""
+    package, function, description = _METHOD_INFO[method]
     try:
         from importlib.metadata import version as _pkg_version
 
         ver = _pkg_version(package)
     except Exception:
         from . import __version__ as ver  # type: ignore
-    return {"method": method, "package": package, "version": ver, "function": function}
+    return {
+        "description": description,
+        "method": f"{package}.{function}",
+        "version": ver,
+    }
 
 DEFAULT_CHUNKS_3D = 128
 DEFAULT_CHUNKS_2D = 256
@@ -177,7 +214,10 @@ def to_multiscales(
     for i, img in enumerate(images):
         datasets.append(
             Dataset(
-                path=f"scale{i}/image",
+                # reference dataset paths embed the image name
+                # (to_ngff_zarr.py: f"scale{index}/{image.name}", name
+                # defaults "image" in ngff_image.py:19)
+                path=f"scale{i}/{image.name or 'image'}",
                 coordinateTransformations=[
                     ScaleTransform(scale=[img.scale.get(d, 1.0) for d in img.dims]),
                     TranslationTransform(
@@ -390,7 +430,7 @@ def to_ngff_zarr(
     compressor: Optional[str] = "gzip",
     dtype: Optional[str] = None,
     validate: bool = False,
-    chunks_per_shard: Optional[int | dict[str, int]] = None,
+    chunks_per_shard: Optional[int | tuple | dict[str, int]] = None,
     progress: Optional["NgffProgress"] = None,
 ) -> None:
     """Write the pyramid to an OME-Zarr store (S4). Levels are written
@@ -430,7 +470,10 @@ def to_ngff_zarr(
     # (version conversion C9 depends on not re-deriving them).
     recompute = bool(multiscales.scale_factors) and multiscales.method is not None
     for i, img in enumerate(multiscales.images):
-        path = f"scale{i}/image"
+        if meta is not None and i < len(meta.datasets):
+            path = meta.datasets[i].path
+        else:
+            path = f"scale{i}/{img.name or 'image'}"
         if i == 0 or not recompute:
             df = img.data
         else:
@@ -442,20 +485,31 @@ def to_ngff_zarr(
         lvl_chunks = {d: min(chunks.get(d, 1), max(1, img.shape[d])) for d in img.dims}
         cps = None
         if chunks_per_shard is not None:
-            # int → same count per spatial dim, t/c stay 1 (reference
+            # int → same count per spatial dim, t/c stay 1; tuple →
+            # positional over the image dims (reference
             # _configure_sharding, to_ngff_zarr.py:446-489); clamp so a
             # shard never exceeds the level's chunk grid
-            as_dict = (
-                chunks_per_shard
-                if isinstance(chunks_per_shard, dict)
-                else {d: chunks_per_shard for d in img.dims if d in ("z", "y", "x")}
-            )
+            if isinstance(chunks_per_shard, dict):
+                as_dict = chunks_per_shard
+            elif isinstance(chunks_per_shard, (tuple, list)):
+                if len(chunks_per_shard) != len(img.dims):
+                    raise ValueError(
+                        f"chunks_per_shard tuple needs {len(img.dims)} values"
+                        f" for dims {img.dims}, got {len(chunks_per_shard)}"
+                    )
+                as_dict = dict(zip(img.dims, chunks_per_shard))
+            else:
+                as_dict = {d: chunks_per_shard for d in img.dims if d in ("z", "y", "x")}
             cps = {}
             for d in img.dims:
                 grid_d = -(-img.shape[d] // lvl_chunks[d])
                 cps[d] = max(1, min(int(as_dict.get(d, 1)), grid_d))
         if progress is not None:
             progress.update(f"scale{i}", i, len(multiscales.images))
+        if "/" in path:
+            # explicit parent group node, as zarr-python creates for the
+            # reference (v2 scale{i}/.zgroup, v3 scale{i}/zarr.json)
+            store.write_group(path.rsplit("/", 1)[0], {}, zarr_format)
         write_image(
             df,
             store_path,
@@ -475,6 +529,8 @@ def to_ngff_zarr(
         prev_img, prev_path = img, path
     if zarr_format == 2:
         store.consolidate_metadata_v2()
+    else:
+        store.consolidate_metadata_v3()
     if progress is not None:
         progress.done(len(multiscales.images))
 

@@ -655,6 +655,28 @@ class StoreBase:
                 meta[key] = self.get_json(key)
         self.put_json(".zmetadata", {"zarr_consolidated_format": 1, "metadata": meta})
 
+    def consolidate_metadata_v3(self) -> None:
+        """Zarr v3 consolidation (parity: zarr.consolidate_metadata for
+        format-3 stores, reference to_ngff_zarr.py:1177-1183): embed
+        every non-root node's ``zarr.json`` document into the root
+        ``zarr.json`` under ``consolidated_metadata`` — the layout the
+        reference's sharding tests read back
+        (test_to_ngff_zarr_sharding.py:49-60)."""
+        meta = {}
+        for key in self.list_keys():
+            if key == "zarr.json" or not key.endswith("/zarr.json"):
+                continue
+            meta[key[: -len("/zarr.json")]] = self.get_json(key)
+        root = self.get_json("zarr.json") if self.exists("zarr.json") else {
+            "zarr_format": 3, "node_type": "group", "attributes": {},
+        }
+        root["consolidated_metadata"] = {
+            "kind": "inline",
+            "must_understand": False,
+            "metadata": meta,
+        }
+        self.put_json("zarr.json", root)
+
 
 class ZarrStore(StoreBase):
     """Thin (key → bytes) mapping over a local directory."""
@@ -764,19 +786,71 @@ class HttpStore(StoreBase):
       consolidated-metadata fast path.
     - Picklable (just a URL), so Spark executors can each open their
       own connections — no driver-side bottleneck.
+    - Transient failures (HTTP 429/5xx, timeouts, connection resets)
+      are retried with capped exponential backoff + jitter, honoring a
+      numeric ``Retry-After`` header when the server sends one. The
+      reference inherits the same behavior from fsspec/aiohttp
+      (from_ngff_zarr.py:69-80); at 1000 executors hammering an object
+      store, un-retried 503s would fail whole stages for routine
+      throttling. Non-retryable statuses (403, 404, 416) surface
+      immediately — auth failures must never read as "missing key".
     """
 
-    def __init__(self, root: str):
+    RETRYABLE = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(
+        self,
+        root: str,
+        max_retries: int = 5,
+        backoff_base: float = 0.25,
+        backoff_cap: float = 8.0,
+        timeout: float = 60.0,
+    ):
         self.root = root.rstrip("/")
+        self.max_retries = max_retries
+        self.backoff_base = backoff_base
+        self.backoff_cap = backoff_cap
+        self.timeout = timeout
 
     def _url(self, key: str) -> str:
         return f"{self.root}/{key}"
 
+    def _backoff(self, attempt: int, retry_after: Optional[str]) -> float:
+        if retry_after is not None:
+            try:
+                return min(float(retry_after), self.backoff_cap)
+            except ValueError:
+                pass
+        # full jitter keeps a 1000-executor fleet from re-spiking the
+        # server in lockstep after a throttle event
+        import random
+
+        return random.uniform(0, min(self.backoff_cap, self.backoff_base * 2**attempt))
+
     def _request(self, key: str, method: str = "GET", headers: Optional[dict] = None):
+        import socket
+        import time
+        import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(self._url(key), method=method, headers=headers or {})
-        return urllib.request.urlopen(req)
+        last_exc: Exception = RuntimeError("unreachable")
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(
+                self._url(key), method=method, headers=headers or {}
+            )
+            try:
+                return urllib.request.urlopen(req, timeout=self.timeout)
+            except urllib.error.HTTPError as e:
+                if e.code not in self.RETRYABLE:
+                    raise
+                last_exc = e
+                retry_after = e.headers.get("Retry-After") if e.headers else None
+            except (urllib.error.URLError, socket.timeout, ConnectionError, TimeoutError) as e:
+                last_exc = e
+                retry_after = None
+            if attempt < self.max_retries:
+                time.sleep(self._backoff(attempt, retry_after))
+        raise last_exc
 
     def put(self, key: str, data: bytes) -> None:
         raise NotImplementedError("HttpStore is read-only")

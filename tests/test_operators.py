@@ -181,10 +181,13 @@ def test_convert_ome_zarr_version_roundtrip(spark, tmp_path):
 
 
 def test_method_provenance():
-    """C10: per-method provenance dict (package/version/function)."""
+    """C10: per-method provenance in the reference's serialized
+    MethodMetadata shape {description, method, version}
+    (v04/zarr_metadata.py:200-203)."""
     from ngff_zarr_spark.ome_zarr_api import get_method_metadata
 
     meta = get_method_metadata("ITK_GAUSSIAN")
-    assert meta["package"] == "ngff_zarr_spark"
-    assert "itk_bessel" in meta["function"]
+    assert meta["method"].startswith("ngff_zarr_spark.")
+    assert "itk_bessel" in meta["method"]
+    assert "gaussian" in meta["description"].lower()
     assert meta["version"]

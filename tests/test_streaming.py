@@ -160,3 +160,83 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     }
     assert want, "fixture must close at least one session before the watermark"
     assert got == want
+
+
+def test_incremental_stream_recovers_from_checkpoint(spark, tmp_path):
+    """VERDICT r4 ask #9 — kill-and-restart recovery: the stream dies
+    mid-manifest-batch (a field's pyramid build raises after two wells
+    were already written), restarts from the same checkpoint, and the
+    replayed batch converges to EXACTLY the batch-written store —
+    idempotent well upserts give effective exactly-once even though
+    foreachBatch is at-least-once under failure. A post-recovery
+    manifest is then processed without re-running the recovered batch."""
+    from pyspark.errors import StreamingQueryException
+
+    plate = _plate()
+    fields = [("A", "1", 0), ("A", "1", 1), ("A", "2", 0)]
+
+    # batch-written reference store
+    batch_store = str(tmp_path / "batch.ome.zarr")
+    to_hcs_zarr(plate, batch_store)
+    for row, col, fi in fields:
+        write_hcs_well_image(
+            spark, batch_store, _field_ms(spark, fi), plate, row, col, field_index=fi
+        )
+
+    stream_store = str(tmp_path / "stream.ome.zarr")
+    to_hcs_zarr(plate, stream_store)
+    manifest_dir = str(tmp_path / "manifests")
+    ckpt = str(tmp_path / "ckpt")
+    for row, col, fi in fields:
+        write_manifest(manifest_dir, row, col, fi)
+
+    calls: list[tuple] = []
+    crashed = {"done": False}
+
+    def flaky_ms(r, c, f):
+        calls.append((r, c, f))
+        # fields sort (A,1,0),(A,1,1),(A,2,0): the first two wells are
+        # already written when the third raises — a mid-batch crash
+        if (r, c, f) == ("A", "2", 0) and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected acquisition failure")
+        return _field_ms(spark, f)
+
+    q = incremental_well_write_stream(
+        spark, manifest_dir, stream_store, plate, flaky_ms, checkpoint_dir=ckpt
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert crashed["done"]
+
+    # restart from the same checkpoint: the failed batch replays fully
+    q2 = incremental_well_write_stream(
+        spark, manifest_dir, stream_store, plate, flaky_ms, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+
+    assert _store_state(tmp_path / "stream.ome.zarr") == _store_state(
+        tmp_path / "batch.ome.zarr"
+    )
+    cat = from_hcs_zarr(spark, stream_store)
+    rows = [(r.well_path, r.field_index) for r in cat["well_images"].collect()]
+    assert sorted(rows) == [("A/1", 0), ("A/1", 1), ("A/2", 0)]  # no dupes
+    # replay reprocessed the whole failed batch (at-least-once): 3
+    # attempts before the crash would have been 3 calls; replay adds 3
+    assert len(calls) == 6
+
+    # a NEW manifest after recovery is processed exactly once, without
+    # re-running the recovered batch
+    calls.clear()
+    write_manifest(manifest_dir, "A", "2", 1)
+    write_hcs_well_image(
+        spark, batch_store, _field_ms(spark, 1), plate, "A", "2", field_index=1
+    )
+    q3 = incremental_well_write_stream(
+        spark, manifest_dir, stream_store, plate, flaky_ms, checkpoint_dir=ckpt
+    )
+    q3.awaitTermination(120)
+    assert calls == [("A", "2", 1)]
+    assert _store_state(tmp_path / "stream.ome.zarr") == _store_state(
+        tmp_path / "batch.ome.zarr"
+    )
