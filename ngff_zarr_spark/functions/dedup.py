@@ -223,7 +223,13 @@ def duplicate_clusters(
 
     Default (``reliable=None``): reliable checkpointing is ON whenever
     the SparkContext has a checkpoint dir configured; passing
-    ``checkpoint_dir`` sets one and implies reliable mode.
+    ``checkpoint_dir`` sets one (for the duration of this call — the
+    prior session checkpoint dir is restored on exit, so other session
+    code never silently inherits it) and implies reliable mode.
+
+    ``max_iters`` must exceed the graph diameter by one: convergence is
+    detected by a no-change round, so a diameter-d graph needs d+1
+    rounds to be recognized as converged.
 
     100 TB posture: labels are (doc_id, long) pairs — never the text;
     each iteration is edge-count-bounded work; candidate pairs are
@@ -234,13 +240,48 @@ def duplicate_clusters(
 
     Returns every doc that appears in ≥1 pair with its cluster label
     (singletons are by definition not duplicates — callers keep them)."""
+    if max_iters <= 0:
+        raise ValueError(
+            f"max_iters={max_iters}: need at least diameter+1 rounds "
+            "(>=1 even for an empty pair graph) to detect convergence"
+        )
     sc = pairs.sparkSession.sparkContext
-    if checkpoint_dir is not None:
-        sc.setCheckpointDir(checkpoint_dir)
-        if reliable is None:
-            reliable = True
+    prior_dir = sc.getCheckpointDir()
+    set_dir = checkpoint_dir is not None and checkpoint_dir != prior_dir
+    if checkpoint_dir is not None and reliable is None:
+        reliable = True
     if reliable is None:
-        reliable = sc.getCheckpointDir() is not None
+        reliable = prior_dir is not None
+    if reliable and checkpoint_dir is None and prior_dir is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint directory: pass "
+            "checkpoint_dir= or call sc.setCheckpointDir() first"
+        )
+    if set_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    try:
+        return _duplicate_clusters_loop(pairs, max_iters, reliable)
+    finally:
+        if set_dir:
+            # restore the EXACT prior dir (or unset). The public
+            # setCheckpointDir can't do either — it appends a fresh UUID
+            # subdir — so go through the JVM var directly.
+            try:
+                jopt = (
+                    sc._jvm.scala.Option.apply(prior_dir)
+                    if prior_dir is not None
+                    else sc._jvm.scala.Option.empty()
+                )
+                getattr(sc._jsc.sc(), "checkpointDir_$eq")(jopt)
+            except Exception:
+                # non-classic backend: best effort via the public setter
+                if prior_dir is not None:
+                    sc.setCheckpointDir(prior_dir)
+
+
+def _duplicate_clusters_loop(
+    pairs: DataFrame, max_iters: int, reliable: bool
+) -> DataFrame:
     if reliable:
         def _pin(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -248,10 +289,15 @@ def duplicate_clusters(
         def _pin(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # edges pre-hashed on the per-round join key: checkpoint preserves
+    # outputPartitioning, and labels arrive already hashed on u from the
+    # previous round's groupBy — the round join then needs no exchange
+    # on either side, leaving ONE shuffle per round (the label agg)
     edges = _pin(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
         .distinct()
+        .repartition("w")
     )
     labels = _pin(
         edges.select("u").distinct().select("u", F.col("u").alias("label"))
@@ -263,27 +309,28 @@ def duplicate_clusters(
             edges.join(labels.withColumnRenamed("u", "w"), "w")
             .select("u", "label")
         )
-        new_labels = _pin(
-            labels.unionByName(neighbor_labels)
+        # own-label rows carry the label twice: min(label) is the new
+        # label, min(own) recovers the previous one — so convergence
+        # detection rides the SAME aggregate instead of a per-round
+        # join of old vs new labels (one fewer shuffle per round)
+        pinned = _pin(
+            labels.select("u", "label", F.col("label").alias("own"))
+            .unionByName(
+                neighbor_labels.withColumn("own", F.lit(None).cast("long"))
+            )
             .groupBy("u")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("own").alias("own"))
+            .withColumn("changed", F.col("label") < F.col("own"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = pinned.select("u", "label")
+        if pinned.filter(F.col("changed")).limit(1).count() == 0:
             converged = True
             break
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters did not converge in max_iters={max_iters} "
             "rounds; the pair graph has a longer chain than expected — "
-            "raise max_iters (rounds needed ~= graph diameter)"
+            "raise max_iters (rounds needed = graph diameter + 1)"
         )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 

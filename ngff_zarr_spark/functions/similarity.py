@@ -319,7 +319,17 @@ def kmeans_centroids(
     C, Cn = _centroids(emb, n_cells)
     if n_iters <= 0:
         return C, Cn
-    e = spread(emb).select("embedding")
+    # each Lloyd iteration is its own job (the re-centering collect), so
+    # exchange reuse can't help across them — persist the spread input
+    # once (MEMORY_AND_DISK: spills, never OOMs at corpus scale) and
+    # drop it before returning; only numpy centroids escape this scope
+    from pyspark import StorageLevel
+
+    e = (
+        spread(emb)
+        .select("embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     for _ in range(n_iters):
         C_cur, Cn_cur = C, Cn
 
@@ -350,6 +360,7 @@ def kmeans_centroids(
             for i in range(dim):
                 C[cell, i] = int(row[f"s{i}"]) / (n * scale)
         Cn = np.sqrt(np.add.reduce(C * C, axis=1))
+    e.unpersist()
     return C, Cn
 
 

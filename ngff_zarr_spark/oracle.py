@@ -1195,8 +1195,10 @@ JOIN ({sql_text_winnow()}) w ON w.doc_id = tc.doc_id"""
 
 
 def oracles() -> dict[str, str]:
-    """All oracle SQL keyed identically to gate.queries(). Keys absent
-    here (e.g. a9_pyramid_plan) get the driver's rows-only check."""
+    """All oracle SQL keyed identically to gate.queries(). Coverage is
+    FULL: every registered gate has an oracle entry (pinned by
+    tests/test_r04_fixes.py::test_first_50_layout), so the driver's
+    weaker rows-only fallback is never exercised."""
     return {
         "f1_level_pick": sql_f1_level_pick(),
         "f2_roi": sql_f2_roi(),

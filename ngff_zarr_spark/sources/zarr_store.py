@@ -786,10 +786,14 @@ class HttpStore(StoreBase):
       consolidated-metadata fast path.
     - Picklable (just a URL), so Spark executors can each open their
       own connections — no driver-side bottleneck.
-    - Transient failures (HTTP 429/5xx, timeouts, connection resets)
-      are retried with capped exponential backoff + jitter, honoring a
-      numeric ``Retry-After`` header when the server sends one. The
-      reference inherits the same behavior from fsspec/aiohttp
+    - Transient failures (HTTP 429/5xx, timeouts, connection resets —
+      including a reset/short read MID-BODY, the common symptom of
+      object-store throttling) are retried with capped exponential
+      backoff + jitter, honoring a ``Retry-After`` header (numeric
+      seconds or HTTP-date) when the server sends one. Server-specified
+      waits get their own, larger cap (``retry_after_cap``) so a store
+      asking for a 30 s pause is not re-hit after 8 s. The reference
+      inherits the same behavior from fsspec/aiohttp
       (from_ngff_zarr.py:69-80); at 1000 executors hammering an object
       store, un-retried 503s would fail whole stages for routine
       throttling. Non-retryable statuses (403, 404, 416) surface
@@ -804,30 +808,60 @@ class HttpStore(StoreBase):
         max_retries: int = 5,
         backoff_base: float = 0.25,
         backoff_cap: float = 8.0,
+        retry_after_cap: float = 120.0,
         timeout: float = 60.0,
     ):
         self.root = root.rstrip("/")
         self.max_retries = max_retries
         self.backoff_base = backoff_base
         self.backoff_cap = backoff_cap
+        self.retry_after_cap = retry_after_cap
         self.timeout = timeout
 
     def _url(self, key: str) -> str:
         return f"{self.root}/{key}"
 
+    def _parse_retry_after(self, value: str) -> Optional[float]:
+        """Retry-After is either delta-seconds or an HTTP-date (RFC 9110
+        §10.2.3); both forms are honored. Returns None if unparseable."""
+        try:
+            return float(value)
+        except ValueError:
+            pass
+        try:
+            import time as _time
+            from email.utils import parsedate_to_datetime
+
+            dt = parsedate_to_datetime(value)
+            return dt.timestamp() - _time.time()
+        except (TypeError, ValueError):
+            return None
+
     def _backoff(self, attempt: int, retry_after: Optional[str]) -> float:
         if retry_after is not None:
-            try:
-                return min(float(retry_after), self.backoff_cap)
-            except ValueError:
-                pass
+            wait = self._parse_retry_after(retry_after)
+            if wait is not None:
+                # server-specified waits get their own (larger) cap:
+                # clamping a requested 30 s pause to the 8 s jitter cap
+                # would re-hit a throttling store early
+                return min(max(wait, 0.0), self.retry_after_cap)
         # full jitter keeps a 1000-executor fleet from re-spiking the
         # server in lockstep after a throttle event
         import random
 
         return random.uniform(0, min(self.backoff_cap, self.backoff_base * 2**attempt))
 
-    def _request(self, key: str, method: str = "GET", headers: Optional[dict] = None):
+    def _request(
+        self, key: str, method: str = "GET", headers: Optional[dict] = None
+    ) -> tuple[int, bytes]:
+        """One retried HTTP exchange; returns ``(status, body)``.
+
+        The body read happens INSIDE the try so a connection reset or
+        short read mid-body — the common symptom of object-store
+        throttling — is retried exactly like a failed connect, instead
+        of failing the Spark task on the first un-retried read().
+        """
+        import http.client
         import socket
         import time
         import urllib.error
@@ -838,16 +872,23 @@ class HttpStore(StoreBase):
             req = urllib.request.Request(
                 self._url(key), method=method, headers=headers or {}
             )
+            retry_after: Optional[str] = None
             try:
-                return urllib.request.urlopen(req, timeout=self.timeout)
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return resp.status, resp.read()
             except urllib.error.HTTPError as e:
                 if e.code not in self.RETRYABLE:
                     raise
                 last_exc = e
                 retry_after = e.headers.get("Retry-After") if e.headers else None
-            except (urllib.error.URLError, socket.timeout, ConnectionError, TimeoutError) as e:
+            except (
+                urllib.error.URLError,
+                http.client.HTTPException,  # IncompleteRead et al.
+                socket.timeout,
+                ConnectionError,
+                TimeoutError,
+            ) as e:
                 last_exc = e
-                retry_after = None
             if attempt < self.max_retries:
                 time.sleep(self._backoff(attempt, retry_after))
         raise last_exc
@@ -856,23 +897,23 @@ class HttpStore(StoreBase):
         raise NotImplementedError("HttpStore is read-only")
 
     def get(self, key: str) -> bytes:
-        with self._request(key) as resp:
-            return resp.read()
+        _, body = self._request(key)
+        return body
 
     def exists(self, key: str) -> bool:
         import urllib.error
 
         try:
-            with self._request(key, method="HEAD"):
-                return True
+            self._request(key, method="HEAD")
+            return True
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return False
             if e.code == 405:
                 # server without HEAD support — retry as GET
                 try:
-                    with self._request(key):
-                        return True
+                    self._request(key)
+                    return True
                 except urllib.error.HTTPError as e2:
                     if e2.code == 404:
                         return False
@@ -882,14 +923,13 @@ class HttpStore(StoreBase):
             raise
 
     def _ranged(self, key: str, range_header: str, offset: int, length: int) -> bytes:
-        with self._request(key, headers={"Range": range_header}) as resp:
-            body = resp.read()
-            if resp.status == 206:
-                return body
-            # server ignored Range: slice the full body
-            if range_header.startswith("bytes=-"):
-                return body[-length:]
-            return body[offset : offset + length]
+        status, body = self._request(key, headers={"Range": range_header})
+        if status == 206:
+            return body
+        # server ignored Range: slice the full body
+        if range_header.startswith("bytes=-"):
+            return body[-length:]
+        return body[offset : offset + length]
 
     def get_range(self, key: str, offset: int, length: int) -> bytes:
         return self._ranged(key, f"bytes={offset}-{offset + length - 1}", offset, length)

@@ -223,6 +223,74 @@ def test_http_404_not_retried(http_base_flaky):
     assert head_attempts == FlakyRangeHandler.fail_count + 1
 
 
+class TruncatingHandler(RangeHandler):
+    """First `fail_count` GETs per path promise the full Content-Length
+    but close the connection halfway through the body — the mid-body
+    reset/short-read symptom of object-store throttling (ADVICE r4:
+    previously resp.read() ran outside the retry loop, so this failed
+    the task unretried)."""
+
+    fail_count = 2
+    attempts: dict = {}
+
+    def do_GET(self):
+        key = ("GET", self.path)
+        n = self.attempts.get(key, 0)
+        self.attempts[key] = n + 1
+        path = self.translate_path(self.path)
+        if n >= self.fail_count or not os.path.isfile(path):
+            return super().do_GET()
+        with open(path, "rb") as f:
+            body = f.read()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body[: max(1, len(body) // 2)])
+        self.close_connection = True  # EOF before Content-Length bytes
+
+
+@pytest.fixture()
+def http_base_trunc():
+    TruncatingHandler.attempts = {}
+    srv, base = _serve(TruncatingHandler)
+    yield base
+    srv.shutdown()
+
+
+def test_http_midbody_truncation_retried(http_base_trunc):
+    """A short read mid-body (IncompleteRead) is retried like any other
+    transient failure and the eventual bytes are identical to local."""
+    store = _fast_store(http_base_trunc, "v04_gzip.ome.zarr")
+    local = ZarrStore(os.path.join(GOLDEN, "v04_gzip.ome.zarr"))
+    assert store.get(".zattrs") == local.get(".zattrs")
+    attempts = TruncatingHandler.attempts[("GET", "/v04_gzip.ome.zarr/.zattrs")]
+    assert attempts == TruncatingHandler.fail_count + 1
+
+
+def test_retry_after_parsing_and_caps():
+    """Retry-After handling (ADVICE r4): delta-seconds beyond the
+    jitter cap are honored up to retry_after_cap; the HTTP-date form is
+    parsed; past dates clamp to 0; garbage falls back to jittered
+    exponential under backoff_cap."""
+    import datetime
+    from email.utils import format_datetime
+
+    store = HttpStore(
+        "http://x", backoff_base=0.01, backoff_cap=0.05, retry_after_cap=2.0
+    )
+    assert store._backoff(0, "1.5") == 1.5  # > backoff_cap, honored
+    assert store._backoff(0, "3600") == 2.0  # clamped to retry_after_cap
+
+    big = HttpStore("http://x", backoff_cap=0.05)  # default 120s cap
+    now = datetime.datetime.now(datetime.timezone.utc)
+    future = format_datetime(now + datetime.timedelta(seconds=10), usegmt=True)
+    wait = big._backoff(0, future)
+    assert 8.0 <= wait <= 10.0  # HTTP-date → seconds from now
+    past = format_datetime(now - datetime.timedelta(seconds=60), usegmt=True)
+    assert big._backoff(0, past) == 0.0  # never negative
+    assert 0.0 <= store._backoff(0, "soon") <= 0.05  # unparseable
+
+
 def test_http_sharded_read_with_failures(http_base_flaky):
     """Sharded read under injected failures: the v3 sharded store
     (two ranged GETs per chunk) reads byte-identically through 503s."""

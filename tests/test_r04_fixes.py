@@ -35,12 +35,9 @@ def test_clusters_reliable_checkpoint(spark, tmp_path):
     assert {tuple(r) for r in local.collect()} == EXPECT_CHAIN
     written = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert written, "reliable mode must write checkpoint files"
-    # restore session default (no checkpoint dir) so later tests —
-    # with tmp_path long gone — keep using localCheckpoint
-    jsc = spark.sparkContext._jsc.sc()
-    getattr(jsc, "checkpointDir_$eq")(
-        spark.sparkContext._jvm.scala.Option.empty()
-    )
+    # r5 (ADVICE): the library must restore the session's prior
+    # checkpoint dir (here: unset) rather than leak its own — later
+    # calls with reliable=None must keep using localCheckpoint
     assert spark.sparkContext.getCheckpointDir() is None
 
 
