@@ -330,37 +330,41 @@ def kmeans_centroids(
         .select("embedding")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(n_iters):
-        C_cur, Cn_cur = C, Cn
+    try:
+        for _ in range(n_iters):
+            C_cur, Cn_cur = C, Cn
 
-        @pandas_udf("long")
-        def cell_of(col: pd.Series) -> pd.Series:
-            dots = _cell_dots(col, C_cur, Cn_cur)
-            return pd.Series(np.argmax(dots, axis=1).astype(np.int64))
+            @pandas_udf("long")
+            def cell_of(col: pd.Series) -> pd.Series:
+                dots = _cell_dots(col, C_cur, Cn_cur)
+                return pd.Series(np.argmax(dots, axis=1).astype(np.int64))
 
-        scale = float(10 ** round_decimals)
-        sums = (
-            e.select(cell_of(F.col("embedding")).alias("cell"), "embedding")
-            .groupBy("cell")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(
-                        F.round(F.col("embedding")[i].cast("double") * scale)
-                        .cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+            scale = float(10 ** round_decimals)
+            sums = (
+                e.select(cell_of(F.col("embedding")).alias("cell"), "embedding")
+                .groupBy("cell")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(
+                            F.round(F.col("embedding")[i].cast("double") * scale)
+                            .cast("long")
+                        ).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
-        C = C.copy()
-        for row in sums:
-            cell, n = int(row["cell"]), int(row["n"])
-            for i in range(dim):
-                C[cell, i] = int(row[f"s{i}"]) / (n * scale)
-        Cn = np.sqrt(np.add.reduce(C * C, axis=1))
-    e.unpersist()
+            C = C.copy()
+            for row in sums:
+                cell, n = int(row["cell"]), int(row["n"])
+                for i in range(dim):
+                    C[cell, i] = int(row[f"s{i}"]) / (n * scale)
+            Cn = np.sqrt(np.add.reduce(C * C, axis=1))
+    finally:
+        # unpersist even when a collect fails mid-iteration, or the
+        # MEMORY_AND_DISK blocks leak for the rest of the session
+        e.unpersist()
     return C, Cn
 
 
@@ -422,6 +426,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 0,
+    centroids: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``n_probe`` nearest cells
     per query, exact-cosine re-rank only the vectors in those cells.
@@ -434,13 +439,16 @@ def ivf_topk(
     of the data; the cell column is the partition key). Probe factor
     n_probe/n_cells is the recall/cost knob. ``kmeans_iters`` selects
     the quantizer: 0 = deterministic seed centroids, >0 = that many
-    Lloyd iterations (:func:`kmeans_centroids`)."""
+    Lloyd iterations (:func:`kmeans_centroids`). A pre-trained
+    quantizer passes ``centroids=(C, Cn)`` and skips training entirely
+    — the production serving shape, where the quantizer is a build-time
+    artifact amortized over every query, not retrained per query."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from .text import spread
 
-    C, Cn = kmeans_centroids(emb, dim, n_cells, kmeans_iters)
+    C, Cn = centroids or kmeans_centroids(emb, dim, n_cells, kmeans_iters)
 
     @pandas_udf("array<long>")
     def probe_cells(e: pd.Series) -> pd.Series:

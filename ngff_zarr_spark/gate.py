@@ -90,15 +90,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default — session.get_spark sets
-    ``spark.sql.legacy.parquet.nanosAsLong`` so the column arrives as an
-    exact integer (the oracle mirrors with epoch_ns). The conf is also
-    set here defensively for sessions not built by get_spark; it is a
-    static parquet-reader option, never mutated back."""
+    """events.parquet's ``ts`` physical type has varied across testdata
+    regenerations (TIMESTAMP(NANOS), timestamp[us]); every consumer in
+    this module assumes long nanoseconds-since-epoch, so the read is
+    normalized through :func:`functions.events.normalize_events_ts`.
+    ``nanosAsLong`` stays set defensively for NANOS-format files (a
+    static parquet-reader option, never mutated back); the oracle
+    mirrors with DuckDB's type-agnostic ``epoch_ns(ts)``."""
+    from .functions.events import normalize_events_ts
+
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1007,9 +1010,15 @@ def q_c10_method_provenance(spark, sf_dir):
 
 
 def q_c7_validate_battery(spark, sf_dir):
-    """C7: structural validation verdicts over a fixed battery of attr
-    documents spanning 0.2/0.3/0.4 layouts and broken variants."""
-    from .validate import validate
+    """C7: validation verdicts over a fixed battery of attr documents —
+    structural checks (rows without the js_ prefix: problem COUNTS over
+    0.2/0.3/0.4 layouts and broken variants) plus full JSON-Schema
+    validation against the vendored public OME-NGFF spec schemas (js_*
+    rows: 0/1 valid verdicts across 0.1-0.5 image/plate/well and the
+    strict_ variant — verdicts not raw error counts, so the gate pins
+    spec semantics, not one jsonschema version's error enumeration).
+    Reference: validate.py:32-52 + spec/{0.1..0.5}/schemas/."""
+    from .validate import validate, validate_schema
 
     battery = {
         "v02_ok": {"multiscales": [{"version": "0.2", "datasets": [{"path": "0"}]}]},
@@ -1065,6 +1074,64 @@ def q_c7_validate_battery(spark, sf_dir):
         "empty": {},
     }
     rows = [(k, len(validate(v))) for k, v in sorted(battery.items())]
+
+    _ms04 = {
+        "version": "0.4",
+        "axes": [{"name": "y", "type": "space"}, {"name": "x", "type": "space"}],
+        "datasets": [
+            {
+                "path": "0",
+                "coordinateTransformations": [{"type": "scale", "scale": [1.0, 1.0]}],
+            }
+        ],
+    }
+    _ms04_no_axes = {k: v for k, v in _ms04.items() if k != "axes"}
+    _ms04_bad_tx = dict(
+        _ms04,
+        datasets=[
+            {
+                "path": "0",
+                "coordinateTransformations": [
+                    {"type": "translation", "translation": [1.0, 1.0]}
+                ],
+            }
+        ],
+    )
+    _ms05 = {k: v for k, v in _ms04.items() if k != "version"}
+    schema_battery = {
+        # (spec version, model, strict, attrs)
+        "js_v01_ok": ("0.1", "image", False,
+                      {"multiscales": [{"datasets": [{"path": "0"}], "version": "0.1"}]}),
+        "js_v03_ok": ("0.3", "image", False,
+                      {"multiscales": [{"axes": ["z", "y", "x"],
+                                        "datasets": [{"path": "0"}], "version": "0.3"}]}),
+        "js_v04_ok": ("0.4", "image", False, {"multiscales": [_ms04]}),
+        "js_v04_no_axes": ("0.4", "image", False, {"multiscales": [_ms04_no_axes]}),
+        "js_v04_bad_transform": ("0.4", "image", False, {"multiscales": [_ms04_bad_tx]}),
+        # valid lax but NOT strict (strict_image additionally requires
+        # name/type/version richness) — pins that the strict_ variant
+        # actually tightens
+        "js_v04_strict_gap": ("0.4", "image", True, {"multiscales": [_ms04]}),
+        "js_v05_ok": ("0.5", "image", False,
+                      {"ome": {"version": "0.5", "multiscales": [_ms05]}}),
+        "js_v05_bad_version": ("0.5", "image", False,
+                               {"ome": {"version": "0.6", "multiscales": [_ms05]}}),
+        "js_v04_plate_ok": ("0.4", "plate", False,
+                            {"plate": {"columns": [{"name": "1"}], "rows": [{"name": "A"}],
+                                       "wells": [{"path": "A/1", "rowIndex": 0,
+                                                  "columnIndex": 0}], "version": "0.4"}}),
+        "js_v04_plate_bad_well": ("0.4", "plate", False,
+                                  {"plate": {"columns": [{"name": "1"}], "rows": [{"name": "A"}],
+                                             "wells": [{"path": "A1", "rowIndex": 0,
+                                                        "columnIndex": 0}], "version": "0.4"}}),
+        "js_v04_well_ok": ("0.4", "well", False,
+                           {"well": {"images": [{"path": "0"}], "version": "0.4"}}),
+        "js_v04_well_bad": ("0.4", "well", False, {"well": {"images": []}}),
+    }
+    rows += [
+        (k, min(1, len(validate_schema(attrs, ver, model, strict_schema=strict))))
+        for k, (ver, model, strict, attrs) in sorted(schema_battery.items())
+    ]
     return spark.createDataFrame(rows, "doc string, n_problems int")
 
 

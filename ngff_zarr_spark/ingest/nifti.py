@@ -1,8 +1,10 @@
-"""NIfTI-1 ingest (S16/S17) without nibabel.
+"""NIfTI-1 and NIfTI-2 ingest (S16/S17) without nibabel.
 
-Parses the public NIfTI-1 binary header layout (348 bytes, fields at
-fixed offsets per the nifti1.h spec), applies the same semantics the
-reference gets from nibabel (/root/reference
+Parses the public NIfTI binary header layouts (NIfTI-1: 348 bytes per
+nifti1.h; NIfTI-2: 540 bytes, 'n+2' magic, 8-byte dims and
+double-precision geometry per nifti2.h), little- or big-endian,
+plain or gzipped, and applies the same semantics the reference gets
+from nibabel (/root/reference
 py/ngff_zarr/nibabel_image_to_ngff_image.py:90-181):
 
 - affine from srow (sform_code > 0), else the quaternion qform, else
@@ -73,36 +75,77 @@ def _quaternion_affine(b, c, d, qx, qy, qz, pixdim, qfac):
     return aff
 
 
+_NIFTI2_MAGIC = b"n+2\x00\r\n\x1a\n"  # nifti2.h: magic at offset 4
+
+
+def _header_version(raw: bytes) -> tuple[int, str]:
+    """(nifti_version, endian_char) from sizeof_hdr — 348 = NIfTI-1,
+    540 = NIfTI-2 (nifti2.h), either byte order."""
+    for end in ("<", ">"):
+        size = struct.unpack_from(f"{end}i", raw, 0)[0]
+        if size == 348:
+            return 1, end
+        if size == 540:
+            return 2, end
+    raise ValueError(
+        f"not a NIfTI file (sizeof_hdr={struct.unpack_from('<i', raw, 0)[0]})"
+    )
+
+
 def read_nifti(path: str | Path) -> Nifti1Image:
+    """Parse NIfTI-1 (348-byte header) or NIfTI-2 (540-byte header,
+    magic 'n+2', 8-byte dims/offsets, double-precision geometry fields
+    — nifti2.h public layout), little- or big-endian, plain or
+    gzipped. The reference reads both through nibabel; field semantics
+    downstream (affine precedence, scaling defaults) are identical."""
     raw = Path(path).read_bytes()
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     if len(raw) < 348:
-        raise ValueError("not a NIfTI-1 file (truncated header)")
-    sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
-    if sizeof_hdr != 348:
-        raise ValueError(f"not a NIfTI-1 file (sizeof_hdr={sizeof_hdr})")
-    dim = struct.unpack_from("<8h", raw, 40)
-    datatype = struct.unpack_from("<h", raw, 70)[0]
-    pixdim = struct.unpack_from("<8f", raw, 76)
-    vox_offset = int(struct.unpack_from("<f", raw, 108)[0])
-    scl_slope, scl_inter = struct.unpack_from("<2f", raw, 112)
-    cal_max = struct.unpack_from("<f", raw, 124)[0]
-    cal_min = struct.unpack_from("<f", raw, 128)[0]
-    qform_code, sform_code = struct.unpack_from("<2h", raw, 252)
-    quatern = struct.unpack_from("<3f", raw, 256)
-    qoffset = struct.unpack_from("<3f", raw, 268)
-    srow = np.array(struct.unpack_from("<12f", raw, 280)).reshape(3, 4)
+        raise ValueError("not a NIfTI file (truncated header)")
+    version, e = _header_version(raw)
+    if version == 1:
+        dim = struct.unpack_from(f"{e}8h", raw, 40)
+        datatype = struct.unpack_from(f"{e}h", raw, 70)[0]
+        pixdim = struct.unpack_from(f"{e}8f", raw, 76)
+        vox_offset = int(struct.unpack_from(f"{e}f", raw, 108)[0])
+        scl_slope, scl_inter = struct.unpack_from(f"{e}2f", raw, 112)
+        cal_max = struct.unpack_from(f"{e}f", raw, 124)[0]
+        cal_min = struct.unpack_from(f"{e}f", raw, 128)[0]
+        qform_code, sform_code = struct.unpack_from(f"{e}2h", raw, 252)
+        quatern = struct.unpack_from(f"{e}3f", raw, 256)
+        qoffset = struct.unpack_from(f"{e}3f", raw, 268)
+        srow = np.array(struct.unpack_from(f"{e}12f", raw, 280)).reshape(3, 4)
+        min_offset = 352
+    else:
+        if len(raw) < 540:
+            raise ValueError("not a NIfTI-2 file (truncated header)")
+        if raw[4:12] != _NIFTI2_MAGIC:
+            raise ValueError(f"bad NIfTI-2 magic {raw[4:12]!r}")
+        datatype = struct.unpack_from(f"{e}h", raw, 12)[0]
+        dim = struct.unpack_from(f"{e}8q", raw, 16)
+        pixdim = struct.unpack_from(f"{e}8d", raw, 104)
+        vox_offset = int(struct.unpack_from(f"{e}q", raw, 168)[0])
+        scl_slope, scl_inter = struct.unpack_from(f"{e}2d", raw, 176)
+        cal_max = struct.unpack_from(f"{e}d", raw, 192)[0]
+        cal_min = struct.unpack_from(f"{e}d", raw, 200)[0]
+        qform_code, sform_code = struct.unpack_from(f"{e}2i", raw, 344)
+        quatern = struct.unpack_from(f"{e}3d", raw, 352)
+        qoffset = struct.unpack_from(f"{e}3d", raw, 376)
+        srow = np.array(struct.unpack_from(f"{e}12d", raw, 400)).reshape(3, 4)
+        min_offset = 544
 
     ndim = dim[0]
     if not 3 <= ndim <= 5:
         raise ValueError(f"unsupported NIfTI ndim {ndim}")
-    shape = tuple(dim[1 : 1 + ndim])
+    shape = tuple(int(d) for d in dim[1 : 1 + ndim])
     if datatype not in _DTYPES:
         raise ValueError(f"unsupported NIfTI datatype code {datatype}")
-    np_dtype = np.dtype(_DTYPES[datatype]).newbyteorder("<")
+    np_dtype = np.dtype(_DTYPES[datatype]).newbyteorder(e)
     count = int(np.prod(shape))
-    data = np.frombuffer(raw, dtype=np_dtype, count=count, offset=max(vox_offset, 352))
+    data = np.frombuffer(
+        raw, dtype=np_dtype, count=count, offset=max(vox_offset, min_offset)
+    )
     # NIfTI voxel order: first index varies fastest (Fortran)
     data = data.reshape(shape, order="F")
 
@@ -139,13 +182,18 @@ def write_nifti(
     scl_inter: float = 0.0,
     cal_min: float = 0.0,
     cal_max: float = 0.0,
+    version: int = 1,
 ) -> None:
-    """Write a minimal single-file NIfTI-1 (.nii / .nii.gz): sform affine,
+    """Write a minimal single-file NIfTI (.nii / .nii.gz): sform affine,
     Fortran voxel order — the writer counterpart used by round-trip
-    tests and as a light-weight export path."""
+    tests and as a light-weight export path. ``version`` 1 (348-byte
+    header) or 2 (540-byte nifti2.h header: 8-byte dims/offsets,
+    double geometry fields)."""
     path = Path(path)
     if arr.dtype.name not in _DTYPE_CODES:
         raise ValueError(f"unsupported NIfTI dtype {arr.dtype}")
+    if version not in (1, 2):
+        raise ValueError(f"NIfTI version must be 1 or 2, got {version}")
     if affine is None:
         affine = np.eye(4)
     ndim = arr.ndim
@@ -153,20 +201,37 @@ def write_nifti(
     pixdim = [1.0] + [float(np.linalg.norm(affine[:3, i])) for i in range(min(3, ndim))]
     pixdim += [1.0] * (8 - len(pixdim))
 
-    hdr = bytearray(348)
-    struct.pack_into("<i", hdr, 0, 348)
-    struct.pack_into("<8h", hdr, 40, *dim)
-    struct.pack_into("<h", hdr, 70, _DTYPE_CODES[arr.dtype.name])
-    struct.pack_into("<h", hdr, 72, arr.dtype.itemsize * 8)
-    struct.pack_into("<8f", hdr, 76, *pixdim)
-    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
-    struct.pack_into("<2f", hdr, 112, scl_slope, scl_inter)
-    struct.pack_into("<f", hdr, 124, cal_max)
-    struct.pack_into("<f", hdr, 128, cal_min)
-    struct.pack_into("<2h", hdr, 252, 0, 1)  # qform=0, sform=1
-    struct.pack_into("<12f", hdr, 280, *affine[:3, :].reshape(-1).tolist())
-    hdr[344:348] = b"n+1\x00"
-    body = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(
+    if version == 1:
+        hdr = bytearray(348)
+        struct.pack_into("<i", hdr, 0, 348)
+        struct.pack_into("<8h", hdr, 40, *dim)
+        struct.pack_into("<h", hdr, 70, _DTYPE_CODES[arr.dtype.name])
+        struct.pack_into("<h", hdr, 72, arr.dtype.itemsize * 8)
+        struct.pack_into("<8f", hdr, 76, *pixdim)
+        struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+        struct.pack_into("<2f", hdr, 112, scl_slope, scl_inter)
+        struct.pack_into("<f", hdr, 124, cal_max)
+        struct.pack_into("<f", hdr, 128, cal_min)
+        struct.pack_into("<2h", hdr, 252, 0, 1)  # qform=0, sform=1
+        struct.pack_into("<12f", hdr, 280, *affine[:3, :].reshape(-1).tolist())
+        hdr[344:348] = b"n+1\x00"
+        body = bytes(hdr) + b"\x00" * 4
+    else:
+        hdr = bytearray(540)
+        struct.pack_into("<i", hdr, 0, 540)
+        hdr[4:12] = _NIFTI2_MAGIC
+        struct.pack_into("<h", hdr, 12, _DTYPE_CODES[arr.dtype.name])
+        struct.pack_into("<h", hdr, 14, arr.dtype.itemsize * 8)
+        struct.pack_into("<8q", hdr, 16, *dim)
+        struct.pack_into("<8d", hdr, 104, *pixdim)
+        struct.pack_into("<q", hdr, 168, 544)  # vox_offset
+        struct.pack_into("<2d", hdr, 176, scl_slope, scl_inter)
+        struct.pack_into("<d", hdr, 192, cal_max)
+        struct.pack_into("<d", hdr, 200, cal_min)
+        struct.pack_into("<2i", hdr, 344, 0, 1)  # qform=0, sform=1
+        struct.pack_into("<12d", hdr, 400, *affine[:3, :].reshape(-1).tolist())
+        body = bytes(hdr) + b"\x00" * 4
+    body += np.asfortranarray(
         arr.astype(arr.dtype.newbyteorder("<"))
     ).tobytes(order="F")
     if str(path).endswith(".gz"):

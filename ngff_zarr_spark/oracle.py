@@ -477,13 +477,28 @@ def sql_c10_method_provenance():
 
 
 def sql_c7_validate_battery():
+    # js_* rows are full JSON-Schema verdicts (0 = valid, 1 = invalid)
+    # against the vendored OME-NGFF spec schemas; the rest are
+    # structural problem counts (gate.q_c7_validate_battery)
     return """SELECT doc, CAST(n_problems AS INTEGER) AS n_problems FROM (VALUES
   ('empty', 1),
   ('v02_ok', 0),
   ('v03_ok', 0),
   ('v04_bad_axis', 1),
   ('v04_no_transforms', 1),
-  ('v04_ok', 0)
+  ('v04_ok', 0),
+  ('js_v01_ok', 0),
+  ('js_v03_ok', 0),
+  ('js_v04_bad_transform', 1),
+  ('js_v04_no_axes', 1),
+  ('js_v04_ok', 0),
+  ('js_v04_plate_bad_well', 1),
+  ('js_v04_plate_ok', 0),
+  ('js_v04_strict_gap', 1),
+  ('js_v04_well_bad', 1),
+  ('js_v04_well_ok', 0),
+  ('js_v05_bad_version', 1),
+  ('js_v05_ok', 0)
 ) AS t(doc, n_problems)"""
 
 
@@ -1196,9 +1211,10 @@ JOIN ({sql_text_winnow()}) w ON w.doc_id = tc.doc_id"""
 
 def oracles() -> dict[str, str]:
     """All oracle SQL keyed identically to gate.queries(). Coverage is
-    FULL: every registered gate has an oracle entry (pinned by
-    tests/test_r04_fixes.py::test_first_50_layout), so the driver's
-    weaker rows-only fallback is never exercised."""
+    FULL: every registered gate — not just the first 50 — has an oracle
+    entry (pinned by tests/test_r04_batteries.py::
+    test_full_oracle_coverage), so the driver's weaker rows-only
+    fallback is never exercised."""
     return {
         "f1_level_pick": sql_f1_level_pick(),
         "f2_roi": sql_f2_roi(),

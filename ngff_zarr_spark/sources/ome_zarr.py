@@ -456,4 +456,14 @@ def register(spark) -> None:
     # chunk pruning via pushFilters needs the (off-by-default) Python
     # data source pushdown flag; runtime-settable
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(OmeZarrDataSource)
+    # Idempotent: repeat registration on the same session (or a
+    # streaming micro-batch clone that inherited it) raises
+    # DATA_SOURCE_ALREADY_EXISTS — same datasource, nothing to do.
+    # NOTE: registration does NOT propagate into already-running
+    # streaming queries (micro-batch clones copy the manager at stream
+    # start), so any foreachBatch that writes format("ome_zarr") must
+    # register before .start() — see streaming/pipeline.py.
+    if not spark._jsparkSession.sessionState().dataSourceManager().dataSourceExists(
+        "ome_zarr"
+    ):
+        spark.dataSource.register(OmeZarrDataSource)

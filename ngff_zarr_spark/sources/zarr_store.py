@@ -829,27 +829,37 @@ class HttpStore(StoreBase):
         except ValueError:
             pass
         try:
+            import datetime as _datetime
             import time as _time
             from email.utils import parsedate_to_datetime
 
             dt = parsedate_to_datetime(value)
+            if dt.tzinfo is None:
+                # parsedate_to_datetime returns naive for '-0000' zones;
+                # .timestamp() would interpret that in HOST local time,
+                # skewing the wait by the UTC offset. HTTP-dates are UTC.
+                dt = dt.replace(tzinfo=_datetime.timezone.utc)
             return dt.timestamp() - _time.time()
         except (TypeError, ValueError):
             return None
 
     def _backoff(self, attempt: int, retry_after: Optional[str]) -> float:
+        # full jitter keeps a 1000-executor fleet from re-spiking the
+        # server in lockstep after a throttle event
+        import random
+
+        jitter = random.uniform(0, min(self.backoff_cap, self.backoff_base * 2**attempt))
         if retry_after is not None:
             wait = self._parse_retry_after(retry_after)
             if wait is not None:
                 # server-specified waits get their own (larger) cap:
                 # clamping a requested 30 s pause to the 8 s jitter cap
-                # would re-hit a throttling store early
-                return min(max(wait, 0.0), self.retry_after_cap)
-        # full jitter keeps a 1000-executor fleet from re-spiking the
-        # server in lockstep after a throttle event
-        import random
-
-        return random.uniform(0, min(self.backoff_cap, self.backoff_base * 2**attempt))
+                # would re-hit a throttling store early. Jitter rides on
+                # TOP of the server wait — a fleet throttled at the same
+                # instant and honoring the same exact Retry-After would
+                # otherwise retry in lockstep and re-spike the store.
+                return min(max(wait, 0.0) + jitter, self.retry_after_cap)
+        return jitter
 
     def _request(
         self, key: str, method: str = "GET", headers: Optional[dict] = None

@@ -48,6 +48,13 @@ def incremental_well_write_stream(
     writes inside write_hcs_well_image are normal distributed jobs.
     """
     from ..hcs import write_hcs_well_image
+    from ..sources.ome_zarr import register
+
+    # The micro-batch clone copies the session's data-source registry at
+    # stream start; registering inside the batch callback is too late
+    # (the foreachBatch write then fails DATA_SOURCE_NOT_FOUND), so the
+    # ome_zarr source must be on the session BEFORE .start().
+    register(spark)
 
     manifests = (
         spark.readStream.schema(MANIFEST_SCHEMA).json(manifest_dir)
@@ -105,13 +112,15 @@ def streaming_events_hourly(
 ):
     """Streaming twin of the events_hourly batch aggregate: tumbling
     1-hour event-time windows with a watermark for late data. Events
-    arrive as parquet files (TIMESTAMP(NANOS) read as long via the
-    session's nanosAsLong, converted to timestamps for the window).
-    Returns (stream_df, start_fn) — start_fn(sink_table) runs
-    availableNow into an in-memory table for tests; production swaps
-    the sink for kafka/delta."""
-    schema = "event_id long, user_id long, ts long, event_type string, value double"
-    ev = spark.readStream.schema(schema).parquet(events_dir)
+    arrive as parquet files; the source schema is derived from the live
+    file footers and ``ts`` normalized to long ns (see
+    functions/events.py — a hardcoded schema silently misreads when the
+    physical timestamp type changes). Returns (stream_df, start_fn) —
+    start_fn(sink_table) runs availableNow into an in-memory table for
+    tests; production swaps the sink for kafka/delta."""
+    from ..functions.events import events_stream_source
+
+    ev = events_stream_source(spark, events_dir)
     with_time = ev.withColumn(
         # exact integer `div`: ns longs exceed double's 2^53 range, so
         # `/`+cast can land ±1 µs off (breaks session identity equality)
@@ -159,9 +168,11 @@ def streaming_sessionize(
     sessions: they must be CLOSED before they are final). The batch
     twin (gate events_session_window) runs the identical expression;
     tests prove stream output == batch sessions closed before the
-    final watermark."""
-    schema = "event_id long, user_id long, ts long, event_type string, value double"
-    ev = spark.readStream.schema(schema).parquet(events_dir)
+    final watermark. Source schema derived from file footers, ``ts``
+    normalized to long ns (functions/events.py)."""
+    from ..functions.events import events_stream_source
+
+    ev = events_stream_source(spark, events_dir)
     with_time = ev.withColumn(
         # exact integer `div`: ns longs exceed double's 2^53 range, so
         # `/`+cast can land ±1 µs off (breaks session identity equality)

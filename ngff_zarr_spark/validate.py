@@ -1,14 +1,21 @@
-"""OME-NGFF structural metadata validation (C7).
+"""OME-NGFF metadata validation (C7): structural + full JSON Schema.
 
-The reference validates collected store attributes against the bundled
-OME-NGFF JSON Schemas (/root/reference py/ngff_zarr/validate.py:32-52,
-schema files py/ngff_zarr/spec/{0.1..0.5}/schemas/*.schema). The
-jsonschema library is not available in this environment, so the schema
-REQUIREMENTS for the three models the reference validates (image /
-plate / well) are encoded directly as structural checks over the raw
-attribute dicts — same inputs (store attrs), same failure surface
-(a list of problems, raise on request), driver-side only (validation is
-metadata work, never a distributed op).
+Two layers, matching the reference's surface
+(/root/reference py/ngff_zarr/validate.py:32-52):
+
+* **Structural checks** (always available): the schema REQUIREMENTS for
+  the three models the reference validates (image / plate / well),
+  encoded directly over the raw attribute dicts — same inputs (store
+  attrs), same failure surface (a list of problems, raise on request).
+* **Full JSON-Schema validation** (:func:`validate_schema`): Draft
+  2020-12 validation against the vendored public OME-NGFF spec schemas
+  (``ngff_zarr_spark/spec/{0.1..0.5}/schemas/*.schema`` — see
+  spec/README.md for provenance), gated behind an import-try on
+  ``jsonschema``; cross-schema ``$ref``\\ s (0.5's ``_version``) resolve
+  through a registry holding every vendored schema by its ``$id``.
+
+Both layers are driver-side only — validation is metadata work over
+collected attrs (a few KB), never a distributed op.
 
 Versions: 0.4 attrs carry the model at the top level ('multiscales' /
 'plate' / 'well'); 0.5 nests it under 'ome' with a top-level version
@@ -16,6 +23,10 @@ Versions: 0.4 attrs carry the model at the top level ('multiscales' /
 """
 
 from __future__ import annotations
+
+import functools
+import json
+from pathlib import Path
 
 from .model import is_dimension_supported, is_unit_supported
 from .rfc4 import validate_axis_orientation
@@ -192,4 +203,108 @@ def validate(attrs: dict, model: str = "image", strict: bool = False) -> list[st
     problems = _MODELS[model](attrs)
     if strict and problems:
         raise ValueError(f"Invalid OME-NGFF {model} metadata: {problems}")
+    return problems
+
+
+# ---------------------------------------------------------------------------
+# Full JSON-Schema validation against the published OME-NGFF spec schemas
+
+_SPEC_DIR = Path(__file__).parent / "spec"
+
+
+def schema_versions() -> list[str]:
+    """Spec versions with vendored schemas (sorted)."""
+    return sorted(p.name for p in _SPEC_DIR.iterdir() if (p / "schemas").is_dir())
+
+
+def load_schema(version: str = "0.4", model: str = "image", strict: bool = False) -> dict:
+    """Load one vendored OME-NGFF spec schema as a dict (the reference's
+    load_schema, validate.py:13-29: ``spec/{version}/schemas/
+    [strict_]{model}.schema``). Raises FileNotFoundError for
+    model/version combinations the spec never published (e.g. 0.1 has
+    no label schema)."""
+    name = f"{'strict_' if strict else ''}{model}.schema"
+    path = _SPEC_DIR / version / "schemas" / name
+    if not path.is_file():
+        raise FileNotFoundError(
+            f"no OME-NGFF {version} schema {name!r} (vendored: "
+            f"{sorted(q.name for q in path.parent.glob('*.schema'))})"
+        )
+    return json.loads(path.read_text())
+
+
+@functools.lru_cache(maxsize=1)
+def _schema_registry():
+    """Registry of every vendored schema keyed by its ``$id`` so
+    cross-schema ``$ref``\\ s (0.5 image → ``_version.schema``) resolve
+    offline. Built once per process; requires ``jsonschema`` +
+    ``referencing``."""
+    from referencing import Registry, Resource
+
+    registry = Registry()
+    for path in _SPEC_DIR.glob("*/schemas/*.schema"):
+        contents = json.loads(path.read_text())
+        resource = Resource.from_contents(
+            contents, default_specification=_draft202012()
+        )
+        uri = contents.get("$id") or f"ngff-zarr-spark:{path.parent.parent.name}/{path.name}"
+        registry = registry.with_resource(uri, resource)
+    return registry
+
+
+def _draft202012():
+    from referencing.jsonschema import DRAFT202012
+
+    return DRAFT202012
+
+
+def validate_schema(
+    attrs: dict,
+    version: str = "0.4",
+    model: str = "image",
+    strict_schema: bool = False,
+    raise_on_error: bool = False,
+) -> list[str]:
+    """Validate store attributes against the published OME-NGFF JSON
+    Schema for (version, model) — the reference's ``validate()``
+    (validate.py:32-52) re-expressed over the vendored spec files.
+
+    Returns a list of problem strings ("<json-path>: <message>", sorted
+    by path for determinism); empty means valid. ``strict_schema``
+    selects the spec's ``strict_*`` variant where published. With
+    ``raise_on_error`` raises ValueError on the first batch (the
+    reference raises jsonschema.ValidationError on the first error;
+    collecting all of them is strictly more informative).
+
+    Requires ``jsonschema`` (ImportError otherwise — callers that want
+    graceful degradation use :func:`validate_best_effort`).
+    """
+    from jsonschema import Draft202012Validator
+
+    schema = load_schema(version=version, model=model, strict=strict_schema)
+    validator = Draft202012Validator(schema, registry=_schema_registry())
+    problems = sorted(
+        f"{'/'.join(str(p) for p in e.absolute_path) or '$'}: {e.message}"
+        for e in validator.iter_errors(attrs)
+    )
+    if raise_on_error and problems:
+        raise ValueError(f"Invalid OME-NGFF {version} {model} metadata: {problems}")
+    return problems
+
+
+def validate_best_effort(
+    attrs: dict, version: str = "0.4", model: str = "image"
+) -> list[str]:
+    """Structural checks plus (when ``jsonschema`` is importable) full
+    spec-schema validation — the strongest validation available in the
+    current environment, degrading exactly like the reference's
+    optional ``[validate]`` extra."""
+    problems = validate(attrs, model=model) if model in _MODELS else []
+    try:
+        problems += [
+            p for p in validate_schema(attrs, version=version, model=model)
+            if p not in problems
+        ]
+    except ImportError:
+        pass
     return problems

@@ -268,27 +268,38 @@ def test_http_midbody_truncation_retried(http_base_trunc):
 
 
 def test_retry_after_parsing_and_caps():
-    """Retry-After handling (ADVICE r4): delta-seconds beyond the
-    jitter cap are honored up to retry_after_cap; the HTTP-date form is
-    parsed; past dates clamp to 0; garbage falls back to jittered
-    exponential under backoff_cap."""
+    """Retry-After handling (ADVICE r4+r5): delta-seconds beyond the
+    jitter cap are honored up to retry_after_cap WITH jitter on top (a
+    fleet honoring the same exact Retry-After would retry in lockstep);
+    the HTTP-date form is parsed (naive '-0000' dates treated as UTC);
+    past dates clamp to ~0; garbage falls back to jittered exponential
+    under backoff_cap."""
     import datetime
     from email.utils import format_datetime
 
     store = HttpStore(
         "http://x", backoff_base=0.01, backoff_cap=0.05, retry_after_cap=2.0
     )
-    assert store._backoff(0, "1.5") == 1.5  # > backoff_cap, honored
+    # server wait honored, plus jitter in [0, backoff_base*2^0]
+    assert 1.5 <= store._backoff(0, "1.5") <= 1.5 + 0.01
     assert store._backoff(0, "3600") == 2.0  # clamped to retry_after_cap
 
     big = HttpStore("http://x", backoff_cap=0.05)  # default 120s cap
     now = datetime.datetime.now(datetime.timezone.utc)
     future = format_datetime(now + datetime.timedelta(seconds=10), usegmt=True)
     wait = big._backoff(0, future)
-    assert 8.0 <= wait <= 10.0  # HTTP-date → seconds from now
+    assert 8.0 <= wait <= 10.1  # HTTP-date → seconds from now (+ jitter)
     past = format_datetime(now - datetime.timedelta(seconds=60), usegmt=True)
-    assert big._backoff(0, past) == 0.0  # never negative
+    assert 0.0 <= big._backoff(0, past) <= 0.05  # never negative
     assert 0.0 <= store._backoff(0, "soon") <= 0.05  # unparseable
+
+    # naive datetime (e.g. '-0000' zone) must be read as UTC, not host
+    # local time — a +05:00 host would otherwise wait 5h-skewed
+    naive = (now + datetime.timedelta(seconds=10)).strftime(
+        "%a, %d %b %Y %H:%M:%S -0000"
+    )
+    parsed = big._parse_retry_after(naive)
+    assert parsed is not None and 8.0 <= parsed <= 10.1
 
 
 def test_http_sharded_read_with_failures(http_base_flaky):

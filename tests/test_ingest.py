@@ -102,6 +102,62 @@ def test_nifti_roundtrip_and_scaling(tmp_path):
     assert win.min == float(arr.min()) and win.max == float(arr.max())
 
 
+def test_nifti2_roundtrip(tmp_path):
+    """NIfTI-2 (540-byte header, 'n+2' magic, 8-byte dims, double
+    geometry): write → read roundtrip preserves voxels, affine, scaling
+    and calibration exactly (doubles, unlike NIfTI-1's float32
+    fields)."""
+    arr = (np.arange(4 * 3 * 2).reshape(4, 3, 2) % 100).astype("float64")
+    aff = np.diag([1.25, 2.5, 3.75, 1.0])
+    aff[:3, 3] = (0.125, -0.25, 0.5)
+    p = tmp_path / "two.nii.gz"
+    write_nifti(p, arr, aff, scl_slope=2.0, scl_inter=1.0,
+                cal_min=5.0, cal_max=90.0, version=2)
+    img = read_nifti(p)
+    assert np.array_equal(img.data, arr)
+    assert np.array_equal(img.affine, aff)  # exact: v2 stores doubles
+    assert img.scl_slope == 2.0 and img.scl_inter == 1.0
+    assert img.cal_min == 5.0 and img.cal_max == 90.0
+
+
+def test_nifti2_bad_magic_rejected(tmp_path):
+    arr = np.zeros((2, 2, 2), dtype="uint8")
+    p = tmp_path / "bad.nii"
+    write_nifti(p, arr, version=2)
+    raw = bytearray(p.read_bytes())
+    raw[4:12] = b"n+9\x00\r\n\x1a\n"
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="magic"):
+        read_nifti(p)
+
+
+def test_nifti_big_endian_read(tmp_path):
+    """Header version detection swaps byte order off sizeof_hdr: a
+    big-endian NIfTI-1 file reads identically to its little-endian
+    twin (the reference inherits this from nibabel)."""
+    import struct as _struct
+
+    arr = np.arange(2 * 3 * 4, dtype="int16").reshape(2, 3, 4)
+    hdr = bytearray(348)
+    _struct.pack_into(">i", hdr, 0, 348)
+    _struct.pack_into(">8h", hdr, 40, 3, 2, 3, 4, 1, 1, 1, 1)
+    _struct.pack_into(">h", hdr, 70, 4)  # int16
+    _struct.pack_into(">h", hdr, 72, 16)
+    _struct.pack_into(">8f", hdr, 76, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    _struct.pack_into(">f", hdr, 108, 352.0)
+    _struct.pack_into(">2h", hdr, 252, 0, 1)
+    _struct.pack_into(">12f", hdr, 280, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0)
+    hdr[344:348] = b"n+1\x00"
+    p = tmp_path / "be.nii"
+    p.write_bytes(
+        bytes(hdr) + b"\x00" * 4
+        + np.asfortranarray(arr.astype(">i2")).tobytes(order="F")
+    )
+    img = read_nifti(p)
+    assert np.array_equal(img.data, arr)
+    assert np.array_equal(img.affine, np.eye(4))
+
+
 def test_nifti_slope_zero_defaults(tmp_path):
     arr = np.zeros((2, 2, 2), dtype="uint8")
     p = tmp_path / "b.nii.gz"

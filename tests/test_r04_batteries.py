@@ -87,6 +87,16 @@ def test_first_50_layout():
     assert missing == [], missing
 
 
+def test_full_oracle_coverage():
+    """EVERY registered gate — including those past the driver's 50-slot
+    window — has an oracle entry (full value-hash check; the rows-only
+    fallback is never exercised), and no oracle is orphaned."""
+    qs = set(gate.queries())
+    oracles = set(oracle.oracles())
+    assert qs - oracles == set(), f"gates without oracle: {sorted(qs - oracles)}"
+    assert oracles - qs == set(), f"oracles without gate: {sorted(oracles - qs)}"
+
+
 def test_nothing_dropped():
     """Every gate that ever had a green CORRECTNESS row is still
     registered (possibly past slot 50, proven via its battery)."""
