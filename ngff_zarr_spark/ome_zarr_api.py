@@ -566,11 +566,21 @@ def from_ngff_zarr(
         attrs = store.get_json(".zattrs")
         zarr_format = 2
     if validate:
-        # C7 structural schema check runs BEFORE parsing (a store that
-        # fails it may not even be parseable)
-        from .validate import validate as validate_attrs
+        # C7 check runs BEFORE parsing (a store that fails it may not
+        # even be parseable): structural requirements plus full
+        # OME-NGFF JSON-Schema validation when jsonschema is available
+        from .validate import validate_best_effort
 
-        validate_attrs(attrs, model="image", strict=True)
+        if store.exists("zarr.json"):
+            v = str(attrs.get("ome", {}).get("version", "0.5"))
+        else:
+            v = str((attrs.get("multiscales") or [{}])[0].get("version", "0.4"))
+        problems = validate_best_effort(
+            attrs, version=v if v in ("0.1", "0.2", "0.3", "0.4", "0.5") else "0.4",
+            model="image",
+        )
+        if problems:
+            raise ValueError(f"Invalid OME-NGFF image metadata: {problems}")
     meta, version = parse_group_attributes(attrs)
     if validate:
         problems = validate_metadata(meta)

@@ -1,0 +1,96 @@
+"""Driver API (driver_api.py) — the reference's MCP tool surface
+(convert / info / read / validate / optimize) as plain functions over
+the engine. End-to-end: convert a TIFF, inspect, read, validate, and
+optimize (recompress + rechunk) the result."""
+
+import numpy as np
+import pytest
+
+from ngff_zarr_spark.driver_api import (
+    convert_images_to_ome_zarr,
+    get_ome_zarr_info,
+    optimize_ome_zarr_store,
+    read_ome_zarr_store,
+    validate_ome_zarr_store,
+)
+from ngff_zarr_spark.ingest.tiff import tiff_encode
+
+
+@pytest.fixture()
+def tiff_file(tmp_path):
+    arr = (np.arange(48 * 40, dtype=np.uint16) % 251).reshape(48, 40)
+    p = tmp_path / "img.tif"
+    p.write_bytes(tiff_encode(arr))
+    return p, arr
+
+
+def test_convert_info_read_validate(spark, tmp_path, tiff_file):
+    p, arr = tiff_file
+    out = str(tmp_path / "api.ome.zarr")
+    res = convert_images_to_ome_zarr(
+        spark, [str(p)], out,
+        name="api-test", scale={"y": 2.0, "x": 2.0},
+        chunks={"y": 16, "x": 16}, method="ITKWASM_BIN_SHRINK",
+        scale_factors=[{"y": 2, "x": 2}],
+    )
+    assert res.success, res.error
+    assert res.store_info["n_scales"] == 2
+
+    info = get_ome_zarr_info(spark, out)
+    assert info.version == "0.4"
+    assert info.dims == ["y", "x"]
+    assert info.dtype == "uint16"
+    assert info.scales[0]["shape"] == [48, 40]
+    assert info.scales[0]["chunks"] == [16, 16]
+    assert info.size_bytes and info.size_bytes > 0
+
+    rd = read_ome_zarr_store(spark, out, validate=True)
+    assert rd.success, rd.error
+    assert rd.store_info["n_images"] == 2
+
+    v = validate_ome_zarr_store(out)
+    assert v.valid, v.errors
+    assert v.version == "0.4"
+
+
+def test_validate_reports_broken_store(tmp_path):
+    bad = tmp_path / "bad.zarr"
+    bad.mkdir()
+    (bad / ".zattrs").write_text('{"multiscales": [{"version": "0.4"}]}')
+    v = validate_ome_zarr_store(str(bad))
+    assert not v.valid
+    assert v.errors  # schema/structural problems reported, not raised
+
+
+def test_optimize_recompress_rechunk(spark, tmp_path, tiff_file):
+    p, arr = tiff_file
+    src = str(tmp_path / "src.ome.zarr")
+    assert convert_images_to_ome_zarr(
+        spark, [str(p)], src, chunks={"y": 16, "x": 16},
+        method="ITKWASM_BIN_SHRINK", scale_factors=[{"y": 2, "x": 2}],
+    ).success
+
+    dst = str(tmp_path / "opt.ome.zarr")
+    res = optimize_ome_zarr_store(
+        spark, src, dst, compression_codec="zstd", chunks={"y": 32, "x": 32}
+    )
+    assert res.success, res.error
+    info = get_ome_zarr_info(spark, dst)
+    assert info.scales[0]["chunks"] == [32, 32]
+
+    # pixel values preserved exactly through the rewrite
+    from ngff_zarr_spark.ome_zarr_api import read_image
+
+    df = read_image(spark, dst, info.scales[0]["path"])
+    got = {(r.y, r.x): r.v for r in df.collect()}
+    assert got[(0, 0)] == float(arr[0, 0])
+    assert got[(47, 39)] == float(arr[47, 39])
+
+
+def test_convert_rejects_bad_version(spark, tmp_path, tiff_file):
+    p, _ = tiff_file
+    res = convert_images_to_ome_zarr(
+        spark, [str(p)], str(tmp_path / "x.zarr"), ome_zarr_version="9.9"
+    )
+    assert not res.success
+    assert "Invalid OME-Zarr version" in (res.error or "")
