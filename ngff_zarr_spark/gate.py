@@ -1232,6 +1232,34 @@ def q_events_hourly_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_dedup_exact_stream(spark, sf_dir):
+    """Structured Streaming twin of exact dedup: documents stream in as
+    parquet files, a complete-mode aggregate maintains the per-content
+    dedup ledger (md5 → count + representative). After the availableNow
+    drain the sink equals the batch exact_dedup result — the oracle is
+    the same batch SQL (stream == batch is the correctness claim)."""
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import streaming_exact_dedup
+
+    docs_dir = _tmp_store("stream_docs")
+    ckpt = _tmp_store("stream_docs_ckpt")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    import os
+
+    os.makedirs(docs_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", os.path.join(docs_dir, "documents.parquet")
+    )
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    agg, start = streaming_exact_dedup(spark, docs_dir, ckpt)
+    q = start(table)
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {table}")
+
+
 def _dtype_roundtrip(spark, dtype: str) -> DataFrame:
     """Shared body for dtype-fidelity gates (SURVEY §1.2): store the
     IMG3D pixel table with the given logical dtype (written natively on
@@ -1501,4 +1529,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
+        "dedup_exact_stream": q_dedup_exact_stream,
     }

@@ -1293,4 +1293,6 @@ def oracles() -> dict[str, str]:
         "j3_well_catalog": sql_j3_well_catalog(),
         "f7_well_lookup": sql_f7_well_lookup(),
         "s18_hcs_store_read": sql_s18_hcs_store_read(),
+        # streaming twin of exact dedup: same batch SQL — stream == batch
+        "dedup_exact_stream": sql_dedup_exact(),
     }

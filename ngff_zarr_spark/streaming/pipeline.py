@@ -201,3 +201,56 @@ def streaming_sessionize(
         )
 
     return agg, start
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of exact deduplication (functions/dedup.exact_dedup):
+    documents arrive as parquet files; each micro-batch folds into
+    running per-content groups (md5 of normalized text → count +
+    smallest doc_id as the deterministic representative). Complete-mode
+    aggregate — the dedup ledger a continuously-ingesting training
+    pipeline maintains; after draining all files the table equals the
+    batch exact_dedup result exactly (the correctness claim the gate
+    verifies against the batch SQL oracle).
+
+    Source schema is derived from the live footers (see
+    functions/events.py for why hardcoding one is a silent-corruption
+    hazard). 100 TB posture: state is one row per DISTINCT content
+    (bounded by corpus content diversity, not stream length), partial
+    aggregation is map-side, and the stream shuffles only
+    (md5, partial-count, partial-min) triples per batch. At unbounded
+    retention swap complete mode for update mode + an idempotent-upsert
+    sink; content-hash state then lives in the sink, not the query.
+
+    Returns (stream_df, start_fn) like the other streaming twins.
+    """
+    from ..functions.dedup import _norm_text
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(batch_schema).parquet(docs_dir)
+    agg = (
+        docs.select(
+            F.md5(_norm_text(F.col("text"))).alias("content_md5"), "doc_id"
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+    def start(sink_table: str):
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return agg, start

@@ -127,6 +127,49 @@ def test_streaming_hourly_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Incremental arrival: documents drained in TWO micro-batch rounds
+    (two availableNow runs over a shared checkpoint) fold into the same
+    dedup ledger the one-shot batch aggregate produces."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ngff_zarr_spark.functions.dedup import exact_dedup
+    from ngff_zarr_spark.streaming.pipeline import streaming_exact_dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    # split the table into two files so the second drain sees new data
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), docs_dir / "part-0.parquet")
+
+    ckpt = str(tmp_path / "ckpt_dedup")
+    _, start = streaming_exact_dedup(spark, str(docs_dir), ckpt)
+    q = start("stream_dedup_a")
+    q.awaitTermination(120)
+    n_first = spark.sql("select count(*) n from stream_dedup_a").first().n
+    assert 0 < n_first  # first increment produced groups
+
+    pq.write_table(table.slice(half), docs_dir / "part-1.parquet")
+    _, start2 = streaming_exact_dedup(spark, str(docs_dir), ckpt)
+    q2 = start2("stream_dedup_b")
+    q2.awaitTermination(120)
+
+    got = {
+        r.content_md5: (r.n_docs, r.representative)
+        for r in spark.sql("select * from stream_dedup_b").collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r.content_md5: (r.n_docs, r.representative)
+        for r in exact_dedup(docs).collect()
+    }
+    assert got == want
+
+
 def test_streaming_session_window_matches_batch(spark, tmp_path):
     """Native session_window under readStream: append-mode output equals
     the batch sessions whose end precedes the final watermark."""
