@@ -373,11 +373,16 @@ class OmeZarrWriter(DataSourceArrowWriter):
             cur_idx, cur_buf = None, None
 
         for batch in iterator:
-            tbl = batch.to_pydict()
-            coord_cols = [np.asarray(tbl[d], dtype=np.int64) for d in self.dims]
-            vals = np.asarray(tbl["v"])
-            if len(vals) == 0:
+            if batch.num_rows == 0:
                 continue
+            # Arrow → numpy directly (vectorized, zero-copy for the
+            # non-null numeric columns here); to_pydict would box every
+            # cell into a Python object first — measured ~2s/8M rows
+            coord_cols = [
+                batch.column(d).to_numpy(zero_copy_only=False).astype(np.int64)
+                for d in self.dims
+            ]
+            vals = batch.column("v").to_numpy(zero_copy_only=False)
             chunk_ids = [c // s for c, s in zip(coord_cols, m.chunks)]
             flat = chunk_ids[0]
             grid = m.chunk_grid
