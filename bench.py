@@ -133,6 +133,49 @@ def bench_dedup_clusters(spark, sf_dir):
     return D.duplicate_clusters(D.minhash_candidates(docs), reliable=False)
 
 
+_BENCH_STORE = {}  # per-process cache: sf_dir -> written store path
+
+
+def bench_pyramid_read_roi(spark, sf_dir):
+    """The scan half of the conversion workload: read a z-slab ROI back
+    from the bench pyramid store through the ome_zarr DataSource. The
+    z-range predicate reaches the reader's pushFilters and prunes to
+    1/3 of the chunk grid — this benches pruned-scan + decode, the
+    access pattern of every downstream viewer/analysis read. The store
+    is written once per process (setup, not part of the read cost)."""
+    import tempfile
+
+    from ngff_zarr_spark.model import NgffImage
+    from ngff_zarr_spark.ome_zarr_api import (
+        read_image, to_multiscales, to_ngff_zarr,
+    )
+    from pyspark.sql import functions as F
+
+    store = _BENCH_STORE.get(sf_dir)
+    if store is None:
+        img = NgffImage(
+            data=pixel_df(spark, BENCH_IMG).select("t", "c", "z", "y", "x", "v"),
+            dims=["z", "y", "x"],
+            shape={"z": BENCH_IMG.z, "y": BENCH_IMG.y, "x": BENCH_IMG.x},
+            scale={"z": 1.0, "y": 1.0, "x": 1.0},
+            translation={"z": 0.0, "y": 0.0, "x": 0.0},
+            name="image",
+        )
+        ms = to_multiscales(
+            img, scale_factors=[{"z": 2, "y": 2, "x": 2}],
+            method="ITKWASM_BIN_SHRINK", chunks={"z": 32, "y": 64, "x": 64},
+        )
+        store = os.path.join(tempfile.mkdtemp(prefix="bench_read_"), "r.ome.zarr")
+        to_ngff_zarr(store, ms, version="0.4")
+        _BENCH_STORE[sf_dir] = store
+    return (
+        read_image(spark, store, "scale0/image")
+        .filter((F.col("z") >= 32) & (F.col("z") < 64))
+        .groupBy("z")
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES = {
     "tpch_q1": gate.q_tpch_q1,
     "tpch_q3": gate.q_tpch_q3,
@@ -140,6 +183,7 @@ QUERIES = {
     "a2_bin_shrink": bench_bin_shrink,
     "a1_gaussian": bench_gaussian,
     "pyramid_write": bench_pyramid_write,
+    "pyramid_read_roi": bench_pyramid_read_roi,
     "dedup_minhash": gate.q_dedup_minhash,
     "dedup_clusters": bench_dedup_clusters,
     "dedup_exact": gate.q_dedup_exact,
