@@ -174,3 +174,21 @@ def winnow_fingerprints(docs: DataFrame, window: int = 5) -> DataFrame:
         F.min("fp").alias("fp_min"),
         F.max("fp").alias("fp_max"),
     )
+
+
+def top_tokens(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-level top-k token frequencies: (token, n), the vocabulary
+    profile every corpus-analysis pass starts from (and the input to
+    stopword-list induction). Deterministic total order — count
+    descending, then token ascending — so the k-th boundary never
+    depends on partitioning.
+
+    100 TB posture: explode → hash aggregate with map-side combine
+    (shuffle is |vocabulary| partial counts, not token instances);
+    Catalyst turns orderBy+limit into TakeOrderedAndProject — per-
+    partition top-k heaps, no global sort of the vocabulary."""
+    toks = spread(docs).select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)

@@ -632,6 +632,12 @@ def q_text_winnow(spark, sf_dir):
     return TX.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_top_tokens(spark, sf_dir):
+    """Corpus top-50 token frequencies, deterministic (count desc,
+    token asc) — TakeOrderedAndProject, not a global vocabulary sort."""
+    return TX.top_tokens(_docs(spark, sf_dir), k=50)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
@@ -1530,4 +1536,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "dedup_exact_stream": q_dedup_exact_stream,
+        "text_top_tokens": q_text_top_tokens,
     }

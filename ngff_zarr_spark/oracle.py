@@ -590,6 +590,12 @@ def sql_text_token_count():
 FROM documents"""
 
 
+def sql_text_top_tokens():
+    return f"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({TOKS_RAW.format(c='lower(text)')}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
+
+
 def sql_text_quality():
     stop_list = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
     return f"""WITH q AS (
@@ -1295,4 +1301,5 @@ def oracles() -> dict[str, str]:
         "s18_hcs_store_read": sql_s18_hcs_store_read(),
         # streaming twin of exact dedup: same batch SQL — stream == batch
         "dedup_exact_stream": sql_dedup_exact(),
+        "text_top_tokens": sql_text_top_tokens(),
     }
