@@ -680,3 +680,141 @@ def embedding_near_dup_allpairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ANN codes + ADC scoring
+
+
+def pq_codebooks(emb: DataFrame, dim: int = 64, m: int = 8, n_codes: int = 16):
+    """Deterministic PQ codebooks: subspace ``s``'s code ``j`` is the
+    s-th subvector of the j-th lowest-id vector (the same seed rule the
+    IVF coarse quantizer starts from, so the DuckDB twin derives the
+    identical codebooks from the table itself). Returns float64
+    (m, n_codes, dim//m).
+
+    PQ is the memory half of the 100 TB ANN story: IVF prunes which
+    partitions a probe READS; PQ shrinks what a scoring pass HOLDS —
+    m uint8 codes per vector instead of dim float64s (64 B vs 512 B at
+    dim=64, m=8; 48 GB vs 384 GB per 10^9 vectors), so candidate
+    scoring runs against codes + a per-query lookup table instead of
+    raw vectors (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — public method)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    C, _ = _centroids(emb, n_codes)  # (n_codes, dim), vec_id-ordered
+    dsub = dim // m
+    return np.stack([C[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+
+def _pq_score_tables(qs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_queries, m, n_codes) integer micro-dot tables: dot of each
+    query subvector with each codebook entry, rounded to 6 decimals
+    then scaled to exact int64 micros — ADC scores are SUMS of these,
+    and integer sums are order-independent across engines."""
+    nq = qs.shape[0]
+    m, n_codes, dsub = books.shape
+    t = np.empty((nq, m, n_codes), dtype=np.int64)
+    for s in range(m):
+        sub = qs[:, s * dsub : (s + 1) * dsub]
+        dots = sub @ books[s].T  # (nq, n_codes)
+        t[:, s, :] = np.rint(np.round(dots, 6) * 1_000_000).astype(np.int64)
+    return t
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: np.ndarray, dim: int = 64
+) -> DataFrame:
+    """Encode the corpus: (vec_id, codes array<int>) — per subspace the
+    argmin-L2 codebook entry (squared distance rounded to 6 decimals,
+    ties → lowest code, mirroring the SQL twin). One Arrow map pass,
+    no shuffle; at scale this materializes once next to (or instead
+    of) the raw vectors."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import spread
+
+    m, n_codes, dsub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def encode(e: pd.Series) -> pd.Series:
+        E = np.array(list(e.values), dtype=np.float64)
+        n = E.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            sub = E[:, s * dsub : (s + 1) * dsub]
+            # ||x - c||^2 per code, sequential accumulation like SQL SUM
+            d2 = np.zeros((n, n_codes), dtype=np.float64)
+            for i in range(dsub):
+                diff = sub[:, i : i + 1] - codebooks[s][None, :, i][0]
+                d2 += diff * diff
+            codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+        return pd.Series(list(codes))
+
+    return spread(emb).select("vec_id", encode(F.col("embedding")).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode the corpus to m-byte codes,
+    build each query's (m × n_codes) integer micro-dot table, score
+    candidates as exact integer sums of table entries, rank desc with
+    neighbor_id tie-break. Returns (query_id, rank, neighbor_id,
+    score_u) where score_u is the ADC approximate dot in micros.
+
+    Plan: encode = one Arrow pass; scoring joins the encoded corpus
+    against a BROADCAST (n_queries × m × n_codes) table and reduces
+    m array lookups per pair in one Arrow pass — no shuffle of raw
+    vectors anywhere, the 100 TB property PQ exists for. Composes with
+    IVF (encode within each cell; probe scores codes, not vectors)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = pq_codebooks(emb, dim, m, n_codes)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    tables = _pq_score_tables(
+        np.array([r.embedding for r in qrows], dtype=np.float64), books
+    )
+
+    codes_df = pq_encode(emb, books, dim)
+
+    @pandas_udf("array<long>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        Cc = np.array(list(codes.values), dtype=np.int64)  # (batch, m)
+        n = Cc.shape[0]
+        out = np.empty((n, len(qids)), dtype=np.int64)
+        sub_idx = np.arange(m)
+        for qi in range(len(qids)):
+            out[:, qi] = tables[qi][sub_idx[None, :], Cc].sum(axis=1)
+        return pd.Series(list(out))
+
+    scored = codes_df.select(
+        "vec_id", F.posexplode(adc_scores(F.col("codes"))).alias("qpos", "score_u")
+    )
+    qmap = F.array(*[F.lit(int(q)) for q in qids])
+    scored = scored.select(
+        F.element_at(qmap, F.col("qpos") + 1).cast("long").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "score_u",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_u")
+    )

@@ -62,6 +62,8 @@ EMB_DIM = 64
 IVF_CELLS = 16
 IVF_PROBE = 4
 KMEANS_ITERS = 2  # Lloyd iterations for the learned IVF quantizer
+PQ_SUBSPACES = 8  # PQ subspaces (dim 64 → 8 dims per subspace)
+PQ_CODES = 16     # PQ codebook entries per subspace
 NEAR_DUP_COS = 0.38
 SESSION_GAP_S = 1800.0
 TPCH_Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -630,6 +632,18 @@ def q_text_fingerprint(spark, sf_dir):
 
 def q_text_winnow(spark, sf_dir):
     return TX.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ (product quantization) ADC top-k: corpus encoded to m=8
+    uint8-range codes per vector (64x memory compression at dim=64),
+    queries score candidates as exact integer sums over per-query
+    micro-dot lookup tables. Codebooks are the deterministic lowest-id
+    seed, so the DuckDB twin derives identical codes and scores."""
+    return S.pq_topk(
+        _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
+        m=PQ_SUBSPACES, n_codes=PQ_CODES,
+    )
 
 
 def q_text_top_tokens(spark, sf_dir):
@@ -1537,4 +1551,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "dedup_exact_stream": q_dedup_exact_stream,
         "text_top_tokens": q_text_top_tokens,
+        "ann_pq_topk": q_ann_pq_topk,
     }

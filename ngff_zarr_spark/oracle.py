@@ -838,6 +838,60 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
 FROM rk WHERE rank <= {ANN_K}"""
 
 
+def sql_ann_pq_topk():
+    # PQ/ADC twin: codebooks = subvectors of the n_codes lowest-id rows
+    # (the deterministic seed rule); encode = per-subspace argmin of the
+    # 6dp-rounded squared distance (ties → lowest code); query tables =
+    # 6dp-rounded subspace dots scaled to exact int64 micros; ADC score
+    # = integer SUM of table entries (order-independent across engines).
+    from .gate import ANN_K, PQ_CODES, PQ_SUBSPACES
+
+    dsub = EMB_DIM // PQ_SUBSPACES
+    return f"""WITH cb AS (
+  SELECT CAST(r.i // {dsub} AS INTEGER) AS s, vec_id AS j,
+         CAST(r.i AS INTEGER) AS pos,
+         CAST(embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range({EMB_DIM}) r(i) WHERE vec_id < {PQ_CODES}
+),
+enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT d.vec_id, d.s, d.j,
+           row_number() OVER (PARTITION BY d.vec_id, d.s
+                              ORDER BY d.d2 ASC, d.j ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.s, c.j,
+             round(SUM((CAST(e.embedding[c.pos+1] AS DOUBLE) - c.val)
+                     * (CAST(e.embedding[c.pos+1] AS DOUBLE) - c.val)), 6) AS d2
+      FROM embeddings e CROSS JOIN cb c
+      GROUP BY e.vec_id, c.s, c.j
+    ) d
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT q.vec_id AS query_id, c.s, c.j,
+         CAST(round(round(SUM(CAST(q.embedding[c.pos+1] AS DOUBLE) * c.val), 6)
+                    * 1000000) AS BIGINT) AS t_u
+  FROM embeddings q CROSS JOIN cb c
+  WHERE q.vec_id < 10
+  GROUP BY q.vec_id, c.s, c.j
+),
+sc AS (
+  SELECT qt.query_id, enc.vec_id AS neighbor_id, SUM(qt.t_u) AS score_u
+  FROM enc JOIN qt ON qt.s = enc.s AND qt.j = enc.code
+  WHERE enc.vec_id != qt.query_id
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, neighbor_id, score_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_u DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       CAST(score_u AS BIGINT) AS score_u
+FROM rk WHERE rank <= {ANN_K}"""
+
+
 def sql_ann_lsh_topk():
     return f"""WITH {_UNROLL},
 {_LSH_BANDS_CTE},
@@ -1302,4 +1356,5 @@ def oracles() -> dict[str, str]:
         # streaming twin of exact dedup: same batch SQL — stream == batch
         "dedup_exact_stream": sql_dedup_exact(),
         "text_top_tokens": sql_text_top_tokens(),
+        "ann_pq_topk": sql_ann_pq_topk(),
     }

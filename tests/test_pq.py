@@ -1,0 +1,88 @@
+"""Product quantization ANN (similarity.pq_*).
+
+Pins:
+1. codebook shape/determinism (the lowest-id seed rule);
+2. encoding correctness on a hand-checkable corpus — a vector equal to
+   a codebook entry in a subspace encodes to that code;
+3. recall against exact cosine top-k on the sf0.001 embeddings — ADC
+   over 8x16 codebooks is approximate, but the top-1 exact neighbor
+   must appear in the PQ top-k for most queries (sanity, not a pin on
+   a specific recall value);
+4. repartition-invariance of the full pq_topk output (the property
+   that lets the DuckDB oracle reproduce it)."""
+
+import numpy as np
+import pytest
+
+from ngff_zarr_spark.functions.similarity import (
+    cosine_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_codebooks_seed_rule(spark):
+    emb = _emb(spark)
+    books = pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    row0 = emb.filter("vec_id = 0").first().embedding
+    # subspace s, code 0 == vec 0's s-th subvector
+    for s in range(8):
+        assert np.allclose(books[s][0], np.asarray(row0[s * 8 : (s + 1) * 8]))
+
+
+def test_codebooks_rejects_indivisible():
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(None, dim=64, m=7)
+
+
+def test_encode_identity_vectors(spark):
+    """The seed vectors themselves must encode to their own code (their
+    subspace distance to themselves is 0, the unique minimum unless two
+    seed rows collide in a subspace — then lowest code wins, which is
+    still deterministic and self-consistent with the SQL twin)."""
+    emb = _emb(spark)
+    books = pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb.filter("vec_id < 16"), books).collect()
+    }
+    for j in range(16):
+        for s in range(8):
+            sub = books[s][codes[j][s]]
+            assert np.allclose(sub, books[s][j]) or codes[j][s] == j
+
+
+def test_pq_recall_vs_exact(spark):
+    emb = _emb(spark)
+    qids = list(range(10))
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(emb, qids, k=1, dim=64).collect()
+    }
+    pq = pq_topk(emb, qids, k=5, dim=64, m=8, n_codes=16).collect()
+    got = {}
+    for r in pq:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, n1 in exact1.items() if n1 in got.get(q, set()))
+    # isotropic corpus + tiny 16-entry codebooks: demand a majority,
+    # not perfection (exact recall value is data-dependent)
+    assert hits >= len(exact1) // 2, f"top-1 recall {hits}/{len(exact1)}"
+
+
+def test_pq_partition_invariant(spark):
+    emb = _emb(spark)
+    a = sorted(
+        tuple(r) for r in pq_topk(emb, [0, 1], k=3).collect()
+    )
+    b = sorted(
+        tuple(r) for r in pq_topk(emb.repartition(7), [0, 1], k=3).collect()
+    )
+    assert a == b
