@@ -818,3 +818,96 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score_u")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF + PQ composed — the canonical billion-scale ANN layout
+    (FAISS IVFPQ; Jegou et al. 2011): the coarse quantizer prunes WHICH
+    cells a probe reads (n_probe/n_cells of the corpus), PQ codes are
+    WHAT the scoring pass holds (m bytes per vector). Returns
+    (query_id, rank, neighbor_id, score_u) — ADC integer micro-dot
+    scores over probed cells only, self excluded, ties → neighbor_id.
+
+    Plan: cell assignment + PQ encoding are each one Arrow map pass;
+    candidates come from the broadcast (query, probed-cell) equi-join
+    (collision-bounded, never all-pairs); scoring joins candidates to
+    the m-byte codes and reduces table lookups per pair — raw vectors
+    appear nowhere after encode. Both quantizers use the deterministic
+    lowest-id seed so the DuckDB twin reproduces every step."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import spread
+
+    C, Cn = _centroids(emb, n_cells)
+    books = pq_codebooks(emb, dim, m, n_codes)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = [int(r.vec_id) for r in qrows]
+    qpos_of = {q: i for i, q in enumerate(qids)}
+    tables = _pq_score_tables(
+        np.array([r.embedding for r in qrows], dtype=np.float64), books
+    )
+
+    @pandas_udf("array<long>")
+    def probe_cells(e: pd.Series) -> pd.Series:
+        dots = _cell_dots(e, C, Cn)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    cells = ivf_cells(emb, dim, n_cells, centroids=(C, Cn))
+    codes = pq_encode(emb, books, dim)
+    qemb = emb.filter(F.col("vec_id").isin(query_ids))
+    qprobe = qemb.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+    )
+    cand = (
+        cells.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+    qpos_map = F.create_map(
+        *[x for q, i in qpos_of.items() for x in (F.lit(q), F.lit(i))]
+    )
+    pairs = cand.join(codes, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        qpos_map[F.col("query_id")].alias("qpos"),
+        "codes",
+    )
+
+    @pandas_udf("long")
+    def adc_pair_score(qpos: pd.Series, codes: pd.Series) -> pd.Series:
+        Cc = np.array(list(codes.values), dtype=np.int64)  # (batch, m)
+        qp = qpos.values.astype(np.int64)[:, None]  # (batch, 1)
+        sub_idx = np.arange(m)[None, :]
+        return pd.Series(tables[qp, sub_idx, Cc].sum(axis=1))
+
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        adc_pair_score(F.col("qpos"), F.col("codes")).alias("score_u"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_u")
+    )

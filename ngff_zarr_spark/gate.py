@@ -646,6 +646,16 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed (the FAISS IVFPQ layout): seed coarse quantizer
+    prunes probes to n_probe cells, PQ integer ADC scores only the
+    probed candidates — raw vectors appear nowhere after encode."""
+    return S.ivfpq_topk(
+        _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, m=PQ_SUBSPACES, n_codes=PQ_CODES,
+    )
+
+
 def q_text_top_tokens(spark, sf_dir):
     """Corpus top-50 token frequencies, deterministic (count desc,
     token asc) — TakeOrderedAndProject, not a global vocabulary sort."""
@@ -1552,4 +1562,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stream": q_dedup_exact_stream,
         "text_top_tokens": q_text_top_tokens,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }

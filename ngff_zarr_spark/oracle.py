@@ -892,6 +892,88 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
 FROM rk WHERE rank <= {ANN_K}"""
 
 
+def sql_ann_ivfpq_topk():
+    # IVF (seed quantizer, _kmeans_ctes(0) → kcent/knorm) prunes the
+    # candidate set; PQ (cb/enc/qt from the sql_ann_pq_topk twin) scores
+    # it with exact integer ADC sums. Every step reuses a CTE pattern
+    # already verified by the standalone ivf/pq gates.
+    from .gate import ANN_K, IVF_PROBE, PQ_CODES, PQ_SUBSPACES
+
+    dsub = EMB_DIM // PQ_SUBSPACES
+    return f"""WITH {_kmeans_ctes(0)},
+adots AS (
+  SELECT d.vec_id, d.cell, round(d.dot / knorm.norm, 6) AS dot FROM (
+    SELECT e.vec_id, c.cell,
+           SUM(CAST(e.embedding[CAST(c.pos AS INTEGER)+1] AS DOUBLE) * c.val) AS dot
+    FROM embeddings e CROSS JOIN kcent c
+    GROUP BY e.vec_id, c.cell
+  ) d JOIN knorm USING (cell)
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots WHERE vec_id < 10
+  ) WHERE rn <= {IVF_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM cells c JOIN probes p USING (cell)
+  WHERE c.vec_id != p.query_id
+),
+cb AS (
+  SELECT CAST(r.i // {dsub} AS INTEGER) AS s, vec_id AS j,
+         CAST(r.i AS INTEGER) AS pos,
+         CAST(embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range({EMB_DIM}) r(i) WHERE vec_id < {PQ_CODES}
+),
+enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT d.vec_id, d.s, d.j,
+           row_number() OVER (PARTITION BY d.vec_id, d.s
+                              ORDER BY d.d2 ASC, d.j ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.s, c.j,
+             round(SUM((CAST(e.embedding[c.pos+1] AS DOUBLE) - c.val)
+                     * (CAST(e.embedding[c.pos+1] AS DOUBLE) - c.val)), 6) AS d2
+      FROM embeddings e CROSS JOIN cb c
+      GROUP BY e.vec_id, c.s, c.j
+    ) d
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT q.vec_id AS query_id, c.s, c.j,
+         CAST(round(round(SUM(CAST(q.embedding[c.pos+1] AS DOUBLE) * c.val), 6)
+                    * 1000000) AS BIGINT) AS t_u
+  FROM embeddings q CROSS JOIN cb c
+  WHERE q.vec_id < 10
+  GROUP BY q.vec_id, c.s, c.j
+),
+sc AS (
+  SELECT cd.query_id, cd.neighbor_id, SUM(qt.t_u) AS score_u
+  FROM cand cd
+  JOIN enc ON enc.vec_id = cd.neighbor_id
+  JOIN qt ON qt.query_id = cd.query_id AND qt.s = enc.s AND qt.j = enc.code
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, neighbor_id, score_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_u DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       CAST(score_u AS BIGINT) AS score_u
+FROM rk WHERE rank <= {ANN_K}"""
+
+
 def sql_ann_lsh_topk():
     return f"""WITH {_UNROLL},
 {_LSH_BANDS_CTE},
@@ -1357,4 +1439,5 @@ def oracles() -> dict[str, str]:
         "dedup_exact_stream": sql_dedup_exact(),
         "text_top_tokens": sql_text_top_tokens(),
         "ann_pq_topk": sql_ann_pq_topk(),
+        "ann_ivfpq_topk": sql_ann_ivfpq_topk(),
     }

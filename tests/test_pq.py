@@ -86,3 +86,32 @@ def test_pq_partition_invariant(spark):
         tuple(r) for r in pq_topk(emb.repartition(7), [0, 1], k=3).collect()
     )
     assert a == b
+
+
+def test_ivfpq_scores_match_pq_on_shared_pairs(spark):
+    """IVFPQ is PQ scoring over an IVF-pruned candidate set: every
+    (query, neighbor) pair both paths rank must carry the SAME ADC
+    score (the pruning changes WHICH pairs exist, never their score)."""
+    from ngff_zarr_spark.functions.similarity import ivfpq_topk
+
+    emb = _emb(spark)
+    qids = list(range(10))
+    pq_scores = {
+        (r.query_id, r.neighbor_id): r.score_u
+        for r in pq_topk(emb, qids, k=50).collect()
+    }
+    ivfpq = ivfpq_topk(emb, qids, k=5).collect()
+    assert len(ivfpq) > 0
+    shared = [r for r in ivfpq if (r.query_id, r.neighbor_id) in pq_scores]
+    assert shared, "no overlap between ivfpq and pq top lists"
+    for r in shared:
+        assert pq_scores[(r.query_id, r.neighbor_id)] == r.score_u
+
+
+def test_ivfpq_partition_invariant(spark):
+    from ngff_zarr_spark.functions.similarity import ivfpq_topk
+
+    emb = _emb(spark)
+    a = sorted(tuple(r) for r in ivfpq_topk(emb, [0, 1], k=3).collect())
+    b = sorted(tuple(r) for r in ivfpq_topk(emb.repartition(5), [0, 1], k=3).collect())
+    assert a == b
