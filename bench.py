@@ -193,6 +193,7 @@ QUERIES = {
     "ann_lsh_topk": gate.q_ann_lsh_topk,
     "ann_ivf_build": bench_ivf_build,
     "ann_ivf_topk": bench_ivf_topk,
+    "ann_pq_topk": gate.q_ann_pq_topk,
     "emb_near_dup_lsh": gate.q_emb_near_dup_lsh,
     "multimodal_features": gate.q_multimodal_features,
     "multimodal_resize": gate.q_multimodal_resize,

@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Three paths, per the scale brief:
+Five paths, per the scale brief (plus IVF's learned k-means quantizer
+and the IVF+PQ composition):
 
 - ``cosine_topk``: brute-force cosine top-k — the exact baseline. The
   query set is broadcast (small by construction); each executor scores
@@ -19,6 +20,13 @@ Three paths, per the scale brief:
   (``embedding_near_dup_allpairs``) is retained ONLY as a small-scale
   test oracle; it must never appear in a gate or bench plan (it is an
   O(n²·dim) scale-killer).
+- ``ivf_topk`` (+ ``kmeans_centroids`` learned quantizer,
+  ``write_ivf_partitioned``/``ivf_topk_partitioned`` physical layout):
+  data-derived cells as the READ-pruning knob — a probe touches
+  n_probe/n_cells of the corpus.
+- ``pq_topk`` / ``ivfpq_topk``: product quantization as the MEMORY
+  knob — m-byte codes + per-query integer ADC lookup tables; composed
+  with IVF this is the canonical billion-scale serving layout.
 
 Cosine values are rounded to 6 decimals in outputs AND rank ordering so
 last-ulp summation-order differences across engines cannot flip ranks.
