@@ -919,3 +919,98 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score_u")
     )
+
+
+def pq_codebooks_learned(
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    round_decimals: int = 9,
+) -> np.ndarray:
+    """Learned PQ codebooks: per-subspace Lloyd k-means from the
+    deterministic seed (:func:`pq_codebooks`), the quality upgrade over
+    the seed rule exactly as :func:`kmeans_centroids` is for IVF.
+
+    Per iteration ONE distributed pass covers all m subspaces:
+    ``mapInPandas`` computes, per input partition, the (s, code) →
+    (count, component sums) partial table — assignments never leave the
+    executor, and the shuffle is partitions × m × n_codes tiny rows,
+    not the corpus. Re-centering quantizes components to integers
+    (``round(v·10⁹)`` longs) before summing, so the learned codebooks
+    are bit-identical regardless of partitioning (the same
+    order-independence contract the IVF quantizer pins); empty codes
+    keep their previous entry. Assignment uses 6dp-rounded squared L2
+    with lowest-code tie-break — identical to :func:`pq_encode`.
+    """
+    import pandas as pd
+
+    from .text import spread
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    books = pq_codebooks(emb, dim, m, n_codes)
+    if n_iters <= 0:
+        return books
+    dsub = dim // m
+    scale = float(10 ** round_decimals)
+    out_schema = "s int, code int, n long, " + ", ".join(
+        f"c{i} long" for i in range(dsub)
+    )
+    from pyspark import StorageLevel
+
+    e = spread(emb).select("embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(n_iters):
+            cur = books.copy()
+
+            def partials(batches, _cur=cur):
+                counts = np.zeros((m, n_codes), dtype=np.int64)
+                sums = np.zeros((m, n_codes, dsub), dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    E = np.array(list(pdf["embedding"].values), dtype=np.float64)
+                    Eq = np.rint(E * scale).astype(np.int64)
+                    for s in range(m):
+                        sub = E[:, s * dsub : (s + 1) * dsub]
+                        d2 = np.zeros((len(E), n_codes), dtype=np.float64)
+                        for i in range(dsub):
+                            diff = sub[:, i : i + 1] - _cur[s][None, :, i][0]
+                            d2 += diff * diff
+                        codes = np.argmin(np.round(d2, 6), axis=1)
+                        np.add.at(counts[s], codes, 1)
+                        np.add.at(
+                            sums[s], codes, Eq[:, s * dsub : (s + 1) * dsub]
+                        )
+                rows = {
+                    "s": np.repeat(np.arange(m), n_codes).astype(np.int32),
+                    "code": np.tile(np.arange(n_codes), m).astype(np.int32),
+                    "n": counts.reshape(-1),
+                }
+                flat = sums.reshape(m * n_codes, dsub)
+                for i in range(dsub):
+                    rows[f"c{i}"] = flat[:, i]
+                yield pd.DataFrame(rows)
+
+            agg = (
+                e.mapInPandas(partials, out_schema)
+                .groupBy("s", "code")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(f"c{i}").alias(f"c{i}") for i in range(dsub)],
+                )
+                .collect()
+            )
+            books = books.copy()
+            for row in agg:
+                n = int(row["n"])
+                if n == 0:
+                    continue  # empty code keeps its previous entry
+                s, j = int(row["s"]), int(row["code"])
+                for i in range(dsub):
+                    books[s, j, i] = int(row[f"c{i}"]) / (n * scale)
+    finally:
+        e.unpersist()
+    return books

@@ -115,3 +115,51 @@ def test_ivfpq_partition_invariant(spark):
     a = sorted(tuple(r) for r in ivfpq_topk(emb, [0, 1], k=3).collect())
     b = sorted(tuple(r) for r in ivfpq_topk(emb.repartition(5), [0, 1], k=3).collect())
     assert a == b
+
+
+def test_learned_codebooks_partition_invariant(spark):
+    """Integer-quantized re-centering makes the learned codebooks
+    bit-identical regardless of input partitioning (the same
+    order-independence contract kmeans_centroids pins for IVF)."""
+    from ngff_zarr_spark.functions.similarity import pq_codebooks_learned
+
+    emb = _emb(spark)
+    a = pq_codebooks_learned(emb, n_iters=2)
+    b = pq_codebooks_learned(emb.repartition(11), n_iters=2)
+    assert np.array_equal(a, b)
+
+
+def test_learned_codebooks_zero_iters_is_seed(spark):
+    from ngff_zarr_spark.functions.similarity import pq_codebooks_learned
+
+    emb = _emb(spark)
+    assert np.array_equal(
+        pq_codebooks_learned(emb, n_iters=0), pq_codebooks(emb)
+    )
+
+
+def test_learned_codebooks_reduce_quantization_error(spark):
+    """Lloyd iterations cannot increase total quantization error; on a
+    real corpus they strictly shrink it (the reason to learn at all)."""
+    from ngff_zarr_spark.functions.similarity import (
+        pq_codebooks_learned,
+        pq_encode,
+    )
+
+    emb = _emb(spark)
+
+    def total_err(books):
+        enc = {r.vec_id: r.codes for r in pq_encode(emb, books).collect()}
+        E = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()
+        }
+        err = 0.0
+        for vid, codes in enc.items():
+            recon = np.concatenate([books[s][c] for s, c in enumerate(codes)])
+            err += float(np.sum((E[vid] - recon) ** 2))
+        return err
+
+    seed_err = total_err(pq_codebooks(emb))
+    learned_err = total_err(pq_codebooks_learned(emb, n_iters=2))
+    assert learned_err < seed_err
