@@ -1513,7 +1513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
+        # r6: streaming dedup ledger + IVF+PQ take the driver-graded
+        # slots of dedup_minhash_sig (transitively proven by
+        # dedup_minhash, which is built ON the signatures) and
+        # multimodal_resize_packed (same kernel as multimodal_resize in
+        # the packed row shape) — both stay registered past slot 50
+        "dedup_exact_stream": q_dedup_exact_stream,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
@@ -1523,15 +1528,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
-        "multimodal_resize_packed": q_multimodal_resize_packed,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio": q_multimodal_audio,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_count_min": q_sketch_count_min,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "multimodal_resize_packed": q_multimodal_resize_packed,
         "f1_level_pick": q_f1_level_pick,
         "f2_roi": q_f2_roi,
         "f3_f4_tc_select": q_f3_f4_tc_select,
@@ -1559,8 +1566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
-        "dedup_exact_stream": q_dedup_exact_stream,
         "text_top_tokens": q_text_top_tokens,
         "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }

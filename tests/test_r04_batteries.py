@@ -85,6 +85,13 @@ def test_first_50_layout():
     oracles = oracle.oracles()
     missing = [k for k in first50 if k not in oracles and k not in rows_only_ok]
     assert missing == [], missing
+    # r6 additions hold driver-graded slots (swapped in for the
+    # transitively-proven dedup_minhash_sig / multimodal_resize_packed,
+    # which must remain registered past the window)
+    assert "dedup_exact_stream" in first50
+    assert "ann_ivfpq_topk" in first50
+    assert "dedup_minhash_sig" in qs[50:]
+    assert "multimodal_resize_packed" in qs[50:]
 
 
 def test_full_oracle_coverage():
