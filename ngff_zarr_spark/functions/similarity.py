@@ -770,6 +770,7 @@ def pq_topk(
     dim: int = 64,
     m: int = 8,
     n_codes: int = 16,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: encode the corpus to m-byte codes,
     build each query's (m × n_codes) integer micro-dot table, score
@@ -785,7 +786,14 @@ def pq_topk(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    books = pq_codebooks(emb, dim, m, n_codes)
+    # pre-trained codebooks (pq_codebooks_learned) pass through
+    # ``codebooks`` — training is a build-time artifact, like ivf_topk's
+    # ``centroids``; default = the deterministic oracle-reproducible seed
+    books = codebooks if codebooks is not None else pq_codebooks(emb, dim, m, n_codes)
+    if books.shape != (m, n_codes, dim // m):
+        raise ValueError(
+            f"codebooks shape {books.shape} != ({m}, {n_codes}, {dim // m})"
+        )
     qrows = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select("vec_id", "embedding")

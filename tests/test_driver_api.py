@@ -94,3 +94,22 @@ def test_convert_rejects_bad_version(spark, tmp_path, tiff_file):
     )
     assert not res.success
     assert "Invalid OME-Zarr version" in (res.error or "")
+
+
+def test_mcp_server_import_gated():
+    """mcp_server is a thin adapter: without the mcp package it raises
+    a clear ImportError pointing at driver_api; the catalog constants
+    cover the engine's real surface."""
+    import ngff_zarr_spark.mcp_server as srv
+
+    assert "ITKWASM_BIN_SHRINK" in srv.DOWNSAMPLING_METHODS
+    assert "0.5" in srv.SUPPORTED_OUTPUT_VERSIONS
+    try:
+        import mcp  # noqa: F401
+
+        has_mcp = True
+    except ImportError:
+        has_mcp = False
+    if not has_mcp:
+        with pytest.raises(ImportError, match="driver_api"):
+            srv.build_server()
