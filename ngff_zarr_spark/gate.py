@@ -1290,6 +1290,34 @@ def q_dedup_exact_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_events_dedup_stream(spark, sf_dir):
+    """Streaming replay-dedup (dropDuplicatesWithinWatermark): the
+    stream directory holds TWO copies of events.parquet — an
+    at-least-once redelivery — and the drained sink must contain each
+    event exactly once. Oracle: the plain events table."""
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import streaming_dedup_events
+
+    events_dir = _tmp_store("stream_dup_events")
+    ckpt = _tmp_store("stream_dup_ckpt")
+    shutil.rmtree(events_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    import os
+
+    os.makedirs(events_dir, exist_ok=True)
+    for copy in ("a", "b"):
+        shutil.copy(
+            f"{sf_dir}/events.parquet", os.path.join(events_dir, f"{copy}.parquet")
+        )
+    table = f"stream_dedup_ev_{uuid.uuid4().hex[:8]}"
+    _, start = streaming_dedup_events(spark, events_dir, ckpt)
+    q = start(table)
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {table}")
+
+
 def _dtype_roundtrip(spark, dtype: str) -> DataFrame:
     """Shared body for dtype-fidelity gates (SURVEY §1.2): store the
     IMG3D pixel table with the given logical dtype (written natively on
@@ -1568,4 +1596,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "text_top_tokens": q_text_top_tokens,
         "ann_pq_topk": q_ann_pq_topk,
+        "events_dedup_stream": q_events_dedup_stream,
     }

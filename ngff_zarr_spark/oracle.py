@@ -1440,4 +1440,9 @@ def oracles() -> dict[str, str]:
         "text_top_tokens": sql_text_top_tokens(),
         "ann_pq_topk": sql_ann_pq_topk(),
         "ann_ivfpq_topk": sql_ann_ivfpq_topk(),
+        # streaming replay-dedup of a DOUBLED input == the plain table
+        "events_dedup_stream": (
+            "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id, "
+            "event_type, value FROM events"
+        ),
     }

@@ -254,3 +254,52 @@ def streaming_exact_dedup(
         )
 
     return agg, start
+
+
+def streaming_dedup_events(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming ingestion replay-dedup with Spark's native
+    ``dropDuplicatesWithinWatermark``: events arriving more than once
+    (at-least-once sources redeliver on retry) are emitted exactly
+    once, keyed by ``event_id``, with state bounded by the watermark —
+    the operator a training-data ingestion front-door runs before
+    anything downstream counts or aggregates.
+
+    State holds one key per DISTINCT event inside the watermark horizon
+    (dropped once event-time passes key-time + watermark), so memory is
+    rate × horizon, not stream length — the property that
+    distinguishes this from a naive ``dropDuplicates`` whose state
+    grows forever. Source schema derives from the live footers; ``ts``
+    normalized to long ns (functions/events.py).
+
+    Returns (stream_df, start_fn) like the other streaming twins; the
+    gate drains a deliberately DOUBLED copy of events.parquet and must
+    emit each event exactly once (oracle: the plain table).
+    """
+    from ..functions.events import events_stream_source
+
+    ev = events_stream_source(spark, events_dir)
+    with_time = ev.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    dedup = (
+        with_time.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+    def start(sink_table: str):
+        return (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return dedup, start

@@ -283,3 +283,28 @@ def test_incremental_stream_recovers_from_checkpoint(spark, tmp_path):
     assert _store_state(tmp_path / "stream.ome.zarr") == _store_state(
         tmp_path / "batch.ome.zarr"
     )
+
+
+def test_streaming_replay_dedup_exactly_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a doubled (redelivered) events
+    directory drains to each event exactly once."""
+    import shutil
+
+    from ngff_zarr_spark.streaming.pipeline import streaming_dedup_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "dup_events"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "b.parquet")
+
+    _, start = streaming_dedup_events(
+        spark, str(events_dir), str(tmp_path / "ckpt_dup")
+    )
+    q = start("stream_replay_dedup")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) n, count(distinct event_id) d from stream_replay_dedup"
+    ).first()
+    want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.n == got.d == want
