@@ -117,40 +117,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     # metadata overrides (reference cli.py applies them post-ingest)
     if args.dims:
-        from pyspark.sql import functions as F
+        from .model import rename_image_dims
 
-        from .model import SUPPORTED_DIMS
-
-        if len(args.dims) != len(img.dims):
-            raise SystemExit(f"--dims: expected {len(img.dims)} names for this input")
-        bad = [d for d in args.dims if d not in SUPPORTED_DIMS]
-        if bad:
-            raise SystemExit(
-                f"--dims: unsupported name(s) {bad}; valid: {list(SUPPORTED_DIMS)}"
-            )
-        if len(set(args.dims)) != len(args.dims):
-            raise SystemExit("--dims: names must be distinct")
-        rename = dict(zip(img.dims, args.dims))
-        # the pixel table carries all five canonical dim columns even
-        # when the image is lower-dimensional (constant t/c/z), so a
-        # rename onto a canonical-but-unused dim (e.g. y→z on a 2D
-        # image) collides with that constant column: resolve by swap —
-        # the constant column takes a vacated source name. Applied as
-        # ONE select projection: withColumnsRenamed renames
-        # sequentially and a permutation (z y x → y z x) would emit
-        # duplicate columns.
-        untouched = [c for c in img.data.columns if c not in rename]
-        vacated = [s for s in rename if s not in rename.values()]
-        for t in list(rename.values()):
-            if t in untouched:
-                rename[t] = vacated.pop()
-        img.data = img.data.select(
-            *[F.col(c).alias(rename.get(c, c)) for c in img.data.columns]
-        )
-        img.shape = {rename.get(d, d): n for d, n in img.shape.items()}
-        img.scale = {rename.get(d, d): s for d, s in img.scale.items()}
-        img.translation = {rename.get(d, d): s for d, s in img.translation.items()}
-        img.dims = list(args.dims)
+        try:
+            rename_image_dims(img, args.dims)
+        except ValueError as exc:
+            raise SystemExit(f"--{exc}")
     if args.scale:
         img.scale.update(_pairs_to_dict(args.scale, float, "--scale"))
     if args.translation:

@@ -102,13 +102,11 @@ def convert_images_to_ome_zarr(
         )
         img = cli_input_to_ngff_image(spark, backend, input_paths, output_scale)
         if dims:
-            if len(dims) != len(img.dims):
-                raise ValueError(f"dims: expected {len(img.dims)} names for this input")
-            remap = dict(zip(img.dims, dims))
-            img.shape = {remap.get(d, d): n for d, n in img.shape.items()}
-            img.scale = {remap.get(d, d): v for d, v in img.scale.items()}
-            img.translation = {remap.get(d, d): v for d, v in img.translation.items()}
-            img.dims = list(dims)
+            # renames pixel COLUMNS too — metadata-only remapping would
+            # silently collapse planes (every consumer selects by name)
+            from .model import rename_image_dims
+
+            rename_image_dims(img, list(dims))
         if scale:
             img.scale.update(scale)
         if translation:
@@ -212,26 +210,19 @@ def validate_ome_zarr_store(store_path: str) -> ValidationResult:
     from .validate import validate_best_effort
 
     try:
+        from .validate import sniff_store_attrs
+
         store = open_store(store_path)
         if store.exists("zarr.json"):
-            doc = store.get_json("zarr.json")
-            attrs = doc.get("attributes", {})
-            version = str(attrs.get("ome", {}).get("version", "0.5"))
+            attrs = store.get_json("zarr.json").get("attributes", {})
         elif store.exists(".zattrs"):
             attrs = store.get_json(".zattrs")
-            mss = attrs.get("multiscales") or [{}]
-            version = str(mss[0].get("version", "0.4"))
         else:
             return ValidationResult(
                 valid=False, errors=["no zarr.json or .zattrs at store root"]
             )
-        model = "image"
-        if "plate" in attrs or "plate" in attrs.get("ome", {}):
-            model = "plate"
-        elif "well" in attrs or "well" in attrs.get("ome", {}):
-            model = "well"
-        schema_version = version if version in ("0.1", "0.2", "0.3", "0.4", "0.5") else "0.4"
-        errors = validate_best_effort(attrs, version=schema_version, model=model)
+        version, model = sniff_store_attrs(attrs)
+        errors = validate_best_effort(attrs, version=version, model=model)
         return ValidationResult(valid=not errors, version=version, errors=errors)
     except Exception as exc:  # noqa: BLE001
         return ValidationResult(valid=False, errors=[f"{type(exc).__name__}: {exc}"])

@@ -75,6 +75,11 @@ def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
     reads what is actually on disk, then normalizes through the same
     expression as the batch path.
     """
+    # NANOS-format files need the legacy conf or the schema-deriving
+    # batch read itself fails analysis — same defensive set as the
+    # batch path (gate._events), static reader option, never unset
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(events_dir).schema
     ev = spark.readStream.schema(batch_schema).parquet(events_dir)
     return normalize_events_ts(ev)

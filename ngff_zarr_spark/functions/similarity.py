@@ -725,7 +725,13 @@ def _pq_score_tables(qs: np.ndarray, books: np.ndarray) -> np.ndarray:
     t = np.empty((nq, m, n_codes), dtype=np.int64)
     for s in range(m):
         sub = qs[:, s * dsub : (s + 1) * dsub]
-        dots = sub @ books[s].T  # (nq, n_codes)
+        # sequential per-position accumulation, NOT matmul: BLAS may
+        # reorder/FMA the dsub-term sum, and a dot on a 6th-decimal
+        # rounding boundary would then round differently than the
+        # oracle's SUM — same determinism contract as _cell_dots
+        dots = np.zeros((nq, n_codes), dtype=np.float64)
+        for i in range(dsub):
+            dots += sub[:, i : i + 1] * books[s][None, :, i][0]
         t[:, s, :] = np.rint(np.round(dots, 6) * 1_000_000).astype(np.int64)
     return t
 
@@ -799,6 +805,12 @@ def pq_topk(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:
+        # no query id matched the corpus: empty result, stable schema
+        # (np broadcasting below would crash on a 0-row query matrix)
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, score_u long"
+        )
     qrows.sort(key=lambda r: r.vec_id)
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     tables = _pq_score_tables(
@@ -871,6 +883,12 @@ def ivfpq_topk(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:
+        # no query id matched the corpus: empty result, stable schema
+        # (create_map() with zero args and 0-row numpy would crash)
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, score_u long"
+        )
     qrows.sort(key=lambda r: r.vec_id)
     qids = [int(r.vec_id) for r in qrows]
     qpos_of = {q: i for i, q in enumerate(qids)}

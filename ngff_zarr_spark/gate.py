@@ -1232,7 +1232,9 @@ def q_t1_stream_pixels(spark, sf_dir):
     q = incremental_well_write_stream(
         spark, manifests, store, plate, field_ms, checkpoint_dir=ckpt
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 120s — refusing to grade a partial sink")
     return read_image(spark, store, "A/1/0/scale0/image").select(
         "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
     )
@@ -1258,7 +1260,9 @@ def q_events_hourly_stream(spark, sf_dir):
     table = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     agg, start = streaming_events_hourly(spark, events_dir, ckpt)
     q = start(table)
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
     return spark.sql(f"select * from {table}")
 
 
@@ -1286,7 +1290,9 @@ def q_dedup_exact_stream(spark, sf_dir):
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     agg, start = streaming_exact_dedup(spark, docs_dir, ckpt)
     q = start(table)
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
     return spark.sql(f"select * from {table}")
 
 
@@ -1314,7 +1320,9 @@ def q_events_dedup_stream(spark, sf_dir):
     table = f"stream_dedup_ev_{uuid.uuid4().hex[:8]}"
     _, start = streaming_dedup_events(spark, events_dir, ckpt)
     q = start(table)
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
     return spark.sql(f"select * from {table}")
 
 

@@ -217,6 +217,48 @@ class Multiscales:
     chunks: Optional[dict] = None
 
 
+def rename_image_dims(img, new_dims: list[str]) -> None:
+    """Rename an image's dims IN PLACE — metadata AND pixel columns.
+
+    The pixel table carries all five canonical dim columns even when
+    the image is lower-dimensional (constant t/c/z), so a rename onto a
+    canonical-but-unused dim (e.g. y→z on a 2D image) collides with
+    that constant column: resolve by swap — the constant column takes a
+    vacated source name. Applied as ONE select projection
+    (withColumnsRenamed renames sequentially; a permutation like
+    ``z y x → y z x`` would emit duplicate columns). Raises ValueError
+    on length mismatch / unsupported / duplicate names.
+
+    Every consumer selects coordinates BY dim name (write_image's
+    chunk keys, operators, metadata axes), so renaming metadata without
+    the columns silently collapses planes — always go through here.
+    """
+    from pyspark.sql import functions as F
+
+    if len(new_dims) != len(img.dims):
+        raise ValueError(f"dims: expected {len(img.dims)} names for this input")
+    bad = [d for d in new_dims if d not in SUPPORTED_DIMS]
+    if bad:
+        raise ValueError(
+            f"dims: unsupported name(s) {bad}; valid: {list(SUPPORTED_DIMS)}"
+        )
+    if len(set(new_dims)) != len(new_dims):
+        raise ValueError("dims: names must be distinct")
+    rename = dict(zip(img.dims, new_dims))
+    untouched = [c for c in img.data.columns if c not in rename]
+    vacated = [s for s in rename if s not in rename.values()]
+    for t in list(rename.values()):
+        if t in untouched:
+            rename[t] = vacated.pop()
+    img.data = img.data.select(
+        *[F.col(c).alias(rename.get(c, c)) for c in img.data.columns]
+    )
+    img.shape = {rename.get(d, d): n for d, n in img.shape.items()}
+    img.scale = {rename.get(d, d): s for d, s in img.scale.items()}
+    img.translation = {rename.get(d, d): s for d, s in img.translation.items()}
+    img.dims = list(new_dims)
+
+
 def to_ngff_image(
     data: DataFrame,
     dims: Optional[list[str]] = None,

@@ -569,16 +569,10 @@ def from_ngff_zarr(
         # C7 check runs BEFORE parsing (a store that fails it may not
         # even be parseable): structural requirements plus full
         # OME-NGFF JSON-Schema validation when jsonschema is available
-        from .validate import validate_best_effort
+        from .validate import sniff_store_attrs, validate_best_effort
 
-        if store.exists("zarr.json"):
-            v = str(attrs.get("ome", {}).get("version", "0.5"))
-        else:
-            v = str((attrs.get("multiscales") or [{}])[0].get("version", "0.4"))
-        problems = validate_best_effort(
-            attrs, version=v if v in ("0.1", "0.2", "0.3", "0.4", "0.5") else "0.4",
-            model="image",
-        )
+        v, _ = sniff_store_attrs(attrs)
+        problems = validate_best_effort(attrs, version=v, model="image")
         if problems:
             raise ValueError(f"Invalid OME-NGFF image metadata: {problems}")
     meta, version = parse_group_attributes(attrs)

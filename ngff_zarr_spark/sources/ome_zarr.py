@@ -463,12 +463,17 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # Idempotent: repeat registration on the same session (or a
     # streaming micro-batch clone that inherited it) raises
-    # DATA_SOURCE_ALREADY_EXISTS — same datasource, nothing to do.
+    # DATA_SOURCE_ALREADY_EXISTS — same datasource, nothing to do, and
+    # catching it stays on public API (a JVM sessionState reach-through
+    # breaks under Spark Connect).
     # NOTE: registration does NOT propagate into already-running
     # streaming queries (micro-batch clones copy the manager at stream
     # start), so any foreachBatch that writes format("ome_zarr") must
     # register before .start() — see streaming/pipeline.py.
-    if not spark._jsparkSession.sessionState().dataSourceManager().dataSourceExists(
-        "ome_zarr"
-    ):
+    from pyspark.errors import AnalysisException
+
+    try:
         spark.dataSource.register(OmeZarrDataSource)
+    except AnalysisException as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise

@@ -155,6 +155,10 @@ def _validate_plate(attrs: dict) -> list[str]:
     if not isinstance(wells, list) or not wells:
         problems.append("plate: missing wells")
         wells = []
+    # rowIndex/columnIndex joined the spec in 0.4; ≤0.3 wells carry only
+    # path (spec/0.2/schemas/plate.schema requires just {path})
+    version = str(plate.get("version") or "0.4")
+    indices_required = version not in ("0.1", "0.2", "0.3")
     for w in wells:
         if not isinstance(w, dict):
             problems.append("plate: well entry not an object")
@@ -163,10 +167,12 @@ def _validate_plate(attrs: dict) -> list[str]:
         ri, ci = w.get("rowIndex"), w.get("columnIndex")
         if not isinstance(path, str) or "/" not in path:
             problems.append(f"plate: well path {path!r} must be 'row/col'")
-        if not isinstance(ri, int) or not 0 <= ri < max(1, len(rows)):
-            problems.append(f"plate: well {path!r} rowIndex {ri!r} out of range")
-        if not isinstance(ci, int) or not 0 <= ci < max(1, len(cols)):
-            problems.append(f"plate: well {path!r} columnIndex {ci!r} out of range")
+        if indices_required or ri is not None:
+            if not isinstance(ri, int) or not 0 <= ri < max(1, len(rows)):
+                problems.append(f"plate: well {path!r} rowIndex {ri!r} out of range")
+        if indices_required or ci is not None:
+            if not isinstance(ci, int) or not 0 <= ci < max(1, len(cols)):
+                problems.append(f"plate: well {path!r} columnIndex {ci!r} out of range")
     for acq in plate.get("acquisitions") or []:
         if not isinstance(acq, dict) or not isinstance(acq.get("id"), int):
             problems.append("plate: acquisition missing integer id")
@@ -210,6 +216,37 @@ def validate(attrs: dict, model: str = "image", strict: bool = False) -> list[st
 # Full JSON-Schema validation against the published OME-NGFF spec schemas
 
 _SPEC_DIR = Path(__file__).parent / "spec"
+
+_KNOWN_VERSIONS = ("0.1", "0.2", "0.3", "0.4", "0.5")
+
+
+def sniff_store_attrs(attrs: dict) -> tuple[str, str]:
+    """(spec_version, model) from raw root attrs — the ONE place that
+    knows both layouts (0.5 'ome'-nested with a namespace version;
+    ≤0.4 top-level with the version inside the model payload) and all
+    three models' version locations. Unknown/missing versions clamp to
+    the nearest validatable schema version ('0.5' for ome-nested,
+    '0.4' otherwise), never raise."""
+    ome = attrs.get("ome") if isinstance(attrs.get("ome"), dict) else None
+    ns = ome if ome is not None else attrs
+    if "plate" in ns:
+        model = "plate"
+    elif "well" in ns:
+        model = "well"
+    else:
+        model = "image"
+    if ome is not None:
+        version = str(ome.get("version", "0.5"))
+        fallback = "0.5"
+    else:
+        fallback = "0.4"
+        if model == "image":
+            mss = ns.get("multiscales") or [{}]
+            version = str((mss[0] or {}).get("version", fallback))
+        else:
+            payload = ns.get(model) or {}
+            version = str(payload.get("version", fallback))
+    return (version if version in _KNOWN_VERSIONS else fallback), model
 
 
 def schema_versions() -> list[str]:

@@ -113,3 +113,48 @@ def test_mcp_server_import_gated():
     if not has_mcp:
         with pytest.raises(ImportError, match="driver_api"):
             srv.build_server()
+
+
+def test_convert_dims_override_renames_pixel_columns(spark, tmp_path, tiff_file):
+    """Code-review r6 regression: a dims override must rename the pixel
+    COLUMNS, not just metadata — a metadata-only remap silently
+    collapses planes (every consumer selects coordinates by name)."""
+    p, arr = tiff_file
+    out = str(tmp_path / "dims.ome.zarr")
+    res = convert_images_to_ome_zarr(
+        spark, [str(p)], out, dims=["c", "x"],
+        method="ITKWASM_BIN_SHRINK", scale_factors=[],
+    )
+    assert res.success, res.error
+    from ngff_zarr_spark.ome_zarr_api import read_image
+
+    info = get_ome_zarr_info(spark, out)
+    assert info.dims == ["c", "x"]
+    assert info.scales[0]["shape"] == [48, 40]
+    df = read_image(spark, out, info.scales[0]["path"], dims=["c", "x"])
+    got = {(r.c, r.x): r.v for r in df.collect()}
+    assert got[(0, 0)] == float(arr[0, 0])
+    assert got[(47, 39)] == float(arr[47, 39])  # planes NOT collapsed
+
+
+def test_validate_plate_uses_plate_version(tmp_path):
+    """Code-review r6 regression: plate/well stores carry their version
+    inside the model payload; a spec-valid 0.2 plate (no
+    rowIndex/columnIndex) must not be judged against the 0.4 schema."""
+    root = tmp_path / "plate02.zarr"
+    root.mkdir()
+    import json
+
+    (root / ".zattrs").write_text(json.dumps({
+        "plate": {
+            "version": "0.2",
+            "columns": [{"name": "1"}],
+            "rows": [{"name": "A"}],
+            "wells": [{"path": "A/1"}],
+        }
+    }))
+    v = validate_ome_zarr_store(str(root))
+    assert v.version == "0.2"
+    # the 0.2 schema requires only path on wells; structural checks are
+    # version-agnostic about indices only when absent from the spec
+    assert not any("rowIndex" in e for e in v.errors), v.errors
