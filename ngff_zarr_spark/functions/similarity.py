@@ -217,6 +217,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_bands: int = N_BANDS,
     band_planes: int | None = BAND_PLANES,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 LSH band bucket with the
     query; exact cosine re-rank on the candidate set. Returns
@@ -224,7 +225,15 @@ def lsh_bucket_topk(
     join replaces the full corpus scan per query batch.
 
     ``band_planes=None`` → sized by :func:`auto_band_planes` from the
-    corpus count (one metadata-cheap count job at plan-build time)."""
+    corpus count (one metadata-cheap count job at plan-build time).
+
+    ``multiprobe=True`` additionally probes every Hamming-1 neighbor
+    bucket (one hyperplane bit flipped) on the QUERY side — the
+    standard recall knob that trades (1 + band_planes)× more tiny
+    probe rows for recall WITHOUT growing bands or shrinking buckets
+    (Lv et al., "Multi-Probe LSH", VLDB 2007 — public method). Only
+    the broadcast query side expands; the corpus is bucketed once
+    either way."""
     from .text import spread
 
     if band_planes is None:
@@ -239,6 +248,15 @@ def lsh_bucket_topk(
     qb = lsh_band_buckets(qemb, dim, n_bands, band_planes, spread_input=False).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
+    if multiprobe:
+        flips = F.array(*[F.lit(1 << p) for p in range(band_planes)])
+        flipped = qb.select(
+            "query_id", "band", F.explode(flips).alias("m"), "bucket"
+        ).select(
+            "query_id", "band",
+            F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket"),
+        )
+        qb = qb.unionByName(flipped).distinct()
     cand_ids = (
         bands.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))

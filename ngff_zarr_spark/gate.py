@@ -634,6 +634,17 @@ def q_text_winnow(spark, sf_dir):
     return TX.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH top-k: the query side also probes every
+    Hamming-1 neighbor bucket — strictly more candidates than
+    ann_lsh_topk at the same band geometry (the recall knob that does
+    not grow the corpus-side index)."""
+    return S.lsh_bucket_topk(
+        _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
+        multiprobe=True,
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """PQ (product quantization) ADC top-k: corpus encoded to m=8
     uint8-range codes per vector (64x memory compression at dim=64),
@@ -1605,4 +1616,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": q_text_top_tokens,
         "ann_pq_topk": q_ann_pq_topk,
         "events_dedup_stream": q_events_dedup_stream,
+        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
     }

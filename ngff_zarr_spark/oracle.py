@@ -1000,6 +1000,41 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
 FROM rk WHERE rank <= {ANN_K}"""
 
 
+def sql_ann_lsh_multiprobe_topk():
+    # multi-probe twin: query probes = own bucket PLUS every Hamming-1
+    # neighbor (xor one plane bit); corpus buckets unchanged
+    return f"""WITH {_UNROLL},
+{_LSH_BANDS_CTE},
+qprobes AS (
+  SELECT vec_id, band, bucket FROM bb WHERE vec_id < 10
+  UNION
+  SELECT vec_id, band,
+         xor(bucket, CAST(1 << CAST(f.i AS INTEGER) AS BIGINT)) AS bucket
+  FROM bb CROSS JOIN range({_BP}) f(i) WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bb c JOIN qprobes q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE c.vec_id != q.vec_id
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, q.norm AS qn, c.norm AS cn,
+         SUM(CAST(c.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) * CAST(q.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+  FROM cand cd
+  JOIN u q ON q.vec_id = cd.query_id
+  JOIN u c ON c.vec_id = cd.neighbor_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2, 3, 4
+),
+rk AS (
+  SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM rk WHERE rank <= {ANN_K}"""
+
+
 def sql_emb_near_dup_lsh():
     return f"""WITH {_UNROLL},
 {_LSH_BANDS_CTE},
@@ -1445,4 +1480,5 @@ def oracles() -> dict[str, str]:
             "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id, "
             "event_type, value FROM events"
         ),
+        "ann_lsh_multiprobe_topk": sql_ann_lsh_multiprobe_topk(),
     }

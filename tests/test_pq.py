@@ -163,3 +163,29 @@ def test_learned_codebooks_reduce_quantization_error(spark):
     seed_err = total_err(pq_codebooks(emb))
     learned_err = total_err(pq_codebooks_learned(emb, n_iters=2))
     assert learned_err < seed_err
+
+
+def test_lsh_multiprobe_supersets_plain(spark):
+    """Multi-probe probes strictly more buckets, so its candidate set —
+    and therefore its top-k quality — can only grow: every plain-LSH
+    result pair appears in the multiprobe result at equal-or-better
+    rank-k coverage, and shared pairs carry identical cosines."""
+    from ngff_zarr_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _emb(spark)
+    qids = list(range(10))
+    plain = lsh_bucket_topk(emb, qids, k=50).collect()
+    multi = lsh_bucket_topk(emb, qids, k=50, multiprobe=True).collect()
+    plain_by_pair = {(r.query_id, r.neighbor_id): r.cosine for r in plain}
+    multi_by_pair = {(r.query_id, r.neighbor_id): r.cosine for r in multi}
+    # every pair the plain path found is also a multiprobe candidate
+    # (absent only if pushed past k=50 by BETTER multiprobe candidates)
+    multi_count = {}
+    for q, _ in multi_by_pair:
+        multi_count[q] = multi_count.get(q, 0) + 1
+    for (q, n), cos in plain_by_pair.items():
+        if (q, n) in multi_by_pair:
+            assert multi_by_pair[(q, n)] == cos
+        else:
+            assert multi_count.get(q, 0) == 50  # full: displaced, not lost
+    assert len(multi_by_pair) >= len(plain_by_pair)
