@@ -1058,3 +1058,135 @@ def pq_codebooks_learned(
     finally:
         e.unpersist()
     return books
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Residual IVFPQ — PQ over ``v - centroid[cell(v)]`` instead of
+    raw vectors (the actual FAISS IVFPQ design; Jegou et al. 2011 §IV):
+    residuals concentrate near 0 regardless of which cell a vector
+    lives in, so the SAME m-byte code budget quantizes a much tighter
+    distribution — better recall than :func:`ivfpq_topk` at identical
+    storage. Score(q, v) ≈ dot(q, C[cell]) + dot(q, r̂_v), both terms
+    exact integer micros (the first per (query, probed cell) on the
+    driver — n_queries × n_cells values; the second via the standard
+    ADC tables against RESIDUAL codebooks).
+
+    ONE Arrow pass computes each vector's cell AND its residual codes
+    (no corpus self-join to look up centroids); candidates come from
+    the same broadcast probed-cell equi-join as ivfpq_topk. Residual
+    codebooks seed from the n_codes lowest-id vectors' residuals —
+    deterministic, so the DuckDB twin derives every step."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import spread
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    C, Cn = _centroids(emb, n_cells)
+
+    # residual codebooks: residuals of the n_codes lowest-id vectors
+    # (driver-side: n_codes rows; their cells via the same rounded dots)
+    seed_rows = (
+        emb.filter(F.col("vec_id") < n_codes).select("vec_id", "embedding").collect()
+    )
+    seed_rows.sort(key=lambda r: r.vec_id)
+    S = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    seed_cells = np.argmax(_cell_dots(pd.Series(list(S)), C, Cn), axis=1)
+    R = S - C[seed_cells]  # (n_codes, dim) residuals
+    books = np.stack([R[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+    qrows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, score_u long"
+        )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = [int(r.vec_id) for r in qrows]
+    qpos_of = {q: i for i, q in enumerate(qids)}
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    tables = _pq_score_tables(Q, books)  # vs RESIDUAL codebooks
+    # dot(q, C[cell]) term, rounded micros — sequential accumulation
+    qc = np.zeros((len(qids), n_cells), dtype=np.float64)
+    for i in range(dim):
+        qc += Q[:, i : i + 1] * C[None, :, i][0]
+    qcell_u = np.rint(np.round(qc, 6) * 1_000_000).astype(np.int64)
+    qprobe_order = np.argsort(
+        -_cell_dots(pd.Series(list(Q)), C, Cn), axis=1, kind="stable"
+    )[:, :n_probe]
+
+    @pandas_udf("struct<cell: long, codes: array<int>>")
+    def cell_and_codes(e: pd.Series) -> pd.DataFrame:
+        E = np.array(list(e.values), dtype=np.float64)
+        n = E.shape[0]
+        cells = np.argmax(_cell_dots(e, C, Cn), axis=1)
+        Rv = E - C[cells]
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            sub = Rv[:, s * dsub : (s + 1) * dsub]
+            d2 = np.zeros((n, n_codes), dtype=np.float64)
+            for i in range(dsub):
+                diff = sub[:, i : i + 1] - books[s][None, :, i][0]
+                d2 += diff * diff
+            codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int64), "codes": list(codes)}
+        )
+
+    enc = spread(emb).select(
+        "vec_id", cell_and_codes(F.col("embedding")).alias("cc")
+    ).select("vec_id", F.col("cc.cell").alias("cell"), F.col("cc.codes").alias("codes"))
+
+    probe_rows = [
+        (int(qids[qi]), int(cell))
+        for qi in range(len(qids))
+        for cell in qprobe_order[qi]
+    ]
+    qprobe = emb.sparkSession.createDataFrame(probe_rows, "query_id long, cell long")
+    cand = (
+        enc.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    qpos_map = F.create_map(
+        *[x for q, i in qpos_of.items() for x in (F.lit(q), F.lit(i))]
+    )
+
+    @pandas_udf("long")
+    def residual_score(qpos: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        Cc = np.array(list(codes.values), dtype=np.int64)
+        qp = qpos.values.astype(np.int64)
+        cl = cell.values.astype(np.int64)
+        sub_idx = np.arange(m)[None, :]
+        adc = tables[qp[:, None], sub_idx, Cc].sum(axis=1)
+        return pd.Series(adc + qcell_u[qp, cl])
+
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        residual_score(
+            qpos_map[F.col("query_id")], F.col("cell"), F.col("codes")
+        ).alias("score_u"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_u")
+    )

@@ -645,6 +645,17 @@ def q_ann_lsh_multiprobe_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_residual_topk(spark, sf_dir):
+    """Residual IVFPQ (the FAISS IVFPQ design proper): PQ codes quantize
+    v - centroid[cell(v)] — residuals concentrate near 0, so the same
+    m-byte budget carries more precision; score = integer micros of
+    dot(q, centroid) + residual ADC."""
+    return S.ivfpq_residual_topk(
+        _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, m=PQ_SUBSPACES, n_codes=PQ_CODES,
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """PQ (product quantization) ADC top-k: corpus encoded to m=8
     uint8-range codes per vector (64x memory compression at dim=64),
@@ -1617,4 +1628,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "events_dedup_stream": q_events_dedup_stream,
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

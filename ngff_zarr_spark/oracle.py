@@ -974,6 +974,107 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
 FROM rk WHERE rank <= {ANN_K}"""
 
 
+def sql_ann_ivfpq_residual_topk():
+    # Residual IVFPQ twin: codebooks are RESIDUALS of the seed vectors
+    # (seed - its centroid), every vector encodes its own residual, and
+    # score = round6(dot(q, centroid))·1e6 + Σ ADC table micros — both
+    # integer terms, order-independent. All CTEs below are the verified
+    # ivf/pq patterns plus a residual join through kcent.
+    from .gate import ANN_K, IVF_PROBE, PQ_CODES, PQ_SUBSPACES
+
+    dsub = EMB_DIM // PQ_SUBSPACES
+    return f"""WITH {_kmeans_ctes(0)},
+adots AS (
+  SELECT d.vec_id, d.cell, round(d.dot / knorm.norm, 6) AS dot FROM (
+    SELECT e.vec_id, c.cell,
+           SUM(CAST(e.embedding[CAST(c.pos AS INTEGER)+1] AS DOUBLE) * c.val) AS dot
+    FROM embeddings e CROSS JOIN kcent c
+    GROUP BY e.vec_id, c.cell
+  ) d JOIN knorm USING (cell)
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots WHERE vec_id < 10
+  ) WHERE rn <= {IVF_PROBE}
+),
+rcb AS (
+  SELECT CAST(kc.pos // {dsub} AS INTEGER) AS s, e.vec_id AS j,
+         CAST(kc.pos AS INTEGER) AS pos,
+         CAST(e.embedding[CAST(kc.pos AS INTEGER)+1] AS DOUBLE) - kc.val AS val
+  FROM embeddings e
+  JOIN cells sc ON sc.vec_id = e.vec_id
+  JOIN kcent kc ON kc.cell = sc.cell
+  WHERE e.vec_id < {PQ_CODES}
+),
+res AS (
+  SELECT e.vec_id, CAST(kc.pos AS INTEGER) AS pos,
+         CAST(e.embedding[CAST(kc.pos AS INTEGER)+1] AS DOUBLE) - kc.val AS val
+  FROM embeddings e
+  JOIN cells c ON c.vec_id = e.vec_id
+  JOIN kcent kc ON kc.cell = c.cell
+),
+enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT d.vec_id, d.s, d.j,
+           row_number() OVER (PARTITION BY d.vec_id, d.s
+                              ORDER BY d.d2 ASC, d.j ASC) AS rn
+    FROM (
+      SELECT rs.vec_id, rc.s, rc.j,
+             round(SUM((rs.val - rc.val) * (rs.val - rc.val)), 6) AS d2
+      FROM res rs JOIN rcb rc ON rc.pos = rs.pos
+      GROUP BY rs.vec_id, rc.s, rc.j
+    ) d
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT q.vec_id AS query_id, rc.s, rc.j,
+         CAST(round(round(SUM(CAST(q.embedding[rc.pos+1] AS DOUBLE) * rc.val), 6)
+                    * 1000000) AS BIGINT) AS t_u
+  FROM embeddings q CROSS JOIN rcb rc
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2, 3
+),
+qcd AS (
+  SELECT q.vec_id AS query_id, kc.cell,
+         CAST(round(round(SUM(CAST(q.embedding[CAST(kc.pos AS INTEGER)+1] AS DOUBLE)
+                              * kc.val), 6) * 1000000) AS BIGINT) AS c_u
+  FROM embeddings q CROSS JOIN kcent kc
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, c.cell
+  FROM cells c JOIN probes p USING (cell)
+  WHERE c.vec_id != p.query_id
+),
+sc AS (
+  SELECT cd.query_id, cd.neighbor_id, MAX(qcd.c_u) + SUM(qt.t_u) AS score_u
+  FROM cand cd
+  JOIN qcd ON qcd.query_id = cd.query_id AND qcd.cell = cd.cell
+  JOIN enc ON enc.vec_id = cd.neighbor_id
+  JOIN qt ON qt.query_id = cd.query_id AND qt.s = enc.s AND qt.j = enc.code
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, neighbor_id, score_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_u DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       CAST(score_u AS BIGINT) AS score_u
+FROM rk WHERE rank <= {ANN_K}"""
+
+
 def sql_ann_lsh_topk():
     return f"""WITH {_UNROLL},
 {_LSH_BANDS_CTE},
@@ -1481,4 +1582,5 @@ def oracles() -> dict[str, str]:
             "event_type, value FROM events"
         ),
         "ann_lsh_multiprobe_topk": sql_ann_lsh_multiprobe_topk(),
+        "ann_ivfpq_residual_topk": sql_ann_ivfpq_residual_topk(),
     }

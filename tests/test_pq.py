@@ -189,3 +189,63 @@ def test_lsh_multiprobe_supersets_plain(spark):
         else:
             assert multi_count.get(q, 0) == 50  # full: displaced, not lost
     assert len(multi_by_pair) >= len(plain_by_pair)
+
+
+def test_residual_ivfpq_learned_codebooks_tighten(spark):
+    """Residual-PQ geometry, pinned honestly: with the SEED rule, raw
+    codebooks (the seed vectors) directly model a clustered corpus
+    while seed RESIDUALS are noise-like — so the textbook residual
+    advantage only appears once codebooks are LEARNED on residuals.
+    This test pins the guaranteed half: Lloyd iterations over the
+    residual distribution strictly reduce residual reconstruction
+    error vs the seed residual codebooks (the upgrade path
+    ivfpq_residual_topk's docstring points at)."""
+    import pandas as pd
+
+    from ngff_zarr_spark.functions.similarity import (
+        _cell_dots,
+        _centroids,
+        pq_codebooks,
+        pq_codebooks_learned,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, 64)) * 4.0
+    cl = rng.integers(0, 6, size=400)
+    X = centers[cl] + rng.normal(scale=0.5, size=(400, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    C, Cn = _centroids(emb, 16)
+    cells = np.argmax(_cell_dots(pd.Series(list(X)), C, Cn), axis=1)
+    Res = X - C[cells]
+    res_df = spark.createDataFrame(
+        [(i, [float(v) for v in Res[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    seed_books = pq_codebooks(res_df)          # seed residual codebooks
+    learned_books = pq_codebooks_learned(res_df, n_iters=3)
+
+    def total_err(books):
+        err = 0.0
+        for r in Res:
+            for s in range(8):
+                sub = r[s * 8 : (s + 1) * 8]
+                d2 = ((sub[None, :] - books[s]) ** 2).sum(axis=1)
+                err += float(d2[int(np.argmin(np.round(d2, 6)))])
+        return err
+
+    assert total_err(learned_books) < total_err(seed_books)
+
+
+def test_residual_ivfpq_partition_invariant(spark):
+    from ngff_zarr_spark.functions.similarity import ivfpq_residual_topk
+
+    emb = _emb(spark)
+    a = sorted(tuple(r) for r in ivfpq_residual_topk(emb, [0, 1], k=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in ivfpq_residual_topk(emb.repartition(5), [0, 1], k=3).collect()
+    )
+    assert a == b
