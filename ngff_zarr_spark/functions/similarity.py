@@ -24,9 +24,12 @@ and the IVF+PQ composition):
   ``write_ivf_partitioned``/``ivf_topk_partitioned`` physical layout):
   data-derived cells as the READ-pruning knob — a probe touches
   n_probe/n_cells of the corpus.
-- ``pq_topk`` / ``ivfpq_topk``: product quantization as the MEMORY
-  knob — m-byte codes + per-query integer ADC lookup tables; composed
-  with IVF this is the canonical billion-scale serving layout.
+- ``pq_topk`` / ``ivfpq_topk`` / ``ivfpq_residual_topk``: product
+  quantization as the MEMORY knob — m-byte codes + per-query integer
+  ADC lookup tables (learned via :func:`pq_codebooks_learned`,
+  residual-encoded in the FAISS-proper variant); composed with IVF
+  this is the canonical billion-scale serving layout. Multi-probe
+  (``lsh_bucket_topk(multiprobe=True)``) is the LSH-side recall knob.
 
 Cosine values are rounded to 6 decimals in outputs AND rank ordering so
 last-ulp summation-order differences across engines cannot flip ranks.
