@@ -240,12 +240,26 @@ def optimize_ome_zarr_store(
     optimize_ome_zarr_store → optimize_zarr_store): read the pyramid
     lazily, write it back through the distributed chunk writer with the
     new codec/chunk grid. Levels are copied (not recomputed) — the
-    pyramid's pixel values are preserved exactly."""
+    pyramid's pixel values are preserved exactly.
+
+    ``compression_codec=None`` means "keep the source codec": the
+    level-0 array metadata's compressor is read and reused, so a
+    rechunk-only optimize never silently recompresses (e.g. zstd →
+    gzip)."""
     from .ome_zarr_api import from_ngff_zarr, to_ngff_zarr
+    from .sources.zarr_store import open_store
 
     try:
         ms = from_ngff_zarr(spark, input_path)
         version = "0.5" if (ms.metadata and ms.metadata.version == "0.5") else "0.4"
+        if compression_codec is None:
+            src = open_store(input_path)
+            src_format = 3 if src.exists("zarr.json") else 2
+            # may legitimately still be None (uncompressed source):
+            # preserved as-is rather than defaulted to gzip
+            compression_codec = src.read_array_meta(
+                ms.metadata.datasets[0].path, src_format
+            ).compressor
         if isinstance(chunks, (list, tuple)):
             chunks = dict(zip(ms.images[0].dims, chunks))
         if chunks:
@@ -256,7 +270,7 @@ def optimize_ome_zarr_store(
             version = "0.5"  # sharding requires Zarr v3
         to_ngff_zarr(
             output_path, ms, version=version,
-            compressor=compression_codec if compression_codec is not None else "gzip",
+            compressor=compression_codec,
             chunks_per_shard=chunks_per_shard,
         )
         info = get_ome_zarr_info(spark, output_path)

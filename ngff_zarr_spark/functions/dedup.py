@@ -31,6 +31,17 @@ MINHASH_MOD = 4294967291  # largest 32-bit prime (2^32 - 5)
 # worst bucket at ~10^8 comparisons (minutes on one executor) where an
 # uncapped stop-phrase at 10^6 df would be 10^12 (never finishes).
 DEFAULT_MAX_DF = 10_000
+# default occupancy cap for LSH band buckets (minhash/simhash candidate
+# joins). A bucket at or below the cap joins pairwise (≤ cap² ≈ 10^6
+# comparisons — sub-second on one core); a bucket ABOVE it would go
+# quadratic (a 10^6-doc boilerplate cluster that survives exact dedup
+# via trivial perturbations lands in ONE bucket → 10^12 pairs → the job
+# never finishes), so it degrades to STAR EDGES: bucket-min doc ↔ each
+# member, O(occ) edges. Connected components over the edges are
+# preserved exactly (every member stays reachable through the hub), so
+# dedup decisions (clusters / keep-set) are unchanged; only the
+# enumerated pair list shrinks for oversized buckets.
+DEFAULT_MAX_BUCKET = 1024
 
 
 def _norm_text(col):
@@ -121,11 +132,73 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     )
 
 
+def _capped_band_pairs(
+    bands: DataFrame, max_bucket: int | None, payload: tuple[str, ...] = ()
+) -> DataFrame:
+    """Candidate pairs from a band table ``(doc_id, band, band_key
+    [, payload…])`` with a bucket-occupancy cap — the skew guard that
+    keeps LSH band joins linear on pathological buckets.
+
+    Buckets at or below ``max_bucket`` self-join pairwise (collision-
+    bounded, ≤ cap² comparisons per bucket). Buckets ABOVE the cap emit
+    STAR EDGES instead: hub ↔ member, where the hub is the bucket's
+    smallest doc_id — O(occ) edges, connected components preserved
+    exactly (every member reaches every other through the hub).
+    Occupancy and hub are WINDOW aggregates over (band, band_key) — one
+    exchange on the join key the band table needed anyway, no separate
+    occupancy aggregate + join. ``max_bucket=None`` opts out (the
+    historical uncapped join).
+
+    ``payload`` columns ride along as ``<col>_a`` / ``<col>_b`` (the
+    hub's payload is carried atomically via min-by-struct)."""
+    from pyspark.sql import Window
+
+    pay = list(payload)
+
+    def _pairwise(side: DataFrame) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        return a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in pay],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in pay],
+        )
+
+    if max_bucket is None:
+        return _pairwise(bands).distinct()
+    w = Window.partitionBy("band", "band_key")
+    bx = bands.select(
+        "doc_id",
+        "band",
+        "band_key",
+        *pay,
+        F.count(F.lit(1)).over(w).alias("occ"),
+        F.min(F.struct("doc_id", *pay)).over(w).alias("hub"),
+    )
+    star = bx.filter(
+        (F.col("occ") > max_bucket) & (F.col("doc_id") != F.col("hub.doc_id"))
+    ).select(
+        F.col("hub.doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"hub.{c}").alias(f"{c}_a") for c in pay],
+        *[F.col(c).alias(f"{c}_b") for c in pay],
+    )
+    return (
+        _pairwise(bx.filter(F.col("occ") <= max_bucket)).unionByName(star).distinct()
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
     min_est_jaccard: float = 0.125,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (band id = perm / band_size,
     band key = portable hash of the band's concatenated minhashes), join
@@ -136,7 +209,16 @@ def minhash_candidates(
     Scale: the join key is (band, band_key) — collision-bounded; the
     signature-agreement count is a 16-column comparison in a projection
     after joining the candidate pairs back to the WIDE signature (one
-    row per doc) — no perm-level join, no per-pair aggregate."""
+    row per doc) — no perm-level join, no per-pair aggregate. Buckets
+    above ``max_bucket`` degrade to star edges (:func:`_capped_band_pairs`)
+    so a boilerplate near-identical cluster can't go quadratic.
+    Connected components — and therefore :func:`duplicate_clusters` /
+    :func:`dedup_keep_representatives` — are unchanged by the cap
+    whenever ``min_est_jaccard <= band_size/num_perm`` (a band collision
+    means the full band agrees, so every within-bucket edge, star or
+    pairwise, scores at least band_size/num_perm and survives the
+    filter; the default 0.125 < 4/16 qualifies). Only the enumerated
+    pair list shrinks for oversized buckets."""
     wide = minhash_signatures_wide(docs, num_perm).cache()
     n_bands = num_perm // band_size
     # order-independent polynomial band key: sum of minhash * 31^i over
@@ -153,17 +235,7 @@ def minhash_candidates(
     bands = wide.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _capped_band_pairs(bands, max_bucket)
     wa = wide.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{p}").alias(f"a{p}") for p in range(num_perm)],
@@ -292,10 +364,20 @@ def _duplicate_clusters_loop(
     # edges pre-hashed on the per-round join key: checkpoint preserves
     # outputPartitioning, and labels arrive already hashed on u from the
     # previous round's groupBy — the round join then needs no exchange
-    # on either side, leaving ONE shuffle per round (the label agg)
+    # on either side, leaving ONE shuffle per round (the label agg).
+    # Symmetrization is an explode (both directions from ONE pass over
+    # the pair plan) — a two-branch union would execute the full LSH
+    # candidate pipeline twice before the checkpoint.
     edges = _pin(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("w")),
+                    F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.w")
         .distinct()
         .repartition("w")
     )
@@ -373,11 +455,28 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_candidates(docs: DataFrame, bits: int = 60, n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(
+    docs: DataFrame,
+    bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into ``n_bands``
     equal bit-slices, equi-join on any matching band (a pair within
     Hamming distance < n_bands must agree on ≥1 band — pigeonhole), then
-    verify with bit_count(xor) ≤ max_hamming."""
+    verify with bit_count(xor) ≤ max_hamming.
+
+    Buckets above ``max_bucket`` degrade to star edges
+    (:func:`_capped_band_pairs`) so a skewed bucket can't go quadratic.
+    Unlike the minhash cap, the post-join Hamming verification CAN drop
+    a star edge whose members pairwise-pass (the hub may sit farther
+    from a member than two members sit from each other), so above the
+    cap the pair set is a connectivity-preserving subset only for
+    buckets of near-identical signatures — which is exactly what an
+    oversized bucket is in practice (a boilerplate cluster whose
+    signatures differ by ≲ max_hamming bits). Below the cap the result
+    is bit-identical to the uncapped join."""
     band_bits = bits // n_bands
     sig = simhash(docs, bits)
     banded = sig.select(
@@ -389,21 +488,11 @@ def simhash_candidates(docs: DataFrame, bits: int = 60, n_bands: int = 4, max_ha
         F.expr(f"shiftright(simhash, cast(band * {band_bits} as int))")
         .bitwiseAND(F.lit((1 << band_bits) - 1)),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    pairs = _capped_band_pairs(banded, max_bucket, payload=("simhash",)).select(
+        "doc_a",
+        "doc_b",
+        F.col("simhash_a").alias("sig_a"),
+        F.col("simhash_b").alias("sig_b"),
     )
     return pairs.select(
         "doc_a",

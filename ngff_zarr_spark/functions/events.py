@@ -80,6 +80,33 @@ def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
     # batch path (gate._events), static reader option, never unset
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(events_dir).schema
+    try:
+        batch_schema = spark.read.parquet(events_dir).schema
+    except Exception:
+        # empty/not-yet-created source dir: no footers to derive from.
+        # Fall back to the documented long-ns layout (TESTDATA.md) so
+        # the stream can START before data arrives — matching the
+        # behavior of a hardcoded-schema readStream. If files later
+        # land with a different physical ts type, normalize_events_ts
+        # handles long; a timestamp re-generation would need a restart
+        # (at which point footers exist and the derivation path wins).
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        batch_schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
     ev = spark.readStream.schema(batch_schema).parquet(events_dir)
     return normalize_events_ts(ev)

@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import DEFAULT_MAX_BUCKET, _capped_band_pairs
+
 N_BANDS = 8         # LSH bands
 BAND_PLANES = 8     # hyperplanes per band → 2^8 buckets per band
 # Bucket count per band is 2^BAND_PLANES — THE scale knob: buckets must
@@ -437,7 +439,11 @@ def ivf_cells(
 
     from .text import spread
 
-    C, Cn = centroids or kmeans_centroids(emb, dim, n_cells, kmeans_iters)
+    C, Cn = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(emb, dim, n_cells, kmeans_iters)
+    )
 
     @pandas_udf("long")
     def cell_of(e: pd.Series) -> pd.Series:
@@ -477,7 +483,11 @@ def ivf_topk(
 
     from .text import spread
 
-    C, Cn = centroids or kmeans_centroids(emb, dim, n_cells, kmeans_iters)
+    C, Cn = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(emb, dim, n_cells, kmeans_iters)
+    )
 
     @pandas_udf("array<long>")
     def probe_cells(e: pd.Series) -> pd.Series:
@@ -636,6 +646,7 @@ def embedding_near_dup(
     min_cosine: float = 0.9,
     n_bands: int = N_BANDS,
     band_planes: int | None = BAND_PLANES,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
     threshold) — LSH-banded candidates + exact re-rank. Only pairs that
@@ -646,7 +657,16 @@ def embedding_near_dup(
     the identical bucketing, so the comparison is exact.)
 
     ``band_planes=None`` → sized by :func:`auto_band_planes` from the
-    corpus count."""
+    corpus count — that bounds EXPECTED occupancy, but a cluster of
+    identical embeddings collides regardless of bucket count, so
+    ``max_bucket`` (default :data:`~.dedup.DEFAULT_MAX_BUCKET`)
+    additionally degrades oversized buckets to star edges via
+    :func:`~.dedup._capped_band_pairs` — linear worst case,
+    connectivity preserved (the DuckDB oracle twin applies the
+    identical cap). The cosine re-rank can drop a star edge whose
+    members pairwise-pass only when a bucket mixes dissimilar vectors,
+    which an oversized bucket (near-identical embeddings) in practice
+    does not."""
     if band_planes is None:
         band_planes = auto_band_planes(emb.count())
     # the self-join's two sides are differently-aliased subplans, so
@@ -654,14 +674,12 @@ def embedding_near_dup(
     # (n_vectors × n_bands rows of three longs, ~50 B/vector: tiny
     # relative to the corpus it indexes) so the bucket UDF runs once
     bands = lsh_band_buckets(emb, dim, n_bands, band_planes).cache()
-    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    cand = _capped_band_pairs(
+        bands.select(
+            F.col("vec_id").alias("doc_id"), "band", F.col("bucket").alias("band_key")
+        ),
+        max_bucket,
+    ).select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
     from .text import spread
 
     e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
@@ -749,7 +767,13 @@ def _pq_score_tables(qs: np.ndarray, books: np.ndarray) -> np.ndarray:
         # sequential per-position accumulation, NOT matmul: BLAS may
         # reorder/FMA the dsub-term sum, and a dot on a 6th-decimal
         # rounding boundary would then round differently than the
-        # oracle's SUM — same determinism contract as _cell_dots
+        # oracle's SUM — same determinism contract as _cell_dots.
+        # np.round is banker's rounding while the DuckDB twin's ROUND
+        # is half-away-from-zero: accepted repo-wide convention — a dot
+        # landing EXACTLY on a 6th-decimal half-boundary is measure-zero
+        # for real-valued embeddings, and both gate corpora and the
+        # integer-micros scaling below keep every observed value off the
+        # boundary.
         dots = np.zeros((nq, n_codes), dtype=np.float64)
         for i in range(dsub):
             dots += sub[:, i : i + 1] * books[s][None, :, i][0]

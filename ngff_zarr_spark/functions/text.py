@@ -42,11 +42,32 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     parquet scan arrives as ONE partition, serializing everything
     downstream onto one core; at production scale inputs already have
     many partitions and this is a no-op (the guard avoids a gratuitous
-    shuffle)."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    shuffle).
+
+    Deliberately RDD-free (``df.rdd`` raises under Spark Connect and
+    triggers a needless job on some sources): the no-op decision uses
+    ``df.inputFiles()`` — a file-backed scan with at least ``target``
+    files already fans out, so the repartition is skipped. Inputs the
+    heuristic can't size (in-memory DataFrames, few-file scans) get the
+    explicit repartition; that shuffle is what spread() exists to
+    insert, and it is bounded by the input it fans out. Callers with a
+    pre-partitioned non-file input that must not reshuffle should skip
+    spread() or pass an explicit ``min_partitions``."""
+    spark = df.sparkSession
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no SparkContext handle
+            target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def tokens_col(text: Column) -> Column:

@@ -966,6 +966,64 @@ def q_s14_itk_adapter(spark, sf_dir):
     )
 
 
+def q_s15_itk_export(spark, sf_dir):
+    """S15 export path: NgffImage → itkwasm-Image-shaped dict
+    (ingest/itk.py ngff_image_to_itk_image; reference
+    ngff_image_to_itk_image.py:39-145). Exports the same deterministic
+    volume s14 imports, then value-checks the dense array AND the
+    reversed (x, y, z) spacing/origin by recomputing physical
+    coordinates FROM THE EXPORTED DICT — the adapters are inverses, so
+    the oracle is the identical formula SQL as s14."""
+    import numpy as np
+
+    from .ingest.itk import ngff_image_to_itk_image
+    from .model import NgffImage
+
+    z, y, x = np.indices((3, 4, 5))
+    vals = ((z * 73 + y * 179 + x * 283) % 251).astype("int64")
+    df = spark.createDataFrame(
+        [
+            (int(a), int(b), int(c), int(v))
+            for a, b, c, v in zip(z.ravel(), y.ravel(), x.ravel(), vals.ravel())
+        ],
+        "z long, y long, x long, v long",
+    )
+    img = NgffImage(
+        data=df,
+        dims=["z", "y", "x"],
+        shape={"z": 3, "y": 4, "x": 5},
+        scale={"z": 2.0, "y": 0.75, "x": 0.5},
+        translation={"z": 3.0, "y": 2.0, "x": 1.0},
+        name="itk-export-gate",
+        dtype="float64",
+    )
+    itk = ngff_image_to_itk_image(img)
+    sx, sy, sz = itk["spacing"]  # ITK order (x, y, z) — reversed from dims
+    ox, oy, oz = itk["origin"]
+    arr = itk["data"]
+    zz, yy, xx = np.indices(arr.shape)
+    return spark.createDataFrame(
+        [
+            (int(a), int(b), int(c), int(v),
+             float(a * sz + oz), float(b * sy + oy), float(c * sx + ox))
+            for a, b, c, v in zip(
+                zz.ravel(), yy.ravel(), xx.ravel(), arr.ravel().astype("int64")
+            )
+        ],
+        "z long, y long, x long, v long, pz double, py double, px double",
+    )
+
+
+def q_itk_adapter_battery(spark, sf_dir):
+    """S14 + S15 in one driver slot: the import and export adapters over
+    the same volume/transform, tagged by direction. Equality against
+    the doubled s14 formula oracle proves BOTH directions implement the
+    same (reversed) spacing/origin mapping and preserve pixels."""
+    imp = q_s14_itk_adapter(spark, sf_dir).withColumn("adapter", F.lit("import"))
+    exp = q_s15_itk_export(spark, sf_dir).withColumn("adapter", F.lit("export"))
+    return imp.unionByName(exp)
+
+
 def q_s17_omero_nifti(spark, sf_dir):
     """S17: OMERO display window from NIfTI cal_min/cal_max + data
     range (reference nibabel_image_to_ngff_image.py:183-239). Oracle
@@ -1318,6 +1376,15 @@ def q_dedup_exact_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_dedup_exact_battery(spark, sf_dir):
+    """Batch exact dedup + its Structured-Streaming ledger twin in one
+    driver slot, tagged by mode. The oracle is the same batch SQL
+    doubled — stream == batch is the exactly-once correctness claim."""
+    batch = q_dedup_exact(spark, sf_dir).withColumn("mode", F.lit("batch"))
+    stream = q_dedup_exact_stream(spark, sf_dir).withColumn("mode", F.lit("stream"))
+    return batch.unionByName(stream)
+
+
 def q_events_dedup_stream(spark, sf_dir):
     """Streaming replay-dedup (dropDuplicatesWithinWatermark): the
     stream directory holds TWO copies of events.parquet — an
@@ -1548,7 +1615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_hcs_store_read": q_s18_hcs_store_read,
         "f7_well_lookup": q_f7_well_lookup,
         "j3_well_catalog": q_j3_well_catalog,
-        "s14_itk_adapter": q_s14_itk_adapter,
+        # r7: s14+s15 fold into one tagged battery so the EXPORT adapter
+        # (S15, previously pytest-only) is driver-graded; constituents
+        # stay addressable past slot 50
+        "itk_adapter_battery": q_itk_adapter_battery,
         "s17_omero_nifti": q_s17_omero_nifti,
         "c7_validate_battery": q_c7_validate_battery,
         "c8_rfc4_orientation": q_c8_rfc4_orientation,
@@ -1570,13 +1640,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s16_nifti_ingest": q_s16_nifti_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
-        "dedup_exact": q_dedup_exact,
         # r6: streaming dedup ledger + IVF+PQ take the driver-graded
         # slots of dedup_minhash_sig (transitively proven by
         # dedup_minhash, which is built ON the signatures) and
         # multimodal_resize_packed (same kernel as multimodal_resize in
-        # the packed row shape) — both stay registered past slot 50
-        "dedup_exact_stream": q_dedup_exact_stream,
+        # the packed row shape) — both stay registered past slot 50.
+        # r7: batch+stream exact dedup fold into one tagged battery,
+        # freeing the slot that rotates events_dedup_stream (the
+        # replay-dedup exactly-once claim) into the driver window
+        "dedup_exact_battery": q_dedup_exact_battery,
+        "events_dedup_stream": q_events_dedup_stream,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
@@ -1595,6 +1668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_count_min": q_sketch_count_min,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        "s14_itk_adapter": q_s14_itk_adapter,
+        "s15_itk_export": q_s15_itk_export,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_stream": q_dedup_exact_stream,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "multimodal_resize_packed": q_multimodal_resize_packed,
         "f1_level_pick": q_f1_level_pick,
@@ -1626,7 +1703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "text_top_tokens": q_text_top_tokens,
         "ann_pq_topk": q_ann_pq_topk,
-        "events_dedup_stream": q_events_dedup_stream,
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

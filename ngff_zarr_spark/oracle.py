@@ -392,7 +392,11 @@ def sql_dedup_minhash_sig():
 
 
 def sql_dedup_minhash():
-    # order-independent polynomial band key (sum of minhash * 31^(perm%4))
+    # order-independent polynomial band key (sum of minhash * 31^(perm%4));
+    # bucket-occupancy cap mirrors _capped_band_pairs: pairwise at or
+    # below DEFAULT_MAX_BUCKET, star edges (bucket-min hub <-> member) above
+    from .functions.dedup import DEFAULT_MAX_BUCKET
+
     band_sig = "CAST(SUM(minhash * ([1,31,961,29791])[CAST(perm%4 AS INTEGER)+1]) AS BIGINT)"
     return f"""WITH {_SIG_CTE},
 bands AS (
@@ -400,10 +404,24 @@ bands AS (
   FROM (SELECT doc_id, perm, minhash, perm//4 AS band FROM sig)
   GROUP BY doc_id, band
 ),
+occ AS (
+  SELECT band, band_key, COUNT(*) AS occ, MIN(doc_id) AS hub
+  FROM bands GROUP BY 1, 2
+),
+bx AS (
+  SELECT b.doc_id, b.band, b.band_key, o.occ, o.hub
+  FROM bands b JOIN occ o ON b.band = o.band AND b.band_key = o.band_key
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bx a JOIN bx b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.occ <= {DEFAULT_MAX_BUCKET}
+    UNION ALL
+    SELECT hub AS doc_a, doc_id AS doc_b FROM bx
+    WHERE occ > {DEFAULT_MAX_BUCKET} AND doc_id <> hub
+  )
 ),
 est AS (
   SELECT c.doc_a, c.doc_b,
@@ -1137,11 +1155,28 @@ FROM rk WHERE rank <= {ANN_K}"""
 
 
 def sql_emb_near_dup_lsh():
+    # bucket-occupancy cap mirrors _capped_band_pairs (see sql_dedup_minhash)
+    from .functions.dedup import DEFAULT_MAX_BUCKET
+
     return f"""WITH {_UNROLL},
 {_LSH_BANDS_CTE},
+bocc AS (
+  SELECT band, bucket, COUNT(*) AS occ, MIN(vec_id) AS hub
+  FROM bb GROUP BY 1, 2
+),
+bbx AS (
+  SELECT b.vec_id, b.band, b.bucket, o.occ, o.hub
+  FROM bb b JOIN bocc o ON b.band = o.band AND b.bucket = o.bucket
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bbx a JOIN bbx b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE a.occ <= {DEFAULT_MAX_BUCKET}
+    UNION ALL
+    SELECT hub AS vec_a, vec_id AS vec_b FROM bbx
+    WHERE occ > {DEFAULT_MAX_BUCKET} AND vec_id <> hub
+  )
 ),
 dots AS (
   SELECT c.vec_a, c.vec_b, ea.norm AS na, eb.norm AS nb,
@@ -1565,6 +1600,18 @@ def oracles() -> dict[str, str]:
         "t2_t3_callbacks": sql_t2_t3_callbacks(),
         "t1_stream_pixels": sql_t1_stream_pixels(),
         "events_sessionize": sql_events_sessionize(),
+        # S15 exports the same volume/transform s14 imports — identical
+        # formula oracle; the battery doubles it with a direction tag
+        "s15_itk_export": sql_s14_itk_adapter(),
+        "itk_adapter_battery": (
+            f"SELECT 'import' AS adapter, * FROM ({sql_s14_itk_adapter()})\n"
+            f"UNION ALL\nSELECT 'export' AS adapter, * FROM ({sql_s14_itk_adapter()})"
+        ),
+        # batch + streaming-ledger exact dedup: same batch SQL doubled
+        "dedup_exact_battery": (
+            f"SELECT 'batch' AS mode, * FROM ({sql_dedup_exact()})\n"
+            f"UNION ALL\nSELECT 'stream' AS mode, * FROM ({sql_dedup_exact()})"
+        ),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),

@@ -31,7 +31,8 @@ STARVED_R3 = [
     "s18_hcs_store_read",
     "f7_well_lookup",
     "j3_well_catalog",
-    "s14_itk_adapter",
+    # r7: s14's slot is the itk battery (s14 import + s15 export)
+    "itk_adapter_battery",
     "s17_omero_nifti",
     "c7_validate_battery",
     "c8_rfc4_orientation",
@@ -68,6 +69,9 @@ BATTERIES = {
         "text_fingerprint",
         "text_winnow",
     ],
+    # r7 folds: itk import+export; batch+stream exact dedup
+    "itk_adapter_battery": ["s14_itk_adapter", "s15_itk_export"],
+    "dedup_exact_battery": ["dedup_exact", "dedup_exact_stream"],
 }
 
 
@@ -88,10 +92,15 @@ def test_first_50_layout():
     # r6 additions hold driver-graded slots (swapped in for the
     # transitively-proven dedup_minhash_sig / multimodal_resize_packed,
     # which must remain registered past the window)
-    assert "dedup_exact_stream" in first50
     assert "ann_ivfpq_topk" in first50
     assert "dedup_minhash_sig" in qs[50:]
     assert "multimodal_resize_packed" in qs[50:]
+    # r7: the two folds freed slots for the export adapter + the
+    # replay-dedup exactly-once gate; constituents stay registered
+    assert "events_dedup_stream" in first50
+    assert "dedup_exact_battery" in first50
+    for k in ("s14_itk_adapter", "s15_itk_export", "dedup_exact", "dedup_exact_stream"):
+        assert k in qs[50:], k
 
 
 def test_full_oracle_coverage():
