@@ -498,6 +498,7 @@ def q_s4_multiscale_level1(spark, sf_dir):
 NIFTI_SHAPE = (13, 11, 7)   # (nx, ny, nz)
 TIFF_SHAPE = (33, 29)       # (h, w) = (y, x)
 SERIES_SHAPE = (5, 17, 19)  # (nz, h, w)
+JPEG_BLOCKS = (6, 7)        # (8x8 block grid rows, cols) -> 48x56 px
 
 
 def q_s16_nifti_ingest(spark, sf_dir):
@@ -545,6 +546,45 @@ def q_s11_tiff_ingest(spark, sf_dir):
     img = cli_input_to_ngff_image(spark, backend, [path])
     assert img.dtype == "uint16"
     return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
+def q_s11_jpeg_ingest(spark, sf_dir):
+    """S11 (itk-wasm backend stand-in): baseline-JPEG ingest through
+    backend detection (S12) → cli → the native T.81 decoder
+    (ingest/jpeg.py; reference cli_input_to_ngff_image.py:49-61). The
+    fixture is per-8×8-block-constant encoded with a DC quantization
+    step of 8, which a baseline codec round-trips EXACTLY (every AC
+    coefficient quantizes to zero and the DC path is integer all the
+    way) — a hash-exact oracle for an otherwise lossy codec."""
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.jpeg import STD_LUMA_QUANT, jpeg_encode
+
+    gy, gx = JPEG_BLOCKS
+    path = _tmp_store("ingest.jpg")
+    q = STD_LUMA_QUANT.copy()
+    q[0, 0] = 8
+    byi, bxi = np.indices((gy, gx))
+    blocks = ((byi * 179 + bxi * 283) % 251).astype("uint8")
+    arr = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    with open(path, "wb") as f:
+        f.write(jpeg_encode(arr, luma_quant=q))
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.ITKWASM
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    assert img.dtype == "uint8"
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
+def q_ingest_battery(spark, sf_dir):
+    """S11/S12/S13 in one driver slot: single-file TIFF, PNG z-series
+    glob, and baseline JPEG — each routed through backend
+    auto-detection — tagged by format."""
+    t = q_s11_tiff_ingest(spark, sf_dir).withColumn("fmt", F.lit("tiff"))
+    p = q_s13_png_series(spark, sf_dir).withColumn("fmt", F.lit("png_series"))
+    j = q_s11_jpeg_ingest(spark, sf_dir).withColumn("fmt", F.lit("jpeg"))
+    return t.unionByName(p).unionByName(j)
 
 
 def q_s13_png_series(spark, sf_dir):
@@ -1638,8 +1678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_table_sums": q_chunk_table_sums,
         "s4_multiscale_level1": q_s4_multiscale_level1,
         "s16_nifti_ingest": q_s16_nifti_ingest,
-        "s11_tiff_ingest": q_s11_tiff_ingest,
-        "s13_png_series": q_s13_png_series,
+        # r7: tiff + png-series + the new native-JPEG decode fold into
+        # one tagged ingest battery; the freed slot rotates ann_pq_topk
+        # (plain PQ ADC, previously past the window) into driver grading
+        "ingest_battery": q_ingest_battery,
+        "ann_pq_topk": q_ann_pq_topk,
         # r6: streaming dedup ledger + IVF+PQ take the driver-graded
         # slots of dedup_minhash_sig (transitively proven by
         # dedup_minhash, which is built ON the signatures) and
@@ -1668,6 +1711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_count_min": q_sketch_count_min,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        "s11_tiff_ingest": q_s11_tiff_ingest,
+        "s13_png_series": q_s13_png_series,
+        "s11_jpeg_ingest": q_s11_jpeg_ingest,
         "s14_itk_adapter": q_s14_itk_adapter,
         "s15_itk_export": q_s15_itk_export,
         "dedup_exact": q_dedup_exact,
@@ -1702,7 +1748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "text_top_tokens": q_text_top_tokens,
-        "ann_pq_topk": q_ann_pq_topk,
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

@@ -71,19 +71,12 @@ def cli_input_to_ngff_image(
             from .nifti import nifti_to_ngff_image
 
             return nifti_to_ngff_image(spark, input[0])
-        if suffix.endswith(".png"):
-            from ..model import to_ngff_image
-            from .nifti import array_to_pixel_df
-            from .png import png_decode
+        if suffix.endswith((".nrrd", ".nhdr")):
+            from .nrrd import nrrd_to_ngff_image
 
-            arr = png_decode(open(input[0], "rb").read())
-            dims = ["y", "x"] if arr.ndim == 2 else ["y", "x", "c"]
-            df = array_to_pixel_df(spark, arr, dims)
-            img = to_ngff_image(
-                df, dims=dims, shape={d: int(s) for d, s in zip(dims, arr.shape)}
-            )
-            img.dtype = arr.dtype.name
-            return img
+            return nrrd_to_ngff_image(spark, input[0])
+        if suffix.endswith((".png", ".jpg", ".jpeg", ".bmp")):
+            return _decode_2d_to_ngff_image(spark, input[0])
         from .tiff import tiff_to_ngff_image
 
         return tiff_to_ngff_image(spark, input[0])
@@ -93,17 +86,36 @@ def cli_input_to_ngff_image(
             from .series import series_to_ngff_image
 
             return series_to_ngff_image(spark, input)
-        from ..model import to_ngff_image
-        from .nifti import array_to_pixel_df
-        from .png import png_decode
-
-        arr = png_decode(open(input[0], "rb").read())
-        dims = ["y", "x"] if arr.ndim == 2 else ["y", "x", "c"]
-        df = array_to_pixel_df(spark, arr, dims)
-        img = to_ngff_image(
-            df, dims=dims, shape={d: int(s) for d, s in zip(dims, arr.shape)}
-        )
-        img.dtype = arr.dtype.name
-        return img
+        return _decode_2d_to_ngff_image(spark, input[0])
 
     raise ValueError(f"Unsupported backend {backend}")
+
+
+def _decode_2d_to_ngff_image(spark, path: str):
+    """Decode a single 2D raster (PNG, baseline JPEG, or BMP —
+    dispatched on the magic bytes; reference routes these through
+    itk-wasm/imageio, cli_input_to_ngff_image.py:49-95) into an
+    NgffImage."""
+    from ..model import to_ngff_image
+    from .nifti import array_to_pixel_df
+
+    data = open(path, "rb").read()
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        arr = jpeg_decode(data)
+    elif data[:2] == b"BM":
+        from .bmp import bmp_decode
+
+        arr = bmp_decode(data)
+    else:
+        from .png import png_decode
+
+        arr = png_decode(data)
+    dims = ["y", "x"] if arr.ndim == 2 else ["y", "x", "c"]
+    df = array_to_pixel_df(spark, arr, dims)
+    img = to_ngff_image(
+        df, dims=dims, shape={d: int(s) for d, s in zip(dims, arr.shape)}
+    )
+    img.dtype = arr.dtype.name
+    return img

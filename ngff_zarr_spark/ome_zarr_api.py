@@ -325,11 +325,17 @@ def read_image(
     array_path: str,
     zarr_format: int = 2,
     dims: Optional[list[str]] = None,
+    storage_options: Optional[dict] = None,
 ) -> DataFrame:
     """Read one Zarr array as the pixel table (chunk-parallel scan with
     predicate-pushdown chunk pruning). ``dims`` overrides the store's
     dimension names (from_ngff_zarr passes the multiscales axes — the
-    authoritative order for OME stores)."""
+    authoritative order for OME stores); ``storage_options`` are fsspec
+    credentials/config for object-store URLs (reference
+    from_ngff_zarr.py:69-80), serialized into the DataSource options
+    and shipped to every executor's store handle."""
+    import json
+
     register(spark)
     reader = (
         spark.read.format("ome_zarr")
@@ -339,6 +345,8 @@ def read_image(
     )
     if dims:
         reader = reader.option("dims", ",".join(dims))
+    if storage_options:
+        reader = reader.option("storage_options", json.dumps(storage_options))
     return reader.load()
 
 
@@ -554,11 +562,15 @@ def convert_ome_zarr_version(
 
 
 def from_ngff_zarr(
-    spark: SparkSession, store_path: str, validate: bool = False
+    spark: SparkSession,
+    store_path: str,
+    validate: bool = False,
+    storage_options: Optional[dict] = None,
 ) -> Multiscales:
     """Read an OME-Zarr store back as a Multiscales of lazy pixel-table
-    DataFrames (S1)."""
-    store = open_store(store_path)
+    DataFrames (S1). ``storage_options`` mirror the reference's fsspec
+    passthrough (from_ngff_zarr.py:69-80) for s3/gs/az URLs."""
+    store = open_store(store_path, storage_options)
     if store.exists("zarr.json"):
         attrs = store.get_json("zarr.json").get("attributes", {})
         zarr_format = 3
@@ -584,7 +596,10 @@ def from_ngff_zarr(
     images = []
     for ds in meta.datasets:
         arr_meta = store.read_array_meta(ds.path, zarr_format)
-        df = read_image(spark, store_path, ds.path, zarr_format, dims=dims)
+        df = read_image(
+            spark, store_path, ds.path, zarr_format, dims=dims,
+            storage_options=storage_options,
+        )
         # defaults for 0.1-0.3 datasets without transforms (reference
         # from_ngff_zarr.py:133-135)
         scale = {d: 1.0 for d in dims}

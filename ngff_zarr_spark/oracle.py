@@ -381,6 +381,29 @@ def sql_s13_png_series():
 FROM range({nz * h * w}) r(i)"""
 
 
+def sql_s11_jpeg_ingest():
+    # the fixture is per-8x8-block-constant, so the lossy codec
+    # round-trips exactly (see gate.q_s11_jpeg_ingest) and the oracle
+    # recomputes the block formula straight from pixel coordinates
+    from .gate import JPEG_BLOCKS
+
+    gy, gx = JPEG_BLOCKS
+    h, w = gy * 8, gx * 8
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS z,
+       CAST(i // {w} AS BIGINT) AS y,
+       CAST(i % {w} AS BIGINT) AS x,
+       CAST((((i // {w}) // 8) * 179 + ((i % {w}) // 8) * 283) % 251 AS BIGINT) AS v
+FROM range({h * w}) r(i)"""
+
+
+def sql_ingest_battery():
+    return (
+        f"SELECT 'tiff' AS fmt, * FROM ({sql_s11_tiff_ingest()})\n"
+        f"UNION ALL\nSELECT 'png_series' AS fmt, * FROM ({sql_s13_png_series()})\n"
+        f"UNION ALL\nSELECT 'jpeg' AS fmt, * FROM ({sql_s11_jpeg_ingest()})"
+    )
+
+
 def sql_dedup_exact():
     return f"""SELECT md5({NORM.format(c='text')}) AS content_md5,
        COUNT(*) AS n_docs, MIN(doc_id) AS representative
@@ -1565,6 +1588,8 @@ def oracles() -> dict[str, str]:
         "s16_nifti_ingest": sql_s16_nifti_ingest(),
         "s11_tiff_ingest": sql_s11_tiff_ingest(),
         "s13_png_series": sql_s13_png_series(),
+        "s11_jpeg_ingest": sql_s11_jpeg_ingest(),
+        "ingest_battery": sql_ingest_battery(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),
         "dedup_minhash": sql_dedup_minhash(),

@@ -102,16 +102,29 @@ def _axis_map(dimension_names: Optional[list], ndim: int) -> list[str]:
     return list(PIXEL_DIMS[5 - ndim:])
 
 
+def _parse_storage_options(options: dict) -> Optional[dict]:
+    """S2: fsspec ``storage_options`` ride through the DataSource as a
+    JSON string option (DataSource options are str→str); parsed once on
+    the driver and shipped to executors inside the pickled reader."""
+    raw = options.get("storage_options")
+    if not raw:
+        return None
+    import json
+
+    return json.loads(raw)
+
+
 class OmeZarrReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
         self.mode = options.get("mode", "pixel")  # pixel | chunk
         self.array_path = options.get("array_path")
+        self.storage_options = _parse_storage_options(options)
         if self.array_path is None:
             scale = int(options.get("scale", "0"))
             self.array_path = f"scale{scale}/image"
-        store = open_store(self.path)
+        store = open_store(self.path, self.storage_options)
         self.meta = store.read_array_meta(self.array_path, self.zarr_format)
         # explicit dims option (from_ngff_zarr passes the multiscales
         # axes) wins over stored dimension_names / positional default
@@ -261,7 +274,7 @@ class OmeZarrReader(DataSourceReader):
         return pa.RecordBatch.from_arrays(cols, names=names)
 
     def read(self, partition: ChunkRangePartition) -> Iterator[pa.RecordBatch]:
-        store = open_store(self.path)
+        store = open_store(self.path, self.storage_options)
         m = self.meta
         sharded = m.chunks_per_shard is not None
         for unit_idx in self._box_indices(partition):
@@ -306,12 +319,13 @@ class OmeZarrWriter(DataSourceArrowWriter):
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
         self.array_path = options.get("array_path", "scale0/image")
+        self.storage_options = _parse_storage_options(options)
         if overwrite:
             # __init__ runs on the driver before tasks launch: clear the
             # array subtree so a rewrite with a different shape/chunk
             # grid can't leave stale chunk files behind (reference
             # semantics: zarr overwrite recreates the array node).
-            open_store(self.path).delete_prefix(self.array_path)
+            open_store(self.path, self.storage_options).delete_prefix(self.array_path)
         shape = [int(s) for s in options["shape"].split(",")]
         chunks = [int(s) for s in options["chunks"].split(",")]
         dims = options.get("dims", ",".join(PIXEL_DIMS[5 - len(shape):])).split(",")
@@ -335,7 +349,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
         most one chunk buffer in memory, flush when the key advances.
         (Unsorted input still works — a finished chunk just flushes and a
         reappearing key would overwrite, which sortedness precludes.)"""
-        store = open_store(self.path)
+        store = open_store(self.path, self.storage_options)
         m = self.meta
         keys: list = []
         cur_idx: tuple | None = None
@@ -419,7 +433,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
         return ChunkWriteCommit(chunk_keys=keys)
 
     def commit(self, messages):
-        store = open_store(self.path)
+        store = open_store(self.path, self.storage_options)
         attrs = None
         if self.zarr_format == 2:
             attrs = {"_ARRAY_DIMENSIONS": list(self.dims)}
@@ -429,7 +443,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
         """Best-effort cleanup of chunks written by tasks that committed
         before the job failed (messages may contain None for failed
         tasks)."""
-        store = open_store(self.path)
+        store = open_store(self.path, self.storage_options)
         for msg in messages or []:
             if msg is None:
                 continue

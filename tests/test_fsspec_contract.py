@@ -129,3 +129,56 @@ def test_sharded_ranged_reads_on_object_store(store):
     missing = store.read_chunk_via_index(meta, (0, 1), idx)
     assert np.array_equal(a, vals[(0, 0)]) and np.array_equal(b, vals[(1, 1)])
     assert (missing == 0).all()
+
+
+def test_storage_options_reach_datasource(monkeypatch):
+    """S2 parity with the reference's storage_options passthrough
+    (from_ngff_zarr.py:69-80): options serialized into the DataSource
+    as JSON must reach fsspec's url_to_fs when the reader opens an
+    object-store URL, and the reader must plan partitions through the
+    resulting filesystem."""
+    import json
+    import sys
+    import types
+
+    fs = FakeFS()
+    seeded = FsspecStore(fs, "bucket/img")
+    meta = ZarrArrayMeta(
+        path="scale0/image", shape=(4, 5), chunks=(2, 4),
+        dtype=np.dtype("uint16"), compressor="gzip",
+    )
+    seeded.write_array_meta(meta)
+    seeded.write_chunk(meta, (0, 0), np.arange(8, dtype=np.uint16).reshape(2, 4))
+
+    captured = {}
+    fake = types.ModuleType("fsspec")
+    core = types.ModuleType("fsspec.core")
+
+    def url_to_fs(url, **opts):
+        captured.clear()
+        captured.update(opts)
+        return fs, url.split("://", 1)[1]
+
+    core.url_to_fs = url_to_fs
+    fake.core = core
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+    monkeypatch.setitem(sys.modules, "fsspec.core", core)
+
+    from ngff_zarr_spark.sources.ome_zarr import OmeZarrReader
+
+    opts = {"key": "AK", "secret": "xx", "client_kwargs": {"endpoint_url": "http://minio:9000"}}
+    r = OmeZarrReader(
+        {
+            "path": "s3://bucket/img",
+            "array_path": "scale0/image",
+            "zarr_format": "2",
+            "storage_options": json.dumps(opts),
+        }
+    )
+    assert captured == opts
+    assert r.meta.shape == (4, 5)
+    assert len(r.partitions()) >= 1
+    # executor read path uses the same handle shape: decode one chunk
+    part = r.partitions()[0]
+    batches = list(r.read(part))
+    assert sum(b.num_rows for b in batches) > 0

@@ -69,9 +69,11 @@ BATTERIES = {
         "text_fingerprint",
         "text_winnow",
     ],
-    # r7 folds: itk import+export; batch+stream exact dedup
+    # r7 folds: itk import+export; batch+stream exact dedup; the three
+    # single-raster ingest routes (incl. the native baseline-JPEG path)
     "itk_adapter_battery": ["s14_itk_adapter", "s15_itk_export"],
     "dedup_exact_battery": ["dedup_exact", "dedup_exact_stream"],
+    "ingest_battery": ["s11_tiff_ingest", "s13_png_series", "s11_jpeg_ingest"],
 }
 
 
@@ -95,11 +97,22 @@ def test_first_50_layout():
     assert "ann_ivfpq_topk" in first50
     assert "dedup_minhash_sig" in qs[50:]
     assert "multimodal_resize_packed" in qs[50:]
-    # r7: the two folds freed slots for the export adapter + the
-    # replay-dedup exactly-once gate; constituents stay registered
+    # r7: the three folds freed slots for the export adapter, the
+    # replay-dedup exactly-once gate, and plain-PQ ADC; constituents
+    # stay registered past the window
     assert "events_dedup_stream" in first50
     assert "dedup_exact_battery" in first50
-    for k in ("s14_itk_adapter", "s15_itk_export", "dedup_exact", "dedup_exact_stream"):
+    assert "ingest_battery" in first50
+    assert "ann_pq_topk" in first50
+    for k in (
+        "s14_itk_adapter",
+        "s15_itk_export",
+        "dedup_exact",
+        "dedup_exact_stream",
+        "s11_tiff_ingest",
+        "s13_png_series",
+        "s11_jpeg_ingest",
+    ):
         assert k in qs[50:], k
 
 
