@@ -551,3 +551,34 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def dup_shingle_frac(docs: DataFrame, k: int = SHINGLE_K, min_df: int = 2) -> DataFrame:
+    """Corpus-level duplicated-shingle fraction per document: of a
+    doc's distinct k-gram shingles, the fraction that occur in at least
+    ``min_df`` documents — the standard cross-document repetition /
+    contamination signal (a high value means the doc is mostly made of
+    text that exists elsewhere in the corpus, even when no single pair
+    passes a near-dup threshold). Returns
+    (doc_id, n_shingles, n_dup_shingles, dup_frac).
+
+    100 TB posture: one shingle document-frequency aggregate (map-side
+    combine over the shingle vocabulary) joined back to the
+    inverted-index rows — the join is df-bounded fan-out, never
+    quadratic; text never shuffles."""
+    sh = shingle_df(docs, k).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+    )

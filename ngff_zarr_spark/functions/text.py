@@ -213,3 +213,84 @@ def top_tokens(docs: DataFrame, k: int = 50) -> DataFrame:
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+# Gopher-style quality-rule thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1.2 — published filter rules). The
+# line-based rules are omitted (this corpus is single-line); the word
+# and repetition rules below are the exact SQL-expressible subset.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-rule quality signals per document: word count, mean word
+    length, distinct-stopword count, duplicate-word fraction, and the
+    top-bigram repetition fraction, plus the combined ``passes`` flag.
+    These are the standard pretraining-corpus filter rules — the
+    repetition signals catch boilerplate/spam that length and stopword
+    checks miss.
+
+    100 TB posture: two hash aggregates over exploded words/bigrams
+    (map-side combine; shuffle carries per-doc partial counts, never
+    text) joined on doc_id; all expressions are JVM built-ins. The
+    thresholds test the ROUNDED values so the oracle comparison can
+    never straddle a rounding boundary."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toksed = spread(docs).select("doc_id", tokens_col(norm).alias("toks"))
+    w = toksed.select("doc_id", F.explode("toks").alias("tok"))
+    one = F.count(F.lit(1))
+    words = w.groupBy("doc_id").agg(
+        one.cast("long").alias("n_words"),
+        F.round(F.sum(F.length("tok")) / one, 6).alias("mean_word_len"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.countDistinct(
+            F.when(F.col("tok").isin(EN_STOPWORDS), F.col("tok"))
+        ).alias("n_distinct_stopwords"),
+    )
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array())
+    bg = toksed.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bg_stats = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+    )
+    joined = words.join(bg_stats, "doc_id", "left")
+    top_bigram_frac = F.coalesce(
+        F.round(F.col("top_c") / F.col("total_c"), 6), F.lit(0.0)
+    )
+    out = joined.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        F.col("n_distinct_stopwords").cast("long").alias("n_distinct_stopwords"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("n_distinct_stopwords") >= GOPHER_MIN_DISTINCT_STOPWORDS)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC),
+    )

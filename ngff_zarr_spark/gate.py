@@ -724,6 +724,18 @@ def q_text_top_tokens(spark, sf_dir):
     return TX.top_tokens(_docs(spark, sf_dir), k=50)
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher-rule quality signals (Rae et al. 2021 §A1.1.2 subset) +
+    the combined pass flag, per document."""
+    return TX.gopher_quality(_docs(spark, sf_dir))
+
+
+def q_dedup_shingle_frac(spark, sf_dir):
+    """Corpus-level duplicated-shingle fraction (cross-document
+    repetition / contamination signal)."""
+    return D.dup_shingle_frac(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
@@ -1749,5 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "text_top_tokens": q_text_top_tokens,
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
+        "text_gopher": q_text_gopher,
+        "dedup_shingle_frac": q_dedup_shingle_frac,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

@@ -75,6 +75,10 @@ def cli_input_to_ngff_image(
             from .nrrd import nrrd_to_ngff_image
 
             return nrrd_to_ngff_image(spark, input[0])
+        if suffix.endswith((".mha", ".mhd")):
+            from .mha import mha_to_ngff_image
+
+            return mha_to_ngff_image(spark, input[0])
         if suffix.endswith((".png", ".jpg", ".jpeg", ".bmp")):
             return _decode_2d_to_ngff_image(spark, input[0])
         from .tiff import tiff_to_ngff_image

@@ -410,6 +410,65 @@ def sql_dedup_exact():
 FROM documents GROUP BY 1"""
 
 
+def sql_text_gopher():
+    from .functions.text import (
+        EN_STOPWORDS,
+        GOPHER_MAX_TOP_BIGRAM_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_STOPWORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""WITH {_toks_cte(lower=True)},
+w AS (SELECT doc_id, unnest(toks) AS tok FROM q),
+ws AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         round(CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_word_len,
+         COUNT(DISTINCT tok) AS n_distinct,
+         CAST(COUNT(DISTINCT CASE WHEN tok IN ({stops}) THEN tok END) AS BIGINT) AS n_distinct_stopwords
+  FROM w GROUP BY 1
+),
+bg0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(0, len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS bigram
+  FROM q
+),
+bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+bgs AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM bgc GROUP BY 1),
+j AS (
+  SELECT ws.doc_id, n_words, mean_word_len, n_distinct_stopwords,
+         round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+         COALESCE(round(CAST(top_c AS DOUBLE) / total_c, 6), 0.0) AS top_bigram_frac
+  FROM ws LEFT JOIN bgs ON bgs.doc_id = ws.doc_id
+)
+SELECT *,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+        AND n_distinct_stopwords >= {GOPHER_MIN_DISTINCT_STOPWORDS}
+        AND top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM_FRAC}) AS passes
+FROM j"""
+
+
+def sql_dedup_shingle_frac():
+    from .functions.dedup import SHINGLE_K  # noqa: F401 — k=3 pinned in _SHINGLE
+
+    return f"""WITH {_toks_cte(lower=True)},
+sh0 AS (SELECT doc_id, unnest({_SHINGLE}) AS shingle FROM q),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM sh JOIN dfreq ON dfreq.shingle = sh.shingle
+GROUP BY 1"""
+
+
 def sql_dedup_minhash_sig():
     return f"WITH {_SIG_CTE}\nSELECT doc_id, perm, minhash FROM sig"
 
@@ -1655,4 +1714,6 @@ def oracles() -> dict[str, str]:
         ),
         "ann_lsh_multiprobe_topk": sql_ann_lsh_multiprobe_topk(),
         "ann_ivfpq_residual_topk": sql_ann_ivfpq_residual_topk(),
+        "text_gopher": sql_text_gopher(),
+        "dedup_shingle_frac": sql_dedup_shingle_frac(),
     }

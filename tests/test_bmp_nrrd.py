@@ -155,3 +155,66 @@ def test_nrrd_ngff_image_defaults(spark, tmp_path):
     img = nrrd_to_ngff_image(spark, str(p))
     assert img.scale == {"y": 1.0, "x": 1.0}
     assert img.translation == {"y": 0.0, "x": 0.0}
+
+
+@pytest.mark.parametrize("compressed", [True, False])
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "float32"])
+def test_mha_roundtrip(compressed, dtype):
+    from ngff_zarr_spark.ingest.mha import mha_read, mha_write
+
+    arr = (np.arange(2 * 3 * 4) % 97).reshape(2, 3, 4).astype(dtype)
+    back, header = mha_read(mha_write(arr, compressed=compressed))
+    np.testing.assert_array_equal(back, arr)
+    assert header["sizes"] == [4, 3, 2]  # fastest-first per MetaIO
+
+
+def test_mha_big_endian_and_metadata():
+    from ngff_zarr_spark.ingest.mha import mha_read
+
+    arr = np.arange(6, dtype=">i2").reshape(2, 3)
+    hdr = (
+        "ObjectType = Image\n"
+        "NDims = 2\n"
+        "BinaryDataByteOrderMSB = True\n"
+        "DimSize = 3 2\n"
+        "ElementType = MET_SHORT\n"
+        "ElementSpacing = 0.5 2.0\n"
+        "Offset = 10 20\n"
+        "ElementDataFile = LOCAL\n"
+    ).encode()
+    back, header = mha_read(hdr + arr.tobytes())
+    np.testing.assert_array_equal(back, np.arange(6).reshape(2, 3))
+    assert header["spacing"] == [2.0, 0.5]
+    assert header["origin"] == [20.0, 10.0]
+
+
+def test_mha_rejects_detached():
+    from ngff_zarr_spark.ingest.mha import mha_read
+
+    hdr = (
+        "ObjectType = Image\nNDims = 2\nDimSize = 2 2\n"
+        "ElementType = MET_UCHAR\nElementDataFile = img.raw\n"
+    ).encode()
+    with pytest.raises(ValueError, match="detached"):
+        mha_read(hdr)
+
+
+def test_detect_cli_routes_mha(spark, tmp_path):
+    from ngff_zarr_spark.ingest import (
+        ConversionBackend,
+        cli_input_to_ngff_image,
+        detect_cli_io_backend,
+    )
+    from ngff_zarr_spark.ingest.mha import mha_write
+
+    vol = (np.arange(2 * 3 * 4) % 97).reshape(2, 3, 4).astype(np.uint8)
+    p = tmp_path / "vol.mha"
+    p.write_bytes(mha_write(vol, spacing=[2.0, 0.75, 0.5], origin=[3.0, 2.0, 1.0]))
+    backend = detect_cli_io_backend([str(p)])
+    assert backend == ConversionBackend.ITKWASM
+    img = cli_input_to_ngff_image(spark, backend, [str(p)])
+    assert img.shape == {"z": 2, "y": 3, "x": 4}
+    assert img.scale == {"z": 2.0, "y": 0.75, "x": 0.5}
+    assert img.translation == {"z": 3.0, "y": 2.0, "x": 1.0}
+    got = {(r.z, r.y, r.x): int(r.v) for r in img.data.collect()}
+    assert got[(1, 2, 3)] == int(vol[1, 2, 3])

@@ -85,3 +85,50 @@ def test_cosine_topk_self_similar(spark):
     out = cosine_topk(emb, [0], k=2, dim=4).collect()
     assert [r["neighbor_id"] for r in out] == [1, 2]
     assert out[0]["cosine"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-4)
+
+
+def test_gopher_quality_signals(spark):
+    """Gopher rules: a normal-length doc with stopwords passes; a short
+    doc and a doc dominated by one repeated bigram fail; signal values
+    are exact."""
+    from ngff_zarr_spark.functions.text import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog " * 6  # 54 words
+    repeaty = "spam ham " * 30  # 60 words, one bigram dominates
+    rows = [
+        (0, good.strip(), "en", "s", 0),
+        (1, "too short", "en", "s", 0),
+        (2, repeaty.strip(), "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    assert out[0]["passes"] is True
+    assert out[0]["n_words"] == 54
+    assert out[1]["passes"] is False  # n_words < 50
+    assert out[1]["n_words"] == 2
+    assert out[2]["passes"] is False  # top bigram fraction >> 0.18
+    assert out[2]["top_bigram_frac"] > 0.4
+    # dup_word_frac: "spam ham"x30 has 2 distinct of 60 words
+    assert abs(out[2]["dup_word_frac"] - (1 - 2 / 60)) < 1e-6  # rounded to 6dp
+
+
+def test_dup_shingle_frac(spark):
+    """Docs sharing 3-gram shingles get a positive duplicated fraction;
+    a unique doc gets 0."""
+    from ngff_zarr_spark.functions.dedup import dup_shingle_frac
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "s", 0),
+        (1, "alpha beta gamma zeta eta", "en", "s", 0),  # shares 'alpha beta gamma'
+        (2, "totally different words here now", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in dup_shingle_frac(docs).collect()}
+    assert out[0]["n_shingles"] == 3 and out[0]["n_dup_shingles"] == 1
+    assert abs(out[0]["dup_frac"] - 1 / 3) < 1e-5
+    assert out[1]["n_dup_shingles"] == 1
+    assert out[2]["n_dup_shingles"] == 0 and out[2]["dup_frac"] == 0.0
