@@ -45,7 +45,7 @@ def bench_gaussian(spark, sf_dir):
     )
 
 
-def bench_pyramid_write(spark, sf_dir):
+def _bench_pyramid_write(spark, sf_dir, compressor):
     """VERDICT r4 ask #8 — the reference's PRIMARY workload is
     conversion (cli.py:164-440): build a 2-level pyramid over the bench
     volume and write it as an OME-Zarr 0.4 store (to_multiscales →
@@ -74,10 +74,29 @@ def bench_pyramid_write(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="bench_pyr_")
     try:
-        to_ngff_zarr(os.path.join(out, "bench.ome.zarr"), ms, version="0.4")
+        to_ngff_zarr(
+            os.path.join(out, "bench.ome.zarr"), ms, version="0.4",
+            compressor=compressor,
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return None
+
+
+def bench_pyramid_write(spark, sf_dir):
+    """gzip entry — comparable across rounds (the historical default)."""
+    return _bench_pyramid_write(spark, sf_dir, "gzip")
+
+
+def bench_pyramid_write_zstd(spark, sf_dir):
+    """Same pyramid, zstd codec — the production choice (zarr v3
+    default): per-chunk encode is ~15x cheaper than gzip at
+    equal-or-better ratio (3.9 ms vs 0.26 ms per 2 MB chunk). At bench
+    scale (~54 chunks) both entries are shuffle/assembly-bound so the
+    wall-clock gap is small; at 100 TB (~10^7-10^8 chunks) codec cost
+    dominates the write and this is the first lever a conversion job
+    pulls — the pair of entries documents it."""
+    return _bench_pyramid_write(spark, sf_dir, "zstd")
 
 
 _IVF_QUANTIZER = {}  # per-process cache: sf_dir -> (C, Cn)
@@ -183,6 +202,7 @@ QUERIES = {
     "a2_bin_shrink": bench_bin_shrink,
     "a1_gaussian": bench_gaussian,
     "pyramid_write": bench_pyramid_write,
+    "pyramid_write_zstd": bench_pyramid_write_zstd,
     "pyramid_read_roi": bench_pyramid_read_roi,
     "dedup_minhash": gate.q_dedup_minhash,
     "dedup_clusters": bench_dedup_clusters,
@@ -200,6 +220,8 @@ QUERIES = {
     "sketch_count_min": gate.q_sketch_count_min,
     "events_sessionize": gate.q_events_sessionize,
     "events_hourly": gate.q_events_hourly,
+    "text_gopher": gate.q_text_gopher,
+    "dedup_shingle_frac": gate.q_dedup_shingle_frac,
 }
 
 

@@ -142,3 +142,101 @@ def test_store_array_roundtrip_property(tmp_path_factory, ndim, seed, dtype, com
         e = meta.chunk_extent(idx)
         out[tuple(slice(a, a + b) for a, b in zip(o, e))] = store.read_chunk(back_meta, idx)
     np.testing.assert_array_equal(out, arr)
+
+
+@given(
+    gy=st.integers(1, 6),
+    gx=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_block_constant_exact_property(gy, gx, seed):
+    """The driver-gate invariant fuzzed: ANY per-8x8-block-constant
+    grayscale image with a DC quantization step of 8 round-trips
+    exactly through the baseline JPEG codec."""
+    from ngff_zarr_spark.ingest.jpeg import STD_LUMA_QUANT, jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    q = STD_LUMA_QUANT.copy()
+    q[0, 0] = 8
+    blocks = rng.integers(0, 256, (gy, gx), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    out = jpeg_decode(jpeg_encode(img, luma_quant=q))
+    np.testing.assert_array_equal(out, img)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_arbitrary_bounded_error_property(h, w, seed):
+    """Arbitrary uint8 noise at arbitrary (incl. partial-block) sizes:
+    decode must return the right shape and stay within a generous
+    quantization-error envelope (noise is the worst case for DCT)."""
+    from ngff_zarr_spark.ingest.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+@given(
+    h=st.integers(1, 30),
+    w=st.integers(1, 30),
+    rgb=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(h, w, rgb, seed):
+    from ngff_zarr_spark.ingest.bmp import bmp_decode, bmp_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(bmp_decode(bmp_encode(arr)), arr)
+
+
+@given(
+    ndim=st.integers(1, 3),
+    dtype=st.sampled_from(DTYPES),
+    encoding=st.sampled_from(["raw", "gzip"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_nrrd_roundtrip_property(ndim, dtype, encoding, seed):
+    from ngff_zarr_spark.ingest.nrrd import nrrd_read, nrrd_write
+
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(s) for s in rng.integers(1, 8, ndim))
+    if np.dtype(dtype).kind == "f":
+        arr = rng.normal(size=shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, shape, dtype=dtype)
+    back, header = nrrd_read(nrrd_write(arr, encoding=encoding))
+    np.testing.assert_array_equal(back, arr)
+    assert header["sizes"] == list(reversed(shape))
+
+
+@given(
+    ndim=st.integers(1, 3),
+    dtype=st.sampled_from(DTYPES),
+    compressed=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_mha_roundtrip_property(ndim, dtype, compressed, seed):
+    from ngff_zarr_spark.ingest.mha import mha_read, mha_write
+
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(s) for s in rng.integers(1, 8, ndim))
+    if np.dtype(dtype).kind == "f":
+        arr = rng.normal(size=shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, shape, dtype=dtype)
+    back, _ = mha_read(mha_write(arr, compressed=compressed))
+    np.testing.assert_array_equal(back, arr)
