@@ -63,7 +63,9 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", (micros * F.lit(1000)).cast("long"))
 
 
-def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
+def events_stream_source(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """``readStream`` source for an events parquet directory with ``ts``
     normalized to long nanoseconds.
 
@@ -108,5 +110,10 @@ def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
                 StructField("props", StringType()),
             ]
         )
-    ev = spark.readStream.schema(batch_schema).parquet(events_dir)
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        # split the drain into one-file micro-batches (oldest mtime
+        # first) — lets tests drive cross-batch stateful operators
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(events_dir)
     return normalize_events_ts(ev)

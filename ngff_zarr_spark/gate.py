@@ -1467,6 +1467,35 @@ def q_events_dedup_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_events_count_sessions_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    count-based sessions — chunk closes after exactly 10 events per
+    user. Single-batch drain of events.parquet; oracle = row_number
+    ordered by (ts, event_id) grouped into complete rn//10 chunks."""
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import streaming_count_sessions
+
+    events_dir = _tmp_store("stream_cs_events")
+    ckpt = _tmp_store("stream_cs_ckpt")
+    shutil.rmtree(events_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    import os
+
+    os.makedirs(events_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/events.parquet", os.path.join(events_dir, "events.parquet")
+    )
+    table = f"stream_cs_{uuid.uuid4().hex[:8]}"
+    _, start = streaming_count_sessions(spark, events_dir, ckpt, k=10)
+    q = start(table)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
+    return spark.sql(f"select * from {table}")
+
+
 def _dtype_roundtrip(spark, dtype: str) -> DataFrame:
     """Shared body for dtype-fidelity gates (SURVEY §1.2): store the
     IMG3D pixel table with the given logical dtype (written natively on
@@ -1763,5 +1792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "text_gopher": q_text_gopher,
         "dedup_shingle_frac": q_dedup_shingle_frac,
+        "events_count_sessions_stream": q_events_count_sessions_stream,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

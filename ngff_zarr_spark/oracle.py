@@ -1716,4 +1716,22 @@ def oracles() -> dict[str, str]:
         "ann_ivfpq_residual_topk": sql_ann_ivfpq_residual_topk(),
         "text_gopher": sql_text_gopher(),
         "dedup_shingle_frac": sql_dedup_shingle_frac(),
+        # count-based sessions: complete rn//10 chunks in (ts, event_id)
+        # order — the single-batch twin of the stateful stream operator
+        "events_count_sessions_stream": """WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_id FROM events
+),
+r AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM e
+),
+c AS (
+  SELECT user_id, rn // 10 AS chunk, COUNT(*) AS n_events,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, CAST(chunk AS BIGINT) AS chunk, CAST(n_events AS BIGINT) AS n_events,
+       start_ts, end_ts
+FROM c WHERE n_events = 10""",
     }

@@ -303,3 +303,123 @@ def streaming_dedup_events(
         )
 
     return dedup, start
+
+
+def streaming_count_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    max_files_per_trigger: int | None = None,
+):
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (the brief's escape hatch for semantics the built-in operators
+    can't express): COUNT-based sessionization — a per-user session
+    chunk closes after exactly ``k`` events, regardless of time.
+    ``session_window``/``window`` are time-based and cannot express
+    this; the per-group state machine (events buffered toward the next
+    chunk boundary) is the canonical applyInPandasWithState shape.
+
+    Emitted rows: (user_id, chunk, n_events, start_ts, end_ts) for
+    COMPLETE chunks only (n_events == k, start/end = min/max member
+    ts); the in-progress partial chunk stays in state across
+    micro-batches — exactly what makes this stateful rather than a
+    windowed aggregate. Within each micro-batch the user's events are
+    processed in (ts, event_id) order, so a single-batch drain equals
+    the batch oracle (row_number ordered by (ts, event_id), grouped by
+    rn // k, complete groups only); across batches chunk membership
+    follows arrival order, like any count-triggered stream operator.
+
+    State per user is FOUR longs (buffered count, buffer min/max ts,
+    next chunk index) — O(users), not O(events); production streams
+    with abandonable users add a ProcessingTimeTimeout to flush idle
+    partial buffers. The per-batch work is vectorized numpy over the
+    Arrow batch except one short loop over COMPLETE CHUNKS (len/k
+    iterations, not per-event)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.events import events_stream_source
+
+    ev = events_stream_source(spark, events_dir, max_files_per_trigger).select(
+        "user_id", "ts", "event_id"
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("chunk", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_ts", LongType()),
+            StructField("end_ts", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buf_n", LongType()),
+            StructField("buf_min", LongType()),
+            StructField("buf_max", LongType()),
+            StructField("next_chunk", LongType()),
+        ]
+    )
+
+    def chunker(key, pdfs, state: GroupState):
+        (user_id,) = key
+        buf_n, buf_min, buf_max, next_chunk = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            batch = pd.concat(parts, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            ts = batch["ts"].to_numpy(dtype=np.int64)
+        else:
+            ts = np.empty(0, dtype=np.int64)
+        total = buf_n + ts.size
+        n_complete = total // k
+        out = []
+        for j in range(n_complete):
+            lo = j * k - buf_n  # index into ts; negative -> leftover members
+            hi = (j + 1) * k - 1 - buf_n
+            start = int(ts[max(lo, 0)])
+            end = int(ts[hi])
+            if lo < 0:  # chunk includes buffered members from prior batches
+                start = min(start, int(buf_min)) if ts.size else int(buf_min)
+                end = max(end, int(buf_max))
+            out.append((int(user_id), next_chunk + j, k, start, end))
+        next_chunk += n_complete
+        rem = total - n_complete * k
+        if rem > 0:
+            lo = n_complete * k - buf_n
+            if lo < 0:  # leftover survives untouched (no chunk closed)
+                new_min, new_max = int(buf_min), int(buf_max)
+                if ts.size:
+                    new_min = min(new_min, int(ts[0]))
+                    new_max = max(new_max, int(ts[-1]))
+            else:
+                new_min, new_max = int(ts[lo]), int(ts[-1])
+            state.update((rem, new_min, new_max, next_chunk))
+        else:
+            state.update((0, None, None, next_chunk))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "chunk", "n_events", "start_ts", "end_ts"]
+            )
+
+    chunks = ev.groupBy("user_id").applyInPandasWithState(
+        chunker, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+    def start(sink_table: str):
+        return (
+            chunks.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return chunks, start

@@ -308,3 +308,56 @@ def test_streaming_replay_dedup_exactly_once(spark, tmp_path):
     ).first()
     want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got.n == got.d == want
+
+
+def test_count_sessions_cross_batch_state(spark, tmp_path):
+    """applyInPandasWithState count-based sessions: a partial chunk
+    buffered in batch 1 completes in batch 2 with members from BOTH
+    batches — start/end span the batches (min/max over the real chunk
+    members, including out-of-order arrivals), proving the state
+    machine carries and merges across micro-batches."""
+    import os
+    import time
+    import uuid
+
+    from ngff_zarr_spark.streaming.pipeline import streaming_count_sessions
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+
+    def _write(name, ts_vals, first_event_id, mtime):
+        rows = [
+            (first_event_id + i, int(t), 1, "click", 1.0, "{}")
+            for i, t in enumerate(ts_vals)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        sub = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(sub))
+        part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dst = events_dir / f"{name}.parquet"
+        os.rename(sub / part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: 8 events at ts 100..107; batch 2: 7 events at ts 50..56
+    # (EARLIER than batch 1 — arrival order, not time order, chunks)
+    _write("a", range(100, 108), 0, now - 100)
+    _write("b", range(50, 57), 100, now - 50)
+
+    table = f"cs_{uuid.uuid4().hex[:8]}"
+    _, start = streaming_count_sessions(
+        spark, str(events_dir), str(tmp_path / "ckpt"), k=10,
+        max_files_per_trigger=1,
+    )
+    q = start(table)
+    assert q.awaitTermination(120)
+    rows = spark.sql(f"select * from {table}").collect()
+    assert len(rows) == 1  # 15 events -> one complete chunk of 10
+    r = rows[0]
+    assert (r.user_id, r.chunk, r.n_events) == (1, 0, 10)
+    # chunk members: 8 from batch1 (ts 100..107) + first 2 of batch2
+    # in sorted order (ts 50, 51)
+    assert (r.start_ts, r.end_ts) == (50, 107)
