@@ -1467,6 +1467,58 @@ def q_events_dedup_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_events_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles (p50/p90/p99) via Spark's
+    ``percentile`` (exact linear interpolation, NOT approx_percentile —
+    the approximate sketch could never hash-match an oracle). DuckDB
+    twin: quantile_cont. Rounded at 6dp to absorb last-ulp
+    interpolation arithmetic differences."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_events_user_topn(spark, sf_dir):
+    """Top-5 users per event type by event count — the windowed top-N
+    pattern (rank inside a partition, deterministic tie-break by
+    user_id so the boundary never depends on partitioning)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "rank", "user_id", "n")
+    )
+
+
+def q_events_daily_running(spark, sf_dir):
+    """Daily event counts with a per-type running total (cumulative
+    window) — exact integer day bucketing (ns `div`, never double
+    division) and integer sums."""
+    from pyspark.sql import Window
+
+    ns_per_day = 86_400_000_000_000
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr(f"ts div {ns_per_day}").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.withColumn("running_n", F.sum("n").over(w).cast("long"))
+
+
 def q_events_count_sessions_stream(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     count-based sessions — chunk closes after exactly 10 events per
@@ -1793,5 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "dedup_shingle_frac": q_dedup_shingle_frac,
         "events_count_sessions_stream": q_events_count_sessions_stream,
+        "events_percentiles": q_events_percentiles,
+        "events_user_topn": q_events_user_topn,
+        "events_daily_running": q_events_daily_running,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

@@ -1734,4 +1734,29 @@ c AS (
 SELECT user_id, CAST(chunk AS BIGINT) AS chunk, CAST(n_events AS BIGINT) AS n_events,
        start_ts, end_ts
 FROM c WHERE n_events = 10""",
+        # exact linear-interpolation percentiles (Spark `percentile` ==
+        # DuckDB quantile_cont; approx sketches could never hash-match)
+        "events_percentiles": """SELECT event_type, COUNT(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1""",
+        "events_user_topn": """WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+  FROM c
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, n FROM r WHERE rank <= 5""",
+        "events_daily_running": """WITH d AS (
+  SELECT event_type, CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM d""",
     }

@@ -98,3 +98,44 @@ def test_pixel_scan_filter_reaches_source(spark, tmp_path):
     plan = plan_of(df)
     assert "BatchScan" in plan
     assert n_exchanges(plan) == 0
+
+
+def test_capped_band_pairs_no_extra_aggregate_join(spark, sf_dir):
+    """The r7 bucket-occupancy cap must ride a WINDOW over the band
+    exchange — not a separate occupancy aggregate joined back (that
+    shape cost ~2x on the candidate path). Pin: the capped candidate
+    plan contains a Window node and NO cartesian product; and the
+    dedup_minhash gate plan's exchange count stays bounded (the window
+    adds sorts, not new shuffle shapes)."""
+    from ngff_zarr_spark.functions.dedup import minhash_candidates
+
+    docs = gate._docs(spark, sf_dir)
+    plan = plan_of(minhash_candidates(docs))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_two_hash_aggregates_no_python(spark, sf_dir):
+    """gopher_quality = exploded-words aggregate + exploded-bigrams
+    aggregate + one join; everything JVM-side (no Python UDF nodes)."""
+    from ngff_zarr_spark.functions.text import gopher_quality
+
+    plan = plan_of(gopher_quality(gate._docs(spark, sf_dir)))
+    assert "HashAggregate" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert bad not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_shingle_frac_inverted_index_shape(spark, sf_dir):
+    """dup_shingle_frac: document-frequency aggregate + df-bounded join
+    + per-doc aggregate. No pairwise doc-doc join may appear (join keys
+    are shingle/doc_id only), no Python."""
+    from ngff_zarr_spark.functions.dedup import dup_shingle_frac
+
+    plan = plan_of(dup_shingle_frac(gate._docs(spark, sf_dir)))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
