@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-__all__ = ["normalize_events_ts", "events_stream_source"]
+__all__ = ["normalize_events_ts", "events_stream_source", "asof_join", "range_join"]
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -117,3 +117,105 @@ def events_stream_source(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     ev = reader.parquet(events_dir)
     return normalize_events_ts(ev)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("event_id",),
+    suffix: str = "_asof",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """AS-OF JOIN (backward): for every left row, the right row with the
+    LARGEST ``ts_col`` <= the left row's, per ``key`` — the attribution
+    / last-known-value join the brief names as an operator Spark lacks.
+
+    Implemented as a composition of existing DataFrame ops — the
+    union-and-window form, with NO join operator at all: tag both
+    sides, union, and fill each left row from the last non-null right
+    value in a (key)-partitioned window ordered by
+    (ts, side, tiebreak). One shuffle on ``key`` + one sort; per-key
+    cost is a single sorted pass, where the naive inequality join is
+    quadratic per key and a join-then-filter can't early-out. This is
+    the plan an as-of over two 100 TB streams needs (it is also
+    exactly how kdb/QuestDB-style engines schedule it: co-partition,
+    merge-sort).
+
+    Tie semantics: a right row at the SAME ts as a left row matches
+    (inclusive <=, sides ordered right-before-left); among multiple
+    right rows at the same (key, ts) the one with the greatest
+    ``tiebreak`` (default: first value col) wins — a deterministic
+    total order, which an oracle can mirror with a max_by pre-dedup.
+    Unmatched left rows keep NULL right values (left-outer semantics).
+
+    Returns every left column plus ``<value_col><suffix>`` columns and
+    ``<ts_col><suffix>`` (the matched right timestamp)."""
+    from pyspark.sql import Window
+
+    tiebreak = tiebreak or value_cols[0]
+    rv = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
+    left_rest = [c for c in left.columns if c not in (key, ts_col)]
+    r_side = right.select(
+        F.col(key),
+        F.col(ts_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_rest
+        ],
+    )
+    l_side = left.select(
+        F.col(key),
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_rest],
+    )
+    u = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col("_side"), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        key,
+        ts_col,
+        "_side",
+        *left_rest,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rv],
+    )
+    return filled.filter(F.col("_side") == 1).select(key, ts_col, *left_rest, *rv)
+
+
+def range_join(
+    events: DataFrame,
+    windows: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """RANGE JOIN: events × interval table on ``start <= ts < end`` —
+    the second operator family the brief names (band/interval joins).
+
+    The windows side is BROADCAST (interval tables — incident windows,
+    maintenance periods, experiment cohorts — are small by nature), so
+    the plan is a broadcast nested-loop with the range predicate
+    evaluated stream-side: one corpus scan, no shuffle of the events,
+    scale-independent of the event count. For two LARGE interval
+    relations the right plan is instead interval bucketing (join on
+    overlapping coarse buckets, then filter) — out of scope until a
+    table that big exists; this signature documents the contract."""
+    return events.join(
+        F.broadcast(windows),
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)),
+    )

@@ -1519,6 +1519,54 @@ def q_events_daily_running(spark, sf_dir):
     return daily.withColumn("running_n", F.sum("n").over(w).cast("long"))
 
 
+def q_events_asof_attribution(spark, sf_dir):
+    """AS-OF join (functions/events.asof_join): for every purchase, the
+    user's latest click at ts <= purchase ts — the attribution query.
+    Composition-form operator (union + window, NO join node); oracle is
+    DuckDB's native ASOF LEFT JOIN over a max_by-deduped click side
+    (mirroring the operator's deterministic tie-break)."""
+    from .functions.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        value_cols=("event_id",), suffix="_click",
+    )
+
+
+def q_events_range_windows(spark, sf_dir):
+    """RANGE join (functions/events.range_join): per-type event counts
+    inside the 3 busiest hours — interval table derived
+    deterministically (count desc, hour asc), broadcast, range
+    predicate evaluated stream-side."""
+    from .functions.events import range_join
+
+    ns_per_hour = 3_600_000_000_000
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.expr(f"ts div {ns_per_hour}").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    windows = (
+        hourly.orderBy(F.col("n").desc(), F.col("hr"))
+        .limit(3)
+        .select(
+            (F.col("hr") * ns_per_hour).alias("start_ts"),
+            ((F.col("hr") + 1) * ns_per_hour).alias("end_ts"),
+        )
+    )
+    return (
+        range_join(ev, windows)
+        .groupBy("start_ts", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_events_count_sessions_stream(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     count-based sessions — chunk closes after exactly 10 events per
@@ -1848,5 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_user_topn": q_events_user_topn,
         "events_daily_running": q_events_daily_running,
+        "events_asof_attribution": q_events_asof_attribution,
+        "events_range_windows": q_events_range_windows,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

@@ -1759,4 +1759,29 @@ SELECT event_type, day, n,
        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
 FROM d""",
+        # as-of attribution: DuckDB's NATIVE ASOF LEFT JOIN against the
+        # union+window composition; click side max_by-deduped per
+        # (user, ts) to mirror the operator's deterministic tie-break
+        "events_asof_attribution": """WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_type FROM events
+),
+p AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id_click
+  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.ts, p.event_id, c.event_id_click, c.ts AS ts_click
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "events_range_windows": """WITH e AS (
+  SELECT CAST(epoch_ns(ts) AS BIGINT) AS ts, event_type FROM events
+),
+h AS (SELECT ts // 3600000000000 AS hr, COUNT(*) AS n FROM e GROUP BY 1),
+top3 AS (SELECT hr FROM h ORDER BY n DESC, hr LIMIT 3),
+w AS (
+  SELECT hr * 3600000000000 AS start_ts, (hr + 1) * 3600000000000 AS end_ts
+  FROM top3
+)
+SELECT w.start_ts, e.event_type, COUNT(*) AS n
+FROM e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY 1, 2""",
     }

@@ -97,3 +97,77 @@ def test_stream_source_derives_schema(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(r.ts for r in spark.table(sink).collect())
     assert got == sorted(u * 1000 for u in US)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ts <= left ts per key; inclusive
+    same-ts match; max-tiebreak among same-ts rights; NULL when no
+    prior right; keys isolated."""
+    from ngff_zarr_spark.functions.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 205, 11), (2, 150, 20), (3, 99, 30)],
+        "user_id long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, 1000),  # same-ts: matches left (1,100) inclusively
+            (1, 100, 1001),  # same (key, ts): max event_id wins
+            (1, 200, 1002),
+            (2, 149, 2000),
+            # user 3 has no right rows at all
+        ],
+        "user_id long, ts long, event_id long",
+    )
+    out = {
+        (r.user_id, r.ts): (r.event_id, r.event_id_asof, r.ts_asof)
+        for r in asof_join(left, right).collect()
+    }
+    assert out[(1, 100)] == (10, 1001, 100)   # inclusive + max tiebreak
+    assert out[(1, 205)] == (11, 1002, 200)   # latest prior
+    assert out[(2, 150)] == (20, 2000, 149)   # keys isolated
+    assert out[(3, 99)] == (30, None, None)   # left-outer NULLs
+
+
+def test_asof_join_plan_no_join_node(spark):
+    """The as-of composition must plan as union + ONE exchange + window
+    — no join operator of any kind (the scale property)."""
+    import contextlib
+    import io
+
+    from ngff_zarr_spark.functions.events import asof_join
+
+    left = spark.createDataFrame([(1, 100, 10)], "user_id long, ts long, event_id long")
+    right = spark.createDataFrame([(1, 99, 1)], "user_id long, ts long, event_id long")
+    df = asof_join(left, right)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_node not in plan, join_node
+
+
+def test_range_join_broadcasts_windows(spark):
+    """range_join: interval side broadcast; events within [start, end)
+    only."""
+    import contextlib
+    import io
+
+    from ngff_zarr_spark.functions.events import range_join
+
+    events = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "event_id long, ts long"
+    )
+    windows = spark.createDataFrame(
+        [(0, 50), (100, 120)], "start_ts long, end_ts long"
+    )
+    out = range_join(events, windows).select("event_id", "start_ts").collect()
+    got = sorted((r.event_id, r.start_ts) for r in out)
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (10, 100), (11, 100)]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(events, windows).explain("formatted")
+    assert "BroadcastNestedLoopJoin" in buf.getvalue()
