@@ -222,6 +222,7 @@ QUERIES = {
     "events_hourly": gate.q_events_hourly,
     "text_gopher": gate.q_text_gopher,
     "dedup_shingle_frac": gate.q_dedup_shingle_frac,
+    "events_asof": gate.q_events_asof_attribution,
 }
 
 
