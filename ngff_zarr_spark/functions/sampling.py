@@ -1,0 +1,77 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines: hash-based train/val splits and stratified top-k sampling.
+
+Randomness is the enemy of reproducible corpus builds, so both
+operators derive their "randomness" from the portable ``h64`` content
+hash (md5-based, identical in Spark and DuckDB): the same document gets
+the same split/sample decision on every run, on every engine, at any
+parallelism — and the DuckDB oracle is exact, not statistical.
+
+100 TB posture: per-row hash expressions inside codegen (no shuffle for
+the split; one window per stratum for the sample), and the split column
+makes a fine partition key for downstream writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import h64
+
+SPLIT_BUCKETS = 1_000_000
+
+
+def hash_split(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.0,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val(/test) assignment: bucket =
+    h64(salt:doc_id) mod 10^6; the first ``val_frac`` of bucket space is
+    'val', the next ``test_frac`` is 'test', the rest 'train'. Changing
+    ``salt`` re-rolls the split; changing the fractions GROWS a split
+    monotonically (a doc in val at 5% is still in val at 10% — the
+    property that keeps eval sets stable as they are enlarged).
+    Adds a ``split`` column; no shuffle, no RNG state."""
+    val_cut = int(val_frac * SPLIT_BUCKETS)
+    test_cut = val_cut + int(test_frac * SPLIT_BUCKETS)
+    bucket = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < val_cut, F.lit("val"))
+        .when(bucket < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("split", split)
+
+
+def split_counts(docs: DataFrame, **kwargs) -> DataFrame:
+    """Per-(split, lang) document counts — the sanity table every split
+    job prints. Exact oracle twin via the same h64 arithmetic."""
+    return (
+        hash_split(docs, **kwargs)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    k: int = 5,
+    salt: str = "sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified k-per-stratum sample: within each
+    stratum keep the k docs with the SMALLEST h64(salt:doc_id) — a
+    uniform-without-replacement sample that is stable across runs and
+    engines (ties impossible: the hash is keyed by the unique id).
+    One window per stratum (rank by hash), no global sort."""
+    hcol = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(hcol.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -1519,6 +1519,24 @@ def q_events_daily_running(spark, sf_dir):
     return daily.withColumn("running_n", F.sum("n").over(w).cast("long"))
 
 
+def q_corpus_split_counts(spark, sf_dir):
+    """Deterministic hash train/val/test split (functions/sampling):
+    per-(split, lang) counts at 10% val / 5% test, salt 'split'."""
+    from .functions.sampling import split_counts
+
+    return split_counts(_docs(spark, sf_dir), val_frac=0.1, test_frac=0.05)
+
+
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 5 docs per source by smallest
+    h64(salt:doc_id)."""
+    from .functions.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), strata_col="source", k=5).select(
+        "source", "sample_rank", "doc_id"
+    )
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """AS-OF join (functions/events.asof_join): for every purchase, the
     user's latest click at ts <= purchase ts — the attribution query.
@@ -1898,5 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_running": q_events_daily_running,
         "events_asof_attribution": q_events_asof_attribution,
         "events_range_windows": q_events_range_windows,
+        "corpus_split_counts": q_corpus_split_counts,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     }

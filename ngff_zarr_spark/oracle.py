@@ -1784,4 +1784,26 @@ w AS (
 SELECT w.start_ts, e.event_type, COUNT(*) AS n
 FROM e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
 GROUP BY 1, 2""",
+        # deterministic hash split/sample: identical h64 arithmetic
+        "corpus_split_counts": f"""WITH b AS (
+  SELECT lang, {H64.format(s="concat('split:', CAST(doc_id AS VARCHAR))")} % 1000000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 100000 THEN 'val'
+            WHEN bucket < 150000 THEN 'test'
+            ELSE 'train' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2""",
+        "corpus_stratified_sample": f"""WITH h AS (
+  SELECT source, doc_id,
+         {H64.format(s="concat('sample:', CAST(doc_id AS VARCHAR))")} AS hv
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS sample_rank
+  FROM h
+)
+SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+FROM r WHERE sample_rank <= 5""",
     }

@@ -132,3 +132,46 @@ def test_dup_shingle_frac(spark):
     assert abs(out[0]["dup_frac"] - 1 / 3) < 1e-5
     assert out[1]["n_dup_shingles"] == 1
     assert out[2]["n_dup_shingles"] == 0 and out[2]["dup_frac"] == 0.0
+
+
+def test_hash_split_deterministic_and_monotone(spark):
+    """hash_split: same doc -> same split every run; growing val_frac
+    only MOVES docs train->val (monotone growth: eval sets stay stable
+    as they are enlarged); fractions roughly honored."""
+    from ngff_zarr_spark.functions.sampling import hash_split
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.lit(1).alias("n_chars"),
+    )
+    a = {r.doc_id: r.split for r in hash_split(docs, val_frac=0.1).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, val_frac=0.1).collect()}
+    assert a == b  # deterministic
+    wide = {r.doc_id: r.split for r in hash_split(docs, val_frac=0.2).collect()}
+    for d, s in a.items():
+        if s == "val":
+            assert wide[d] == "val"  # monotone growth
+    n_val = sum(1 for s in a.values() if s == "val")
+    assert 120 < n_val < 280  # ~10% of 2000, hash-binomial spread
+    # different salt re-rolls
+    c = {r.doc_id: r.split for r in hash_split(docs, val_frac=0.1, salt="other").collect()}
+    assert c != a
+
+
+def test_stratified_sample_per_stratum(spark):
+    from ngff_zarr_spark.functions.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 3}", 1) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = stratified_sample(docs, strata_col="source", k=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert set(by_src) == {"src0", "src1", "src2"}
+    assert all(len(v) == 4 for v in by_src.values())
+    # deterministic across calls
+    again = stratified_sample(docs, strata_col="source", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
