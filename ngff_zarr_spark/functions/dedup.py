@@ -146,8 +146,15 @@ def _capped_band_pairs(
     exactly (every member reaches every other through the hub).
     Occupancy and hub are WINDOW aggregates over (band, band_key) — one
     exchange on the join key the band table needed anyway, no separate
-    occupancy aggregate + join. ``max_bucket=None`` opts out (the
-    historical uncapped join).
+    occupancy aggregate + join. The windowed table feeds THREE consumers
+    (pairwise self-join side a, side b, star branch), so it is CACHED
+    before branching: without that, Catalyst re-executes the full
+    exchange+sort+window per consumer (three executions, zero
+    ReusedExchange — the aliased self-join sides don't canonicalize to
+    one subplan), which tripled the most expensive shuffle of the dedup
+    pipeline. The cached scan also preserves the (band, band_key) hash
+    partitioning, so the pairwise self-join needs no further exchange.
+    ``max_bucket=None`` opts out (the historical uncapped join).
 
     ``payload`` columns ride along as ``<col>_a`` / ``<col>_b`` (the
     hub's payload is carried atomically via min-by-struct)."""
@@ -179,7 +186,7 @@ def _capped_band_pairs(
         *pay,
         F.count(F.lit(1)).over(w).alias("occ"),
         F.min(F.struct("doc_id", *pay)).over(w).alias("hub"),
-    )
+    ).cache()
     star = bx.filter(
         (F.col("occ") > max_bucket) & (F.col("doc_id") != F.col("hub.doc_id"))
     ).select(

@@ -669,11 +669,10 @@ def embedding_near_dup(
     does not."""
     if band_planes is None:
         band_planes = auto_band_planes(emb.count())
-    # the self-join's two sides are differently-aliased subplans, so
-    # Catalyst won't reuse one exchange for both — cache the bands table
-    # (n_vectors × n_bands rows of three longs, ~50 B/vector: tiny
-    # relative to the corpus it indexes) so the bucket UDF runs once
-    bands = lsh_band_buckets(emb, dim, n_bands, band_planes).cache()
+    # _capped_band_pairs caches its windowed band table before the
+    # self-join branches, so the bucket UDF runs exactly once — no
+    # separate cache needed here
+    bands = lsh_band_buckets(emb, dim, n_bands, band_planes)
     cand = _capped_band_pairs(
         bands.select(
             F.col("vec_id").alias("doc_id"), "band", F.col("bucket").alias("band_key")

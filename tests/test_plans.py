@@ -103,15 +103,23 @@ def test_pixel_scan_filter_reaches_source(spark, tmp_path):
 def test_capped_band_pairs_no_extra_aggregate_join(spark, sf_dir):
     """The r7 bucket-occupancy cap must ride a WINDOW over the band
     exchange — not a separate occupancy aggregate joined back (that
-    shape cost ~2x on the candidate path). Pin: the capped candidate
-    plan contains a Window node and NO cartesian product; and the
-    dedup_minhash gate plan's exchange count stays bounded (the window
-    adds sorts, not new shuffle shapes)."""
+    shape cost ~2x on the candidate path). r8 pin tightened: the
+    windowed band table feeds three consumers (pairwise side a/b, star
+    branch) and MUST be cached before branching — uncached, Catalyst
+    re-executed the exchange+sort+window once per consumer (3 Window +
+    3 Sort + 6 Exchange, zero ReusedExchange: the aliased self-join
+    sides don't canonicalize to one subplan), which regressed
+    dedup_clusters 2.4x in BENCH_r07. Pin: exactly ONE Window node,
+    at most one Sort, the cached scan present, and no cartesian."""
+    import re
+
     from ngff_zarr_spark.functions.dedup import minhash_candidates
 
     docs = gate._docs(spark, sf_dir)
     plan = plan_of(minhash_candidates(docs))
-    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 1
+    assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
