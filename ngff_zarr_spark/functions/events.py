@@ -127,41 +127,76 @@ def asof_join(
     value_cols: tuple[str, ...] = ("event_id",),
     suffix: str = "_asof",
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """AS-OF JOIN (backward): for every left row, the right row with the
-    LARGEST ``ts_col`` <= the left row's, per ``key`` — the attribution
-    / last-known-value join the brief names as an operator Spark lacks.
+    """AS-OF JOIN: for every left row, the matching right row per
+    ``key`` by timestamp — the attribution / last-known-value join the
+    brief names as an operator Spark lacks.
+
+    ``direction`` picks the match:
+
+    * ``"backward"`` (default) — the right row with the LARGEST
+      ``ts_col`` <= the left row's (last-known-value / attribution);
+    * ``"forward"`` — the right row with the SMALLEST ``ts_col`` >=
+      the left row's (next-event / time-to-response);
+    * ``"nearest"`` — whichever of the two is closer in absolute time;
+      on an exact distance tie the BACKWARD match wins (deterministic).
+
+    ``tolerance`` (same units as ``ts_col``, e.g. nanoseconds) bounds
+    the match distance: a matched row farther than ``tolerance`` is
+    dropped and the left row keeps NULLs — the attribution-window form
+    ("credit a click only within 7 days before the purchase").
 
     Implemented as a composition of existing DataFrame ops — the
     union-and-window form, with NO join operator at all: tag both
-    sides, union, and fill each left row from the last non-null right
-    value in a (key)-partitioned window ordered by
-    (ts, side, tiebreak). One shuffle on ``key`` + one sort; per-key
-    cost is a single sorted pass, where the naive inequality join is
-    quadratic per key and a join-then-filter can't early-out. This is
-    the plan an as-of over two 100 TB streams needs (it is also
-    exactly how kdb/QuestDB-style engines schedule it: co-partition,
-    merge-sort).
+    sides, union, and fill each left row from the nearest right row in
+    a (key)-partitioned window ordered by (ts, side, tiebreak). One
+    shuffle on ``key`` + one sort per direction; per-key cost is a
+    single sorted pass, where the naive inequality join is quadratic
+    per key and a join-then-filter can't early-out. This is the plan an
+    as-of over two 100 TB streams needs (it is also exactly how
+    kdb/QuestDB-style engines schedule it: co-partition, merge-sort).
+    ``nearest`` runs the backward and forward fills as two windows over
+    the SAME union and exchange (one extra sort, no extra shuffle).
 
-    Tie semantics: a right row at the SAME ts as a left row matches
-    (inclusive <=, sides ordered right-before-left); among multiple
-    right rows at the same (key, ts) the one with the greatest
-    ``tiebreak`` (default: first value col) wins — a deterministic
-    total order, which an oracle can mirror with a max_by pre-dedup.
-    Unmatched left rows keep NULL right values (left-outer semantics).
+    All output columns come from ONE matched right row: the fill is a
+    single ``last``/``first(ignorenulls=True)`` over a STRUCT of
+    (value_cols…, ts), so a NULL inside a matched right row's value
+    column stays NULL in the output (it is never papered over by an
+    older row's value) and ``<ts_col><suffix>`` always belongs to the
+    row the values came from.
+
+    Tie semantics: a right row at the SAME ts as a left row matches in
+    every direction (inclusive comparison); among multiple right rows
+    at the same (key, ts) the one with the greatest ``tiebreak``
+    (default: first value col) wins — a deterministic total order,
+    which an oracle can mirror with a max_by pre-dedup. Unmatched left
+    rows keep NULL right values (left-outer semantics).
 
     Returns every left column plus ``<value_col><suffix>`` columns and
     ``<ts_col><suffix>`` (the matched right timestamp)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction={direction!r}: expected backward, forward, or nearest"
+        )
     tiebreak = tiebreak or value_cols[0]
     rv = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
+    m_type = StructType(
+        [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in value_cols]
+        + [StructField(f"{ts_col}{suffix}", right.schema[ts_col].dataType)]
+    )
     left_rest = [c for c in left.columns if c not in (key, ts_col)]
     r_side = right.select(
         F.col(key),
         F.col(ts_col),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        ).alias("_r"),
         F.col(tiebreak).alias("_tb"),
         F.lit(0).alias("_side"),
         *[
@@ -172,29 +207,54 @@ def asof_join(
     l_side = left.select(
         F.col(key),
         F.col(ts_col),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(m_type).alias("_r"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_rest],
     )
     u = l_side.unionByName(r_side)
-    w = (
+    # backward: right rows sort BEFORE a same-ts left row (side 0 < 1)
+    # and last() takes the latest right at-or-before it; among same-ts
+    # right rows, _tb ascending puts the greatest tiebreak last.
+    w_back = (
         Window.partitionBy(key)
         .orderBy(F.col(ts_col), F.col("_side"), F.col("_tb").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        key,
-        ts_col,
-        "_side",
-        *left_rest,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rv],
+    # forward: left rows sort BEFORE same-ts right rows (side desc) so
+    # the inclusive match still sees them; first() takes the earliest
+    # right at-or-after; _tb descending puts the greatest tiebreak first.
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col("_side").desc(), F.col("_tb").desc_nulls_last())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    return filled.filter(F.col("_side") == 1).select(key, ts_col, *left_rest, *rv)
+    back = F.last("_r", ignorenulls=True).over(w_back)
+    fwd = F.first("_r", ignorenulls=True).over(w_fwd)
+    if direction == "backward":
+        matched = back
+    elif direction == "forward":
+        matched = fwd
+    else:
+        b_dist = F.col(ts_col) - back[f"{ts_col}{suffix}"]
+        f_dist = fwd[f"{ts_col}{suffix}"] - F.col(ts_col)
+        matched = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(b_dist <= f_dist, back)
+            .otherwise(fwd)
+        )
+    filled = u.select(
+        key, ts_col, "_side", *left_rest, matched.alias("_m")
+    )
+    if tolerance is not None:
+        dist = F.abs(F.col(ts_col) - F.col("_m")[f"{ts_col}{suffix}"])
+        filled = filled.withColumn(
+            "_m", F.when(dist <= F.lit(tolerance), F.col("_m"))
+        )
+    return filled.filter(F.col("_side") == 1).select(
+        key, ts_col, *left_rest, *[F.col("_m")[c].alias(c) for c in rv]
+    )
 
 
 def range_join(

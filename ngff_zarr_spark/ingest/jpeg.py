@@ -389,6 +389,18 @@ def jpeg_encode(
     mcus_y = (h + mcu_h - 1) // mcu_h
     mcus_x = (w + mcu_w - 1) // mcu_w
 
+    # Edge-pad every plane to its MCU-aligned extent up front. With 2x1
+    # subsampling the last MCU row/column of the LUMA plane can contain a
+    # block that starts at or past the image edge (h or w mod 16 in 1..8),
+    # and a per-block pad cannot extend a zero-size slice.
+    for ci, (_cid, ch, cv, _qt) in enumerate(comps):
+        ph, pw = mcus_y * cv * 8, mcus_x * ch * 8
+        p = planes[ci]
+        if p.shape != (ph, pw):
+            planes[ci] = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+
     dc_codes = [_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA)]
     ac_codes = [_build_codes(*_AC_LUMA), _build_codes(*_AC_CHROMA)]
     writer = _BitWriter()
@@ -396,14 +408,8 @@ def jpeg_encode(
 
     def _encode_block(plane: np.ndarray, by: int, bx: int, q: np.ndarray, tid: int, ci: int):
         y0, x0 = by * 8, bx * 8
+        # planes are MCU-aligned above, so the slice is always full 8x8
         block = plane[y0: y0 + 8, x0: x0 + 8]
-        # edge-replicate partial blocks
-        if block.shape != (8, 8):
-            block = np.pad(
-                block,
-                ((0, 8 - block.shape[0]), (0, 8 - block.shape[1])),
-                mode="edge",
-            )
         coef = _quantize(_fdct(block - 128.0), q)
         zz = coef[_ZZ_ROWS, _ZZ_COLS]
         diff = int(zz[0]) - pred[ci]

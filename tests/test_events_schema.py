@@ -129,6 +129,78 @@ def test_asof_join_semantics(spark):
     assert out[(3, 99)] == (30, None, None)   # left-outer NULLs
 
 
+def test_asof_join_null_value_from_matched_row(spark):
+    """A NULL in the matched right row's value column must stay NULL —
+    never be papered over by an older right row's non-null value (the
+    struct-fill contract: all output columns come from ONE matched
+    row, as a true as-of join / DuckDB ASOF returns)."""
+    from ngff_zarr_spark.functions.events import asof_join
+
+    left = spark.createDataFrame([(1, 300, 10)], "user_id long, ts long, event_id long")
+    right = spark.createDataFrame(
+        [(1, 100, 7.0), (1, 200, None)], "user_id long, ts long, value double"
+    )
+    r = asof_join(left, right, value_cols=("value",)).collect()[0]
+    assert r.ts_asof == 200 and r.value_asof is None
+
+
+def test_asof_join_forward_nearest_tolerance(spark):
+    """Forward: smallest right ts >= left ts, inclusive, max-tiebreak
+    at same ts. Nearest: closer of the two, backward wins exact-distance
+    ties. Tolerance: matches farther than the bound become NULL."""
+    from ngff_zarr_spark.functions.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 205, 11), (2, 150, 20), (3, 99, 30)],
+        "user_id long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1000), (1, 100, 1001), (1, 200, 1002), (1, 300, 1003),
+         (2, 149, 2000), (2, 152, 2001)],
+        "user_id long, ts long, event_id long",
+    )
+
+    fwd = {
+        (r.user_id, r.ts): (r.event_id_asof, r.ts_asof)
+        for r in asof_join(left, right, direction="forward").collect()
+    }
+    assert fwd[(1, 100)] == (1001, 100)   # inclusive + max tiebreak
+    assert fwd[(1, 205)] == (1003, 300)   # next at-or-after
+    assert fwd[(2, 150)] == (2001, 152)
+    assert fwd[(3, 99)] == (None, None)
+
+    near = {
+        (r.user_id, r.ts): (r.event_id_asof, r.ts_asof)
+        for r in asof_join(left, right, direction="nearest").collect()
+    }
+    assert near[(1, 205)] == (1002, 200)  # 5 back < 95 forward
+    assert near[(2, 150)] == (2000, 149)  # distance 1 vs 2
+    assert near[(3, 99)] == (None, None)
+
+    # exact-distance tie -> backward wins: right at 149 and 151, left 150
+    tie = asof_join(
+        spark.createDataFrame([(9, 150, 99)], "user_id long, ts long, event_id long"),
+        spark.createDataFrame(
+            [(9, 149, 1), (9, 151, 2)], "user_id long, ts long, event_id long"
+        ),
+        direction="nearest",
+    ).collect()[0]
+    assert (tie.event_id_asof, tie.ts_asof) == (1, 149)
+
+    tol = {
+        (r.user_id, r.ts): (r.event_id_asof, r.ts_asof)
+        for r in asof_join(left, right, tolerance=5).collect()
+    }
+    assert tol[(1, 205)] == (1002, 200)   # distance 5 <= 5 kept
+    assert tol[(1, 100)] == (1001, 100)   # distance 0 kept
+    assert tol[(2, 150)] == (2000, 149)
+    tol2 = {
+        (r.user_id, r.ts): (r.event_id_asof, r.ts_asof)
+        for r in asof_join(left, right, tolerance=4).collect()
+    }
+    assert tol2[(1, 205)] == (None, None)  # distance 5 > 4 dropped
+
+
 def test_asof_join_plan_no_join_node(spark):
     """The as-of composition must plan as union + ONE exchange + window
     — no join operator of any kind (the scale property)."""

@@ -66,6 +66,28 @@ def test_rgb_roundtrip(subsample):
     assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
 
 
+@pytest.mark.parametrize("shape", [(8, 8), (24, 24), (17, 24), (24, 9), (1, 1)])
+def test_rgb_subsampled_non_mcu_aligned(shape):
+    """4:2:0 RGB whose height/width mod 16 falls in 1..8: the last MCU's
+    second luma block starts at or past the image edge. Regression — the
+    per-block edge pad crashed on the resulting zero-size slice; planes
+    are now MCU-aligned up front."""
+    h, w = shape
+    yy, xx = np.indices((h, w))
+    rgb = np.stack(
+        [
+            ((yy * 7 + xx * 3) % 256).astype(np.uint8),
+            ((yy * 2 + 100) % 256).astype(np.uint8),
+            ((xx * 5 + 50) % 256).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    out = jpeg_decode(jpeg_encode(rgb, subsample=True))
+    assert out.shape == rgb.shape
+    # smooth-ish content through std tables: loosely bounded, no crash
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 60
+
+
 def test_rgb_std_tables_bounded():
     """Standard Annex K tables on smooth colored content: error bounded
     by the (large) chroma DC quantization step, not exactness."""
