@@ -263,19 +263,63 @@ def range_join(
     ts_col: str = "ts",
     start_col: str = "start_ts",
     end_col: str = "end_ts",
+    strategy: str = "broadcast",
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """RANGE JOIN: events × interval table on ``start <= ts < end`` —
     the second operator family the brief names (band/interval joins).
 
-    The windows side is BROADCAST (interval tables — incident windows,
-    maintenance periods, experiment cohorts — are small by nature), so
-    the plan is a broadcast nested-loop with the range predicate
-    evaluated stream-side: one corpus scan, no shuffle of the events,
-    scale-independent of the event count. For two LARGE interval
-    relations the right plan is instead interval bucketing (join on
-    overlapping coarse buckets, then filter) — out of scope until a
-    table that big exists; this signature documents the contract."""
-    return events.join(
-        F.broadcast(windows),
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)),
+    ``strategy="broadcast"`` (default): the windows side is BROADCAST
+    (interval tables — incident windows, maintenance periods,
+    experiment cohorts — are small by nature), so the plan is a
+    broadcast nested-loop with the range predicate evaluated
+    stream-side: one corpus scan, no shuffle of the events,
+    scale-independent of the event count.
+
+    ``strategy="bucketed"``: the large×large plan. Both sides are keyed
+    to coarse time buckets of ``bucket_width`` ts-units — each event to
+    the ONE bucket containing its ts, each interval EXPLODED to every
+    bucket it overlaps — then EQUI-joined on the bucket and exact-
+    filtered on the range predicate. Each (event, interval) pair meets
+    in exactly one bucket (the event's), so no post-join dedup is
+    needed. This is the standard interval-bucketing decomposition
+    (DuckDB/Trino range-join optimizations use the same shape): one
+    hash shuffle per side, collision cost bounded by events-per-bucket
+    × intervals-overlapping-that-bucket, never |events| × |windows|.
+    ``bucket_width=None`` derives the width as the LONGEST interval
+    (one tiny aggregate over the windows side, driver-side scalar) so
+    every interval explodes to at most 2 buckets; pass it explicitly
+    when one outlier interval would make buckets too coarse — width W
+    costs each interval ceil(len/W)+1 bucket rows."""
+    if strategy == "broadcast":
+        return events.join(
+            F.broadcast(windows),
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)),
+        )
+    if strategy != "bucketed":
+        raise ValueError(f"strategy={strategy!r}: expected broadcast or bucketed")
+    if bucket_width is None:
+        row = windows.select(
+            F.max(F.col(end_col) - F.col(start_col)).alias("w")
+        ).first()
+        bucket_width = int(row["w"]) if row["w"] is not None else 1
+    bucket_width = max(int(bucket_width), 1)
+    # an empty interval (end <= start) matches nothing, and its
+    # descending sequence() would emit wrong buckets — drop it up front
+    windows = windows.filter(F.col(end_col) > F.col(start_col))
+    wb = windows.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                # end is exclusive: last covered ts is end-1
+                F.floor((F.col(end_col) - 1) / bucket_width),
+            )
+        ),
+    )
+    eb = events.withColumn("_bucket", F.floor(F.col(ts_col) / bucket_width))
+    return (
+        eb.join(wb, "_bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
     )

@@ -1558,11 +1558,7 @@ def q_events_asof_attribution(spark, sf_dir):
     )
 
 
-def q_events_range_windows(spark, sf_dir):
-    """RANGE join (functions/events.range_join): per-type event counts
-    inside the 3 busiest hours — interval table derived
-    deterministically (count desc, hour asc), broadcast, range
-    predicate evaluated stream-side."""
+def _range_windows(spark, sf_dir, strategy):
     from .functions.events import range_join
 
     ns_per_hour = 3_600_000_000_000
@@ -1579,9 +1575,69 @@ def q_events_range_windows(spark, sf_dir):
         )
     )
     return (
-        range_join(ev, windows)
+        range_join(ev, windows, strategy=strategy)
         .groupBy("start_ts", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_events_range_windows(spark, sf_dir):
+    """RANGE join (functions/events.range_join): per-type event counts
+    inside the 3 busiest hours — interval table derived
+    deterministically (count desc, hour asc), broadcast, range
+    predicate evaluated stream-side."""
+    return _range_windows(spark, sf_dir, "broadcast")
+
+
+def q_events_range_windows_bucketed(spark, sf_dir):
+    """The large×large range-join plan on the same query: both sides
+    keyed to coarse time buckets (each interval exploded to its
+    overlapping buckets, each event to its one containing bucket),
+    EQUI-joined, exact-filtered — never a broadcast nested-loop. Same
+    aggregate output as events_range_windows, so the oracle is shared;
+    bucketed ≡ broadcast is additionally pinned in pytest."""
+    return _range_windows(spark, sf_dir, "bucketed")
+
+
+def _asof_purchase_clicks(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return purchases, clicks
+
+
+ASOF_TOLERANCE_NS = 6 * 3_600_000_000_000  # 6-hour attribution window
+
+
+def q_events_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: for every purchase, the user's NEXT click at
+    ts >= purchase ts (time-to-next-action). DuckDB's ASOF is
+    backward-only, so the oracle is the arg_min/min window twin over a
+    max-deduped click side (mirroring the operator's tie-break)."""
+    from .functions.events import asof_join
+
+    purchases, clicks = _asof_purchase_clicks(spark, sf_dir)
+    return asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        value_cols=("event_id",), suffix="_click", direction="forward",
+    )
+
+
+def q_events_asof_tolerance(spark, sf_dir):
+    """Backward as-of with a 6-hour tolerance: a click farther in the
+    past than the attribution window yields NULL — the bounded
+    attribution form every events pipeline asks next."""
+    from .functions.events import asof_join
+
+    purchases, clicks = _asof_purchase_clicks(spark, sf_dir)
+    return asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        value_cols=("event_id",), suffix="_click",
+        tolerance=ASOF_TOLERANCE_NS,
     )
 
 
@@ -1792,6 +1848,111 @@ def q_f7_well_lookup(spark, sf_dir):
     return get_well(cat["wells"], "D", "7")
 
 
+_DIGEST_P = 1_000_000_007
+
+
+def _digest_gate(df: DataFrame, name: str) -> DataFrame:
+    """Collapse a gate's FULL result to one row (gate, n_rows, d1, d2):
+    two salted, order-insensitive content digests — per-row portable
+    h64 over every column rendered canonically (doubles as
+    round(v*1e6) longs, NULL as '@'), reduced mod a prime and summed.
+    DuckDB computes the identical digests over the constituent's oracle
+    SQL (oracle._digest_sql), so a digest battery is a VALUE-exact
+    check of the whole constituent output, not a row count — it exists
+    so heterogeneous-schema gate families can share one driver slot.
+    Battery ≡ constituents is additionally pinned in pytest
+    (tests/test_r04_batteries.py)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    rend = []
+    # canonical column order = sorted by name, so the Spark and DuckDB
+    # renderings never depend on SELECT order
+    for fld in sorted(df.schema.fields, key=lambda f: f.name):
+        c = F.col(fld.name)
+        if isinstance(fld.dataType, (DoubleType, FloatType)):
+            c = F.round(c * 1_000_000, 0).cast("long")
+        rend.append(F.coalesce(c.cast("string"), F.lit("@")))
+    row = F.concat_ws("|", *rend)
+    h = df.select(
+        (TX.h64(F.concat(F.lit("1:"), row)) % _DIGEST_P).alias("h1"),
+        (TX.h64(F.concat(F.lit("2:"), row)) % _DIGEST_P).alias("h2"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("h1"), F.lit(0)).cast("long").alias("d1"),
+        F.coalesce(F.sum("h2"), F.lit(0)).cast("long").alias("d2"),
+    ).select(F.lit(name).alias("gate"), "n_rows", "d1", "d2")
+
+
+# digest-battery compositions — mirrored in oracle.py (same names, same
+# column render order) and pinned battery ≡ constituents in pytest
+EVENTS_ANALYTICS_PARTS = [
+    "events_percentiles",
+    "events_user_topn",
+    "events_daily_running",
+    "events_asof_attribution",
+    "events_asof_forward",
+    "events_asof_tolerance",
+    "events_range_windows",
+    "events_range_windows_bucketed",
+    "events_count_sessions_stream",
+]
+CORPUS_SAMPLING_PARTS = [
+    "corpus_split_counts",
+    "corpus_stratified_sample",
+    "text_gopher",
+    "dedup_shingle_frac",
+    "ann_ivfpq_residual_topk",
+]
+MULTIMODAL_PARTS = [
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio",
+]
+SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min"]
+
+
+def _digest_battery(parts):
+    def runner(spark, sf_dir):
+        qs = queries()
+        out = None
+        for name in parts:
+            d = _digest_gate(qs[name](spark, sf_dir), name)
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    return runner
+
+
+def q_events_analytics_battery(spark, sf_dir):
+    """r8 battery: the r7/r8 events-analytics operators (exact
+    percentiles, windowed top-N, cumulative daily, as-of join in all
+    three directions + tolerance, broadcast AND bucketed range join,
+    count-based stateful streaming sessions) digest-folded into one
+    driver slot. See _digest_gate for the exactness argument."""
+    return _digest_battery(EVENTS_ANALYTICS_PARTS)(spark, sf_dir)
+
+
+def q_corpus_sampling_battery(spark, sf_dir):
+    """r8 battery: deterministic corpus sampling + quality/dedup
+    signals (hash split counts, stratified sample, Gopher rules,
+    duplicated-shingle fraction, residual IVFPQ) in one driver slot."""
+    return _digest_battery(CORPUS_SAMPLING_PARTS)(spark, sf_dir)
+
+
+def q_multimodal_battery(spark, sf_dir):
+    """r8 fold: the four multimodal decode gates (image features,
+    resize, video frame-sample, audio) share one digest slot — frees
+    three driver slots for the r7/r8 gates this round rotates in."""
+    return _digest_battery(MULTIMODAL_PARTS)(spark, sf_dir)
+
+
+def q_sketch_battery(spark, sf_dir):
+    """r8 fold: KMV distinct + count-min sketches in one digest slot."""
+    return _digest_battery(SKETCH_PARTS)(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the verification protocol: the driver oracle-
     checks the FIRST 50 entries only. Slots 1–18 are the gates the r3
@@ -1863,13 +2024,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        # r8: the four multimodal gates and two sketch gates fold into
+        # two digest batteries (value-exact content digests, see
+        # _digest_gate), freeing four slots; two rotate the ENTIRE
+        # r7/r8 events-analytics and corpus-sampling surfaces into the
+        # driver window, leaving two spare for r8 ingest additions
+        "multimodal_battery": q_multimodal_battery,
+        "sketch_battery": q_sketch_battery,
+        "events_analytics_battery": q_events_analytics_battery,
+        "corpus_sampling_battery": q_corpus_sampling_battery,
+        # --- slots 51+: battery constituents + pytest-proven twins ---
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio": q_multimodal_audio,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_count_min": q_sketch_count_min,
-        # --- slots 51+: battery constituents + pytest-proven twins ---
+        "events_asof_forward": q_events_asof_forward,
+        "events_asof_tolerance": q_events_asof_tolerance,
+        "events_range_windows_bucketed": q_events_range_windows_bucketed,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

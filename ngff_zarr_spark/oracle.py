@@ -1604,13 +1604,111 @@ JOIN ({sql_text_fingerprint()}) f ON f.doc_id = tc.doc_id
 JOIN ({sql_text_winnow()}) w ON w.doc_id = tc.doc_id"""
 
 
+_DIGEST_P = 1_000_000_007
+
+# Column kinds for digest batteries: "d" doubles render as
+# round(v*1e6) BIGINT, anything else CASTs to VARCHAR directly.
+# Declaration order is irrelevant — rendering sorts columns by name,
+# mirroring gate._digest_gate exactly. Parts lists below mirror
+# gate.EVENTS_ANALYTICS_PARTS etc. (equality pinned in pytest).
+_DIGEST_SPECS = {
+    "events_percentiles": {"event_type": "s", "n": "l", "p50": "d", "p90": "d", "p99": "d"},
+    "events_user_topn": {"event_type": "s", "rank": "l", "user_id": "l", "n": "l"},
+    "events_daily_running": {"event_type": "s", "day": "l", "n": "l", "running_n": "l"},
+    "events_asof_attribution": {
+        "user_id": "l", "ts": "l", "event_id": "l", "event_id_click": "l", "ts_click": "l",
+    },
+    "events_asof_forward": {
+        "user_id": "l", "ts": "l", "event_id": "l", "event_id_click": "l", "ts_click": "l",
+    },
+    "events_asof_tolerance": {
+        "user_id": "l", "ts": "l", "event_id": "l", "event_id_click": "l", "ts_click": "l",
+    },
+    "events_range_windows": {"start_ts": "l", "event_type": "s", "n": "l"},
+    "events_range_windows_bucketed": {"start_ts": "l", "event_type": "s", "n": "l"},
+    "events_count_sessions_stream": {
+        "user_id": "l", "chunk": "l", "n_events": "l", "start_ts": "l", "end_ts": "l",
+    },
+    "corpus_split_counts": {"split": "s", "lang": "s", "n_docs": "l"},
+    "corpus_stratified_sample": {"source": "s", "sample_rank": "l", "doc_id": "l"},
+    "text_gopher": {
+        "doc_id": "l", "n_words": "l", "mean_word_len": "d",
+        "n_distinct_stopwords": "l", "dup_word_frac": "d",
+        "top_bigram_frac": "d", "passes": "s",
+    },
+    "dedup_shingle_frac": {
+        "doc_id": "l", "n_shingles": "l", "n_dup_shingles": "l", "dup_frac": "d",
+    },
+    "ann_ivfpq_residual_topk": {
+        "query_id": "l", "rank": "l", "neighbor_id": "l", "score_u": "l",
+    },
+    "multimodal_features": {
+        "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
+        "n_px": "l", "px_mean": "d",
+    },
+    "multimodal_resize": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
+    "multimodal_frame_sample": {"doc_id": "l", "frame": "l", "px_sum": "l"},
+    "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sq_sum": "l"},
+    "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
+    "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
+}
+
+EVENTS_ANALYTICS_PARTS = [
+    "events_percentiles",
+    "events_user_topn",
+    "events_daily_running",
+    "events_asof_attribution",
+    "events_asof_forward",
+    "events_asof_tolerance",
+    "events_range_windows",
+    "events_range_windows_bucketed",
+    "events_count_sessions_stream",
+]
+CORPUS_SAMPLING_PARTS = [
+    "corpus_split_counts",
+    "corpus_stratified_sample",
+    "text_gopher",
+    "dedup_shingle_frac",
+    "ann_ivfpq_residual_topk",
+]
+MULTIMODAL_PARTS = [
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio",
+]
+SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min"]
+
+
+def _digest_sql(name: str, inner: str, spec: dict[str, str]) -> str:
+    """DuckDB twin of gate._digest_gate: reduce a constituent oracle's
+    full result to (gate, n_rows, d1, d2) — two salted order-
+    insensitive content digests (per-row h64 of canonically rendered
+    columns, mod a prime, summed)."""
+    rend = []
+    for c in sorted(spec):
+        expr = (
+            f"CAST(round(({c}) * 1000000, 0) AS BIGINT)" if spec[c] == "d" else c
+        )
+        rend.append(f"COALESCE(CAST({expr} AS VARCHAR), '@')")
+    row = "concat_ws('|', " + ", ".join(rend) + ")"
+    h1 = H64.format(s=f"concat('1:', {row})")
+    h2 = H64.format(s=f"concat('2:', {row})")
+    return (
+        f"SELECT '{name}' AS gate, COUNT(*) AS n_rows,\n"
+        f"  COALESCE(CAST(SUM(({h1}) % {_DIGEST_P}) AS BIGINT), 0) AS d1,\n"
+        f"  COALESCE(CAST(SUM(({h2}) % {_DIGEST_P}) AS BIGINT), 0) AS d2\n"
+        f"FROM ({inner}) _dig"
+    )
+
+
 def oracles() -> dict[str, str]:
     """All oracle SQL keyed identically to gate.queries(). Coverage is
     FULL: every registered gate — not just the first 50 — has an oracle
     entry (pinned by tests/test_r04_batteries.py::
     test_full_oracle_coverage), so the driver's weaker rows-only
     fallback is never exercised."""
-    return {
+    d = {
         "f1_level_pick": sql_f1_level_pick(),
         "f2_roi": sql_f2_roi(),
         "f3_f4_tc_select": sql_f3_f4_tc_select(),
@@ -1806,4 +1904,51 @@ r AS (
 )
 SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
 FROM r WHERE sample_rank <= 5""",
+        # FORWARD as-of: DuckDB ASOF is backward-only, so the twin is
+        # the arg_min aggregate over a max-deduped click side (same
+        # tie-break as the operator); LEFT JOIN keeps unmatched NULLs
+        "events_asof_forward": """WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_type FROM events
+),
+p AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS eid
+  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.ts, p.event_id,
+       arg_min(c.eid, c.ts) AS event_id_click,
+       MIN(c.ts) AS ts_click
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+GROUP BY 1, 2, 3""",
+        # backward as-of with a 6h attribution window (tolerance bound)
+        "events_asof_tolerance": """WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_type FROM events
+),
+p AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS eid
+  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.ts, p.event_id,
+       arg_max(c.eid, c.ts) AS event_id_click,
+       MAX(c.ts) AS ts_click
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+     AND p.ts - c.ts <= 21600000000000
+GROUP BY 1, 2, 3""",
     }
+    # the bucketed range join computes the identical aggregate
+    d["events_range_windows_bucketed"] = d["events_range_windows"]
+    # digest batteries: UNION ALL of each constituent's oracle wrapped
+    # in the digest reduction — the inner SQL IS the constituent's own
+    # oracle entry, so battery correctness derives from constituent
+    # correctness by construction
+    for bname, parts in (
+        ("events_analytics_battery", EVENTS_ANALYTICS_PARTS),
+        ("corpus_sampling_battery", CORPUS_SAMPLING_PARTS),
+        ("multimodal_battery", MULTIMODAL_PARTS),
+        ("sketch_battery", SKETCH_PARTS),
+    ):
+        d[bname] = "\nUNION ALL\n".join(
+            _digest_sql(p, d[p], _DIGEST_SPECS[p]) for p in parts
+        )
+    return d

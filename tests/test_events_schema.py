@@ -243,3 +243,40 @@ def test_range_join_broadcasts_windows(spark):
     with contextlib.redirect_stdout(buf):
         range_join(events, windows).explain("formatted")
     assert "BroadcastNestedLoopJoin" in buf.getvalue()
+
+
+def test_range_join_bucketed_matches_broadcast(spark):
+    """The large-large bucketed plan returns the same pairs as the
+    broadcast plan (each pair meets in exactly one bucket — no dups),
+    handles intervals spanning many buckets, empty intervals, and
+    auto-derived width; the plan is an EQUI-join (never a broadcast
+    nested-loop)."""
+    import contextlib
+    import io
+
+    from ngff_zarr_spark.functions.events import range_join
+
+    events = spark.createDataFrame(
+        [(i, i * 7) for i in range(60)], "event_id long, ts long"
+    )
+    windows = spark.createDataFrame(
+        [(0, 50, "a"), (45, 46, "b"), (40, 300, "c"), (100, 100, "empty"),
+         (120, 90, "inverted"), (399, 400, "edge")],
+        "start_ts long, end_ts long, tag string",
+    )
+    want = sorted(
+        (r.event_id, r.tag)
+        for r in range_join(events, windows).select("event_id", "tag").collect()
+    )
+    for width in (None, 1, 7, 64, 10_000):
+        df = range_join(events, windows, strategy="bucketed", bucket_width=width)
+        got = sorted((r.event_id, r.tag) for r in df.select("event_id", "tag").collect())
+        assert got == want, f"width={width}"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(events, windows, strategy="bucketed", bucket_width=64).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

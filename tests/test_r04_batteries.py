@@ -74,6 +74,14 @@ BATTERIES = {
     "itk_adapter_battery": ["s14_itk_adapter", "s15_itk_export"],
     "dedup_exact_battery": ["dedup_exact", "dedup_exact_stream"],
     "ingest_battery": ["s11_tiff_ingest", "s13_png_series", "s11_jpeg_ingest"],
+    # r8 digest batteries (value-exact content digests per constituent;
+    # see gate._digest_gate) — rotate the whole r7/r8 events-analytics
+    # and corpus-sampling surfaces into the driver window and fold the
+    # multimodal/sketch families to free the slots
+    "events_analytics_battery": gate.EVENTS_ANALYTICS_PARTS,
+    "corpus_sampling_battery": gate.CORPUS_SAMPLING_PARTS,
+    "multimodal_battery": gate.MULTIMODAL_PARTS,
+    "sketch_battery": gate.SKETCH_PARTS,
 }
 
 
@@ -114,6 +122,81 @@ def test_first_50_layout():
         "s11_jpeg_ingest",
     ):
         assert k in qs[50:], k
+    # r8: digest batteries hold driver slots; every constituent —
+    # including the whole r7 surface that sat past the window — is
+    # proven via its battery and stays registered past slot 50
+    for b in (
+        "events_analytics_battery",
+        "corpus_sampling_battery",
+        "multimodal_battery",
+        "sketch_battery",
+    ):
+        assert b in first50, b
+    # every constituent stays registered (past the window, or filling a
+    # spare window slot until an r8 ingest gate claims it — direct
+    # grading of a constituent is never a problem)
+    for k in (
+        gate.EVENTS_ANALYTICS_PARTS
+        + gate.CORPUS_SAMPLING_PARTS
+        + gate.MULTIMODAL_PARTS
+        + gate.SKETCH_PARTS
+    ):
+        assert k in qs, k
+
+
+def test_digest_parts_lists_mirror_oracle():
+    """gate.py and oracle.py declare the battery compositions
+    independently (no cross-import) — pin them equal, and pin that
+    every digest constituent has a render spec."""
+    assert gate.EVENTS_ANALYTICS_PARTS == oracle.EVENTS_ANALYTICS_PARTS
+    assert gate.CORPUS_SAMPLING_PARTS == oracle.CORPUS_SAMPLING_PARTS
+    assert gate.MULTIMODAL_PARTS == oracle.MULTIMODAL_PARTS
+    assert gate.SKETCH_PARTS == oracle.SKETCH_PARTS
+    for p in (
+        gate.EVENTS_ANALYTICS_PARTS
+        + gate.CORPUS_SAMPLING_PARTS
+        + gate.MULTIMODAL_PARTS
+        + gate.SKETCH_PARTS
+    ):
+        assert p in oracle._DIGEST_SPECS, p
+
+
+def test_digest_specs_match_gate_schemas(spark, sf_dir):
+    """Every digest constituent's Spark schema agrees with the oracle
+    render spec: same column set, and exactly the columns marked 'd'
+    are float/double (a drifted column type would silently change the
+    rendering and mismatch the DuckDB digest). The streaming
+    constituent is skipped (building it runs the stream); its spec is
+    covered by the battery oracle run."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    qs = gate.queries()
+    for p, spec in oracle._DIGEST_SPECS.items():
+        if p == "events_count_sessions_stream":
+            continue
+        df = qs[p](spark, sf_dir)
+        assert set(df.columns) == set(spec), p
+        for fld in df.schema.fields:
+            is_float = isinstance(fld.dataType, (DoubleType, FloatType))
+            assert (spec[fld.name] == "d") == is_float, f"{p}.{fld.name}"
+
+
+def test_digest_battery_equals_constituent_digests(spark, sf_dir):
+    """A digest battery row is exactly _digest_gate applied to the
+    constituent's own gate output (checked on the two cheap batteries;
+    the battery runner literally maps _digest_gate over the same
+    constituent callables, so this pins the union plumbing + naming)."""
+    qs = gate.queries()
+    for battery, parts in (
+        ("sketch_battery", gate.SKETCH_PARTS),
+        ("corpus_sampling_battery", gate.CORPUS_SAMPLING_PARTS),
+    ):
+        got = {tuple(r) for r in qs[battery](spark, sf_dir).collect()}
+        want = {
+            tuple(gate._digest_gate(qs[p](spark, sf_dir), p).collect()[0])
+            for p in parts
+        }
+        assert got == want, battery
 
 
 def test_full_oracle_coverage():
