@@ -499,6 +499,7 @@ NIFTI_SHAPE = (13, 11, 7)   # (nx, ny, nz)
 TIFF_SHAPE = (33, 29)       # (h, w) = (y, x)
 SERIES_SHAPE = (5, 17, 19)  # (nz, h, w)
 JPEG_BLOCKS = (6, 7)        # (8x8 block grid rows, cols) -> 48x56 px
+DICOM_SHAPE = (4, 13, 11)   # (nz, h, w)
 
 
 def q_s16_nifti_ingest(spark, sf_dir):
@@ -577,14 +578,58 @@ def q_s11_jpeg_ingest(spark, sf_dir):
     return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
 
 
+def q_s11_dicom_ingest(spark, sf_dir):
+    """S11/S13 (DICOM): a 4-slice secondary-capture series through the
+    native PS3.10 parser (ingest/dicom.py; reference routes .dcm via
+    itk-wasm, cli_input_to_ngff_image.py:49-61). Filenames sort in
+    REVERSE of InstanceNumber, so a filename-ordered stack would be
+    upside-down — the gate proves z comes from the header instance
+    order. Pixels follow a deterministic formula the oracle recomputes
+    with pure SQL range()."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.dicom import dicom_write
+
+    nz, h, w = DICOM_SHAPE
+    d = _tmp_store("dicom_series")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for z in range(nz):
+        yi, xi = np.indices((h, w))
+        arr = ((z * 73 + yi * 179 + xi * 283) % 251).astype("uint16")
+        # filename order is the REVERSE of instance order
+        p = os.path.join(d, f"im_{nz - z:02d}.dcm")
+        with open(p, "wb") as f:
+            f.write(
+                dicom_write(
+                    arr, spacing=(2.0, 1.5), slice_thickness=2.5,
+                    instance=z + 1, position=(0.0, 0.0, z * 2.5),
+                )
+            )
+        paths.append(p)
+    paths.sort()
+    backend = detect_cli_io_backend(paths)
+    assert backend == ConversionBackend.ITK  # multi-file .dcm route
+    img = cli_input_to_ngff_image(spark, backend, paths)
+    assert img.dtype == "uint16"
+    assert img.scale == {"z": 2.5, "y": 2.0, "x": 1.5}
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
 def q_ingest_battery(spark, sf_dir):
     """S11/S12/S13 in one driver slot: single-file TIFF, PNG z-series
-    glob, and baseline JPEG — each routed through backend
-    auto-detection — tagged by format."""
+    glob, baseline JPEG, and DICOM series (r8) — each routed through
+    backend auto-detection — tagged by format."""
     t = q_s11_tiff_ingest(spark, sf_dir).withColumn("fmt", F.lit("tiff"))
     p = q_s13_png_series(spark, sf_dir).withColumn("fmt", F.lit("png_series"))
     j = q_s11_jpeg_ingest(spark, sf_dir).withColumn("fmt", F.lit("jpeg"))
-    return t.unionByName(p).unionByName(j)
+    dcm = q_s11_dicom_ingest(spark, sf_dir).withColumn("fmt", F.lit("dicom"))
+    return t.unionByName(p).unionByName(j).unionByName(dcm)
 
 
 def q_s13_png_series(spark, sf_dir):
@@ -2043,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": q_events_asof_forward,
         "events_asof_tolerance": q_events_asof_tolerance,
         "events_range_windows_bucketed": q_events_range_windows_bucketed,
+        "s11_dicom_ingest": q_s11_dicom_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

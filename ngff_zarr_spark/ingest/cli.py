@@ -67,6 +67,14 @@ def cli_input_to_ngff_image(
         except ImportError:
             pass
         suffix = input[0].lower()
+        if suffix.endswith(".dcm"):
+            if len(input) > 1:
+                from .dicom import dicom_series_to_ngff_image
+
+                return dicom_series_to_ngff_image(spark, input)
+            from .dicom import dicom_to_ngff_image
+
+            return dicom_to_ngff_image(spark, input[0])
         if suffix.endswith((".nii", ".nii.gz")):
             from .nifti import nifti_to_ngff_image
 

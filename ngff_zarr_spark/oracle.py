@@ -396,11 +396,27 @@ def sql_s11_jpeg_ingest():
 FROM range({h * w}) r(i)"""
 
 
+def sql_s11_dicom_ingest():
+    # the series gate writes instance k at z=k-1 with a coordinate
+    # formula; header-ordered stacking makes z == instance-1 regardless
+    # of the (reversed) filename order, so the oracle is the formula
+    from .gate import DICOM_SHAPE
+
+    nz, h, w = DICOM_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(i // {h * w} AS BIGINT) AS z,
+       CAST((i // {w}) % {h} AS BIGINT) AS y,
+       CAST(i % {w} AS BIGINT) AS x,
+       CAST(((i // {h * w}) * 73 + ((i // {w}) % {h}) * 179 + (i % {w}) * 283) % 251 AS BIGINT) AS v
+FROM range({nz * h * w}) r(i)"""
+
+
 def sql_ingest_battery():
     return (
         f"SELECT 'tiff' AS fmt, * FROM ({sql_s11_tiff_ingest()})\n"
         f"UNION ALL\nSELECT 'png_series' AS fmt, * FROM ({sql_s13_png_series()})\n"
-        f"UNION ALL\nSELECT 'jpeg' AS fmt, * FROM ({sql_s11_jpeg_ingest()})"
+        f"UNION ALL\nSELECT 'jpeg' AS fmt, * FROM ({sql_s11_jpeg_ingest()})\n"
+        f"UNION ALL\nSELECT 'dicom' AS fmt, * FROM ({sql_s11_dicom_ingest()})"
     )
 
 
@@ -1746,6 +1762,7 @@ def oracles() -> dict[str, str]:
         "s11_tiff_ingest": sql_s11_tiff_ingest(),
         "s13_png_series": sql_s13_png_series(),
         "s11_jpeg_ingest": sql_s11_jpeg_ingest(),
+        "s11_dicom_ingest": sql_s11_dicom_ingest(),
         "ingest_battery": sql_ingest_battery(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),

@@ -73,7 +73,12 @@ BATTERIES = {
     # single-raster ingest routes (incl. the native baseline-JPEG path)
     "itk_adapter_battery": ["s14_itk_adapter", "s15_itk_export"],
     "dedup_exact_battery": ["dedup_exact", "dedup_exact_stream"],
-    "ingest_battery": ["s11_tiff_ingest", "s13_png_series", "s11_jpeg_ingest"],
+    "ingest_battery": [
+        "s11_tiff_ingest",
+        "s13_png_series",
+        "s11_jpeg_ingest",
+        "s11_dicom_ingest",
+    ],
     # r8 digest batteries (value-exact content digests per constituent;
     # see gate._digest_gate) — rotate the whole r7/r8 events-analytics
     # and corpus-sampling surfaces into the driver window and fold the
