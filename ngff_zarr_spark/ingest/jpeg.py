@@ -6,13 +6,19 @@ same pattern as the PNG/TIFF codecs in this package.
 
 Scope (public ITU-T T.81 spec):
 
-- decode: baseline DCT (SOF0), Huffman entropy coding, 8-bit samples,
-  1 component (grayscale) or 3 components (JFIF YCbCr) with sampling
-  factors 1-2 per axis (covers 4:4:4, 4:2:2, 4:2:0), restart markers,
-  multiple DQT/DHT segments, APPn/COM skip.
+- decode: baseline DCT (SOF0/1) AND progressive DCT (SOF2, r8 —
+  spectral selection + successive approximation per Annex G), Huffman
+  entropy coding, 8-bit samples, 1 component (grayscale) or 3
+  components (JFIF YCbCr) with sampling factors 1-2 per axis (covers
+  4:4:4, 4:2:2, 4:2:0), restart markers, multiple DQT/DHT segments,
+  APPn/COM skip.
 - encode: same subset (graysale or RGB 4:4:4 / 4:2:0) with the Annex K
   example quantization + Huffman tables — enough to generate test
-  fixtures and to round-trip the ingest path without a library.
+  fixtures and to round-trip the ingest path without a library;
+  ``jpeg_encode_progressive`` emits a libjpeg-style multi-scan SOF2
+  stream carrying the identical quantized coefficients, which is how
+  the progressive decoder is pinned bit-exact against the baseline
+  path.
 
 Determinism contract (both directions, so tests and the driver gate are
 bit-stable across platforms):
@@ -468,9 +474,10 @@ def jpeg_encode(
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w) uint8 grayscale or (h, w, 3)
-    uint8 RGB. Raises ValueError for progressive/arithmetic/12-bit
-    streams (outside the baseline subset)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to (h, w)
+    uint8 grayscale or (h, w, 3) uint8 RGB. Raises ValueError for
+    lossless/arithmetic/hierarchical/12-bit streams (outside the DCT
+    subset)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -528,8 +535,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, qt = seg[6 + 3 * i: 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, qt))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xC2:  # SOF2: progressive DCT — dedicated parser
+            return _decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG are supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -606,6 +617,12 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
                         planes[cid][y0: y0 + 8, x0: x0 + 8] = block
             mcu_count += 1
 
+    return _planes_to_image(comps, planes, fh, fw, hmax, vmax)
+
+
+def _planes_to_image(comps, planes, fh, fw, hmax, vmax) -> np.ndarray:
+    """Shared decoder tail: crop/upsample component planes to frame
+    resolution, round, and color-convert."""
     out_planes = []
     for cid, ch, cv, qt in comps:
         p = planes[cid]
@@ -622,3 +639,556 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
     if len(comps) == 3:
         return _ycbcr_to_rgb(samples)
     raise ValueError(f"unsupported JPEG component count {len(comps)}")
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2) — T.81 Annex G.1/G.2: spectral selection +
+# successive approximation. The decoder accumulates quantized
+# coefficients across scans (DC first/refine interleaved; AC scans are
+# per-component, EOB-run coded) and runs dequant+IDCT once at EOI. The
+# encoder exists so tests can roundtrip the SAME quantized coefficients
+# through a multi-scan stream and pin progressive-decode ==
+# baseline-decode bit-for-bit. Reference parity: the reference converts
+# progressive files via imageio/itk (cli_input_to_ngff_image.py:63-73);
+# this is the bare-environment native path.
+
+# flat canonical tables covering every progressive symbol: DC sizes
+# 0..11 at 4 bits (all-ones code unused), AC (run, size) for size 0..10
+# incl. EOBn (size 0, run<15) and ZRL at 8 bits (176 of 256 codes)
+_DC_PROG = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _noninterleaved_dims(fh, fw, ch, cv, hmax, vmax):
+    """Block grid of a SINGLE-component (non-interleaved) scan: the
+    component's own sample extent, NOT the MCU-padded grid (G.1 — the
+    padded dummy blocks exist only in interleaved scans)."""
+    cw = -(-fw * ch // hmax)
+    chh = -(-fh * cv // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _scan_order(scan_cids, by_id, mcus_y, mcus_x, fh, fw, hmax, vmax):
+    """Yield (cid, by, bx) in T.81 data-unit order: component raster
+    for a 1-component scan, MCU-interleaved otherwise."""
+    if len(scan_cids) == 1:
+        cid = scan_cids[0]
+        ch, cv = by_id[cid][0], by_id[cid][1]
+        bh, bw = _noninterleaved_dims(fh, fw, ch, cv, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                yield cid, by, bx
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in scan_cids:
+                    ch, cv = by_id[cid][0], by_id[cid][1]
+                    for v_ in range(cv):
+                        for h_ in range(ch):
+                            yield cid, my * cv + v_, mx * ch + h_
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray,
+    luma_quant: np.ndarray | None = None,
+    chroma_quant: np.ndarray | None = None,
+    subsample: bool = True,
+) -> bytes:
+    """Encode as a progressive (SOF2) JPEG with a libjpeg-style scan
+    script exercising both spectral selection and successive
+    approximation: DC at Al=1 then refined; AC bands 1-5 and 6-63 at
+    Al=2, refined to 1, then 0. The quantized coefficients are
+    IDENTICAL to :func:`jpeg_encode`'s, so decoding both streams yields
+    bit-identical pixels."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"jpeg_encode_progressive needs uint8, got {arr.dtype}")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"unsupported JPEG array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    lq = STD_LUMA_QUANT if luma_quant is None else np.asarray(luma_quant, dtype=np.int64)
+    cq = (
+        STD_CHROMA_QUANT if chroma_quant is None else np.asarray(chroma_quant, dtype=np.int64)
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def _dqt(tid, table):
+        zz = bytes(int(table[_ZZ_ROWS[i], _ZZ_COLS[i]]) for i in range(64))
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+
+    out += _dqt(0, lq)
+    if not gray:
+        out += _dqt(1, cq)
+
+    hs = 2 if (not gray and subsample) else 1
+    comps = (
+        [(1, 1, 1, 0)]
+        if gray
+        else [(1, hs, hs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    )
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, qt in comps:
+        sof += bytes([cid, (ch << 4) | cv, qt])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def _dht(cls, tid, spec):
+        bits, values = spec
+        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += _dht(0, 0, _DC_PROG) + _dht(1, 0, _AC_PROG)
+
+    # component planes + MCU alignment: identical to jpeg_encode
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0].astype(np.float64)]
+        for ci in (1, 2):
+            p = ycc[..., ci].astype(np.float64)
+            if hs == 2:
+                pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                p = _round_half_up(
+                    (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+                ).astype(np.float64)
+            planes.append(p)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    for ci, (_cid, ch, cv, _qt) in enumerate(comps):
+        ph, pw = mcus_y * cv * 8, mcus_x * ch * 8
+        p = planes[ci]
+        if p.shape != (ph, pw):
+            planes[ci] = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+
+    by_id = {cid: (ch, cv, qt) for cid, ch, cv, qt in comps}
+    coefs: dict[int, np.ndarray] = {}
+    for ci, (cid, ch, cv, qt) in enumerate(comps):
+        q = lq if qt == 0 else cq
+        nby, nbx = mcus_y * cv, mcus_x * ch
+        c = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = planes[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
+                cf = _quantize(_fdct(blk - 128.0), q)
+                c[by, bx] = cf[_ZZ_ROWS, _ZZ_COLS]
+        coefs[cid] = c
+
+    dc_codes = _build_codes(*_DC_PROG)
+    ac_codes = _build_codes(*_AC_PROG)
+    all_cids = [c[0] for c in comps]
+
+    def _sos(scan_cids, ss, se, ah, al):
+        hdr = bytes([len(scan_cids)])
+        for cid in scan_cids:
+            hdr += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    def emit_dc_first(scan_cids, al):
+        nonlocal out
+        out += _sos(scan_cids, 0, 0, 0, al)
+        wtr = _BitWriter()
+        pred = {cid: 0 for cid in scan_cids}
+        for cid, by, bx in _scan_order(scan_cids, by_id, mcus_y, mcus_x, h, w, hmax, vmax):
+            val = int(coefs[cid][by, bx, 0]) >> al
+            diff = val - pred[cid]
+            pred[cid] = val
+            t, bits = _magnitude(diff)
+            code, length = dc_codes[t]
+            wtr.write(code, length)
+            if t:
+                wtr.write(bits, t)
+        wtr.flush()
+        out += wtr.out
+
+    def emit_dc_refine(scan_cids, al):
+        nonlocal out
+        out += _sos(scan_cids, 0, 0, al + 1, al)
+        wtr = _BitWriter()
+        for cid, by, bx in _scan_order(scan_cids, by_id, mcus_y, mcus_x, h, w, hmax, vmax):
+            wtr.write((int(coefs[cid][by, bx, 0]) >> al) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+
+    def emit_ac_first(cid, ss, se, al):
+        nonlocal out
+        out += _sos([cid], ss, se, 0, al)
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_codes[nbits << 4]
+                wtr.write(code, length)
+                if nbits:
+                    wtr.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for _cid, by, bx in _scan_order([cid], by_id, mcus_y, mcus_x, h, w, hmax, vmax):
+            band = coefs[cid][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(band[k])
+                av = abs(v) >> al
+                if av == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    wtr.write(code, length)
+                    r -= 16
+                t, bits = _magnitude(av if v >= 0 else -av)
+                code, length = ac_codes[(r << 4) | t]
+                wtr.write(code, length)
+                wtr.write(bits, t)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wtr.flush()
+        out += wtr.out
+
+    def emit_ac_refine(cid, ss, se, al):
+        nonlocal out
+        out += _sos([cid], ss, se, al + 1, al)
+        wtr = _BitWriter()
+        eobrun = 0
+        buffered: list[int] = []  # correction bits pending the next symbol
+
+        def flush_eob():
+            nonlocal eobrun, buffered
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_codes[nbits << 4]
+                wtr.write(code, length)
+                if nbits:
+                    wtr.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            for b in buffered:
+                wtr.write(b, 1)
+            buffered = []
+
+        for _cid, by, bx in _scan_order([cid], by_id, mcus_y, mcus_x, h, w, hmax, vmax):
+            band = coefs[cid][by, bx]
+            absv = [abs(int(band[k])) >> al for k in range(ss, se + 1)]
+            eob = -1  # index (into band coords) of last NEWLY nonzero coef
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = ss + i
+            r = 0
+            block_bits: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eob()
+                    code, length = ac_codes[0xF0]
+                    wtr.write(code, length)
+                    r -= 16
+                    for b in block_bits:
+                        wtr.write(b, 1)
+                    block_bits = []
+                if t > 1:
+                    block_bits.append(t & 1)
+                    continue
+                flush_eob()
+                code, length = ac_codes[(r << 4) | 1]
+                wtr.write(code, length)
+                wtr.write(1 if int(band[k]) >= 0 else 0, 1)
+                for b in block_bits:
+                    wtr.write(b, 1)
+                block_bits = []
+                r = 0
+            if r > 0 or block_bits:
+                eobrun += 1
+                buffered.extend(block_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wtr.flush()
+        out += wtr.out
+
+    # libjpeg-style script: DC at Al=1, AC bands at Al=2, then refine
+    emit_dc_first(all_cids, 1)
+    for cid in all_cids:
+        emit_ac_first(cid, 1, 5, 2)
+        emit_ac_first(cid, 6, 63, 2)
+    emit_dc_refine(all_cids, 0)
+    for cid in all_cids:
+        emit_ac_refine(cid, 1, 5, 1)
+        emit_ac_refine(cid, 6, 63, 1)
+    for cid in all_cids:
+        emit_ac_refine(cid, 1, 5, 0)
+        emit_ac_refine(cid, 6, 63, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Full progressive parse: walk every marker, decode each SOS into
+    the per-component coefficient store, dequant+IDCT at EOI."""
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None
+    coefs: dict[int, np.ndarray] = {}
+    dc_pred_bits: dict[int, int] = {}
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos: pos + 2])[0]
+        seg = data[pos + 2: pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                prec = seg[p] >> 4
+                tid = seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if prec else 1)
+                vals = (
+                    np.frombuffer(seg[p: p + n], dtype=">u2").astype(np.int64)
+                    if prec
+                    else np.frombuffer(seg[p: p + 64], dtype=np.uint8).astype(np.int64)
+                )
+                q = np.zeros((8, 8), dtype=np.int64)
+                q[_ZZ_ROWS, _ZZ_COLS] = vals
+                quant[tid] = q
+                p += n
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls = seg[p] >> 4
+                tid = seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p: p + 16])
+                p += 16
+                nv = sum(bits)
+                values = list(seg[p: p + nv])
+                p += nv
+                (huff_ac if cls else huff_dc)[tid] = _HuffDecoder(bits, values)
+        elif marker == 0xC2:
+            precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG sample precision {precision}")
+            comps = []
+            for i in range(nc):
+                cid, hv, qt = seg[6 + 3 * i: 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, qt))
+            frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+            for cid, ch, cv, qt in comps:
+                coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                tabs = seg[2 + 2 * i]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos += seglen
+            pos = _decode_prog_scan(
+                data, pos, frame, scan, ss, se, ah, al,
+                coefs, huff_dc, huff_ac, restart_interval,
+            )
+            continue
+        pos += seglen
+
+    if frame is None:
+        raise ValueError("progressive stream has no SOF2 frame")
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, ch, cv, qt in comps:
+        q = quant[qt]
+        cgrid = coefs[cid]
+        nby, nbx = cgrid.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = np.zeros((8, 8), dtype=np.float64)
+                coef[_ZZ_ROWS, _ZZ_COLS] = cgrid[by, bx] * q[_ZZ_ROWS, _ZZ_COLS]
+                plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = _idct(coef) + 128.0
+        planes[cid] = plane
+    return _planes_to_image(comps, planes, fh, fw, hmax, vmax)
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, ss, se, ah, al, coefs, huff_dc, huff_ac, restart_interval
+):
+    """One progressive SOS: DC first/refine (interleaved allowed) or AC
+    first/refine (single component, EOB-run coded, G.1.2.2-3 /
+    G.2). Mutates ``coefs``; returns the offset of the next marker."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    by_id = {cid: (ch, cv, qt) for cid, ch, cv, qt in comps}
+    scan_cids = [c[0] for c in scan]
+    tabs = {cid: (dc_t, ac_t) for cid, dc_t, ac_t in scan}
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands (Ss=0, Se!=0)")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must have exactly one component")
+
+    reader = _BitReader(data, pos)
+    order = list(_scan_order(scan_cids, by_id, mcus_y, mcus_x, fh, fw, hmax, vmax))
+    # restart intervals count MCUs; for a non-interleaved scan the MCU
+    # is one block, and _scan_order yields exactly one tuple per MCU in
+    # the interleaved case only when grouped — recover MCU boundaries
+    # by counting blocks per MCU
+    blocks_per_mcu = 1
+    if len(scan_cids) > 1:
+        blocks_per_mcu = sum(
+            by_id[cid][0] * by_id[cid][1] for cid in scan_cids
+        )
+
+    pred = {cid: 0 for cid in scan_cids}
+    eobrun = 0
+    p1 = 1 << al
+
+    def maybe_restart(block_i):
+        nonlocal eobrun
+        if not restart_interval:
+            return
+        mcu_i = block_i // blocks_per_mcu
+        if block_i % blocks_per_mcu == 0 and mcu_i and mcu_i % restart_interval == 0:
+            m = reader.align_to_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(f"expected RST marker, got {m:#x}")
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if is_dc and ah == 0:
+        for i, (cid, by, bx) in enumerate(order):
+            maybe_restart(i)
+            t = huff_dc[tabs[cid][0]].decode(reader)
+            diff = _extend(reader.receive(t), t)
+            pred[cid] += diff
+            coefs[cid][by, bx, 0] = pred[cid] << al
+    elif is_dc:
+        for i, (cid, by, bx) in enumerate(order):
+            maybe_restart(i)
+            if reader.read_bit():
+                coefs[cid][by, bx, 0] |= p1
+    elif ah == 0:
+        cid = scan_cids[0]
+        ac = huff_ac[tabs[cid][1]]
+        for i, (_cid, by, bx) in enumerate(order):
+            maybe_restart(i)
+            band = coefs[cid][by, bx]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = ac.decode(reader)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                band[k] = _extend(reader.receive(s), s) << al
+                k += 1
+    else:
+        cid = scan_cids[0]
+        ac = huff_ac[tabs[cid][1]]
+        m1 = -p1
+        for i, (_cid, by, bx) in enumerate(order):
+            maybe_restart(i)
+            band = coefs[cid][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = ac.decode(reader)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # r == 15 (ZRL): skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refinement size must be 1")
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        c = int(band[k])
+                        if c != 0:
+                            if reader.read_bit():
+                                if (c & p1) == 0:
+                                    band[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if newval:
+                                    band[k] = newval
+                                break
+                            r -= 1
+                        k += 1
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = int(band[k])
+                    if c != 0:
+                        if reader.read_bit():
+                            if (c & p1) == 0:
+                                band[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+    # advance to the next marker after the entropy segment
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,):
+            return p
+        p += 1
+    return len(data)

@@ -88,6 +88,52 @@ def test_rgb_subsampled_non_mcu_aligned(shape):
     assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 60
 
 
+def test_progressive_equals_baseline_gray():
+    """jpeg_encode_progressive carries the SAME quantized coefficients
+    as jpeg_encode through a multi-scan SOF2 stream (spectral selection
+    + successive approximation, EOB runs) — decoding both must be
+    bit-identical."""
+    from ngff_zarr_spark.ingest.jpeg import jpeg_encode_progressive
+
+    for shape in [(16, 16), (37, 41), (8, 8), (1, 1)]:
+        img = _gradient(*shape)
+        base = jpeg_decode(jpeg_encode(img))
+        prog = jpeg_decode(jpeg_encode_progressive(img))
+        np.testing.assert_array_equal(prog, base)
+
+
+@pytest.mark.parametrize("subsample", [True, False])
+def test_progressive_equals_baseline_rgb(subsample):
+    from ngff_zarr_spark.ingest.jpeg import jpeg_encode_progressive
+
+    yy, xx = np.indices((24, 17))
+    rgb = np.stack(
+        [
+            ((yy * 7 + xx * 3) % 256).astype(np.uint8),
+            ((yy * 2 + 100) % 256).astype(np.uint8),
+            ((xx * 5 + 50) % 256).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    base = jpeg_decode(jpeg_encode(rgb, subsample=subsample))
+    prog = jpeg_decode(jpeg_encode_progressive(rgb, subsample=subsample))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_sparse_and_flat_blocks():
+    """Flat regions drive long EOB runs (incl. multi-block runs with
+    buffered correction bits in refinement scans); a lone bright pixel
+    drives high-frequency coefficients through every band."""
+    from ngff_zarr_spark.ingest.jpeg import jpeg_encode_progressive
+
+    img = np.full((48, 40), 128, np.uint8)
+    img[5, 7] = 255
+    img[30:38, 20:28] = 10
+    base = jpeg_decode(jpeg_encode(img))
+    prog = jpeg_decode(jpeg_encode_progressive(img))
+    np.testing.assert_array_equal(prog, base)
+
+
 def test_rgb_std_tables_bounded():
     """Standard Annex K tables on smooth colored content: error bounded
     by the (large) chroma DC quantization step, not exactness."""
@@ -100,14 +146,20 @@ def test_rgb_std_tables_bounded():
     assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 40
 
 
-def test_decode_rejects_non_jpeg_and_progressive():
+def test_decode_rejects_non_jpeg_and_malformed():
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"\x89PNG\r\n\x1a\nnope")
-    # flip the crafted stream's SOF0 marker to SOF2 (progressive)
+    # a baseline stream whose SOF0 marker is flipped to SOF2 routes to
+    # the progressive parser (r8), which rejects the baseline scan
+    # header as a malformed progressive scan (Ss=0, Se=63 mixes bands)
     data = bytearray(jpeg_encode(_gradient(16, 16)))
     idx = bytes(data).find(b"\xff\xc0")
     data[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        jpeg_decode(bytes(data))
+    # lossless (SOF3) stays out of scope
+    data[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF0/1.*SOF2|progressive"):
         jpeg_decode(bytes(data))
 
 
