@@ -500,6 +500,7 @@ TIFF_SHAPE = (33, 29)       # (h, w) = (y, x)
 SERIES_SHAPE = (5, 17, 19)  # (nz, h, w)
 JPEG_BLOCKS = (6, 7)        # (8x8 block grid rows, cols) -> 48x56 px
 DICOM_SHAPE = (4, 13, 11)   # (nz, h, w)
+GIF_SHAPE = (3, 15, 21)     # (n_frames, h, w)
 
 
 def q_s16_nifti_ingest(spark, sf_dir):
@@ -621,6 +622,31 @@ def q_s11_dicom_ingest(spark, sf_dir):
     return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
 
 
+def q_s11_gif_ingest(spark, sf_dir):
+    """S11 (imageio backend stand-in): animated-GIF ingest through
+    backend detection (S12; .gif is in no itk/tifffile table, so it
+    takes the reference's imageio fallback route,
+    detect_cli_io_backend.py:124-128) → cli → the native LZW decoder
+    (ingest/gif.py). GIF is lossless-paletted, so the deterministic
+    frame formula round-trips exactly; frames land on the t axis."""
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.gif import gif_encode
+
+    nt, h, w = GIF_SHAPE
+    path = _tmp_store("ingest.gif")
+    ti, yi, xi = np.indices((nt, h, w))
+    arr = ((ti * 73 + yi * 179 + xi * 283) % 251).astype("uint8")
+    with open(path, "wb") as f:
+        f.write(gif_encode(arr))
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.IMAGEIO
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    assert img.dtype == "uint8" and img.dims == ["t", "y", "x"]
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
 def q_ingest_battery(spark, sf_dir):
     """S11/S12/S13 in one driver slot: single-file TIFF, PNG z-series
     glob, baseline JPEG, and DICOM series (r8) — each routed through
@@ -629,7 +655,8 @@ def q_ingest_battery(spark, sf_dir):
     p = q_s13_png_series(spark, sf_dir).withColumn("fmt", F.lit("png_series"))
     j = q_s11_jpeg_ingest(spark, sf_dir).withColumn("fmt", F.lit("jpeg"))
     dcm = q_s11_dicom_ingest(spark, sf_dir).withColumn("fmt", F.lit("dicom"))
-    return t.unionByName(p).unionByName(j).unionByName(dcm)
+    g = q_s11_gif_ingest(spark, sf_dir).withColumn("fmt", F.lit("gif"))
+    return t.unionByName(p).unionByName(j).unionByName(dcm).unionByName(g)
 
 
 def q_s13_png_series(spark, sf_dir):
@@ -2089,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_tolerance": q_events_asof_tolerance,
         "events_range_windows_bucketed": q_events_range_windows_bucketed,
         "s11_dicom_ingest": q_s11_dicom_ingest,
+        "s11_gif_ingest": q_s11_gif_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

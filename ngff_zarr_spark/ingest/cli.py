@@ -120,11 +120,22 @@ def _decode_2d_to_ngff_image(spark, path: str):
         from .bmp import bmp_decode
 
         arr = bmp_decode(data)
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_decode
+
+        arr = gif_decode(data)
     else:
         from .png import png_decode
 
         arr = png_decode(data)
-    dims = ["y", "x"] if arr.ndim == 2 else ["y", "x", "c"]
+    if arr.ndim == 2:
+        dims = ["y", "x"]
+    elif arr.ndim == 3 and arr.shape[-1] == 3:
+        dims = ["y", "x", "c"]
+    elif arr.ndim == 3:
+        dims = ["t", "y", "x"]  # animated GIF frame stack
+    else:
+        dims = ["t", "y", "x", "c"]
     df = array_to_pixel_df(spark, arr, dims)
     img = to_ngff_image(
         df, dims=dims, shape={d: int(s) for d, s in zip(dims, arr.shape)}

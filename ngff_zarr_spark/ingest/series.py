@@ -34,6 +34,18 @@ def _default_decode(path: str, content: bytes) -> np.ndarray:
         return png_decode(content)
     if content[:2] in (b"II", b"MM"):
         return tiff_decode(content)
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(content)
+    if content[:2] == b"BM":
+        from .bmp import bmp_decode
+
+        return bmp_decode(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_decode
+
+        return gif_decode(content)
     raise ValueError(f"unrecognized image format for {path}")
 
 

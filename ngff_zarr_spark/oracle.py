@@ -411,12 +411,27 @@ def sql_s11_dicom_ingest():
 FROM range({nz * h * w}) r(i)"""
 
 
+def sql_s11_gif_ingest():
+    # GIF is lossless-paletted, so the animated fixture's frame formula
+    # round-trips exactly; frames land on the t axis (gate.q_s11_gif_ingest)
+    from .gate import GIF_SHAPE
+
+    nt, h, w = GIF_SHAPE
+    return f"""SELECT CAST(i // {h * w} AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(0 AS BIGINT) AS z,
+       CAST((i // {w}) % {h} AS BIGINT) AS y,
+       CAST(i % {w} AS BIGINT) AS x,
+       CAST(((i // {h * w}) * 73 + ((i // {w}) % {h}) * 179 + (i % {w}) * 283) % 251 AS BIGINT) AS v
+FROM range({nt * h * w}) r(i)"""
+
+
 def sql_ingest_battery():
     return (
         f"SELECT 'tiff' AS fmt, * FROM ({sql_s11_tiff_ingest()})\n"
         f"UNION ALL\nSELECT 'png_series' AS fmt, * FROM ({sql_s13_png_series()})\n"
         f"UNION ALL\nSELECT 'jpeg' AS fmt, * FROM ({sql_s11_jpeg_ingest()})\n"
-        f"UNION ALL\nSELECT 'dicom' AS fmt, * FROM ({sql_s11_dicom_ingest()})"
+        f"UNION ALL\nSELECT 'dicom' AS fmt, * FROM ({sql_s11_dicom_ingest()})\n"
+        f"UNION ALL\nSELECT 'gif' AS fmt, * FROM ({sql_s11_gif_ingest()})"
     )
 
 
@@ -1763,6 +1778,7 @@ def oracles() -> dict[str, str]:
         "s13_png_series": sql_s13_png_series(),
         "s11_jpeg_ingest": sql_s11_jpeg_ingest(),
         "s11_dicom_ingest": sql_s11_dicom_ingest(),
+        "s11_gif_ingest": sql_s11_gif_ingest(),
         "ingest_battery": sql_ingest_battery(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),

@@ -78,6 +78,7 @@ BATTERIES = {
         "s13_png_series",
         "s11_jpeg_ingest",
         "s11_dicom_ingest",
+        "s11_gif_ingest",
     ],
     # r8 digest batteries (value-exact content digests per constituent;
     # see gate._digest_gate) — rotate the whole r7/r8 events-analytics
