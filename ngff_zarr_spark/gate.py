@@ -808,6 +808,58 @@ def q_dedup_shingle_frac(spark, sf_dir):
     return D.dup_shingle_frac(_docs(spark, sf_dir))
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the corpus
+    itself is digit-free word soup): email for doc_id%5==0, phone for
+    %7, IPv4 for %11, SSN for %13 — mirrored verbatim in the oracle so
+    BOTH regex engines (Java, RE2) scan identical text independently."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    inject = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.concat(F.lit(" contact user"), s(did), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit(" call 555-"), s(did % 900 + 100), F.lit("-"), s(did % 9000 + 1000))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(F.lit(" host 10."), s(did % 256), F.lit("."), s(did % 256), F.lit("."), s(did % 250 + 1))).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(F.lit(" ssn 123-45-"), s(did % 9000 + 1000))).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).withColumn("text", inject)
+
+
+def q_text_pii(spark, sf_dir):
+    """PII census + redaction digest (functions/pii) over documents
+    with deterministically injected PII. Counts are per-class regex
+    matches on the raw text; redacted_md5 digests the scrubbed text."""
+    from .functions.pii import pii_signals
+
+    return pii_signals(_pii_augmented_docs(spark, sf_dir))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Within-document duplicated-n-gram char fractions, n in {2,3,4}
+    (functions/repetition — the Gopher dup-ngram tier)."""
+    from .functions.repetition import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_corpus_pack_stats(spark, sf_dir):
+    """Deterministic hashed-bucket sequence packing (functions/packing)
+    rolled up to per-pack fill stats — budget 512 tokens, 8 buckets at
+    test scale (both scale-free contract parameters)."""
+    from .functions.packing import pack_stats
+
+    return pack_stats(_docs(spark, sf_dir), budget=512, n_buckets=8)
+
+
+def q_corpus_filter_pipeline(spark, sf_dir):
+    """End-to-end keep/drop decision: exact-dedup representative →
+    language == 'en' → Gopher quality, with short-circuit reason labels
+    (functions/corpus.filter_pipeline)."""
+    from .functions.corpus import filter_pipeline
+
+    return filter_pipeline(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
@@ -1975,6 +2027,12 @@ CORPUS_SAMPLING_PARTS = [
     "text_gopher",
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
+    # r8 additions: PII scrub, within-doc repetition, sequence packing,
+    # end-to-end filter pipeline
+    "text_pii",
+    "text_repetition",
+    "corpus_pack_stats",
+    "corpus_filter_pipeline",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2009,7 +2067,9 @@ def q_events_analytics_battery(spark, sf_dir):
 def q_corpus_sampling_battery(spark, sf_dir):
     """r8 battery: deterministic corpus sampling + quality/dedup
     signals (hash split counts, stratified sample, Gopher rules,
-    duplicated-shingle fraction, residual IVFPQ) in one driver slot."""
+    duplicated-shingle fraction, residual IVFPQ, PII scrub, within-doc
+    repetition, sequence packing, end-to-end filter pipeline) in one
+    driver slot."""
     return _digest_battery(CORPUS_SAMPLING_PARTS)(spark, sf_dir)
 
 
@@ -2166,4 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_counts": q_corpus_split_counts,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
+        "corpus_pack_stats": q_corpus_pack_stats,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
     }

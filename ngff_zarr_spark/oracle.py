@@ -486,6 +486,111 @@ SELECT *,
 FROM j"""
 
 
+def _sql_pii_augmented() -> str:
+    """Mirror of gate._pii_augmented_docs: deterministic synthetic PII
+    appended per doc_id residue class."""
+    return (
+        "aug AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+        " AS t FROM documents)"
+    )
+
+
+def sql_text_pii():
+    # same patterns the Spark side runs (functions/pii.PII_PATTERNS are
+    # written in the Java-regex ∩ RE2 subset); counts scan the raw
+    # augmented text, redaction applies the classes in declared order
+    from .functions.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        "CAST(len(regexp_extract_all(t, '" + pat + "')) AS BIGINT) AS n_" + name
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, repl in PII_PATTERNS:
+        red = "regexp_replace(" + red + ", '" + pat + "', '" + repl + "', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""WITH {_sql_pii_augmented()},
+c AS (SELECT doc_id,
+       {counts},
+       md5({red}) AS redacted_md5
+FROM aug)
+SELECT *, CAST({total} AS BIGINT) AS n_pii FROM c"""
+
+
+def sql_text_repetition():
+    # Gopher dup-ngram char fractions: per (doc, n) the share of n-gram
+    # char mass (count x length) in n-grams occurring >= 2 times
+    from .functions.repetition import REP_NS
+
+    vals = ", ".join(f"({n})" for n in REP_NS)
+    pivots = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN frac END), 0.0) AS dup{n}_frac"
+        for n in REP_NS
+    )
+    return f"""WITH {_toks_cte(lower=True)},
+alln AS (
+  SELECT doc_id, n,
+         unnest(CASE WHEN len(toks) >= n THEN
+            list_transform(generate_series(1, len(toks)-n+1), i -> array_to_string(toks[i:i+n-1], ' '))
+         ELSE [] END) AS gram
+  FROM q, (VALUES {vals}) v(n)
+),
+pg AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM alln GROUP BY 1, 2, 3),
+pd AS (
+  SELECT doc_id, n,
+         round(COALESCE(CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram) END) AS DOUBLE)
+                        / SUM(c * length(gram)), 0.0), 6) AS frac
+  FROM pg GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       {pivots}
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+GROUP BY 1"""
+
+
+def sql_corpus_pack_stats():
+    from .functions.packing import DEFAULT_BUDGET, DEFAULT_BUCKETS  # noqa: F401
+
+    budget, n_buckets = 512, 8  # gate.q_corpus_pack_stats parameters
+    h = H64.format(s="concat('pack:', CAST(doc_id AS VARCHAR))")
+    toks = TOKS_RAW.format(c="text")
+    return f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         ({h}) AS h
+  FROM documents
+),
+b AS (SELECT doc_id, LEAST(n_tokens, {budget}) AS ct, h % {n_buckets} AS bucket, h FROM t),
+w AS (
+  SELECT bucket, ct,
+         SUM(ct) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+)
+SELECT bucket, CAST((cum - ct) // {budget} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(ct) AS BIGINT) AS n_tokens_packed
+FROM w GROUP BY 1, 2"""
+
+
+def sql_corpus_filter_pipeline():
+    return f"""WITH g AS ({sql_text_gopher()}),
+k AS (SELECT doc_id, lang, md5({NORM.format(c='text')}) AS cm FROM documents),
+r AS (SELECT cm, MIN(doc_id) AS rep FROM k GROUP BY 1),
+j AS (
+  SELECT k.doc_id,
+         CASE WHEN k.doc_id != r.rep THEN 'duplicate'
+              WHEN k.lang != 'en' THEN 'lang'
+              WHEN NOT g.passes THEN 'quality'
+              ELSE 'kept' END AS reason
+  FROM k JOIN r ON r.cm = k.cm JOIN g ON g.doc_id = k.doc_id
+)
+SELECT doc_id, reason, reason = 'kept' AS keep FROM j"""
+
+
 def sql_dedup_shingle_frac():
     from .functions.dedup import SHINGLE_K  # noqa: F401 — k=3 pinned in _SHINGLE
 
@@ -1673,6 +1778,17 @@ _DIGEST_SPECS = {
     "ann_ivfpq_residual_topk": {
         "query_id": "l", "rank": "l", "neighbor_id": "l", "score_u": "l",
     },
+    "text_pii": {
+        "doc_id": "l", "n_email": "l", "n_ssn": "l", "n_phone": "l",
+        "n_ipv4": "l", "redacted_md5": "s", "n_pii": "l",
+    },
+    "text_repetition": {
+        "doc_id": "l", "dup2_frac": "d", "dup3_frac": "d", "dup4_frac": "d",
+    },
+    "corpus_pack_stats": {
+        "bucket": "l", "pack_id": "l", "n_docs": "l", "n_tokens_packed": "l",
+    },
+    "corpus_filter_pipeline": {"doc_id": "l", "reason": "s", "keep": "s"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -1701,6 +1817,12 @@ CORPUS_SAMPLING_PARTS = [
     "text_gopher",
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
+    # r8 additions: PII scrub, within-doc repetition, sequence packing,
+    # end-to-end filter pipeline
+    "text_pii",
+    "text_repetition",
+    "corpus_pack_stats",
+    "corpus_filter_pipeline",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -1847,6 +1969,10 @@ def oracles() -> dict[str, str]:
         "ann_ivfpq_residual_topk": sql_ann_ivfpq_residual_topk(),
         "text_gopher": sql_text_gopher(),
         "dedup_shingle_frac": sql_dedup_shingle_frac(),
+        "text_pii": sql_text_pii(),
+        "text_repetition": sql_text_repetition(),
+        "corpus_pack_stats": sql_corpus_pack_stats(),
+        "corpus_filter_pipeline": sql_corpus_filter_pipeline(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (

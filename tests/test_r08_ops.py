@@ -1,0 +1,134 @@
+"""r8 training-pipeline operators: PII scrub, within-doc repetition,
+sequence packing, end-to-end filter pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark.functions.corpus import filter_pipeline
+from ngff_zarr_spark.functions.packing import pack_sequences, pack_stats
+from ngff_zarr_spark.functions.pii import pii_signals
+from ngff_zarr_spark.functions.repetition import repetition_signals
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_pii_counts_and_redaction(spark):
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": "mail bob.smith+x@ex-ample.co.uk or a@b.io now"},
+        {"doc_id": 2, "text": "call 555-123-4567 ssn 123-45-6789 ip 10.0.255.1"},
+        {"doc_id": 3, "text": "clean text with no pii at all"},
+    ])
+    out = {r["doc_id"]: r.asDict() for r in pii_signals(docs).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2
+    assert out[2]["n_phone"] == 1 and out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["n_pii"] == 3
+    assert out[3]["n_pii"] == 0
+    # redaction digest: doc 3 unchanged, doc 2 fully scrubbed
+    import hashlib
+
+    assert out[3]["redacted_md5"] == hashlib.md5(
+        b"clean text with no pii at all").hexdigest()
+    assert out[2]["redacted_md5"] == hashlib.md5(
+        b"call <PHONE> ssn <SSN> ip <IP>").hexdigest()
+
+
+def test_pii_plan_has_no_keyed_shuffle(spark):
+    # spread()'s round-robin fan-out on a 1-partition toy input is
+    # expected; what must never appear is a keyed (hash/range) shuffle
+    docs = _docs(spark, [{"doc_id": 1, "text": "x"}])
+    plan = pii_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_repetition_fractions(spark):
+    # "a b a b c": bigrams [a b, b a, a b, b c] -> dup mass for "a b" =
+    # 2*3=6 of total 3+3+3+3=12 -> 0.5; trigrams all distinct -> 0.0
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": "a b a b c"},
+        {"doc_id": 2, "text": "x y"},          # no dup bigrams
+        {"doc_id": 3, "text": "solo"},          # shorter than any n
+    ])
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    assert out[1]["dup2_frac"] == pytest.approx(0.5)
+    assert out[1]["dup3_frac"] == 0.0
+    assert out[2]["dup2_frac"] == 0.0
+    assert out[3]["dup2_frac"] == 0.0 and out[3]["dup4_frac"] == 0.0
+
+
+def test_repetition_catches_looping_boilerplate(spark):
+    docs = _docs(spark, [{"doc_id": 1, "text": "click here " * 50}])
+    out = repetition_signals(docs).collect()[0]
+    assert out["dup2_frac"] > 0.9 and out["dup4_frac"] > 0.9
+
+
+def test_packing_block_contract(spark):
+    rng = np.random.default_rng(5)
+    docs = _docs(spark, [
+        {"doc_id": i, "text": " ".join(["w"] * int(rng.integers(1, 300)))}
+        for i in range(200)
+    ])
+    packed = pack_sequences(docs, budget=256, n_buckets=4).toPandas()
+    assert len(packed) == 200
+    # pack_id is exactly the block of the starting offset
+    assert (packed["pack_id"] == packed["pack_offset"] // 256).all()
+    # offsets are a contiguous capped-token prefix sum within bucket
+    for _, grp in packed.groupby("bucket"):
+        g = grp.sort_values("pack_offset")
+        capped = g["n_tokens"].clip(upper=256)
+        assert (g["pack_offset"].to_numpy()
+                == np.concatenate([[0], capped.cumsum().to_numpy()[:-1]])).all()
+    # deterministic: second run identical
+    again = pack_sequences(docs, budget=256, n_buckets=4).toPandas()
+    a = packed.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_packing_oversize_doc_owns_its_pack(spark):
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": " ".join(["w"] * 1000)},  # > budget
+        {"doc_id": 2, "text": "a b c"},
+    ])
+    packed = pack_sequences(docs, budget=64, n_buckets=1).toPandas()
+    big = packed[packed.doc_id == 1].iloc[0]
+    # capped at budget -> starts exactly on a pack boundary of its own
+    assert big["pack_offset"] % 64 == 0
+    assert big["n_tokens"] == 1000  # raw count reported
+
+
+def test_packing_single_shuffle_plan(spark):
+    docs = _docs(spark, [{"doc_id": 1, "text": "a b"}])
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "rangepartitioning" not in plan
+
+
+def test_pack_stats_fill(spark):
+    docs = _docs(spark, [
+        {"doc_id": i, "text": " ".join(["w"] * 100)} for i in range(8)
+    ])
+    st = pack_stats(docs, budget=250, n_buckets=1).toPandas().sort_values("pack_id")
+    # 8 docs x 100 tokens in one bucket: packs cut at starting offsets
+    # 0..700 -> blocks 0,0,0,1,1,2,2,2 (offset//250)
+    assert st["n_docs"].tolist() == [3, 2, 3]
+    assert st["n_tokens_packed"].sum() == 800
+
+
+def test_filter_pipeline_reasons(spark):
+    # passes every Gopher rule: 60 words, mean len >= 3, two distinct
+    # stopwords, all bigrams distinct (top frac = 1/59)
+    long_en = " ".join([f"word{i:02d}" for i in range(58)] + ["the", "and"])
+    docs = _docs(spark, [
+        {"doc_id": 1, "lang": "en", "text": long_en},
+        {"doc_id": 2, "lang": "en", "text": long_en},          # exact dup of 1
+        {"doc_id": 3, "lang": "de", "text": long_en + " extra"},
+        {"doc_id": 4, "lang": "en", "text": "too short"},
+    ])
+    out = {r["doc_id"]: r.asDict() for r in filter_pipeline(docs).collect()}
+    assert out[1]["reason"] == "kept" and out[1]["keep"]
+    assert out[2]["reason"] == "duplicate" and not out[2]["keep"]
+    assert out[3]["reason"] == "lang"
+    assert out[4]["reason"] == "quality"
