@@ -501,6 +501,7 @@ SERIES_SHAPE = (5, 17, 19)  # (nz, h, w)
 JPEG_BLOCKS = (6, 7)        # (8x8 block grid rows, cols) -> 48x56 px
 DICOM_SHAPE = (4, 13, 11)   # (nz, h, w)
 GIF_SHAPE = (3, 15, 21)     # (n_frames, h, w)
+WEBP_SHAPE = (19, 27)       # (h, w)
 
 
 def q_s16_nifti_ingest(spark, sf_dir):
@@ -647,16 +648,45 @@ def q_s11_gif_ingest(spark, sf_dir):
     return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
 
 
+def q_s11_webp_ingest(spark, sf_dir):
+    """S11 (imageio backend stand-in): lossless-WebP ingest through
+    backend detection (S12; .webp takes the reference's imageio
+    fallback route) → cli → the native VP8L decoder (ingest/webp.py,
+    validated bit-exactly against libwebp). Lossless, so the
+    deterministic pixel formula round-trips exactly."""
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.webp import webp_encode
+
+    h, w = WEBP_SHAPE
+    path = _tmp_store("ingest.webp")
+    yi, xi = np.indices((h, w))
+    arr = ((yi * 179 + xi * 283) % 251).astype("uint8")
+    with open(path, "wb") as f:
+        f.write(webp_encode(arr, subtract_green=True))
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.IMAGEIO
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    assert img.dtype == "uint8" and img.dims == ["y", "x"]
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
 def q_ingest_battery(spark, sf_dir):
     """S11/S12/S13 in one driver slot: single-file TIFF, PNG z-series
-    glob, baseline JPEG, and DICOM series (r8) — each routed through
-    backend auto-detection — tagged by format."""
+    glob, baseline JPEG, DICOM series, animated GIF, and lossless WebP
+    (r8) — each routed through backend auto-detection — tagged by
+    format."""
     t = q_s11_tiff_ingest(spark, sf_dir).withColumn("fmt", F.lit("tiff"))
     p = q_s13_png_series(spark, sf_dir).withColumn("fmt", F.lit("png_series"))
     j = q_s11_jpeg_ingest(spark, sf_dir).withColumn("fmt", F.lit("jpeg"))
     dcm = q_s11_dicom_ingest(spark, sf_dir).withColumn("fmt", F.lit("dicom"))
     g = q_s11_gif_ingest(spark, sf_dir).withColumn("fmt", F.lit("gif"))
-    return t.unionByName(p).unionByName(j).unionByName(dcm).unionByName(g)
+    wp = q_s11_webp_ingest(spark, sf_dir).withColumn("fmt", F.lit("webp"))
+    return (
+        t.unionByName(p).unionByName(j).unionByName(dcm)
+        .unionByName(g).unionByName(wp)
+    )
 
 
 def q_s13_png_series(spark, sf_dir):
@@ -2177,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_windows_bucketed": q_events_range_windows_bucketed,
         "s11_dicom_ingest": q_s11_dicom_ingest,
         "s11_gif_ingest": q_s11_gif_ingest,
+        "s11_webp_ingest": q_s11_webp_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

@@ -124,6 +124,10 @@ def _decode_2d_to_ngff_image(spark, path: str):
         from .gif import gif_decode
 
         arr = gif_decode(data)
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import webp_decode
+
+        arr = webp_decode(data)
     else:
         from .png import png_decode
 

@@ -46,6 +46,10 @@ def _default_decode(path: str, content: bytes) -> np.ndarray:
         from .gif import gif_decode
 
         return gif_decode(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from .webp import webp_decode
+
+        return webp_decode(content)
     raise ValueError(f"unrecognized image format for {path}")
 
 

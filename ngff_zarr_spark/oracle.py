@@ -425,13 +425,27 @@ def sql_s11_gif_ingest():
 FROM range({nt * h * w}) r(i)"""
 
 
+def sql_s11_webp_ingest():
+    # VP8L is lossless, so the fixture's pixel formula round-trips
+    # exactly (gate.q_s11_webp_ingest)
+    from .gate import WEBP_SHAPE
+
+    h, w = WEBP_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS z,
+       CAST(i // {w} AS BIGINT) AS y,
+       CAST(i % {w} AS BIGINT) AS x,
+       CAST(((i // {w}) * 179 + (i % {w}) * 283) % 251 AS BIGINT) AS v
+FROM range({h * w}) r(i)"""
+
+
 def sql_ingest_battery():
     return (
         f"SELECT 'tiff' AS fmt, * FROM ({sql_s11_tiff_ingest()})\n"
         f"UNION ALL\nSELECT 'png_series' AS fmt, * FROM ({sql_s13_png_series()})\n"
         f"UNION ALL\nSELECT 'jpeg' AS fmt, * FROM ({sql_s11_jpeg_ingest()})\n"
         f"UNION ALL\nSELECT 'dicom' AS fmt, * FROM ({sql_s11_dicom_ingest()})\n"
-        f"UNION ALL\nSELECT 'gif' AS fmt, * FROM ({sql_s11_gif_ingest()})"
+        f"UNION ALL\nSELECT 'gif' AS fmt, * FROM ({sql_s11_gif_ingest()})\n"
+        f"UNION ALL\nSELECT 'webp' AS fmt, * FROM ({sql_s11_webp_ingest()})"
     )
 
 
@@ -1901,6 +1915,7 @@ def oracles() -> dict[str, str]:
         "s11_jpeg_ingest": sql_s11_jpeg_ingest(),
         "s11_dicom_ingest": sql_s11_dicom_ingest(),
         "s11_gif_ingest": sql_s11_gif_ingest(),
+        "s11_webp_ingest": sql_s11_webp_ingest(),
         "ingest_battery": sql_ingest_battery(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),

@@ -79,6 +79,7 @@ BATTERIES = {
         "s11_jpeg_ingest",
         "s11_dicom_ingest",
         "s11_gif_ingest",
+        "s11_webp_ingest",
     ],
     # r8 digest batteries (value-exact content digests per constituent;
     # see gate._digest_gate) — rotate the whole r7/r8 events-analytics
