@@ -881,6 +881,24 @@ def q_corpus_pack_stats(spark, sf_dir):
     return pack_stats(_docs(spark, sf_dir), budget=512, n_buckets=8)
 
 
+def q_dedup_dup_spans(spark, sf_dir):
+    """Cross-corpus duplicated-substring spans (functions/spans — the
+    fixed-n Spark take on suffix-array substring dedup): maximal
+    per-doc token ranges covered by n-grams occurring >= 2 times
+    anywhere in the corpus."""
+    from .functions.spans import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir))
+
+
+def q_dedup_dup_token_frac(spark, sf_dir):
+    """Per-document duplicated-token fraction from the span table —
+    the contamination scalar a substring-dedup pass reports."""
+    from .functions.spans import duplicated_token_fraction
+
+    return duplicated_token_fraction(_docs(spark, sf_dir))
+
+
 def q_corpus_filter_pipeline(spark, sf_dir):
     """End-to-end keep/drop decision: exact-dedup representative →
     language == 'en' → Gopher quality, with short-circuit reason labels
@@ -2058,11 +2076,13 @@ CORPUS_SAMPLING_PARTS = [
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
     # r8 additions: PII scrub, within-doc repetition, sequence packing,
-    # end-to-end filter pipeline
+    # end-to-end filter pipeline, duplicated-substring spans
     "text_pii",
     "text_repetition",
     "corpus_pack_stats",
     "corpus_filter_pipeline",
+    "dedup_dup_spans",
+    "dedup_dup_token_frac",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2261,4 +2281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
+        "dedup_dup_spans": q_dedup_dup_spans,
+        "dedup_dup_token_frac": q_dedup_dup_token_frac,
     }

@@ -590,6 +590,60 @@ SELECT bucket, CAST((cum - ct) // {budget} AS BIGINT) AS pack_id,
 FROM w GROUP BY 1, 2"""
 
 
+def _sql_span_table() -> str:
+    """CTE chain producing the duplicated-span table (mirrors
+    functions/spans.duplicated_spans; validated on hand-worked
+    fixtures in tests/test_r08_ops.py)."""
+    from .functions.spans import SPAN_N as N
+
+    gram = f"array_to_string(toks[i:i+{N - 1}], ' ')"
+    return f"""q AS (
+  SELECT doc_id, list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '') AS toks
+  FROM documents
+),
+pg AS (
+  SELECT doc_id, i - 1 AS pos, {H64.format(s=gram)} AS gh
+  FROM q, unnest(generate_series(1, len(toks) - {N} + 1)) AS u(i)
+),
+gc AS (SELECT gh, COUNT(*) AS cnt FROM pg GROUP BY 1),
+dup AS (SELECT doc_id, pos FROM pg JOIN gc USING (gh) WHERE cnt >= 2),
+mk AS (
+  SELECT doc_id, pos,
+         MAX(pos + {N - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup
+),
+ns AS (SELECT doc_id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS is_new
+       FROM mk),
+sp AS (SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       FROM ns),
+spans AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + {N - 1} AS BIGINT) AS span_end,
+         CAST(MAX(pos) + {N} - MIN(pos) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_windows
+  FROM sp GROUP BY doc_id, span_id
+)"""
+
+
+def sql_dedup_dup_spans():
+    return f"WITH {_sql_span_table()}\nSELECT * FROM spans"
+
+
+def sql_dedup_dup_token_frac():
+    return f"""WITH {_sql_span_table()},
+per_doc AS (SELECT doc_id, SUM(n_tokens) AS dup_tokens FROM spans GROUP BY 1),
+tot AS (SELECT doc_id, CAST(len(list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '')) AS BIGINT) AS total FROM documents)
+SELECT tot.doc_id,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       total,
+       round(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / total, 6) AS dup_frac
+FROM tot LEFT JOIN per_doc ON per_doc.doc_id = tot.doc_id"""
+
+
 def sql_corpus_filter_pipeline():
     return f"""WITH g AS ({sql_text_gopher()}),
 k AS (SELECT doc_id, lang, md5({NORM.format(c='text')}) AS cm FROM documents),
@@ -1803,6 +1857,13 @@ _DIGEST_SPECS = {
         "bucket": "l", "pack_id": "l", "n_docs": "l", "n_tokens_packed": "l",
     },
     "corpus_filter_pipeline": {"doc_id": "l", "reason": "s", "keep": "s"},
+    "dedup_dup_spans": {
+        "doc_id": "l", "span_start": "l", "span_end": "l",
+        "n_tokens": "l", "n_windows": "l",
+    },
+    "dedup_dup_token_frac": {
+        "doc_id": "l", "dup_tokens": "l", "total": "l", "dup_frac": "d",
+    },
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -1832,11 +1893,13 @@ CORPUS_SAMPLING_PARTS = [
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
     # r8 additions: PII scrub, within-doc repetition, sequence packing,
-    # end-to-end filter pipeline
+    # end-to-end filter pipeline, duplicated-substring spans
     "text_pii",
     "text_repetition",
     "corpus_pack_stats",
     "corpus_filter_pipeline",
+    "dedup_dup_spans",
+    "dedup_dup_token_frac",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -1988,6 +2051,8 @@ def oracles() -> dict[str, str]:
         "text_repetition": sql_text_repetition(),
         "corpus_pack_stats": sql_corpus_pack_stats(),
         "corpus_filter_pipeline": sql_corpus_filter_pipeline(),
+        "dedup_dup_spans": sql_dedup_dup_spans(),
+        "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (

@@ -117,6 +117,57 @@ def test_pack_stats_fill(spark):
     assert st["n_tokens_packed"].sum() == 800
 
 
+def test_duplicated_spans_hand_worked(spark):
+    from ngff_zarr_spark.functions.spans import duplicated_spans
+
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": "a b c d e f g h"},
+        {"doc_id": 2, "text": "x y a b c d q r"},
+        {"doc_id": 3, "text": "zz yy xx ww vv"},
+        {"doc_id": 4, "text": "a b c d x y a b c d"},
+    ])
+    got = {
+        (r["doc_id"], r["span_start"]): r.asDict()
+        for r in duplicated_spans(docs, n=4).collect()
+    }
+    # 'a b c d' occurs in docs 1, 2, and twice in 4; 'x y a b' and
+    # 'y a b c' occur in docs 2 and 4; doc 3 is clean
+    assert got[(1, 0)]["span_end"] == 3 and got[(1, 0)]["n_windows"] == 1
+    assert got[(2, 0)]["span_end"] == 5 and got[(2, 0)]["n_windows"] == 3
+    # doc 4: covered window starts {0, 4, 5, 6} — window at 4 is
+    # adjacent to span end 3, so everything merges into one span
+    assert got[(4, 0)]["span_end"] == 9 and got[(4, 0)]["n_windows"] == 4
+    assert len(got) == 3
+
+
+def test_duplicated_token_fraction(spark):
+    from ngff_zarr_spark.functions.spans import duplicated_token_fraction
+
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": "a b c d e f g h"},
+        {"doc_id": 2, "text": "a b c d"},
+        {"doc_id": 3, "text": "p q r s t u v w"},
+    ])
+    out = {r["doc_id"]: r.asDict() for r in duplicated_token_fraction(docs, n=4).collect()}
+    assert out[1]["dup_tokens"] == 4 and out[1]["dup_frac"] == pytest.approx(0.5)
+    assert out[2]["dup_tokens"] == 4 and out[2]["dup_frac"] == pytest.approx(1.0)
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_spans_join_does_not_blow_up_on_hot_grams(spark):
+    # a boilerplate gram repeated in every doc joins 1:1 with its count
+    # row — output rows == covered positions, never count^2
+    docs = _docs(spark, [
+        {"doc_id": i, "text": "same old boiler plate " + f"unique{i} tail{i}"}
+        for i in range(40)
+    ])
+    from ngff_zarr_spark.functions.spans import duplicated_spans
+
+    spans = duplicated_spans(docs, n=4).toPandas()
+    assert len(spans) == 40  # one span per doc
+    assert (spans["span_start"] == 0).all()
+
+
 def test_filter_pipeline_reasons(spark):
     # passes every Gopher rule: 60 words, mean len >= 3, two distinct
     # stopwords, all bigrams distinct (top frac = 1/59)
