@@ -881,6 +881,158 @@ def q_corpus_pack_stats(spark, sf_dir):
     return pack_stats(_docs(spark, sf_dir), budget=512, n_buckets=8)
 
 
+def q_parity_battery(spark, sf_dir):
+    """S10/S12/S19/C4/C5/J4 — the previously pytest-only §2 rows — as
+    driver-graded (chk, result) fact rows against a literal VALUES
+    oracle (the a9_pyramid_plan pattern): backend auto-detection
+    decisions, consolidated-metadata layout, HCS plate-write attr
+    layout (0.4 and 0.5) + read-back, unit/dim/axis-type validators,
+    hex-color validation, and the store-equality harness verdicts."""
+    import json
+    import os
+    import shutil
+
+    rows = []
+
+    # --- S12: backend auto-detection (reference detect_cli_io_backend)
+    from .ingest import detect_cli_io_backend
+
+    d = _tmp_store("parity_detect")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+
+    def mk(name):
+        p = os.path.join(d, name)
+        with open(p, "wb") as f:
+            f.write(b"\x00")
+        return p
+
+    tif, png1, png2 = mk("a.tif"), mk("b.png"), mk("c.png")
+    nii, unk, dcm1, dcm2 = mk("d.nii.gz"), mk("e.xyz"), mk("f.dcm"), mk("g.dcm")
+    za = os.path.join(d, "arr")
+    os.makedirs(za, exist_ok=True)
+    with open(os.path.join(za, ".zarray"), "w") as f:
+        f.write("{}")
+    omz = os.path.join(d, "p.ome.zarr")
+    os.makedirs(omz, exist_ok=True)
+    for chk, inp in [
+        ("s12:tif_single", [tif]),
+        ("s12:png_single", [png1]),
+        ("s12:png_multi", [png1, png2]),
+        ("s12:nii_gz", [nii]),
+        ("s12:unknown_ext", [unk]),
+        ("s12:dcm_multi", [dcm1, dcm2]),
+        ("s12:zarr_array_dir", [za]),
+        ("s12:ome_zarr_ext", [omz]),
+    ]:
+        rows.append((chk, detect_cli_io_backend(inp).value))
+
+    # --- C4/C5: unit/dim validators + hex colors
+    from .model import (
+        OmeroChannel,
+        OmeroWindow,
+        dim_axis_type,
+        is_dimension_supported,
+        is_unit_supported,
+    )
+
+    rows += [
+        ("c4:unit_micrometer", str(is_unit_supported("micrometer")).lower()),
+        # parsec is genuinely in the spec's space-unit list; furlong is not
+        ("c4:unit_parsec", str(is_unit_supported("parsec")).lower()),
+        ("c4:unit_furlong", str(is_unit_supported("furlong")).lower()),
+        ("c4:dim_z_type", dim_axis_type("z")),
+        ("c4:dim_t_type", dim_axis_type("t")),
+        ("c4:dim_q_supported", str(is_dimension_supported("q")).lower()),
+    ]
+    for chk, color in (("c5:color_00FF00", "00FF00"), ("c5:color_badhex", "greenish")):
+        try:
+            OmeroChannel(color=color, window=OmeroWindow(0.0, 1.0, 0.0, 1.0))
+            rows.append((chk, "ok"))
+        except ValueError:
+            rows.append((chk, "error"))
+
+    # --- J4: store-equality harness on a hand-built pair
+    from .compare import store_diff, store_equals
+
+    a, b = _tmp_store("parity_ja"), _tmp_store("parity_jb")
+    for root in (a, b):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        with open(os.path.join(root, ".zattrs"), "w") as f:
+            f.write(json.dumps({"k": 1}))
+        with open(os.path.join(root, "0.0"), "wb") as f:
+            f.write(b"\x01\x02")
+    rows.append(("j4:equal", str(store_equals(a, b)).lower()))
+    with open(os.path.join(b, "0.0"), "wb") as f:
+        f.write(b"\x01\x03")
+    with open(os.path.join(b, ".zattrs"), "w") as f:
+        f.write(json.dumps({"k": 2}))
+    kinds = ",".join(sorted(x.split(" differ")[0] for x in store_diff(a, b)))
+    rows.append(("j4:diff_kinds", kinds))
+
+    # --- S10: consolidated metadata over a hand-built v2 hierarchy
+    from .sources.zarr_store import open_store
+
+    s10 = _tmp_store("parity_s10")
+    shutil.rmtree(s10, ignore_errors=True)
+    os.makedirs(s10)
+    st = open_store(s10)
+    st.put_json(".zgroup", {"zarr_format": 2})
+    st.put_json(".zattrs", {"name": "parity"})
+    st.put_json("0/.zarray", {"zarr_format": 2, "shape": [2], "chunks": [2]})
+    st.put_json("0/.zattrs", {"level": 0})
+    st.consolidate_metadata_v2()
+    zm = st.get_json(".zmetadata")
+    rows.append(("s10:format", str(zm["zarr_consolidated_format"])))
+    rows.append(("s10:keys", ",".join(sorted(zm["metadata"]))))
+    rows.append(
+        ("s10:roundtrip", str(zm["metadata"]["0/.zarray"] == st.get_json("0/.zarray")).lower())
+    )
+
+    # --- S19: plate write layout (0.4 + 0.5) and S18 read-back
+    from .hcs import (
+        Plate,
+        PlateAcquisition,
+        PlateColumn,
+        PlateRow,
+        PlateWell,
+        from_hcs_zarr,
+        to_hcs_zarr,
+    )
+
+    plate = Plate(
+        columns=[PlateColumn("1"), PlateColumn("2")],
+        rows=[PlateRow("A"), PlateRow("B")],
+        wells=[PlateWell("A/1", 0, 0), PlateWell("B/2", 1, 1)],
+        acquisitions=[PlateAcquisition(id=0, name="acq0", maximumfieldcount=2)],
+        name="Parity Plate",
+        field_count=2,
+    )
+    p19 = _tmp_store("parity_s19.ome.zarr")
+    shutil.rmtree(p19, ignore_errors=True)
+    to_hcs_zarr(plate, p19)
+    attrs = json.load(open(os.path.join(p19, ".zattrs")))
+    pa = attrs["ome"]["plate"]
+    rows.append(("s19:version", attrs["ome"]["version"]))
+    rows.append(("s19:wells", ",".join(w["path"] for w in pa["wells"])))
+    rows.append(("s19:well0", f"{pa['wells'][0]['rowIndex']}:{pa['wells'][0]['columnIndex']}"))
+    acq = pa["acquisitions"][0]
+    rows.append(("s19:acq0", f"{acq['id']}:{acq['name']}:{acq['maximumfieldcount']}"))
+    reread = from_hcs_zarr(spark, p19)["plate"]
+    rows.append(("s19:reread_name", reread.name))
+    rows.append(("s19:reread_wells", str(len(reread.wells))))
+    p195 = _tmp_store("parity_s195.ome.zarr")
+    shutil.rmtree(p195, ignore_errors=True)
+    plate.version = "0.5"
+    to_hcs_zarr(plate, p195)
+    doc = json.load(open(os.path.join(p195, "zarr.json")))
+    rows.append(("s19:v05_node", doc["node_type"]))
+    rows.append(("s19:v05_version", doc["attributes"]["ome"]["version"]))
+
+    return spark.createDataFrame(rows, "chk string, result string")
+
+
 def q_dedup_dup_spans(spark, sf_dir):
     """Cross-corpus duplicated-substring spans (functions/spans — the
     fixed-n Spark take on suffix-array substring dedup): maximal
@@ -2215,6 +2367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_battery": q_sketch_battery,
         "events_analytics_battery": q_events_analytics_battery,
         "corpus_sampling_battery": q_corpus_sampling_battery,
+        # r8: slots 49-50 — the VALUES-oracle parity battery (converts
+        # the pytest-only S10/S12/S19/C4/C5/J4 rows to driver-graded)
+        # and the duplicated-substring span op; multimodal_features/
+        # resize move past the window (proven via multimodal_battery)
+        "parity_battery": q_parity_battery,
+        "dedup_dup_spans": q_dedup_dup_spans,
         # --- slots 51+: battery constituents + pytest-proven twins ---
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2281,6 +2439,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
-        "dedup_dup_spans": q_dedup_dup_spans,
         "dedup_dup_token_frac": q_dedup_dup_token_frac,
     }

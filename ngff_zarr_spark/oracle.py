@@ -629,6 +629,45 @@ spans AS (
 )"""
 
 
+def sql_parity_battery():
+    """Literal VALUES oracle for the S10/S12/S19/C4/C5/J4 parity facts
+    (gate.q_parity_battery) — the a9_pyramid_plan pattern: expected
+    values pinned independently of the code that produces them."""
+    expected = [
+        ("s12:tif_single", "tifffile"),
+        ("s12:png_single", "itkwasm_image_io"),
+        ("s12:png_multi", "itk"),
+        ("s12:nii_gz", "nibabel"),
+        ("s12:unknown_ext", "imageio"),
+        ("s12:dcm_multi", "itk"),
+        ("s12:zarr_array_dir", "zarr"),
+        ("s12:ome_zarr_ext", "ngff_zarr"),
+        ("c4:unit_micrometer", "true"),
+        ("c4:unit_parsec", "true"),
+        ("c4:unit_furlong", "false"),
+        ("c4:dim_z_type", "space"),
+        ("c4:dim_t_type", "time"),
+        ("c4:dim_q_supported", "false"),
+        ("c5:color_00FF00", "ok"),
+        ("c5:color_badhex", "error"),
+        ("j4:equal", "true"),
+        ("j4:diff_kinds", "chunk bytes,metadata"),
+        ("s10:format", "1"),
+        ("s10:keys", ".zattrs,.zgroup,0/.zarray,0/.zattrs"),
+        ("s10:roundtrip", "true"),
+        ("s19:version", "0.4"),
+        ("s19:wells", "A/1,B/2"),
+        ("s19:well0", "0:0"),
+        ("s19:acq0", "0:acq0:2"),
+        ("s19:reread_name", "Parity Plate"),
+        ("s19:reread_wells", "2"),
+        ("s19:v05_node", "group"),
+        ("s19:v05_version", "0.5"),
+    ]
+    vals = ",\n ".join(f"('{c}', '{r}')" for c, r in expected)
+    return f"SELECT * FROM (VALUES\n {vals}) t(chk, result)"
+
+
 def sql_dedup_dup_spans():
     return f"WITH {_sql_span_table()}\nSELECT * FROM spans"
 
@@ -2053,6 +2092,7 @@ def oracles() -> dict[str, str]:
         "corpus_filter_pipeline": sql_corpus_filter_pipeline(),
         "dedup_dup_spans": sql_dedup_dup_spans(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
+        "parity_battery": sql_parity_battery(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (

@@ -139,6 +139,13 @@ def test_first_50_layout():
         "sketch_battery",
     ):
         assert b in first50, b
+    # r8: the parity battery (pytest-only §2 rows → driver-graded) and
+    # the duplicated-span op hold slots 49-50; multimodal_features/
+    # resize move past the window (proven via multimodal_battery)
+    assert "parity_battery" in first50
+    assert "dedup_dup_spans" in first50
+    assert "multimodal_features" in qs[50:]
+    assert "multimodal_resize" in qs[50:]
     # every constituent stays registered (past the window, or filling a
     # spare window slot until an r8 ingest gate claims it — direct
     # grading of a constituent is never a problem)
