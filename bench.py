@@ -223,6 +223,12 @@ QUERIES = {
     "text_gopher": gate.q_text_gopher,
     "dedup_shingle_frac": gate.q_dedup_shingle_frac,
     "events_asof": gate.q_events_asof_attribution,
+    # r8 additions: regex-heavy PII scrub (pure codegen, no shuffle),
+    # duplicated-substring spans (the shuffle-heaviest new op: explode
+    # + count-join + per-doc windows), and the composed filter pipeline
+    "text_pii": gate.q_text_pii,
+    "dedup_spans": gate.q_dedup_dup_spans,
+    "corpus_filter": gate.q_corpus_filter_pipeline,
 }
 
 
