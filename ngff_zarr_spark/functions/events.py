@@ -323,3 +323,45 @@ def range_join(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("_bucket")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user, step i counts only if
+    an event of that type occurs AT OR AFTER the user's completion time
+    of step i-1 (ties allowed — same-timestamp progression counts, the
+    usual product-analytics convention). Returns one row per step:
+    (step_index, step, n_users).
+
+    100 TB posture: one min-aggregate per step over only that step's
+    events, each joined on user_id to the previous stage's completion
+    table — the stage tables shrink monotonically (funnel!), every
+    shuffle is id-keyed, and nothing carries event payloads. Cost is
+    O(steps) small joins, not a per-user sort of full history."""
+    e = normalize_events_ts(events).select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), "ts"
+    )
+    rows = None
+    stage = None  # (u, done_ts) for the previous step
+    for i, step in enumerate(steps):
+        this = e.filter(F.col("et") == step)
+        if stage is None:
+            stage = this.groupBy("u").agg(F.min("ts").alias("done_ts"))
+        else:
+            stage = (
+                this.join(stage.select("u", F.col("done_ts").alias("prev_ts")), "u")
+                .filter(F.col("ts") >= F.col("prev_ts"))
+                .groupBy("u")
+                .agg(F.min("ts").alias("done_ts"))
+            )
+        row = stage.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step_index"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -59,6 +59,57 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     )
 
 
+HLL_M = 64            # 2^6 registers
+HLL_ALPHA = 0.709     # standard bias constant for m = 64
+_HLL_REM_BITS = 54    # h64 is 60 bits; 6 go to the bucket index
+
+
+def hll_distinct(df: DataFrame, col: str, m: int = HLL_M) -> DataFrame:
+    """HyperLogLog distinct-count with the portable h64 (Flajolet et
+    al. 2007): bucket = h mod m, rank = leading-zero count of the
+    remaining 54 bits + 1, register = max rank per bucket, estimate =
+    alpha * m^2 / sum(2^-register) with the standard small-range
+    linear-counting correction. Returns one row
+    (m, n_nonempty, reg_checksum, est).
+
+    Determinism discipline: every register — and therefore the
+    ESTIMATE — is identical in the DuckDB oracle. The harmonic terms
+    are powers of two (exact in IEEE doubles); ``ln`` only runs in the
+    small-range branch, which gate-scale cardinalities never hit.
+
+    Scale posture: one hash projection, one bounded m-row aggregate
+    with map-side combine — the register table is O(m) regardless of
+    input size, the textbook 100 TB distinct-count plan."""
+    hashed = df.select(h64(F.col(col).cast("string")).alias("h")).select(
+        (F.col("h") % m).alias("b"),
+        F.expr(f"h div {m}").alias("rem"),
+    )
+    rank = F.when(F.col("rem") == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS) - F.length(F.bin(F.col("rem"))) + 1
+    )
+    regs = hashed.select("b", rank.alias("r")).groupBy("b").agg(
+        F.max("r").alias("reg")
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_ne"),
+        F.sum((F.col("b") + 1) * F.col("reg")).cast("long").alias("reg_checksum"),
+    )
+    v_empty = F.lit(m) - F.col("n_nonempty")
+    s = F.col("s_ne") + v_empty.cast("double")  # empty registers add 2^0
+    raw = F.lit(HLL_ALPHA * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "n_nonempty",
+        "reg_checksum",
+        F.round(est, 6).alias("est"),
+    )
+
+
 def count_min_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 256) -> DataFrame:
     """Count-min sketch table: (row, bucket, cnt) — ``depth``
     independent hash rows, bucket = h64('<row>:' || value) % width.

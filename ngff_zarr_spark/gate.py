@@ -1114,6 +1114,25 @@ def q_sketch_count_min(spark, sf_dir):
     return count_min_estimate(_events(spark, sf_dir), "event_type")
 
 
+def q_sketch_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count over event ids —
+    registers AND estimate oracle-exact via the portable h64 (the
+    production 100 TB distinct-count sketch next to KMV's exactness
+    baseline)."""
+    from .functions.sketch import hll_distinct
+
+    return hll_distinct(_events(spark, sf_dir), "event_id")
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: step i counts
+    a user only if step i happens at-or-after their step i-1 completion
+    time (functions/events.funnel)."""
+    from .functions.events import funnel
+
+    return funnel(_events(spark, sf_dir))
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal: real PNG decode + nearest-neighbor resize to 4x4,
     per-pixel rows; oracle recomputes the integer nearest mapping."""
@@ -2104,11 +2123,71 @@ def q_gaussian_battery(spark, sf_dir):
     )
 
 
+_GATE_HTTP: dict = {}
+
+
+def q_s2_http_read(spark, sf_dir):
+    """S2: the remote-store read path end-to-end over a LIVE local HTTP
+    server (RFC-7233 ranged GETs — the object-store access pattern)
+    serving the byte-pinned v3 sharded golden store. Every chunk read
+    goes through HttpStore's two-ranged-GET shard path; the oracle is
+    the golden pixel formula. Reference parity: from_ngff_zarr's fsspec
+    URL handling (from_ngff_zarr.py:69-80)."""
+    import os
+    import threading
+    from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+    from .ome_zarr_api import read_image
+
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+    )
+    port = _GATE_HTTP.get(golden)
+    if port is None:
+
+        class _RangeHandler(SimpleHTTPRequestHandler):
+            def log_message(self, *a):  # noqa: D102
+                pass
+
+            def do_GET(self):  # noqa: D102 - RFC-7233 single + suffix ranges
+                rng = self.headers.get("Range")
+                path = self.translate_path(self.path)
+                if rng is None or not os.path.isfile(path):
+                    return super().do_GET()
+                size = os.path.getsize(path)
+                start_s, _, end_s = rng.split("=", 1)[1].partition("-")
+                if start_s == "":
+                    start = max(0, size - int(end_s))
+                    end = size - 1
+                else:
+                    start = int(start_s)
+                    end = min(int(end_s) if end_s else size - 1, size - 1)
+                with open(path, "rb") as f:
+                    f.seek(start)
+                    body = f.read(end - start + 1)
+                self.send_response(206)
+                self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        handler = lambda *a, **kw: _RangeHandler(*a, directory=golden, **kw)  # noqa: E731
+        srv = HTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        port = srv.server_address[1]
+        _GATE_HTTP[golden] = port
+    url = f"http://127.0.0.1:{port}/v05_zstd_sharded.ome.zarr"
+    df = read_image(spark, url, "scale0/golden", 3)
+    return df.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
 def q_storage_roundtrip_battery(spark, sf_dir):
-    """S1/S4/S8/S9/C3 in one slot: every container/codec/dtype
-    write→read roundtrip tagged and unioned. One hash mismatch in any
-    layout (v2 gzip, legacy '.'-separator, blosc, v3 sharded, or the
-    uint16/float16/int64/uint64 dtype tail) fails the whole battery."""
+    """S1/S2/S4/S8/S9/C3 in one slot: every container/codec/dtype
+    write→read roundtrip tagged and unioned, plus the live-HTTP remote
+    read of the sharded golden store (r8). One hash mismatch in any
+    layout (v2 gzip, legacy '.'-separator, blosc, v3 sharded, the
+    uint16/float16/int64/uint64 dtype tail, or the http path) fails
+    the whole battery."""
     return _tagged_union(
         {
             "v2_gzip": q_s1_s4_zarr_roundtrip(spark, sf_dir),
@@ -2119,6 +2198,7 @@ def q_storage_roundtrip_battery(spark, sf_dir):
             "float16": q_dtype_float16_roundtrip(spark, sf_dir),
             "int64": q_dtype_int64_roundtrip(spark, sf_dir),
             "uint64": q_dtype_uint64_roundtrip(spark, sf_dir),
+            "http_sharded": q_s2_http_read(spark, sf_dir),
         }
     )
 
@@ -2220,6 +2300,7 @@ EVENTS_ANALYTICS_PARTS = [
     "events_range_windows",
     "events_range_windows_bucketed",
     "events_count_sessions_stream",
+    "events_funnel",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -2242,7 +2323,7 @@ MULTIMODAL_PARTS = [
     "multimodal_frame_sample",
     "multimodal_audio",
 ]
-SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min"]
+SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 
 
 def _digest_battery(parts):
@@ -2440,4 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
         "dedup_dup_token_frac": q_dedup_dup_token_frac,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "events_funnel": q_events_funnel,
+        "s2_http_read": q_s2_http_read,
     }

@@ -1822,16 +1822,67 @@ def sql_gaussian_battery():
     )
 
 
+def sql_s2_http_read():
+    # the golden store holds the standard pixel formula at (z=5, y=9,
+    # x=8); zstd+sharded zarr is lossless, so the formula is exact
+    z, y, x = 5, 9, 8
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(i // {y * x} AS BIGINT) AS z,
+       CAST((i // {x}) % {y} AS BIGINT) AS y,
+       CAST(i % {x} AS BIGINT) AS x,
+       CAST(((i // {y * x}) * 73 + ((i // {x}) % {y}) * 179 + (i % {x}) * 283) % 251 AS BIGINT) AS v
+FROM range({z * y * x}) r(i)"""
+
+
+def sql_sketch_hll_distinct():
+    from .functions.sketch import HLL_ALPHA, HLL_M
+
+    m = HLL_M
+    am2 = repr(HLL_ALPHA * m * m)
+    h = H64.format(s="CAST(event_id AS VARCHAR)")
+    return f"""WITH h AS (SELECT ({h}) AS h FROM events),
+b AS (SELECT h % {m} AS b, h // {m} AS rem FROM h),
+r AS (SELECT b, CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END AS rank FROM b),
+regs AS (SELECT b, MAX(rank) AS reg FROM r GROUP BY 1),
+agg AS (SELECT COUNT(*) AS ne, SUM(power(2.0, -reg)) AS s_ne,
+               CAST(SUM((b + 1) * reg) AS BIGINT) AS reg_checksum FROM regs)
+SELECT CAST({m} AS BIGINT) AS m, CAST(ne AS BIGINT) AS n_nonempty, reg_checksum,
+       round(CASE WHEN {am2} / (s_ne + ({m} - ne)) <= {2.5 * m}
+                       AND {m} - ne > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - ne))
+                  ELSE {am2} / (s_ne + ({m} - ne)) END, 6) AS est
+FROM agg"""
+
+
+def sql_events_funnel():
+    return """WITH e AS (
+  SELECT user_id AS u, event_type AS et, CAST(epoch_ns(ts) AS BIGINT) AS ts FROM events
+),
+s0 AS (SELECT u, MIN(ts) AS done FROM e WHERE et = 'view' GROUP BY 1),
+s1 AS (SELECT e.u, MIN(e.ts) AS done FROM e JOIN s0 ON s0.u = e.u
+       WHERE e.et = 'click' AND e.ts >= s0.done GROUP BY 1),
+s2 AS (SELECT e.u, MIN(e.ts) AS done FROM e JOIN s1 ON s1.u = e.u
+       WHERE e.et = 'purchase' AND e.ts >= s1.done GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step,
+       CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)"""
+
+
 def sql_storage_roundtrip_battery():
-    # every storage variant round-trips the SAME pixel table — the
-    # oracle is the recomputed pixel formula per tag
+    # every write→read variant round-trips the SAME pixel table — the
+    # oracle is the recomputed pixel formula per tag; the http tag
+    # reads the (differently-shaped) golden store, so it carries its
+    # own formula
     tags = [
         "v2_gzip", "v2_dotsep", "v2_blosc", "v3_sharded",
         "uint16", "float16", "int64", "uint64",
     ]
-    return _tagged_union_sql(
-        {t: sql_s1_s4_zarr_roundtrip() for t in tags}, "t, c, z, y, x, v"
-    )
+    d = {t: sql_s1_s4_zarr_roundtrip() for t in tags}
+    d["http_sharded"] = sql_s2_http_read()
+    return _tagged_union_sql(d, "t, c, z, y, x, v")
 
 
 def sql_text_battery():
@@ -1912,6 +1963,10 @@ _DIGEST_SPECS = {
     "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sq_sum": "l"},
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
     "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
+    "sketch_hll_distinct": {
+        "m": "l", "n_nonempty": "l", "reg_checksum": "l", "est": "d",
+    },
+    "events_funnel": {"step_index": "l", "step": "s", "n_users": "l"},
 }
 
 EVENTS_ANALYTICS_PARTS = [
@@ -1924,6 +1979,7 @@ EVENTS_ANALYTICS_PARTS = [
     "events_range_windows",
     "events_range_windows_bucketed",
     "events_count_sessions_stream",
+    "events_funnel",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -1946,7 +2002,7 @@ MULTIMODAL_PARTS = [
     "multimodal_frame_sample",
     "multimodal_audio",
 ]
-SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min"]
+SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 
 
 def _digest_sql(name: str, inner: str, spec: dict[str, str]) -> str:
@@ -2093,6 +2149,9 @@ def oracles() -> dict[str, str]:
         "dedup_dup_spans": sql_dedup_dup_spans(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
         "parity_battery": sql_parity_battery(),
+        "sketch_hll_distinct": sql_sketch_hll_distinct(),
+        "events_funnel": sql_events_funnel(),
+        "s2_http_read": sql_s2_http_read(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (

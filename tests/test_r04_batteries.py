@@ -61,6 +61,7 @@ BATTERIES = {
         "dtype_float16_roundtrip",
         "dtype_int64_roundtrip",
         "dtype_uint64_roundtrip",
+        "s2_http_read",
     ],
     "text_battery": [
         "text_token_count",

@@ -183,3 +183,39 @@ def test_filter_pipeline_reasons(spark):
     assert out[2]["reason"] == "duplicate" and not out[2]["keep"]
     assert out[3]["reason"] == "lang"
     assert out[4]["reason"] == "quality"
+
+
+def test_funnel_ordering_semantics(spark):
+    from ngff_zarr_spark.functions.events import funnel
+
+    rows = []
+    # user 1: full ordered funnel; user 2: purchase BEFORE click (only
+    # 2 stages count); user 3: click only after purchase... no view ->
+    # never enters
+    for uid, et, ts in [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        (3, "click", 5), (3, "purchase", 6),
+        (4, "view", 50), (4, "click", 50), (4, "purchase", 50),  # ties count
+    ]:
+        rows.append({"user_id": uid, "event_type": et,
+                     "ts": ts, "event_id": len(rows), "value": 0.0})
+    ev = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["step"]: r["n_users"] for r in funnel(ev).collect()}
+    assert out == {"view": 3, "click": 3, "purchase": 2}
+
+
+def test_hll_register_contract(spark):
+    from ngff_zarr_spark.functions.sketch import HLL_M, hll_distinct
+    from ngff_zarr_spark.functions.text import h64  # noqa: F401
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    row = hll_distinct(df, "k").collect()[0]
+    assert row["m"] == HLL_M
+    # 5000 distinct over 64 buckets: every register occupied, estimate
+    # within the standard ~1.04/sqrt(m) relative error band (3 sigma)
+    assert row["n_nonempty"] == HLL_M
+    assert abs(row["est"] - 5000) / 5000 < 3 * 1.04 / (HLL_M ** 0.5)
+    # deterministic: identical on rerun
+    again = hll_distinct(df, "k").collect()[0]
+    assert row.asDict() == again.asDict()
