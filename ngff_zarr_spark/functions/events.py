@@ -365,3 +365,102 @@ def funnel(
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def cohort_retention(
+    events: DataFrame,
+    signup_type: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = epoch-week of the user's first
+    ``signup_type`` event; a user counts as retained at offset k if they
+    have ANY event in cohort_week + k. Returns
+    (cohort_week, week_offset, n_users) — the classic retention
+    triangle. Weeks are epoch-based integer buckets (ts_ns div 7 days),
+    not calendar-ISO weeks: exact integer arithmetic both engines
+    compute identically.
+
+    100 TB posture: one filtered min-aggregate for cohorts, one
+    distinct (user, week) projection, an id-keyed join, and a count
+    aggregate — all shuffles on user_id/cohort keys, no event payloads
+    carried, no window over full history."""
+    week_ns = 7 * 86400 * 1_000_000_000
+    e = normalize_events_ts(events).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.expr(f"ts div {week_ns}").alias("week"),
+    )
+    cohorts = (
+        e.filter(F.col("et") == signup_type)
+        .groupBy("u")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    activity = e.select("u", "week").distinct()
+    return (
+        activity.join(cohorts, "u")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+BLOOM_M_BITS = 1 << 13  # 1 KB of bits: fp ~0.2% at 500 keys, k=4
+BLOOM_K = 4
+
+
+def bloom_semi_join(
+    events: DataFrame,
+    keys: DataFrame,
+    key_col: str = "user_id",
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Semi-join of ``events`` against a small key set with a BLOOM
+    PREFILTER: the key set is collapsed into an m-bit filter (k
+    portable-h64 hashes per key), broadcast as an 8 KB literal, and
+    applied to the big side BEFORE the exact semi-join — the pattern
+    that turns "shuffle 100 TB to find 0.1% of rows" into "drop 99% of
+    rows inside the scan's whole-stage codegen, then shuffle the
+    survivors". Bloom false positives are removed by the exact join;
+    false negatives are impossible, so the result EQUALS the plain
+    semi-join (which is exactly what the oracle checks).
+
+    The filter build collects only the distinct key hashes (plan-time
+    driver state, like the IVF centroids) — at production scale the
+    small side is by definition broadcast-sized."""
+    import numpy as np
+
+    key_rows = (
+        keys.select(F.col(key_col).cast("string").alias("k")).distinct().collect()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    import hashlib
+
+    for r in key_rows:
+        for i in range(k_hashes):
+            h = int(hashlib.md5(f"{i}:{r['k']}".encode()).hexdigest()[:15], 16)
+            bits[h % m_bits] = True
+    bitstr = "".join("1" if b else "0" for b in bits)
+    from .text import h64
+
+    # one array of k probe positions + one forall over it keeps the
+    # bit-string literal in the plan exactly once (inlining it into k
+    # separate substring expressions bloats codegen k-fold)
+    positions = F.array(*[
+        (h64(F.concat(F.lit(f"{i}:"), F.col(key_col).cast("string"))) % m_bits + 1)
+        .cast("int")
+        for i in range(k_hashes)
+    ])
+    member = F.forall(
+        positions, lambda p: F.substring(F.lit(bitstr), p, 1) == "1"
+    )
+    prefiltered = events.filter(member)
+    return prefiltered.join(
+        F.broadcast(keys.select(F.col(key_col)).distinct()), key_col, "left_semi"
+    )

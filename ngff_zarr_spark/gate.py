@@ -1133,6 +1133,31 @@ def q_events_funnel(spark, sf_dir):
     return funnel(_events(spark, sf_dir))
 
 
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: signup-week cohorts × active
+    week offsets (functions/events.cohort_retention; epoch-week integer
+    buckets so both engines compute identical arithmetic)."""
+    from .functions.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def q_events_bloom_semijoin(spark, sf_dir):
+    """Bloom-prefiltered semi-join: all events of users who ever
+    purchased, counted by type. The 8 KB broadcast bloom drops
+    non-members inside the scan before any shuffle; exact semi-join
+    removes false positives, so the oracle is the plain semi-join."""
+    from .functions.events import bloom_semi_join
+
+    ev = _events(spark, sf_dir)
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        bloom_semi_join(ev, buyers)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal: real PNG decode + nearest-neighbor resize to 4x4,
     per-pixel rows; oracle recomputes the integer nearest mapping."""
@@ -2301,6 +2326,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_range_windows_bucketed",
     "events_count_sessions_stream",
     "events_funnel",
+    "events_cohort_retention",
+    "events_bloom_semijoin",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -2523,5 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_token_frac": q_dedup_dup_token_frac,
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
+        "events_bloom_semijoin": q_events_bloom_semijoin,
         "s2_http_read": q_s2_http_read,
     }

@@ -1871,6 +1871,33 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)"""
 
 
+def sql_events_cohort_retention():
+    week_ns = 7 * 86400 * 1_000_000_000
+    return f"""WITH e AS (
+  SELECT user_id AS u, event_type AS et,
+         CAST(epoch_ns(ts) AS BIGINT) // {week_ns} AS week
+  FROM events
+),
+c AS (SELECT u, MIN(week) AS cohort_week FROM e WHERE et = 'signup' GROUP BY 1),
+a AS (SELECT DISTINCT u, week FROM e)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week - cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c ON c.u = a.u
+WHERE week >= cohort_week
+GROUP BY 1, 2"""
+
+
+def sql_events_bloom_semijoin():
+    # the bloom prefilter is correctness-transparent (no false
+    # negatives; positives removed by the exact join) — the oracle is
+    # the plain semi-join
+    return """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+GROUP BY 1"""
+
+
 def sql_storage_roundtrip_battery():
     # every write→read variant round-trips the SAME pixel table — the
     # oracle is the recomputed pixel formula per tag; the http tag
@@ -1967,6 +1994,10 @@ _DIGEST_SPECS = {
         "m": "l", "n_nonempty": "l", "reg_checksum": "l", "est": "d",
     },
     "events_funnel": {"step_index": "l", "step": "s", "n_users": "l"},
+    "events_cohort_retention": {
+        "cohort_week": "l", "week_offset": "l", "n_users": "l",
+    },
+    "events_bloom_semijoin": {"event_type": "s", "n": "l"},
 }
 
 EVENTS_ANALYTICS_PARTS = [
@@ -1980,6 +2011,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_range_windows_bucketed",
     "events_count_sessions_stream",
     "events_funnel",
+    "events_cohort_retention",
+    "events_bloom_semijoin",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -2152,6 +2185,8 @@ def oracles() -> dict[str, str]:
         "sketch_hll_distinct": sql_sketch_hll_distinct(),
         "events_funnel": sql_events_funnel(),
         "s2_http_read": sql_s2_http_read(),
+        "events_cohort_retention": sql_events_cohort_retention(),
+        "events_bloom_semijoin": sql_events_bloom_semijoin(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (

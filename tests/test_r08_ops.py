@@ -219,3 +219,73 @@ def test_hll_register_contract(spark):
     # deterministic: identical on rerun
     again = hll_distinct(df, "k").collect()[0]
     assert row.asDict() == again.asDict()
+
+
+def test_cohort_retention_triangle(spark):
+    from ngff_zarr_spark.functions.events import cohort_retention
+
+    W = 7 * 86400 * 1_000_000_000
+    rows = []
+    # user 1 signs up week 0, active weeks 0,1,3; user 2 signs up week
+    # 1, active week 1 only; user 3 never signs up (excluded)
+    for uid, et, wk in [
+        (1, "signup", 0), (1, "view", 1), (1, "click", 3),
+        (2, "signup", 1),
+        (3, "view", 0), (3, "view", 2),
+    ]:
+        rows.append({"user_id": uid, "event_type": et,
+                     "ts": wk * W + 1000, "event_id": len(rows), "value": 0.0})
+    ev = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_bloom_semijoin_equals_plain_semijoin(spark):
+    from ngff_zarr_spark.functions.events import bloom_semi_join
+
+    rng = np.random.default_rng(13)
+    rows = [
+        {"user_id": int(u), "event_type": "purchase" if rng.random() < 0.05 else "view",
+         "ts": int(i), "event_id": i, "value": 0.0}
+        for i, u in enumerate(rng.integers(0, 400, 3000))
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(rows))
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    got = sorted(map(tuple, bloom_semi_join(ev, buyers).collect()))
+    want = sorted(map(tuple, ev.join(buyers.distinct(), "user_id", "left_semi").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bloom_prefilter_actually_filters(spark):
+    # non-member rows must be dropped by the bloom BEFORE the join:
+    # with a tiny member set, the prefiltered row count is far below
+    # the input count (false positives only)
+    from ngff_zarr_spark.functions.events import BLOOM_K, BLOOM_M_BITS, bloom_semi_join
+
+    ev = spark.createDataFrame(pd.DataFrame([
+        {"user_id": i, "event_type": "view", "ts": i, "event_id": i, "value": 0.0}
+        for i in range(2000)
+    ]))
+    keys = ev.filter(F.col("user_id") < 3).select("user_id")
+    out = bloom_semi_join(ev, keys)
+    # exactness after the join
+    assert sorted(r["user_id"] for r in out.collect()) == [0, 1, 2]
+    # the bloom member predicate itself (the pre-join filter) must drop
+    # nearly everything: rebuild it by taking the plan's Filter child
+    # — cheaper: count rows passing the SAME predicate by re-deriving
+    # the prefiltered frame (bloom_semi_join filters BEFORE the join,
+    # so its join input equals ev.filter(member))
+    import math
+
+    # analyzed plan (the optimizer constant-folds the filter INTO a
+    # LocalRelation for in-memory test input — on a file scan it stays)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "forall" in plan and plan.index("forall") > plan.index("Join"), (
+        "bloom filter must sit below (after, in plan text) the join node"
+    )
+    # analytic sanity: the fp bound at these parameters is tiny
+    fp_bound = (1 - math.exp(-BLOOM_K * 3 / BLOOM_M_BITS)) ** BLOOM_K
+    assert fp_bound < 1e-10
