@@ -41,3 +41,86 @@ def filter_pipeline(docs: DataFrame, keep_lang: str = "en") -> DataFrame:
     return j.select(
         "doc_id", reason.alias("reason")
     ).withColumn("keep", F.col("reason") == "kept")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/pretraining splitter):
+    chunks start at 0, stride, 2*stride, … while the start is inside
+    the document; each spans up to ``chunk_tokens`` tokens (the last
+    one may be shorter). Returns (doc_id, chunk_idx, start_tok,
+    n_tokens, chunk_md5) — the md5 digests the space-joined token
+    slice, so content is value-checked without hauling text.
+
+    100 TB posture: pure per-row array expressions (sequence/slice/
+    concat) inside codegen + one explode — no shuffle at all; the
+    chunk table partitions exactly like its source."""
+    from .text import spread, tokens_col
+
+    toksed = spread(docs).select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toksed.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    )
+    length = F.least(F.lit(chunk_tokens), F.size("toks") - F.col("start_tok"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        length.cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("start_tok") + 1, length))
+        ).alias("chunk_md5"),
+    )
+
+
+REBALANCE_BUCKETS = 1_000_000
+
+
+def rebalance_by_lang(docs: DataFrame, salt: str = "mix") -> DataFrame:
+    """Deterministic language rebalancing (data mixing): downsample
+    every language to the SMALLEST language's volume by hash threshold
+    — doc kept iff h64(salt:doc_id) mod 10^6 < floor(10^6 * min_count /
+    lang_count). The decision is a pure function of the doc id, so
+    reruns and engines agree exactly, and enlarging the corpus only
+    re-rolls the affected language's threshold (no RNG state, no
+    global sort). Returns the per-language mixing report
+    (lang, n_total, threshold, n_kept).
+
+    100 TB posture: one tiny per-lang count aggregate broadcast back
+    onto the corpus, then a per-row hash comparison — the same
+    shuffle-free decision shape as hash_split."""
+    from .text import h64
+
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    m = counts.agg(F.min("n_total").alias("m"))
+    thr = (
+        counts.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            "n_total",
+            F.expr(f"({REBALANCE_BUCKETS} * m) div n_total").alias("threshold"),
+        )
+    )
+    keyed = docs.select(
+        "doc_id", "lang",
+        (h64(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+         % REBALANCE_BUCKETS).alias("bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "n_total", "threshold")
+        .agg(
+            F.sum(F.when(F.col("bucket") < F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select("lang", F.col("n_total").cast("long").alias("n_total"),
+                F.col("threshold").cast("long").alias("threshold"), "n_kept")
+    )

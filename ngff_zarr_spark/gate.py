@@ -1033,6 +1033,24 @@ def q_parity_battery(spark, sf_dir):
     return spark.createDataFrame(rows, "chk string, result string")
 
 
+def q_corpus_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (RAG/pretraining splitter) —
+    32-token chunks at stride 24 at gate scale; chunk content digested
+    by md5 (functions/corpus.chunk_documents)."""
+    from .functions.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+
+
+def q_corpus_rebalance(spark, sf_dir):
+    """Deterministic language rebalancing (data mixing): per-lang hash
+    thresholds that downsample every language to the smallest one's
+    volume (functions/corpus.rebalance_by_lang)."""
+    from .functions.corpus import rebalance_by_lang
+
+    return rebalance_by_lang(_docs(spark, sf_dir))
+
+
 def q_dedup_dup_spans(spark, sf_dir):
     """Cross-corpus duplicated-substring spans (functions/spans — the
     fixed-n Spark take on suffix-array substring dedup): maximal
@@ -2343,6 +2361,8 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_filter_pipeline",
     "dedup_dup_spans",
     "dedup_dup_token_frac",
+    "corpus_chunking",
+    "corpus_rebalance",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2552,5 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
         "events_bloom_semijoin": q_events_bloom_semijoin,
+        "corpus_chunking": q_corpus_chunking,
+        "corpus_rebalance": q_corpus_rebalance,
         "s2_http_read": q_s2_http_read,
     }

@@ -683,6 +683,39 @@ SELECT tot.doc_id,
 FROM tot LEFT JOIN per_doc ON per_doc.doc_id = tot.doc_id"""
 
 
+def sql_corpus_chunking():
+    ck, st = 32, 24  # gate.q_corpus_chunking parameters
+    toks = TOKS_RAW.format(c="text")
+    ln = f"LEAST({ck}, len(toks) - start_tok)"
+    return f"""WITH q AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+       CAST(start_tok // {st} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST({ln} AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[start_tok + 1 : start_tok + {ln}], ' ')) AS chunk_md5
+FROM q, unnest(CASE WHEN len(toks) > 0
+                    THEN generate_series(0, len(toks) - 1, {st})
+                    ELSE [] END) AS u(start_tok)"""
+
+
+def sql_corpus_rebalance():
+    from .functions.corpus import REBALANCE_BUCKETS as B
+
+    h = H64.format(s="concat('mix:', CAST(doc_id AS VARCHAR))")
+    return f"""WITH c AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1),
+mm AS (SELECT MIN(n_total) AS m FROM c),
+t AS (SELECT lang, n_total, ({B} * m) // n_total AS threshold FROM c, mm),
+k AS (
+  SELECT d.lang, CASE WHEN ({h}) % {B} < t.threshold THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN t ON t.lang = d.lang
+)
+SELECT t.lang, CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(t.threshold AS BIGINT) AS threshold,
+       CAST(SUM(k.kept) AS BIGINT) AS n_kept
+FROM k JOIN t ON t.lang = k.lang
+GROUP BY 1, 2, 3"""
+
+
 def sql_corpus_filter_pipeline():
     return f"""WITH g AS ({sql_text_gopher()}),
 k AS (SELECT doc_id, lang, md5({NORM.format(c='text')}) AS cm FROM documents),
@@ -1998,6 +2031,13 @@ _DIGEST_SPECS = {
         "cohort_week": "l", "week_offset": "l", "n_users": "l",
     },
     "events_bloom_semijoin": {"event_type": "s", "n": "l"},
+    "corpus_chunking": {
+        "doc_id": "l", "chunk_idx": "l", "start_tok": "l",
+        "n_tokens": "l", "chunk_md5": "s",
+    },
+    "corpus_rebalance": {
+        "lang": "s", "n_total": "l", "threshold": "l", "n_kept": "l",
+    },
 }
 
 EVENTS_ANALYTICS_PARTS = [
@@ -2028,6 +2068,8 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_filter_pipeline",
     "dedup_dup_spans",
     "dedup_dup_token_frac",
+    "corpus_chunking",
+    "corpus_rebalance",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2187,6 +2229,8 @@ def oracles() -> dict[str, str]:
         "s2_http_read": sql_s2_http_read(),
         "events_cohort_retention": sql_events_cohort_retention(),
         "events_bloom_semijoin": sql_events_bloom_semijoin(),
+        "corpus_chunking": sql_corpus_chunking(),
+        "corpus_rebalance": sql_corpus_rebalance(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (

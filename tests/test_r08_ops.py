@@ -289,3 +289,51 @@ def test_bloom_prefilter_actually_filters(spark):
     # analytic sanity: the fp bound at these parameters is tiny
     fp_bound = (1 - math.exp(-BLOOM_K * 3 / BLOOM_M_BITS)) ** BLOOM_K
     assert fp_bound < 1e-10
+
+
+def test_chunking_contract(spark):
+    from ngff_zarr_spark.functions.corpus import chunk_documents
+
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},
+        {"doc_id": 2, "text": "one two"},
+    ])
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # starts 0,3,6,9; lengths 4,4,4,1
+    assert d1["start_tok"].tolist() == [0, 3, 6, 9]
+    assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+    import hashlib
+
+    assert d1.iloc[0]["chunk_md5"] == hashlib.md5(b"t0 t1 t2 t3").hexdigest()
+    assert d1.iloc[3]["chunk_md5"] == hashlib.md5(b"t9").hexdigest()
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0]["n_tokens"] == 2
+
+
+def test_chunking_no_shuffle(spark):
+    from ngff_zarr_spark.functions.corpus import chunk_documents
+
+    docs = _docs(spark, [{"doc_id": 1, "text": "a b c"}])
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_rebalance_properties(spark):
+    from ngff_zarr_spark.functions.corpus import rebalance_by_lang
+
+    rng = np.random.default_rng(21)
+    langs = ["en"] * 600 + ["de"] * 200 + ["fr"] * 100
+    docs = _docs(spark, [
+        {"doc_id": i, "lang": l, "text": "x"} for i, l in enumerate(langs)
+    ])
+    out = {r["lang"]: r.asDict() for r in rebalance_by_lang(docs).collect()}
+    # smallest language keeps everything (threshold == bucket count)
+    assert out["fr"]["threshold"] == 1_000_000 and out["fr"]["n_kept"] == 100
+    # larger languages downsample toward the smallest's volume
+    assert out["en"]["threshold"] == 1_000_000 * 100 // 600
+    assert abs(out["en"]["n_kept"] - 100) < 50  # hash-binomial tolerance
+    assert abs(out["de"]["n_kept"] - 100) < 50
+    # deterministic
+    again = {r["lang"]: r.asDict() for r in rebalance_by_lang(docs).collect()}
+    assert out == again
