@@ -199,6 +199,8 @@ QUERIES = {
     "tpch_q1": gate.q_tpch_q1,
     "tpch_q3": gate.q_tpch_q3,
     "tpch_q5": gate.q_tpch_q5,
+    "tpch_q6": gate.q_tpch_q6,
+    "tpch_q10": gate.q_tpch_q10,
     "a2_bin_shrink": bench_bin_shrink,
     "a1_gaussian": bench_gaussian,
     "pyramid_write": bench_pyramid_write,

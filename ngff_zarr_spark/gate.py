@@ -69,6 +69,10 @@ SESSION_GAP_S = 1800.0
 TPCH_Q1_CUTOFF = "1998-09-02 00:00:00"
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1997-01-01 00:00:00"
+Q6_LO = "1997-01-01 00:00:00"
+Q6_HI = "1998-01-01 00:00:00"
+Q10_LO = "1997-01-01 00:00:00"
+Q10_HI = "1997-04-01 00:00:00"
 Q5_REGION = "ASIA"
 Q5_LO = "1996-01-01 00:00:00"
 Q5_HI = "1998-01-01 00:00:00"
@@ -1292,6 +1296,44 @@ def q_tpch_q3(spark, sf_dir):
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure filter + aggregate —
+    the predicate-pushdown showcase (all four predicates reach the
+    parquet scan; no shuffle beyond the final singleton reduce).
+    Decimal-exact sum, like q1/q3/q5."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q6_LO)
+        & (F.col("l_shipdate") < Q6_HI)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a quarter — join-heavy aggregate with a
+    broadcast nation dim and a deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_LO) & (F.col("o_orderdate") < Q10_HI)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
     )
 
 
@@ -2574,5 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bloom_semijoin": q_events_bloom_semijoin,
         "corpus_chunking": q_corpus_chunking,
         "corpus_rebalance": q_corpus_rebalance,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
         "s2_http_read": q_s2_http_read,
     }

@@ -1733,6 +1733,32 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10"""
 
 
+def sql_tpch_q6():
+    from .gate import Q6_HI, Q6_LO
+
+    return f"""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}' AND l_shipdate < TIMESTAMP '{Q6_HI}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+def sql_tpch_q10():
+    from .gate import Q10_HI, Q10_LO
+
+    return f"""SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q10_LO}' AND o_orderdate < TIMESTAMP '{Q10_HI}'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""
+
+
 def sql_tpch_q5():
     return f"""SELECT n_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -2200,6 +2226,8 @@ def oracles() -> dict[str, str]:
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
+        "tpch_q6": sql_tpch_q6(),
+        "tpch_q10": sql_tpch_q10(),
         "j3_well_catalog": sql_j3_well_catalog(),
         "f7_well_lookup": sql_f7_well_lookup(),
         "s18_hcs_store_read": sql_s18_hcs_store_read(),
