@@ -291,6 +291,8 @@ def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
                 np.searchsorted(keys, fk.ravel()).astype(np.uint8).reshape(f.shape[:2])
             )
     h, w = frames.shape[1:3]
+    if not (1 <= w <= 65535 and 1 <= h <= 65535):
+        raise ValueError(f"GIF dimensions are 16-bit: {w}x{h} out of range")
     out = bytearray()
     out += b"GIF89a"
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)  # 256-entry GCT

@@ -623,6 +623,8 @@ def webp_encode(arr: np.ndarray, subtract_green: bool = False,
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"unsupported WebP array shape {arr.shape}")
     h, w = arr.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError(f"VP8L dimensions are 14-bit: {w}x{h} out of range")
     if gray:
         r = g = b = arr
     else:

@@ -240,3 +240,87 @@ def test_mha_roundtrip_property(ndim, dtype, compressed, seed):
         arr = rng.integers(info.min, info.max, shape, dtype=dtype)
     back, _ = mha_read(mha_write(arr, compressed=compressed))
     np.testing.assert_array_equal(back, arr)
+
+
+# ---------------------------------------------------------------------------
+# r8: GIF + WebP-VP8L property roundtrips (shape/feature fuzzing — the
+# class of bug the r7 advisor found in jpeg_encode's non-aligned MCU
+# path is exactly what these sweep for)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_gif_gray_roundtrip_property(h, w, interlace, seed):
+    import numpy as np
+
+    from ngff_zarr_spark.ingest.gif import gif_decode, gif_encode
+
+    a = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(a, interlace=interlace)), a)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    n_colors=st.integers(1, 256),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_gif_rgb_palette_roundtrip_property(h, w, n_colors, seed):
+    import numpy as np
+
+    from ngff_zarr_spark.ingest.gif import gif_decode, gif_encode
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, n_colors, (h, w))]
+    out = gif_decode(gif_encode(img))
+    if out.ndim == 2:  # accidental gray palette collapses — re-expand
+        out = np.stack([out] * 3, -1)
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    rgb=st.booleans(),
+    sg=st.booleans(),
+    rle=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_webp_roundtrip_property(h, w, rgb, sg, rle, seed):
+    import numpy as np
+
+    from ngff_zarr_spark.ingest.webp import webp_decode, webp_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    if rle and h > 1:  # seed some runs so the LZ77 path actually fires
+        a[::2] = a[0]
+    out = webp_decode(webp_encode(a, subtract_green=sg, rle=rle))
+    if rgb and out.ndim == 2:  # r==g==b collapse on tiny images
+        out = np.stack([out] * 3, -1)
+    assert np.array_equal(out, a)
+
+
+def test_codec_dimension_limits():
+    import numpy as np
+    import pytest as _pytest
+
+    from ngff_zarr_spark.ingest.gif import gif_encode
+    from ngff_zarr_spark.ingest.webp import webp_encode
+
+    with _pytest.raises(ValueError, match="14-bit"):
+        webp_encode(np.zeros((1, 16385), np.uint8))
+    with _pytest.raises(ValueError, match="16-bit"):
+        gif_encode(np.zeros((1, 65536), np.uint8))
