@@ -408,9 +408,79 @@ class StoreBase:
     # -- JSON helpers --------------------------------------------------------
 
     def put_json(self, key: str, doc: dict) -> None:
+        # any metadata write invalidates the in-memory fast-path cache
+        # AND keeps an existing consolidated doc in sync (otherwise a
+        # well-upsert on a consolidated plate would leave readers
+        # serving the stale pre-write attrs)
+        self._cons_cache = None
         self.put(key, json.dumps(doc, indent=1, sort_keys=False).encode())
+        if key == ".zmetadata":
+            return
+        name = key.rsplit("/", 1)[-1]
+        try:
+            if name in (".zgroup", ".zattrs", ".zarray") and self.exists(".zmetadata"):
+                zm = json.loads(self.get(".zmetadata"))
+                if zm.get("zarr_consolidated_format") == 1:
+                    zm.setdefault("metadata", {})[key] = doc
+                    self.put(
+                        ".zmetadata",
+                        json.dumps(zm, indent=1, sort_keys=False).encode(),
+                    )
+            elif name == "zarr.json" and key != "zarr.json" and self.exists("zarr.json"):
+                root = json.loads(self.get("zarr.json"))
+                cm = root.get("consolidated_metadata")
+                if isinstance(cm, dict) and cm.get("kind") == "inline":
+                    cm.setdefault("metadata", {})[key[: -len("/zarr.json")]] = doc
+                    self.put(
+                        "zarr.json",
+                        json.dumps(root, indent=1, sort_keys=False).encode(),
+                    )
+        except Exception:  # noqa: BLE001 - sync is best-effort, write stands
+            pass
+
+    def _consolidated_meta(self) -> dict:
+        """Lazily-loaded consolidated-metadata map serving ``get_json``
+        without per-key store reads: v2 ``.zmetadata`` contributes its
+        ``metadata`` entries verbatim; a v3 root ``zarr.json`` with
+        inline ``consolidated_metadata`` contributes every child's
+        ``<path>/zarr.json`` (and the root doc itself). {} when the
+        store is not consolidated.
+
+        This is the object-store fast path: opening an N-level pyramid
+        costs ONE metadata GET instead of 2+N (the reason consolidation
+        exists — reference to_ngff_zarr.py:1177-1183 writes it; zarr's
+        open_consolidated reads it the same way). Stale-consolidation
+        semantics match the zarr ecosystem: when present it is
+        authoritative; local writers invalidate the cache on every
+        metadata put."""
+        cached = getattr(self, "_cons_cache", None)
+        if cached is not None:
+            return cached
+        out: dict = {}
+        try:
+            if self.exists(".zmetadata"):
+                doc = json.loads(self.get(".zmetadata"))
+                if doc.get("zarr_consolidated_format") == 1:
+                    out.update(doc.get("metadata", {}))
+        except Exception:  # noqa: BLE001 - fast path only, never fatal
+            pass
+        try:
+            if not out and self.exists("zarr.json"):
+                root = json.loads(self.get("zarr.json"))
+                cm = root.get("consolidated_metadata") or {}
+                if isinstance(cm, dict) and cm.get("kind") == "inline":
+                    for p, node in (cm.get("metadata") or {}).items():
+                        out[f"{p}/zarr.json"] = node
+                    out["zarr.json"] = root
+        except Exception:  # noqa: BLE001
+            pass
+        self._cons_cache = out
+        return out
 
     def get_json(self, key: str) -> dict:
+        cons = self._consolidated_meta()
+        if key in cons:
+            return cons[key]
         return json.loads(self.get(key))
 
     # -- array-level helpers -------------------------------------------------

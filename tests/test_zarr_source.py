@@ -296,3 +296,96 @@ def test_progress_and_computed_callbacks(spark, tmp_path):
         ("update", "scale1", 1, 2),
         ("done", 2),
     ]
+
+
+class _CountingStore:
+    """Delegating wrapper that counts byte-level get() calls."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.gets = []
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def get(self, key):
+        self.gets.append(key)
+        return self._inner.get(key)
+
+    # re-expose StoreBase helpers so they run against THIS get()
+    def get_json(self, key):
+        from ngff_zarr_spark.sources.zarr_store import StoreBase
+
+        return StoreBase.get_json(self, key)
+
+    def _consolidated_meta(self):
+        from ngff_zarr_spark.sources.zarr_store import StoreBase
+
+        return StoreBase._consolidated_meta(self)
+
+
+def test_consolidated_metadata_serves_reads_with_one_get(spark, tmp_path):
+    """r8: the object-store fast path — after consolidation, opening
+    every metadata doc costs ONE .zmetadata read; the per-key
+    .zgroup/.zattrs/.zarray fetches disappear."""
+    from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+    from ngff_zarr_spark.model import NgffImage
+    from ngff_zarr_spark.ome_zarr_api import to_multiscales, to_ngff_zarr
+    from ngff_zarr_spark.sources.zarr_store import ZarrStore
+
+    spec = ImageSpec("cons", z=2, y=8, x=8)
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": 2, "y": 8, "x": 8},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0},
+        name="cons",
+    )
+    ms = to_multiscales(img, scale_factors=[], chunks={"z": 2, "y": 8, "x": 8})
+    store_path = str(tmp_path / "cons.ome.zarr")
+    to_ngff_zarr(store_path, ms, version="0.4")
+    base = ZarrStore(store_path)
+    base.consolidate_metadata_v2()
+
+    counting = _CountingStore(ZarrStore(store_path))
+    attrs = counting.get_json(".zattrs")
+    arr = counting.get_json("scale0/cons/.zarray")
+    grp = counting.get_json(".zgroup")
+    meta_gets = [k for k in counting.gets if k != ".zmetadata"]
+    assert counting.gets.count(".zmetadata") == 1
+    assert meta_gets == [], f"per-key reads leaked past .zmetadata: {meta_gets}"
+    # and the served docs are the real ones
+    assert attrs == ZarrStore(store_path).get_json(".zattrs")
+    assert arr["shape"] == [2, 8, 8]
+    assert grp == {"zarr_format": 2}
+
+
+def test_consolidated_v3_inline_serves_child_nodes(tmp_path):
+    from ngff_zarr_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "v3.zarr")
+    st = ZarrStore(root)
+    st.put_json("zarr.json", {"zarr_format": 3, "node_type": "group", "attributes": {"a": 1}})
+    st.put_json("lvl/zarr.json", {"zarr_format": 3, "node_type": "array", "shape": [4]})
+    st.consolidate_metadata_v3()
+
+    counting = _CountingStore(ZarrStore(root))
+    child = counting.get_json("lvl/zarr.json")
+    assert child["shape"] == [4]
+    assert counting.gets == ["zarr.json"], counting.gets
+
+
+def test_metadata_write_invalidates_consolidated_cache(tmp_path):
+    from ngff_zarr_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "inv.zarr")
+    st = ZarrStore(root)
+    st.put_json(".zgroup", {"zarr_format": 2})
+    st.put_json(".zattrs", {"v": 1})
+    st.consolidate_metadata_v2()
+    st2 = ZarrStore(root)
+    assert st2.get_json(".zattrs") == {"v": 1}
+    # a write through the SAME instance must not serve the stale doc
+    st2.put_json(".zattrs", {"v": 2})
+    assert st2.get_json(".zattrs") == {"v": 2}
