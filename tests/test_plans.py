@@ -147,3 +147,45 @@ def test_dup_shingle_frac_inverted_index_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_dup_spans_two_keyed_exchanges_one_sort(spark, sf_dir):
+    """duplicated_spans: exactly the designed shuffles — gram-hash for
+    the count-agg + 1:1 join back, doc_id for the stacked windows (ONE
+    sort feeds both), and no pairwise join or Python anywhere."""
+    from ngff_zarr_spark.functions.spans import duplicated_spans
+
+    plan = plan_of(duplicated_spans(gate._docs(spark, sf_dir)))
+    assert plan.count("Exchange hashpartitioning") <= 4  # tree+detail dup
+    assert "CartesianProduct" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_funnel_broadcasts_shrinking_stages(spark, sf_dir):
+    """funnel: each stage's completion table broadcasts into the next
+    step's filter-join — no sort-merge join, no cartesian."""
+    from ngff_zarr_spark.functions.events import funnel
+
+    plan = plan_of(funnel(gate._events(spark, sf_dir)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_bounded_aggregate(spark, sf_dir):
+    """hll_distinct: hash projection → m-row aggregate → singleton; no
+    Python, no join, no window."""
+    from ngff_zarr_spark.functions.sketch import hll_distinct
+
+    plan = plan_of(hll_distinct(gate._events(spark, sf_dir), "event_id"))
+    assert "HashAggregate" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Window", "Join"):
+        assert bad not in plan
+
+
+def test_tpch_q6_full_pushdown(spark, sf_dir):
+    """q6: every predicate reaches the parquet scan and only the four
+    referenced columns are read."""
+    plan = plan_of(gate.q_tpch_q6(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:300]
