@@ -1037,6 +1037,17 @@ def q_parity_battery(spark, sf_dir):
     return spark.createDataFrame(rows, "chk string, result string")
 
 
+def q_corpus_kmeans_profile(spark, sf_dir):
+    """Corpus clustering profile: per-cluster vector counts from the
+    learned k-means quantizer (the document-clustering report every
+    embedding pipeline prints; same deterministic Lloyd the IVF index
+    uses, so the DuckDB twin unrolls identical iterations)."""
+    return S.ivf_cells(
+        _emb(spark, sf_dir), dim=EMB_DIM, n_cells=IVF_CELLS,
+        kmeans_iters=KMEANS_ITERS,
+    ).groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
 def q_corpus_chunking(spark, sf_dir):
     """Overlapping token-window chunking (RAG/pretraining splitter) —
     32-token chunks at stride 24 at gate scale; chunk content digested
@@ -2405,6 +2416,7 @@ CORPUS_SAMPLING_PARTS = [
     "dedup_dup_token_frac",
     "corpus_chunking",
     "corpus_rebalance",
+    "corpus_kmeans_profile",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2616,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bloom_semijoin": q_events_bloom_semijoin,
         "corpus_chunking": q_corpus_chunking,
         "corpus_rebalance": q_corpus_rebalance,
+        "corpus_kmeans_profile": q_corpus_kmeans_profile,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "s2_http_read": q_s2_http_read,

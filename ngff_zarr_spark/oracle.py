@@ -683,6 +683,32 @@ SELECT tot.doc_id,
 FROM tot LEFT JOIN per_doc ON per_doc.doc_id = tot.doc_id"""
 
 
+def sql_corpus_kmeans_profile():
+    # reuse the IVF oracle's learned-quantizer assignment CTEs; the
+    # profile is just the per-cell count over the assignments
+    from .gate import KMEANS_ITERS
+
+    return f"""WITH {_UNROLL},
+{_kmeans_ctes(KMEANS_ITERS)},
+adots AS (
+  SELECT d.vec_id, d.cell, round(d.dot / knorm.norm, 6) AS dot FROM (
+    SELECT e.vec_id, c.cell,
+           SUM(CAST(e.embedding[CAST(c.pos AS INTEGER)+1] AS DOUBLE) * c.val) AS dot
+    FROM embeddings e CROSS JOIN kcent c
+    GROUP BY e.vec_id, c.cell
+  ) d JOIN knorm USING (cell)
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots
+  ) WHERE rn = 1
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM cells GROUP BY 1"""
+
+
 def sql_corpus_chunking():
     ck, st = 32, 24  # gate.q_corpus_chunking parameters
     toks = TOKS_RAW.format(c="text")
@@ -2064,6 +2090,7 @@ _DIGEST_SPECS = {
     "corpus_rebalance": {
         "lang": "s", "n_total": "l", "threshold": "l", "n_kept": "l",
     },
+    "corpus_kmeans_profile": {"cell": "l", "n_vectors": "l"},
 }
 
 EVENTS_ANALYTICS_PARTS = [
@@ -2096,6 +2123,7 @@ CORPUS_SAMPLING_PARTS = [
     "dedup_dup_token_frac",
     "corpus_chunking",
     "corpus_rebalance",
+    "corpus_kmeans_profile",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2259,6 +2287,7 @@ def oracles() -> dict[str, str]:
         "events_bloom_semijoin": sql_events_bloom_semijoin(),
         "corpus_chunking": sql_corpus_chunking(),
         "corpus_rebalance": sql_corpus_rebalance(),
+        "corpus_kmeans_profile": sql_corpus_kmeans_profile(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (
