@@ -256,3 +256,46 @@ def document_image_features(docs: DataFrame) -> DataFrame:
         text_stats.join(imgs, "doc_id")
         .select("doc_id", "n_chars", "img_h", "img_w", "n_px", "px_mean")
     )
+
+
+AUG_CROP_H, AUG_CROP_W = 4, 5
+
+
+def augment_images(docs: DataFrame, salt: str = "aug") -> DataFrame:
+    """Deterministic training augmentation: decode each document's PNG,
+    horizontal-flip when the portable h64(salt:doc_id) is odd, then
+    crop AUG_CROP_H x AUG_CROP_W at a hash-derived offset. Randomness
+    is the enemy of reproducible corpus builds (and of oracles) — the
+    hash gives every document a stable augmentation on every run, on
+    every engine, so even the augmented PIXELS are value-checked
+    against the DuckDB twin. Per-pixel rows (doc_id, y, x, v).
+
+    A production pipeline swaps the codec and the transform list inside
+    the UDF (rotations, color jitter — all hash-seeded the same way);
+    the plumbing — Arrow batches, no shuffle, binary column pruned
+    after decode — is exactly this."""
+    import hashlib
+
+    imgs = attach_images(docs)
+    ch, cw = AUG_CROP_H, AUG_CROP_W
+
+    def aug(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..ingest.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                arr = png_decode(bytes(blob))
+                h, w = arr.shape[:2]
+                hv = int(hashlib.md5(f"{salt}:{int(doc_id)}".encode()).hexdigest()[:15], 16)
+                if hv % 2:
+                    arr = arr[:, ::-1]
+                oy = (hv // 2) % (h - ch + 1)
+                ox = (hv // 8) % (w - cw + 1)
+                crop = arr[oy:oy + ch, ox:ox + cw]
+                for yy in range(ch):
+                    for xx in range(cw):
+                        rows.append((int(doc_id), yy, xx, int(crop[yy, xx])))
+            yield pd.DataFrame(rows, columns=["doc_id", "y", "x", "v"])
+
+    return imgs.mapInPandas(aug, "doc_id long, y long, x long, v long")

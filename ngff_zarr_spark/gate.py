@@ -1199,6 +1199,15 @@ def q_multimodal_resize(spark, sf_dir):
     return resize_image_pixels(_docs(spark, sf_dir))
 
 
+def q_multimodal_augment(spark, sf_dir):
+    """Multimodal: deterministic hash-seeded augmentation (flip + crop)
+    over real PNG decodes — even the augmented pixels are
+    oracle-checked (functions/multimodal.augment_images)."""
+    from .functions.multimodal import augment_images
+
+    return augment_images(_docs(spark, sf_dir))
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     """Multimodal video: frame-sample every 2nd frame from the binary
     payload, per-frame pixel sums."""
@@ -2423,6 +2432,7 @@ MULTIMODAL_PARTS = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio",
+    "multimodal_augment",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 
@@ -2629,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunking": q_corpus_chunking,
         "corpus_rebalance": q_corpus_rebalance,
         "corpus_kmeans_profile": q_corpus_kmeans_profile,
+        "multimodal_augment": q_multimodal_augment,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "s2_http_read": q_s2_http_read,

@@ -1610,6 +1610,42 @@ SELECT doc_id, CAST(yy.i AS BIGINT) AS y, CAST(xx.i AS BIGINT) AS x,
 FROM dims CROSS JOIN range(4) yy(i) CROSS JOIN range(4) xx(i)"""
 
 
+def sql_multimodal_augment():
+    from .functions.multimodal import (
+        AUG_CROP_H,
+        AUG_CROP_W,
+        H_BASE,
+        H_MOD,
+        PIX_A,
+        PIX_MOD,
+        PIX_X,
+        PIX_Y,
+        W_BASE,
+        W_MOD,
+    )
+
+    hv = H64.format(s="concat('aug:', CAST(doc_id AS VARCHAR))")
+    ch, cw = AUG_CROP_H, AUG_CROP_W
+    return f"""WITH dims AS (
+  SELECT doc_id,
+         {H_BASE} + doc_id % {H_MOD} AS h,
+         {W_BASE} + doc_id % {W_MOD} AS w,
+         ({hv}) AS hv
+  FROM documents
+),
+par AS (
+  SELECT doc_id, h, w, hv % 2 AS flip,
+         (hv // 2) % (h - {ch} + 1) AS oy,
+         (hv // 8) % (w - {cw} + 1) AS ox
+  FROM dims
+)
+SELECT doc_id, CAST(yy.i AS BIGINT) AS y, CAST(xx.i AS BIGINT) AS x,
+       CAST((doc_id * {PIX_A} + (oy + yy.i) * {PIX_Y}
+             + (CASE WHEN flip = 1 THEN w - 1 - (ox + xx.i) ELSE ox + xx.i END) * {PIX_X})
+            % {PIX_MOD} AS BIGINT) AS v
+FROM par CROSS JOIN range({ch}) yy(i) CROSS JOIN range({cw}) xx(i)"""
+
+
 def sql_multimodal_frame_sample():
     from .functions.multimodal import (
         FRAME_H,
@@ -2071,6 +2107,7 @@ _DIGEST_SPECS = {
         "n_px": "l", "px_mean": "d",
     },
     "multimodal_resize": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
+    "multimodal_augment": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
     "multimodal_frame_sample": {"doc_id": "l", "frame": "l", "px_sum": "l"},
     "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sq_sum": "l"},
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
@@ -2130,6 +2167,7 @@ MULTIMODAL_PARTS = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio",
+    "multimodal_augment",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 
@@ -2288,6 +2326,7 @@ def oracles() -> dict[str, str]:
         "corpus_chunking": sql_corpus_chunking(),
         "corpus_rebalance": sql_corpus_rebalance(),
         "corpus_kmeans_profile": sql_corpus_kmeans_profile(),
+        "multimodal_augment": sql_multimodal_augment(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (
