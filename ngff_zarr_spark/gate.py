@@ -1199,6 +1199,41 @@ def q_multimodal_resize(spark, sf_dir):
     return resize_image_pixels(_docs(spark, sf_dir))
 
 
+def q_ann_ivf_stream_build(spark, sf_dir):
+    """Streaming index maintenance: the embedding corpus arrives as TWO
+    parquet files drained one micro-batch each (maxFilesPerTrigger=1);
+    every batch is cell-assigned with the offline-learned quantizer and
+    appended to the partitioned index layout. A probe over the
+    stream-built index must equal the batch IVF probe — the oracle is
+    the SAME learned-quantizer SQL as ann_ivf_topk."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .streaming.pipeline import streaming_ivf_index_build
+
+    d = _tmp_store("stream_emb")
+    index = _tmp_store("stream_ivf_index")
+    ckpt = _tmp_store("stream_ivf_ckpt")
+    for p in (d, index, f"{index}_centroids", ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(d, "part1.parquet"))
+    pq.write_table(t.slice(half), os.path.join(d, "part2.parquet"))
+
+    cen = S.kmeans_centroids(_emb(spark, sf_dir), EMB_DIM, IVF_CELLS, KMEANS_ITERS)
+    q = streaming_ivf_index_build(spark, d, index, ckpt, cen, dim=EMB_DIM)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming IVF build did not drain in time")
+    return S.ivf_topk_partitioned(
+        spark, index, list(range(10)), k=ANN_K, n_probe=IVF_PROBE
+    )
+
+
 def q_multimodal_augment(spark, sf_dir):
     """Multimodal: deterministic hash-seeded augmentation (flip + crop)
     over real PNG decodes — even the augmented pixels are
@@ -2640,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rebalance": q_corpus_rebalance,
         "corpus_kmeans_profile": q_corpus_kmeans_profile,
         "multimodal_augment": q_multimodal_augment,
+        "ann_ivf_stream_build": q_ann_ivf_stream_build,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "s2_http_read": q_s2_http_read,

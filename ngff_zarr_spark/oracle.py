@@ -2327,6 +2327,9 @@ def oracles() -> dict[str, str]:
         "corpus_rebalance": sql_corpus_rebalance(),
         "corpus_kmeans_profile": sql_corpus_kmeans_profile(),
         "multimodal_augment": sql_multimodal_augment(),
+        # the stream-built partitioned index must serve the SAME probe
+        # results as the batch learned-quantizer IVF
+        "ann_ivf_stream_build": sql_ann_ivf_topk(),
         # count-based sessions: complete rn//10 chunks in (ts, event_id)
         # order — the single-batch twin of the stateful stream operator
         "events_count_sessions_stream": """WITH e AS (

@@ -423,3 +423,56 @@ def streaming_count_sessions(
         )
 
     return chunks, start
+
+
+def streaming_ivf_index_build(
+    spark,
+    emb_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids,
+    dim: int = 64,
+):
+    """Incremental ANN index maintenance: embedding batches arrive as
+    parquet files; each micro-batch is assigned to its IVF cell with a
+    FIXED quantizer (trained offline — the production split: centroids
+    move slowly, the corpus grows constantly) and APPENDED to the
+    partitioned ``cell=N/`` layout that :func:`similarity.
+    ivf_topk_partitioned` probes with partition pruning. The index
+    grows file-by-file with no rebuild; after a drain, a probe over the
+    streamed index equals the batch-built index exactly (the gate's
+    oracle is the very same batch IVF SQL).
+
+    foreachBatch (the assignment needs the centroid ndarrays), append
+    mode, availableNow trigger. State is zero — every batch is
+    independent map work; the only cross-batch artifact is the growing
+    parquet layout itself."""
+    from ..functions.similarity import ivf_cells
+
+    C, Cn = centroids
+    schema = spark.read.parquet(emb_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+    )
+
+    def sink(batch, _bid):
+        assigned = ivf_cells(batch, dim=dim, centroids=(C, Cn))
+        (
+            batch.join(assigned, "vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(index_path)
+        )
+
+    spark.createDataFrame(
+        [(i, [float(v) for v in C[i]]) for i in range(C.shape[0])],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(f"{index_path}_centroids")
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
