@@ -506,6 +506,8 @@ JPEG_BLOCKS = (6, 7)        # (8x8 block grid rows, cols) -> 48x56 px
 DICOM_SHAPE = (4, 13, 11)   # (nz, h, w)
 GIF_SHAPE = (3, 15, 21)     # (n_frames, h, w)
 WEBP_SHAPE = (19, 27)       # (h, w)
+MGH_SHAPE = (3, 9, 11)      # (nz, ny, nx)
+MRC_SHAPE = (4, 7, 9)       # (nz, ny, nx)
 
 
 def q_s16_nifti_ingest(spark, sf_dir):
@@ -676,6 +678,50 @@ def q_s11_webp_ingest(spark, sf_dir):
     return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
 
 
+def q_s11_mgh_ingest(spark, sf_dir):
+    """S11 (itk backend stand-in): FreeSurfer MGH ingest through
+    backend detection → the native big-endian parser (ingest/mgh.py).
+    Deterministic volume formula; spacing → scale checked in-gate."""
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.mgh import mgh_encode
+
+    nz, ny, nx = MGH_SHAPE
+    path = _tmp_store("ingest.mgh")
+    zi, yi, xi = np.indices((nz, ny, nx))
+    arr = ((zi * 73 + yi * 179 + xi * 283) % 251).astype("int16")
+    with open(path, "wb") as f:
+        f.write(mgh_encode(arr, spacing=(2.5, 2.0, 1.5)))
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.ITKWASM
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    assert img.dtype == "int16" and img.scale == {"z": 2.5, "y": 2.0, "x": 1.5}
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
+def q_s11_mrc_ingest(spark, sf_dir):
+    """S11 (itk backend stand-in): MRC2014 ingest through backend
+    detection → the native parser (ingest/mrc.py; machine-stamp
+    endianness, CELLA/M voxel size)."""
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.mrc import mrc_encode
+
+    nz, ny, nx = MRC_SHAPE
+    path = _tmp_store("ingest.mrc")
+    zi, yi, xi = np.indices((nz, ny, nx))
+    arr = ((zi * 73 + yi * 179 + xi * 283) % 251).astype("uint16")
+    with open(path, "wb") as f:
+        f.write(mrc_encode(arr, voxel_size=(3.0, 2.0, 1.0)))
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.ITKWASM
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    assert img.dtype == "uint16" and img.scale == {"z": 3.0, "y": 2.0, "x": 1.0}
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
 def q_ingest_battery(spark, sf_dir):
     """S11/S12/S13 in one driver slot: single-file TIFF, PNG z-series
     glob, baseline JPEG, DICOM series, animated GIF, and lossless WebP
@@ -687,9 +733,11 @@ def q_ingest_battery(spark, sf_dir):
     dcm = q_s11_dicom_ingest(spark, sf_dir).withColumn("fmt", F.lit("dicom"))
     g = q_s11_gif_ingest(spark, sf_dir).withColumn("fmt", F.lit("gif"))
     wp = q_s11_webp_ingest(spark, sf_dir).withColumn("fmt", F.lit("webp"))
+    mg = q_s11_mgh_ingest(spark, sf_dir).withColumn("fmt", F.lit("mgh"))
+    mr = q_s11_mrc_ingest(spark, sf_dir).withColumn("fmt", F.lit("mrc"))
     return (
         t.unionByName(p).unionByName(j).unionByName(dcm)
-        .unionByName(g).unionByName(wp)
+        .unionByName(g).unionByName(wp).unionByName(mg).unionByName(mr)
     )
 
 
@@ -2613,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_dicom_ingest": q_s11_dicom_ingest,
         "s11_gif_ingest": q_s11_gif_ingest,
         "s11_webp_ingest": q_s11_webp_ingest,
+        "s11_mgh_ingest": q_s11_mgh_ingest,
+        "s11_mrc_ingest": q_s11_mrc_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

@@ -87,6 +87,14 @@ def cli_input_to_ngff_image(
             from .mha import mha_to_ngff_image
 
             return mha_to_ngff_image(spark, input[0])
+        if suffix.endswith((".mgh", ".mgz")):
+            from .mgh import mgh_to_ngff_image
+
+            return mgh_to_ngff_image(spark, input[0])
+        if suffix.endswith(".mrc"):
+            from .mrc import mrc_to_ngff_image
+
+            return mrc_to_ngff_image(spark, input[0])
         if suffix.endswith((".png", ".jpg", ".jpeg", ".bmp")):
             return _decode_2d_to_ngff_image(spark, input[0])
         from .tiff import tiff_to_ngff_image

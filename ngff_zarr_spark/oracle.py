@@ -438,6 +438,30 @@ def sql_s11_webp_ingest():
 FROM range({h * w}) r(i)"""
 
 
+def sql_s11_mgh_ingest():
+    from .gate import MGH_SHAPE
+
+    nz, ny, nx = MGH_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(i // {ny * nx} AS BIGINT) AS z,
+       CAST((i // {nx}) % {ny} AS BIGINT) AS y,
+       CAST(i % {nx} AS BIGINT) AS x,
+       CAST(((i // {ny * nx}) * 73 + ((i // {nx}) % {ny}) * 179 + (i % {nx}) * 283) % 251 AS BIGINT) AS v
+FROM range({nz * ny * nx}) r(i)"""
+
+
+def sql_s11_mrc_ingest():
+    from .gate import MRC_SHAPE
+
+    nz, ny, nx = MRC_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(i // {ny * nx} AS BIGINT) AS z,
+       CAST((i // {nx}) % {ny} AS BIGINT) AS y,
+       CAST(i % {nx} AS BIGINT) AS x,
+       CAST(((i // {ny * nx}) * 73 + ((i // {nx}) % {ny}) * 179 + (i % {nx}) * 283) % 251 AS BIGINT) AS v
+FROM range({nz * ny * nx}) r(i)"""
+
+
 def sql_ingest_battery():
     return (
         f"SELECT 'tiff' AS fmt, * FROM ({sql_s11_tiff_ingest()})\n"
@@ -445,7 +469,9 @@ def sql_ingest_battery():
         f"UNION ALL\nSELECT 'jpeg' AS fmt, * FROM ({sql_s11_jpeg_ingest()})\n"
         f"UNION ALL\nSELECT 'dicom' AS fmt, * FROM ({sql_s11_dicom_ingest()})\n"
         f"UNION ALL\nSELECT 'gif' AS fmt, * FROM ({sql_s11_gif_ingest()})\n"
-        f"UNION ALL\nSELECT 'webp' AS fmt, * FROM ({sql_s11_webp_ingest()})"
+        f"UNION ALL\nSELECT 'webp' AS fmt, * FROM ({sql_s11_webp_ingest()})\n"
+        f"UNION ALL\nSELECT 'mgh' AS fmt, * FROM ({sql_s11_mgh_ingest()})\n"
+        f"UNION ALL\nSELECT 'mrc' AS fmt, * FROM ({sql_s11_mrc_ingest()})"
     )
 
 
@@ -2241,6 +2267,8 @@ def oracles() -> dict[str, str]:
         "s11_dicom_ingest": sql_s11_dicom_ingest(),
         "s11_gif_ingest": sql_s11_gif_ingest(),
         "s11_webp_ingest": sql_s11_webp_ingest(),
+        "s11_mgh_ingest": sql_s11_mgh_ingest(),
+        "s11_mrc_ingest": sql_s11_mrc_ingest(),
         "ingest_battery": sql_ingest_battery(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),

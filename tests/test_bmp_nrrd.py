@@ -218,3 +218,47 @@ def test_detect_cli_routes_mha(spark, tmp_path):
     assert img.translation == {"z": 3.0, "y": 2.0, "x": 1.0}
     got = {(r.z, r.y, r.x): int(r.v) for r in img.data.collect()}
     assert got[(1, 2, 3)] == int(vol[1, 2, 3])
+
+
+# ---------------------------------------------------------------------------
+# r8: MGH + MRC codecs
+
+
+def test_mgh_roundtrips():
+    import gzip
+
+    import numpy as np
+
+    from ngff_zarr_spark.ingest.mgh import mgh_decode, mgh_encode
+
+    rng = np.random.default_rng(2)
+    for dt in [np.uint8, np.int16, np.int32, np.float32]:
+        a = rng.integers(0, 100, (4, 5, 6)).astype(dt)
+        back, sp = mgh_decode(mgh_encode(a, spacing=(2.5, 2.0, 1.5)))
+        assert np.array_equal(back, a) and back.dtype == a.dtype
+        assert sp == {"z": 2.5, "y": 2.0, "x": 1.5}
+    # .mgz container
+    back, _ = mgh_decode(gzip.compress(mgh_encode(a)))
+    assert np.array_equal(back, a)
+
+
+def test_mrc_roundtrips():
+    import numpy as np
+
+    from ngff_zarr_spark.ingest.mrc import mrc_decode, mrc_encode
+
+    rng = np.random.default_rng(3)
+    for dt in [np.int8, np.int16, np.uint16, np.float32]:
+        a = rng.integers(0, 100, (3, 7, 5)).astype(dt)
+        back, sp = mrc_decode(mrc_encode(a, voxel_size=(2.5, 2.0, 1.5)))
+        assert np.array_equal(back, a) and back.dtype == a.dtype
+        assert abs(sp["z"] - 2.5) < 1e-6 and abs(sp["x"] - 1.5) < 1e-6
+
+
+def test_mrc_rejects_non_mrc():
+    import pytest as _pytest
+
+    from ngff_zarr_spark.ingest.mrc import mrc_decode
+
+    with _pytest.raises(ValueError, match="MAP"):
+        mrc_decode(b"\x00" * 2048)

@@ -81,6 +81,8 @@ BATTERIES = {
         "s11_dicom_ingest",
         "s11_gif_ingest",
         "s11_webp_ingest",
+        "s11_mgh_ingest",
+        "s11_mrc_ingest",
     ],
     # r8 digest batteries (value-exact content digests per constituent;
     # see gate._digest_gate) — rotate the whole r7/r8 events-analytics
