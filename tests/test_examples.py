@@ -1,0 +1,23 @@
+"""The examples/ scripts must stay runnable (they are the user-facing
+composition of the gate-checked operators)."""
+
+import subprocess
+import sys
+
+
+def test_corpus_pipeline_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/corpus_pipeline.py", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "keep/drop funnel" in r.stdout
+
+
+def test_convert_image_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/convert_image.py"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "brain.ome.zarr" in r.stdout
