@@ -160,3 +160,37 @@ def test_sparse_plate_logical_indices(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not found"):
         write_hcs_well_image(spark, store, ms, plate, "B", "1")
+
+
+def test_sparse_plate_well_write(spark, tmp_path):
+    """Reference parity (test_index_out_of_range.py): a SPARSE plate —
+    rows [A, C], columns [1, 3, 5] — where well metadata's
+    rowIndex/columnIndex are logical indices that do not equal the
+    row/column POSITIONS in a dense grid. The well lookup must go by
+    NAME, never by treating rowIndex as an array position."""
+    store = str(tmp_path / "sparse.ome.zarr")
+    plate = Plate(
+        columns=[PlateColumn("1"), PlateColumn("3"), PlateColumn("5")],
+        rows=[PlateRow("A"), PlateRow("C")],
+        wells=[
+            PlateWell("A/1", 0, 0),
+            PlateWell("C/3", 1, 1),
+            PlateWell("C/5", 1, 2),
+        ],
+        name="Sparse",
+        field_count=1,
+    )
+    to_hcs_zarr(plate, store)
+    ms = _image(spark)
+    write_hcs_well_image(
+        spark, store, ms, plate, row_name="C", column_name="5", field_index=0
+    )
+    attrs = json.loads((tmp_path / "sparse.ome.zarr/C/5/.zattrs").read_text())
+    assert attrs["well"]["images"][0]["path"] == "0"
+    # and an unknown row still errors by name
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Row 'B' not found"):
+        write_hcs_well_image(
+            spark, store, ms, plate, row_name="B", column_name="1"
+        )
