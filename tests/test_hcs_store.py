@@ -194,3 +194,30 @@ def test_sparse_plate_well_write(spark, tmp_path):
         write_hcs_well_image(
             spark, store, ms, plate, row_name="B", column_name="1"
         )
+
+
+def test_multi_field_well_upsert(spark, tmp_path):
+    """Reference parity (test_write_hcs_well_image_edge_cases.py:256):
+    writing fields 0..2 into one well accumulates ALL of them in the
+    well's images list, each at path=str(i), acquisition 0, with the
+    pixel trees present on disk."""
+    store = str(tmp_path / "mf.ome.zarr")
+    plate = Plate(
+        columns=[PlateColumn("1")],
+        rows=[PlateRow("A")],
+        wells=[PlateWell("A/1", 0, 0)],
+        name="Multi-field",
+        field_count=3,
+    )
+    to_hcs_zarr(plate, store)
+    ms = _image(spark)
+    for field_idx in range(3):
+        write_hcs_well_image(
+            spark, store, ms, plate, row_name="A", column_name="1",
+            field_index=field_idx,
+        )
+        assert (tmp_path / f"mf.ome.zarr/A/1/{field_idx}").exists()
+    attrs = json.loads((tmp_path / "mf.ome.zarr/A/1/.zattrs").read_text())
+    images = attrs["well"]["images"]
+    assert [img["path"] for img in images] == ["0", "1", "2"]
+    assert all(img["acquisition"] == 0 for img in images)
