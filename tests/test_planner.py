@@ -123,3 +123,34 @@ def test_memory_usage_reference_values():
 def test_task_count_grid():
     assert task_count({"z": 4, "y": 4, "x": 4}, {"z": 2, "y": 2, "x": 2}) == 8
     assert task_count({"y": 67, "x": 65}, {"y": 32, "x": 32}) == 9
+
+
+def test_pyramid_integrity_int_chain(spark):
+    """Reference parity (py/test/test_pyramid_integrity.py): with a
+    cumulative integer scale-factor chain, every level's physical
+    extent (shape x scale) must equal the base image's, and level i's
+    scale must be exactly factor_i x base_scale — for each downsample
+    method family."""
+    from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+    from ngff_zarr_spark.model import NgffImage
+    from ngff_zarr_spark.ome_zarr_api import to_multiscales
+
+    spec = ImageSpec("pyr_int", y=64, x=64)
+    factors = [2, 4, 8]
+    for method in ("ITKWASM_BIN_SHRINK", "ITKWASM_LABEL_IMAGE", "ITKWASM_GAUSSIAN"):
+        img = NgffImage(
+            data=pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+            dims=["y", "x"],
+            shape={"y": 64, "x": 64},
+            scale={"y": 0.25, "x": 0.25},
+            translation={"y": 0.0, "x": 0.0},
+        )
+        ms = to_multiscales(img, scale_factors=factors, method=method,
+                            chunks={"y": 32, "x": 32})
+        assert len(ms.images) == len(factors) + 1
+        for li, level in enumerate(ms.images):
+            for d in ("y", "x"):
+                # extent preservation: base_shape * base_scale == shape * scale
+                assert 64 * 0.25 == level.scale[d] * level.shape[d], (method, li, d)
+                if li > 0:
+                    assert level.scale[d] == factors[li - 1] * 0.25, (method, li, d)
