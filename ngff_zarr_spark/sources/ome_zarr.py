@@ -319,6 +319,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
         self.array_path = options.get("array_path", "scale0/image")
+        self.packed = options.get("packed") == "true"
         self.storage_options = _parse_storage_options(options)
         if overwrite:
             # __init__ runs on the driver before tasks launch: clear the
@@ -392,12 +393,34 @@ class OmeZarrWriter(DataSourceArrowWriter):
             # Arrow → numpy directly (vectorized, zero-copy for the
             # non-null numeric columns here); to_pydict would box every
             # cell into a Python object first — measured ~2s/8M rows
-            coord_cols = [
-                batch.column(d).to_numpy(zero_copy_only=False).astype(np.int64)
-                for d in self.dims
-            ]
             vals = batch.column("v").to_numpy(zero_copy_only=False)
-            chunk_ids = [c // s for c, s in zip(coord_cols, m.chunks)]
+            if self.packed:
+                # (ck, off) mixed-radix form from write_image: decode
+                # per-dim chunk indices and within-chunk coords with
+                # vectorized divmods (last dim fastest, matching the
+                # fold order on the Spark side)
+                ck = batch.column("ck").to_numpy(zero_copy_only=False).astype(np.int64)
+                off = batch.column("off").to_numpy(zero_copy_only=False).astype(np.int64)
+                chunk_ids = [None] * len(m.chunks)
+                rem = ck
+                for i in range(len(m.chunk_grid) - 1, 0, -1):
+                    chunk_ids[i] = rem % m.chunk_grid[i]
+                    rem = rem // m.chunk_grid[i]
+                chunk_ids[0] = rem
+                local_cols = [None] * len(m.chunks)
+                rem = off
+                for i in range(len(m.chunks) - 1, 0, -1):
+                    local_cols[i] = rem % m.chunks[i]
+                    rem = rem // m.chunks[i]
+                local_cols[0] = rem
+                coord_cols = None
+            else:
+                coord_cols = [
+                    batch.column(d).to_numpy(zero_copy_only=False).astype(np.int64)
+                    for d in self.dims
+                ]
+                chunk_ids = [c // s for c, s in zip(coord_cols, m.chunks)]
+                local_cols = None
             flat = chunk_ids[0]
             grid = m.chunk_grid
             for g, ci in zip(grid[1:], chunk_ids[1:]):
@@ -419,14 +442,17 @@ class OmeZarrWriter(DataSourceArrowWriter):
             groups = np.split(order, boundaries)
             for grp in groups:
                 i0 = grp[0]
-                idx = tuple(int(c[i0] // s) for c, s in zip(coord_cols, m.chunks))
+                idx = tuple(int(ci[i0]) for ci in chunk_ids)
                 if idx != cur_idx:
                     flush()
                     cur_idx = idx
                     cur_buf = np.full(m.chunks, m.fill_value, dtype=m.dtype)
-                local = tuple(
-                    c[grp] - i * s for c, i, s in zip(coord_cols, idx, m.chunks)
-                )
+                if local_cols is not None:
+                    local = tuple(lc[grp] for lc in local_cols)
+                else:
+                    local = tuple(
+                        c[grp] - i * s for c, i, s in zip(coord_cols, idx, m.chunks)
+                    )
                 cur_buf[local] = vals[grp].astype(m.dtype)
         flush()
         flush_shard()
