@@ -268,10 +268,13 @@ def write_image(
     # (ck, off, v) is 24 bytes/row vs ~50+, and the partition sort keys
     # one long instead of five — measured 2.1x faster exchange+sort on
     # the bench volume. The writer decodes both with vectorized divmods.
+    # exact integer `div`, never double division + cast: coordinates at
+    # a 10^5-per-axis grid exceed nothing, but the fold products can —
+    # keep every step in long arithmetic
     grid = [-(-shape[d] // chunks.get(d, 1)) for d in dims]
-    ck = (F.col(dims[0]) / chunks.get(dims[0], 1)).cast("long")
+    ck = F.expr(f"{dims[0]} div {chunks.get(dims[0], 1)}")
     for d, g in zip(dims[1:], grid[1:]):
-        ck = ck * g + (F.col(d) / chunks.get(d, 1)).cast("long")
+        ck = ck * g + F.expr(f"{d} div {chunks.get(d, 1)}")
     off = F.col(dims[0]) % chunks.get(dims[0], 1)
     for d in dims[1:]:
         c = chunks.get(d, 1)
@@ -281,9 +284,9 @@ def write_image(
             d: chunks.get(d, 1) * chunks_per_shard.get(d, 1) for d in dims
         }
         sgrid = [-(-shape[d] // shard_sizes[d]) for d in dims]
-        sk = (F.col(dims[0]) / shard_sizes[dims[0]]).cast("long")
+        sk = F.expr(f"{dims[0]} div {shard_sizes[dims[0]]}")
         for d, g in zip(dims[1:], sgrid[1:]):
-            sk = sk * g + (F.col(d) / shard_sizes[d]).cast("long")
+            sk = sk * g + F.expr(f"{d} div {shard_sizes[d]}")
         packed = df.select(
             sk.alias("sk"), ck.alias("ck"), off.cast("long").alias("off"), "v"
         )
