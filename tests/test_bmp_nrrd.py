@@ -262,3 +262,39 @@ def test_mrc_rejects_non_mrc():
 
     with _pytest.raises(ValueError, match="MAP"):
         mrc_decode(b"\x00" * 2048)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    nz=st.integers(1, 6), ny=st.integers(1, 8), nx=st.integers(1, 8),
+    dtype=st.sampled_from(["uint8", "int16", "int32", "float32"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_mgh_roundtrip_property(nz, ny, nx, dtype, seed):
+    import numpy as np
+
+    from ngff_zarr_spark.ingest.mgh import mgh_decode, mgh_encode
+
+    a = np.random.default_rng(seed).integers(0, 100, (nz, ny, nx)).astype(dtype)
+    back, _ = mgh_decode(mgh_encode(a))
+    assert np.array_equal(back, a) and back.dtype == a.dtype
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    nz=st.integers(1, 6), ny=st.integers(1, 8), nx=st.integers(1, 8),
+    dtype=st.sampled_from(["int8", "int16", "uint16", "float32"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_mrc_roundtrip_property(nz, ny, nx, dtype, seed):
+    import numpy as np
+
+    from ngff_zarr_spark.ingest.mrc import mrc_decode, mrc_encode
+
+    a = np.random.default_rng(seed).integers(0, 100, (nz, ny, nx)).astype(dtype)
+    back, _ = mrc_decode(mrc_encode(a))
+    assert np.array_equal(back, a) and back.dtype == a.dtype

@@ -280,3 +280,89 @@ def test_range_join_bucketed_matches_broadcast(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r8: brute-force cross-check of asof_join — a THIRD independent
+# implementation (pure Python, O(n^2)) against random inputs, all three
+# directions, with and without tolerance. The DuckDB oracle checks the
+# backward gate; this covers the full parameter space.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _brute_asof(left_rows, right_rows, direction, tolerance):
+    out = []
+    for u, lts, lid in left_rows:
+        cands = []
+        for ru, rts, rid in right_rows:
+            if ru != u:
+                continue
+            if direction == "backward" and rts <= lts:
+                cands.append((rts, rid))
+            elif direction == "forward" and rts >= lts:
+                cands.append((rts, rid))
+            elif direction == "nearest":
+                cands.append((rts, rid))
+        best = None
+        if cands:
+            if direction == "backward":
+                m = max(t for t, _ in cands)
+            elif direction == "forward":
+                m = min(t for t, _ in cands)
+            else:
+                dist = min(abs(t - lts) for t, _ in cands)
+                back = [t for t, _ in cands if t <= lts and lts - t == dist]
+                m = max(back) if back else min(
+                    t for t, _ in cands if abs(t - lts) == dist
+                )
+            # among same-ts right rows the greatest value col wins
+            rid = max(r for t, r in cands if t == m)
+            if tolerance is None or abs(m - lts) <= tolerance:
+                best = (m, rid)
+        out.append((u, lts, lid, best))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.sampled_from([None, 5, 50]),
+)
+def test_asof_join_matches_brute_force(spark, seed, direction, tolerance):
+    import numpy as np
+    import pandas as pd
+
+    from ngff_zarr_spark.functions.events import asof_join
+
+    rng = np.random.default_rng(seed)
+    n_users = 4
+    left_rows = [
+        (int(rng.integers(n_users)), int(rng.integers(0, 100)), i)
+        for i in range(25)
+    ]
+    right_rows = [
+        (int(rng.integers(n_users)), int(rng.integers(0, 100)), 1000 + i)
+        for i in range(25)
+    ]
+    left = spark.createDataFrame(
+        pd.DataFrame(left_rows, columns=["user_id", "ts", "lid"])
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(right_rows, columns=["user_id", "ts", "event_id"])
+    )
+    got = asof_join(
+        left, right, key="user_id", ts_col="ts", value_cols=("event_id",),
+        direction=direction, tolerance=tolerance,
+    ).collect()
+    got_n = sorted(
+        (
+            r["user_id"], r["ts"], r["lid"],
+            None if r["event_id_asof"] is None else (r["ts_asof"], r["event_id_asof"]),
+        )
+        for r in got
+    )
+    want = _brute_asof(left_rows, right_rows, direction, tolerance)
+    assert got_n == want
