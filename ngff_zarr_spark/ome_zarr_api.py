@@ -272,6 +272,13 @@ def write_image(
     # a 10^5-per-axis grid exceed nothing, but the fold products can —
     # keep every step in long arithmetic
     grid = [-(-shape[d] // chunks.get(d, 1)) for d in dims]
+    if math.prod(grid) >= 2**63 or math.prod(chunks.get(d, 1) for d in dims) >= 2**63:
+        # a silent long overflow in the mixed-radix fold would scatter
+        # pixels into wrong chunks; no real store approaches this
+        # (2^63 chunks), but fail loudly rather than corrupt
+        raise ValueError(
+            f"chunk grid {grid} / chunk shape too large for packed write keys"
+        )
     ck = F.expr(f"{dims[0]} div {chunks.get(dims[0], 1)}")
     for d, g in zip(dims[1:], grid[1:]):
         ck = ck * g + F.expr(f"{d} div {chunks.get(d, 1)}")

@@ -389,3 +389,23 @@ def test_metadata_write_invalidates_consolidated_cache(tmp_path):
     # a write through the SAME instance must not serve the stale doc
     st2.put_json(".zattrs", {"v": 2})
     assert st2.get_json(".zattrs") == {"v": 2}
+
+
+def test_packed_write_key_overflow_guard(spark):
+    """The mixed-radix packed write key must refuse (not silently wrap)
+    a grid whose flat index space exceeds int64."""
+    import pytest as _pytest
+
+    from ngff_zarr_spark.ome_zarr_api import write_image
+
+    huge = 2**22
+    df = spark.range(1).selectExpr(
+        "0L as t", "0L as c", "0L as z", "0L as y", "id as x", "1.0 as v"
+    )
+    with _pytest.raises(ValueError, match="too large for packed"):
+        write_image(
+            df, "/tmp/never_written", "a",
+            shape={d: huge for d in ["t", "c", "z", "y", "x"]},
+            dims=["t", "c", "z", "y", "x"],
+            chunks={d: 1 for d in ["t", "c", "z", "y", "x"]},
+        )
