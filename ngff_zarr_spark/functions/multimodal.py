@@ -287,6 +287,11 @@ def augment_images(docs: DataFrame, salt: str = "aug") -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
                 arr = png_decode(bytes(blob))
                 h, w = arr.shape[:2]
+                if h < ch or w < cw:
+                    raise ValueError(
+                        f"augment_images: doc {int(doc_id)} image is "
+                        f"{h}x{w}, smaller than the {ch}x{cw} crop"
+                    )
                 hv = int(hashlib.md5(f"{salt}:{int(doc_id)}".encode()).hexdigest()[:15], 16)
                 if hv % 2:
                     arr = arr[:, ::-1]

@@ -210,6 +210,11 @@ def gif_decode(data: bytes) -> np.ndarray:
 
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"malformed GIF: frame ({left},{top})+({w}x{h}) exceeds "
+                f"logical screen {sw}x{sh}"
+            )
         if iflags & 0x80:
             pal, pos = _read_color_table(data, pos, 2 << (iflags & 0x07))
         elif gct is not None:
@@ -219,7 +224,13 @@ def gif_decode(data: bytes) -> np.ndarray:
         min_code_size = data[pos]
         pos += 1
         raw, pos = _read_sub_blocks(data, pos)
-        idx = _lzw_decode(min_code_size, raw, w * h).reshape(h, w)
+        idx = _lzw_decode(min_code_size, raw, w * h)
+        if idx.size != w * h:
+            raise ValueError(
+                f"malformed GIF: LZW stream ended after {idx.size} of "
+                f"{w * h} pixels"
+            )
+        idx = idx.reshape(h, w)
         if iflags & 0x40:  # interlaced
             deinter = np.empty_like(idx)
             src = 0
@@ -256,16 +267,30 @@ def gif_decode(data: bytes) -> np.ndarray:
     return stack[0] if len(frames) == 1 else stack
 
 
-def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
+def gif_encode(
+    arr: np.ndarray, interlace: bool = False, frames: bool | None = None
+) -> bytes:
     """Encode (h, w) uint8 gray, (h, w, 3) uint8 RGB, or a frame stack
     (n, h, w[, 3]) as GIF89a with one global color table. RGB input
-    must use ≤256 distinct colors across all frames (GIF is paletted)."""
+    must use ≤256 distinct colors across all frames (GIF is paletted).
+
+    A 3-D array is ambiguous when its last axis is 3: by default it is
+    read as one (h, w, 3) RGB image. Pass ``frames=True`` to force the
+    (n, h, w) grayscale-animation reading (e.g. a 3-pixel-wide stack),
+    or ``frames=False`` to assert the RGB reading explicitly."""
     if arr.dtype != np.uint8:
         raise ValueError(f"gif_encode needs uint8, got {arr.dtype}")
     if arr.ndim == 2:
+        if frames:
+            raise ValueError("frames=True needs a (n, h, w[, 3]) stack")
         gray = True
     elif arr.ndim == 3:
-        gray = arr.shape[-1] != 3  # (n, h, w) gray stack vs (h, w, 3) RGB
+        if frames is None:
+            gray = arr.shape[-1] != 3  # (n, h, w) gray stack vs (h, w, 3) RGB
+        else:
+            gray = bool(frames)  # explicit: True=(n,h,w) gray, False=(h,w,3)
+        if not gray and arr.shape[-1] != 3:
+            raise ValueError(f"frames=False needs (h, w, 3), got {arr.shape}")
     elif arr.ndim == 4 and arr.shape[-1] == 3:
         gray = False
     else:

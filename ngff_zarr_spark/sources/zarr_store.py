@@ -477,6 +477,20 @@ class StoreBase:
         self._cons_cache = out
         return out
 
+    def invalidate_metadata_cache(self) -> None:
+        """Drop this instance's consolidated-metadata fast-path cache.
+
+        The cache is per-StoreBase-instance and invalidated only by
+        writes issued THROUGH this instance (put_json above). A
+        long-lived reader store object whose underlying storage is
+        mutated by a different instance (or a different process) keeps
+        serving the snapshot it first loaded — the single-writer
+        assumption that object-store consolidation carries everywhere
+        in the zarr ecosystem. Call this after a known external write
+        to force the next get_json to re-read ``.zmetadata`` /
+        ``zarr.json`` from storage."""
+        self._cons_cache = None
+
     def get_json(self, key: str) -> dict:
         cons = self._consolidated_meta()
         if key in cons:

@@ -126,3 +126,60 @@ def test_gif_gate_matches_oracle(spark):
     ).df()
     assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
     assert len(got) == len(exp)
+
+
+def test_width3_gray_stack_frames_flag():
+    # ADVICE r8: a (n, h, 3) grayscale stack is shape-ambiguous with a
+    # single (h, w, 3) RGB image. frames=True forces the animation
+    # reading; the default stays RGB.
+    rng = np.random.default_rng(9)
+    stack = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    out = gif_decode(gif_encode(stack, frames=True))
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out, stack)
+    # default reading: one RGB image (needs <=256 colors to encode)
+    rgb = np.zeros((5, 7, 3), dtype=np.uint8)
+    rgb[..., 0] = np.arange(7, dtype=np.uint8)
+    out2 = gif_decode(gif_encode(rgb))
+    assert out2.shape == (5, 7, 3)
+    assert np.array_equal(out2, rgb)
+
+
+def test_frames_false_requires_rgb():
+    with pytest.raises(ValueError, match="frames=False"):
+        gif_encode(np.zeros((4, 4, 2), dtype=np.uint8), frames=False)
+    with pytest.raises(ValueError, match="frames=True"):
+        gif_encode(np.zeros((4, 4), dtype=np.uint8), frames=True)
+
+
+def test_malformed_frame_out_of_bounds():
+    # craft a GIF whose image descriptor extends past the 1x1 screen
+    bad = bytearray(MIN_GIF)
+    # image descriptor at the 2c block: left=0, top=0, w, h
+    i = bad.index(0x2C)
+    bad[i + 5] = 2  # w = 2 > screen w = 1
+    with pytest.raises(ValueError, match="exceeds"):
+        gif_decode(bytes(bad))
+
+
+def test_truncated_lzw_stream():
+    # truncate the LZW payload at a sub-block boundary so the stream
+    # is structurally valid but ends before w*h pixels are decoded
+    rng = np.random.default_rng(10)
+    a = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    enc = bytes(gif_encode(a))
+    i = 6 + 7 + 768  # header + LSD + 256-entry GCT -> image descriptor
+    assert enc[i] == 0x2C
+    lzw_start = i + 11  # 0x2C + descriptor (9) + min_code_size (1)
+    # walk sub-blocks, keep only the first half of the first block
+    n = enc[lzw_start]
+    assert n > 4
+    keep = n // 2
+    bad = (
+        enc[:lzw_start]
+        + bytes([keep])
+        + enc[lzw_start + 1 : lzw_start + 1 + keep]
+        + bytes([0x00, 0x3B])
+    )
+    with pytest.raises(ValueError, match="ended"):
+        gif_decode(bad)

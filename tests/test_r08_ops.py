@@ -337,3 +337,30 @@ def test_rebalance_properties(spark):
     # deterministic
     again = {r["lang"]: r.asDict() for r in rebalance_by_lang(docs).collect()}
     assert out == again
+
+
+def test_augment_rejects_sub_crop_image(spark):
+    """ADVICE r8: an attached image smaller than the crop must raise a
+    clear error instead of a ZeroDivisionError inside the Arrow UDF."""
+    import pytest as _pytest
+
+    from ngff_zarr_spark.functions.multimodal import augment_images
+    from ngff_zarr_spark.ingest.png import png_encode
+    import numpy as np
+
+    tiny = png_encode(np.zeros((2, 3), dtype=np.uint8))  # < 4x5 crop
+
+    # drive the UDF directly over a doc whose synthesized image we
+    # replace with the tiny PNG via a monkeypatched attach
+    from ngff_zarr_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    orig = mm.attach_images
+    try:
+        mm.attach_images = lambda d: d.selectExpr(
+            "doc_id", f"X'{bytes(tiny).hex()}' as image"
+        )
+        with _pytest.raises(Exception, match="smaller than"):
+            mm.augment_images(df).collect()
+    finally:
+        mm.attach_images = orig

@@ -409,3 +409,28 @@ def test_packed_write_key_overflow_guard(spark):
             dims=["t", "c", "z", "y", "x"],
             chunks={d: 1 for d in ["t", "c", "z", "y", "x"]},
         )
+
+
+def test_invalidate_metadata_cache_hook(tmp_path):
+    """ADVICE r8: a reader instance whose storage was mutated by a
+    DIFFERENT store instance serves its cached consolidated snapshot;
+    invalidate_metadata_cache() forces a re-read."""
+    from ngff_zarr_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "inv2.zarr")
+    writer = ZarrStore(root)
+    writer.put_json(".zgroup", {"zarr_format": 2})
+    writer.put_json(".zattrs", {"v": 1})
+    writer.consolidate_metadata_v2()
+
+    reader = ZarrStore(root)
+    assert reader.get_json(".zattrs") == {"v": 1}  # cache now populated
+
+    # out-of-band write through a different instance: reader is stale
+    # by design (documented single-writer assumption)...
+    writer.put_json(".zattrs", {"v": 2})
+    writer.consolidate_metadata_v2()
+    assert reader.get_json(".zattrs") == {"v": 1}
+    # ...until the caller drops the cache explicitly
+    reader.invalidate_metadata_cache()
+    assert reader.get_json(".zattrs") == {"v": 2}
