@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     meta.add_argument("-n", "--name", help="Image name")
     meta.add_argument("--output-scale", type=int, default=0, help="Pyramid level to pick from multiscale input")
     meta.add_argument("--ome-zarr-version", default="0.4", choices=["0.4", "0.5"])
+    meta.add_argument(
+        "--enable-rfc", action="append", type=int, metavar="RFC_NUMBER",
+        help="Enable specific RFC features (repeatable). Currently: 4 (anatomical orientation)",
+    )
 
     proc = p.add_argument_group("processing")
     proc.add_argument("-c", "--chunks", nargs="+", type=int, metavar="N")
@@ -113,6 +117,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.input_backend
         else detect_cli_io_backend(args.input)
     )
+
+    from .ingest.export import detect_export_suffix, export_ngff_image
+
+    # NGFF → NGFF passthrough (reference cli.py:398-408): the pyramid is
+    # data, not a plan — read every level and write it verbatim (version
+    # conversion / rechunk / reshard still apply), never re-downsample
+    if (
+        backend == ConversionBackend.NGFF_ZARR
+        and out is not None
+        and detect_export_suffix(str(out)) is None
+    ):
+        from .ome_zarr_api import from_ngff_zarr
+
+        ms = from_ngff_zarr(spark, args.input[0])
+        progress = None
+        if not args.quiet:
+            progress = NgffProgress(
+                on_update=lambda stage, i, n: print(f"[{i}/{n}] {stage}", file=sys.stderr)
+            )
+        to_ngff_zarr(
+            str(out),
+            ms,
+            version=args.ome_zarr_version,
+            compressor=(None if args.compressor == "none" else args.compressor),
+            chunks_per_shard=args.chunks_per_shard,
+            progress=progress,
+            enabled_rfcs=args.enable_rfc,
+        )
+        if not args.quiet:
+            print(f"wrote {out}", file=sys.stderr)
+        return 0
+
     img = cli_input_to_ngff_image(spark, backend, args.input, args.output_scale)
 
     # metadata overrides (reference cli.py applies them post-ingest)
@@ -134,6 +170,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         }
     if args.name:
         img.name = args.name
+
+    # non-Zarr output (reference cli.py:384-396 routes these through
+    # itk.imwrite; here the native encoders): single level, no pyramid
+    if out is not None and detect_export_suffix(str(out)) is not None:
+        export_ngff_image(img, str(out))
+        if not args.quiet:
+            print(f"wrote {out}", file=sys.stderr)
+        return 0
 
     chunks = _chunks_arg(args.chunks, img.dims)
     ms = to_multiscales(
@@ -164,6 +208,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         compressor=(None if args.compressor == "none" else args.compressor),
         chunks_per_shard=args.chunks_per_shard,
         progress=progress,
+        enabled_rfcs=args.enable_rfc,
     )
     if not args.quiet:
         print(f"wrote {out}", file=sys.stderr)

@@ -136,7 +136,8 @@ def read_nifti(path: str | Path) -> Nifti1Image:
         min_offset = 544
 
     ndim = dim[0]
-    if not 3 <= ndim <= 5:
+    # 2-D planar NIfTI is legal (dim[0]=2); nibabel reads it the same way
+    if not 2 <= ndim <= 5:
         raise ValueError(f"unsupported NIfTI ndim {ndim}")
     shape = tuple(int(d) for d in dim[1 : 1 + ndim])
     if datatype not in _DTYPES:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .metadata import group_attributes, parse_group_attributes, validate_metadata
+from .rfc4 import is_rfc4_enabled, validate_rfc4_axes
 from .model import (
     Axis,
     Dataset,
@@ -206,8 +207,22 @@ def to_multiscales(
         images.append(current)
         previous = update_previous_dim_factors(level, image.spatial_dims(), previous)
 
+    # RFC-4: ingest-derived anatomical orientations ride on the axes in
+    # the on-disk {type, value} form; to_ngff_zarr strips them unless
+    # enabled_rfcs includes 4 (reference to_ngff_zarr.py:1041 +
+    # _pop_metadata_optionals)
+    orients = image.axes_orientations or {}
     axes = [
-        Axis(name=d, type=dim_axis_type(d), unit=(image.axes_units or {}).get(d))
+        Axis(
+            name=d,
+            type=dim_axis_type(d),
+            unit=(image.axes_units or {}).get(d),
+            orientation=(
+                {"type": "anatomical", "value": orients[d]}
+                if d in orients
+                else None
+            ),
+        )
         for d in image.dims
     ]
     datasets = []
@@ -459,6 +474,7 @@ def to_ngff_zarr(
     validate: bool = False,
     chunks_per_shard: Optional[int | tuple | dict[str, int]] = None,
     progress: Optional["NgffProgress"] = None,
+    enabled_rfcs: Optional[list[int]] = None,
 ) -> None:
     """Write the pyramid to an OME-Zarr store (S4). Levels are written
     sequentially; level i>0 is recomputed *from the stored level i-1*
@@ -467,7 +483,14 @@ def to_ngff_zarr(
 
     ``dtype`` defaults to the base image's logical dtype (reference
     behavior: the store preserves the input array dtype — a uint16
-    volume stays ``<u2`` on disk, not a 4x-larger float64)."""
+    volume stays ``<u2`` on disk, not a 4x-larger float64).
+
+    ``enabled_rfcs`` gates RFC application exactly as the reference
+    (to_ngff_zarr.py:982-1041): with 4 absent (the default) anatomical
+    ``orientation`` entries are STRIPPED from the written axes; with 4
+    present they are preserved and validated (rfc4_validation.py's
+    structural + consistency rules), raising ValueError on invalid
+    metadata."""
     meta = multiscales.metadata
     if validate and meta is not None:
         problems = validate_metadata(meta)
@@ -482,7 +505,16 @@ def to_ngff_zarr(
         dtype = base.dtype or "float64"
     spark = base.data.sparkSession
     store = open_store(store_path)
-    store.write_group("", group_attributes(meta, version), zarr_format)
+    attrs = group_attributes(meta, version)
+    ms_doc = (attrs["ome"] if version == "0.5" else attrs)["multiscales"][0]
+    if is_rfc4_enabled(enabled_rfcs):
+        problems = validate_rfc4_axes(ms_doc.get("axes", []))
+        if problems:
+            raise ValueError(f"Invalid RFC-4 orientation metadata: {problems}")
+    else:
+        for ax in ms_doc.get("axes", []):
+            ax.pop("orientation", None)
+    store.write_group("", attrs, zarr_format)
 
     chunks = multiscales.chunks or default_chunks(base.dims)
     # same default as the reference (to_multiscales.py:325-331)

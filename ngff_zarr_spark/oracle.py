@@ -689,6 +689,10 @@ def sql_parity_battery():
         ("s19:reread_wells", "2"),
         ("s19:v05_node", "group"),
         ("s19:v05_version", "0.5"),
+        # r9: independent-implementation interop (tools/minizarr.py)
+        ("interop:engine_v2_indep_read", "equal"),
+        ("interop:engine_v3_indep_read", "equal"),
+        ("interop:indep_write_engine_read", "equal"),
     ]
     vals = ",\n ".join(f"('{c}', '{r}')" for c, r in expected)
     return f"SELECT * FROM (VALUES\n {vals}) t(chk, result)"
@@ -878,7 +882,9 @@ def sql_c8_rfc4_orientation():
     return """SELECT * FROM (VALUES
   ('x', 'right-to-left', 'left-to-right', 'anatomical'),
   ('y', 'anterior-to-posterior', 'posterior-to-anterior', 'anatomical'),
-  ('z', 'inferior-to-superior', 'inferior-to-superior', 'anatomical')
+  ('z', 'inferior-to-superior', 'inferior-to-superior', 'anatomical'),
+  ('flag_off', 'absent', 'absent', 'verdict'),
+  ('flag_on', 'present:inferior-to-superior', 'present:left-to-right', 'verdict')
 ) AS t(axis, lps, ras, otype)"""
 
 

@@ -71,6 +71,37 @@ def remove_anatomical_orientation_from_axis(axis_dict: dict) -> dict:
     return axis_dict
 
 
+def validate_rfc4_axes(axes: list[dict]) -> list[str]:
+    """RFC-4 validation over a serialized axes list (the engine's
+    analog of rfc4_validation.py:26-152): per-axis structural checks
+    plus the cross-axis rules — every orientation shares one type, and
+    orientation is defined either for ALL spatial axes or for none."""
+    problems: list[str] = []
+    types_seen: set[str] = set()
+    with_o: list[str] = []
+    without_o: list[str] = []
+    for ax in axes:
+        problems.extend(validate_axis_orientation(ax))
+        if ax.get("type") == "space":
+            o = ax.get("orientation")
+            if o is None:
+                without_o.append(ax.get("name"))
+            else:
+                with_o.append(ax.get("name"))
+                if isinstance(o, dict) and o.get("type"):
+                    types_seen.add(o["type"])
+    if len(types_seen) > 1:
+        problems.append(
+            f"orientation types differ across axes: {sorted(types_seen)}"
+        )
+    if with_o and without_o:
+        problems.append(
+            "RFC 4 requires orientation on all spatial axes or none; "
+            f"with: {with_o}, without: {without_o}"
+        )
+    return problems
+
+
 def validate_axis_orientation(axis_dict: dict) -> list[str]:
     """RFC-4 structural validation of one axis dict (the engine's analog
     of rfc4_validation.py:26-133): orientation only on space axes, type
@@ -79,6 +110,11 @@ def validate_axis_orientation(axis_dict: dict) -> list[str]:
     orientation = axis_dict.get("orientation")
     if orientation is None:
         return problems
+    if not isinstance(orientation, dict):
+        return [
+            f"axis {axis_dict.get('name')!r}: orientation must be an "
+            f"object with type/value, got {type(orientation).__name__}"
+        ]
     if axis_dict.get("type") != "space":
         problems.append(
             f"axis {axis_dict.get('name')!r}: orientation on non-space axis"

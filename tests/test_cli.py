@@ -121,3 +121,82 @@ def test_cli_ngff_to_ngff_version_upgrade(spark, tmp_path, tiff_file):
     a = {(r.y, r.x): r.v for r in read_image(spark, str(v04), "scale0/image").collect()}
     b = {(r.y, r.x): r.v for r in read_image(spark, str(v05), "scale0/image", zarr_format=3).collect()}
     assert a == b and a[(0, 0)] == float(arr[0, 0])
+
+
+def test_cli_passthrough_preserves_levels(spark, tmp_path, tiff_file):
+    """NGFF->NGFF passthrough (reference cli.py:398-408) must copy the
+    pyramid verbatim — same level count and paths, NO re-downsample."""
+    p, arr = tiff_file
+    src = tmp_path / "src.ome.zarr"
+    assert main(["-i", str(p), "-o", str(src), "-c", "16", "--min-length", "16", "-q"], spark=spark) == 0
+    n_src = len(json.loads((src / ".zattrs").read_text())["multiscales"][0]["datasets"])
+    assert n_src >= 2
+
+    dst = tmp_path / "dst.ome.zarr"
+    # note: no --min-length; passthrough must not rebuild the pyramid
+    assert main(["-i", str(src), "-o", str(dst), "-q"], spark=spark) == 0
+    ms = json.loads((dst / ".zattrs").read_text())["multiscales"][0]
+    assert len(ms["datasets"]) == n_src
+    assert [d["path"] for d in ms["datasets"]] == [
+        d["path"]
+        for d in json.loads((src / ".zattrs").read_text())["multiscales"][0]["datasets"]
+    ]
+
+
+def test_cli_export_nii_roundtrip(spark, tmp_path, tiff_file):
+    """Non-Zarr output: OME-Zarr (or any input) -> .nii via the native
+    writer, re-ingested pixel-exact (reference cli.py:384-396)."""
+    p, arr = tiff_file
+    store = tmp_path / "s.ome.zarr"
+    assert main(["-i", str(p), "-o", str(store), "-c", "16", "--min-length", "64",
+                 "-s", "y", "2.0", "x", "3.0", "-q"], spark=spark) == 0
+
+    nii = tmp_path / "out.nii"
+    assert main(["-i", str(store), "-o", str(nii), "-q"], spark=spark) == 0
+
+    from ngff_zarr_spark.ingest.nifti import nifti_to_ngff_image
+
+    img = nifti_to_ngff_image(spark, nii)
+    assert img.shape == {"x": 40, "y": 48}
+    assert img.scale["x"] == 3.0 and img.scale["y"] == 2.0
+    got = {(r.x, r.y): r.v for r in img.data.collect()}
+    assert got[(0, 0)] == float(arr[0, 0])
+    assert got[(39, 47)] == float(arr[47, 39])
+
+
+def test_cli_export_png(spark, tmp_path, tiff_file):
+    p, arr = tiff_file
+    png = tmp_path / "out.png"
+    assert main(["-i", str(p), "-o", str(png), "-q"], spark=spark) == 0
+    from ngff_zarr_spark.ingest.png import png_decode
+
+    assert np.array_equal(png_decode(png.read_bytes()), arr)
+
+
+def test_cli_enable_rfc4(spark, tmp_path):
+    """--enable-rfc 4 preserves anatomical orientation in the written
+    axes; without the flag it is stripped (reference
+    _pop_metadata_optionals + rfc4.py:154-156)."""
+    from ngff_zarr_spark.ingest.nifti import write_nifti
+
+    arr = (np.arange(6 * 5 * 4, dtype=np.int16) % 97).reshape(6, 5, 4)
+    nii = tmp_path / "vol.nii"
+    write_nifti(nii, arr, affine=np.diag([2.0, 3.0, 4.0, 1.0]))
+
+    off = tmp_path / "off.ome.zarr"
+    assert main(["-i", str(nii), "-o", str(off), "--min-length", "4", "-q"], spark=spark) == 0
+    axes = json.loads((off / ".zattrs").read_text())["multiscales"][0]["axes"]
+    assert all("orientation" not in a for a in axes)
+
+    on = tmp_path / "on.ome.zarr"
+    assert main(["-i", str(nii), "-o", str(on), "--min-length", "4",
+                 "--enable-rfc", "4", "-q"], spark=spark) == 0
+    axes = json.loads((on / ".zattrs").read_text())["multiscales"][0]["axes"]
+    spatial = [a for a in axes if a["type"] == "space"]
+    assert spatial and all(
+        a["orientation"]["type"] == "anatomical" for a in spatial
+    )
+    # identity-ish diag affine → +x is left-to-right etc. (RAS codes)
+    byname = {a["name"]: a for a in axes}
+    assert byname["x"]["orientation"]["value"] == "left-to-right"
+    assert byname["z"]["orientation"]["value"] == "inferior-to-superior"

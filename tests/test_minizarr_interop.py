@@ -1,0 +1,126 @@
+"""Interop evidence via the independent stdlib-only reader/writer
+(tools/minizarr.py — shares no code with the engine; VERDICT r8 ask #1
+stand-in for the unavailable zarr-python/ngff-zarr stack).
+
+Both directions: (a) stores the ENGINE writes are readable by an
+implementation derived only from the public Zarr specs; (b) stores the
+independent implementation writes per-spec are readable by the engine.
+Reference harness this mirrors: py/test/_data.py:104-177 store_equals
+against zarr-python-generated baselines.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tools import minizarr
+from ngff_zarr_spark.ingest.nifti import array_to_pixel_df
+from ngff_zarr_spark.model import to_ngff_image
+from ngff_zarr_spark.ome_zarr_api import (
+    from_ngff_zarr,
+    read_image,
+    to_multiscales,
+    to_ngff_zarr,
+)
+
+
+def _image(spark, dtype="uint16"):
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 500, (5, 12, 10)).astype(dtype)
+    dims = ["z", "y", "x"]
+    df = array_to_pixel_df(spark, arr, dims)
+    img = to_ngff_image(
+        df, dims=dims, shape=dict(zip(dims, arr.shape)),
+        scale={"z": 2.0, "y": 0.5, "x": 0.5},
+    )
+    img.dtype = arr.dtype.name
+    return img, arr
+
+
+@pytest.mark.parametrize("compressor", ["gzip", "zlib", None])
+def test_engine_v2_store_read_independently(spark, tmp_path, compressor):
+    img, arr = _image(spark)
+    ms = to_multiscales(img, scale_factors=[2], method="ITKWASM_BIN_SHRINK",
+                        chunks={"z": 2, "y": 5, "x": 4})
+    store = str(tmp_path / "v2.ome.zarr")
+    to_ngff_zarr(store, ms, version="0.4", compressor=compressor)
+
+    ms_doc, zf = minizarr.read_ome_attrs(store)
+    assert zf == 2
+    assert [a["name"] for a in ms_doc["axes"]] == ["z", "y", "x"]
+    level0 = minizarr.read_v2_array(store, ms_doc["datasets"][0]["path"])
+    assert level0.dtype == np.dtype("uint16")
+    assert np.array_equal(level0, arr)
+    # level 1 = 2x bin shrink (floor-mean in the engine's uint path):
+    # verify shape and a value DERIVED ONLY from the source array
+    level1 = minizarr.read_v2_array(store, ms_doc["datasets"][1]["path"])
+    assert level1.shape == (2, 6, 5)
+    expect00 = int(arr[0:2, 0:2, 0:2].astype(np.float64).mean())
+    assert int(level1[0, 0, 0]) == expect00
+
+
+def test_engine_v3_store_read_independently(spark, tmp_path):
+    img, arr = _image(spark)
+    ms = to_multiscales(img, scale_factors=[], method="ITKWASM_BIN_SHRINK",
+                        chunks={"z": 2, "y": 5, "x": 4})
+    store = str(tmp_path / "v3.ome.zarr")
+    to_ngff_zarr(store, ms, version="0.5", compressor="gzip")
+
+    ms_doc, zf = minizarr.read_ome_attrs(store)
+    assert zf == 3
+    level0 = minizarr.read_v3_array(store, ms_doc["datasets"][0]["path"])
+    assert np.array_equal(level0, arr)
+
+
+@pytest.mark.parametrize("sep", [".", "/"])
+def test_independent_v2_store_read_by_engine(spark, tmp_path, sep):
+    """minizarr writes a spec-compliant OME-Zarr 0.4 store from scratch
+    (both dimension separators); the engine must read it."""
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 200, (4, 9, 7)).astype("uint8")
+    root = tmp_path / "indep.ome.zarr"
+    root.mkdir()
+    (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    (root / ".zattrs").write_text(json.dumps({
+        "multiscales": [{
+            "version": "0.4",
+            "name": "indep",
+            "axes": [
+                {"name": "z", "type": "space"},
+                {"name": "y", "type": "space"},
+                {"name": "x", "type": "space"},
+            ],
+            "datasets": [{
+                "path": "0",
+                "coordinateTransformations": [
+                    {"type": "scale", "scale": [1.0, 1.0, 1.0]}
+                ],
+            }],
+        }]
+    }))
+    minizarr.write_v2_array(root, "0", arr, chunks=(2, 4, 4),
+                            compressor="gzip", dimension_separator=sep)
+
+    df = read_image(spark, str(root), "0")
+    got = {(r.z, r.y, r.x): r.v for r in df.collect()}
+    assert len(got) == arr.size
+    assert all(
+        got[z, y, x] == float(arr[z, y, x])
+        for z in range(4) for y in range(9) for x in range(7)
+    )
+
+    ms = from_ngff_zarr(spark, str(root))
+    assert ms.images[0].shape == {"z": 4, "y": 9, "x": 7}
+
+
+def test_minizarr_self_roundtrip():
+    """Sanity: the independent implementation round-trips through
+    itself (so engine-interop failures implicate the engine)."""
+    rng = np.random.default_rng(5)
+    import tempfile
+
+    arr = rng.integers(-300, 300, (3, 5, 4)).astype("int16")
+    with tempfile.TemporaryDirectory() as d:
+        minizarr.write_v2_array(d, "a", arr, chunks=(2, 2, 3))
+        assert np.array_equal(minizarr.read_v2_array(d, "a"), arr)
