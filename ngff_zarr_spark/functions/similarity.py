@@ -371,26 +371,36 @@ def kmeans_centroids(
                 return pd.Series(np.argmax(dots, axis=1).astype(np.int64))
 
             scale = float(10 ** round_decimals)
+            # (cell, pos) LONG aggregate instead of `dim` separate sum
+            # columns: the aggregate schema stays 4 columns whatever the
+            # embedding dim (a dim-1024 model would otherwise plan a
+            # 1025-column hash aggregate — VERDICT r8 watch item). Same
+            # integer quantization, so the long sums stay exact and
+            # order-independent; shuffle volume is identical
+            # (n_cells x dim values either way) and map-side combine
+            # still applies to the (cell, pos) keys.
             sums = (
                 e.select(cell_of(F.col("embedding")).alias("cell"), "embedding")
-                .groupBy("cell")
-                .agg(
-                    F.count("*").alias("n"),
-                    *[
-                        F.sum(
-                            F.round(F.col("embedding")[i].cast("double") * scale)
-                            .cast("long")
-                        ).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
+                .select(
+                    "cell",
+                    F.posexplode(
+                        F.transform(
+                            "embedding",
+                            lambda v: F.round(v.cast("double") * F.lit(scale)).cast(
+                                "long"
+                            ),
+                        )
+                    ).alias("pos", "q"),
                 )
+                .groupBy("cell", "pos")
+                .agg(F.count("*").alias("n"), F.sum("q").alias("s"))
                 .collect()
             )
             C = C.copy()
             for row in sums:
-                cell, n = int(row["cell"]), int(row["n"])
-                for i in range(dim):
-                    C[cell, i] = int(row[f"s{i}"]) / (n * scale)
+                C[int(row["cell"]), int(row["pos"])] = int(row["s"]) / (
+                    int(row["n"]) * scale
+                )
             Cn = np.sqrt(np.add.reduce(C * C, axis=1))
     finally:
         # unpersist even when a collect fails mid-iteration, or the
