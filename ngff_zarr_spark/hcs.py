@@ -350,7 +350,26 @@ def write_hcs_well_image(
 
     zarr_format = 2 if version == "0.4" else 3
     store = open_store(store_path)
+    _upsert_well_attrs(
+        store, well_path, field_index, acquisition_id, well_metadata,
+        version, zarr_format,
+    )
 
+    field_store = f"{store_path}/{well_path}/{field_index}"
+    to_ngff_zarr(field_store, multiscales, version=version, **kwargs)
+
+
+def _upsert_well_attrs(
+    store,
+    well_path: str,
+    field_index: int,
+    acquisition_id: int,
+    well_metadata: Optional[Well],
+    version: str,
+    zarr_format: int,
+) -> None:
+    """Merge one field into the well's image-list attrs (the reference
+    attr-merge branch, hcs.py:655-716)."""
     # merge with any existing well attrs (metadata upsert)
     if well_metadata is None:
         existing = None
@@ -401,8 +420,101 @@ def write_hcs_well_image(
         raise ValueError(f"Unsupported OME-Zarr version: {version}")
     store.write_group(well_path, well_attrs, zarr_format)
 
-    field_store = f"{store_path}/{well_path}/{field_index}"
-    to_ngff_zarr(field_store, multiscales, version=version, **kwargs)
+
+def write_hcs_fields(
+    spark: SparkSession,
+    store_path: str,
+    fields: list[tuple],
+    plate_metadata: Plate,
+    version: str = "0.4",
+    compressor: Optional[str] = "gzip",
+    max_fields_per_job: int = 64,
+) -> None:
+    """Batched T1 ingestion: write MANY fields-of-view into a plate
+    store with the per-field metadata of :func:`write_hcs_well_image`
+    but the pixels of up to ``max_fields_per_job`` fields per Spark job
+    (ome_zarr_api.write_image_batch — field index folded into the
+    packed chunk key). ``fields`` entries are
+    ``(row_name, column_name, field_index, multiscales[, acquisition_id])``.
+
+    Single-level multiscales with a common (shape, chunks, dtype) batch
+    together; anything else (true pyramids, mixed geometries) falls
+    back to the per-field path. Store bytes are IDENTICAL to the
+    per-field path (pinned in tests) — only the job count changes:
+    a 96-well x 4-field acquisition batch goes from 384 scheduled
+    writes to ceil(384/64) = 6."""
+    from .ome_zarr_api import to_ngff_zarr as _tz, write_image_batch
+    from .sources.zarr_store import open_store
+
+    zarr_format = 2 if version == "0.4" else 3
+    store = open_store(store_path)
+    groups: dict = {}
+    for entry in fields:
+        row_name, column_name, field_index, multiscales = entry[:4]
+        acquisition_id = entry[4] if len(entry) > 4 else 0
+        well_path = f"{row_name}/{column_name}"
+        if not any(w.path == well_path for w in plate_metadata.wells):
+            raise ValueError(f"Well '{well_path}' not found in plate metadata")
+        _upsert_well_attrs(
+            store, well_path, field_index, acquisition_id, None, version, zarr_format
+        )
+        prefix = f"{well_path}/{field_index}"
+        ms = multiscales
+        img = ms.images[0]
+        if len(ms.images) != 1:
+            # true pyramid: the per-field writer handles level recompute
+            _tz(f"{store_path}/{prefix}", ms, version=version, compressor=compressor)
+            continue
+        from .metadata import group_attributes
+
+        attrs = group_attributes(ms.metadata, version) if ms.metadata else {}
+        ms_doc = (attrs.get("ome", attrs)).get("multiscales")
+        if ms_doc:
+            for ax in ms_doc[0].get("axes", []):
+                ax.pop("orientation", None)  # enabled_rfcs default
+        store.write_group(prefix, attrs, zarr_format)
+        path0 = ms.metadata.datasets[0].path if ms.metadata else "scale0/image"
+        if "/" in path0:
+            store.write_group(
+                f"{prefix}/{path0.rsplit('/', 1)[0]}", {}, zarr_format
+            )
+        chunks = ms.chunks or {d: img.shape[d] for d in img.dims}
+        lvl_chunks = {
+            d: min(chunks.get(d, 1), max(1, img.shape[d])) for d in img.dims
+        }
+        key = (
+            tuple(img.dims),
+            tuple(sorted(img.shape.items())),
+            tuple(sorted(lvl_chunks.items())),
+            img.dtype or "float64",
+        )
+        groups.setdefault(key, []).append(
+            (img, f"{prefix}/{path0}", prefix)
+        )
+
+    for (dims_t, _shape_t, _chunks_t, dtype), members in groups.items():
+        shape = members[0][0].shape
+        lvl_chunks = dict(_chunks_t)
+        for i in range(0, len(members), max_fields_per_job):
+            batch = members[i : i + max_fields_per_job]
+            write_image_batch(
+                [(im.data, ap) for im, ap, _ in batch],
+                store_path,
+                shape,
+                list(dims_t),
+                lvl_chunks,
+                dtype=dtype,
+                compressor=compressor,
+                zarr_format=zarr_format,
+            )
+        for im, _ap, prefix in members:
+            sub = open_store(f"{store_path}/{prefix}")
+            if zarr_format == 2:
+                sub.consolidate_metadata_v2()
+            else:
+                sub.consolidate_metadata_v3()
+            for cb in list(im.computed_callbacks):
+                cb()
 
 
 def well_image_catalog(wells: DataFrame, well_images: DataFrame) -> DataFrame:

@@ -353,6 +353,81 @@ def write_image(
     writer.save()
 
 
+def write_image_batch(
+    fields: list[tuple[DataFrame, str]],
+    store_path: str,
+    shape: dict[str, int],
+    dims: list[str],
+    chunks: dict[str, int],
+    dtype: str = "float64",
+    compressor: Optional[str] = "gzip",
+    zarr_format: int = 2,
+) -> None:
+    """Write MANY same-shaped arrays in ONE Spark job: ``fields`` is a
+    list of (pixel DataFrame, array_path) sharing shape/dims/chunks/
+    dtype. The per-field packed plans are unioned with the field index
+    folded into the chunk key as its highest radix digit, shuffled once
+    on that key, and a single multi-array writer job emits every chunk
+    of every field.
+
+    This is the plate-ingestion amortization (HCS T1 at scale): a
+    96-well x 4-field micro-batch is ONE job instead of 384, so the
+    fixed per-job cost (scheduling + Python-worker round-trip + commit,
+    ~0.5 s each on a busy cluster) is paid once per micro-batch. The
+    shuffle volume is identical to 384 separate writes."""
+    import json as _json
+
+    if not fields:
+        return
+    spark = fields[0][0].sparkSession
+    register(spark)
+    grid = [-(-shape[d] // chunks.get(d, 1)) for d in dims]
+    n_chunks = math.prod(grid)
+    if n_chunks * len(fields) >= 2**63:
+        raise ValueError("field count x chunk grid too large for packed write keys")
+
+    # ONE SQL string per field (selectExpr), not a Column-op chain: the
+    # chain costs ~30 py4j round-trips per field (measured 47 ms each —
+    # 18 s of driver time at 384 fields); a prebuilt expression string
+    # is a single call. coalesce(1): a field is a few KB of rows — 64
+    # one-partition map tasks per job instead of 64 x default-parallelism.
+    ck_sql = f"({dims[0]} div {chunks.get(dims[0], 1)})"
+    for d, g in zip(dims[1:], grid[1:]):
+        ck_sql = f"({ck_sql} * {g} + ({d} div {chunks.get(d, 1)}))"
+    off_sql = f"({dims[0]} % {chunks.get(dims[0], 1)})"
+    for d in dims[1:]:
+        c = chunks.get(d, 1)
+        off_sql = f"({off_sql} * {c} + ({d} % {c}))"
+
+    def packed_plan(df, fid):
+        return df.selectExpr(
+            f"CAST({ck_sql} + {fid * n_chunks} AS BIGINT) AS ck",
+            f"CAST({off_sql} AS BIGINT) AS off",
+            "v",
+        ).coalesce(1)
+
+    packed = packed_plan(fields[0][0], 0)
+    for fid, (df, _) in enumerate(fields[1:], start=1):
+        packed = packed.unionByName(packed_plan(df, fid))
+    total_chunks = n_chunks * len(fields)
+    n_tasks = max(1, min(total_chunks, max(32, total_chunks // 8)))
+    packed = packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
+    (
+        packed.write.format("ome_zarr")
+        .mode("overwrite")
+        .option("path", store_path)
+        .option("array_paths", _json.dumps([p for _, p in fields]))
+        .option("zarr_format", str(zarr_format))
+        .option("shape", ",".join(str(shape[d]) for d in dims))
+        .option("chunks", ",".join(str(chunks.get(d, 1)) for d in dims))
+        .option("dims", ",".join(dims))
+        .option("dtype", dtype)
+        .option("compressor", compressor or "")
+        .option("packed", "true")
+        .save()
+    )
+
+
 def read_image(
     spark: SparkSession,
     store_path: str,

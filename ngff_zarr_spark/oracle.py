@@ -35,6 +35,9 @@ from .gate import (
     Q5_LO,
     Q5_REGION,
     ROI_RANGES,
+    SKEW_BASE_ID,
+    SKEW_N,
+    SKEW_TEXT,
     TPCH_Q1_CUTOFF,
 )
 
@@ -827,11 +830,15 @@ bx AS (
   FROM bands b JOIN occ o ON b.band = o.band AND b.band_key = o.band_key
 ),
 cand AS (
+  -- pairwise arm prefilters BOTH join inputs to capped buckets (the
+  -- Spark twin filters before its self-join too): an over-cap bucket
+  -- must never reach the equi-join, or a 20k boilerplate bucket costs
+  -- 20k^2 match attempts before any WHERE applies
   SELECT DISTINCT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bx a JOIN bx b
+    FROM (SELECT * FROM bx WHERE occ <= {DEFAULT_MAX_BUCKET}) a
+    JOIN (SELECT * FROM bx WHERE occ <= {DEFAULT_MAX_BUCKET}) b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE a.occ <= {DEFAULT_MAX_BUCKET}
     UNION ALL
     SELECT hub AS doc_a, doc_id AS doc_b FROM bx
     WHERE occ > {DEFAULT_MAX_BUCKET} AND doc_id <> hub
@@ -964,7 +971,14 @@ edges AS (
 reach(u, label) AS (
   SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
   UNION
+  -- monotone restriction: only labels SMALLER than the entered node
+  -- propagate. The component minimum is smaller than every node on
+  -- every path, so it still reaches everywhere and MIN(label) is
+  -- unchanged — but a k-member near-dup cluster now materializes O(k)
+  -- reach rows instead of the full O(k^2) transitive closure (which
+  -- at the 20k adversarial-skew cluster would be 4e8 rows)
   SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.u
+  WHERE r.label < e.u
 )
 SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u"""
 
@@ -973,6 +987,38 @@ def sql_dedup_keep():
     return f"""WITH clusters AS ({sql_dedup_clusters()})
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"""
+
+
+def sql_dedup_skew_cluster():
+    """The capped pipeline re-run INDEPENDENTLY over the same
+    corpus ∪ boilerplate union the gate generates (gate._skew_docs):
+    the metrics are computed twice, not pinned, so a cap bug on either
+    engine shows as a mismatch."""
+    inner = sql_dedup_clusters().replace("FROM documents)", "FROM documents_skew)")
+    lim = SKEW_BASE_ID
+    return f"""WITH documents_skew AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {SKEW_BASE_ID} + i AS doc_id, '{SKEW_TEXT}' AS text
+  FROM range({SKEW_N}) r(i)
+),
+clusters AS MATERIALIZED ({inner}),
+kept AS (
+  SELECT doc_id FROM documents_skew
+  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+)
+SELECT 'boiler_docs_clustered' AS metric, CAST(COUNT(*) AS BIGINT) AS v
+  FROM clusters WHERE doc_id >= {lim}
+UNION ALL SELECT 'boiler_clusters', CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+  FROM clusters WHERE doc_id >= {lim}
+UNION ALL SELECT 'boiler_min_label', CAST(MIN(cluster_id) AS BIGINT)
+  FROM clusters WHERE doc_id >= {lim}
+UNION ALL SELECT 'boiler_kept', CAST(COUNT(*) AS BIGINT)
+  FROM kept WHERE doc_id >= {lim}
+UNION ALL SELECT 'base_cluster_rows', CAST(COUNT(*) AS BIGINT)
+  FROM clusters WHERE doc_id < {lim}
+UNION ALL SELECT 'base_label_sum', CAST(SUM(cluster_id) AS BIGINT)
+  FROM clusters WHERE doc_id < {lim}"""
 
 
 def sql_dedup_simhash():
@@ -2144,6 +2190,17 @@ _DIGEST_SPECS = {
     "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sq_sum": "l"},
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
     "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
+    "dedup_minhash": {"doc_a": "l", "doc_b": "l", "est_jaccard": "d"},
+    "dedup_clusters": {"doc_id": "l", "cluster_id": "l"},
+    "dedup_keep": {"doc_id": "l"},
+    "dedup_simhash": {"doc_id": "l", "simhash": "l"},
+    "dedup_ngram_jaccard": {"doc_a": "l", "doc_b": "l", "jaccard": "d"},
+    "ann_cosine_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
+    "ann_lsh_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
+    "ann_ivf_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
+    "ann_ivfpq_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "score_u": "l"},
+    "ann_pq_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "score_u": "l"},
+    "emb_near_dup_lsh": {"vec_a": "l", "vec_b": "l", "cosine": "d"},
     "sketch_hll_distinct": {
         "m": "l", "n_nonempty": "l", "reg_checksum": "l", "est": "d",
     },
@@ -2202,6 +2259,21 @@ MULTIMODAL_PARTS = [
     "multimodal_augment",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
+DEDUP_PARTS = [
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_keep",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+]
+ANN_PARTS = [
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "emb_near_dup_lsh",
+]
 
 
 def _digest_sql(name: str, inner: str, spec: dict[str, str]) -> str:
@@ -2281,6 +2353,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_keep": sql_dedup_keep(),
+        "dedup_skew_cluster": sql_dedup_skew_cluster(),
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_ngram_jaccard_capped": sql_dedup_ngram_jaccard(max_df=20),
@@ -2497,6 +2570,8 @@ GROUP BY 1, 2, 3""",
         ("corpus_sampling_battery", CORPUS_SAMPLING_PARTS),
         ("multimodal_battery", MULTIMODAL_PARTS),
         ("sketch_battery", SKETCH_PARTS),
+        ("dedup_battery", DEDUP_PARTS),
+        ("ann_battery", ANN_PARTS),
     ):
         d[bname] = "\nUNION ALL\n".join(
             _digest_sql(p, d[p], _DIGEST_SPECS[p]) for p in parts

@@ -316,9 +316,19 @@ class OmeZarrWriter(DataSourceArrowWriter):
     """Executor-side chunk assembly + put (S6 direct write shape)."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import json as _json
+
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
         self.array_path = options.get("array_path", "scale0/image")
+        # multi-array ("fleet") write: N same-shaped arrays in ONE job.
+        # write_image_batch folds the array index into the packed chunk
+        # key as its highest radix digit; array_paths[i] is array i's
+        # node path. This is the plate-ingestion amortization — without
+        # it a 384-field micro-batch pays 384 job schedulings.
+        self.array_paths = (
+            _json.loads(options["array_paths"]) if "array_paths" in options else None
+        )
         self.packed = options.get("packed") == "true"
         self.storage_options = _parse_storage_options(options)
         if overwrite:
@@ -326,13 +336,17 @@ class OmeZarrWriter(DataSourceArrowWriter):
             # array subtree so a rewrite with a different shape/chunk
             # grid can't leave stale chunk files behind (reference
             # semantics: zarr overwrite recreates the array node).
-            open_store(self.path, self.storage_options).delete_prefix(self.array_path)
+            st = open_store(self.path, self.storage_options)
+            for p in self.array_paths or [self.array_path]:
+                st.delete_prefix(p)
         shape = [int(s) for s in options["shape"].split(",")]
         chunks = [int(s) for s in options["chunks"].split(",")]
         dims = options.get("dims", ",".join(PIXEL_DIMS[5 - len(shape):])).split(",")
         self.dims = dims
         cps_opt = options.get("chunks_per_shard")
         cps = tuple(int(s) for s in cps_opt.split(",")) if cps_opt else None
+        if self.array_paths is not None and cps is not None:
+            raise ValueError("multi-array writes do not support sharding")
         self.meta = ZarrArrayMeta(
             path=self.array_path,
             shape=tuple(shape),
@@ -344,6 +358,15 @@ class OmeZarrWriter(DataSourceArrowWriter):
             chunks_per_shard=cps,
         )
 
+    def _meta_for(self, fid: int):
+        """Per-array metadata in multi-array mode (same grid, different
+        node path)."""
+        if self.array_paths is None:
+            return self.meta
+        import dataclasses
+
+        return dataclasses.replace(self.meta, path=self.array_paths[fid])
+
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ChunkWriteCommit:
         """Input is pre-partitioned AND pre-sorted by chunk key
         (write_image), so each chunk's rows arrive contiguously: keep at
@@ -352,7 +375,12 @@ class OmeZarrWriter(DataSourceArrowWriter):
         reappearing key would overwrite, which sortedness precludes.)"""
         store = open_store(self.path, self.storage_options)
         m = self.meta
+        multi = self.array_paths is not None
+        if multi and not self.packed:
+            raise ValueError("multi-array writes require the packed row form")
+        n_chunks_per_array = int(np.prod(m.chunk_grid)) if multi else 0
         keys: list = []
+        cur_fid: int = 0
         cur_idx: tuple | None = None
         cur_buf: np.ndarray | None = None
         # sharded writes buffer the current shard's finished chunks and
@@ -374,17 +402,18 @@ class OmeZarrWriter(DataSourceArrowWriter):
             nonlocal cur_idx, cur_buf, cur_shard
             if cur_idx is None:
                 return
-            extent = m.chunk_extent(cur_idx)
+            mm = self._meta_for(cur_fid)
+            extent = mm.chunk_extent(cur_idx)
             clipped = cur_buf[tuple(slice(0, e) for e in extent)]
-            if m.chunks_per_shard is not None:
-                sidx, inner = m.shard_index_of(cur_idx)
+            if mm.chunks_per_shard is not None:
+                sidx, inner = mm.shard_index_of(cur_idx)
                 if cur_shard is not None and sidx != cur_shard:
                     flush_shard()
                 cur_shard = sidx
                 shard_chunks[inner] = clipped
             else:
-                store.write_chunk(m, cur_idx, clipped)
-                keys.append(m.chunk_key(cur_idx))
+                store.write_chunk(mm, cur_idx, clipped)
+                keys.append(mm.chunk_key(cur_idx))
             cur_idx, cur_buf = None, None
 
         for batch in iterator:
@@ -401,6 +430,11 @@ class OmeZarrWriter(DataSourceArrowWriter):
                 # fold order on the Spark side)
                 ck = batch.column("ck").to_numpy(zero_copy_only=False).astype(np.int64)
                 off = batch.column("off").to_numpy(zero_copy_only=False).astype(np.int64)
+                if multi:
+                    fids = ck // n_chunks_per_array
+                    ck = ck % n_chunks_per_array
+                else:
+                    fids = None
                 chunk_ids = [None] * len(m.chunks)
                 rem = ck
                 for i in range(len(m.chunk_grid) - 1, 0, -1):
@@ -434,17 +468,23 @@ class OmeZarrWriter(DataSourceArrowWriter):
                 for sg, ci, cp in zip(sgrid[1:], chunk_ids[1:], m.chunks_per_shard[1:]):
                     sflat = sflat * sg + ci // cp
                 sortkey = sflat * int(np.prod(grid)) + flat
+            elif multi:
+                # fid is the highest radix digit, so same-array chunks
+                # stay contiguous and each (fid, chunk) flushes once
+                sortkey = fids * n_chunks_per_array + flat
             else:
                 sortkey = flat
             order = np.argsort(sortkey, kind="stable")
-            flat_sorted = flat[order]
+            flat_sorted = sortkey[order]
             boundaries = np.flatnonzero(np.diff(flat_sorted)) + 1
             groups = np.split(order, boundaries)
             for grp in groups:
                 i0 = grp[0]
                 idx = tuple(int(ci[i0]) for ci in chunk_ids)
-                if idx != cur_idx:
+                fid = int(fids[i0]) if multi else 0
+                if idx != cur_idx or fid != cur_fid:
                     flush()
+                    cur_fid = fid
                     cur_idx = idx
                     cur_buf = np.full(m.chunks, m.fill_value, dtype=m.dtype)
                 if local_cols is not None:
@@ -463,7 +503,11 @@ class OmeZarrWriter(DataSourceArrowWriter):
         attrs = None
         if self.zarr_format == 2:
             attrs = {"_ARRAY_DIMENSIONS": list(self.dims)}
-        store.write_array_meta(self.meta, attributes=attrs)
+        if self.array_paths is None:
+            store.write_array_meta(self.meta, attributes=attrs)
+        else:
+            for fid in range(len(self.array_paths)):
+                store.write_array_meta(self._meta_for(fid), attributes=attrs)
 
     def abort(self, messages):
         """Best-effort cleanup of chunks written by tasks that committed

@@ -5,7 +5,7 @@ is incremental HCS acquisition — fields written one at a time as the
 instrument acquires, with the well's image list upserted on every write
 (/root/reference py/ngff_zarr/hcs.py:538-765, attr merge :655-716).
 Spark shape: a file-source stream of acquisition manifests driving a
-``foreachBatch`` sink that calls write_hcs_well_image per field — each
+``foreachBatch`` sink that batch-writes the micro-batch's fields — each
 micro-batch appends ``{row}/{col}/{field}`` data and upserts metadata,
 so the store after N increments equals the batch-written store (the
 equality tests/test_streaming.py proves).
@@ -47,7 +47,6 @@ def incremental_well_write_stream(
     rows (a handful of field descriptors, not pixels) — the pixel
     writes inside write_hcs_well_image are normal distributed jobs.
     """
-    from ..hcs import write_hcs_well_image
     from ..sources.ome_zarr import register
 
     # The micro-batch clone copies the session's data-source registry at
@@ -65,20 +64,34 @@ def incremental_well_write_stream(
         # deterministic order within a batch (manifests may arrive
         # together): well path then field
         rows.sort(key=lambda r: (r.row_name, r.column_name, r.field_index))
-        for r in rows:
-            ms = multiscales_for_field(r.row_name, r.column_name, int(r.field_index))
-            write_hcs_well_image(
-                spark,
-                store_path,
-                ms,
-                plate,
-                r.row_name,
-                r.column_name,
-                field_index=int(r.field_index),
-                acquisition_id=int(r.acquisition_id or 0),
-                version=version,
-                **to_zarr_kwargs,
-            )
+        # batched plate ingestion: the whole micro-batch's pixels go
+        # through write_hcs_fields, which groups same-geometry
+        # single-level fields into ONE multi-array Spark job per
+        # max_fields_per_job (pyramidal/mixed fields fall back to the
+        # per-field writer inside). Store bytes identical to the
+        # field-at-a-time loop; job count per micro-batch drops from
+        # O(fields) to O(fields / 64).
+        from ..hcs import write_hcs_fields
+
+        write_hcs_fields(
+            spark,
+            store_path,
+            [
+                (
+                    r.row_name,
+                    r.column_name,
+                    int(r.field_index),
+                    multiscales_for_field(
+                        r.row_name, r.column_name, int(r.field_index)
+                    ),
+                    int(r.acquisition_id or 0),
+                )
+                for r in rows
+            ],
+            plate,
+            version=version,
+            **to_zarr_kwargs,
+        )
 
     writer = manifests.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
     if checkpoint_dir:

@@ -92,6 +92,9 @@ BATTERIES = {
     "corpus_sampling_battery": gate.CORPUS_SAMPLING_PARTS,
     "multimodal_battery": gate.MULTIMODAL_PARTS,
     "sketch_battery": gate.SKETCH_PARTS,
+    # r9 folds: dedup + ANN families (digest batteries)
+    "dedup_battery": gate.DEDUP_PARTS,
+    "ann_battery": gate.ANN_PARTS,
 }
 
 
@@ -109,10 +112,7 @@ def test_first_50_layout():
     oracles = oracle.oracles()
     missing = [k for k in first50 if k not in oracles and k not in rows_only_ok]
     assert missing == [], missing
-    # r6 additions hold driver-graded slots (swapped in for the
-    # transitively-proven dedup_minhash_sig / multimodal_resize_packed,
-    # which must remain registered past the window)
-    assert "ann_ivfpq_topk" in first50
+    # r6/r9: transitively-proven twins remain registered past the window
     assert "dedup_minhash_sig" in qs[50:]
     assert "multimodal_resize_packed" in qs[50:]
     # r7: the three folds freed slots for the export adapter, the
@@ -121,7 +121,6 @@ def test_first_50_layout():
     assert "events_dedup_stream" in first50
     assert "dedup_exact_battery" in first50
     assert "ingest_battery" in first50
-    assert "ann_pq_topk" in first50
     for k in (
         "s14_itk_adapter",
         "s15_itk_export",
@@ -149,6 +148,28 @@ def test_first_50_layout():
     assert "dedup_dup_spans" in first50
     assert "multimodal_features" in qs[50:]
     assert "multimodal_resize" in qs[50:]
+    # r9 rotation (VERDICT r8 ask #7): dedup/ANN families fold into two
+    # digest batteries; the freed slots grade the as-of forward/
+    # tolerance forms, the bucketed range join, the HLL sketch, the
+    # funnel/cohort/bloom trio, the composed filter pipeline, and the
+    # adversarial-skew dedup gate DIRECTLY. Constituents stay
+    # registered past the window.
+    for k in (
+        "dedup_battery",
+        "ann_battery",
+        "events_asof_forward",
+        "events_asof_tolerance",
+        "events_range_windows_bucketed",
+        "sketch_hll_distinct",
+        "dedup_skew_cluster",
+        "events_funnel",
+        "events_cohort_retention",
+        "events_bloom_semijoin",
+        "corpus_filter_pipeline",
+    ):
+        assert k in first50, k
+    for k in gate.DEDUP_PARTS + gate.ANN_PARTS:
+        assert k in qs[50:], k
     # every constituent stays registered (past the window, or filling a
     # spare window slot until an r8 ingest gate claims it — direct
     # grading of a constituent is never a problem)
@@ -157,6 +178,8 @@ def test_first_50_layout():
         + gate.CORPUS_SAMPLING_PARTS
         + gate.MULTIMODAL_PARTS
         + gate.SKETCH_PARTS
+        + gate.DEDUP_PARTS
+        + gate.ANN_PARTS
     ):
         assert k in qs, k
 

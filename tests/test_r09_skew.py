@@ -1,0 +1,61 @@
+"""Adversarial-skew dedup (VERDICT r8 ask #5): the bucket-occupancy
+cap at the scale it exists for. A k-member byte-identical boilerplate
+cluster must produce O(k) candidate pairs (star edges), one connected
+component, and one surviving representative — and the candidate count
+must grow LINEARLY in k (the uncapped band join would be ~k^2/2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark import gate
+from ngff_zarr_spark.functions import dedup as D
+
+
+@pytest.fixture(scope="module")
+def base_cand_count(spark, sf_dir):
+    return D.minhash_candidates(
+        gate._docs(spark, sf_dir).select("doc_id", "text")
+    ).count()
+
+
+@pytest.mark.parametrize("n", [2_000, 8_000])
+def test_skew_candidates_linear(spark, sf_dir, base_cand_count, n):
+    """cand(base ∪ k-boilerplate) == cand(base) + (k-1): each over-cap
+    bucket contributes exactly the hub star (identical in all 16 bands,
+    deduplicated), and no cross pairs arise. Exact equality at two k
+    values IS the linearity proof — a quadratic (or even superlinear)
+    pair set cannot satisfy both."""
+    cand = D.minhash_candidates(gate._skew_docs(spark, sf_dir, n=n))
+    assert cand.count() == base_cand_count + (n - 1)
+
+
+def test_skew_cluster_and_keep(spark, sf_dir):
+    n = 5_000
+    docs = gate._skew_docs(spark, sf_dir, n=n)
+    cand = D.minhash_candidates(docs).cache()
+    clusters = D.duplicate_clusters(cand)
+    boiler = clusters.filter(F.col("doc_id") >= gate.SKEW_BASE_ID)
+    stats = boiler.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("cluster_id").alias("nclusters"),
+        F.min("cluster_id").alias("label"),
+    ).collect()[0]
+    assert stats["rows"] == n
+    assert stats["nclusters"] == 1
+    assert stats["label"] == gate.SKEW_BASE_ID
+    kept = D.dedup_keep_representatives(docs, cand).filter(
+        F.col("doc_id") >= gate.SKEW_BASE_ID
+    )
+    assert kept.count() == 1
+    cand.unpersist()
+
+
+def test_skew_no_quadratic_stage_in_plan(spark, sf_dir):
+    """The physical plan of the skew candidate join must contain no
+    cartesian/nested-loop stage; the cap turns the oversized bucket
+    into a filter+projection arm."""
+    plan = D.minhash_candidates(
+        gate._skew_docs(spark, sf_dir, n=4_000)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
