@@ -124,3 +124,66 @@ def rebalance_by_lang(docs: DataFrame, salt: str = "mix") -> DataFrame:
         .select("lang", F.col("n_total").cast("long").alias("n_total"),
                 F.col("threshold").cast("long").alias("threshold"), "n_kept")
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    any lowercase whitespace n-gram with an evaluation set — the
+    standard pre-training hygiene pass (GPT-3 appendix C / PaLM-style
+    13-gram overlap; ``n`` defaults to a stricter 8).
+
+    Returns (doc_id, n_grams, n_hits, contaminated): distinct n-grams
+    in the doc, how many also occur anywhere in ``benchmark``, and the
+    any-overlap verdict.
+
+    100 TB posture: the benchmark side (eval sets — thousands of docs)
+    collapses to a DISTINCT gram-hash table and BROADCASTS; the train
+    side computes its gram hashes per row (array_distinct inside the
+    projection — per-doc dedup costs no shuffle), explodes, and
+    broadcast-semi-joins. The only exchange is the per-doc hit count
+    over the (tiny) surviving hit rows. Gram text never shuffles —
+    only 8-byte hashes."""
+
+    def grams(src: DataFrame) -> DataFrame:
+        # lowered whitespace tokens -> h64 of each n consecutive tokens
+        # joined by ' '; array_distinct BEFORE explode (no shuffle).
+        # projection boundary: tokenize once per row
+        toked = src.selectExpr(
+            "doc_id",
+            "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),"
+            " t -> t != '') AS toks",
+        )
+        return toked.selectExpr(
+            "doc_id",
+            f"""array_distinct(CASE WHEN size(toks) >= {n}
+              THEN transform(sequence(0, size(toks) - {n}),
+                i -> CAST(conv(substring(md5(
+                       concat_ws(' ', slice(toks, i+1, {n}))
+                     ), 1, 15), 16, 10) AS BIGINT))
+              ELSE array() END) AS grams""",
+        )
+
+    bench_grams = (
+        grams(benchmark)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = grams(docs).select(
+        "doc_id", "grams", F.size("grams").cast("long").alias("n_grams")
+    )
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id", "n_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

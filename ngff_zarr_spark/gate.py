@@ -1216,6 +1216,19 @@ def _interop_rows(spark):
         ok = got.dtype == arr.dtype and np.array_equal(got, arr)
         rows.append((f"interop:engine_v{zf}_indep_read", "equal" if ok else "MISMATCH"))
 
+    # sharded v3 (S8): inner chunks + crc32c-protected index, decoded
+    # from the sharding codec spec alone (incl. an independent CRC-32C)
+    shst = _tmp_store("interop_shard.ome.zarr")
+    shutil.rmtree(shst, ignore_errors=True)
+    ms_sh = _tm(img, scale_factors=[], method="ITKWASM_BIN_SHRINK",
+                chunks={"z": 1, "y": 3, "x": 5})
+    _tz(shst, ms_sh, version="0.5", compressor="gzip",
+        chunks_per_shard={"z": 2, "y": 2, "x": 1})
+    ms_doc, _zf = mz.read_ome_attrs(shst)
+    got = mz.read_v3_array(shst, ms_doc["datasets"][0]["path"])
+    ok = got.dtype == arr.dtype and np.array_equal(got, arr)
+    rows.append(("interop:engine_sharded_indep_read", "equal" if ok else "MISMATCH"))
+
     # reverse: independent writer ("/" separator) → engine reader
     indep = _tmp_store("interop_indep.ome.zarr")
     shutil.rmtree(indep, ignore_errors=True)
@@ -1262,6 +1275,22 @@ def q_corpus_kmeans_profile(spark, sf_dir):
         _emb(spark, sf_dir), dim=EMB_DIM, n_cells=IVF_CELLS,
         kmeans_iters=KMEANS_ITERS,
     ).groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
+DECON_MOD, DECON_REM, DECON_N = 97, 3, 8
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C-style n-gram
+    overlap): the 'benchmark' is the deterministic doc_id % 97 == 3
+    slice of the corpus itself, so contamination genuinely fires (every
+    benchmark doc with >= n tokens self-overlaps, and near-copies are
+    flagged) while both engines derive the identical eval set."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == DECON_REM)
+    from .functions.corpus import decontaminate
+
+    return decontaminate(docs, bench, n=DECON_N)
 
 
 def q_corpus_chunking(spark, sf_dir):
@@ -2724,6 +2753,8 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_chunking",
     "corpus_rebalance",
     "corpus_kmeans_profile",
+    # r9: benchmark decontamination (n-gram overlap vs the eval slice)
+    "corpus_decontaminate",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2980,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_stats": q_corpus_pack_stats,
         "dedup_dup_token_frac": q_dedup_dup_token_frac,
         "corpus_chunking": q_corpus_chunking,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_rebalance": q_corpus_rebalance,
         "corpus_kmeans_profile": q_corpus_kmeans_profile,
         "multimodal_augment": q_multimodal_augment,

@@ -718,6 +718,18 @@ def from_ngff_zarr(
         problems = validate_metadata(meta)
         if problems:
             raise ValueError(f"Invalid OME metadata: {problems}")
+        # RFC-4 read-side validation when orientation metadata is
+        # present (reference from_ngff_zarr.py:185-196)
+        ms_doc = (attrs.get("ome", attrs)).get("multiscales")
+        axes_doc = ms_doc[0].get("axes", []) if ms_doc else []
+        if any(isinstance(a, dict) and "orientation" in a for a in axes_doc):
+            rfc4_problems = validate_rfc4_axes(
+                [a for a in axes_doc if isinstance(a, dict)]
+            )
+            if rfc4_problems:
+                raise ValueError(
+                    f"Invalid RFC-4 orientation metadata: {rfc4_problems}"
+                )
     dims = [a.name for a in meta.axes]
     images = []
     for ds in meta.datasets:

@@ -695,6 +695,7 @@ def sql_parity_battery():
         # r9: independent-implementation interop (tools/minizarr.py)
         ("interop:engine_v2_indep_read", "equal"),
         ("interop:engine_v3_indep_read", "equal"),
+        ("interop:engine_sharded_indep_read", "equal"),
         ("interop:indep_write_engine_read", "equal"),
     ]
     vals = ",\n ".join(f"('{c}', '{r}')" for c, r in expected)
@@ -987,6 +988,32 @@ def sql_dedup_keep():
     return f"""WITH clusters AS ({sql_dedup_clusters()})
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"""
+
+
+def sql_corpus_decontaminate():
+    from .gate import DECON_MOD, DECON_N, DECON_REM
+
+    n = DECON_N
+    h = H64.format(s="array_to_string(list_slice(toks, i+1, i+" + str(n) + "), ' ')")
+    return f"""WITH {_toks_cte(lower=True)},
+g AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= {n}
+      THEN list_transform(range(0, len(toks) - {n} + 1), i -> {h})
+      ELSE [] END) AS grams
+  FROM q),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS hh FROM g
+  WHERE doc_id % {DECON_MOD} = {DECON_REM}),
+tg AS (SELECT doc_id, unnest(grams) AS hh FROM g),
+hits AS (
+  SELECT tg.doc_id, COUNT(*) AS n_hits
+  FROM tg JOIN bench ON tg.hh = bench.hh GROUP BY 1)
+SELECT g.doc_id,
+  CAST(len(g.grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id"""
 
 
 def sql_dedup_skew_cluster():
@@ -2173,6 +2200,9 @@ _DIGEST_SPECS = {
         "bucket": "l", "pack_id": "l", "n_docs": "l", "n_tokens_packed": "l",
     },
     "corpus_filter_pipeline": {"doc_id": "l", "reason": "s", "keep": "s"},
+    "corpus_decontaminate": {
+        "doc_id": "l", "n_grams": "l", "n_hits": "l", "contaminated": "s",
+    },
     "dedup_dup_spans": {
         "doc_id": "l", "span_start": "l", "span_end": "l",
         "n_tokens": "l", "n_windows": "l",
@@ -2250,6 +2280,8 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_chunking",
     "corpus_rebalance",
     "corpus_kmeans_profile",
+    # r9: benchmark decontamination (n-gram overlap vs the eval slice)
+    "corpus_decontaminate",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2354,6 +2386,7 @@ def oracles() -> dict[str, str]:
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_keep": sql_dedup_keep(),
         "dedup_skew_cluster": sql_dedup_skew_cluster(),
+        "corpus_decontaminate": sql_corpus_decontaminate(),
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_ngram_jaccard_capped": sql_dedup_ngram_jaccard(max_df=20),

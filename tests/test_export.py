@@ -161,3 +161,31 @@ def test_rfc4_partial_orientation_rejected(spark, tmp_path):
     ms = to_multiscales(img, scale_factors=[], method="ITKWASM_BIN_SHRINK")
     with pytest.raises(ValueError, match="all spatial axes"):
         to_ngff_zarr(str(tmp_path / "p.ome.zarr"), ms, enabled_rfcs=[4])
+
+
+def test_rfc4_read_side_validation(spark, tmp_path):
+    """from_ngff_zarr(validate=True) rejects malformed orientation
+    metadata (reference from_ngff_zarr.py:185-196); the valid store
+    reads fine."""
+    import json
+
+    from ngff_zarr_spark.ome_zarr_api import from_ngff_zarr, to_multiscales, to_ngff_zarr
+
+    img, _ = _vol_image(spark, ["z", "y", "x"], (2, 2, 2), dtype="uint8")
+    img.axes_orientations = {
+        "z": "inferior-to-superior",
+        "y": "posterior-to-anterior",
+        "x": "left-to-right",
+    }
+    ms = to_multiscales(img, scale_factors=[], method="ITKWASM_BIN_SHRINK")
+    store = tmp_path / "r.ome.zarr"
+    to_ngff_zarr(str(store), ms, enabled_rfcs=[4])
+    assert from_ngff_zarr(spark, str(store), validate=True)
+
+    # corrupt one orientation value on disk
+    doc = json.loads((store / ".zattrs").read_text())
+    doc["multiscales"][0]["axes"][0]["orientation"]["value"] = "sideways"
+    (store / ".zattrs").write_text(json.dumps(doc))
+    (store / ".zmetadata").unlink()  # drop consolidation so the edit is seen
+    with pytest.raises(ValueError, match="orientation"):
+        from_ngff_zarr(spark, str(store), validate=True)

@@ -162,17 +162,60 @@ def read_v3_array(root: str | Path, path: str = "") -> np.ndarray:
 
     codecs = meta.get("codecs", [])
     names = [c["name"] for c in codecs]
-    if "sharding_indexed" in names:
-        raise NotImplementedError("minizarr does not read sharded arrays")
+    fill = meta.get("fill_value", 0)
+    out = np.full(shape, fill, dtype=dtype)
+
+    if names == ["sharding_indexed"]:
+        # v3 sharding codec: each stored object is a SHARD of
+        # inner chunks + a trailing (offset, nbytes) uint64-pair index,
+        # itself protected by crc32c when index_codecs says so
+        cfg = codecs[0]["configuration"]
+        inner = tuple(cfg["chunk_shape"])
+        inner_codecs = cfg["codecs"]
+        if cfg.get("index_location", "end") != "end":
+            raise NotImplementedError("minizarr reads end-located indexes only")
+        idx_names = [c["name"] for c in cfg.get("index_codecs", [])]
+        want_crc = "crc32c" in idx_names
+        igrid = [s // i for s, i in zip(chunks, inner)]  # inner chunks per shard
+        n_inner = int(np.prod(igrid))
+        sgrid = [-(-s // c) for s, c in zip(shape, chunks)]
+        for sidx in np.ndindex(*sgrid):
+            key = "c" + key_sep + key_sep.join(str(i) for i in sidx)
+            f = base / key
+            if not f.exists():
+                continue
+            blob = f.read_bytes()
+            isize = n_inner * 16 + (4 if want_crc else 0)
+            index = blob[-isize:]
+            if want_crc:
+                stored = int.from_bytes(index[-4:], "little")
+                if crc32c(index[:-4]) != stored:
+                    raise ValueError(f"shard index crc32c mismatch in {key}")
+                index = index[:-4]
+            pairs = np.frombuffer(index, dtype="<u8").reshape(n_inner, 2)
+            for flat, iidx in enumerate(np.ndindex(*igrid)):
+                off, nb = int(pairs[flat, 0]), int(pairs[flat, 1])
+                if off == 2**64 - 1 and nb == 2**64 - 1:
+                    continue  # missing inner chunk -> fill
+                raw = _v3_decode_chain(blob[off : off + nb], inner_codecs)
+                block = np.frombuffer(raw, dtype=dtype).reshape(inner)
+                origin = [
+                    s * c + i * ic for s, c, i, ic in zip(sidx, chunks, iidx, inner)
+                ]
+                sel = tuple(
+                    slice(o, min(o + ic, sh))
+                    for o, ic, sh in zip(origin, inner, shape)
+                )
+                crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+                out[sel] = block[crop]
+        return out
+
     if not names or names[0] != "bytes":
         raise NotImplementedError(f"minizarr: codec chain {names!r}")
     endian = codecs[0].get("configuration", {}).get("endian", "little")
     if endian != "little":
         raise NotImplementedError("minizarr reads little-endian only")
     post = codecs[1:]
-
-    fill = meta.get("fill_value", 0)
-    out = np.full(shape, fill, dtype=dtype)
     grid = [-(-s // c) for s, c in zip(shape, chunks)]
     for idx in np.ndindex(*grid):
         key = "c" + key_sep + key_sep.join(str(i) for i in idx)
@@ -197,6 +240,44 @@ def read_v3_array(root: str | Path, path: str = "") -> np.ndarray:
         crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
         out[sel] = block[crop]
     return out
+
+
+def _v3_decode_chain(raw: bytes, codecs: list[dict]) -> bytes:
+    names = [c["name"] for c in codecs]
+    if not names or names[0] != "bytes":
+        raise NotImplementedError(f"minizarr: inner codec chain {names!r}")
+    if codecs[0].get("configuration", {}).get("endian", "little") != "little":
+        raise NotImplementedError("minizarr reads little-endian only")
+    for c in reversed(codecs[1:]):
+        if c["name"] == "gzip":
+            raw = gzip.decompress(raw)
+        elif c["name"] == "zlib":
+            raw = zlib.decompress(raw)
+        else:
+            raise NotImplementedError(f"minizarr: v3 codec {c['name']!r}")
+    return raw
+
+
+_CRC32C_TABLE = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, poly 0x1EDC6F41 reflected = 0x82F63B78),
+    table-driven, from the public specification (RFC 3720 appendix) —
+    independent of the engine's implementation."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
 
 
 # ---------------------------------------------------------------------------
