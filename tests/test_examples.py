@@ -21,3 +21,12 @@ def test_convert_image_example_runs():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "brain.ome.zarr" in r.stdout
+
+
+def test_plate_ingestion_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/plate_ingestion.py"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "plate ingestion complete" in r.stdout

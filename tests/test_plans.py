@@ -189,3 +189,64 @@ def test_tpch_q6_full_pushdown(spark, sf_dir):
     plan = plan_of(gate.q_tpch_q6(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
     assert "l_orderkey" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_decontaminate_broadcast_semi_join(spark, sf_dir):
+    """decontaminate's train-vs-benchmark membership test must be a
+    BROADCAST left-semi join on the gram hash (the benchmark side is
+    eval-set-sized by definition) — never a shuffled sort-merge join or
+    a cartesian — and the gram arrays must be deduped per-row
+    (array_distinct) BEFORE the explode, so the only exchanges are the
+    benchmark distinct and the per-doc hit aggregate."""
+    from ngff_zarr_spark.functions.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    plan = plan_of(decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_distinct" in plan
+    assert "SortMergeJoin" not in plan.split("LeftSemi")[0]
+
+
+def test_write_image_batch_single_exchange(spark):
+    """The multi-array write plan: N per-field projections union into
+    ONE repartition on the packed key — exactly one exchange however
+    many fields batch together."""
+    from ngff_zarr_spark.fixtures import ImageSpec
+
+    spec = ImageSpec("wb", z=2, y=8, x=8)
+    fields = [
+        (
+            pixel_df(spark, spec).select("t", "c", "z", "y", "x", "v"),
+            f"arr{i}",
+        )
+        for i in range(4)
+    ]
+    # rebuild the packed union exactly as write_image_batch does, minus
+    # the save() (the writer node isn't explainable pre-save)
+    import math
+
+    dims = ["z", "y", "x"]
+    shape = {"z": 2, "y": 8, "x": 8}
+    chunks = {"z": 2, "y": 4, "x": 4}
+    grid = [-(-shape[d] // chunks[d]) for d in dims]
+    n_chunks = math.prod(grid)
+    ck_sql = f"({dims[0]} div {chunks[dims[0]]})"
+    for d, g in zip(dims[1:], grid[1:]):
+        ck_sql = f"({ck_sql} * {g} + ({d} div {chunks[d]}))"
+    off_sql = f"({dims[0]} % {chunks[dims[0]]})"
+    for d in dims[1:]:
+        off_sql = f"({off_sql} * {chunks[d]} + ({d} % {chunks[d]}))"
+    packed = None
+    for fid, (df, _) in enumerate(fields):
+        p = df.selectExpr(
+            f"CAST({ck_sql} + {fid * n_chunks} AS BIGINT) AS ck",
+            f"CAST({off_sql} AS BIGINT) AS off",
+            "v",
+        ).coalesce(1)
+        packed = p if packed is None else packed.unionByName(p)
+    plan = plan_of(packed.repartition(8, "ck").sortWithinPartitions("ck"))
+    assert n_exchanges(plan) == 1
+    assert "Union" in plan
