@@ -797,7 +797,10 @@ def q_dedup_keep(spark, sf_dir):
 # the same 16 band buckets, so without the cap the band join would
 # enumerate ~SKEW_N^2/2 pairs; with it, each bucket degrades to star
 # edges and the whole pipeline stays linear in SKEW_N.
-SKEW_N = 20_000
+# 10x the bucket cap (1024) — decisively in star-edge territory while
+# keeping the driver slot ~10 s; the bench entry runs the same pipeline
+# at a 100k cluster
+SKEW_N = 10_000
 SKEW_BASE_ID = 1_000_000_000
 SKEW_TEXT = (
     "all rights reserved this boilerplate legal disclaimer text is "
