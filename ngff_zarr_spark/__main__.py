@@ -121,16 +121,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     from .ingest.export import detect_export_suffix, export_ngff_image
 
     # NGFF → NGFF passthrough (reference cli.py:398-408): the pyramid is
-    # data, not a plan — read every level and write it verbatim (version
-    # conversion / rechunk / reshard still apply), never re-downsample
+    # data, not a plan — read every level and write it verbatim (source
+    # chunking preserved; -c rechunks; version conversion / resharding
+    # apply), never re-downsample. Flags that change the IMAGE — dims/
+    # scale/translation/units/name overrides or --output-scale — need
+    # the single-level rebuild path below instead.
+    rebuild_flags = any(
+        v is not None and v != 0
+        for v in (args.dims, args.scale, args.translation, args.units,
+                  args.name, args.output_scale)
+    )
     if (
         backend == ConversionBackend.NGFF_ZARR
         and out is not None
         and detect_export_suffix(str(out)) is None
+        and not rebuild_flags
     ):
         from .ome_zarr_api import from_ngff_zarr
 
         ms = from_ngff_zarr(spark, args.input[0])
+        if args.chunks:
+            ms.chunks = _chunks_arg(args.chunks, ms.images[0].dims)
         progress = None
         if not args.quiet:
             progress = NgffProgress(

@@ -827,43 +827,38 @@ def q_dedup_skew_cluster(spark, sf_dir):
     clustering is byte-identical to q_dedup_clusters."""
     docs = _skew_docs(spark, sf_dir)
     # cand feeds clusters AND the keep decision; clusters feeds five
-    # metrics — cache both or each union branch re-runs the LSH join
+    # metrics — cache both, compute the six scalars EAGERLY, and
+    # unpersist before returning (a lazily-returned plan would pin the
+    # caches for the rest of the session)
     cand = D.minhash_candidates(docs).cache()
     clusters = D.duplicate_clusters(cand).cache()
-    boiler = clusters.filter(F.col("doc_id") >= SKEW_BASE_ID)
-    base = clusters.filter(F.col("doc_id") < SKEW_BASE_ID)
-    kept = D.dedup_keep_representatives(docs, cand).filter(
-        F.col("doc_id") >= SKEW_BASE_ID
-    )
-
-    def metric(name, df_val):
-        return df_val.select(
-            F.lit(name).alias("metric"), F.col("v").cast("long").alias("v")
+    try:
+        boiler = clusters.filter(F.col("doc_id") >= SKEW_BASE_ID)
+        base = clusters.filter(F.col("doc_id") < SKEW_BASE_ID)
+        kept = D.dedup_keep_representatives(docs, cand).filter(
+            F.col("doc_id") >= SKEW_BASE_ID
         )
-
-    return (
-        metric("boiler_docs_clustered", boiler.agg(F.count("*").alias("v")))
-        .unionByName(
-            metric(
-                "boiler_clusters",
-                boiler.agg(F.countDistinct("cluster_id").alias("v")),
-            )
-        )
-        .unionByName(
-            metric("boiler_min_label", boiler.agg(F.min("cluster_id").alias("v")))
-        )
-        .unionByName(metric("boiler_kept", kept.agg(F.count("*").alias("v"))))
-        .unionByName(
-            metric(
-                "base_cluster_rows", base.agg(F.count("*").alias("v"))
-            )
-        )
-        .unionByName(
-            metric(
-                "base_label_sum", base.agg(F.sum("cluster_id").alias("v"))
-            )
-        )
-    )
+        b = boiler.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("cluster_id").alias("k"),
+            F.min("cluster_id").alias("m"),
+        ).collect()[0]
+        bs = base.agg(
+            F.count("*").alias("n"), F.sum("cluster_id").alias("s")
+        ).collect()[0]
+        n_kept = kept.count()
+    finally:
+        clusters.unpersist()
+        cand.unpersist()
+    rows = [
+        ("boiler_docs_clustered", int(b["n"])),
+        ("boiler_clusters", int(b["k"])),
+        ("boiler_min_label", int(b["m"])),
+        ("boiler_kept", int(n_kept)),
+        ("base_cluster_rows", int(bs["n"])),
+        ("base_label_sum", int(bs["s"] or 0)),
+    ]
+    return spark.createDataFrame(rows, "metric string, v long")
 
 
 def q_dedup_simhash(spark, sf_dir):

@@ -429,6 +429,7 @@ def write_hcs_fields(
     version: str = "0.4",
     compressor: Optional[str] = "gzip",
     max_fields_per_job: int = 64,
+    **to_zarr_kwargs,
 ) -> None:
     """Batched T1 ingestion: write MANY fields-of-view into a plate
     store with the per-field metadata of :func:`write_hcs_well_image`
@@ -438,16 +439,20 @@ def write_hcs_fields(
     ``(row_name, column_name, field_index, multiscales[, acquisition_id])``.
 
     Single-level multiscales with a common (shape, chunks, dtype) batch
-    together; anything else (true pyramids, mixed geometries) falls
-    back to the per-field path. Store bytes are IDENTICAL to the
-    per-field path (pinned in tests) — only the job count changes:
-    a 96-well x 4-field acquisition batch goes from 384 scheduled
-    writes to ceil(384/64) = 6."""
-    from .ome_zarr_api import to_ngff_zarr as _tz, write_image_batch
+    together; anything else — true pyramids, mixed geometries, or ANY
+    extra ``to_zarr_kwargs`` (chunks_per_shard, dtype, enabled_rfcs, …
+    options the batch plan doesn't model) — falls back to the per-field
+    :func:`write_hcs_well_image` path with those kwargs forwarded
+    verbatim. Store bytes are IDENTICAL to the per-field path (pinned
+    in tests) — only the job count changes: a 96-well x 4-field
+    acquisition batch goes from 384 scheduled writes to
+    ceil(384/64) = 6."""
+    from .ome_zarr_api import default_chunks, to_ngff_zarr as _tz, write_image_batch
     from .sources.zarr_store import open_store
 
     zarr_format = 2 if version == "0.4" else 3
     store = open_store(store_path)
+    batchable = not to_zarr_kwargs  # extra kwargs → per-field semantics
     groups: dict = {}
     for entry in fields:
         row_name, column_name, field_index, multiscales = entry[:4]
@@ -461,9 +466,14 @@ def write_hcs_fields(
         prefix = f"{well_path}/{field_index}"
         ms = multiscales
         img = ms.images[0]
-        if len(ms.images) != 1:
-            # true pyramid: the per-field writer handles level recompute
-            _tz(f"{store_path}/{prefix}", ms, version=version, compressor=compressor)
+        if len(ms.images) != 1 or not batchable:
+            # true pyramid (level recompute) or caller-supplied
+            # to_ngff_zarr options: the per-field writer owns the
+            # semantics verbatim
+            _tz(
+                f"{store_path}/{prefix}", ms, version=version,
+                compressor=compressor, **to_zarr_kwargs,
+            )
             continue
         from .metadata import group_attributes
 
@@ -478,7 +488,9 @@ def write_hcs_fields(
             store.write_group(
                 f"{prefix}/{path0.rsplit('/', 1)[0]}", {}, zarr_format
             )
-        chunks = ms.chunks or {d: img.shape[d] for d in img.dims}
+        # SAME default as to_ngff_zarr (default_chunks), or the batched
+        # and per-field stores diverge on chunk grid
+        chunks = ms.chunks or default_chunks(img.dims)
         lvl_chunks = {
             d: min(chunks.get(d, 1), max(1, img.shape[d])) for d in img.dims
         }

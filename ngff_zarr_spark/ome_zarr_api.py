@@ -383,8 +383,15 @@ def write_image_batch(
     register(spark)
     grid = [-(-shape[d] // chunks.get(d, 1)) for d in dims]
     n_chunks = math.prod(grid)
-    if n_chunks * len(fields) >= 2**63:
-        raise ValueError("field count x chunk grid too large for packed write keys")
+    if (
+        n_chunks * len(fields) >= 2**63
+        or math.prod(chunks.get(d, 1) for d in dims) >= 2**63
+    ):
+        # same loud-failure rule as write_image: a silent long overflow
+        # in either mixed-radix fold (ck or off) scatters pixels
+        raise ValueError(
+            "field count x chunk grid / chunk shape too large for packed write keys"
+        )
 
     # ONE SQL string per field (selectExpr), not a Column-op chain: the
     # chain costs ~30 py4j round-trips per field (measured 47 ms each —
@@ -675,16 +682,24 @@ def convert_ome_zarr_version(
     dst_store: str,
     version: str,
     compressor: Optional[str] = "gzip",
+    enabled_rfcs: Optional[list[int]] = None,
 ) -> None:
     """C9: store→store version conversion (0.4 ↔ 0.5) — read the source
     pyramid, retag the metadata version, write the target layout (zarr
     v2 ↔ v3). Pixel data is copied through level-by-level, never
     re-derived (reference _prepare_metadata + roundtrip test
-    test_convert_ome_zarr_version.py:22-42)."""
+    test_convert_ome_zarr_version.py:22-42).
+
+    A source store carrying RFC-4 anatomical orientation keeps it only
+    when ``enabled_rfcs`` includes 4 (the same write-side gating as
+    to_ngff_zarr — converting is a write)."""
     ms = from_ngff_zarr(spark, src_store)
     if ms.metadata is not None:
         ms.metadata.version = version
-    to_ngff_zarr(dst_store, ms, version=version, compressor=compressor)
+    to_ngff_zarr(
+        dst_store, ms, version=version, compressor=compressor,
+        enabled_rfcs=enabled_rfcs,
+    )
 
 
 def from_ngff_zarr(
@@ -759,4 +774,10 @@ def from_ngff_zarr(
                 dtype=np.dtype(arr_meta.dtype).name,
             )
         )
-    return Multiscales(images=images, metadata=meta)
+    # carry the SOURCE on-disk chunking (level 0): a read→write
+    # passthrough then preserves the chunk grid instead of silently
+    # rechunking to default_chunks (each level still clamps to its own
+    # shape in to_ngff_zarr)
+    return Multiscales(
+        images=images, metadata=meta, chunks=images[0].chunks if images else None
+    )

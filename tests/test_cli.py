@@ -200,3 +200,62 @@ def test_cli_enable_rfc4(spark, tmp_path):
     byname = {a["name"]: a for a in axes}
     assert byname["x"]["orientation"]["value"] == "left-to-right"
     assert byname["z"]["orientation"]["value"] == "inferior-to-superior"
+
+
+def test_cli_passthrough_preserves_source_chunks(spark, tmp_path, tiff_file):
+    """Review finding: 'write it verbatim' includes the CHUNK GRID —
+    a bare passthrough must not silently rechunk to default_chunks."""
+    p, _ = tiff_file
+    src = tmp_path / "cs.ome.zarr"
+    assert main(["-i", str(p), "-o", str(src), "-c", "16", "--min-length", "64", "-q"], spark=spark) == 0
+    dst = tmp_path / "cd.ome.zarr"
+    assert main(["-i", str(src), "-o", str(dst), "-q"], spark=spark) == 0
+    za_src = json.loads((src / "scale0/image/.zarray").read_text())
+    za_dst = json.loads((dst / "scale0/image/.zarray").read_text())
+    assert za_dst["chunks"] == za_src["chunks"] == [16, 16]
+
+    # -c rechunks inside the passthrough
+    dst2 = tmp_path / "ce.ome.zarr"
+    assert main(["-i", str(src), "-o", str(dst2), "-c", "8", "-q"], spark=spark) == 0
+    za2 = json.loads((dst2 / "scale0/image/.zarray").read_text())
+    assert za2["chunks"] == [8, 8]
+
+
+def test_cli_ngff_metadata_override_takes_rebuild_path(spark, tmp_path, tiff_file):
+    """Review finding: -n (or any image-changing flag) on an NGFF input
+    must not be silently dropped by the passthrough — it picks the
+    single-level rebuild path and lands in the output metadata."""
+    p, _ = tiff_file
+    src = tmp_path / "ns.ome.zarr"
+    assert main(["-i", str(p), "-o", str(src), "-c", "16", "--min-length", "64", "-q"], spark=spark) == 0
+    dst = tmp_path / "nd.ome.zarr"
+    assert main(["-i", str(src), "-o", str(dst), "-n", "renamed",
+                 "--min-length", "64", "-q"], spark=spark) == 0
+    ms = json.loads((dst / ".zattrs").read_text())["multiscales"][0]
+    assert ms["name"] == "renamed"
+
+
+def test_convert_version_preserves_orientation_with_rfc4(spark, tmp_path):
+    """Review finding: version conversion is a write — orientation
+    survives it only with enabled_rfcs=[4], and the default strips."""
+    from ngff_zarr_spark.ingest.nifti import write_nifti
+    from ngff_zarr_spark.ome_zarr_api import convert_ome_zarr_version
+
+    arr = (np.arange(4 * 4 * 4, dtype=np.int16) % 11).reshape(4, 4, 4)
+    nii = tmp_path / "o.nii"
+    write_nifti(nii, arr, affine=np.diag([1.0, 1.0, 1.0, 1.0]))
+    src = tmp_path / "o04.ome.zarr"
+    assert main(["-i", str(nii), "-o", str(src), "--min-length", "4",
+                 "--enable-rfc", "4", "-q"], spark=spark) == 0
+
+    kept = tmp_path / "o05_rfc.ome.zarr"
+    convert_ome_zarr_version(spark, str(src), str(kept), "0.5", enabled_rfcs=[4])
+    doc = json.loads((kept / "zarr.json").read_text())
+    axes = doc["attributes"]["ome"]["multiscales"][0]["axes"]
+    assert all("orientation" in a for a in axes if a["type"] == "space")
+
+    stripped = tmp_path / "o05_plain.ome.zarr"
+    convert_ome_zarr_version(spark, str(src), str(stripped), "0.5")
+    doc = json.loads((stripped / "zarr.json").read_text())
+    axes = doc["attributes"]["ome"]["multiscales"][0]["axes"]
+    assert all("orientation" not in a for a in axes)

@@ -130,3 +130,66 @@ def test_write_image_batch_small_job_groups(spark, tmp_path):
         pb, max_fields_per_job=64,
     )
     assert store_equals(sa, sb)
+
+
+def test_write_hcs_fields_chunks_default_matches_per_field(spark, tmp_path):
+    """Review finding: chunks=None must mean default_chunks (as in
+    to_ngff_zarr), not whole-image chunks — or the batched store
+    diverges from the per-field one."""
+    rows, cols = ["A"], ["1"]
+    sa, sb = str(tmp_path / "da.ome.zarr"), str(tmp_path / "db.ome.zarr")
+    pa, pb = _mkplate(rows, cols), _mkplate(rows, cols)
+    to_hcs_zarr(pa, sa)
+    to_hcs_zarr(pb, sb)
+    ms_a = _ms(spark, 0, chunks=None)
+    ms_b = _ms(spark, 0, chunks=None)
+    write_hcs_well_image(spark, sa, ms_a, pa, "A", "1", field_index=0)
+    write_hcs_fields(spark, sb, [("A", "1", 0, ms_b)], pb)
+    assert store_equals(sa, sb)
+
+
+def test_write_hcs_fields_forwards_to_zarr_kwargs(spark, tmp_path):
+    """Review finding: extra to_ngff_zarr kwargs (dtype here) must not
+    crash — they route the fields through the per-field writer with
+    identical semantics."""
+    rows, cols = ["A"], ["1"]
+    sa, sb = str(tmp_path / "ka.ome.zarr"), str(tmp_path / "kb.ome.zarr")
+    pa, pb = _mkplate(rows, cols), _mkplate(rows, cols)
+    to_hcs_zarr(pa, sa)
+    to_hcs_zarr(pb, sb)
+    write_hcs_well_image(
+        spark, sa, _ms(spark, 0), pa, "A", "1", field_index=0, dtype="uint16"
+    )
+    write_hcs_fields(spark, sb, [("A", "1", 0, _ms(spark, 0))], pb, dtype="uint16")
+    assert store_equals(sa, sb)
+
+
+def test_stream_kwargs_reach_field_writes(spark, tmp_path):
+    """Review finding: incremental_well_write_stream(**to_zarr_kwargs)
+    previously crashed inside foreachBatch for any kwarg beyond
+    compressor; the fallback path must carry them."""
+    import os
+
+    from ngff_zarr_spark.ome_zarr_api import read_image
+    from ngff_zarr_spark.streaming.pipeline import (
+        incremental_well_write_stream,
+        write_manifest,
+    )
+
+    base = tmp_path / "skw"
+    store = str(base / "p.ome.zarr")
+    manifests = str(base / "m")
+    ckpt = str(base / "c")
+    plate = _mkplate(["A"], ["1"])
+    os.makedirs(base, exist_ok=True)
+    to_hcs_zarr(plate, store)
+    write_manifest(manifests, "A", "1", 0)
+    q = incremental_well_write_stream(
+        spark, manifests, store, plate, lambda r, c, f: _ms(spark, 0),
+        checkpoint_dir=ckpt, dtype="uint16",
+    )
+    assert q.awaitTermination(180)
+    import json
+
+    zarray = json.load(open(os.path.join(store, "A/1/0/scale0/image/.zarray")))
+    assert zarray["dtype"] == "<u2"
