@@ -75,3 +75,42 @@ def stratified_sample(
         docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    k: int = 2,
+    salt: str = "cap",
+    n_prebuckets: int = 64,
+) -> DataFrame:
+    """Per-domain frequency cap (the RefinedWeb/C4 'at most k documents
+    per source' rule): keep the k docs with the SMALLEST deterministic
+    hash per source — a stable lottery, not arrival order. Returns
+    (doc_id, source, rk) for the kept docs, rk in 1..k.
+
+    100 TB posture: a single window over ``source`` is the textbook
+    skew hazard (one mega-domain = one hot sort partition), so this is
+    the standard TWO-PHASE exact top-k: phase 1 ranks within
+    (source, h64 mod n_prebuckets) — n_prebuckets-way parallel even
+    inside one domain — and keeps k candidates per pre-bucket; phase 2
+    ranks the ≤ n_prebuckets*k survivors per source. Both phases sort
+    bounded partitions; the result is IDENTICAL to the naive single
+    window (the global k smallest hashes per source are each among
+    their own pre-bucket's k smallest), which is exactly what the
+    DuckDB oracle computes."""
+    hv = h64(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", "source", hv.alias("hv"))
+    w1 = Window.partitionBy("source", F.col("hv") % n_prebuckets).orderBy(
+        "hv", "doc_id"
+    )
+    stage1 = (
+        base.withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= k)
+        .drop("prk")
+    )
+    w2 = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        stage1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

@@ -1300,6 +1300,15 @@ def q_corpus_chunking(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
 
 
+def q_corpus_cap_per_source(spark, sf_dir):
+    """Per-domain frequency cap (RefinedWeb/C4 'at most k per source'):
+    deterministic hash lottery; the two-phase top-k result must equal
+    DuckDB's naive single ROW_NUMBER form exactly."""
+    from .functions.sampling import cap_per_source
+
+    return cap_per_source(_docs(spark, sf_dir), k=3)
+
+
 def q_corpus_rebalance(spark, sf_dir):
     """Deterministic language rebalancing (data mixing): per-lang hash
     thresholds that downsample every language to the smallest one's
@@ -2752,7 +2761,9 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_rebalance",
     "corpus_kmeans_profile",
     # r9: benchmark decontamination (n-gram overlap vs the eval slice)
+    # and the per-domain frequency cap (two-phase exact top-k)
     "corpus_decontaminate",
+    "corpus_cap_per_source",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3010,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_token_frac": q_dedup_dup_token_frac,
         "corpus_chunking": q_corpus_chunking,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_cap_per_source": q_corpus_cap_per_source,
         "corpus_rebalance": q_corpus_rebalance,
         "corpus_kmeans_profile": q_corpus_kmeans_profile,
         "multimodal_augment": q_multimodal_augment,

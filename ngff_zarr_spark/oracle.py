@@ -758,6 +758,17 @@ FROM q, unnest(CASE WHEN len(toks) > 0
                     ELSE [] END) AS u(start_tok)"""
 
 
+def sql_corpus_cap_per_source():
+    # the NAIVE single-window form — the Spark side's two-phase top-k
+    # must match it exactly
+    h = H64.format(s="concat('cap:', CAST(doc_id AS VARCHAR))")
+    return f"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 3"""
+
+
 def sql_corpus_rebalance():
     from .functions.corpus import REBALANCE_BUCKETS as B
 
@@ -2203,6 +2214,7 @@ _DIGEST_SPECS = {
     "corpus_decontaminate": {
         "doc_id": "l", "n_grams": "l", "n_hits": "l", "contaminated": "s",
     },
+    "corpus_cap_per_source": {"doc_id": "l", "source": "s", "rk": "l"},
     "dedup_dup_spans": {
         "doc_id": "l", "span_start": "l", "span_end": "l",
         "n_tokens": "l", "n_windows": "l",
@@ -2281,7 +2293,9 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_rebalance",
     "corpus_kmeans_profile",
     # r9: benchmark decontamination (n-gram overlap vs the eval slice)
+    # and the per-domain frequency cap (two-phase exact top-k)
     "corpus_decontaminate",
+    "corpus_cap_per_source",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2387,6 +2401,7 @@ def oracles() -> dict[str, str]:
         "dedup_keep": sql_dedup_keep(),
         "dedup_skew_cluster": sql_dedup_skew_cluster(),
         "corpus_decontaminate": sql_corpus_decontaminate(),
+        "corpus_cap_per_source": sql_corpus_cap_per_source(),
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_ngram_jaccard_capped": sql_dedup_ngram_jaccard(max_df=20),

@@ -59,3 +59,29 @@ def test_skew_no_quadratic_stage_in_plan(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cap_per_source_two_phase_equals_naive(spark, sf_dir):
+    """The skew-resistant two-phase top-k must equal the naive single
+    window exactly (same k smallest hashes per source), at several
+    pre-bucket counts including 1 (degenerate = naive)."""
+    from pyspark.sql import Window
+
+    from ngff_zarr_spark.functions.sampling import cap_per_source
+    from ngff_zarr_spark.functions.text import h64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hv = h64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(hv, "doc_id")
+    naive = (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .selectExpr("doc_id", "source", "CAST(rk AS LONG) AS rk")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    for nb in (1, 8, 64):
+        got = sorted(
+            tuple(r) for r in cap_per_source(docs, k=3, n_prebuckets=nb).collect()
+        )
+        assert got == want, nb
