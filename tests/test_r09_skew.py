@@ -85,3 +85,46 @@ def test_cap_per_source_two_phase_equals_naive(spark, sf_dir):
             tuple(r) for r in cap_per_source(docs, k=3, n_prebuckets=nb).collect()
         )
         assert got == want, nb
+
+
+def test_cap_per_source_invariants(spark, sf_dir):
+    from ngff_zarr_spark.functions.sampling import cap_per_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_source(docs, k=2)
+    per = out.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 2 for r in per)
+    # ranks are exactly 1..count(source)
+    rks = out.groupBy("source").agg(
+        F.min("rk").alias("lo"), F.max("rk").alias("hi"), F.count("*").alias("n")
+    ).collect()
+    assert all(r["lo"] == 1 and r["hi"] == r["n"] for r in rks)
+    # determinism: same output on a rerun
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in cap_per_source(docs, k=2).collect())
+    assert a == b
+
+
+def test_decontaminate_self_contamination(spark, sf_dir):
+    """Every benchmark doc with >= n tokens must flag itself; docs
+    sharing no 8-gram with the benchmark must not be flagged."""
+    from ngff_zarr_spark.functions.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    out = decontaminate(docs, bench, n=8).cache()
+    try:
+        bench_rows = out.join(bench.select("doc_id"), "doc_id")
+        bad = bench_rows.filter(
+            (F.col("n_grams") > 0) & (~F.col("contaminated"))
+        ).count()
+        assert bad == 0
+        # contaminated implies hits, and hits <= grams
+        assert out.filter(F.col("n_hits") > F.col("n_grams")).count() == 0
+        assert out.filter(
+            F.col("contaminated") != (F.col("n_hits") > 0)
+        ).count() == 0
+        # output covers every doc exactly once
+        assert out.count() == docs.count()
+    finally:
+        out.unpersist()
