@@ -115,6 +115,152 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# refpy parity facts (r9, VERDICT r8 asks #1/#2): the parity battery
+# carries rows whose expected values are OUTPUTS OF THE REFERENCE CODE
+# ITSELF (methods/_support.py, rfc4.py, v04/zarr_metadata.py), executed
+# live by tests/test_reference_code_oracle.py and transcribed into
+# oracle.REFPY_EXPECTED. The gate computes the ENGINE's value for each
+# fact; the driver's DuckDB compare then grades engine == reference.
+
+
+def _refpy_fmt_floats(vals):
+    return ",".join(f"{v:.12g}" for v in vals)
+
+
+def _refpy_fmt_factors(dims, chain):
+    return "|".join("".join(f"{d}{f[d]}" for d in dims) for f in chain)
+
+
+_REFPY_DIMS = ["z", "y", "x"]
+_REFPY_SCALE = {"z": 2.0, "y": 0.5, "x": 0.5}
+_REFPY_TRANS = {"z": 1.0, "y": 0.0, "x": -2.0}
+
+
+def _refpy_rows():
+    """Engine-side values for the refpy parity facts."""
+    import hashlib
+
+    from . import rfc4 as _rfc4
+    from .model import is_unit_supported as _unit_ok
+    from .plans import planner as _pl
+
+    rows = [("refpy:sigma_f2_3_4", _refpy_fmt_floats(_pl.compute_sigma([2, 3, 4])))]
+
+    chain, prev = [], {d: 1 for d in _REFPY_DIMS}
+    for sf in (2, 4, 8):
+        chain.append(_pl.relative_dim_factors(_REFPY_DIMS, sf, prev))
+        prev = _pl.update_previous_dim_factors(sf, _REFPY_DIMS, prev)
+    rows.append(("refpy:dimf_chain_int", _refpy_fmt_factors(_REFPY_DIMS, chain)))
+
+    chain, prev = [], {d: 1 for d in _REFPY_DIMS}
+    for sf in ({"z": 1, "y": 2, "x": 2}, {"z": 2, "y": 4, "x": 4}):
+        chain.append(_pl.relative_dim_factors(_REFPY_DIMS, sf, prev))
+        prev = _pl.update_previous_dim_factors(sf, _REFPY_DIMS, prev)
+    rows.append(("refpy:dimf_chain_dict", _refpy_fmt_factors(_REFPY_DIMS, chain)))
+
+    s1, t1 = _pl.next_scale_metadata(
+        _REFPY_SCALE, _REFPY_TRANS, {"z": 2, "y": 2, "x": 2}
+    )
+    rows.append((
+        "refpy:next_scale",
+        "s=" + _refpy_fmt_floats(s1[d] for d in _REFPY_DIMS)
+        + ";t=" + _refpy_fmt_floats(t1[d] for d in _REFPY_DIMS),
+    ))
+
+    shp = _pl.next_block_shape(
+        {"t": 3, "z": 7, "y": 11, "x": 13}, {"z": 2, "y": 3, "x": 4}
+    )
+    rows.append(
+        ("refpy:block_shape", ",".join(str(shp[d]) for d in ("t", "z", "y", "x")))
+    )
+
+    for ax in ("x", "y", "z"):
+        o = _rfc4.itk_lps_to_anatomical_orientation(ax)
+        rows.append((f"refpy:lps_{ax}", f"{o.value}:{o.type}"))
+
+    rows.append((
+        "refpy:orientation_md5",
+        hashlib.md5(
+            ";".join(sorted(_rfc4.ORIENTATION_VALUES)).encode()
+        ).hexdigest(),
+    ))
+    rows.append((
+        "refpy:units",
+        ",".join(
+            str(_unit_ok(u)).lower()
+            for u in ("angstrom", "micrometer", "attosecond", "furlong", "eon")
+        ),
+    ))
+    return rows
+
+
+def _refpy_expected_live(ref):
+    """Same facts computed from the LIVE reference modules (the
+    tests/_reference_import.py namespace). test_reference_code_oracle
+    asserts this equals oracle.REFPY_EXPECTED, so the transcribed
+    literals cannot drift from the reference's actual behavior."""
+    import hashlib
+
+    sup, v04, rrfc4 = ref.support, ref.v04_zarr_metadata, ref.rfc4
+    rows = [("refpy:sigma_f2_3_4", _refpy_fmt_floats(sup._compute_sigma([2, 3, 4])))]
+
+    chain, prev = [], {d: 1 for d in _REFPY_DIMS}
+    for sf in (2, 4, 8):
+        chain.append(sup._dim_scale_factors(_REFPY_DIMS, sf, prev))
+        prev = sup._update_previous_dim_factors(sf, _REFPY_DIMS, prev)
+    rows.append(("refpy:dimf_chain_int", _refpy_fmt_factors(_REFPY_DIMS, chain)))
+
+    chain, prev = [], {d: 1 for d in _REFPY_DIMS}
+    for sf in ({"z": 1, "y": 2, "x": 2}, {"z": 2, "y": 4, "x": 4}):
+        chain.append(sup._dim_scale_factors(_REFPY_DIMS, sf, prev))
+        prev = sup._update_previous_dim_factors(sf, _REFPY_DIMS, prev)
+    rows.append(("refpy:dimf_chain_dict", _refpy_fmt_factors(_REFPY_DIMS, chain)))
+
+    class _Img:
+        dims = _REFPY_DIMS
+        scale = _REFPY_SCALE
+        translation = _REFPY_TRANS
+
+    t1, s1 = sup._next_scale_metadata(_Img(), {"z": 2, "y": 2, "x": 2}, ("x", "y", "z"))
+    rows.append((
+        "refpy:next_scale",
+        "s=" + _refpy_fmt_floats(s1[d] for d in _REFPY_DIMS)
+        + ";t=" + _refpy_fmt_floats(t1[d] for d in _REFPY_DIMS),
+    ))
+
+    import numpy as _np
+
+    class _Img2:
+        dims = ["t", "z", "y", "x"]
+
+    shp = sup._next_block_shape(
+        _Img2(), {"z": 2, "y": 3, "x": 4}, ("x", "y", "z"), _np.zeros((3, 7, 11, 13))
+    )
+    rows.append(("refpy:block_shape", ",".join(str(s) for s in shp)))
+
+    for ax in ("x", "y", "z"):
+        o = rrfc4.itk_lps_to_anatomical_orientation(ax)
+        rows.append((f"refpy:lps_{ax}", f"{o.value.value}:{o.type}"))
+
+    rows.append((
+        "refpy:orientation_md5",
+        hashlib.md5(
+            ";".join(
+                sorted(v.value for v in rrfc4.AnatomicalOrientationValues)
+            ).encode()
+        ).hexdigest(),
+    ))
+    rows.append((
+        "refpy:units",
+        ",".join(
+            str(v04.is_unit_supported(u)).lower()
+            for u in ("angstrom", "micrometer", "attosecond", "furlong", "eon")
+        ),
+    ))
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # Spark-side queries
 
 
@@ -1153,6 +1299,11 @@ def q_parity_battery(spark, sf_dir):
     rows.append(("s19:v05_version", doc["attributes"]["ome"]["version"]))
 
     rows += _interop_rows(spark)
+
+    # refpy: engine-side values for the reference-code parity facts;
+    # the oracle's expected side is live reference-code output
+    # (oracle.REFPY_EXPECTED, pinned by test_reference_code_oracle)
+    rows += _refpy_rows()
 
     return spark.createDataFrame(rows, "chk string, result string")
 
