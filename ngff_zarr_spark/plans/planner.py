@@ -179,9 +179,14 @@ def memory_usage_bytes(
     chunks: dict[str, int],
     constrained_dims: tuple[str, ...] = (),
 ) -> int:
-    """Estimator parity with py/ngff_zarr/memory_usage.py:8-24: bytes of
-    one in-flight partition, with dims outside ``constrained_dims`` at
-    full shape and constrained dims at one chunk."""
+    """Partition-size estimator in the shape of py/ngff_zarr/
+    memory_usage.py:8-24: dims outside ``constrained_dims`` at full
+    shape, constrained dims at one chunk. DELIBERATE divergence: the
+    reference multiplies ``arr.itemsize`` into every dim's extent
+    (itemsize**ndim); this computes true bytes (itemsize once). The
+    exact relationship is pinned live against the reference code in
+    tests/test_reference_code_oracle.py::test_memory_usage_matches_
+    reference."""
     total = dtype_bytes
     for d, n in shape.items():
         total *= chunks.get(d, n) if d in constrained_dims else n

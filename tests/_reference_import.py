@@ -40,6 +40,8 @@ LEAF_MODULES = (
     "ngff_image",
     "methods._support",
     "methods._metadata",
+    "detect_cli_io_backend",
+    "memory_usage",
 )
 
 
