@@ -2169,7 +2169,14 @@ def q_c7_validate_battery(spark, sf_dir):
         "empty": {},
     }
     rows = [(k, len(validate(v))) for k, v in sorted(battery.items())]
+    rows += [
+        (k, min(1, len(validate_schema(attrs, ver, model, strict_schema=strict))))
+        for k, (ver, model, strict, attrs) in sorted(C7_SCHEMA_BATTERY.items())
+    ]
+    return spark.createDataFrame(rows, "doc string, n_problems int")
 
+
+def _c7_schema_battery():
     _ms04 = {
         "version": "0.4",
         "axes": [{"name": "y", "type": "space"}, {"name": "x", "type": "space"}],
@@ -2193,7 +2200,7 @@ def q_c7_validate_battery(spark, sf_dir):
         ],
     )
     _ms05 = {k: v for k, v in _ms04.items() if k != "version"}
-    schema_battery = {
+    return {
         # (spec version, model, strict, attrs)
         "js_v01_ok": ("0.1", "image", False,
                       {"multiscales": [{"datasets": [{"path": "0"}], "version": "0.1"}]}),
@@ -2223,11 +2230,12 @@ def q_c7_validate_battery(spark, sf_dir):
                            {"well": {"images": [{"path": "0"}], "version": "0.4"}}),
         "js_v04_well_bad": ("0.4", "well", False, {"well": {"images": []}}),
     }
-    rows += [
-        (k, min(1, len(validate_schema(attrs, ver, model, strict_schema=strict))))
-        for k, (ver, model, strict, attrs) in sorted(schema_battery.items())
-    ]
-    return spark.createDataFrame(rows, "doc string, n_problems int")
+
+
+# Shared by q_c7_validate_battery and the LIVE reference-validator
+# cross-check (tests/test_reference_code_oracle.py replays every
+# non-strict row through the reference's own validate()).
+C7_SCHEMA_BATTERY = _c7_schema_battery()
 
 
 def q_t2_t3_callbacks(spark, sf_dir):
