@@ -498,6 +498,87 @@ def test_version_converted_store_passes_reference_validator(
     REF.validate.validate(_store_attrs(down, "0.4"), version="0.4", model="image")
 
 
+# --------------------------- differential mutation fuzz vs ref validator
+def _key_paths(doc, prefix=(), max_depth=5):
+    """Enumerate every (path, container, key) in a nested doc."""
+    out = []
+    if len(prefix) >= max_depth:
+        return out
+    if isinstance(doc, dict):
+        items = list(doc.items())
+    elif isinstance(doc, list):
+        items = list(enumerate(doc))
+    else:
+        return out
+    for k, v in items:
+        out.append((prefix + (k,), doc, k))
+        out.extend(_key_paths(v, prefix + (k,), max_depth))
+    return out
+
+
+@pytest.mark.parametrize("version,model,valid", [
+    ("0.4", "image", {"multiscales": [{
+        "version": "0.4",
+        "axes": [{"name": "y", "type": "space"},
+                 {"name": "x", "type": "space"}],
+        "datasets": [{"path": "0", "coordinateTransformations": [
+            {"type": "scale", "scale": [1.0, 1.0]}]}],
+    }]}),
+    ("0.5", "image", {"ome": {"version": "0.5", "multiscales": [{
+        "axes": [{"name": "z", "type": "space"},
+                 {"name": "y", "type": "space"},
+                 {"name": "x", "type": "space"}],
+        "datasets": [{"path": "0", "coordinateTransformations": [
+            {"type": "scale", "scale": [1.0, 1.0, 1.0]}]}],
+    }]}}),
+    ("0.4", "plate", {"plate": {
+        "columns": [{"name": "1"}], "rows": [{"name": "A"}],
+        "wells": [{"path": "A/1", "rowIndex": 0, "columnIndex": 0}],
+        "version": "0.4"}}),
+])
+def test_mutation_fuzz_verdicts_match_reference(version, model, valid):
+    """Differential fuzz: for EVERY key in a valid document, (a) delete
+    it, (b) replace its value with a type-mismatched 42 — the engine's
+    schema verdict must equal the reference validate()'s pass/raise on
+    every mutant. A systematic sweep, not sampling: any divergence in
+    required/type/enum handling between the two validators surfaces
+    here."""
+    import copy
+
+    from ngff_zarr_spark.validate import validate_schema
+
+    def verdicts(doc):
+        eng_ok = len(validate_schema(doc, version, model)) == 0
+        try:
+            REF.validate.validate(doc, version=version, model=model)
+            ref_ok = True
+        except Exception:
+            ref_ok = False
+        return eng_ok, ref_ok
+
+    eng_ok, ref_ok = verdicts(valid)
+    assert eng_ok and ref_ok, "fixture must start valid on both sides"
+
+    mutants = 0
+    for path, _cont, _key in _key_paths(valid):
+        for mode in ("delete", "retype"):
+            doc = copy.deepcopy(valid)
+            cont = doc
+            for p in path[:-1]:
+                cont = cont[p]
+            if mode == "delete":
+                if isinstance(cont, list):
+                    del cont[path[-1]]
+                else:
+                    cont.pop(path[-1])
+            else:
+                cont[path[-1]] = 42
+            eng_ok, ref_ok = verdicts(doc)
+            assert eng_ok == ref_ok, (path, mode, eng_ok, ref_ok)
+            mutants += 2
+    assert mutants >= 30
+
+
 # ----------------------------------------------- C5 omero color, live
 def test_omero_color_validation_matches_reference():
     """The engine validates at construction (__post_init__); the
