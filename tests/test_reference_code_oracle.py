@@ -114,6 +114,77 @@ def test_block_shape_matches_reference():
     assert tuple(eng[d] for d in _Img.dims) == ref_shape
 
 
+# ---------------------------------------------- chunk alignment, live
+def test_aligned_chunks_matches_reference():
+    """Reference _align_chunks (methods/_support.py:137) decides the
+    chunk grid used before a downsample step; duck-typed arrays record
+    whether it rechunks and to what. The engine's aligned_chunks must
+    make the same decision for the same geometry."""
+
+    class _Arr:
+        def __init__(self, chunk):
+            self.chunks = tuple((c,) for c in chunk)
+            self.rechunked_to = None
+
+        def rechunk(self, spec):
+            self.rechunked_to = spec
+            return self
+
+    class _Img:
+        def __init__(self, dims, chunk):
+            self.dims = dims
+            self.data = _Arr(chunk)
+
+    cases = [
+        # (dims, current chunk, default_chunks, dim_factors)
+        (["z", "y", "x"], (16, 64, 64), {"z": 16, "y": 64, "x": 64},
+         {"z": 2, "y": 2, "x": 2}),                       # aligned
+        (["z", "y", "x"], (15, 64, 64), {"z": 16, "y": 64, "x": 64},
+         {"z": 2, "y": 2, "x": 2}),                       # z misaligned
+        (["z", "y", "x"], (7, 9, 64), {"z": 16, "y": 64, "x": 64},
+         {"z": 3, "y": 2, "x": 4}),                       # two misaligned
+        (["t", "z", "y", "x"], (1, 16, 33, 64),
+         {"t": 1, "z": 16, "y": 64, "x": 64}, {"z": 2, "y": 2, "x": 2}),
+    ]
+    for dims, chunk, default, factors in cases:
+        img = _Img(dims, chunk)
+        REF.support._align_chunks(img, default, factors)
+        ref_spec = img.data.rechunked_to  # None = no rechunk needed
+        eng_chunks, eng_changed = planner.aligned_chunks(
+            dict(zip(dims, chunk)), default, factors
+        )
+        assert eng_changed == (ref_spec is not None), (dims, chunk)
+        if ref_spec is not None:
+            # reference rechunks only the misaligned dims (by index)
+            for idx, target in ref_spec.items():
+                assert eng_chunks[dims[idx]] == target, (dims, chunk, idx)
+
+
+# ----------------------------------------- channel-last decision, live
+def test_channel_dim_last_order_matches_engine_rule():
+    """The engine addresses pixels by dim NAME (no physical transpose),
+    so its ITK export just computes the target order: non-c dims in
+    source order, then c (ingest/itk.py). Reference _channel_dim_last
+    must produce the same order for every placement of c."""
+
+    class _Arr:
+        def transpose(self, order):
+            return self
+
+    class _Img:
+        def __init__(self, dims):
+            self.dims = tuple(dims)
+            self.data = _Arr()
+
+    for dims in (["c", "z", "y", "x"], ["z", "c", "y", "x"],
+                 ["t", "c", "y", "x"], ["z", "y", "x", "c"],
+                 ["z", "y", "x"], ["c", "y", "x"]):
+        got = list(REF.support._channel_dim_last(_Img(dims)).dims)
+        expect = ([d for d in dims if d != "c"] + ["c"]) if "c" in dims \
+            else list(dims)
+        assert got == expect, dims
+
+
 # ------------------------------------------------------- C4 units and dims
 def _literal_values(tp):
     """Flatten a typing.Union/Literal tree into its string values
