@@ -246,6 +246,7 @@ def engine_stores(spark, tmp_path_factory):
         df, dims=dims, shape={"z": 4, "y": 6, "x": 8},
         scale={"z": 2.0, "y": 0.5, "x": 0.5},
         translation={"z": 1.0, "y": 0.0, "x": -2.0},
+        axes_units={"z": "micrometer", "y": "micrometer", "x": "micrometer"},
     )
     img.dtype = "uint16"
     ms = to_multiscales(
@@ -274,7 +275,8 @@ def _reference_expected_entry(img, version):
     level-1 transforms, asdict + optional-pruning."""
     v04 = REF.v04_zarr_metadata
     dims = img.dims
-    axes = [v04.Axis(name=d, type="space") for d in dims]
+    units = img.axes_units or {}
+    axes = [v04.Axis(name=d, type="space", unit=units.get(d)) for d in dims]
 
     def transforms(scale, translation):
         return [
