@@ -315,6 +315,10 @@ QUERIES = {
     # and the plate-scale incremental write (both VERDICT r8 asks)
     "dedup_skew": bench_dedup_skew,
     "hcs_stream_write": bench_hcs_stream_write,
+    # skew-safe sessionize twin: (user, 6h-segment) window + summary
+    # fix-up; tracked next to events_sessionize so the single-window vs
+    # segmented cost stays visible round-over-round
+    "events_sessionize_seg": gate.q_events_sessionize_segmented,
 }
 
 

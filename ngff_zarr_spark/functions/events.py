@@ -474,3 +474,81 @@ def bloom_semi_join(
     return prefiltered.join(
         F.broadcast(keys.select(F.col(key_col)).distinct()), key_col, "left_semi"
     )
+
+
+def sessionize_counts(
+    ev: DataFrame,
+    gap_ns: int,
+    user_col: str = "user_id",
+    ts_col: str = "ns",
+) -> DataFrame:
+    """Per-user session/event counts, single window per user (the
+    standard Spark sessionization shape; gate events_sessionize)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gaps = ev.withColumn(
+        "new_session",
+        (F.col(ts_col) - F.lag(ts_col).over(w) > gap_ns).cast("long"),
+    ).fillna({"new_session": 1})
+    return gaps.groupBy(user_col).agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def sessionize_counts_segmented(
+    ev: DataFrame,
+    gap_ns: int,
+    segment_ns: int,
+    user_col: str = "user_id",
+    ts_col: str = "ns",
+) -> DataFrame:
+    """Skew-safe sessionization, EXACTLY equal to
+    :func:`sessionize_counts` (pinned in tests/test_r09_sessionize_
+    segmented.py at two segment widths plus an adversarial mega-user).
+
+    The plain form sorts ALL of a user's events in ONE window task —
+    a bot user with 10^8 events is a straggler (or OOM) at cluster
+    scale. Here the big sort partitions by ``(user, ts // segment_ns)``
+    so a mega-user's events spread over many tasks; per segment only a
+    4-number summary survives (session starts, events, first/last ts),
+    and the boundary fix-up — subtract one session start wherever a
+    segment's first event is within ``gap_ns`` of the PREVIOUS
+    segment's last event — runs on that tiny summary table (rows ∝
+    active (user, segment) pairs, not events). Cost: the same single
+    events exchange (keyed on (user, seg) instead of (user)) + one
+    negligible summary exchange.
+
+    Correct for any ``segment_ns`` ≥ 1 (segments need not be adjacent:
+    the fix-up window ordering by segment id visits the user's
+    non-empty segments in time order, and the boundary test compares
+    actual timestamps, so an idle gap of many empty segments simply
+    fails the ``<= gap_ns`` test)."""
+    from pyspark.sql import Window as W
+
+    # integer DIV: epoch-ns values exceed 2^53, float division would
+    # misplace events near segment boundaries
+    seg = ev.withColumn("_seg", F.expr(f"CAST({ts_col} DIV {int(segment_ns)} AS LONG)"))
+    w = W.partitionBy(user_col, "_seg").orderBy(ts_col)
+    gaps = seg.withColumn(
+        "new_session",
+        (F.col(ts_col) - F.lag(ts_col).over(w) > gap_ns).cast("long"),
+    ).fillna({"new_session": 1})
+    summary = gaps.groupBy(user_col, "_seg").agg(
+        F.sum("new_session").cast("long").alias("starts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(ts_col).alias("first_ns"),
+        F.max(ts_col).alias("last_ns"),
+    )
+    ws = W.partitionBy(user_col).orderBy("_seg")
+    merged = summary.withColumn(
+        "spurious",
+        (
+            (F.col("first_ns") - F.lag("last_ns").over(ws)) <= gap_ns
+        ).cast("long"),
+    ).fillna({"spurious": 0})
+    return merged.groupBy(user_col).agg(
+        (F.sum("starts") - F.sum("spurious")).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )

@@ -1684,18 +1684,25 @@ def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-min inactivity gap splits sessions; per-user
     session and event counts. Window (lag) + conditional sum — the
     standard Spark sessionization shape."""
-    from pyspark.sql import Window as W
+    from .functions.events import sessionize_counts
 
     ev = _events(spark, sf_dir).select("user_id", F.col("ts").alias("ns"))
-    gap_ns = int(SESSION_GAP_S) * 1_000_000_000
-    w = W.partitionBy("user_id").orderBy("ns")
-    gaps = ev.withColumn(
-        "new_session",
-        (F.col("ns") - F.lag("ns").over(w) > gap_ns).cast("long"),
-    ).fillna({"new_session": 1})
-    return gaps.groupBy("user_id").agg(
-        F.sum("new_session").cast("long").alias("n_sessions"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+    return sessionize_counts(ev, int(SESSION_GAP_S) * 1_000_000_000)
+
+
+def q_events_sessionize_segmented(spark, sf_dir):
+    """Skew-safe sessionize twin (events.sessionize_counts_segmented):
+    the events sort partitions by (user, 6-hour segment) so a mega-user
+    spreads over many tasks; the boundary fix-up runs on the tiny
+    per-segment summary. Same DuckDB oracle as events_sessionize —
+    the two forms are exactly equal."""
+    from .functions.events import sessionize_counts_segmented
+
+    ev = _events(spark, sf_dir).select("user_id", F.col("ts").alias("ns"))
+    return sessionize_counts_segmented(
+        ev,
+        int(SESSION_GAP_S) * 1_000_000_000,
+        6 * 3600 * 1_000_000_000,
     )
 
 
@@ -3188,4 +3195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "s2_http_read": q_s2_http_read,
+        # r9: skew-safe sessionize twin (same oracle as events_sessionize)
+        "events_sessionize_segmented": q_events_sessionize_segmented,
     }

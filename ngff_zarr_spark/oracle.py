@@ -2454,6 +2454,9 @@ def oracles() -> dict[str, str]:
         "t2_t3_callbacks": sql_t2_t3_callbacks(),
         "t1_stream_pixels": sql_t1_stream_pixels(),
         "events_sessionize": sql_events_sessionize(),
+        # skew-safe twin is exactly equal to the plain form by design,
+        # so it shares the independent oracle verbatim
+        "events_sessionize_segmented": sql_events_sessionize(),
         # S15 exports the same volume/transform s14 imports — identical
         # formula oracle; the battery doubles it with a direction tag
         "s15_itk_export": sql_s14_itk_adapter(),
