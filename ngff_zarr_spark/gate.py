@@ -2448,6 +2448,39 @@ def q_events_user_topn(spark, sf_dir):
     )
 
 
+def q_events_user_topn_bucketed(spark, sf_dir):
+    """Skew-safe twin of events_user_topn (same two-phase exact top-k
+    as cap_per_source, functions/sampling.py:80): phase 1 ranks within
+    (event_type, hash(user) mod 64) — 64-way parallel even when one
+    event_type holds 10^8 users — and keeps 5 per pre-bucket; phase 2
+    ranks the ≤ 64*5 survivors. Identical result (each global top-5 row
+    is in its own pre-bucket's top-5), so the oracle is shared
+    verbatim."""
+    from pyspark.sql import Window
+
+    from .functions.dedup import h64
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    order = [F.col("n").desc(), F.col("user_id")]
+    w1 = Window.partitionBy(
+        "event_type", h64(F.col("user_id").cast("string")) % 64
+    ).orderBy(*order)
+    stage1 = (
+        counts.withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= 5)
+        .drop("prk")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(*order)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "rank", "user_id", "n")
+    )
+
+
 def q_events_daily_running(spark, sf_dir):
     """Daily event counts with a per-type running total (cumulative
     window) — exact integer day bucketing (ns `div`, never double
@@ -3195,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "s2_http_read": q_s2_http_read,
-        # r9: skew-safe sessionize twin (same oracle as events_sessionize)
+        # r9: skew-safe twins (each shares its plain form's oracle)
         "events_sessionize_segmented": q_events_sessionize_segmented,
+        "events_user_topn_bucketed": q_events_user_topn_bucketed,
     }

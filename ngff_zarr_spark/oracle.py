@@ -2634,6 +2634,8 @@ GROUP BY 1, 2, 3""",
     }
     # the bucketed range join computes the identical aggregate
     d["events_range_windows_bucketed"] = d["events_range_windows"]
+    # the two-phase top-N is exactly equal to the single-window form
+    d["events_user_topn_bucketed"] = d["events_user_topn"]
     # digest batteries: UNION ALL of each constituent's oracle wrapped
     # in the digest reduction — the inner SQL IS the constituent's own
     # oracle entry, so battery correctness derives from constituent
