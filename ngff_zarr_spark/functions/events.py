@@ -177,12 +177,44 @@ def asof_join(
     Returns every left column plus ``<value_col><suffix>`` columns and
     ``<ts_col><suffix>`` (the matched right timestamp)."""
     from pyspark.sql import Window
-    from pyspark.sql.types import StructField, StructType
 
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction={direction!r}: expected backward, forward, or nearest"
         )
+    u, rv, left_rest = _asof_union(
+        left, right, key, ts_col, value_cols, suffix, tiebreak
+    )
+    # backward: right rows sort BEFORE a same-ts left row (side 0 < 1)
+    # and last() takes the latest right at-or-before it; among same-ts
+    # right rows, _tb ascending puts the greatest tiebreak last.
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col("_side"), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: left rows sort BEFORE same-ts right rows (side desc) so
+    # the inclusive match still sees them; first() takes the earliest
+    # right at-or-after; _tb descending puts the greatest tiebreak first.
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col("_side").desc(), F.col("_tb").desc_nulls_last())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    back = F.last("_r", ignorenulls=True).over(w_back)
+    fwd = F.first("_r", ignorenulls=True).over(w_fwd)
+    matched = _asof_pick(back, fwd, direction, ts_col, suffix)
+    return _asof_finish(
+        u, matched, key, ts_col, left_rest, rv, suffix, tolerance
+    )
+
+
+def _asof_union(left, right, key, ts_col, value_cols, suffix, tiebreak):
+    """Tagged union of both sides (the as-of building block): right
+    rows carry their match payload as a struct ``_r`` plus the
+    ``_tb`` tiebreak; left rows carry NULLs of the same types."""
+    from pyspark.sql.types import StructField, StructType
+
     tiebreak = tiebreak or value_cols[0]
     rv = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
     m_type = StructType(
@@ -212,38 +244,25 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_rest],
     )
-    u = l_side.unionByName(r_side)
-    # backward: right rows sort BEFORE a same-ts left row (side 0 < 1)
-    # and last() takes the latest right at-or-before it; among same-ts
-    # right rows, _tb ascending puts the greatest tiebreak last.
-    w_back = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts_col), F.col("_side"), F.col("_tb").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # forward: left rows sort BEFORE same-ts right rows (side desc) so
-    # the inclusive match still sees them; first() takes the earliest
-    # right at-or-after; _tb descending puts the greatest tiebreak first.
-    w_fwd = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts_col), F.col("_side").desc(), F.col("_tb").desc_nulls_last())
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    back = F.last("_r", ignorenulls=True).over(w_back)
-    fwd = F.first("_r", ignorenulls=True).over(w_fwd)
+    return l_side.unionByName(r_side), rv, left_rest
+
+
+def _asof_pick(back, fwd, direction, ts_col, suffix):
     if direction == "backward":
-        matched = back
-    elif direction == "forward":
-        matched = fwd
-    else:
-        b_dist = F.col(ts_col) - back[f"{ts_col}{suffix}"]
-        f_dist = fwd[f"{ts_col}{suffix}"] - F.col(ts_col)
-        matched = (
-            F.when(back.isNull(), fwd)
-            .when(fwd.isNull(), back)
-            .when(b_dist <= f_dist, back)
-            .otherwise(fwd)
-        )
+        return back
+    if direction == "forward":
+        return fwd
+    b_dist = F.col(ts_col) - back[f"{ts_col}{suffix}"]
+    f_dist = fwd[f"{ts_col}{suffix}"] - F.col(ts_col)
+    return (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(b_dist <= f_dist, back)
+        .otherwise(fwd)
+    )
+
+
+def _asof_finish(u, matched, key, ts_col, left_rest, rv, suffix, tolerance):
     filled = u.select(
         key, ts_col, "_side", *left_rest, matched.alias("_m")
     )
@@ -254,6 +273,116 @@ def asof_join(
         )
     return filled.filter(F.col("_side") == 1).select(
         key, ts_col, *left_rest, *[F.col("_m")[c].alias(c) for c in rv]
+    )
+
+
+def asof_join_segmented(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("event_id",),
+    suffix: str = "_asof",
+    tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    segment_ns: int = 6 * 3600 * 1_000_000_000,
+) -> DataFrame:
+    """Skew-safe as-of join, exactly equal to :func:`asof_join` for
+    every direction/tolerance (hypothesis-pinned against the same
+    brute-force third implementation, tests/test_events_schema.py).
+
+    :func:`asof_join` fills each left row inside ONE (key)-partitioned
+    window — a hot key (one instrument carrying most of the tape, one
+    bot user) serializes into a single sort task. Here the events-sized
+    sort partitions by ``(key, ts DIV segment_ns)`` and the cross-
+    segment information travels through per-(key, segment) CARRY rows:
+
+    * within each segment, the usual union-window fill;
+    * per (key, segment), the boundary candidates — latest and earliest
+      right row (row_number over the same exchange);
+    * a prefix/suffix scan over the TINY (key, segment) summary
+      (rows ∝ active pairs, not events) yields each segment's carry-in
+      from earlier/later segments, joined back on (key, segment);
+    * a left row uses its within-segment fill, else the carry-in.
+
+    Same-ts matches are always intra-segment (equal ts ⇒ equal
+    segment), so the inclusive-boundary and tie semantics reduce to the
+    plain form's. Cost: the one big exchange (finer key) + one
+    summary-sized exchange + a co-partitioned join."""
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction={direction!r}: expected backward, forward, or nearest"
+        )
+    u, rv, left_rest = _asof_union(
+        left, right, key, ts_col, value_cols, suffix, tiebreak
+    )
+    # integer DIV: epoch-ns exceeds 2^53 (see sessionize_counts_segmented)
+    u = u.withColumn(
+        "_seg", F.expr(f"CAST({ts_col} DIV {int(segment_ns)} AS LONG)")
+    )
+
+    # per-(key, segment) boundary candidates from right rows only
+    r_rows = u.filter(F.col("_side") == 0).select(
+        key, "_seg", ts_col, "_tb", "_r"
+    )
+    w_latest = Window.partitionBy(key, "_seg").orderBy(
+        F.col(ts_col).desc(), F.col("_tb").desc_nulls_last()
+    )
+    w_earliest = Window.partitionBy(key, "_seg").orderBy(
+        F.col(ts_col).asc(), F.col("_tb").desc_nulls_last()
+    )
+    seg_best = (
+        r_rows.withColumn("_rnb", F.row_number().over(w_latest))
+        .withColumn("_rnf", F.row_number().over(w_earliest))
+        .groupBy(key, "_seg")
+        .agg(
+            F.first(F.when(F.col("_rnb") == 1, F.col("_r")), ignorenulls=True)
+            .alias("_last_r"),
+            F.first(F.when(F.col("_rnf") == 1, F.col("_r")), ignorenulls=True)
+            .alias("_first_r"),
+        )
+    )
+    # carry-in per (key, segment) over ALL active segments (left rows
+    # in right-row-free segments still need the scan to pass through)
+    seg_index = u.select(key, "_seg").distinct()
+    w_before = (
+        Window.partitionBy(key).orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_after = (
+        Window.partitionBy(key).orderBy("_seg")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = seg_index.join(seg_best, [key, "_seg"], "left").select(
+        key,
+        "_seg",
+        F.last("_last_r", ignorenulls=True).over(w_before).alias("_carry_back"),
+        F.first("_first_r", ignorenulls=True).over(w_after).alias("_carry_fwd"),
+    )
+
+    u2 = u.join(carry, [key, "_seg"], "left")
+    w_back = (
+        Window.partitionBy(key, "_seg")
+        .orderBy(F.col(ts_col), F.col("_side"), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(key, "_seg")
+        .orderBy(F.col(ts_col), F.col("_side").desc(), F.col("_tb").desc_nulls_last())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    back = F.coalesce(
+        F.last("_r", ignorenulls=True).over(w_back), F.col("_carry_back")
+    )
+    fwd = F.coalesce(
+        F.first("_r", ignorenulls=True).over(w_fwd), F.col("_carry_fwd")
+    )
+    matched = _asof_pick(back, fwd, direction, ts_col, suffix)
+    return _asof_finish(
+        u2, matched, key, ts_col, left_rest, rv, suffix, tolerance
     )
 
 

@@ -2539,6 +2539,27 @@ def q_events_asof_attribution(spark, sf_dir):
     )
 
 
+def q_events_asof_segmented(spark, sf_dir):
+    """Skew-safe as-of twin (events.asof_join_segmented): the events
+    sort keys on (user, 6h segment); cross-segment matches ride the
+    per-(user, segment) carry scan. Exactly equal to the plain form —
+    shares events_asof_attribution's native DuckDB ASOF JOIN oracle."""
+    from .functions.events import asof_join_segmented
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join_segmented(
+        purchases, clicks, key="user_id", ts_col="ts",
+        value_cols=("event_id",), suffix="_click",
+        segment_ns=6 * 3600 * 1_000_000_000,
+    )
+
+
 def _range_windows(spark, sf_dir, strategy):
     from .functions.events import range_join
 
@@ -3231,4 +3252,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: skew-safe twins (each shares its plain form's oracle)
         "events_sessionize_segmented": q_events_sessionize_segmented,
         "events_user_topn_bucketed": q_events_user_topn_bucketed,
+        "events_asof_segmented": q_events_asof_segmented,
     }

@@ -353,16 +353,31 @@ def test_asof_join_matches_brute_force(spark, seed, direction, tolerance):
     right = spark.createDataFrame(
         pd.DataFrame(right_rows, columns=["user_id", "ts", "event_id"])
     )
-    got = asof_join(
+    def normalize(rows):
+        return sorted(
+            (
+                r["user_id"], r["ts"], r["lid"],
+                None if r["event_id_asof"] is None
+                else (r["ts_asof"], r["event_id_asof"]),
+            )
+            for r in rows
+        )
+
+    got_n = normalize(asof_join(
         left, right, key="user_id", ts_col="ts", value_cols=("event_id",),
         direction=direction, tolerance=tolerance,
-    ).collect()
-    got_n = sorted(
-        (
-            r["user_id"], r["ts"], r["lid"],
-            None if r["event_id_asof"] is None else (r["ts_asof"], r["event_id_asof"]),
-        )
-        for r in got
-    )
+    ).collect())
     want = _brute_asof(left_rows, right_rows, direction, tolerance)
     assert got_n == want
+    # skew-safe twin: identical for every direction/tolerance, at a
+    # segment width that splits the ts range (17) and at 1 (every ts
+    # its own segment — all matching rides on the carry scan)
+    from ngff_zarr_spark.functions.events import asof_join_segmented
+
+    for seg in (17, 1):
+        got_seg = normalize(asof_join_segmented(
+            left, right, key="user_id", ts_col="ts",
+            value_cols=("event_id",), direction=direction,
+            tolerance=tolerance, segment_ns=seg,
+        ).collect())
+        assert got_seg == want, seg
