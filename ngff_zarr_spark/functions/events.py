@@ -681,3 +681,116 @@ def sessionize_counts_segmented(
         (F.sum("starts") - F.sum("spurious")).cast("long").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+
+
+def exact_percentiles_bucketed(
+    ev: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles WITHOUT per-group value
+    buffering — the 100 TB twin of Spark's ``percentile`` aggregate
+    (which collects every distinct value of a group into one
+    aggregation buffer: a billion-row group OOMs the executor).
+
+    Histogram-descent rank selection, all set-level DataFrame ops:
+
+    1. per-group count/min/max (one aggregate);
+    2. every row maps to one of ``n_buckets`` uniform value buckets —
+       a second aggregate yields the per-(group, bucket) histogram
+       (rows ∝ groups × n_buckets, tiny);
+    3. the interpolation positions k = (n−1)·p need global ranks
+       ⌊k⌋/⌈k⌉; a prefix sum over the histogram locates the bucket
+       holding each rank and its in-bucket offset;
+    4. ONE second pass ranks only the rows of the ≤ 2·|ps| needed
+       buckets per group (broadcast semi-join; per-task work bounded
+       by bucket occupancy, not group size) and picks the two bounding
+       values; lo + (k−⌊k⌋)·(hi−lo) is exactly Spark ``percentile`` /
+       DuckDB ``quantile_cont`` semantics (gate events_percentiles_
+       bucketed shares the plain gate's oracle verbatim).
+
+    Returns (group, n, p_<xx> ... rounded 6dp) like the plain gate."""
+    from pyspark.sql import Window
+
+    spark = ev.sparkSession
+    src = ev.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    stats = src.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    bucket = F.when(
+        F.col("vmax") == F.col("vmin"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("v") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * n_buckets
+            ).cast("int"),
+        )
+    )
+    bucketed = src.join(F.broadcast(stats), "g").select(
+        "g", "v", bucket.alias("b")
+    )
+    hist = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("g").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0))
+    )
+
+    # one target row per (group, percentile, lo/hi bound)
+    p_rows = [(float(p), w) for p in ps for w in (0, 1)]
+    pdf = spark.createDataFrame(p_rows, "p double, hi int")
+    targets = stats.crossJoin(F.broadcast(pdf)).select(
+        "g",
+        "p",
+        "hi",
+        (F.col("p") * (F.col("n") - 1)).alias("k"),
+    ).withColumn(
+        "pos",
+        F.when(F.col("hi") == 0, F.floor("k")).otherwise(F.ceil("k"))
+        .cast("long"),
+    )
+    located = targets.join(hist, "g").filter(
+        (F.col("pos") >= F.col("off"))
+        & (F.col("pos") < F.col("off") + F.col("cnt"))
+    ).select("g", "p", "hi", "k", "b", (F.col("pos") - F.col("off")).alias("lpos"))
+
+    needed = located.select("g", "b").distinct()
+    w_rank = Window.partitionBy("g", "b").orderBy("v")
+    picked = (
+        bucketed.join(F.broadcast(needed), ["g", "b"], "left_semi")
+        .withColumn("lpos", F.row_number().over(w_rank).cast("long") - 1)
+        .join(located, ["g", "b", "lpos"])
+        .select("g", "p", "hi", "k", "v")
+    )
+    per_p = picked.groupBy("g", "p", "k").agg(
+        F.first(F.when(F.col("hi") == 0, F.col("v")), ignorenulls=True).alias("lo_v"),
+        F.first(F.when(F.col("hi") == 1, F.col("v")), ignorenulls=True).alias("hi_v"),
+    ).select(
+        "g",
+        "p",
+        F.round(
+            F.col("lo_v")
+            + (F.col("k") - F.floor("k")) * (F.col("hi_v") - F.col("lo_v")),
+            6,
+        ).alias("q"),
+    )
+    agg_cols = [
+        F.round(
+            F.first(F.when(F.col("p") == float(p), F.col("q")), ignorenulls=True), 6
+        ).alias(f"p{int(round(p * 100))}")
+        for p in ps
+    ]
+    return (
+        per_p.join(stats.select("g", "n"), "g")
+        .groupBy(F.col("g").alias(group_col), F.col("n").cast("long").alias("n"))
+        .agg(*agg_cols)
+    )

@@ -2430,6 +2430,17 @@ def q_events_percentiles(spark, sf_dir):
     )
 
 
+def q_events_percentiles_bucketed(spark, sf_dir):
+    """Scale-safe exact-percentiles twin (events.exact_percentiles_
+    bucketed): histogram-descent rank selection — no per-group value
+    buffer, per-task work bounded by bucket occupancy. Exactly equal
+    to the plain `percentile` aggregate; shares its quantile_cont
+    oracle verbatim."""
+    from .functions.events import exact_percentiles_bucketed
+
+    return exact_percentiles_bucketed(_events(spark, sf_dir))
+
+
 def q_events_user_topn(spark, sf_dir):
     """Top-5 users per event type by event count — the windowed top-N
     pattern (rank inside a partition, deterministic tie-break by
@@ -3253,4 +3264,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_segmented": q_events_sessionize_segmented,
         "events_user_topn_bucketed": q_events_user_topn_bucketed,
         "events_asof_segmented": q_events_asof_segmented,
+        "events_percentiles_bucketed": q_events_percentiles_bucketed,
     }

@@ -2638,6 +2638,8 @@ GROUP BY 1, 2, 3""",
     d["events_user_topn_bucketed"] = d["events_user_topn"]
     # the carry-scan as-of twin is exactly equal to the window form
     d["events_asof_segmented"] = d["events_asof_attribution"]
+    # histogram-descent percentiles == the buffering aggregate
+    d["events_percentiles_bucketed"] = d["events_percentiles"]
     # digest batteries: UNION ALL of each constituent's oracle wrapped
     # in the digest reduction — the inner SQL IS the constituent's own
     # oracle entry, so battery correctness derives from constituent

@@ -1,0 +1,94 @@
+"""Histogram-descent exact percentiles (functions/events.py
+exact_percentiles_bucketed) == Spark's buffering `percentile`
+aggregate, bit-for-bit at 6dp, across adversarial value layouts.
+
+The plain aggregate collects every value of a group into one
+aggregation buffer (OOM at 10^9-row groups); the bucketed form's
+per-task state is one histogram row per (group, bucket) plus the rows
+of the <= 2 needed buckets per percentile.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark.functions.events import exact_percentiles_bucketed
+
+PS = (0.5, 0.9, 0.99)
+
+
+def _plain(ev):
+    return {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.round(F.expr(f"percentile(value, {p})"), 6)
+                .alias(f"p{int(round(p * 100))}")
+                for p in PS
+            ],
+        ).collect()
+    }
+
+
+def _bucketed(ev, n_buckets=1024):
+    return {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in exact_percentiles_bucketed(ev, n_buckets=n_buckets).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "name,values",
+    [
+        ("normal", lambda rng, n: rng.normal(size=n)),
+        # 5 distinct values: most buckets empty, heavy ties inside one
+        ("ties", lambda rng, n: rng.integers(0, 5, size=n).astype(float)),
+        # all-identical: vmin == vmax branch
+        ("constant", lambda rng, n: np.full(n, 3.25)),
+        # extreme skew: 99% in a tiny range + far outliers, exercising
+        # the last-bucket clamp
+        ("outliers", lambda rng, n: np.where(
+            rng.random(n) < 0.99, rng.random(n), 1e9 * rng.random(n)
+        )),
+    ],
+)
+def test_matches_buffering_aggregate(spark, name, values):
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, n in (("a", 3001), ("b", 500), ("solo", 1), ("two", 2)):
+        for v in values(rng, n):
+            rows.append((g, float(v)))
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "value"]))
+    assert _bucketed(ev) == _plain(ev), name
+
+
+def test_matches_on_sf_events_and_oracle_gate(spark, sf_dir):
+    from ngff_zarr_spark.gate import (
+        q_events_percentiles,
+        q_events_percentiles_bucketed,
+    )
+
+    plain = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in q_events_percentiles(spark, sf_dir).collect()
+    }
+    got = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in q_events_percentiles_bucketed(spark, sf_dir).collect()
+    }
+    assert got == plain and len(plain) > 0
+
+
+def test_few_buckets_still_exact(spark):
+    """n_buckets is a cost knob, never a correctness knob: even 2
+    buckets only grow the second pass, the selected ranks are exact."""
+    rng = np.random.default_rng(7)
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            [("g", float(v)) for v in rng.normal(size=999)],
+            columns=["event_type", "value"],
+        )
+    )
+    assert _bucketed(ev, n_buckets=2) == _plain(ev)
