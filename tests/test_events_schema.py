@@ -222,6 +222,29 @@ def test_asof_join_plan_no_join_node(spark):
         assert join_node not in plan, join_node
 
 
+def test_asof_segmented_plan_structure(spark):
+    """The skew-safe twin's scale properties, pinned in the physical
+    plan: the events-sized windows key on (user_id, _seg) — never on
+    user_id alone over event rows — and the carry join is an EQUI join
+    on (user_id, _seg) (no nested-loop/cartesian fallback)."""
+    import contextlib
+    import io
+
+    from ngff_zarr_spark.functions.events import asof_join_segmented
+
+    left = spark.createDataFrame([(1, 100, 10)], "user_id long, ts long, event_id long")
+    right = spark.createDataFrame([(1, 99, 1)], "user_id long, ts long, event_id long")
+    df = asof_join_segmented(left, right, segment_ns=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every window over _r (the events-sized fill) includes _seg in its
+    # partition spec; only the tiny carry/summary scans key on user alone
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "_r#" in line and "last(" in line.lower():
+            assert "_seg" in line.split("windowspecdefinition", 1)[1][:120], line
+
+
 def test_range_join_broadcasts_windows(spark):
     """range_join: interval side broadcast; events within [start, end)
     only."""
