@@ -716,8 +716,13 @@ def exact_percentiles_bucketed(
 
     spark = ev.sparkSession
     src = ev.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    # n reports COUNT(*) (the gate's shape); rank positions use the
+    # NON-NULL count, because `percentile` ignores NULLs — with any
+    # null values present the two differ and k = (count(*)−1)·p would
+    # select the wrong rank
     stats = src.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("nv"),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
     )
@@ -733,9 +738,9 @@ def exact_percentiles_bucketed(
             ).cast("int"),
         )
     )
-    bucketed = src.join(F.broadcast(stats), "g").select(
-        "g", "v", bucket.alias("b")
-    )
+    bucketed = src.filter(F.col("v").isNotNull()).join(
+        F.broadcast(stats), "g"
+    ).select("g", "v", bucket.alias("b"))
     hist = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = (
         Window.partitionBy("g").orderBy("b")
@@ -752,7 +757,7 @@ def exact_percentiles_bucketed(
         "g",
         "p",
         "hi",
-        (F.col("p") * (F.col("n") - 1)).alias("k"),
+        (F.col("p") * (F.col("nv") - 1)).alias("k"),
     ).withColumn(
         "pos",
         F.when(F.col("hi") == 0, F.floor("k")).otherwise(F.ceil("k"))

@@ -81,6 +81,15 @@ def test_matches_on_sf_events_and_oracle_gate(spark, sf_dir):
     assert got == plain and len(plain) > 0
 
 
+def test_null_values_ignored_like_percentile(spark):
+    """`percentile` ignores NULLs while n reports COUNT(*) — the
+    bucketed twin must use the non-null count for rank positions."""
+    rows = [("g", float(v)) for v in range(100)] + [("g", None)] * 37
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    assert _bucketed(ev) == _plain(ev)
+    assert _plain(ev)["g"][0] == 137  # n still counts the null rows
+
+
 def test_few_buckets_still_exact(spark):
     """n_buckets is a cost knob, never a correctness knob: even 2
     buckets only grow the second pass, the selected ranks are exact."""
