@@ -142,6 +142,15 @@ def test_asof_join_null_value_from_matched_row(spark):
     )
     r = asof_join(left, right, value_cols=("value",)).collect()[0]
     assert r.ts_asof == 200 and r.value_asof is None
+    # segmented twin: same contract, including when the null-valued
+    # match arrives via the carry scan (segment width 50 puts the
+    # matched right row two segments before the left row)
+    from ngff_zarr_spark.functions.events import asof_join_segmented
+
+    rs = asof_join_segmented(
+        left, right, value_cols=("value",), segment_ns=50
+    ).collect()[0]
+    assert rs.ts_asof == 200 and rs.value_asof is None
 
 
 def test_asof_join_forward_nearest_tolerance(spark):
