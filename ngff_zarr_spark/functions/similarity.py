@@ -557,7 +557,16 @@ def write_ivf_partitioned(
     filter evaluation over the rest (see ivf_topk_partitioned).
     ``kmeans_iters>0`` learns the quantizer with that many distributed
     Lloyd iterations before bucketing; the probe path is unchanged
-    because it reads whatever centroids this wrote."""
+    because it reads whatever centroids this wrote.
+
+    Hot-cell posture: an unbalanced quantizer makes one ``cell=N/``
+    directory large, but that directory still holds MANY parquet files
+    (one per writing task — ``partitionBy`` doesn't coalesce), so a
+    probe of a hot cell reads its files in parallel; occupancy affects
+    probe COST (∝ cell size), never per-task memory. Monitor balance
+    with ``corpus_kmeans_profile`` (per-cell counts); the remedies are
+    more ``kmeans_iters`` or a larger ``n_cells``, both of which this
+    writer already parameterizes."""
     spark = emb.sparkSession
     C, Cn = kmeans_centroids(emb, dim, n_cells, kmeans_iters)
     cells = ivf_cells(emb, dim, n_cells, centroids=(C, Cn))
