@@ -90,6 +90,37 @@ def test_null_values_ignored_like_percentile(spark):
     assert _plain(ev)["g"][0] == 137  # n still counts the null rows
 
 
+def test_arbitrary_percentiles_property(spark):
+    """Any p in [0, 1] (not just the gate's three), any value layout:
+    the bucketed selection equals the buffering aggregate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        p=st.floats(0.0, 1.0, allow_nan=False),
+        n=st.integers(1, 400),
+        n_buckets=st.sampled_from([2, 7, 64]),
+    )
+    def check(seed, p, n, n_buckets):
+        rng = np.random.default_rng(seed)
+        vals = np.round(rng.normal(size=n) * rng.choice([1, 100, 1e6]), 3)
+        ev = spark.createDataFrame(
+            pd.DataFrame({"event_type": "g", "value": vals.astype(float)})
+        )
+        want = ev.agg(
+            F.round(F.expr(f"percentile(value, {p!r})"), 6).alias("q")
+        ).collect()[0].q
+        got = exact_percentiles_bucketed(
+            ev, ps=(p,), n_buckets=n_buckets
+        ).collect()[0]
+        assert got.n == n
+        assert got[2] == pytest.approx(want, abs=2e-6), (p, n, n_buckets)
+
+    check()
+
+
 def test_few_buckets_still_exact(spark):
     """n_buckets is a cost knob, never a correctness knob: even 2
     buckets only grow the second pass, the selected ranks are exact."""
