@@ -69,6 +69,33 @@ def test_segmented_equals_plain_on_sf_events(spark, sf_dir):
     assert seg == plain and len(plain) > 0
 
 
+def test_random_streams_property(spark):
+    """Random user/timestamp streams, random gap and segment widths:
+    segmented == plain everywhere."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        gap=st.integers(1, 40),
+        segment=st.integers(1, 60),
+    )
+    def check(seed, gap, segment):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [
+            (int(rng.integers(5)), BASE + int(rng.integers(0, 300)))
+            for _ in range(120)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ns long")
+        plain = _counts(sessionize_counts(df, gap))
+        assert _counts(sessionize_counts_segmented(df, gap, segment)) == plain
+
+    check()
+
+
 def test_big_sort_partitions_by_user_and_segment(spark, skewed_events):
     """Structural pin: the events-sized window keys on BOTH user and
     segment (the skew fix), and only the tiny summary window keys on
