@@ -49,7 +49,14 @@ def pack_sequences(
     block-packing contract above. ``pack_offset`` is the doc's starting
     token offset inside its bucket stream — the trainer's seek
     position; ``n_tokens`` is capped at ``budget`` for the pack
-    arithmetic but reported raw."""
+    arithmetic but reported raw.
+
+    Scale posture: the cumulative sum is inherently sequential per
+    bucket, so per-task work is corpus_size / ``n_buckets`` — the knob
+    scales it (hash-uniform buckets can't be hot; raise ``n_buckets``
+    with the corpus). Pack ids are bucket-local, so the choice of
+    ``n_buckets`` never changes WHICH docs share a pack stream's
+    arithmetic, only the parallelism."""
     h = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     toks = F.size(tokens_col(F.col("text"))).cast("long")
     base = docs.select(

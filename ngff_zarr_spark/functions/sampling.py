@@ -68,11 +68,26 @@ def stratified_sample(
     stratum keep the k docs with the SMALLEST h64(salt:doc_id) — a
     uniform-without-replacement sample that is stable across runs and
     engines (ties impossible: the hash is keyed by the unique id).
-    One window per stratum (rank by hash), no global sort."""
+
+    r9: the same TWO-PHASE exact top-k as :func:`cap_per_source` (a
+    single window per stratum was the hot-stratum hazard — one
+    mega-source = one sort task): phase 1 ranks within
+    (stratum, hash mod 64) and keeps k candidates per pre-bucket,
+    phase 2 ranks the ≤ 64·k survivors. Identical result — the global
+    k smallest hashes are each among their own pre-bucket's k
+    smallest — so gates/oracles are unchanged."""
     hcol = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(strata_col).orderBy(hcol.asc(), F.col(id_col).asc())
+    w1 = Window.partitionBy(strata_col, F.pmod(hcol, F.lit(64))).orderBy(
+        hcol.asc(), F.col(id_col).asc()
+    )
+    stage1 = (
+        docs.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(hcol.asc(), F.col(id_col).asc())
     return (
-        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        stage1.withColumn("sample_rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
 
