@@ -60,6 +60,34 @@ BAND_PLANES = 8     # hyperplanes per band → 2^8 buckets per band
 _TARGET_BUCKET_OCCUPANCY = 32  # expected vectors per bucket at auto size
 
 
+
+def _topk_per_query(scored, k, score_col, prebuckets=64):
+    """Two-phase exact top-k per query (the engine's standard
+    hot-partition guard, same skeleton as cap_per_source): a single
+    row_number window keyed on query_id alone sorts the query's ENTIRE
+    candidate set in one task — corpus-sized for the brute/PQ scorers.
+    Phase 1 ranks within (query_id, neighbor_id mod prebuckets) and
+    keeps k per pre-bucket; phase 2 ranks the <= prebuckets*k
+    survivors. Identical to the single window under the total order
+    (score desc, neighbor_id asc): every global top-k row is in its
+    own pre-bucket's top-k."""
+    order = [F.col(score_col).desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(prebuckets))
+    ).orderBy(*order)
+    stage1 = (
+        scored.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", score_col)
+    )
+
+
 def auto_band_planes(
     n_vectors: int,
     target_occupancy: int = _TARGET_BUCKET_OCCUPANCY,
@@ -173,12 +201,7 @@ def cosine_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        dots.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(dots, k, "cosine")
 
 
 def lsh_band_buckets(
@@ -284,12 +307,7 @@ def lsh_bucket_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(scored, k, "cosine")
 
 
 def _centroids(emb: DataFrame, n_cells: int):
@@ -535,12 +553,7 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(scored, k, "cosine")
 
 
 def write_ivf_partitioned(
@@ -651,12 +664,7 @@ def ivf_topk_partitioned(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(scored, k, "cosine")
 
 
 def embedding_near_dup(
@@ -901,14 +909,7 @@ def pq_topk(
         F.col("vec_id").alias("neighbor_id"),
         "score_u",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_u").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score_u")
-    )
+    return _topk_per_query(scored, k, "score_u")
 
 
 def ivfpq_topk(
@@ -1000,14 +1001,7 @@ def ivfpq_topk(
         "query_id", "neighbor_id",
         adc_pair_score(F.col("qpos"), F.col("codes")).alias("score_u"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_u").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score_u")
-    )
+    return _topk_per_query(scored, k, "score_u")
 
 
 def pq_codebooks_learned(
@@ -1227,11 +1221,4 @@ def ivfpq_residual_topk(
             qpos_map[F.col("query_id")], F.col("cell"), F.col("codes")
         ).alias("score_u"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_u").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score_u")
-    )
+    return _topk_per_query(scored, k, "score_u")
