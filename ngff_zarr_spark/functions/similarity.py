@@ -72,8 +72,11 @@ def _topk_per_query(scored, k, score_col, prebuckets=64):
     (score desc, neighbor_id asc): every global top-k row is in its
     own pre-bucket's top-k."""
     order = [F.col(score_col).desc(), F.col("neighbor_id").asc()]
+    # murmur-hash the id for the pre-bucket key: plain id mod 64
+    # collapses to one bucket when ids stride by a multiple of 64
+    # (sharded id generators do), recreating the hot partition
     w1 = Window.partitionBy(
-        "query_id", F.pmod(F.col("neighbor_id"), F.lit(prebuckets))
+        "query_id", F.pmod(F.hash("neighbor_id"), F.lit(prebuckets))
     ).orderBy(*order)
     stage1 = (
         scored.withColumn("_prk", F.row_number().over(w1))
