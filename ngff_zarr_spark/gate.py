@@ -2683,6 +2683,35 @@ def q_events_count_sessions_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_events_asof_stream(spark, sf_dir):
+    """Stateful streaming as-of join (applyInPandasWithState): per-user
+    last-known-click state, two longs per user. Single availableNow
+    drain of events.parquet == batch asof_join — shares the native
+    DuckDB ASOF attribution oracle verbatim; cross-batch state is
+    pinned by tests/test_r09_asof_stream.py."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import streaming_asof_attribution
+
+    events_dir = _tmp_store("stream_asof_events")
+    ckpt = _tmp_store("stream_asof_ckpt")
+    shutil.rmtree(events_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(events_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/events.parquet", os.path.join(events_dir, "events.parquet")
+    )
+    table = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    _, start = streaming_asof_attribution(spark, events_dir, ckpt)
+    q = start(table)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
+    return spark.sql(f"select * from {table}")
+
+
 def _dtype_roundtrip(spark, dtype: str) -> DataFrame:
     """Shared body for dtype-fidelity gates (SURVEY §1.2): store the
     IMG3D pixel table with the given logical dtype (written natively on
@@ -3265,4 +3294,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_topn_bucketed": q_events_user_topn_bucketed,
         "events_asof_segmented": q_events_asof_segmented,
         "events_percentiles_bucketed": q_events_percentiles_bucketed,
+        "events_asof_stream": q_events_asof_stream,
     }

@@ -2640,6 +2640,8 @@ GROUP BY 1, 2, 3""",
     d["events_asof_segmented"] = d["events_asof_attribution"]
     # histogram-descent percentiles == the buffering aggregate
     d["events_percentiles_bucketed"] = d["events_percentiles"]
+    # a single-drain stateful streaming as-of == the batch as-of
+    d["events_asof_stream"] = d["events_asof_attribution"]
     # digest batteries: UNION ALL of each constituent's oracle wrapped
     # in the digest reduction — the inner SQL IS the constituent's own
     # oracle entry, so battery correctness derives from constituent

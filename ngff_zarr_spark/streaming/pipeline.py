@@ -489,3 +489,118 @@ def streaming_ivf_index_build(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_asof_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Stateful streaming AS-OF join (backward) via
+    ``applyInPandasWithState`` — the last-known-value / attribution
+    join as a STREAM operator: for every purchase event, the user's
+    latest click at ts <= purchase ts, where "latest" may live in a
+    PRIOR micro-batch.
+
+    State per user is TWO longs — the (ts, event_id) of the newest
+    click seen so far — O(users), not O(events): exactly the state a
+    kdb-style realtime as-of keeps. Per batch the group's rows are
+    sorted (ts, side, event_id) with clicks before same-ts purchases
+    (inclusive-boundary semantics) and greatest-event_id clicks last
+    (the tiebreak), then one vectorized maximum-accumulate ffill maps
+    every purchase to its in-batch click; purchases with none fall
+    back to the state carry-in.
+
+    A single availableNow drain therefore equals batch
+    ``asof_join(purchases, clicks)`` exactly (the gate shares the
+    native DuckDB ASOF oracle verbatim); across micro-batches the
+    match follows arrival order like any stream join — the pytest
+    drives time-ordered files and pins stream == batch with the match
+    crossing the batch boundary through state."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.events import events_stream_source
+
+    ev = (
+        events_stream_source(spark, events_dir, max_files_per_trigger)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_id_click", LongType()),
+            StructField("ts_click", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ts", LongType()), StructField("last_id", LongType())]
+    )
+
+    def attribute(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_ts, last_id = state.get if state.exists else (None, None)
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            batch = pd.concat(parts, ignore_index=True)
+            side = (batch["event_type"] == "purchase").astype(np.int64)
+            batch = batch.assign(_side=side).sort_values(
+                ["ts", "_side", "event_id"], kind="mergesort"
+            )
+            ts = batch["ts"].to_numpy(dtype=np.int64)
+            eid = batch["event_id"].to_numpy(dtype=np.int64)
+            is_click = batch["_side"].to_numpy() == 0
+            n = ts.size
+            idx = np.where(is_click, np.arange(n), -1)
+            np.maximum.accumulate(idx, out=idx)
+            purch = ~is_click
+            if purch.any():
+                # fully vectorized match resolution: in-batch ffill
+                # index, else the state carry, else NULL
+                m = idx[purch]
+                safe = np.where(m >= 0, m, 0)
+                has_carry = last_ts is not None
+                mk_id = np.where(m >= 0, eid[safe], last_id if has_carry else 0)
+                mk_ts = np.where(m >= 0, ts[safe], last_ts if has_carry else 0)
+                valid = (m >= 0) | has_carry
+                out = pd.DataFrame(
+                    {
+                        "user_id": np.full(int(purch.sum()), int(user_id),
+                                           dtype=np.int64),
+                        "ts": ts[purch],
+                        "event_id": eid[purch],
+                        "event_id_click": pd.array(mk_id, dtype="Int64"),
+                        "ts_click": pd.array(mk_ts, dtype="Int64"),
+                    }
+                )
+                out.loc[~valid, ["event_id_click", "ts_click"]] = pd.NA
+                yield out
+            if is_click.any():
+                ci = np.flatnonzero(is_click)[-1]  # newest (ts, id) click
+                c_ts, c_id = int(ts[ci]), int(eid[ci])
+                if last_ts is None or (c_ts, c_id) >= (last_ts, last_id):
+                    last_ts, last_id = c_ts, c_id
+        if last_ts is not None:
+            state.update((last_ts, last_id))
+
+    matched = ev.groupBy("user_id").applyInPandasWithState(
+        attribute, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+    def start(sink_table: str):
+        return (
+            matched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return matched, start
