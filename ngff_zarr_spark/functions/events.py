@@ -794,8 +794,11 @@ def exact_percentiles_bucketed(
         ).alias(f"p{int(round(p * 100))}")
         for p in ps
     ]
+    # LEFT join from stats so an all-NULL group (per_p has no rows for
+    # it) still surfaces with n=COUNT(*) and NULL quantiles — matching
+    # the plain `percentile` aggregate the oracle runs
     return (
-        per_p.join(stats.select("g", "n"), "g")
+        stats.select("g", "n").join(per_p, "g", "left")
         .groupBy(F.col("g").alias(group_col), F.col("n").cast("long").alias("n"))
         .agg(*agg_cols)
     )

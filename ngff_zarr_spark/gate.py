@@ -1330,6 +1330,20 @@ def _interop_rows(spark):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tools", "minizarr.py",
     )
+    if not os.path.exists(mz_path):
+        # repo-checkout-only helper: when the package is installed to
+        # site-packages the interop evidence is unavailable — emit the
+        # four expected row ids with an explicit marker (a visible
+        # mismatch) instead of crashing the whole parity battery
+        return [
+            (chk, "unavailable: tools/minizarr.py not found")
+            for chk in (
+                "interop:engine_v2_indep_read",
+                "interop:engine_v3_indep_read",
+                "interop:engine_sharded_indep_read",
+                "interop:indep_write_engine_read",
+            )
+        ]
     spec = importlib.util.spec_from_file_location("_minizarr_indep", mz_path)
     mz = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mz)

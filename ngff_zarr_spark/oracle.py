@@ -282,13 +282,13 @@ def sql_c2_scale_translation():
 # Documents / embeddings / events
 
 
-def _toks_cte(lower: bool) -> str:
+def _toks_cte(lower: bool, table: str = "documents") -> str:
     src = NORM.format(c="text") if lower else None
     if lower:
         toks = f"list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '')"
     else:
         toks = TOKS_RAW.format(c="text")
-    return f"q AS (SELECT doc_id, {toks} AS toks FROM documents)"
+    return f"q AS (SELECT doc_id, {toks} AS toks FROM {table})"
 
 
 _SHINGLE = (
@@ -297,7 +297,8 @@ _SHINGLE = (
     "ELSE [] END"
 )
 
-_SIG_CTE = f"""{_toks_cte(lower=True)},
+def _sig_cte(table: str = "documents") -> str:
+    return f"""{_toks_cte(lower=True, table=table)},
 sh0 AS (SELECT doc_id, unnest({_SHINGLE}) AS shingle FROM q),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 h2 AS (
@@ -311,6 +312,9 @@ sig AS (
          MIN((ha + p.i * hb) % 4294967291) AS minhash
   FROM h2 CROSS JOIN range(16) p(i) GROUP BY 1, 2
 )"""
+
+
+_SIG_CTE = _sig_cte()
 
 
 def sql_a9_pyramid_plan():
@@ -842,14 +846,14 @@ def sql_dedup_minhash_sig():
     return f"WITH {_SIG_CTE}\nSELECT doc_id, perm, minhash FROM sig"
 
 
-def sql_dedup_minhash():
+def sql_dedup_minhash(table: str = "documents"):
     # order-independent polynomial band key (sum of minhash * 31^(perm%4));
     # bucket-occupancy cap mirrors _capped_band_pairs: pairwise at or
     # below DEFAULT_MAX_BUCKET, star edges (bucket-min hub <-> member) above
     from .functions.dedup import DEFAULT_MAX_BUCKET
 
     band_sig = "CAST(SUM(minhash * ([1,31,961,29791])[CAST(perm%4 AS INTEGER)+1]) AS BIGINT)"
-    return f"""WITH {_SIG_CTE},
+    return f"""WITH {_sig_cte(table)},
 bands AS (
   SELECT doc_id, band, {band_sig} AS band_key
   FROM (SELECT doc_id, perm, minhash, perm//4 AS band FROM sig)
@@ -992,11 +996,11 @@ def sql_t1_stream_pixels():
 SELECT t, c, z, y, x, v FROM P"""
 
 
-def sql_dedup_clusters():
+def sql_dedup_clusters(table: str = "documents"):
     # transitive closure by recursive CTE over the SAME candidate pairs
     # the Spark side feeds its hash-min propagation; cluster label =
     # smallest reachable doc_id
-    return f"""WITH RECURSIVE pairs AS ({sql_dedup_minhash()}),
+    return f"""WITH RECURSIVE pairs AS ({sql_dedup_minhash(table)}),
 edges AS (
   SELECT doc_a AS u, doc_b AS w FROM pairs
   UNION
@@ -1054,7 +1058,7 @@ def sql_dedup_skew_cluster():
     corpus ∪ boilerplate union the gate generates (gate._skew_docs):
     the metrics are computed twice, not pinned, so a cap bug on either
     engine shows as a mismatch."""
-    inner = sql_dedup_clusters().replace("FROM documents)", "FROM documents_skew)")
+    inner = sql_dedup_clusters(table="documents_skew")
     lim = SKEW_BASE_ID
     return f"""WITH documents_skew AS (
   SELECT doc_id, text FROM documents

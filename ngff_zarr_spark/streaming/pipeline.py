@@ -566,9 +566,19 @@ def streaming_asof_attribution(
                 m = idx[purch]
                 safe = np.where(m >= 0, m, 0)
                 has_carry = last_ts is not None
+                p_ts = ts[purch]
+                # elementwise carry validity: a carried click newer
+                # than the purchase is a physically impossible backward
+                # match (possible when micro-batches arrive out of time
+                # order) — emit NULL for those rows instead
+                carry_ok = (
+                    (np.int64(last_ts) <= p_ts)
+                    if has_carry
+                    else np.zeros(p_ts.size, dtype=bool)
+                )
                 mk_id = np.where(m >= 0, eid[safe], last_id if has_carry else 0)
                 mk_ts = np.where(m >= 0, ts[safe], last_ts if has_carry else 0)
-                valid = (m >= 0) | has_carry
+                valid = (m >= 0) | carry_ok
                 out = pd.DataFrame(
                     {
                         "user_id": np.full(int(purch.sum()), int(user_id),
