@@ -165,6 +165,41 @@ def bench_dedup_skew(spark, sf_dir):
     return D.duplicate_clusters(D.minhash_candidates(docs), reliable=False)
 
 
+def bench_sessionize_plain(spark, sf_dir):
+    """The explicit ``skew_safe=False`` single-window escape. The
+    default-named gate (events_sessionize) now measures the segmented
+    production plan; this entry keeps the plain plan's cost visible so
+    the twin premium is a measured number round-over-round."""
+    from pyspark.sql import functions as F
+
+    from ngff_zarr_spark.functions.events import sessionize_counts
+
+    ev = gate._events(spark, sf_dir).select("user_id", F.col("ts").alias("ns"))
+    return sessionize_counts(
+        ev, int(gate.SESSION_GAP_S) * 1_000_000_000, skew_safe=False
+    )
+
+
+def bench_asof_plain(spark, sf_dir):
+    """The explicit ``skew_safe=False`` union-window escape (see
+    bench_sessionize_plain — same role for the as-of join)."""
+    from pyspark.sql import functions as F
+
+    from ngff_zarr_spark.functions.events import asof_join
+
+    ev = gate._events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        value_cols=("event_id",), suffix="_click", skew_safe=False,
+    )
+
+
 def bench_hcs_stream_write(spark, sf_dir):
     """Plate-scale incremental HCS write (VERDICT r8 ask #6): a 96-well
     (8x12) x 4-field acquisition manifest stream drained availableNow
@@ -315,10 +350,13 @@ QUERIES = {
     # and the plate-scale incremental write (both VERDICT r8 asks)
     "dedup_skew": bench_dedup_skew,
     "hcs_stream_write": bench_hcs_stream_write,
-    # skew-safe sessionize twin: (user, 6h-segment) window + summary
-    # fix-up; tracked next to events_sessionize so the single-window vs
-    # segmented cost stays visible round-over-round
-    "events_sessionize_seg": gate.q_events_sessionize_segmented,
+    # r10: the skew-safe twins are now the PRODUCTION DEFAULTS —
+    # events_sessionize / events_asof above measure the segmented
+    # plans (what a user of the default API gets); the *_plain entries
+    # keep the single-window escape's cost visible round-over-round so
+    # the twin premium stays a measured number, not a claim
+    "events_sessionize_plain": bench_sessionize_plain,
+    "events_asof_plain": bench_asof_plain,
 }
 
 

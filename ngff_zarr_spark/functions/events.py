@@ -119,6 +119,12 @@ def events_stream_source(
     return normalize_events_ts(ev)
 
 
+#: default time-segment width for the skew-safe window twins (6 h of
+#: nanoseconds) — a cost knob, never a correctness one: the segmented
+#: forms are exactly equal to the plain forms at ANY width >= 1
+DEFAULT_SEGMENT_NS = 6 * 3600 * 1_000_000_000
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -129,10 +135,22 @@ def asof_join(
     tiebreak: str | None = None,
     direction: str = "backward",
     tolerance: int | None = None,
+    skew_safe: bool = True,
+    segment_ns: int = DEFAULT_SEGMENT_NS,
 ) -> DataFrame:
     """AS-OF JOIN: for every left row, the matching right row per
     ``key`` by timestamp — the attribution / last-known-value join the
     brief names as an operator Spark lacks.
+
+    PRODUCTION DEFAULT (r10): ``skew_safe=True`` dispatches to
+    :func:`asof_join_segmented` — the plan whose per-task sort state is
+    bounded by ``(key, segment)`` occupancy instead of key occupancy,
+    so a hot key (one instrument carrying most of a 100 TB tape) can't
+    serialize into a single straggler task. The two forms are exactly
+    equal for every direction/tolerance (hypothesis-pinned against a
+    brute-force third implementation); ``skew_safe=False`` is the
+    explicit escape to the single-window plan described below (one
+    fewer summary exchange — fine when keys are known to be balanced).
 
     ``direction`` picks the match:
 
@@ -178,6 +196,12 @@ def asof_join(
     ``<ts_col><suffix>`` (the matched right timestamp)."""
     from pyspark.sql import Window
 
+    if skew_safe:
+        return asof_join_segmented(
+            left, right, key=key, ts_col=ts_col, value_cols=value_cols,
+            suffix=suffix, tiebreak=tiebreak, direction=direction,
+            tolerance=tolerance, segment_ns=segment_ns,
+        )
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction={direction!r}: expected backward, forward, or nearest"
@@ -286,7 +310,7 @@ def asof_join_segmented(
     tiebreak: str | None = None,
     direction: str = "backward",
     tolerance: int | None = None,
-    segment_ns: int = 6 * 3600 * 1_000_000_000,
+    segment_ns: int = DEFAULT_SEGMENT_NS,
 ) -> DataFrame:
     """Skew-safe as-of join, exactly equal to :func:`asof_join` for
     every direction/tolerance (hypothesis-pinned against the same
@@ -610,11 +634,23 @@ def sessionize_counts(
     gap_ns: int,
     user_col: str = "user_id",
     ts_col: str = "ns",
+    skew_safe: bool = True,
+    segment_ns: int = DEFAULT_SEGMENT_NS,
 ) -> DataFrame:
-    """Per-user session/event counts, single window per user (the
-    standard Spark sessionization shape; gate events_sessionize)."""
+    """Per-user session/event counts (gate events_sessionize).
+
+    PRODUCTION DEFAULT (r10): ``skew_safe=True`` dispatches to
+    :func:`sessionize_counts_segmented`, whose big sort partitions by
+    ``(user, ts // segment_ns)`` so a bot user with 10^8 events spreads
+    over many tasks instead of one straggler window. Exactly equal at
+    any segment width (pytest-pinned). ``skew_safe=False`` is the
+    explicit escape to the classic single-window-per-user shape."""
     from pyspark.sql import Window as W
 
+    if skew_safe:
+        return sessionize_counts_segmented(
+            ev, gap_ns, segment_ns, user_col=user_col, ts_col=ts_col
+        )
     w = W.partitionBy(user_col).orderBy(ts_col)
     gaps = ev.withColumn(
         "new_session",
@@ -680,6 +716,41 @@ def sessionize_counts_segmented(
     return merged.groupBy(user_col).agg(
         (F.sum("starts") - F.sum("spurious")).cast("long").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def exact_percentiles(
+    ev: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    skew_safe: bool = True,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group — the
+    default-named entry point.
+
+    PRODUCTION DEFAULT (r10): ``skew_safe=True`` dispatches to
+    :func:`exact_percentiles_bucketed` (histogram-descent rank
+    selection — per-task state bounded by bucket occupancy, never
+    group size). ``skew_safe=False`` is the explicit escape to Spark's
+    ``percentile`` aggregate, which buffers every value of a group in
+    one aggregation buffer — fine for bounded groups, an OOM risk on a
+    10^9-row group. Both return (group, n=COUNT(*), p<xx>... rounded
+    6dp) and are exactly equal (shared-oracle gates + pytest pins)."""
+    if skew_safe:
+        return exact_percentiles_bucketed(
+            ev, group_col=group_col, value_col=value_col, ps=ps,
+            n_buckets=n_buckets,
+        )
+    aggs = [
+        F.round(F.expr(f"percentile({value_col}, {float(p)})"), 6).alias(
+            f"p{int(round(p * 100))}"
+        )
+        for p in ps
+    ]
+    return ev.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *aggs
     )
 
 

@@ -140,7 +140,9 @@ def test_asof_join_null_value_from_matched_row(spark):
     right = spark.createDataFrame(
         [(1, 100, 7.0), (1, 200, None)], "user_id long, ts long, value double"
     )
-    r = asof_join(left, right, value_cols=("value",)).collect()[0]
+    r = asof_join(
+        left, right, value_cols=("value",), skew_safe=False
+    ).collect()[0]
     assert r.ts_asof == 200 and r.value_asof is None
     # segmented twin: same contract, including when the null-valued
     # match arrives via the carry scan (segment width 50 puts the
@@ -220,7 +222,7 @@ def test_asof_join_plan_no_join_node(spark):
 
     left = spark.createDataFrame([(1, 100, 10)], "user_id long, ts long, event_id long")
     right = spark.createDataFrame([(1, 99, 1)], "user_id long, ts long, event_id long")
-    df = asof_join(left, right)
+    df = asof_join(left, right, skew_safe=False)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -397,7 +399,7 @@ def test_asof_join_matches_brute_force(spark, seed, direction, tolerance):
 
     got_n = normalize(asof_join(
         left, right, key="user_id", ts_col="ts", value_cols=("event_id",),
-        direction=direction, tolerance=tolerance,
+        direction=direction, tolerance=tolerance, skew_safe=False,
     ).collect())
     want = _brute_asof(left_rows, right_rows, direction, tolerance)
     assert got_n == want

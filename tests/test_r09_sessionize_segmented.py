@@ -50,7 +50,7 @@ def skewed_events(spark):
 
 @pytest.mark.parametrize("segment_ns", [6 * HOUR, HOUR // 2, 1])
 def test_segmented_equals_plain(spark, skewed_events, segment_ns):
-    plain = _counts(sessionize_counts(skewed_events, GAP))
+    plain = _counts(sessionize_counts(skewed_events, GAP, skew_safe=False))
     seg = _counts(sessionize_counts_segmented(skewed_events, GAP, segment_ns))
     assert seg == plain
     # sanity on the fixture's designed answers
@@ -90,7 +90,7 @@ def test_random_streams_property(spark):
             for _ in range(120)
         ]
         df = spark.createDataFrame(rows, "user_id long, ns long")
-        plain = _counts(sessionize_counts(df, gap))
+        plain = _counts(sessionize_counts(df, gap, skew_safe=False))
         assert _counts(sessionize_counts_segmented(df, gap, segment)) == plain
 
     check()

@@ -103,3 +103,54 @@ def test_percentiles_bucketed_all_null_group_survives(spark):
     )
     want = {r.event_type: (r.n, r.p50) for r in plain}
     assert {k: (v[0], v[1]) for k, v in got.items()} == want
+
+
+def test_skew_safe_defaults_dispatch(spark):
+    """r10 default flip: the default-named APIs return the SKEW-SAFE
+    plans; skew_safe=False is the explicit plain escape. Pinned by
+    plan structure: the segmented as-of carries a join node (the carry
+    hand-back) that the plain union-window form must not have."""
+    import contextlib
+    import io
+
+    from ngff_zarr_spark.functions.events import (
+        asof_join,
+        exact_percentiles,
+        exact_percentiles_bucketed,
+        sessionize_counts,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, 10)], "user_id long, ts long, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, 99, 1)], "user_id long, ts long, event_id long"
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "Join" in plan_of(asof_join(left, right))  # carry hand-back
+    assert "Join" not in plan_of(asof_join(left, right, skew_safe=False))
+    # sessionize: the segmented plan partitions the big window by
+    # (user, segment) — visible as the _seg expression
+    ev = spark.createDataFrame([(1, 100)], "user_id long, ns long")
+    assert "_seg" in plan_of(sessionize_counts(ev, 10))
+    assert "_seg" not in plan_of(sessionize_counts(ev, 10, skew_safe=False))
+
+    # percentile entry point: default == bucketed values, and the
+    # plain escape agrees (tiny layout incl. interpolation)
+    pev = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("b", 7.0)],
+        "event_type string, value double",
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(exact_percentiles(pev)) == rows(
+        exact_percentiles_bucketed(pev)
+    )
+    assert rows(exact_percentiles(pev)) == rows(
+        exact_percentiles(pev, skew_safe=False)
+    )
