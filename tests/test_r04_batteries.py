@@ -149,25 +149,33 @@ def test_first_50_layout():
     assert "multimodal_features" in qs[50:]
     assert "multimodal_resize" in qs[50:]
     # r9 rotation (VERDICT r8 ask #7): dedup/ANN families fold into two
-    # digest batteries; the freed slots grade the as-of forward/
-    # tolerance forms, the bucketed range join, the HLL sketch, the
-    # funnel/cohort/bloom trio, the composed filter pipeline, and the
-    # adversarial-skew dedup gate DIRECTLY. Constituents stay
-    # registered past the window.
+    # digest batteries. r10 rotation (VERDICT r9 ask #2): the five r9
+    # skew-safe twins take the window slots of the asof forward/
+    # tolerance forms and the funnel/cohort/bloom trio, which move
+    # past the window — each still value-proven via
+    # events_analytics_battery and individually addressable.
     for k in (
         "dedup_battery",
         "ann_battery",
-        "events_asof_forward",
-        "events_asof_tolerance",
+        "events_sessionize_segmented",
+        "events_asof_segmented",
+        "events_percentiles_bucketed",
+        "events_user_topn_bucketed",
+        "events_asof_stream",
         "events_range_windows_bucketed",
         "sketch_hll_distinct",
         "dedup_skew_cluster",
-        "events_funnel",
-        "events_cohort_retention",
-        "events_bloom_semijoin",
         "corpus_filter_pipeline",
     ):
         assert k in first50, k
+    for k in (
+        "events_asof_forward",
+        "events_asof_tolerance",
+        "events_funnel",
+        "events_cohort_retention",
+        "events_bloom_semijoin",
+    ):
+        assert k in qs[50:], k
     for k in gate.DEDUP_PARTS + gate.ANN_PARTS:
         assert k in qs[50:], k
     # every constituent stays registered (past the window, or filling a
