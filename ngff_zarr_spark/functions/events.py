@@ -760,6 +760,8 @@ def exact_percentiles_bucketed(
     value_col: str = "value",
     ps: tuple[float, ...] = (0.5, 0.9, 0.99),
     n_buckets: int = 1024,
+    occupancy_bound: int = 1 << 16,
+    descent_rounds: int = 2,
 ) -> DataFrame:
     """Exact linear-interpolation percentiles WITHOUT per-group value
     buffering — the 100 TB twin of Spark's ``percentile`` aggregate
@@ -775,12 +777,29 @@ def exact_percentiles_bucketed(
     3. the interpolation positions k = (n−1)·p need global ranks
        ⌊k⌋/⌈k⌉; a prefix sum over the histogram locates the bucket
        holding each rank and its in-bucket offset;
-    4. ONE second pass ranks only the rows of the ≤ 2·|ps| needed
-       buckets per group (broadcast semi-join; per-task work bounded
-       by bucket occupancy, not group size) and picks the two bounding
-       values; lo + (k−⌊k⌋)·(hi−lo) is exactly Spark ``percentile`` /
+    4. value-skew descent (r10): uniform boundaries concentrate a
+       heavy-tailed group in ONE bucket, re-inheriting the group-sized
+       sort the twin exists to avoid. So each of ``descent_rounds``
+       statically-unrolled rounds splits every needed bucket whose
+       occupancy exceeds ``occupancy_bound`` into ``n_buckets``
+       sub-buckets uniform over the bucket's OWN min/max, relocating
+       the target rank through a sub-histogram prefix sum. A bucket
+       whose values are all identical (the layout uniform subdivision
+       can never split) resolves immediately — any rank in it IS that
+       value. Composite keys child = (b+1)·n_buckets + sb keep every
+       depth's key space disjoint in one long.
+    5. ONE final pass ranks only the rows of the surviving needed
+       buckets (semi-join; per-task work bounded by bucket occupancy,
+       not group size) and picks the two bounding values;
+       lo + (k−⌊k⌋)·(hi−lo) is exactly Spark ``percentile`` /
        DuckDB ``quantile_cont`` semantics (gate events_percentiles_
        bucketed shares the plain gate's oracle verbatim).
+
+    The sub-bucket function is monotone in v and ties (equal v) can
+    never split across sub-buckets, so relocated ranks are exact —
+    ``occupancy_bound``/``descent_rounds``/``n_buckets`` are cost
+    knobs, never correctness knobs (pytest pins lognormal/pareto/
+    mass-tie layouts at bound=32 against the buffering aggregate).
 
     Returns (group, n, p_<xx> ... rounded 6dp) like the plain gate."""
     from pyspark.sql import Window
@@ -840,13 +859,98 @@ def exact_percentiles_bucketed(
     ).select("g", "p", "hi", "k", "b", (F.col("pos") - F.col("off")).alias("lpos"))
 
     needed = located.select("g", "b").distinct()
+    rows = bucketed.join(F.broadcast(needed), ["g", "b"], "left_semi")
+    tgt = located.select("g", "b", "lpos", "p", "hi", "k")
+
+    resolved = None  # targets answered without ranking: g,p,hi,k,v
+    fin_rows = None  # (g,b,v) kept for the final bounded rank pass
+    fin_tgt = None  # their targets
+
+    def _union(a, bdf):
+        return bdf if a is None else a.unionByName(bdf)
+
+    for _ in range(max(0, int(descent_rounds))):
+        bstats = rows.groupBy("g", "b").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("bmin"),
+            F.max("v").alias("bmax"),
+        )
+        # constant-valued buckets: any rank selects bmin — resolve now
+        # (this is the massive-ties layout subdivision cannot split)
+        const = bstats.filter(F.col("bmin") == F.col("bmax"))
+        resolved = _union(
+            resolved,
+            tgt.join(F.broadcast(const.select("g", "b", "bmin")), ["g", "b"])
+            .select("g", "p", "hi", "k", F.col("bmin").alias("v")),
+        )
+        # small-enough buckets: bounded — leave for the final rank pass
+        small = bstats.filter(
+            (F.col("cnt") <= occupancy_bound) & (F.col("bmin") < F.col("bmax"))
+        ).select("g", "b")
+        fin_rows = _union(fin_rows, rows.join(F.broadcast(small), ["g", "b"], "left_semi"))
+        fin_tgt = _union(fin_tgt, tgt.join(F.broadcast(small), ["g", "b"], "left_semi"))
+        # over-cap buckets: subdivide uniformly over the bucket's OWN
+        # value range; composite child key keeps depths disjoint
+        big = bstats.filter(
+            (F.col("cnt") > occupancy_bound) & (F.col("bmin") < F.col("bmax"))
+        ).select("g", "b", "bmin", "bmax")
+        sub = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("v") - F.col("bmin"))
+                / (F.col("bmax") - F.col("bmin"))
+                * n_buckets
+            ).cast("int"),
+        )
+        rows = rows.join(F.broadcast(big), ["g", "b"]).select(
+            "g",
+            ((F.col("b") + 1) * n_buckets + sub).cast("long").alias("b"),
+            "v",
+        )
+        sub_hist = rows.groupBy("g", "b").agg(F.count(F.lit(1)).alias("scnt"))
+        w_sub = (
+            Window.partitionBy("g", F.expr(f"b div {n_buckets}"))
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        sub_hist = sub_hist.select(
+            "g",
+            F.col("b").alias("cb"),
+            F.expr(f"b div {n_buckets} - 1").alias("pb"),
+            "scnt",
+            F.coalesce(F.sum("scnt").over(w_sub), F.lit(0)).alias("soff"),
+        )
+        tgt = (
+            tgt.join(F.broadcast(big.select("g", "b")), ["g", "b"], "left_semi")
+            .withColumnRenamed("b", "pb")
+            .join(sub_hist, ["g", "pb"])
+            .filter(
+                (F.col("lpos") >= F.col("soff"))
+                & (F.col("lpos") < F.col("soff") + F.col("scnt"))
+            )
+            .select(
+                "g",
+                F.col("cb").alias("b"),
+                (F.col("lpos") - F.col("soff")).alias("lpos"),
+                "p",
+                "hi",
+                "k",
+            )
+        )
+    # beyond the unrolled rounds (pathological beyond design): still
+    # exact, just degenerate-cost, like the pre-descent form
+    fin_rows = _union(fin_rows, rows)
+    fin_tgt = _union(fin_tgt, tgt)
+
     w_rank = Window.partitionBy("g", "b").orderBy("v")
     picked = (
-        bucketed.join(F.broadcast(needed), ["g", "b"], "left_semi")
+        fin_rows
         .withColumn("lpos", F.row_number().over(w_rank).cast("long") - 1)
-        .join(located, ["g", "b", "lpos"])
+        .join(fin_tgt, ["g", "b", "lpos"])
         .select("g", "p", "hi", "k", "v")
     )
+    if resolved is not None:
+        picked = picked.unionByName(resolved)
     per_p = picked.groupBy("g", "p", "k").agg(
         F.first(F.when(F.col("hi") == 0, F.col("v")), ignorenulls=True).alias("lo_v"),
         F.first(F.when(F.col("hi") == 1, F.col("v")), ignorenulls=True).alias("hi_v"),
