@@ -357,6 +357,10 @@ QUERIES = {
     # the twin premium stays a measured number, not a claim
     "events_sessionize_plain": bench_sessionize_plain,
     "events_asof_plain": bench_asof_plain,
+    # r10: capacity-bounded IVF quantizer build on the adversarially
+    # clustered corpus (hub-collapsed; the gate's exact shape) — the
+    # cost of the hard cap at build time
+    "ann_ivf_balanced": gate.q_ann_ivf_balanced,
 }
 
 

@@ -603,6 +603,108 @@ def write_ivf_partitioned(
     )
 
 
+def ivf_cells_balanced(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = 16,
+    cap: int = 4096,
+    prebuckets: int = 64,
+    kmeans_iters: int = 0,
+    centroids: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Capacity-bounded IVF quantization (VERDICT r9 ask #6 — the IVF
+    analog of the r9 skew work): (vec_id, cell, subcell) where every
+    (cell, subcell) inverted list holds AT MOST ``cap`` vectors, as a
+    hard guarantee rather than a k-means balance hope.
+
+    Classic balanced k-means bounds list size by constraining the
+    ASSIGNMENT (min-cost-flow / penalty terms) — it trades recall for
+    balance, doesn't distribute well, and still admits adversarial
+    corpora (``cap`` duplicates of one direction defeat any centroid
+    placement). Instead the cell assignment stays the plain
+    nearest-centroid argmax (identical to :func:`ivf_cells`, so probing
+    ALL subcells of a probed cell yields the EXACT same candidate set —
+    recall is preserved by construction, pytest-pinned), and each cell
+    is rank-split: subcell = global_rank_within_cell // cap.
+
+    The rank uses the engine's standard two-phase hot-partition guard
+    (same skeleton as ``_topk_per_query``/cap_per_source): phase 1
+    ranks within (cell, h64(vec_id) mod prebuckets) — per-task sort
+    state is hot_cell/prebuckets, never hot_cell — and a prefix sum
+    over the tiny (cell, prebucket) count table turns local ranks into
+    global ranks. The order (h64(vec_id) mod P, vec_id) is total, and
+    the h64 is the portable md5 derivation
+    (``conv(substr(md5(id),1,15),16,10)``), so a DuckDB oracle computes
+    the identical subcell for every vector (gate ann_ivf_balanced).
+
+    100 TB posture: one window bounded by cap·E[bucket], one count
+    aggregate, one broadcast join of n_cells x prebuckets offsets. The
+    physical layout twin is :func:`write_ivf_partitioned_balanced`."""
+    cells = ivf_cells(emb, dim, n_cells, kmeans_iters, centroids)
+    pb = F.pmod(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(prebuckets),
+    )
+    w_local = Window.partitionBy("cell", "pb").orderBy("vec_id")
+    ranked = (
+        cells.withColumn("pb", pb)
+        .withColumn("lrk", F.row_number().over(w_local).cast("long") - 1)
+    )
+    counts = ranked.groupBy("cell", "pb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("cell").orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "cell", "pb", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(offs), ["cell", "pb"]).select(
+        "vec_id",
+        "cell",
+        F.expr(f"(off + lrk) div {int(cap)}").cast("long").alias("subcell"),
+    )
+
+
+def write_ivf_partitioned_balanced(
+    emb: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    cap: int = 4096,
+    kmeans_iters: int = 0,
+) -> None:
+    """:func:`write_ivf_partitioned` with the capacity-bounded
+    quantizer: the corpus lands in ``cell=N/subcell=M/`` directories of
+    AT MOST ``cap`` vectors each, so a hot cell becomes many bounded
+    partitions at BUILD time instead of one outsized probe-time scan
+    unit. :func:`ivf_topk_partitioned` reads this layout unchanged —
+    its ``cell IN probed`` filter prunes on the outer directory level
+    and every subcell under a probed cell is read (in parallel, one
+    bounded split each), so results are identical to the unbalanced
+    layout (pytest-pinned)."""
+    spark = emb.sparkSession
+    C, Cn = kmeans_centroids(emb, dim, n_cells, kmeans_iters)
+    bal = ivf_cells_balanced(
+        emb, dim, n_cells, cap=cap, centroids=(C, Cn)
+    )
+    (
+        emb.join(bal, "vec_id")
+        .write.partitionBy("cell", "subcell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    (
+        spark.createDataFrame(
+            [(i, [float(v) for v in C[i]]) for i in range(n_cells)],
+            "vec_id long, embedding array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}_centroids")
+    )
+
+
 def ivf_topk_partitioned(
     spark,
     path: str,

@@ -62,6 +62,8 @@ EMB_DIM = 64
 IVF_CELLS = 16
 IVF_PROBE = 4
 KMEANS_ITERS = 2  # Lloyd iterations for the learned IVF quantizer
+IVF_CAP = 64  # capacity bound per (cell, subcell) inverted list
+IVF_PREBUCKETS = 64  # two-phase rank pre-bucket count
 PQ_SUBSPACES = 8  # PQ subspaces (dim 64 → 8 dims per subspace)
 PQ_CODES = 16     # PQ codebook entries per subspace
 NEAR_DUP_COS = 0.38
@@ -1534,6 +1536,40 @@ def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(
         _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
         n_cells=IVF_CELLS, n_probe=IVF_PROBE, kmeans_iters=KMEANS_ITERS,
+    )
+
+
+def q_ann_ivf_balanced(spark, sf_dir):
+    """Capacity-bounded IVF quantizer (VERDICT r9 ask #6) on a
+    DELIBERATELY clustered corpus: 4 of every 5 vectors are replaced by
+    vec 0's embedding, collapsing ~80% of the corpus onto ONE direction
+    — the adversarial layout no centroid placement can balance. The
+    balanced quantizer rank-splits that hot cell into ≤ IVF_CAP-sized
+    (cell, subcell) lists; the gate returns the full occupancy table
+    (cell, subcell, n), which the DuckDB oracle recomputes from first
+    principles (seed-centroid argmax assignment + portable-h64
+    two-phase rank // cap). Every n ≤ IVF_CAP by construction —
+    the oracle match proves the SAME bound holds in SQL. Recall
+    preservation vs the unconstrained quantizer is pytest-pinned
+    (tests/test_r10_ivf_balanced.py): candidate sets are identical
+    because cell assignment is unchanged."""
+    emb = _emb(spark, sf_dir)
+    hub = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_hub")
+    )
+    corpus = emb.crossJoin(F.broadcast(hub)).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 != 0, F.col("_hub"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    C, Cn = S._centroids(emb, IVF_CELLS)
+    bal = S.ivf_cells_balanced(
+        corpus, dim=EMB_DIM, n_cells=IVF_CELLS, cap=IVF_CAP,
+        prebuckets=IVF_PREBUCKETS, centroids=(C, Cn),
+    )
+    return bal.groupBy("cell", "subcell").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
 
 
@@ -3318,4 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
         "events_bloom_semijoin": q_events_bloom_semijoin,
+        # r10: capacity-bounded IVF quantizer on an adversarially
+        # clustered corpus (VERDICT r9 ask #6)
+        "ann_ivf_balanced": q_ann_ivf_balanced,
     }

@@ -1382,6 +1382,60 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
 FROM rk WHERE rank <= {ANN_K}"""
 
 
+def sql_ann_ivf_balanced():
+    # Capacity-bounded quantizer twin: re-derives the clustered corpus
+    # (4 of 5 vectors collapsed onto vec 0's direction), assigns by
+    # seed-centroid rounded-cosine argmax (ties → lowest cell), then
+    # global rank within cell under the total order
+    # (portable-h64(vec_id) % P, vec_id) and subcell = rank // cap.
+    # The Spark side computes the rank two-phase (bounded per-task
+    # sort); the single row_number here is the same total order, so the
+    # occupancy tables match exactly.
+    from .gate import EMB_DIM as _D
+    from .gate import IVF_CAP, IVF_CELLS, IVF_PREBUCKETS
+
+    h = H64.format(s="CAST(vec_id AS VARCHAR)")
+    return f"""WITH hub AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 0
+),
+corpus AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 5 <> 0 THEN h.embedding ELSE e.embedding END AS embedding
+  FROM embeddings e CROSS JOIN hub h
+),
+cent AS (
+  SELECT vec_id AS cell, r.i AS pos,
+         CAST(embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range({_D}) r(i) WHERE vec_id < {IVF_CELLS}
+),
+cn AS (SELECT cell, sqrt(SUM(val*val)) AS norm FROM cent GROUP BY cell),
+adots AS (
+  SELECT d.vec_id, d.cell, round(d.dot / cn.norm, 6) AS dot FROM (
+    SELECT e.vec_id, c.cell,
+           SUM(CAST(e.embedding[CAST(c.pos AS INTEGER)+1] AS DOUBLE) * c.val) AS dot
+    FROM corpus e CROSS JOIN cent c
+    GROUP BY e.vec_id, c.cell
+  ) d JOIN cn USING (cell)
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots
+  ) WHERE rn = 1
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY cell ORDER BY {h} % {IVF_PREBUCKETS}, vec_id
+         ) - 1 AS grk
+  FROM cells
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(grk // {IVF_CAP} AS BIGINT) AS subcell,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM rk GROUP BY 1, 2"""
+
+
 def sql_ann_pq_topk():
     # PQ/ADC twin: codebooks = subvectors of the n_codes lowest-id rows
     # (the deterministic seed rule); encode = per-subspace argmin of the
@@ -2439,6 +2493,7 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
+        "ann_ivf_balanced": sql_ann_ivf_balanced(),
         "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
         "multimodal_features": sql_multimodal_features(),
         "multimodal_resize": sql_multimodal_resize(),
