@@ -361,6 +361,9 @@ QUERIES = {
     # clustered corpus (hub-collapsed; the gate's exact shape) — the
     # cost of the hard cap at build time
     "ann_ivf_balanced": gate.q_ann_ivf_balanced,
+    # r10: SemDeDup over the bounded lists at the same adversarial
+    # corpus — per-task pair work capped at IVF_CAP² by construction
+    "semantic_dedup": gate.q_semantic_dedup,
 }
 
 

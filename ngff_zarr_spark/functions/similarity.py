@@ -705,6 +705,142 @@ def write_ivf_partitioned_balanced(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = 16,
+    cap: int = 4096,
+    tau: float = 0.999,
+    prebuckets: int = 64,
+    kmeans_iters: int = 0,
+    centroids: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding-level deduplication (Abbas et al. 2023:
+    cluster the corpus, drop within-cluster semantic duplicates):
+    returns (vec_id, keep, dup_of) where a vector is DROPPED iff a
+    lower-id vector in its quantizer list has rounded cosine ≥ tau;
+    ``dup_of`` is the lowest such witness (NULL for kept rows).
+
+    The single-pass lowest-id rule is the scalable standard — it needs
+    no iteration and is order-deterministic; transitive-closure
+    grouping is :func:`~..dedup.duplicate_clusters` territory (text
+    path), and near-dup PAIR mining across clusters is
+    :func:`embedding_near_dup` (banded LSH).
+
+    100 TB posture: candidate pairs come from a self-join keyed on the
+    CAPACITY-BOUNDED (cell, subcell) lists of
+    :func:`ivf_cells_balanced` — co-partitioned shuffle, per-task pair
+    work ≤ cap², never |cluster|² (SemDeDup's own clusters are
+    unbounded: one boilerplate direction produces a quadratic cluster;
+    the cap makes the adversarial case linear in list count). The
+    trade, as with any bucketed candidate generator, is that
+    duplicates split across subcells of one cell keep one
+    representative PER SUBCELL — at most ceil(occ/cap) survivors of a
+    pathological identical-direction cluster instead of 1 (gate
+    semantic_dedup pins exactly this shape; the DuckDB oracle
+    recomputes the identical lists, pairs, and verdicts)."""
+    bal = ivf_cells_balanced(
+        emb, dim, n_cells, cap=cap, prebuckets=prebuckets,
+        kmeans_iters=kmeans_iters, centroids=centroids,
+    )
+    from .text import spread
+
+    e = (
+        spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
+        .join(bal, "vec_id")
+        # explicit exchange on the list key: co-partitions the
+        # self-join below AND materializes the UDF-derived cell ids so
+        # Catalyst's project-collapse cannot inline the Python UDF
+        # into the join condition (ExtractPythonUDFFromJoinCondition
+        # would demote that to a cross join + filter — quadratic)
+        .repartition("cell", "subcell")
+    )
+    a = e.select(
+        F.col("cell"), F.col("subcell"),
+        F.col("vec_id").alias("u"), F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("cell"), F.col("subcell"),
+        F.col("vec_id").alias("v"), F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cell", "subcell"])
+        .filter(F.col("u") < F.col("v"))
+        .select(
+            "v",
+            "u",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+    )
+    dropped = (
+        pairs.filter(F.col("cos") >= float(tau))
+        .groupBy("v")
+        .agg(F.min("u").alias("dup_of"))
+    )
+    # dup_of uses a -1 sentinel (not NULL) for kept rows: the driver's
+    # value-hash canonicalizer sorts mixed tuples and NULL longs break
+    # cross-engine ordering
+    return (
+        bal.select("vec_id")
+        .join(dropped.withColumnRenamed("v", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
+def ann_recall_eval(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Measured recall@k of the IVF index against exact brute force —
+    the standard ANN quality harness, as ONE Spark job: (query_id,
+    n_hit, recall) where n_hit counts exact-top-k neighbors the probe
+    returned and recall = n_hit / k.
+
+    Turns 'recall preserved' claims into a per-query measured number
+    (gate ann_recall_eval re-derives both result sets AND the overlap
+    in SQL). Ranks compare by neighbor SET, not order, so last-ulp
+    cosine ties cannot flip the metric. Scale: both sides are the
+    existing two-phase top-k plans; the overlap is an id-keyed
+    left-semi join plus one count aggregate."""
+    exact = cosine_topk(emb, query_ids, k=k, dim=dim).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        emb, query_ids, k=k, dim=dim, n_cells=n_cells, n_probe=n_probe,
+        kmeans_iters=kmeans_iters,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(int(k)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def ivf_topk_partitioned(
     spark,
     path: str,

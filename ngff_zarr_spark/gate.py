@@ -64,6 +64,7 @@ IVF_PROBE = 4
 KMEANS_ITERS = 2  # Lloyd iterations for the learned IVF quantizer
 IVF_CAP = 64  # capacity bound per (cell, subcell) inverted list
 IVF_PREBUCKETS = 64  # two-phase rank pre-bucket count
+SEMDEDUP_TAU = 0.999  # semantic-dedup cosine threshold
 PQ_SUBSPACES = 8  # PQ subspaces (dim 64 → 8 dims per subspace)
 PQ_CODES = 16     # PQ codebook entries per subspace
 NEAR_DUP_COS = 0.38
@@ -1554,22 +1555,60 @@ def q_ann_ivf_balanced(spark, sf_dir):
     (tests/test_r10_ivf_balanced.py): candidate sets are identical
     because cell assignment is unchanged."""
     emb = _emb(spark, sf_dir)
+    C, Cn = S._centroids(emb, IVF_CELLS)
+    bal = S.ivf_cells_balanced(
+        _clustered_emb(spark, sf_dir), dim=EMB_DIM, n_cells=IVF_CELLS,
+        cap=IVF_CAP, prebuckets=IVF_PREBUCKETS, centroids=(C, Cn),
+    )
+    return bal.groupBy("cell", "subcell").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _clustered_emb(spark, sf_dir):
+    """The adversarially clustered ANN corpus shared by the balanced-
+    quantizer / semantic-dedup gates: 4 of every 5 vectors replaced by
+    vec 0's embedding — a maximal identical-direction cluster no
+    centroid placement can balance. Derived in-plan (broadcast 1-row
+    hub join), so the DuckDB oracle re-derives it with the same CASE."""
+    emb = _emb(spark, sf_dir)
     hub = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("_hub")
     )
-    corpus = emb.crossJoin(F.broadcast(hub)).select(
+    return emb.crossJoin(F.broadcast(hub)).select(
         "vec_id",
         F.when(F.col("vec_id") % 5 != 0, F.col("_hub"))
         .otherwise(F.col("embedding"))
         .alias("embedding"),
     )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup over the clustered corpus:
+    quantize into capacity-bounded (cell, subcell) lists, drop any
+    vector with a lower-id list-mate at rounded cosine ≥ SEMDEDUP_TAU
+    (dup_of = the lowest witness). The identical-direction cluster
+    keeps exactly one representative per subcell (the documented
+    bucketed-candidate bound); per-task pair work is ≤ IVF_CAP², never
+    |cluster|². Oracle recomputes lists, pairwise cosines, and
+    verdicts from first principles."""
+    emb = _emb(spark, sf_dir)
     C, Cn = S._centroids(emb, IVF_CELLS)
-    bal = S.ivf_cells_balanced(
-        corpus, dim=EMB_DIM, n_cells=IVF_CELLS, cap=IVF_CAP,
-        prebuckets=IVF_PREBUCKETS, centroids=(C, Cn),
+    return S.semantic_dedup(
+        _clustered_emb(spark, sf_dir), dim=EMB_DIM, n_cells=IVF_CELLS,
+        cap=IVF_CAP, tau=SEMDEDUP_TAU, prebuckets=IVF_PREBUCKETS,
+        centroids=(C, Cn),
     )
-    return bal.groupBy("cell", "subcell").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Measured recall@k of the learned-quantizer IVF probe against
+    exact brute force, per query — the standard ANN quality harness as
+    one job. The oracle recomputes BOTH result sets and the overlap in
+    SQL, so the recall numbers themselves are cross-engine exact."""
+    return S.ann_recall_eval(
+        _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, kmeans_iters=KMEANS_ITERS,
     )
 
 
@@ -3355,6 +3394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": q_events_cohort_retention,
         "events_bloom_semijoin": q_events_bloom_semijoin,
         # r10: capacity-bounded IVF quantizer on an adversarially
-        # clustered corpus (VERDICT r9 ask #6)
+        # clustered corpus (VERDICT r9 ask #6), SemDeDup-style
+        # embedding dedup over its bounded lists, and the measured
+        # recall@k harness
         "ann_ivf_balanced": q_ann_ivf_balanced,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_recall_eval": q_ann_recall_eval,
     }

@@ -1436,6 +1436,104 @@ SELECT CAST(cell AS BIGINT) AS cell, CAST(grk // {IVF_CAP} AS BIGINT) AS subcell
 FROM rk GROUP BY 1, 2"""
 
 
+def sql_semantic_dedup():
+    # SemDeDup twin: same clustered corpus + capacity-bounded lists as
+    # sql_ann_ivf_balanced, then within-list pairwise rounded cosines
+    # and the single-pass lowest-id drop rule. Every stage re-derived
+    # in SQL — lists, pair dots, verdicts.
+    from .gate import EMB_DIM as _D
+    from .gate import IVF_CAP, IVF_CELLS, IVF_PREBUCKETS, SEMDEDUP_TAU
+
+    h = H64.format(s="CAST(vec_id AS VARCHAR)")
+    return f"""WITH hub AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 0
+),
+corpus AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 5 <> 0 THEN h.embedding ELSE e.embedding END AS embedding
+  FROM embeddings e CROSS JOIN hub h
+),
+cent AS (
+  SELECT vec_id AS cell, r.i AS pos,
+         CAST(embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range({_D}) r(i) WHERE vec_id < {IVF_CELLS}
+),
+cn AS (SELECT cell, sqrt(SUM(val*val)) AS norm FROM cent GROUP BY cell),
+adots AS (
+  SELECT d.vec_id, d.cell, round(d.dot / cn.norm, 6) AS dot FROM (
+    SELECT e.vec_id, c.cell,
+           SUM(CAST(e.embedding[CAST(c.pos AS INTEGER)+1] AS DOUBLE) * c.val) AS dot
+    FROM corpus e CROSS JOIN cent c
+    GROUP BY e.vec_id, c.cell
+  ) d JOIN cn USING (cell)
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+    FROM adots
+  ) WHERE rn = 1
+),
+sc AS (
+  SELECT vec_id, cell,
+         (row_number() OVER (
+            PARTITION BY cell ORDER BY {h} % {IVF_PREBUCKETS}, vec_id
+          ) - 1) // {IVF_CAP} AS subcell
+  FROM cells
+),
+cnorm AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS norm
+  FROM corpus
+),
+pairs AS (
+  SELECT pa.u, pa.v, round(pa.dot / (na.norm * nb.norm), 6) AS cos
+  FROM (
+    SELECT a.vec_id AS u, b.vec_id AS v,
+           SUM(CAST(ca.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)
+               * CAST(cb.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+    FROM sc a
+    JOIN sc b ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id
+    JOIN corpus ca ON ca.vec_id = a.vec_id
+    JOIN corpus cb ON cb.vec_id = b.vec_id
+    CROSS JOIN range({_D}) r(i)
+    GROUP BY 1, 2
+  ) pa
+  JOIN cnorm na ON na.vec_id = pa.u
+  JOIN cnorm nb ON nb.vec_id = pa.v
+),
+drp AS (
+  SELECT v AS vec_id, MIN(u) AS dup_of
+  FROM pairs WHERE cos >= {SEMDEDUP_TAU} GROUP BY 1
+)
+SELECT s.vec_id, d.dup_of IS NULL AS keep,
+       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM sc s LEFT JOIN drp d USING (vec_id)"""
+
+
+def sql_ann_recall_eval():
+    # recall@k twin: both result sets re-derived (the brute and IVF
+    # oracles verbatim, as subqueries), overlap by id-set join.
+    from .gate import ANN_K
+
+    return f"""WITH ex AS (
+  SELECT query_id, neighbor_id FROM ({sql_ann_cosine_topk()}) t_ex
+),
+ap AS (
+  SELECT query_id, neighbor_id FROM ({sql_ann_ivf_topk()}) t_ap
+),
+h AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM ex e JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / {ANN_K}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id)"""
+
+
 def sql_ann_pq_topk():
     # PQ/ADC twin: codebooks = subvectors of the n_codes lowest-id rows
     # (the deterministic seed rule); encode = per-subspace argmin of the
@@ -2494,6 +2592,8 @@ def oracles() -> dict[str, str]:
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_balanced": sql_ann_ivf_balanced(),
+        "semantic_dedup": sql_semantic_dedup(),
+        "ann_recall_eval": sql_ann_recall_eval(),
         "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
         "multimodal_features": sql_multimodal_features(),
         "multimodal_resize": sql_multimodal_resize(),
