@@ -310,6 +310,40 @@ def bench_pyramid_read_roi(spark, sf_dir):
     )
 
 
+def bench_percentiles(spark, sf_dir):
+    """Production percentile path (skew-safe bucketed dispatch) on the
+    natural value column."""
+    from ngff_zarr_spark.functions.events import exact_percentiles
+
+    return exact_percentiles(gate._events(spark, sf_dir))
+
+
+def bench_percentiles_skew(spark, sf_dir):
+    """Heavy-tailed values via a deterministic hash-seeded transform:
+    v = exp(20·u), u = h64(event_id)%10⁶/10⁶ — spans e⁰..e²⁰, so the
+    top-level uniform histogram concentrates ~every row of a type in
+    ONE bucket and the sf0.1 group sizes (~10⁵) exceed the default
+    occupancy bound: the descent path runs with production knobs."""
+    from pyspark.sql import functions as F
+
+    from ngff_zarr_spark.functions.events import exact_percentiles
+
+    ev = gate._events(spark, sf_dir).select(
+        "event_type",
+        F.exp(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("long"),
+                F.lit(1_000_000),
+            )
+            / F.lit(50_000.0)
+        ).alias("value"),
+    )
+    return exact_percentiles(ev, occupancy_bound=1 << 14)
+
+
 QUERIES = {
     "tpch_q1": gate.q_tpch_q1,
     "tpch_q3": gate.q_tpch_q3,
@@ -364,6 +398,13 @@ QUERIES = {
     # r10: SemDeDup over the bounded lists at the same adversarial
     # corpus — per-task pair work capped at IVF_CAP² by construction
     "semantic_dedup": gate.q_semantic_dedup,
+    # r10: exact percentiles — production (bucketed) plan on natural
+    # values, and a deterministic heavy-tail transform (exp over a
+    # hashed uniform: ~every row in one value bucket) that drives the
+    # sf0.1 group sizes over the descent bound, so the value-skew
+    # descent path's cost is a measured number
+    "events_percentiles": bench_percentiles,
+    "events_percentiles_skew": bench_percentiles_skew,
 }
 
 

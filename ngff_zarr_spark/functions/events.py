@@ -726,6 +726,8 @@ def exact_percentiles(
     ps: tuple[float, ...] = (0.5, 0.9, 0.99),
     skew_safe: bool = True,
     n_buckets: int = 1024,
+    occupancy_bound: int = 1 << 16,
+    descent_rounds: int = 2,
 ) -> DataFrame:
     """Exact linear-interpolation percentiles per group — the
     default-named entry point.
@@ -741,7 +743,8 @@ def exact_percentiles(
     if skew_safe:
         return exact_percentiles_bucketed(
             ev, group_col=group_col, value_col=value_col, ps=ps,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, occupancy_bound=occupancy_bound,
+            descent_rounds=descent_rounds,
         )
     aggs = [
         F.round(F.expr(f"percentile({value_col}, {float(p)})"), 6).alias(
@@ -779,15 +782,26 @@ def exact_percentiles_bucketed(
        holding each rank and its in-bucket offset;
     4. value-skew descent (r10): uniform boundaries concentrate a
        heavy-tailed group in ONE bucket, re-inheriting the group-sized
-       sort the twin exists to avoid. So each of ``descent_rounds``
-       statically-unrolled rounds splits every needed bucket whose
-       occupancy exceeds ``occupancy_bound`` into ``n_buckets``
-       sub-buckets uniform over the bucket's OWN min/max, relocating
-       the target rank through a sub-histogram prefix sum. A bucket
-       whose values are all identical (the layout uniform subdivision
-       can never split) resolves immediately — any rank in it IS that
-       value. Composite keys child = (b+1)·n_buckets + sb keep every
-       depth's key space disjoint in one long.
+       sort the twin exists to avoid. Descent is ADAPTIVE, like AQE:
+       the per-group stats and the histogram (both tiny — rows ∝
+       groups × n_buckets) are persisted, and ONE scalar action
+       (``limit(1).count()`` over the needed-bucket histogram rows)
+       decides whether any rank-holding bucket exceeds
+       ``occupancy_bound``. When none does — the overwhelmingly common
+       layout — no descent stage is ever built and the query runs
+       exactly three corpus scans (stats, histogram, final rank pass).
+       Only when a needed bucket IS over-cap do up to
+       ``descent_rounds`` rounds run, each splitting the over-cap
+       buckets into ``n_buckets`` sub-buckets uniform over the
+       bucket's OWN min/max (read from the persisted histogram — the
+       corpus is never rescanned to size buckets), relocating the
+       target rank through a sub-histogram prefix sum; the surviving
+       needed-bucket rows are persisted (memory-and-disk) so each
+       round scans only the data descent must touch, not the corpus.
+       A bucket whose values are all identical (the layout uniform
+       subdivision can never split) resolves immediately — any rank in
+       it IS that value. Composite keys child = (b+1)·n_buckets + sb
+       keep every depth's key space disjoint in one long.
     5. ONE final pass ranks only the rows of the surviving needed
        buckets (semi-join; per-task work bounded by bucket occupancy,
        not group size) and picks the two bounding values;
@@ -815,7 +829,7 @@ def exact_percentiles_bucketed(
         F.count("v").alias("nv"),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
-    )
+    ).persist()
     bucket = F.when(
         F.col("vmax") == F.col("vmin"), F.lit(0)
     ).otherwise(
@@ -831,7 +845,15 @@ def exact_percentiles_bucketed(
     bucketed = src.filter(F.col("v").isNotNull()).join(
         F.broadcast(stats), "g"
     ).select("g", "v", bucket.alias("b"))
-    hist = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    # the histogram carries per-bucket min/max so descent rounds read
+    # bucket stats from THIS tiny aggregate (and each round's
+    # sub-histogram thereafter) — the corpus is never rescanned just
+    # to size buckets
+    hist = bucketed.groupBy("g", "b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("v").alias("bmin"),
+        F.max("v").alias("bmax"),
+    ).persist()
     w_cum = (
         Window.partitionBy("g").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -861,6 +883,10 @@ def exact_percentiles_bucketed(
     needed = located.select("g", "b").distinct()
     rows = bucketed.join(F.broadcast(needed), ["g", "b"], "left_semi")
     tgt = located.select("g", "b", "lpos", "p", "hi", "k")
+    # needed-bucket stats straight off the histogram — no corpus scan
+    bstats = hist.join(F.broadcast(needed), ["g", "b"], "left_semi").select(
+        "g", "b", "cnt", "bmin", "bmax"
+    )
 
     resolved = None  # targets answered without ranking: g,p,hi,k,v
     fin_rows = None  # (g,b,v) kept for the final bounded rank pass
@@ -870,11 +896,20 @@ def exact_percentiles_bucketed(
         return bdf if a is None else a.unionByName(bdf)
 
     for _ in range(max(0, int(descent_rounds))):
-        bstats = rows.groupBy("g", "b").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("v").alias("bmin"),
-            F.max("v").alias("bmax"),
-        )
+        # adaptive gate (the AQE move): ONE scalar action over the
+        # tiny persisted histogram decides whether descent machinery
+        # is built at all — a layout with every needed bucket under
+        # the occupancy bound (the common case) never pays for a
+        # single descent stage
+        if (
+            bstats.filter(F.col("cnt") > occupancy_bound)
+            .limit(1).count() == 0
+        ):
+            break
+        # descent WILL touch these rows repeatedly — persist the
+        # needed-bucket restriction (memory-and-disk) so rounds scan
+        # the data under descent, never the corpus again
+        rows = rows.persist()
         # constant-valued buckets: any rank selects bmin — resolve now
         # (this is the massive-ties layout subdivision cannot split)
         const = bstats.filter(F.col("bmin") == F.col("bmax"))
@@ -907,23 +942,27 @@ def exact_percentiles_bucketed(
             ((F.col("b") + 1) * n_buckets + sub).cast("long").alias("b"),
             "v",
         )
-        sub_hist = rows.groupBy("g", "b").agg(F.count(F.lit(1)).alias("scnt"))
+        sub_hist = rows.groupBy("g", "b").agg(
+            F.count(F.lit(1)).alias("scnt"),
+            F.min("v").alias("bmin"),
+            F.max("v").alias("bmax"),
+        )
         w_sub = (
             Window.partitionBy("g", F.expr(f"b div {n_buckets}"))
             .orderBy("b")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        sub_hist = sub_hist.select(
+        sub_loc = sub_hist.select(
             "g",
             F.col("b").alias("cb"),
             F.expr(f"b div {n_buckets} - 1").alias("pb"),
-            "scnt",
+            F.col("scnt"),
             F.coalesce(F.sum("scnt").over(w_sub), F.lit(0)).alias("soff"),
         )
         tgt = (
             tgt.join(F.broadcast(big.select("g", "b")), ["g", "b"], "left_semi")
             .withColumnRenamed("b", "pb")
-            .join(sub_hist, ["g", "pb"])
+            .join(sub_loc, ["g", "pb"])
             .filter(
                 (F.col("lpos") >= F.col("soff"))
                 & (F.col("lpos") < F.col("soff") + F.col("scnt"))
@@ -937,6 +976,15 @@ def exact_percentiles_bucketed(
                 "k",
             )
         )
+        # re-restrict to the children that actually HOLD a target rank
+        # (≤ 2·|ps| per group) — non-target siblings drop out of every
+        # later stage, and next round's stats come from the
+        # sub-histogram, again without a corpus rescan
+        needed = tgt.select("g", "b").distinct()
+        rows = rows.join(F.broadcast(needed), ["g", "b"], "left_semi")
+        bstats = sub_hist.join(
+            F.broadcast(needed), ["g", "b"], "left_semi"
+        ).select("g", "b", F.col("scnt").alias("cnt"), "bmin", "bmax")
     # beyond the unrolled rounds (pathological beyond design): still
     # exact, just degenerate-cost, like the pre-descent form
     fin_rows = _union(fin_rows, rows)
