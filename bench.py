@@ -398,6 +398,9 @@ QUERIES = {
     # r10: SemDeDup over the bounded lists at the same adversarial
     # corpus — per-task pair work capped at IVF_CAP² by construction
     "semantic_dedup": gate.q_semantic_dedup,
+    # r10: keep-one substring-dedup deletion budget — one fingerprint
+    # aggregate + one cardinality-preserving join; text never shuffles
+    "dedup_substring_cut": gate.q_dedup_substring_cut,
     # r10: exact percentiles — production (bucketed) plan on natural
     # values, and a deterministic heavy-tail transform (exp over a
     # hashed uniform: ~every row in one value bucket) that drives the

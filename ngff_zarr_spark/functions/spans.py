@@ -111,3 +111,114 @@ def duplicated_token_fraction(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
             F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("total"), 6
         ).alias("dup_frac"),
     )
+
+
+def duplicated_span_removal(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Occurrence-level removal verdicts for corpus-duplicated windows —
+    the KEEP-ONE policy :func:`duplicated_spans` deliberately doesn't
+    take. ``duplicated_spans`` marks every position covered by a
+    repeated n-gram (both copies of a duplicated phrase are "covered");
+    an actual substring-dedup pass (reference point: Lee et al. 2022
+    keep one occurrence of each duplicated sequence) must RETAIN one
+    canonical copy or the text disappears from the corpus entirely.
+
+    Returns one row per occurrence of a corpus-repeated window:
+    (doc_id, pos, gh, n_occ, rep_doc, rep_pos, is_canonical) — the
+    canonical witness is the lexicographically smallest (doc_id, pos)
+    holding that window's content, and ``is_canonical`` marks the one
+    row a removal pass keeps; everything else is the cut set.
+
+    100 TB posture (same as duplicated_spans, one aggregate wider):
+    the gram-keyed count aggregate ALSO carries min(struct(doc_id,
+    pos)) — map-side combine absorbs hot grams before the exchange —
+    and the join back matches each position row with exactly one
+    (gh, n_occ, witness) row, so output cardinality == input
+    cardinality and boilerplate grams cannot blow up the join. Only
+    hashes and positions shuffle, never text."""
+    pg = _positioned_grams(docs, n)
+    stats = pg.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("wit"),
+    )
+    rep = stats.filter(F.col("n_occ") >= 2).select(
+        "gh", "n_occ",
+        F.col("wit.doc_id").alias("rep_doc"),
+        F.col("wit.pos").cast("long").alias("rep_pos"),
+    )
+    return pg.join(rep, "gh").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "gh",
+        "n_occ",
+        "rep_doc",
+        "rep_pos",
+        (
+            (F.col("doc_id") == F.col("rep_doc"))
+            & (F.col("pos") == F.col("rep_pos"))
+        ).alias("is_canonical"),
+    )
+
+
+def substring_dedup_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Per-document summary of what a keep-one substring-dedup pass
+    would actually CUT: (doc_id, n_tokens, n_windows, n_rep,
+    cut_tokens, cut_frac). ``n_rep`` counts this doc's removal-set
+    windows (repeated windows minus canonical keepers), ``cut_tokens``
+    the size of the union of their [pos, pos+n) token intervals, and
+    ``cut_frac = cut_tokens / n_tokens`` rounded 6dp. Distinct from
+    :func:`duplicated_token_fraction`, which reports tokens that are
+    duplicated ANYWHERE (canonical copies included) — the contamination
+    signal; this is the deletion budget.
+
+    The interval union is closed-form on the per-doc sorted position
+    array: consecutive removal positions p_i, p_{i+1} contribute
+    min(n, p_{i+1} − p_i) and the last contributes n — one
+    collect_list + higher-order aggregate, per-task state bounded by
+    DOCUMENT length (the engine's standing per-doc bound, same as
+    shingling/winnowing), never corpus size. Exactly equal to merging
+    maximal spans first (pytest-pinned against duplicated_spans on the
+    all-occurrences set)."""
+    drop = duplicated_span_removal(docs, n).filter(~F.col("is_canonical"))
+    per_doc = drop.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rep"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    m = F.size(F.col("ps"))
+    gaps = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.when(
+            i == m, F.lit(int(n)).cast("long")
+        ).otherwise(
+            F.least(
+                F.lit(int(n)).cast("long"),
+                F.element_at(F.col("ps"), (i + 1).cast("int"))
+                - F.element_at(F.col("ps"), i.cast("int")),
+            )
+        ),
+    )
+    per_doc = per_doc.select(
+        "doc_id", "n_rep",
+        F.aggregate(gaps, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "cut_tokens"
+        ),
+    )
+    totals = spread(docs).select(
+        "doc_id",
+        F.size(tokens_col(_norm_text(F.col("text")))).cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id", "n_tokens",
+        F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).cast("long").alias(
+            "n_windows"
+        ),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id", "n_tokens", "n_windows",
+        F.coalesce(F.col("n_rep"), F.lit(0)).cast("long").alias("n_rep"),
+        F.coalesce(F.col("cut_tokens"), F.lit(0)).cast("long").alias("cut_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("cut_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("cut_frac"),
+    )

@@ -1504,6 +1504,19 @@ def q_dedup_dup_token_frac(spark, sf_dir):
     return duplicated_token_fraction(_docs(spark, sf_dir))
 
 
+def q_dedup_substring_cut(spark, sf_dir):
+    """Keep-one substring-dedup deletion budget
+    (functions/spans.substring_dedup_stats): per-doc tokens a removal
+    pass would CUT after retaining each repeated window's canonical
+    (lowest (doc_id, pos)) occurrence. Complements
+    dedup_dup_token_frac, which reports tokens duplicated ANYWHERE
+    (canonical copies included) — that's the contamination signal,
+    this is what actually gets deleted."""
+    from .functions.spans import substring_dedup_stats
+
+    return substring_dedup_stats(_docs(spark, sf_dir))
+
+
 def q_corpus_filter_pipeline(spark, sf_dir):
     """End-to-end keep/drop decision: exact-dedup representative →
     language == 'en' → Gopher quality, with short-circuit reason labels
@@ -1570,7 +1583,16 @@ def _clustered_emb(spark, sf_dir):
     quantizer / semantic-dedup gates: 4 of every 5 vectors replaced by
     vec 0's embedding — a maximal identical-direction cluster no
     centroid placement can balance. Derived in-plan (broadcast 1-row
-    hub join), so the DuckDB oracle re-derives it with the same CASE."""
+    hub join), so the DuckDB oracle re-derives it with the same CASE.
+
+    Note on the `ExtractPythonUDFFromJoinCondition ... turned to cross
+    join` WARN this corpus triggers downstream: Catalyst infers an
+    `isnotnull(cell_of(...))` predicate from the quantizer's later
+    equi-join and pushes it INTO this 1-row broadcast cross join, then
+    has to extract it again because it's a Python UDF. The join it
+    "turns into a cross join" is this deliberately-cross 1-row hub
+    broadcast; the (cell, pb) key join itself stays a
+    BroadcastHashJoin (verified in the executed plan). Cosmetic."""
     emb = _emb(spark, sf_dir)
     hub = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("_hub")
@@ -3113,6 +3135,9 @@ CORPUS_SAMPLING_PARTS = [
     # and the per-domain frequency cap (two-phase exact top-k)
     "corpus_decontaminate",
     "corpus_cap_per_source",
+    # r10: keep-one substring-dedup deletion budget (canonical-
+    # witness removal set over corpus-repeated windows)
+    "dedup_substring_cut",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3400,4 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_balanced": q_ann_ivf_balanced,
         "semantic_dedup": q_semantic_dedup,
         "ann_recall_eval": q_ann_recall_eval,
+        # r10: keep-one substring-dedup deletion budget (also a
+        # corpus_sampling_battery constituent, so it grades in-window)
+        "dedup_substring_cut": q_dedup_substring_cut,
     }

@@ -743,6 +743,54 @@ SELECT tot.doc_id,
 FROM tot LEFT JOIN per_doc ON per_doc.doc_id = tot.doc_id"""
 
 
+def sql_dedup_substring_cut():
+    """Keep-one substring-dedup deletion budget (mirrors
+    functions/spans.substring_dedup_stats): removal set = every
+    occurrence of a corpus-repeated N-gram window EXCEPT the
+    lexicographically smallest (doc_id, pos) witness; cut_tokens is
+    the interval union of the removal windows, computed here with the
+    classic lead() gaps formula (the Spark side's closed-form array
+    aggregate is exactly equal — consecutive positions contribute
+    min(N, gap), the last contributes N)."""
+    from .functions.spans import SPAN_N as N
+
+    gram = f"array_to_string(toks[i:i+{N - 1}], ' ')"
+    toks = f"list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '')"
+    return f"""WITH q AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+pg AS (
+  SELECT doc_id, i - 1 AS pos, {H64.format(s=gram)} AS gh
+  FROM q, unnest(generate_series(1, len(toks) - {N} + 1)) AS u(i)
+),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gh) AS n_occ
+  FROM pg
+),
+d AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+g AS (
+  SELECT doc_id, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+  FROM d
+),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_rep,
+         SUM(CASE WHEN np IS NULL THEN {N} ELSE LEAST({N}, np - pos) END) AS cut_tokens
+  FROM g GROUP BY 1
+),
+tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM q)
+SELECT tot.doc_id, n_tokens,
+       CAST(GREATEST(n_tokens - {N - 1}, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(n_rep, 0) AS BIGINT) AS n_rep,
+       CAST(COALESCE(cut_tokens, 0) AS BIGINT) AS cut_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(COALESCE(cut_tokens, 0) AS DOUBLE) / n_tokens, 6)
+            ELSE 0.0 END AS cut_frac
+FROM tot LEFT JOIN cov ON cov.doc_id = tot.doc_id"""
+
+
 def sql_corpus_kmeans_profile():
     # reuse the IVF oracle's learned-quantizer assignment CTEs; the
     # profile is just the per-cell count over the assignments
@@ -2400,6 +2448,10 @@ _DIGEST_SPECS = {
     "dedup_dup_token_frac": {
         "doc_id": "l", "dup_tokens": "l", "total": "l", "dup_frac": "d",
     },
+    "dedup_substring_cut": {
+        "doc_id": "l", "n_tokens": "l", "n_windows": "l", "n_rep": "l",
+        "cut_tokens": "l", "cut_frac": "d",
+    },
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -2474,6 +2526,9 @@ CORPUS_SAMPLING_PARTS = [
     # and the per-domain frequency cap (two-phase exact top-k)
     "corpus_decontaminate",
     "corpus_cap_per_source",
+    # r10: keep-one substring-dedup deletion budget (canonical-
+    # witness removal set over corpus-repeated windows)
+    "dedup_substring_cut",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2655,6 +2710,7 @@ def oracles() -> dict[str, str]:
         "corpus_pack_stats": sql_corpus_pack_stats(),
         "corpus_filter_pipeline": sql_corpus_filter_pipeline(),
         "dedup_dup_spans": sql_dedup_dup_spans(),
+        "dedup_substring_cut": sql_dedup_substring_cut(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
         "parity_battery": sql_parity_battery(),
         "sketch_hll_distinct": sql_sketch_hll_distinct(),
