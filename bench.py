@@ -401,6 +401,9 @@ QUERIES = {
     # r10: keep-one substring-dedup deletion budget — one fingerprint
     # aggregate + one cardinality-preserving join; text never shuffles
     "dedup_substring_cut": gate.q_dedup_substring_cut,
+    # r10: temperature mixture — tiny plan broadcast + per-row hash
+    # compare + bounded epoch explode; text never shuffles
+    "corpus_temperature_mix": gate.q_corpus_temperature_mix,
     # r10: exact percentiles — production (bucketed) plan on natural
     # values, and a deterministic heavy-tail transform (exp over a
     # hashed uniform: ~every row in one value bucket) that drives the

@@ -187,3 +187,148 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFram
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+MIX_BUCKETS = 1_000_000
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget: int | None = None,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual-LM data
+    mix (XLM-R / mT5 style): target share of group i is
+    q_i = n_i^alpha / sum_j n_j^alpha, so alpha < 1 upweights
+    low-resource groups and alpha = 1 keeps natural proportions. The
+    realized sample hits a total ``budget`` (default: corpus size) —
+    groups whose target EXCEEDS their volume are upsampled with whole
+    repetition epochs plus a fractional remainder, groups below volume
+    are downsampled; both by the engine's deterministic hash-threshold
+    rule, so reruns and engines agree row-for-row.
+
+    Returns (doc_id, <group_col>, epoch): epoch e means the e-th
+    repetition of the doc in the mixed corpus (0-based); a document
+    appears floor(rate) times plus once more iff
+    h64(salt:doc_id) mod 10^6 < the fractional threshold.
+
+    Cross-engine exactness: the only float op is n^alpha, immediately
+    rounded half-up to integer micro-units (floor(x*10^6 + 0.5)) —
+    every downstream quantity (share, rate, epoch count, threshold) is
+    INTEGER arithmetic: rate_micro = (10^6 * B * w_i) div (S * n_i)
+    with S = sum of micro-weights (an integer sum, order-independent,
+    unlike a double sum). The DuckDB oracle recomputes the identical
+    table. A libm ulp difference in pow() only matters within 1e-6 of
+    a rounding boundary — and alpha = 0.5 (the gate) is sqrt, which
+    IEEE 754 requires correctly rounded in both engines.
+
+    100 TB posture: one tiny per-group count aggregate, the weight
+    table broadcast back, one per-row hash compare, and an epoch
+    explode bounded by ceil(rate) <= budget/n_smallest — no shuffle of
+    text, no RNG state, no global sort (same decision shape as
+    hash_split / rebalance_by_lang)."""
+    from .text import h64
+
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_total"))
+    w = counts.select(
+        group_col,
+        "n_total",
+        F.floor(
+            F.pow(F.col("n_total").cast("double"), F.lit(float(alpha)))
+            * MIX_BUCKETS
+            + F.lit(0.5)
+        ).cast("long").alias("w_micro"),
+    )
+    tot = w.agg(
+        F.sum("w_micro").alias("s_micro"),
+        F.sum("n_total").alias("n_corpus"),
+    )
+    # integer DIV keeps the rate exact — no double divide anywhere
+    plan = w.crossJoin(F.broadcast(tot)).withColumn(
+        "rate_micro",
+        F.expr(
+            f"(CAST({MIX_BUCKETS} AS BIGINT) * "
+            + (f"CAST({int(budget)} AS BIGINT)" if budget is not None else "n_corpus")
+            + f" * w_micro) div (s_micro * n_total)"
+        ),
+    ).select(
+        group_col,
+        "n_total",
+        "w_micro",
+        "rate_micro",
+        F.expr(f"rate_micro div {MIX_BUCKETS}").alias("n_full"),
+        F.expr(f"rate_micro % {MIX_BUCKETS}").alias("frac_thr"),
+    )
+    keyed = docs.select(
+        "doc_id",
+        group_col,
+        (
+            h64(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+            % MIX_BUCKETS
+        ).alias("bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(plan), group_col)
+        .select(
+            "doc_id",
+            group_col,
+            "bucket",
+            "n_full",
+            "frac_thr",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_full"))).alias(
+                "epoch"
+            ),
+        )
+        .filter(
+            (F.col("epoch") < F.col("n_full"))
+            | (F.col("bucket") < F.col("frac_thr"))
+        )
+        .select("doc_id", group_col, F.col("epoch").cast("long").alias("epoch"))
+    )
+
+
+def temperature_mixture_report(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget: int | None = None,
+    salt: str = "temp",
+) -> DataFrame:
+    """Per-group mixing report over :func:`temperature_mixture`:
+    (group, n_total, w_micro, rate_micro, n_emitted) — the realized
+    volume next to the integer-exact plan quantities, so a mix
+    regression shows up as a value diff, not a vibe."""
+    mix = temperature_mixture(docs, group_col, alpha, budget, salt)
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    emitted = mix.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_emitted")
+    )
+    w = counts.select(
+        group_col,
+        "n_total",
+        F.floor(
+            F.pow(F.col("n_total").cast("double"), F.lit(float(alpha)))
+            * MIX_BUCKETS
+            + F.lit(0.5)
+        ).cast("long").alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("s_micro"), F.sum("n_total").alias("n_corpus"))
+    plan = w.crossJoin(F.broadcast(tot)).withColumn(
+        "rate_micro",
+        F.expr(
+            f"(CAST({MIX_BUCKETS} AS BIGINT) * "
+            + (f"CAST({int(budget)} AS BIGINT)" if budget is not None else "n_corpus")
+            + f" * w_micro) div (s_micro * n_total)"
+        ),
+    ).select(group_col, "n_total", "w_micro", "rate_micro")
+    return plan.join(emitted, group_col, "left").select(
+        group_col,
+        "n_total",
+        "w_micro",
+        "rate_micro",
+        F.coalesce(F.col("n_emitted"), F.lit(0)).cast("long").alias("n_emitted"),
+    )

@@ -1486,6 +1486,27 @@ def q_corpus_rebalance(spark, sf_dir):
     return rebalance_by_lang(_docs(spark, sf_dir))
 
 
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture resampling (functions/corpus.
+    temperature_mixture, alpha=0.5): the realized (doc_id, lang,
+    epoch) sample — low-resource languages upsampled with whole
+    repetition epochs plus a hash-threshold fractional remainder,
+    high-resource downsampled, all integer-exact so the oracle
+    reproduces every row."""
+    from .functions.corpus import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir))
+
+
+def q_corpus_temperature_report(spark, sf_dir):
+    """Per-language mixing report for the temperature sampler:
+    (lang, n_total, w_micro, rate_micro, n_emitted) — plan quantities
+    next to realized volume."""
+    from .functions.corpus import temperature_mixture_report
+
+    return temperature_mixture_report(_docs(spark, sf_dir))
+
+
 def q_dedup_dup_spans(spark, sf_dir):
     """Cross-corpus duplicated-substring spans (functions/spans — the
     fixed-n Spark take on suffix-array substring dedup): maximal
@@ -3138,6 +3159,8 @@ CORPUS_SAMPLING_PARTS = [
     # r10: keep-one substring-dedup deletion budget (canonical-
     # witness removal set over corpus-repeated windows)
     "dedup_substring_cut",
+    # r10: temperature mixture realization (integer-exact alpha mix)
+    "corpus_temperature_mix",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3428,4 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: keep-one substring-dedup deletion budget (also a
         # corpus_sampling_battery constituent, so it grades in-window)
         "dedup_substring_cut": q_dedup_substring_cut,
+        # r10: temperature mixture resampling (doc realization + report)
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "corpus_temperature_report": q_corpus_temperature_report,
     }

@@ -861,6 +861,55 @@ FROM k JOIN t ON t.lang = k.lang
 GROUP BY 1, 2, 3"""
 
 
+def _sql_temperature_plan() -> str:
+    """CTE chain for the temperature-mixture plan (mirrors
+    functions/corpus.temperature_mixture, alpha=0.5): the only float
+    op is pow(n, 0.5) rounded half-up to integer micro-units; share,
+    rate, epoch count, and threshold are all BIGINT arithmetic, so the
+    two engines agree exactly."""
+    from .functions.corpus import MIX_BUCKETS as B
+
+    return f"""c AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1),
+w AS (SELECT lang, n_total,
+        CAST(floor(pow(CAST(n_total AS DOUBLE), 0.5) * {B} + 0.5) AS BIGINT) AS w_micro
+      FROM c),
+t AS (SELECT SUM(w_micro) AS s_micro, SUM(n_total) AS n_corpus FROM w),
+plan AS (
+  SELECT lang, n_total, w_micro,
+         (CAST({B} AS BIGINT) * n_corpus * w_micro) // (s_micro * n_total) AS rate_micro
+  FROM w CROSS JOIN t
+)"""
+
+
+def sql_corpus_temperature_mix():
+    from .functions.corpus import MIX_BUCKETS as B
+
+    h = H64.format(s="concat('temp:', CAST(doc_id AS VARCHAR))")
+    return f"""WITH {_sql_temperature_plan()},
+keyed AS (SELECT doc_id, lang, ({h}) % {B} AS bucket FROM documents),
+e AS (
+  SELECT k.doc_id, k.lang, k.bucket,
+         CAST(plan.rate_micro // {B} AS BIGINT) AS n_full,
+         plan.rate_micro % {B} AS frac_thr,
+         u.epoch
+  FROM keyed k
+  JOIN plan ON plan.lang = k.lang,
+       unnest(generate_series(0, CAST(plan.rate_micro // {B} AS BIGINT))) AS u(epoch)
+)
+SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+FROM e WHERE epoch < n_full OR bucket < frac_thr"""
+
+
+def sql_corpus_temperature_report():
+    return f"""WITH {_sql_temperature_plan()},
+mix AS ({sql_corpus_temperature_mix()}),
+em AS (SELECT lang, COUNT(*) AS n_emitted FROM mix GROUP BY 1)
+SELECT plan.lang, CAST(plan.n_total AS BIGINT) AS n_total,
+       plan.w_micro, plan.rate_micro,
+       CAST(COALESCE(em.n_emitted, 0) AS BIGINT) AS n_emitted
+FROM plan LEFT JOIN em ON em.lang = plan.lang"""
+
+
 def sql_corpus_filter_pipeline():
     return f"""WITH g AS ({sql_text_gopher()}),
 k AS (SELECT doc_id, lang, md5({NORM.format(c='text')}) AS cm FROM documents),
@@ -2452,6 +2501,7 @@ _DIGEST_SPECS = {
         "doc_id": "l", "n_tokens": "l", "n_windows": "l", "n_rep": "l",
         "cut_tokens": "l", "cut_frac": "d",
     },
+    "corpus_temperature_mix": {"doc_id": "l", "lang": "s", "epoch": "l"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -2529,6 +2579,8 @@ CORPUS_SAMPLING_PARTS = [
     # r10: keep-one substring-dedup deletion budget (canonical-
     # witness removal set over corpus-repeated windows)
     "dedup_substring_cut",
+    # r10: temperature mixture realization (integer-exact alpha mix)
+    "corpus_temperature_mix",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2711,6 +2763,8 @@ def oracles() -> dict[str, str]:
         "corpus_filter_pipeline": sql_corpus_filter_pipeline(),
         "dedup_dup_spans": sql_dedup_dup_spans(),
         "dedup_substring_cut": sql_dedup_substring_cut(),
+        "corpus_temperature_mix": sql_corpus_temperature_mix(),
+        "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
         "parity_battery": sql_parity_battery(),
         "sketch_hll_distinct": sql_sketch_hll_distinct(),
