@@ -404,6 +404,8 @@ QUERIES = {
     # r10: temperature mixture — tiny plan broadcast + per-row hash
     # compare + bounded epoch explode; text never shuffles
     "corpus_temperature_mix": gate.q_corpus_temperature_mix,
+    # r10: exact global shuffle rank via hash-range buckets + prefix sum
+    "corpus_seeded_shuffle": gate.q_corpus_seeded_shuffle,
     # r10: exact percentiles — production (bucketed) plan on natural
     # values, and a deterministic heavy-tail transform (exp over a
     # hashed uniform: ~every row in one value bucket) that drives the

@@ -129,3 +129,72 @@ def cap_per_source(
         .filter(F.col("rk") <= k)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+SHUFFLE_RANGE_BUCKETS = 1024
+
+
+def seeded_shuffle(
+    docs: DataFrame,
+    seed: str = "shuffle",
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    n_buckets: int = SHUFFLE_RANGE_BUCKETS,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    ordering: every row gets its EXACT global rank under the total
+    order (h64(seed:id), id) and the shard that rank falls in with
+    near-equal contiguous shards — the "shuffle then shard" step every
+    epoch pipeline runs before writing training files. Same seed →
+    same order on every run, engine, and parallelism; a new epoch is a
+    new seed, not RNG state.
+
+    Returns (<id_col>, rank, shard): rank is 0-based over the whole
+    corpus, shard = those ranks cut into ``n_shards`` contiguous
+    near-equal ranges (sizes differ by at most 1 — the exact cut is
+    rank·n_shards div N, so a shard is reproducible from (rank, N)
+    alone).
+
+    100 TB posture — exact global rank WITHOUT a single-task global
+    sort: the hash is uniform, so its top bits are a RANGE partition
+    key. Phase 1 ranks inside each of ``n_buckets`` hash-range buckets
+    (per-task sort is N/n_buckets expected, hash-uniform, no data-skew
+    exposure because ties on (h64, id) are impossible); phase 2 turns
+    local ranks global by adding the broadcast prefix-sum of bucket
+    counts — the same two-phase skeleton as the engine's bucketed
+    top-N/percentiles, applied to ordering. This is what
+    ``row_number() OVER (ORDER BY hash)`` plans as ONE task at any
+    scale; the oracle uses that single-window form verbatim."""
+    hcol = h64(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    # h64 is 60-bit (15 hex chars); bucket by the top bits so bucket
+    # order == hash-range order and ranks concatenate across buckets
+    keyed = docs.select(id_col, hcol.alias("h")).select(
+        id_col,
+        "h",
+        F.expr(f"h div {(1 << 60) // int(n_buckets)}").alias("b"),
+    )
+    w_local = Window.partitionBy("b").orderBy("h", id_col)
+    ranked = keyed.withColumn(
+        "lrk", F.row_number().over(w_local).cast("long") - 1
+    )
+    counts = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "b",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    return (
+        ranked.join(F.broadcast(offs), "b")
+        .select(
+            id_col,
+            (F.col("off") + F.col("lrk")).cast("long").alias("rank"),
+            F.expr(f"((off + lrk) * {int(n_shards)}) div n_total")
+            .cast("long")
+            .alias("shard"),
+        )
+    )

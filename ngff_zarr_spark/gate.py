@@ -1486,6 +1486,17 @@ def q_corpus_rebalance(spark, sf_dir):
     return rebalance_by_lang(_docs(spark, sf_dir))
 
 
+def q_corpus_seeded_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + sharding (functions/sampling.
+    seeded_shuffle): exact global rank under (h64(seed:doc_id),
+    doc_id) via hash-range buckets + a broadcast prefix sum — never a
+    one-task global sort — and contiguous near-equal shards. The
+    oracle is the single-window row_number form verbatim."""
+    from .functions.sampling import seeded_shuffle
+
+    return seeded_shuffle(_docs(spark, sf_dir))
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature-based mixture resampling (functions/corpus.
     temperature_mixture, alpha=0.5): the realized (doc_id, lang,
@@ -3161,6 +3172,7 @@ CORPUS_SAMPLING_PARTS = [
     "dedup_substring_cut",
     # r10: temperature mixture realization (integer-exact alpha mix)
     "corpus_temperature_mix",
+    "corpus_seeded_shuffle",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3452,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_sampling_battery constituent, so it grades in-window)
         "dedup_substring_cut": q_dedup_substring_cut,
         # r10: temperature mixture resampling (doc realization + report)
+        "corpus_seeded_shuffle": q_corpus_seeded_shuffle,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "corpus_temperature_report": q_corpus_temperature_report,
     }

@@ -861,6 +861,20 @@ FROM k JOIN t ON t.lang = k.lang
 GROUP BY 1, 2, 3"""
 
 
+def sql_corpus_seeded_shuffle():
+    h = H64.format(s="concat('shuffle:', CAST(doc_id AS VARCHAR))")
+    return f"""WITH k AS (SELECT doc_id, {h} AS h FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY h, doc_id) - 1 AS rnk,
+         COUNT(*) OVER () AS n
+  FROM k
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank,
+       CAST((rnk * 8) // n AS BIGINT) AS shard
+FROM r"""
+
+
 def _sql_temperature_plan() -> str:
     """CTE chain for the temperature-mixture plan (mirrors
     functions/corpus.temperature_mixture, alpha=0.5): the only float
@@ -2502,6 +2516,7 @@ _DIGEST_SPECS = {
         "cut_tokens": "l", "cut_frac": "d",
     },
     "corpus_temperature_mix": {"doc_id": "l", "lang": "s", "epoch": "l"},
+    "corpus_seeded_shuffle": {"doc_id": "l", "rank": "l", "shard": "l"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -2581,6 +2596,7 @@ CORPUS_SAMPLING_PARTS = [
     "dedup_substring_cut",
     # r10: temperature mixture realization (integer-exact alpha mix)
     "corpus_temperature_mix",
+    "corpus_seeded_shuffle",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2763,6 +2779,7 @@ def oracles() -> dict[str, str]:
         "corpus_filter_pipeline": sql_corpus_filter_pipeline(),
         "dedup_dup_spans": sql_dedup_dup_spans(),
         "dedup_substring_cut": sql_dedup_substring_cut(),
+        "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
