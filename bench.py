@@ -406,6 +406,10 @@ QUERIES = {
     "corpus_temperature_mix": gate.q_corpus_temperature_mix,
     # r10: exact global shuffle rank via hash-range buckets + prefix sum
     "corpus_seeded_shuffle": gate.q_corpus_seeded_shuffle,
+    # r10: hashed-bigram LM scoring — two hash aggregates + two
+    # cardinality-preserving joins; text never shuffles
+    "text_lm_perplexity": gate.q_text_lm_perplexity,
+    "corpus_dsir_weights": gate.q_corpus_dsir_weights,
     # r10: exact percentiles — production (bucketed) plan on natural
     # values, and a deterministic heavy-tail transform (exp over a
     # hashed uniform: ~every row in one value bucket) that drives the

@@ -1486,6 +1486,28 @@ def q_corpus_rebalance(spark, sf_dir):
     return rebalance_by_lang(_docs(spark, sf_dir))
 
 
+def q_text_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity scoring (functions/lm.lm_perplexity):
+    per-doc average log2 probability under an add-one-smoothed hashed-
+    bigram LM of the corpus itself. All-integer output (micro-unit
+    sums + BIGINT division), so the oracle hash has no float
+    surface."""
+    from .functions.lm import lm_perplexity
+
+    return lm_perplexity(_docs(spark, sf_dir))
+
+
+def q_corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (functions/lm.dsir_importance): hashed-
+    bigram log-likelihood ratio of the 'en' slice (target domain) vs
+    the whole corpus — the Xie et al. 2023 selection signal, integer-
+    exact."""
+    from .functions.lm import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
 def q_corpus_seeded_shuffle(spark, sf_dir):
     """Deterministic global shuffle + sharding (functions/sampling.
     seeded_shuffle): exact global rank under (h64(seed:doc_id),
@@ -3173,6 +3195,9 @@ CORPUS_SAMPLING_PARTS = [
     # r10: temperature mixture realization (integer-exact alpha mix)
     "corpus_temperature_mix",
     "corpus_seeded_shuffle",
+    # r10: hashed-bigram LM scoring (all-integer rows)
+    "text_lm_perplexity",
+    "corpus_dsir_weights",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3465,6 +3490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_cut": q_dedup_substring_cut,
         # r10: temperature mixture resampling (doc realization + report)
         "corpus_seeded_shuffle": q_corpus_seeded_shuffle,
+        # r10: hashed-bigram LM scoring (CCNet perplexity + DSIR weights)
+        "text_lm_perplexity": q_text_lm_perplexity,
+        "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "corpus_temperature_report": q_corpus_temperature_report,
     }

@@ -861,6 +861,63 @@ FROM k JOIN t ON t.lang = k.lang
 GROUP BY 1, 2, 3"""
 
 
+def _sql_bigram_cte(table_expr: str = "documents") -> str:
+    """(doc_id, g2, g1) hashed bigrams with duplicates — mirrors
+    functions/lm._doc_bigrams."""
+    from .functions.lm import LM_BUCKETS as B
+
+    g2 = H64.format(s="toks[i] || ' ' || toks[i+1]")
+    g1 = H64.format(s="toks[i]")
+    toks = f"list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '')"
+    return f"""q AS (SELECT doc_id, {toks} AS toks FROM {table_expr}),
+bg AS (
+  SELECT doc_id, ({g2}) % {B} AS g2, ({g1}) % {B} AS g1
+  FROM q, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+)"""
+
+
+def sql_text_lm_perplexity():
+    return f"""WITH {_sql_bigram_cte()},
+c2 AS (SELECT g2, COUNT(*) AS c12 FROM bg GROUP BY 1),
+c1 AS (SELECT g1, COUNT(*) AS c1n FROM bg GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM c2),
+term AS (
+  SELECT bg.doc_id,
+         CAST(floor(log2(CAST(c2.c12 + 1 AS DOUBLE) / (c1.c1n + v.v)) * 1000000 + 0.5) AS BIGINT) AS lp
+  FROM bg JOIN c2 USING (g2) JOIN c1 USING (g1) CROSS JOIN v
+),
+sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(lp) AS s FROM term GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(sc.s AS BIGINT) AS logprob_micro,
+       CAST(sc.s // sc.nb AS BIGINT) AS avg_micro
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
+
+
+def sql_corpus_dsir_weights():
+    from .functions.lm import LM_BUCKETS as B
+
+    return f"""WITH {_sql_bigram_cte()},
+{_sql_bigram_cte("(SELECT * FROM documents WHERE lang = 'en')").replace("q AS", "qt AS").replace("bg AS", "bgt AS").replace("FROM q,", "FROM qt,")},
+tg AS (SELECT g2, COUNT(*) AS ct FROM bgt GROUP BY 1),
+rg AS (SELECT g2, COUNT(*) AS cr FROM bg GROUP BY 1),
+nt AS (SELECT SUM(ct) AS n_t FROM tg),
+nr AS (SELECT SUM(cr) AS n_r FROM rg),
+term AS (
+  SELECT bg.doc_id,
+         CAST(floor(log2(CAST(COALESCE(tg.ct, 0) + 1 AS DOUBLE) / (nt.n_t + {B})) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(log2(CAST(COALESCE(rg.cr, 0) + 1 AS DOUBLE) / (nr.n_r + {B})) * 1000000 + 0.5) AS BIGINT) AS lr
+  FROM bg LEFT JOIN tg USING (g2) LEFT JOIN rg USING (g2)
+  CROSS JOIN nt CROSS JOIN nr
+),
+sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(lr) AS s FROM term GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(sc.s AS BIGINT) AS weight_micro,
+       CAST(sc.s // sc.nb AS BIGINT) AS weight_avg_micro
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
+
+
 def sql_corpus_seeded_shuffle():
     h = H64.format(s="concat('shuffle:', CAST(doc_id AS VARCHAR))")
     return f"""WITH k AS (SELECT doc_id, {h} AS h FROM documents),
@@ -2517,6 +2574,13 @@ _DIGEST_SPECS = {
     },
     "corpus_temperature_mix": {"doc_id": "l", "lang": "s", "epoch": "l"},
     "corpus_seeded_shuffle": {"doc_id": "l", "rank": "l", "shard": "l"},
+    "text_lm_perplexity": {
+        "doc_id": "l", "n_bigrams": "l", "logprob_micro": "l", "avg_micro": "l",
+    },
+    "corpus_dsir_weights": {
+        "doc_id": "l", "n_bigrams": "l", "weight_micro": "l",
+        "weight_avg_micro": "l",
+    },
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -2597,6 +2661,9 @@ CORPUS_SAMPLING_PARTS = [
     # r10: temperature mixture realization (integer-exact alpha mix)
     "corpus_temperature_mix",
     "corpus_seeded_shuffle",
+    # r10: hashed-bigram LM scoring (all-integer rows)
+    "text_lm_perplexity",
+    "corpus_dsir_weights",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -2780,6 +2847,8 @@ def oracles() -> dict[str, str]:
         "dedup_dup_spans": sql_dedup_dup_spans(),
         "dedup_substring_cut": sql_dedup_substring_cut(),
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
+        "text_lm_perplexity": sql_text_lm_perplexity(),
+        "corpus_dsir_weights": sql_corpus_dsir_weights(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
