@@ -101,11 +101,17 @@ def lm_perplexity(
     has zero float surface). Perplexity is 2^(−avg_micro/10⁶),
     monotone in the score, so filters threshold avg_micro directly.
     Documents with < 2 tokens score NULL."""
-    ref_grams = _doc_bigrams(ref if ref is not None else docs, n_buckets)
+    # persist the reduced (doc_id, g2, g1) form — it feeds two count
+    # aggregates (and doc scoring when self-referenced); re-deriving it
+    # means re-reading and re-tokenizing the corpus per consumer, and
+    # 24 B/row of hashed longs is far cheaper to spill than that (the
+    # same trade dup_shingle_frac makes for its shingle table)
+    self_ref = ref is None
+    ref_grams = _doc_bigrams(docs if self_ref else ref, n_buckets).persist()
     c2 = ref_grams.groupBy("g2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = ref_grams.groupBy("g1").agg(F.count(F.lit(1)).alias("c1"))
     vdf = c2.agg(F.count(F.lit(1)).alias("v"))
-    dg = _doc_bigrams(docs, n_buckets)
+    dg = ref_grams if self_ref else _doc_bigrams(docs, n_buckets)
     term = (
         dg.join(c2, "g2", "left")
         .join(c1, "g1", "left")
@@ -158,15 +164,16 @@ def dsir_importance(
     weight_micro the BIGINT micro-unit sum (exact), weight_avg_micro
     its per-gram BIGINT average — all-integer rows, like
     lm_perplexity. Docs with < 2 tokens get NULLs."""
+    # the corpus bigram table feeds the raw-count aggregate AND the
+    # per-doc scoring join — persist the reduced form (see
+    # lm_perplexity for the trade)
+    dg = _doc_bigrams(docs, n_buckets).persist()
     tg = _doc_bigrams(target, n_buckets).groupBy("g2").agg(
         F.count(F.lit(1)).alias("ct")
     )
-    rg = _doc_bigrams(docs, n_buckets).groupBy("g2").agg(
-        F.count(F.lit(1)).alias("cr")
-    )
+    rg = dg.groupBy("g2").agg(F.count(F.lit(1)).alias("cr"))
     nt = tg.agg(F.sum("ct").alias("n_t"))
     nr = rg.agg(F.sum("cr").alias("n_r"))
-    dg = _doc_bigrams(docs, n_buckets)
     term = (
         dg.join(tg, "g2", "left")
         .join(rg, "g2", "left")
