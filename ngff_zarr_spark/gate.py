@@ -2541,6 +2541,35 @@ def q_dedup_exact_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_dedup_substring_stream(spark, sf_dir):
+    """Streaming twin of keep-one substring dedup: the complete-mode
+    gram ledger (gh → occurrence count + smallest (doc_id, pos)
+    witness) drained over the corpus, filtered to repeated grams —
+    exactly the decision table the batch removal pass derives, so the
+    oracle is the batch SQL (stream == batch)."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import streaming_substring_ledger
+
+    docs_dir = _tmp_store("stream_subdocs")
+    ckpt = _tmp_store("stream_subdocs_ckpt")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(docs_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", os.path.join(docs_dir, "documents.parquet")
+    )
+    table = f"stream_substr_{uuid.uuid4().hex[:8]}"
+    _ledger, start = streaming_substring_ledger(spark, docs_dir, ckpt)
+    q = start(table)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
+    return spark.sql(f"select * from {table} where n_occ >= 2")
+
+
 def q_dedup_exact_battery(spark, sf_dir):
     """Batch exact dedup + its Structured-Streaming ledger twin in one
     driver slot, tagged by mode. The oracle is the same batch SQL
@@ -3489,6 +3518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_sampling_battery constituent, so it grades in-window)
         "dedup_substring_cut": q_dedup_substring_cut,
         # r10: temperature mixture resampling (doc realization + report)
+        # r10: streaming gram-ledger twin of keep-one substring dedup
+        "dedup_substring_stream": q_dedup_substring_stream,
         "corpus_seeded_shuffle": q_corpus_seeded_shuffle,
         # r10: hashed-bigram LM scoring (CCNet perplexity + DSIR weights)
         "text_lm_perplexity": q_text_lm_perplexity,

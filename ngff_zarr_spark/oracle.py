@@ -918,6 +918,33 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
 
 
+def sql_dedup_substring_stream():
+    """Batch recomputation of the streaming gram ledger (repeated
+    windows only): per gram hash the occurrence count and the
+    lexicographically smallest (doc_id, pos) witness — stream == batch
+    is the correctness claim."""
+    from .functions.spans import SPAN_N as N
+
+    gram = f"array_to_string(toks[i:i+{N - 1}], ' ')"
+    toks = f"list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '')"
+    return f"""WITH q AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+pg AS (
+  SELECT doc_id, i - 1 AS pos, {H64.format(s=gram)} AS gh
+  FROM q, unnest(generate_series(1, len(toks) - {N} + 1)) AS u(i)
+),
+r AS (
+  SELECT gh, doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gh) AS n_occ
+  FROM pg
+)
+SELECT gh, CAST(n_occ AS BIGINT) AS n_occ,
+       doc_id AS rep_doc, CAST(pos AS BIGINT) AS rep_pos
+FROM r WHERE rn = 1 AND n_occ >= 2"""
+
+
 def sql_corpus_seeded_shuffle():
     h = H64.format(s="concat('shuffle:', CAST(doc_id AS VARCHAR))")
     return f"""WITH k AS (SELECT doc_id, {h} AS h FROM documents),
@@ -2846,6 +2873,7 @@ def oracles() -> dict[str, str]:
         "corpus_filter_pipeline": sql_corpus_filter_pipeline(),
         "dedup_dup_spans": sql_dedup_dup_spans(),
         "dedup_substring_cut": sql_dedup_substring_cut(),
+        "dedup_substring_stream": sql_dedup_substring_stream(),
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "text_lm_perplexity": sql_text_lm_perplexity(),
         "corpus_dsir_weights": sql_corpus_dsir_weights(),

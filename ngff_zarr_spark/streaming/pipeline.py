@@ -614,3 +614,62 @@ def streaming_asof_attribution(
         )
 
     return matched, start
+
+
+def streaming_substring_ledger(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    n: int = 4,
+):
+    """Streaming twin of keep-one substring dedup (functions/spans.
+    duplicated_span_removal): documents arrive as parquet files; each
+    micro-batch folds its positional n-gram window fingerprints into
+    the running GRAM LEDGER — per gram hash, the global occurrence
+    count and the lexicographically smallest (doc_id, pos) witness.
+    The ledger (filtered to n_occ ≥ 2) is exactly the decision table
+    the batch removal pass derives: an ingesting pipeline labels each
+    incoming occurrence against it (keep iff it IS the witness) with a
+    stateless per-batch join, so the correctness claim to pin is
+    ledger == batch, which the gate verifies against the batch SQL
+    oracle after draining every file.
+
+    Same complete-mode aggregate shape as streaming_exact_dedup —
+    state is one row per DISTINCT window content (bounded by corpus
+    n-gram diversity, not stream length), min(struct) folds the
+    witness with the same map-side partial aggregation as the count,
+    and only (gh, count, witness) triples shuffle per batch. At
+    unbounded retention swap complete mode for update mode + an
+    idempotent min/sum-merge upsert sink.
+
+    Returns (stream_df, start_fn) like the other streaming twins."""
+    from ..functions.spans import _positioned_grams
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(batch_schema).parquet(docs_dir)
+    ledger = (
+        _positioned_grams(docs, n)
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("wit"),
+        )
+        .select(
+            "gh",
+            "n_occ",
+            F.col("wit.doc_id").alias("rep_doc"),
+            F.col("wit.pos").cast("long").alias("rep_pos"),
+        )
+    )
+
+    def start(sink_table: str):
+        return (
+            ledger.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return ledger, start
