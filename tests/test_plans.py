@@ -250,3 +250,65 @@ def test_write_image_batch_single_exchange(spark):
     plan = plan_of(packed.repartition(8, "ck").sortWithinPartitions("ck"))
     assert n_exchanges(plan) == 1
     assert "Union" in plan
+
+
+def test_substring_cut_no_python_no_cartesian(spark, sf_dir):
+    """substring_dedup_stats: gram aggregate + cardinality-preserving
+    join + per-doc aggregate — all JVM-side, no pairwise doc-doc join,
+    text never in a shuffle key."""
+    from ngff_zarr_spark.functions.spans import substring_dedup_stats
+
+    plan = plan_of(substring_dedup_stats(gate._docs(spark, sf_dir)))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert bad not in plan
+
+
+def test_temperature_mix_broadcast_plan_only(spark, sf_dir):
+    """temperature_mixture: the corpus side joins the per-group plan by
+    BROADCAST (the plan table is groups-sized); the only nested-loop
+    joins are the deliberate 1-row scalar broadcasts. No sort of the
+    corpus anywhere."""
+    import re
+
+    from ngff_zarr_spark.functions.corpus import temperature_mixture
+
+    plan = plan_of(temperature_mixture(gate._docs(spark, sf_dir)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    assert not re.search(r"\(\d+\) Sort", plan)
+
+
+def test_seeded_shuffle_no_corpus_window(spark, sf_dir):
+    """seeded_shuffle: the ONLY unpartitioned windows run over the
+    bucket-count summary (≤ n_buckets rows); the corpus-sized window is
+    partitioned by bucket. The offsets join back is a broadcast."""
+    from ngff_zarr_spark.functions.sampling import seeded_shuffle
+
+    plan = plan_of(seeded_shuffle(gate._docs(spark, sf_dir)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus window is keyed: its spec must mention the bucket col
+    assert "windowspecdefinition(b#" in plan or "partitionBy" not in plan
+
+
+def test_lm_scoring_no_python(spark, sf_dir):
+    """LM perplexity / DSIR: hash aggregates + joins, zero Python nodes
+    (the whole bigram pipeline is codegen transforms + md5)."""
+    from pyspark.sql import functions as F
+
+    from ngff_zarr_spark.functions.lm import dsir_importance, lm_perplexity
+
+    docs = gate._docs(spark, sf_dir)
+    for df in (
+        lm_perplexity(docs),
+        dsir_importance(docs, docs.filter(F.col("lang") == "en")),
+    ):
+        plan = plan_of(df)
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+            assert bad not in plan
