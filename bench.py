@@ -410,6 +410,9 @@ QUERIES = {
     # cardinality-preserving joins; text never shuffles
     "text_lm_perplexity": gate.q_text_lm_perplexity,
     "corpus_dsir_weights": gate.q_corpus_dsir_weights,
+    # r10: perceptual image hashing + capped near-dup pairs
+    "multimodal_ahash": gate.q_multimodal_ahash,
+    "multimodal_image_dedup": gate.q_multimodal_image_dedup,
     # r10: exact percentiles — production (bucketed) plan on natural
     # values, and a deterministic heavy-tail transform (exp over a
     # hashed uniform: ~every row in one value bucket) that drives the

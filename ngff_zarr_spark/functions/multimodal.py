@@ -304,3 +304,106 @@ def augment_images(docs: DataFrame, salt: str = "aug") -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "y", "x", "v"])
 
     return imgs.mapInPandas(aug, "doc_id long, y long, x long, v long")
+
+
+AHASH_SIZE = 8  # 8x8 = 64-bit average hash
+
+
+def image_ahash(docs: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per document image:
+    nearest-sample the decoded grayscale image to 8×8 (source pixel
+    (y·h)//8, (x·w)//8 — the exact integer mapping resize uses), then
+    bit(y, x) = 1 iff 64·p(y, x) > Σp — an INTEGER comparison, so the
+    mean threshold has no float surface. Returns
+    (doc_id, h_hi, h_lo): the 64 bits split into two 32-bit halves
+    (bit i of the conceptual hash, i = y·8+x most-significant-first,
+    lives in h_hi for i < 32) — two non-negative BIGINTs sidestep
+    signed-64 overflow in BOTH engines.
+
+    Spark side decodes REAL PNG bytes (mapInPandas, Arrow batches) so
+    codec/plumbing bugs mismatch; the oracle re-derives the pixels
+    from the synthetic formula in pure SQL."""
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..ingest.png import png_decode
+
+        s8 = AHASH_SIZE
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                arr = png_decode(bytes(blob)).astype(np.int64)
+                h, w = arr.shape
+                ys = (np.arange(s8) * h) // s8
+                xs = (np.arange(s8) * w) // s8
+                px = arr[np.ix_(ys, xs)]
+                total = int(px.sum())
+                bits = (px.reshape(-1) * (s8 * s8) > total).astype(np.int64)
+                hi = int(sum(int(b) << (31 - i) for i, b in enumerate(bits[:32])))
+                lo = int(sum(int(b) << (31 - i) for i, b in enumerate(bits[32:])))
+                rows.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "h_hi", "h_lo"])
+
+    return attach_images(docs).mapInPandas(hsh, "doc_id long, h_hi long, h_lo long")
+
+
+def image_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (doc_a < doc_b, dist)
+    with Hamming distance between aHashes ≤ ``max_hamming`` — the
+    multimodal sibling of minhash text dedup and embedding-cosine
+    near-dup. Candidates come from 4 × 16-bit hash bands (a pair
+    within distance 3·band-width/4 must agree on ≥ 1 band; wider
+    distances follow the standard LSH recall trade the other near-dup
+    operators document), routed through the SAME occupancy-capped
+    band join (:func:`~.dedup._capped_band_pairs`) so a corpus of
+    identical images degrades to star edges, never n² pairs. The
+    exact Hamming re-rank is two XOR + bit_count expressions — pure
+    codegen; only (doc_id, two longs) ever shuffle."""
+    from .dedup import DEFAULT_MAX_BUCKET, _capped_band_pairs
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    ah = image_ahash(docs).persist()
+    bands = ah.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"({'h_hi' if b < 2 else 'h_lo'} div {1 << (16 * (1 - b % 2))}) % {1 << 16}"
+                        ).cast("long").alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    cand = _capped_band_pairs(bands, max_bucket)
+    a = ah.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("hi_a"),
+        F.col("h_lo").alias("lo_a"),
+    )
+    b = ah.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("hi_b"),
+        F.col("h_lo").alias("lo_b"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.expr("hi_a ^ hi_b"))
+                + F.bit_count(F.expr("lo_a ^ lo_b"))
+            ).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= int(max_hamming))
+    )

@@ -1698,6 +1698,28 @@ def q_multimodal_features(spark, sf_dir):
     return document_image_features(_docs(spark, sf_dir))
 
 
+def q_multimodal_ahash(spark, sf_dir):
+    """Perceptual average-hash per document image (functions/
+    multimodal.image_ahash): REAL PNG decode → 8×8 nearest sample →
+    integer mean-threshold bits packed into two 32-bit halves. The
+    oracle re-derives every pixel from the synthetic formula in SQL —
+    a codec or sampling bug mismatches."""
+    from .functions.multimodal import image_ahash
+
+    return image_ahash(_docs(spark, sf_dir))
+
+
+def q_multimodal_image_dedup(spark, sf_dir):
+    """Perceptual near-duplicate image pairs at Hamming ≤ 1 over the
+    aHashes — the multimodal sibling of minhash text dedup. With
+    threshold < n_bands the 4×16-bit banded candidates are COMPLETE by
+    pigeonhole, so this is an exact-pairs gate, not a recall gate; the
+    oracle mirrors the banding and the occupancy cap identically."""
+    from .functions.multimodal import image_near_dup
+
+    return image_near_dup(_docs(spark, sf_dir), max_hamming=1)
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     """Deterministic KMV distinct-count sketch over document text —
     the estimate itself is oracle-checked (portable h64 hashing means
@@ -3234,6 +3256,7 @@ MULTIMODAL_PARTS = [
     "multimodal_frame_sample",
     "multimodal_audio",
     "multimodal_augment",
+    "multimodal_ahash",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 # r9 folds: the dedup and ANN families (11 direct slots) become two
@@ -3520,6 +3543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: temperature mixture resampling (doc realization + report)
         # r10: streaming gram-ledger twin of keep-one substring dedup
         "dedup_substring_stream": q_dedup_substring_stream,
+        # r10: perceptual image hashing + near-dup pairs
+        "multimodal_ahash": q_multimodal_ahash,
+        "multimodal_image_dedup": q_multimodal_image_dedup,
         "corpus_seeded_shuffle": q_corpus_seeded_shuffle,
         # r10: hashed-bigram LM scoring (CCNet perplexity + DSIR weights)
         "text_lm_perplexity": q_text_lm_perplexity,

@@ -2064,6 +2064,96 @@ SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
 FROM dots WHERE round(dot / (na * nb), 6) >= {NEAR_DUP_COS}"""
 
 
+def _sql_ahash_cte() -> str:
+    """(doc_id, h_hi, h_lo) aHash table from the synthetic pixel
+    formula — mirrors functions/multimodal.image_ahash (8×8 nearest
+    sample, integer mean threshold 64·p > Σp, two 32-bit halves)."""
+    from .functions.multimodal import (
+        AHASH_SIZE,
+        H_BASE,
+        H_MOD,
+        PIX_A,
+        PIX_MOD,
+        PIX_X,
+        PIX_Y,
+        W_BASE,
+        W_MOD,
+    )
+
+    s8 = AHASH_SIZE
+    return f"""dims AS (
+  SELECT doc_id, {H_BASE} + doc_id % {H_MOD} AS h, {W_BASE} + doc_id % {W_MOD} AS w
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, g.i AS i,
+         (doc_id * {PIX_A}
+          + (((g.i // {s8}) * h) // {s8}) * {PIX_Y}
+          + (((g.i % {s8}) * w) // {s8}) * {PIX_X}) % {PIX_MOD} AS p
+  FROM dims CROSS JOIN range({s8 * s8}) g(i)
+),
+tot AS (SELECT doc_id, SUM(p) AS s FROM samp GROUP BY 1),
+bits AS (
+  SELECT samp.doc_id, samp.i,
+         CASE WHEN samp.p * {s8 * s8} > tot.s THEN 1 ELSE 0 END AS b
+  FROM samp JOIN tot ON tot.doc_id = samp.doc_id
+),
+ah AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i < 32 THEN b * power(2, 31 - i) ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(SUM(CASE WHEN i >= 32 THEN b * power(2, 63 - i) ELSE 0 END) AS BIGINT) AS h_lo
+  FROM bits GROUP BY 1
+)"""
+
+
+def sql_multimodal_ahash():
+    return f"WITH {_sql_ahash_cte()}\nSELECT doc_id, h_hi, h_lo FROM ah"
+
+
+def sql_multimodal_image_dedup():
+    # banding + occupancy cap mirror functions/multimodal.image_near_dup
+    # (same shape as sql_emb_near_dup_lsh); threshold 1 < n_bands means
+    # the banded candidates are complete, so this is an exact-pairs
+    # comparison
+    from .functions.dedup import DEFAULT_MAX_BUCKET
+
+    return f"""WITH {_sql_ahash_cte()},
+bb AS (
+  SELECT doc_id, b.i AS band,
+         CASE b.i
+           WHEN 0 THEN h_hi // 65536
+           WHEN 1 THEN h_hi % 65536
+           WHEN 2 THEN h_lo // 65536
+           ELSE h_lo % 65536
+         END AS bucket
+  FROM ah CROSS JOIN range(4) b(i)
+),
+bocc AS (
+  SELECT band, bucket, COUNT(*) AS occ, MIN(doc_id) AS hub
+  FROM bb GROUP BY 1, 2
+),
+bbx AS (
+  SELECT b.doc_id, b.band, b.bucket, o.occ, o.hub
+  FROM bb b JOIN bocc o ON b.band = o.band AND b.bucket = o.bucket
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bbx a JOIN bbx b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.occ <= {DEFAULT_MAX_BUCKET}
+    UNION ALL
+    SELECT hub AS doc_a, doc_id AS doc_b FROM bbx
+    WHERE occ > {DEFAULT_MAX_BUCKET} AND doc_id <> hub
+  )
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS dist
+FROM cand c
+JOIN ah ha ON ha.doc_id = c.doc_a
+JOIN ah hb ON hb.doc_id = c.doc_b
+WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 1"""
+
+
 def sql_multimodal_features():
     from .functions.multimodal import H_BASE, H_MOD, PIX_A, PIX_MOD, PIX_X, PIX_Y, W_BASE, W_MOD
 
@@ -2614,6 +2704,7 @@ _DIGEST_SPECS = {
     },
     "multimodal_resize": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
     "multimodal_augment": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
+    "multimodal_ahash": {"doc_id": "l", "h_hi": "l", "h_lo": "l"},
     "multimodal_frame_sample": {"doc_id": "l", "frame": "l", "px_sum": "l"},
     "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sq_sum": "l"},
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
@@ -2698,6 +2789,7 @@ MULTIMODAL_PARTS = [
     "multimodal_frame_sample",
     "multimodal_audio",
     "multimodal_augment",
+    "multimodal_ahash",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 DEDUP_PARTS = [
@@ -2813,6 +2905,8 @@ def oracles() -> dict[str, str]:
         "ann_recall_eval": sql_ann_recall_eval(),
         "emb_near_dup_lsh": sql_emb_near_dup_lsh(),
         "multimodal_features": sql_multimodal_features(),
+        "multimodal_ahash": sql_multimodal_ahash(),
+        "multimodal_image_dedup": sql_multimodal_image_dedup(),
         "multimodal_resize": sql_multimodal_resize(),
         "multimodal_frame_sample": sql_multimodal_frame_sample(),
         "multimodal_audio": sql_multimodal_audio(),

