@@ -413,6 +413,8 @@ QUERIES = {
     # r10: perceptual image hashing + capped near-dup pairs
     "multimodal_ahash": gate.q_multimodal_ahash,
     "multimodal_image_dedup": gate.q_multimodal_image_dedup,
+    # r10: trailing-24h distinct users via max-merged hourly HLL regs
+    "events_sliding_distinct": gate.q_events_sliding_distinct,
     # r10: exact percentiles — production (bucketed) plan on natural
     # values, and a deterministic heavy-tail transform (exp over a
     # hashed uniform: ~every row in one value bucket) that drives the

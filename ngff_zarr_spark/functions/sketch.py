@@ -156,3 +156,71 @@ def count_min_estimate(
         .groupBy("value", "exact_n")
         .agg(F.min("cnt").alias("cm_est"))
     )
+
+
+def sliding_distinct_users(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_hours: int = 24,
+    m: int = HLL_M,
+) -> DataFrame:
+    """Trailing-window distinct-user estimates per hour — the sliding
+    dashboard metric done the 100 TB way: instead of re-scanning the
+    raw events for every window (24× re-read) or running a giant
+    distinct per window, the stream reduces ONCE to hourly HLL
+    registers (≤ m rows/hour), each register row fans out to the
+    ``window_hours`` output hours it contributes to (bounded explode —
+    hours × m × W tiny rows), and a max-merge per output hour
+    reconstitutes the window sketch. HLL registers are max-mergeable,
+    so the merged estimate is EXACTLY the estimate a single pass over
+    the window's raw events would produce — pinned in pytest and
+    mirrored in the oracle.
+
+    Expects ``ts_col`` as long nanoseconds (gate._events contract).
+    Returns (hour_epoch, n_nonempty, reg_checksum, est) per hour that
+    has data, where the window is the trailing ``window_hours`` hours
+    ending at (and including) that hour. est/n_nonempty/reg_checksum
+    follow :func:`hll_distinct`'s determinism discipline."""
+    hours_ns = 3_600_000_000_000
+    hashed = ev.select(
+        F.expr(f"{ts_col} div {hours_ns}").alias("hr"),
+        h64(F.col(user_col).cast("string")).alias("h"),
+    ).select(
+        "hr",
+        (F.col("h") % m).alias("b"),
+        F.expr(f"h div {m}").alias("rem"),
+    )
+    rank = F.when(F.col("rem") == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS) - F.length(F.bin(F.col("rem"))) + 1
+    )
+    regs = hashed.select("hr", "b", rank.alias("r")).groupBy("hr", "b").agg(
+        F.max("r").alias("reg")
+    )
+    hours = regs.select("hr").distinct()
+    fanned = regs.select(
+        F.explode(
+            F.sequence(F.col("hr"), F.col("hr") + (int(window_hours) - 1))
+        ).alias("out_hr"),
+        "b",
+        "reg",
+    ).join(F.broadcast(hours.select(F.col("hr").alias("out_hr"))), "out_hr", "left_semi")
+    merged = fanned.groupBy("out_hr", "b").agg(F.max("reg").alias("reg"))
+    agg = merged.groupBy("out_hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_ne"),
+        F.sum((F.col("b") + 1) * F.col("reg")).cast("long").alias("reg_checksum"),
+    )
+    v_empty = F.lit(m) - F.col("n_nonempty")
+    s = F.col("s_ne") + v_empty.cast("double")
+    raw = F.lit(HLL_ALPHA * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        (F.col("out_hr") * 3600).cast("long").alias("hour_epoch"),
+        "n_nonempty",
+        "reg_checksum",
+        F.round(est, 6).alias("est"),
+    )

@@ -1720,6 +1720,16 @@ def q_multimodal_image_dedup(spark, sf_dir):
     return image_near_dup(_docs(spark, sf_dir), max_hamming=1)
 
 
+def q_events_sliding_distinct(spark, sf_dir):
+    """Trailing-24h distinct-user estimate per hour via max-merged
+    hourly HLL registers (functions/sketch.sliding_distinct_users) —
+    the sliding dashboard metric without re-scanning raw events per
+    window; registers AND estimates oracle-exact."""
+    from .functions.sketch import sliding_distinct_users
+
+    return sliding_distinct_users(_events(spark, sf_dir))
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     """Deterministic KMV distinct-count sketch over document text —
     the estimate itself is oracle-checked (portable h64 hashing means
@@ -3546,6 +3556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: perceptual image hashing + near-dup pairs
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_image_dedup": q_multimodal_image_dedup,
+        # r10: trailing-24h distinct users via max-merged hourly HLL
+        "events_sliding_distinct": q_events_sliding_distinct,
         "corpus_seeded_shuffle": q_corpus_seeded_shuffle,
         # r10: hashed-bigram LM scoring (CCNet perplexity + DSIR weights)
         "text_lm_perplexity": q_text_lm_perplexity,

@@ -2154,6 +2154,48 @@ JOIN ah hb ON hb.doc_id = c.doc_b
 WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 1"""
 
 
+def sql_events_sliding_distinct():
+    """Trailing-window HLL merge mirror of sliding_distinct_users:
+    hourly registers, bounded fan-out to contributing output hours,
+    max-merge, same estimate formula as sql_sketch_hll_distinct."""
+    from .functions.sketch import _HLL_REM_BITS, HLL_ALPHA, HLL_M
+
+    m, rb = HLL_M, _HLL_REM_BITS
+    h = H64.format(s="CAST(user_id AS VARCHAR)")
+    w = 24
+    return f"""WITH e AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS hr, {h} AS h FROM events
+),
+hashed AS (SELECT hr, h % {m} AS b, h // {m} AS rem FROM e),
+regs AS (
+  SELECT hr, b,
+         MAX(CASE WHEN rem = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(rem)) END) AS reg
+  FROM hashed GROUP BY 1, 2
+),
+hours AS (SELECT DISTINCT hr FROM regs),
+fanned AS (
+  SELECT u.oh AS out_hr, r.b, r.reg
+  FROM regs r, unnest(generate_series(r.hr, r.hr + {w - 1})) AS u(oh)
+  WHERE u.oh IN (SELECT hr FROM hours)
+),
+merged AS (SELECT out_hr, b, MAX(reg) AS reg FROM fanned GROUP BY 1, 2),
+agg AS (
+  SELECT out_hr, COUNT(*) AS n_nonempty,
+         SUM(power(2.0, -reg)) AS s_ne,
+         CAST(SUM((b + 1) * reg) AS BIGINT) AS reg_checksum
+  FROM merged GROUP BY 1
+)
+SELECT CAST(out_hr * 3600 AS BIGINT) AS hour_epoch,
+       CAST(n_nonempty AS BIGINT) AS n_nonempty,
+       reg_checksum,
+       round(CASE WHEN {HLL_ALPHA * m * m} / (s_ne + ({m} - n_nonempty)) <= {2.5 * m}
+                   AND n_nonempty < {m}
+             THEN {float(m)} * ln({float(m)} / ({m} - n_nonempty))
+             ELSE {HLL_ALPHA * m * m} / (s_ne + ({m} - n_nonempty)) END, 6) AS est
+FROM agg"""
+
+
 def sql_multimodal_features():
     from .functions.multimodal import H_BASE, H_MOD, PIX_A, PIX_MOD, PIX_X, PIX_Y, W_BASE, W_MOD
 
@@ -2912,6 +2954,7 @@ def oracles() -> dict[str, str]:
         "multimodal_audio": sql_multimodal_audio(),
         "sketch_kmv_distinct": sql_sketch_kmv_distinct(),
         "sketch_count_min": sql_sketch_count_min(),
+        "events_sliding_distinct": sql_events_sliding_distinct(),
         "events_hourly": sql_events_hourly(),
         "events_hourly_stream": sql_events_hourly(),
         "events_session_window": sql_events_session_window(),
