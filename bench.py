@@ -414,6 +414,8 @@ QUERIES = {
     "multimodal_ahash": gate.q_multimodal_ahash,
     "multimodal_image_dedup": gate.q_multimodal_image_dedup,
     # r10: trailing-24h distinct users via max-merged hourly HLL regs
+    # r10: audio-fingerprint exact dedup groups
+    "multimodal_audio_dedup": gate.q_multimodal_audio_dedup,
     "events_sliding_distinct": gate.q_events_sliding_distinct,
     # r10: exact percentiles — production (bucketed) plan on natural
     # values, and a deterministic heavy-tail transform (exp over a

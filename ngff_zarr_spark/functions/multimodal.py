@@ -407,3 +407,64 @@ def image_near_dup(
         )
         .filter(F.col("dist") <= int(max_hamming))
     )
+
+
+AUD_FP_FRAMES = 32  # energy frames per fingerprint
+
+
+def audio_fingerprint(docs: DataFrame) -> DataFrame:
+    """Energy-delta audio fingerprint per document (the integer core of
+    the Shazam-style constellation idea, sans FFT): the int16 waveform
+    splits into 32 balanced frames (sample i → frame (i·32)//n), each
+    frame's energy is the exact integer Σ sample², and bit f (f ≥ 1)
+    is 1 iff frame f's energy EXCEEDS frame f−1's — a rising/falling
+    energy signature that survives amplitude-preserving edits. The 31
+    bits pack most-significant-first into one non-negative BIGINT.
+    Returns (doc_id, n_samples, fp).
+
+    Spark side decodes the REAL little-endian int16 payload bytes; the
+    oracle re-derives every sample from the synthetic formula in SQL —
+    all-integer, zero float surface."""
+    from .text import spread
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = AUD_LEN_BASE + d % AUD_LEN_MOD
+                wave = ((d * AUD_A + np.arange(n) * AUD_I) % AUD_MOD).astype("<i2")
+                rows.append((d, wave.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "audio"])
+
+    auds = spread(docs).select("doc_id").mapInPandas(gen, "doc_id long, audio binary")
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = AUD_FP_FRAMES
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                wave = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+                n = len(wave)
+                frames = (np.arange(n) * k) // n
+                energy = np.zeros(k, dtype=np.int64)
+                np.add.at(energy, frames, wave * wave)
+                fp = 0
+                for f in range(1, k):
+                    if energy[f] > energy[f - 1]:
+                        fp |= 1 << (k - 1 - f)
+                rows.append((int(doc_id), n, fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "fp"])
+
+    return auds.mapInPandas(fps, "doc_id long, n_samples long, fp long")
+
+
+def audio_fingerprint_dedup(docs: DataFrame) -> DataFrame:
+    """Exact audio-fingerprint duplicate groups — the audio sibling of
+    text exact_dedup: (fp, n_docs, representative = smallest doc_id).
+    One hash aggregate over 31-bit fingerprints; ``n_docs > 1`` marks
+    perceptually-identical audio payloads."""
+    return audio_fingerprint(docs).groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("representative"),
+    )

@@ -1720,6 +1720,17 @@ def q_multimodal_image_dedup(spark, sf_dir):
     return image_near_dup(_docs(spark, sf_dir), max_hamming=1)
 
 
+def q_multimodal_audio_dedup(spark, sf_dir):
+    """Exact audio-fingerprint duplicate groups (functions/multimodal.
+    audio_fingerprint_dedup): 32-frame energy-delta signatures from
+    REAL int16 payload decodes, grouped — the audio sibling of text
+    exact_dedup; the oracle re-derives every sample, frame energy, and
+    bit in all-integer SQL."""
+    from .functions.multimodal import audio_fingerprint_dedup
+
+    return audio_fingerprint_dedup(_docs(spark, sf_dir))
+
+
 def q_events_sliding_distinct(spark, sf_dir):
     """Trailing-24h distinct-user estimate per hour via max-merged
     hourly HLL registers (functions/sketch.sliding_distinct_users) —
@@ -3557,6 +3568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_image_dedup": q_multimodal_image_dedup,
         # r10: trailing-24h distinct users via max-merged hourly HLL
+        # r10: audio-fingerprint exact dedup groups
+        "multimodal_audio_dedup": q_multimodal_audio_dedup,
         "events_sliding_distinct": q_events_sliding_distinct,
         "corpus_seeded_shuffle": q_corpus_seeded_shuffle,
         # r10: hashed-bigram LM scoring (CCNet perplexity + DSIR weights)

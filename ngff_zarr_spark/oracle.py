@@ -2154,6 +2154,43 @@ JOIN ah hb ON hb.doc_id = c.doc_b
 WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 1"""
 
 
+def sql_multimodal_audio_dedup():
+    from .functions.multimodal import (
+        AUD_A,
+        AUD_FP_FRAMES,
+        AUD_I,
+        AUD_LEN_BASE,
+        AUD_LEN_MOD,
+        AUD_MOD,
+    )
+
+    k = AUD_FP_FRAMES
+    max_n = AUD_LEN_BASE + AUD_LEN_MOD - 1
+    return f"""WITH dims AS (
+  SELECT doc_id, {AUD_LEN_BASE} + doc_id % {AUD_LEN_MOD} AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n, (r.i * {k}) // n AS f,
+         (doc_id * {AUD_A} + r.i * {AUD_I}) % {AUD_MOD} AS w
+  FROM dims CROSS JOIN range({max_n}) r(i)
+  WHERE r.i < n
+),
+e AS (SELECT doc_id, f, SUM(w * w) AS energy FROM s GROUP BY 1, 2),
+bits AS (
+  SELECT doc_id, f,
+         CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id ORDER BY f)
+              THEN 1 ELSE 0 END AS b
+  FROM e
+),
+fps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN f >= 1 THEN b * power(2, {k} - 1 - f) ELSE 0 END) AS BIGINT) AS fp
+  FROM bits GROUP BY 1
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS representative
+FROM fps GROUP BY 1"""
+
+
 def sql_events_sliding_distinct():
     """Trailing-window HLL merge mirror of sliding_distinct_users:
     hourly registers, bounded fan-out to contributing output hours,
@@ -2954,6 +2991,7 @@ def oracles() -> dict[str, str]:
         "multimodal_audio": sql_multimodal_audio(),
         "sketch_kmv_distinct": sql_sketch_kmv_distinct(),
         "sketch_count_min": sql_sketch_count_min(),
+        "multimodal_audio_dedup": sql_multimodal_audio_dedup(),
         "events_sliding_distinct": sql_events_sliding_distinct(),
         "events_hourly": sql_events_hourly(),
         "events_hourly_stream": sql_events_hourly(),

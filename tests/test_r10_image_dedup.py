@@ -94,3 +94,56 @@ def test_occupancy_cap_degrades_to_star(spark):
     hs = {i: _brute_hash(i) for i in ids}
     for r in capped:
         assert _dist(hs[r["doc_a"]], hs[r["doc_b"]]) == r["dist"] <= 1
+
+
+def test_audio_fingerprint_matches_formula(spark):
+    """Decode-path audio fingerprints pinned against a numpy
+    recomputation from the synthetic waveform formula, and the dedup
+    grouping against its brute-force groups."""
+    from collections import Counter
+
+    from ngff_zarr_spark.functions.multimodal import (
+        AUD_A,
+        AUD_FP_FRAMES,
+        AUD_I,
+        AUD_LEN_BASE,
+        AUD_LEN_MOD,
+        AUD_MOD,
+        audio_fingerprint,
+        audio_fingerprint_dedup,
+    )
+
+    ids = list(range(0, 200))
+    docs = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+
+    def brute_fp(d):
+        k = AUD_FP_FRAMES
+        n = AUD_LEN_BASE + d % AUD_LEN_MOD
+        wave = [(d * AUD_A + i * AUD_I) % AUD_MOD for i in range(n)]
+        energy = [0] * k
+        for i, w in enumerate(wave):
+            energy[(i * k) // n] += w * w
+        fp = 0
+        for f in range(1, k):
+            if energy[f] > energy[f - 1]:
+                fp |= 1 << (k - 1 - f)
+        return n, fp
+
+    got = {
+        r["doc_id"]: (r["n_samples"], r["fp"])
+        for r in audio_fingerprint(docs).collect()
+    }
+    want = {i: brute_fp(i) for i in ids}
+    assert got == want
+    # grouping
+    groups = Counter(fp for _, fp in want.values())
+    reps = {}
+    for i in ids:
+        fp = want[i][1]
+        reps[fp] = min(reps.get(fp, i), i)
+    got_g = {
+        r["fp"]: (r["n_docs"], r["representative"])
+        for r in audio_fingerprint_dedup(docs).collect()
+    }
+    assert got_g == {fp: (c, reps[fp]) for fp, c in groups.items()}
+    assert any(c > 1 for c, _ in got_g.values()), "corpus must contain dup groups"
