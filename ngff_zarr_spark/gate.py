@@ -3239,6 +3239,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_funnel",
     "events_cohort_retention",
     "events_bloom_semijoin",
+    # r10: trailing-window HLL distinct
+    "events_sliding_distinct",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -3278,6 +3280,7 @@ MULTIMODAL_PARTS = [
     "multimodal_audio",
     "multimodal_augment",
     "multimodal_ahash",
+    "multimodal_audio_dedup",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 # r9 folds: the dedup and ANN families (11 direct slots) become two

@@ -2784,6 +2784,10 @@ _DIGEST_SPECS = {
     "multimodal_resize": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
     "multimodal_augment": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
     "multimodal_ahash": {"doc_id": "l", "h_hi": "l", "h_lo": "l"},
+    "multimodal_audio_dedup": {"fp": "l", "n_docs": "l", "representative": "l"},
+    "events_sliding_distinct": {
+        "hour_epoch": "l", "n_nonempty": "l", "reg_checksum": "l", "est": "d",
+    },
     "multimodal_frame_sample": {"doc_id": "l", "frame": "l", "px_sum": "l"},
     "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sq_sum": "l"},
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
@@ -2830,6 +2834,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_funnel",
     "events_cohort_retention",
     "events_bloom_semijoin",
+    # r10: trailing-window HLL distinct
+    "events_sliding_distinct",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -2869,6 +2875,7 @@ MULTIMODAL_PARTS = [
     "multimodal_audio",
     "multimodal_augment",
     "multimodal_ahash",
+    "multimodal_audio_dedup",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 DEDUP_PARTS = [
