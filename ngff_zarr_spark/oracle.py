@@ -861,18 +861,20 @@ FROM k JOIN t ON t.lang = k.lang
 GROUP BY 1, 2, 3"""
 
 
-def _sql_bigram_cte(table_expr: str = "documents") -> str:
+def _sql_bigram_cte(table_expr: str = "documents", prefix: str = "") -> str:
     """(doc_id, g2, g1) hashed bigrams with duplicates — mirrors
-    functions/lm._doc_bigrams."""
+    functions/lm._doc_bigrams. ``prefix`` namespaces the CTE names so
+    two instances (corpus + target) compose in one WITH chain without
+    post-hoc string surgery (the r9-advisor anti-pattern)."""
     from .functions.lm import LM_BUCKETS as B
 
     g2 = H64.format(s="toks[i] || ' ' || toks[i+1]")
     g1 = H64.format(s="toks[i]")
     toks = f"list_filter(string_split({NORM.format(c='text')}, ' '), t -> t != '')"
-    return f"""q AS (SELECT doc_id, {toks} AS toks FROM {table_expr}),
-bg AS (
+    return f"""{prefix}q AS (SELECT doc_id, {toks} AS toks FROM {table_expr}),
+{prefix}bg AS (
   SELECT doc_id, ({g2}) % {B} AS g2, ({g1}) % {B} AS g1
-  FROM q, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  FROM {prefix}q, unnest(generate_series(1, len(toks) - 1)) AS u(i)
 )"""
 
 
@@ -898,8 +900,8 @@ def sql_corpus_dsir_weights():
     from .functions.lm import LM_BUCKETS as B
 
     return f"""WITH {_sql_bigram_cte()},
-{_sql_bigram_cte("(SELECT * FROM documents WHERE lang = 'en')").replace("q AS", "qt AS").replace("bg AS", "bgt AS").replace("FROM q,", "FROM qt,")},
-tg AS (SELECT g2, COUNT(*) AS ct FROM bgt GROUP BY 1),
+{_sql_bigram_cte("(SELECT * FROM documents WHERE lang = 'en')", prefix="t")},
+tg AS (SELECT g2, COUNT(*) AS ct FROM tbg GROUP BY 1),
 rg AS (SELECT g2, COUNT(*) AS cr FROM bg GROUP BY 1),
 nt AS (SELECT SUM(ct) AS n_t FROM tg),
 nr AS (SELECT SUM(cr) AS n_r FROM rg),
