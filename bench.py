@@ -346,6 +346,9 @@ def bench_percentiles_skew(spark, sf_dir):
 
 QUERIES = {
     "tpch_q1": gate.q_tpch_q1,
+    "tpch_q4": gate.q_tpch_q4,
+    "tpch_q14": gate.q_tpch_q14,
+    "tpch_q19": gate.q_tpch_q19,
     "tpch_q3": gate.q_tpch_q3,
     "tpch_q5": gate.q_tpch_q5,
     "tpch_q6": gate.q_tpch_q6,

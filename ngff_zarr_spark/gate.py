@@ -76,6 +76,8 @@ Q6_LO = "1997-01-01 00:00:00"
 Q6_HI = "1998-01-01 00:00:00"
 Q10_LO = "1997-01-01 00:00:00"
 Q10_HI = "1997-04-01 00:00:00"
+Q14_LO = "1997-09-01 00:00:00"
+Q14_HI = "1997-10-01 00:00:00"
 Q5_REGION = "ASIA"
 Q5_LO = "1996-01-01 00:00:00"
 Q5_HI = "1998-01-01 00:00:00"
@@ -2010,6 +2012,88 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted to this schema's
+    columns: orders in a quarter having AT LEAST ONE late-shipped line
+    (l_shipdate > o_orderdate stands in for the commit/receipt pair the
+    slim lineitem lacks), counted per priority. The plan shape is the
+    point: EXISTS compiles to a LEFT SEMI join with a non-equi
+    residual — no duplicate-inflating inner join, no distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_LO) & (F.col("o_orderdate") < Q10_HI)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO-type parts — conditional aggregation over a fact⋈dim join
+    (part broadcasts). Decimal-exact sums; the percentage is one
+    double division of the two exact sums, rounded 6dp."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_LO) & (F.col("l_shipdate") < Q14_HI)
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("p"),
+            F.sum(rev).alias("t"),
+        )
+    )
+    return agg.select(
+        F.col("p").cast("double").alias("promo_revenue"),
+        F.col("t").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * F.col("p").cast("double") / F.col("t").cast("double"), 6
+        ).alias("promo_pct"),
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted: three disjunctive
+    (brand, size-range, quantity-range) arms over lineitem⋈part. The
+    pushdown showcase for OR predicates — Catalyst extracts the common
+    `p_brand IN (...)` superset filter below the broadcast join and
+    evaluates the residual disjunction post-join; nothing row-explodes."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 def q_tpch_q5(spark, sf_dir):
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
     nation = _t(spark, sf_dir, "nation")
@@ -3545,6 +3629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_stream_build": q_ann_ivf_stream_build,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        # r10: EXISTS semi-join, conditional aggregation, disjunctive
+        # pushdown — three more distinct Catalyst plan shapes
+        "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
         "s2_http_read": q_s2_http_read,
         # r10: rotated out of the window (proven via
         # events_analytics_battery, which digests each one's FULL

@@ -2465,6 +2465,41 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_LO}' AND l_shipdate < TIMESTAMP '{Q6_HI}'
   AND l_quantity < 24"""
 
 
+def sql_tpch_q4():
+    from .gate import Q10_HI, Q10_LO
+
+    return f"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_LO}' AND o.o_orderdate < TIMESTAMP '{Q10_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1"""
+
+
+def sql_tpch_q14():
+    from .gate import Q14_HI, Q14_LO
+
+    return f"""WITH j AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_LO}' AND l_shipdate < TIMESTAMP '{Q14_HI}'
+),
+a AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS p, SUM(rev) AS t FROM j
+)
+SELECT CAST(p AS DOUBLE) AS promo_revenue, CAST(t AS DOUBLE) AS total_revenue,
+       round(100.0 * CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 6) AS promo_pct
+FROM a"""
+
+
+def sql_tpch_q19():
+    return """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+
 def sql_tpch_q10():
     from .gate import Q10_HI, Q10_LO
 
@@ -3033,6 +3068,9 @@ def oracles() -> dict[str, str]:
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "tpch_q6": sql_tpch_q6(),
+        "tpch_q4": sql_tpch_q4(),
+        "tpch_q14": sql_tpch_q14(),
+        "tpch_q19": sql_tpch_q19(),
         "tpch_q10": sql_tpch_q10(),
         "j3_well_catalog": sql_j3_well_catalog(),
         "f7_well_lookup": sql_f7_well_lookup(),
