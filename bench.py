@@ -418,6 +418,8 @@ QUERIES = {
     "multimodal_image_dedup": gate.q_multimodal_image_dedup,
     # r10: trailing-24h distinct users via max-merged hourly HLL regs
     # r10: audio-fingerprint exact dedup groups
+    # r10: shared-clip detection via frame-token shingling
+    "multimodal_video_clips": gate.q_multimodal_video_clips,
     "multimodal_audio_dedup": gate.q_multimodal_audio_dedup,
     "events_sliding_distinct": gate.q_events_sliding_distinct,
     # r10: exact percentiles — production (bucketed) plan on natural

@@ -468,3 +468,102 @@ def audio_fingerprint_dedup(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").alias("representative"),
     )
+
+
+VID_TOKEN_MOD = 1 << 31
+VID_TOKEN_BASE = 263
+VID_CLIP_W = 3  # frames per clip window
+
+
+def video_frame_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, frame, token): a rolling-hash content token per decoded
+    video frame — acc = (acc·263 + pixel) mod 2³¹ folded over the
+    frame's bytes (the engine's document-fingerprinting rolling-hash
+    style applied to pixels). Injective over this corpus's frame
+    contents (pytest-pinned); the oracle computes the identical
+    polynomial with precomputed power-mod coefficients."""
+    from .text import spread
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb = FRAME_H * FRAME_W
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = N_FRAMES_BASE + d % N_FRAMES_MOD
+                raw = np.frombuffer(
+                    synth_video_bytes(d, nf), dtype=np.uint8
+                ).reshape(nf, fb).astype(np.int64)
+                for f in range(nf):
+                    acc = 0
+                    for px in raw[f]:
+                        acc = (acc * VID_TOKEN_BASE + int(px)) % VID_TOKEN_MOD
+                    rows.append((d, f, acc))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame", "token"])
+
+    return (
+        spread(docs)
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, frame long, token long")
+    )
+
+
+def video_shared_clips(docs: DataFrame, w: int = VID_CLIP_W) -> DataFrame:
+    """Shared-clip detection across videos: the keep-one substring-
+    dedup skeleton applied to FRAME-TOKEN sequences — a clip is a
+    window of ``w`` consecutive frame tokens, and every occurrence of
+    a corpus-repeated clip is labeled with the global occurrence count
+    and the lexicographically smallest (doc_id, pos) witness
+    (``is_canonical`` marks the one copy a clip-dedup pass keeps).
+    Returns (doc_id, pos, gh, n_occ, rep_doc, rep_pos, is_canonical).
+
+    Plan shape: the only Python stage is the per-frame token fold
+    (Arrow batches); windows build from per-video token arrays
+    (collect_list bounded by FRAME COUNT — the per-video sibling of
+    the per-doc bound), and the repeat detection is the same
+    gram-count aggregate + cardinality-preserving join as
+    duplicated_span_removal — hot clips (this corpus repeats every
+    window) partial-aggregate map-side and cannot blow up the join."""
+    from .text import h64
+
+    ft = video_frame_tokens(docs)
+    arrs = ft.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("frame", "token"))),
+            lambda s: s["token"].cast("string"),
+        ).alias("toks")
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    wins = F.when(
+        n >= w,
+        F.transform(
+            idx,
+            lambda i: h64(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(w)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    occ = arrs.select("doc_id", F.posexplode(wins).alias("pos", "gh")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "gh"
+    )
+    stats = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("wit"),
+    )
+    rep = stats.filter(F.col("n_occ") >= 2).select(
+        "gh", "n_occ",
+        F.col("wit.doc_id").alias("rep_doc"),
+        F.col("wit.pos").cast("long").alias("rep_pos"),
+    )
+    return occ.join(rep, "gh").select(
+        "doc_id", "pos", "gh", "n_occ", "rep_doc", "rep_pos",
+        (
+            (F.col("doc_id") == F.col("rep_doc"))
+            & (F.col("pos") == F.col("rep_pos"))
+        ).alias("is_canonical"),
+    )

@@ -1722,6 +1722,18 @@ def q_multimodal_image_dedup(spark, sf_dir):
     return image_near_dup(_docs(spark, sf_dir), max_hamming=1)
 
 
+def q_multimodal_video_clips(spark, sf_dir):
+    """Shared-clip detection across videos (functions/multimodal.
+    video_shared_clips): per-frame rolling-hash content tokens from
+    decoded frame bytes, 3-frame clip windows through the keep-one
+    substring-dedup skeleton — occurrence-level verdicts with
+    canonical witnesses. The oracle re-derives every pixel, token
+    (power-mod polynomial), window, and witness in SQL."""
+    from .functions.multimodal import video_shared_clips
+
+    return video_shared_clips(_docs(spark, sf_dir))
+
+
 def q_multimodal_audio_dedup(spark, sf_dir):
     """Exact audio-fingerprint duplicate groups (functions/multimodal.
     audio_fingerprint_dedup): 32-frame energy-delta signatures from
@@ -3661,6 +3673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dedup": q_multimodal_image_dedup,
         # r10: trailing-24h distinct users via max-merged hourly HLL
         # r10: audio-fingerprint exact dedup groups
+        # r10: shared-clip detection via frame-token shingling
+        "multimodal_video_clips": q_multimodal_video_clips,
         "multimodal_audio_dedup": q_multimodal_audio_dedup,
         "events_sliding_distinct": q_events_sliding_distinct,
         "corpus_seeded_shuffle": q_corpus_seeded_shuffle,

@@ -2156,6 +2156,73 @@ JOIN ah hb ON hb.doc_id = c.doc_b
 WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 1"""
 
 
+def sql_multimodal_video_clips():
+    from .functions.multimodal import (
+        FRAME_H,
+        FRAME_W,
+        N_FRAMES_BASE,
+        N_FRAMES_MOD,
+        VID_A,
+        VID_CLIP_W,
+        VID_F,
+        VID_MOD,
+        VID_TOKEN_BASE,
+        VID_TOKEN_MOD,
+        VID_X,
+        VID_Y,
+        video_frame_tokens,  # noqa: F401  (parity anchor)
+    )
+
+    fb = FRAME_H * FRAME_W
+    # power-mod coefficients: 263^(fb-1-i) mod 2^31 — the iterative
+    # pixel fold mod 2^31 equals this polynomial because mod
+    # distributes over the fold
+    coef = [pow(VID_TOKEN_BASE, fb - 1 - i, VID_TOKEN_MOD) for i in range(fb)]
+    px = (
+        f"(doc_id * {VID_A} + fr.f * {VID_F} + (p.i // {FRAME_W}) * {VID_Y}"
+        f" + (p.i % {FRAME_W}) * {VID_X}) % {VID_MOD}"
+    )
+    coef_case = "CASE p.i " + " ".join(
+        f"WHEN {i} THEN {c}" for i, c in enumerate(coef)
+    ) + " END"
+    w = VID_CLIP_W
+    gram = "array_to_string(toks[i:i+" + str(w - 1) + "], ' ')"
+    return f"""WITH dims AS (
+  SELECT doc_id, {N_FRAMES_BASE} + doc_id % {N_FRAMES_MOD} AS nf FROM documents
+),
+tok AS (
+  SELECT doc_id, fr.f AS f,
+         CAST(SUM(({px}) * ({coef_case})) % {VID_TOKEN_MOD} AS BIGINT) AS token
+  FROM dims
+  CROSS JOIN range({N_FRAMES_BASE + N_FRAMES_MOD - 1}) fr(f)
+  CROSS JOIN range({fb}) p(i)
+  WHERE fr.f < nf
+  GROUP BY 1, 2
+),
+arrs AS (
+  SELECT doc_id, list(CAST(token AS VARCHAR) ORDER BY f) AS toks FROM tok GROUP BY 1
+),
+og AS (
+  SELECT doc_id, i - 1 AS pos, {H64.format(s=gram)} AS gh
+  FROM arrs, unnest(generate_series(1, len(toks) - {w} + 1)) AS u(i)
+),
+r AS (
+  SELECT doc_id, pos, gh,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gh) AS n_occ,
+         MIN(doc_id) OVER (PARTITION BY gh) AS _d0
+  FROM og
+),
+wit AS (
+  SELECT gh, doc_id AS rep_doc, CAST(pos AS BIGINT) AS rep_pos FROM r WHERE rn = 1
+)
+SELECT r.doc_id, CAST(r.pos AS BIGINT) AS pos, r.gh,
+       CAST(r.n_occ AS BIGINT) AS n_occ, w.rep_doc, w.rep_pos,
+       (r.doc_id = w.rep_doc AND r.pos = w.rep_pos) AS is_canonical
+FROM r JOIN wit w ON w.gh = r.gh
+WHERE r.n_occ >= 2"""
+
+
 def sql_multimodal_audio_dedup():
     from .functions.multimodal import (
         AUD_A,
@@ -3035,6 +3102,7 @@ def oracles() -> dict[str, str]:
         "multimodal_audio": sql_multimodal_audio(),
         "sketch_kmv_distinct": sql_sketch_kmv_distinct(),
         "sketch_count_min": sql_sketch_count_min(),
+        "multimodal_video_clips": sql_multimodal_video_clips(),
         "multimodal_audio_dedup": sql_multimodal_audio_dedup(),
         "events_sliding_distinct": sql_events_sliding_distinct(),
         "events_hourly": sql_events_hourly(),

@@ -147,3 +147,79 @@ def test_audio_fingerprint_matches_formula(spark):
     }
     assert got_g == {fp: (c, reps[fp]) for fp, c in groups.items()}
     assert any(c > 1 for c, _ in got_g.values()), "corpus must contain dup groups"
+
+
+def test_video_clip_detection(spark):
+    """Frame tokens pinned against the formula (and injective over all
+    256 possible frame contents); the shared-clip table pinned against
+    an O(n²) brute force; exactly one canonical keeper per clip."""
+    from collections import Counter
+
+    from ngff_zarr_spark.functions.multimodal import (
+        FRAME_H,
+        FRAME_W,
+        N_FRAMES_BASE,
+        N_FRAMES_MOD,
+        VID_A,
+        VID_CLIP_W,
+        VID_F,
+        VID_MOD,
+        VID_TOKEN_BASE,
+        VID_TOKEN_MOD,
+        VID_X,
+        VID_Y,
+        video_frame_tokens,
+        video_shared_clips,
+    )
+
+    def brute_token(d, f):
+        acc = 0
+        for i in range(FRAME_H * FRAME_W):
+            px = (d * VID_A + f * VID_F + (i // FRAME_W) * VID_Y
+                  + (i % FRAME_W) * VID_X) % VID_MOD
+            acc = (acc * VID_TOKEN_BASE + px) % VID_TOKEN_MOD
+        return acc
+
+    # injectivity over every possible frame content (content key mod 256)
+    assert len({brute_token(0, f) for f in range(256)}) == 256
+
+    ids = list(range(0, 150))
+    docs = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+    got_t = {
+        (r["doc_id"], r["frame"]): r["token"]
+        for r in video_frame_tokens(docs).collect()
+    }
+    want_t = {
+        (d, f): brute_token(d, f)
+        for d in ids
+        for f in range(N_FRAMES_BASE + d % N_FRAMES_MOD)
+    }
+    assert got_t == want_t
+
+    w = VID_CLIP_W
+    occ = {}
+    for d in ids:
+        nf = N_FRAMES_BASE + d % N_FRAMES_MOD
+        toks = [brute_token(d, f) for f in range(nf)]
+        for p in range(nf - w + 1):
+            occ.setdefault(tuple(toks[p : p + w]), []).append((d, p))
+    want = {}
+    for sites in occ.values():
+        if len(sites) < 2:
+            continue
+        wit = min(sites)
+        for d, p in sites:
+            want[(d, p)] = (len(sites), wit[0], wit[1], (d, p) == wit)
+    got = {
+        (r["doc_id"], r["pos"]): (
+            r["n_occ"], r["rep_doc"], r["rep_pos"], r["is_canonical"]
+        )
+        for r in video_shared_clips(docs).collect()
+    }
+    assert got == want
+    # one keeper per clip
+    canon = Counter(
+        (v[1], v[2]) for v in got.values() if v[3]
+    )
+    assert all(c == 1 for c in canon.values())
+    assert want, "corpus must contain shared clips"
