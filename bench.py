@@ -419,6 +419,8 @@ QUERIES = {
     # r10: trailing-24h distinct users via max-merged hourly HLL regs
     # r10: audio-fingerprint exact dedup groups
     # r10: shared-clip detection via frame-token shingling
+    # r10: cross-modal keep/drop composition
+    "multimodal_dedup_verdict": gate.q_multimodal_dedup_verdict,
     "multimodal_video_clips": gate.q_multimodal_video_clips,
     "multimodal_audio_dedup": gate.q_multimodal_audio_dedup,
     "events_sliding_distinct": gate.q_events_sliding_distinct,

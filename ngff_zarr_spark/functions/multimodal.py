@@ -567,3 +567,57 @@ def video_shared_clips(docs: DataFrame, w: int = VID_CLIP_W) -> DataFrame:
             & (F.col("pos") == F.col("rep_pos"))
         ).alias("is_canonical"),
     )
+
+
+def multimodal_dedup_verdict(docs: DataFrame) -> DataFrame:
+    """Cross-modal keep/drop decision — the multimodal sibling of
+    corpus.filter_pipeline: a document is dropped if ANY modality is a
+    non-canonical duplicate, with short-circuit reason precedence
+    text > image > audio (matching how pipeline stages order: the
+    cheapest exact signal wins the label). Keep rule per modality is
+    the engine's standing policy — smallest doc_id of the group is
+    the canonical representative.
+
+    Returns (doc_id, reason, keep): reason ∈ {'text_dup', 'image_dup',
+    'audio_dup', 'unique'}; keep = 'yes' iff the doc is every
+    modality's representative (or its content is unique there).
+
+    Plan shape: three independent hash aggregates (text md5 groups,
+    image aHash groups, audio fingerprint groups) joined back to the
+    doc list on doc_id/group keys — no modality ever pays for another
+    modality's shuffle, and each join is cardinality-preserving."""
+    from .dedup import _norm_text
+
+    ids = docs.select("doc_id")
+    tkey = docs.select(
+        "doc_id", F.md5(_norm_text(F.col("text"))).alias("ck")
+    )
+    trep = tkey.groupBy("ck").agg(F.min("doc_id").alias("rep"))
+    tdup = tkey.join(trep, "ck").select(
+        "doc_id", (F.col("doc_id") != F.col("rep")).alias("text_dup")
+    )
+    ah = image_ahash(docs)
+    arep = ah.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("rep"))
+    adup = ah.join(arep, ["h_hi", "h_lo"]).select(
+        "doc_id", (F.col("doc_id") != F.col("rep")).alias("image_dup")
+    )
+    fp = audio_fingerprint(docs).select("doc_id", "fp")
+    frep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    fdup = fp.join(frep, "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("rep")).alias("audio_dup")
+    )
+    j = ids.join(tdup, "doc_id").join(adup, "doc_id").join(fdup, "doc_id")
+    reason = (
+        F.when(F.col("text_dup"), F.lit("text_dup"))
+        .when(F.col("image_dup"), F.lit("image_dup"))
+        .when(F.col("audio_dup"), F.lit("audio_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("reason"),
+        F.when(
+            F.col("text_dup") | F.col("image_dup") | F.col("audio_dup"),
+            F.lit("no"),
+        ).otherwise(F.lit("yes")).alias("keep"),
+    )

@@ -1722,6 +1722,18 @@ def q_multimodal_image_dedup(spark, sf_dir):
     return image_near_dup(_docs(spark, sf_dir), max_hamming=1)
 
 
+def q_multimodal_dedup_verdict(spark, sf_dir):
+    """Cross-modal keep/drop decision (functions/multimodal.
+    multimodal_dedup_verdict): drop if ANY of text-md5 / image-aHash /
+    audio-fingerprint marks the doc a non-canonical duplicate, reason
+    precedence text > image > audio. The oracle recomputes all three
+    group tables from first principles and applies the same
+    precedence."""
+    from .functions.multimodal import multimodal_dedup_verdict
+
+    return multimodal_dedup_verdict(_docs(spark, sf_dir))
+
+
 def q_multimodal_video_clips(spark, sf_dir):
     """Shared-clip detection across videos (functions/multimodal.
     video_shared_clips): per-frame rolling-hash content tokens from
@@ -3674,6 +3686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: trailing-24h distinct users via max-merged hourly HLL
         # r10: audio-fingerprint exact dedup groups
         # r10: shared-clip detection via frame-token shingling
+        # r10: cross-modal keep/drop composition
+        "multimodal_dedup_verdict": q_multimodal_dedup_verdict,
         "multimodal_video_clips": q_multimodal_video_clips,
         "multimodal_audio_dedup": q_multimodal_audio_dedup,
         "events_sliding_distinct": q_events_sliding_distinct,

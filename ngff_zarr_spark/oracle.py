@@ -2156,6 +2156,58 @@ JOIN ah hb ON hb.doc_id = c.doc_b
 WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 1"""
 
 
+def sql_multimodal_dedup_verdict():
+    from .functions.multimodal import (
+        AUD_A,
+        AUD_FP_FRAMES,
+        AUD_I,
+        AUD_LEN_BASE,
+        AUD_LEN_MOD,
+        AUD_MOD,
+    )
+
+    k = AUD_FP_FRAMES
+    max_n = AUD_LEN_BASE + AUD_LEN_MOD - 1
+    return f"""WITH {_sql_ahash_cte()},
+tkey AS (SELECT doc_id, md5({NORM.format(c='text')}) AS ck FROM documents),
+trep AS (SELECT ck, MIN(doc_id) AS rep FROM tkey GROUP BY 1),
+tdup AS (SELECT t.doc_id, t.doc_id <> r.rep AS text_dup FROM tkey t JOIN trep r USING (ck)),
+arep AS (SELECT h_hi, h_lo, MIN(doc_id) AS rep FROM ah GROUP BY 1, 2),
+adup AS (SELECT a.doc_id, a.doc_id <> r.rep AS image_dup
+         FROM ah a JOIN arep r ON a.h_hi = r.h_hi AND a.h_lo = r.h_lo),
+adims AS (SELECT doc_id, {AUD_LEN_BASE} + doc_id % {AUD_LEN_MOD} AS n FROM documents),
+asmp AS (
+  SELECT doc_id, n, (r.i * {k}) // n AS f,
+         (doc_id * {AUD_A} + r.i * {AUD_I}) % {AUD_MOD} AS w
+  FROM adims CROSS JOIN range({max_n}) r(i) WHERE r.i < n
+),
+aen AS (SELECT doc_id, f, SUM(w * w) AS energy FROM asmp GROUP BY 1, 2),
+abits AS (
+  SELECT doc_id, f,
+         CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id ORDER BY f)
+              THEN 1 ELSE 0 END AS b
+  FROM aen
+),
+afps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN f >= 1 THEN b * power(2, {k} - 1 - f) ELSE 0 END) AS BIGINT) AS fp
+  FROM abits GROUP BY 1
+),
+frep AS (SELECT fp, MIN(doc_id) AS rep FROM afps GROUP BY 1),
+fdup AS (SELECT a.doc_id, a.doc_id <> r.rep AS audio_dup FROM afps a JOIN frep r USING (fp))
+SELECT d.doc_id,
+       CASE WHEN tdup.text_dup THEN 'text_dup'
+            WHEN adup.image_dup THEN 'image_dup'
+            WHEN fdup.audio_dup THEN 'audio_dup'
+            ELSE 'unique' END AS reason,
+       CASE WHEN tdup.text_dup OR adup.image_dup OR fdup.audio_dup
+            THEN 'no' ELSE 'yes' END AS keep
+FROM documents d
+JOIN tdup ON tdup.doc_id = d.doc_id
+JOIN adup ON adup.doc_id = d.doc_id
+JOIN fdup ON fdup.doc_id = d.doc_id"""
+
+
 def sql_multimodal_video_clips():
     from .functions.multimodal import (
         FRAME_H,
@@ -3102,6 +3154,7 @@ def oracles() -> dict[str, str]:
         "multimodal_audio": sql_multimodal_audio(),
         "sketch_kmv_distinct": sql_sketch_kmv_distinct(),
         "sketch_count_min": sql_sketch_count_min(),
+        "multimodal_dedup_verdict": sql_multimodal_dedup_verdict(),
         "multimodal_video_clips": sql_multimodal_video_clips(),
         "multimodal_audio_dedup": sql_multimodal_audio_dedup(),
         "events_sliding_distinct": sql_events_sliding_distinct(),

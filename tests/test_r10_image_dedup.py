@@ -223,3 +223,62 @@ def test_video_clip_detection(spark):
     )
     assert all(c == 1 for c in canon.values())
     assert want, "corpus must contain shared clips"
+
+
+def test_multimodal_dedup_verdict(spark):
+    """Cross-modal verdict pinned against brute-force per-modality
+    groups with precedence text > image > audio; representatives keep,
+    non-canonical dups drop with the right reason."""
+    from ngff_zarr_spark.functions.multimodal import multimodal_dedup_verdict
+
+    # doc 3 repeats doc 0's TEXT; every doc's image/audio derive from
+    # its own id, so image/audio dups arise only from hash collisions
+    rows = [
+        (0, "same text content here"),
+        (1, "unique one"),
+        (2, "unique two"),
+        (3, "same text content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in multimodal_dedup_verdict(docs).collect()
+    }
+    assert got[3] == ("text_dup", "no")  # non-canonical text copy drops
+    assert got[0][1] == "yes" or got[0][0] in ("image_dup", "audio_dup")
+    assert len(got) == 4
+    # reasons limited to the defined vocabulary
+    assert set(r for r, _ in got.values()) <= {
+        "text_dup", "image_dup", "audio_dup", "unique"
+    }
+    # larger corpus: verdict consistent with the standalone group ops
+    from ngff_zarr_spark.functions.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+    )
+    from ngff_zarr_spark.functions.dedup import exact_dedup
+
+    ids = list(range(80))
+    big = spark.createDataFrame(
+        [(i, f"text {i % 30}") for i in ids], "doc_id long, text string"
+    )
+    v = {r["doc_id"]: (r["reason"], r["keep"]) for r in multimodal_dedup_verdict(big).collect()}
+    # brute: text groups by i%30; image/audio groups from hashes
+    tgrp = {}
+    for i in ids:
+        tgrp.setdefault(i % 30, []).append(i)
+    ah = {r["doc_id"]: (r["h_hi"], r["h_lo"]) for r in image_ahash(big).collect()}
+    fp = {r["doc_id"]: r["fp"] for r in audio_fingerprint(big).collect()}
+    def rep(groups, i, key):
+        return min(j for j in ids if key(j) == key(i))
+    for i in ids:
+        text_dup = i != min(tgrp[i % 30])
+        image_dup = i != rep(None, i, lambda j: ah[j])
+        audio_dup = i != rep(None, i, lambda j: fp[j])
+        want_reason = (
+            "text_dup" if text_dup else
+            "image_dup" if image_dup else
+            "audio_dup" if audio_dup else "unique"
+        )
+        want_keep = "no" if (text_dup or image_dup or audio_dup) else "yes"
+        assert v[i] == (want_reason, want_keep), i
