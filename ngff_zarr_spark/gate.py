@@ -3389,6 +3389,9 @@ MULTIMODAL_PARTS = [
     "multimodal_augment",
     "multimodal_ahash",
     "multimodal_audio_dedup",
+    "multimodal_image_dedup",
+    "multimodal_video_clips",
+    "multimodal_dedup_verdict",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 # r9 folds: the dedup and ANN families (11 direct slots) become two

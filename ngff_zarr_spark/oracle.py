@@ -2941,6 +2941,12 @@ _DIGEST_SPECS = {
     "multimodal_augment": {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
     "multimodal_ahash": {"doc_id": "l", "h_hi": "l", "h_lo": "l"},
     "multimodal_audio_dedup": {"fp": "l", "n_docs": "l", "representative": "l"},
+    "multimodal_image_dedup": {"doc_a": "l", "doc_b": "l", "dist": "l"},
+    "multimodal_video_clips": {
+        "doc_id": "l", "pos": "l", "gh": "l", "n_occ": "l",
+        "rep_doc": "l", "rep_pos": "l", "is_canonical": "s",
+    },
+    "multimodal_dedup_verdict": {"doc_id": "l", "reason": "s", "keep": "s"},
     "events_sliding_distinct": {
         "hour_epoch": "l", "n_nonempty": "l", "reg_checksum": "l", "est": "d",
     },
@@ -3032,6 +3038,9 @@ MULTIMODAL_PARTS = [
     "multimodal_augment",
     "multimodal_ahash",
     "multimodal_audio_dedup",
+    "multimodal_image_dedup",
+    "multimodal_video_clips",
+    "multimodal_dedup_verdict",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
 DEDUP_PARTS = [
