@@ -81,6 +81,18 @@ Q14_HI = "1997-10-01 00:00:00"
 Q5_REGION = "ASIA"
 Q5_LO = "1996-01-01 00:00:00"
 Q5_HI = "1998-01-01 00:00:00"
+# r11 correlated-subquery family (VERDICT r10 ask #4), adapted to the
+# slim schema: q17 drops p_container (brand + size stand in), q21's
+# "kept waiting" is l_shipdate > o_orderdate + 60 days (no commit/
+# receipt dates), q22's "dormant" is no order since the cutoff (every
+# synthetic customer has at least one order, so the classic "never
+# ordered" anti-join is vacuously empty here)
+Q17_BRAND = "Brand#23"
+Q17_MAX_SIZE = 10
+Q21_LATE_DAYS = 60
+Q21_NATIONS = ("NATION_5", "NATION_10")
+Q22_SEGMENTS = (1, 5, 9, 13, 17, 21)
+Q22_CUTOFF = "2000-07-01 00:00:00"
 
 
 def _tmp_store(name: str) -> str:
@@ -2118,6 +2130,137 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted: average
+    yearly revenue lost if small-quantity orders (below 20% of the
+    part's mean order quantity) were dropped, over one brand + size
+    band. The scalar correlated subquery per part decorrelates into a
+    per-part aggregate joined back — expressed directly as that plan:
+    one hash aggregate over the brand-filtered lineitems (part side
+    broadcasts), broadcast-joined back by partkey. The threshold
+    compare is integer-exact (l_quantity is integral: qty*5*cnt < sum
+    avoids the avg division entirely)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_MAX_SIZE)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lf = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = lf.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cq")
+    )
+    small = lf.join(F.broadcast(thr), "l_partkey").filter(
+        F.col("l_quantity") * 5 * F.col("cq") < F.col("sq")
+    )
+    return small.agg(
+        F.round(
+            (
+                F.coalesce(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
+                    F.lit(0).cast("decimal(18,6)"),
+                )
+                / 7.0
+            ).cast("double"),
+            6,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: for
+    finished orders, count per supplier the late lines (shipped > 60
+    days after order date) in multi-supplier orders where NO other
+    supplier was late — EXISTS + NOT EXISTS self-joins on the fact
+    table. Plan shape: the derived (orderkey, suppkey, late) table is
+    self-semi- and self-anti-joined on the orderkey hash key with a
+    suppkey<>suppkey residual (no BroadcastNestedLoopJoin, nothing
+    row-explodes); the 8-row supplier⋈nation dim broadcasts and
+    prunes l1 before the self-joins."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lf = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*Q21_NATIONS)
+    ).select("n_nationkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        lf.filter(F.col("late"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = lf.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lf.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("o2")) & (F.col("s2") != l1.l_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("o3")) & (F.col("s3") != l1.l_suppkey),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted: dormant
+    high-balance customers per segment nation — balance above the
+    segment's positive-balance mean (scalar aggregate broadcast as a
+    deliberate 1-row join) and no order since Q22_CUTOFF (anti join).
+    The scalar subquery + anti-join Catalyst family the existing set
+    lacked. totacctbal sums 2-decimal money decimal-exact."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*Q22_SEGMENTS)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("_thr")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= Q22_CUTOFF
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def q_tpch_q5(spark, sf_dir):
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
     nation = _t(spark, sf_dir, "nation")
@@ -3403,6 +3546,9 @@ DEDUP_PARTS = [
     "dedup_keep",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    # r11 (VERDICT r10 ask #2): the streaming gram-ledger twin of
+    # keep-one substring dedup, previously slot 147 (ungraded)
+    "dedup_substring_stream",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -3411,6 +3557,24 @@ ANN_PARTS = [
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "emb_near_dup_lsh",
+    # r11 (VERDICT r10 ask #2): the three r10 additions previously at
+    # slots 143-145 (past the window, ungraded) now grade via digest
+    "ann_ivf_balanced",
+    "semantic_dedup",
+    "ann_recall_eval",
+]
+# r11 (VERDICT r10 ask #4): every past-the-window TPC-H plan-family
+# gate — including the new correlated-subquery trio — grades in-window
+# via one digest slot (q1/q3/q5 stay direct at slots 1-3)
+TPCH_PARTS = [
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 
@@ -3461,6 +3625,16 @@ def q_dedup_battery(spark, sf_dir):
     components, keep decision, SimHash, n-gram Jaccard) in one digest
     slot — frees four slots for direct grading of the r8/r9 rotation."""
     return _digest_battery(DEDUP_PARTS)(spark, sf_dir)
+
+
+def q_tpch_battery(spark, sf_dir):
+    """r11 fold: the eight past-the-window TPC-H gates (EXISTS semi,
+    full-pushdown scan agg, join-heavy top-20, conditional agg,
+    disjunctive pushdown, decorrelated scalar-per-group, multi-EXISTS
+    self-joins, scalar aggregate + anti join) in one digest slot —
+    the whole relational plan-family surface now drives a green
+    CORRECTNESS row each round."""
+    return _digest_battery(TPCH_PARTS)(spark, sf_dir)
 
 
 def q_ann_battery(spark, sf_dir):
@@ -3550,7 +3724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles_bucketed": q_events_percentiles_bucketed,
         "events_user_topn_bucketed": q_events_user_topn_bucketed,
         "events_asof_stream": q_events_asof_stream,
-        "events_range_windows_bucketed": q_events_range_windows_bucketed,
+        # r11: events_range_windows_bucketed rotates past the window
+        # (still value-proven via events_analytics_battery's digest of
+        # its FULL output) to free the slot for the TPC-H battery —
+        # the relational plan-family gates were the only registered
+        # surface with no driver-graded row
+        "tpch_battery": q_tpch_battery,
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "dedup_skew_cluster": q_dedup_skew_cluster,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -3661,6 +3840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
+        # r11: correlated-subquery family (VERDICT r10 ask #4) —
+        # decorrelated scalar-per-group, multi-EXISTS self-joins,
+        # scalar aggregate + anti join; graded via tpch_battery
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "s2_http_read": q_s2_http_read,
         # r10: rotated out of the window (proven via
         # events_analytics_battery, which digests each one's FULL
@@ -3670,6 +3855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
         "events_bloom_semijoin": q_events_bloom_semijoin,
+        # r11: rotated out for tpch_battery (proven via
+        # events_analytics_battery)
+        "events_range_windows_bucketed": q_events_range_windows_bucketed,
         # r10: capacity-bounded IVF quantizer on an adversarially
         # clustered corpus (VERDICT r9 ask #6), SemDeDup-style
         # embedding dedup over its bounded lists, and the measured

@@ -2619,6 +2619,74 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
 
 
+def sql_tpch_q17():
+    # decorrelated form written out (per-part agg joined back) — the
+    # threshold compare is the integer-exact qty*5*cnt < sum rewrite of
+    # qty < 0.2*avg (l_quantity is integral, sums stay under 2^53)
+    from .gate import Q17_BRAND, Q17_MAX_SIZE
+
+    return f"""WITH pf AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = '{Q17_BRAND}' AND p_size <= {Q17_MAX_SIZE}
+),
+lf AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN pf ON pf.p_partkey = l.l_partkey
+),
+t AS (
+  SELECT l_partkey, SUM(l_quantity) AS sq, COUNT(*) AS cq FROM lf GROUP BY 1
+)
+SELECT round(CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,6))),
+                           CAST(0 AS DECIMAL(18,6))) / 7.0 AS DOUBLE), 6)
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM lf JOIN t USING (l_partkey)
+WHERE l_quantity * 5 * cq < sq"""
+
+
+def sql_tpch_q21():
+    from .gate import Q21_LATE_DAYS, Q21_NATIONS
+
+    nations = ", ".join(f"'{n}'" for n in Q21_NATIONS)
+    return f"""WITH lf AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lf l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name IN ({nations})
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lf l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lf l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10"""
+
+
+def sql_tpch_q22():
+    from .gate import Q22_CUTOFF, Q22_SEGMENTS
+
+    segs = ", ".join(str(s) for s in Q22_SEGMENTS)
+    return f"""WITH seg AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN ({segs})
+),
+thr AS (SELECT round(AVG(c_acctbal), 6) AS a FROM seg WHERE c_acctbal > 0.0)
+SELECT c_nationkey AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM seg, thr
+WHERE c_acctbal > thr.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = seg.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY 1"""
+
+
 def sql_tpch_q10():
     from .gate import Q10_HI, Q10_LO
 
@@ -2981,6 +3049,22 @@ _DIGEST_SPECS = {
         "lang": "s", "n_total": "l", "threshold": "l", "n_kept": "l",
     },
     "corpus_kmeans_profile": {"cell": "l", "n_vectors": "l"},
+    # r11 folds (VERDICT r10 ask #2)
+    "ann_ivf_balanced": {"cell": "l", "subcell": "l", "n": "l"},
+    "semantic_dedup": {"vec_id": "l", "keep": "s", "dup_of": "l"},
+    "ann_recall_eval": {"query_id": "l", "n_hit": "l", "recall": "d"},
+    "dedup_substring_stream": {
+        "gh": "l", "n_occ": "l", "rep_doc": "l", "rep_pos": "l",
+    },
+    # r11 TPC-H battery constituents (VERDICT r10 ask #4)
+    "tpch_q4": {"o_orderpriority": "s", "order_count": "l"},
+    "tpch_q6": {"revenue": "d"},
+    "tpch_q10": {"c_custkey": "l", "c_name": "s", "n_name": "s", "revenue": "d"},
+    "tpch_q14": {"promo_revenue": "d", "total_revenue": "d", "promo_pct": "d"},
+    "tpch_q19": {"revenue": "d"},
+    "tpch_q17": {"avg_yearly": "d", "n_small_lines": "l"},
+    "tpch_q21": {"s_name": "s", "numwait": "l"},
+    "tpch_q22": {"cntrycode": "l", "numcust": "l", "totacctbal": "d"},
 }
 
 EVENTS_ANALYTICS_PARTS = [
@@ -3049,6 +3133,9 @@ DEDUP_PARTS = [
     "dedup_keep",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    # r11 (VERDICT r10 ask #2): the streaming gram-ledger twin of
+    # keep-one substring dedup, previously slot 147 (ungraded)
+    "dedup_substring_stream",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -3057,6 +3144,22 @@ ANN_PARTS = [
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "emb_near_dup_lsh",
+    # r11 (VERDICT r10 ask #2): the three r10 additions previously at
+    # slots 143-145 (past the window, ungraded) now grade via digest
+    "ann_ivf_balanced",
+    "semantic_dedup",
+    "ann_recall_eval",
+]
+# r11 (VERDICT r10 ask #4): mirror of gate.TPCH_PARTS
+TPCH_PARTS = [
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 
@@ -3202,6 +3305,9 @@ def oracles() -> dict[str, str]:
         "tpch_q14": sql_tpch_q14(),
         "tpch_q19": sql_tpch_q19(),
         "tpch_q10": sql_tpch_q10(),
+        "tpch_q17": sql_tpch_q17(),
+        "tpch_q21": sql_tpch_q21(),
+        "tpch_q22": sql_tpch_q22(),
         "j3_well_catalog": sql_j3_well_catalog(),
         "f7_well_lookup": sql_f7_well_lookup(),
         "s18_hcs_store_read": sql_s18_hcs_store_read(),
@@ -3388,6 +3494,7 @@ GROUP BY 1, 2, 3""",
         ("sketch_battery", SKETCH_PARTS),
         ("dedup_battery", DEDUP_PARTS),
         ("ann_battery", ANN_PARTS),
+        ("tpch_battery", TPCH_PARTS),
     ):
         d[bname] = "\nUNION ALL\n".join(
             _digest_sql(p, d[p], _DIGEST_SPECS[p]) for p in parts

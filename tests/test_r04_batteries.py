@@ -95,6 +95,8 @@ BATTERIES = {
     # r9 folds: dedup + ANN families (digest batteries)
     "dedup_battery": gate.DEDUP_PARTS,
     "ann_battery": gate.ANN_PARTS,
+    # r11 fold: the past-the-window TPC-H plan-family gates
+    "tpch_battery": gate.TPCH_PARTS,
 }
 
 
@@ -154,15 +156,18 @@ def test_first_50_layout():
     # tolerance forms and the funnel/cohort/bloom trio, which move
     # past the window — each still value-proven via
     # events_analytics_battery and individually addressable.
+    # r11 rotation (VERDICT r10 ask #4): events_range_windows_bucketed
+    # moves past the window (still value-proven via
+    # events_analytics_battery) and tpch_battery takes its slot
     for k in (
         "dedup_battery",
         "ann_battery",
+        "tpch_battery",
         "events_sessionize_segmented",
         "events_asof_segmented",
         "events_percentiles_bucketed",
         "events_user_topn_bucketed",
         "events_asof_stream",
-        "events_range_windows_bucketed",
         "sketch_hll_distinct",
         "dedup_skew_cluster",
         "corpus_filter_pipeline",
@@ -174,9 +179,10 @@ def test_first_50_layout():
         "events_funnel",
         "events_cohort_retention",
         "events_bloom_semijoin",
+        "events_range_windows_bucketed",
     ):
         assert k in qs[50:], k
-    for k in gate.DEDUP_PARTS + gate.ANN_PARTS:
+    for k in gate.DEDUP_PARTS + gate.ANN_PARTS + gate.TPCH_PARTS:
         assert k in qs[50:], k
     # every constituent stays registered (past the window, or filling a
     # spare window slot until an r8 ingest gate claims it — direct
@@ -200,11 +206,17 @@ def test_digest_parts_lists_mirror_oracle():
     assert gate.CORPUS_SAMPLING_PARTS == oracle.CORPUS_SAMPLING_PARTS
     assert gate.MULTIMODAL_PARTS == oracle.MULTIMODAL_PARTS
     assert gate.SKETCH_PARTS == oracle.SKETCH_PARTS
+    assert gate.DEDUP_PARTS == oracle.DEDUP_PARTS
+    assert gate.ANN_PARTS == oracle.ANN_PARTS
+    assert gate.TPCH_PARTS == oracle.TPCH_PARTS
     for p in (
         gate.EVENTS_ANALYTICS_PARTS
         + gate.CORPUS_SAMPLING_PARTS
         + gate.MULTIMODAL_PARTS
         + gate.SKETCH_PARTS
+        + gate.DEDUP_PARTS
+        + gate.ANN_PARTS
+        + gate.TPCH_PARTS
     ):
         assert p in oracle._DIGEST_SPECS, p
 
@@ -220,7 +232,7 @@ def test_digest_specs_match_gate_schemas(spark, sf_dir):
 
     qs = gate.queries()
     for p, spec in oracle._DIGEST_SPECS.items():
-        if p == "events_count_sessions_stream":
+        if p in ("events_count_sessions_stream", "dedup_substring_stream"):
             continue
         df = qs[p](spark, sf_dir)
         assert set(df.columns) == set(spec), p
