@@ -450,6 +450,8 @@ def write_hcs_fields(
     from .ome_zarr_api import default_chunks, to_ngff_zarr as _tz, write_image_batch
     from .sources.zarr_store import open_store
 
+    from .phases import phase
+
     zarr_format = 2 if version == "0.4" else 3
     store = open_store(store_path)
     batchable = not to_zarr_kwargs  # extra kwargs → per-field semantics
@@ -460,9 +462,11 @@ def write_hcs_fields(
         well_path = f"{row_name}/{column_name}"
         if not any(w.path == well_path for w in plate_metadata.wells):
             raise ValueError(f"Well '{well_path}' not found in plate metadata")
-        _upsert_well_attrs(
-            store, well_path, field_index, acquisition_id, None, version, zarr_format
-        )
+        with phase("attr_upsert"):
+            _upsert_well_attrs(
+                store, well_path, field_index, acquisition_id, None, version,
+                zarr_format,
+            )
         prefix = f"{well_path}/{field_index}"
         ms = multiscales
         img = ms.images[0]
@@ -509,24 +513,26 @@ def write_hcs_fields(
         lvl_chunks = dict(_chunks_t)
         for i in range(0, len(members), max_fields_per_job):
             batch = members[i : i + max_fields_per_job]
-            write_image_batch(
-                [(im.data, ap) for im, ap, _ in batch],
-                store_path,
-                shape,
-                list(dims_t),
-                lvl_chunks,
-                dtype=dtype,
-                compressor=compressor,
-                zarr_format=zarr_format,
-            )
-        for im, _ap, prefix in members:
-            sub = open_store(f"{store_path}/{prefix}")
-            if zarr_format == 2:
-                sub.consolidate_metadata_v2()
-            else:
-                sub.consolidate_metadata_v3()
-            for cb in list(im.computed_callbacks):
-                cb()
+            with phase("pixel_jobs"):
+                write_image_batch(
+                    [(im.data, ap) for im, ap, _ in batch],
+                    store_path,
+                    shape,
+                    list(dims_t),
+                    lvl_chunks,
+                    dtype=dtype,
+                    compressor=compressor,
+                    zarr_format=zarr_format,
+                )
+        with phase("consolidate"):
+            for im, _ap, prefix in members:
+                sub = open_store(f"{store_path}/{prefix}")
+                if zarr_format == 2:
+                    sub.consolidate_metadata_v2()
+                else:
+                    sub.consolidate_metadata_v3()
+                for cb in list(im.computed_callbacks):
+                    cb()
 
 
 def well_image_catalog(wells: DataFrame, well_images: DataFrame) -> DataFrame:

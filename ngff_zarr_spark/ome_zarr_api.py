@@ -14,6 +14,7 @@ for level i+1 reads only the (8x smaller) level i.
 from __future__ import annotations
 
 import math
+import threading
 from typing import Callable, Optional
 
 import numpy as np
@@ -353,6 +354,11 @@ def write_image(
     writer.save()
 
 
+# serializes only the temp-view registration + analysis window of
+# write_image_batch (fixed view-slot names are shared across calls)
+_WIB_VIEW_LOCK = threading.Lock()
+
+
 def write_image_batch(
     fields: list[tuple[DataFrame, str]],
     store_path: str,
@@ -393,11 +399,18 @@ def write_image_batch(
             "field count x chunk grid / chunk shape too large for packed write keys"
         )
 
-    # ONE SQL string per field (selectExpr), not a Column-op chain: the
-    # chain costs ~30 py4j round-trips per field (measured 47 ms each —
-    # 18 s of driver time at 384 fields); a prebuilt expression string
-    # is a single call. coalesce(1): a field is a few KB of rows — 64
-    # one-partition map tasks per job instead of 64 x default-parallelism.
+    # ONE spark.sql call for the WHOLE union, not a per-field
+    # DataFrame-method chain: even the selectExpr+coalesce+unionByName
+    # form costs 3 py4j round-trips per field (~9 ms each — measured
+    # 1.7 s of driver time per 64-field job); registering each source
+    # once and parsing a single 64-branch UNION ALL string is 65 calls
+    # and the multi-branch analysis happens JVM-side. The per-branch
+    # /*+ COALESCE(1) */ hint keeps the physical shape identical (one
+    # map task per field — a field is a few KB of rows, not
+    # 64 x default-parallelism). View slots are fixed names reused
+    # across calls (no unbounded catalog leak); the lock covers only
+    # registration + analysis — the resolved plan is captured by
+    # spark.sql(), so concurrent saves still overlap.
     ck_sql = f"({dims[0]} div {chunks.get(dims[0], 1)})"
     for d, g in zip(dims[1:], grid[1:]):
         ck_sql = f"({ck_sql} * {g} + ({d} div {chunks.get(d, 1)}))"
@@ -406,18 +419,29 @@ def write_image_batch(
         c = chunks.get(d, 1)
         off_sql = f"({off_sql} * {c} + ({d} % {c}))"
 
-    def packed_plan(df, fid):
-        return df.selectExpr(
-            f"CAST({ck_sql} + {fid * n_chunks} AS BIGINT) AS ck",
-            f"CAST({off_sql} AS BIGINT) AS off",
-            "v",
-        ).coalesce(1)
-
-    packed = packed_plan(fields[0][0], 0)
-    for fid, (df, _) in enumerate(fields[1:], start=1):
-        packed = packed.unionByName(packed_plan(df, fid))
+    with _WIB_VIEW_LOCK:
+        branches = []
+        for fid, (df, _) in enumerate(fields):
+            nm = f"_wib_src_{fid}"
+            df.createOrReplaceTempView(nm)
+            branches.append(
+                f"SELECT /*+ COALESCE(1) */ "
+                f"CAST({ck_sql} + {fid * n_chunks} AS BIGINT) AS ck, "
+                f"CAST({off_sql} AS BIGINT) AS off, v FROM {nm}"
+            )
+        packed = spark.sql(" UNION ALL ".join(branches))
     total_chunks = n_chunks * len(fields)
     n_tasks = max(1, min(total_chunks, max(32, total_chunks // 8)))
+    # volume-aware floor: every write task pays a fixed ~50-100 ms
+    # (scheduling + Python data-source writer init + Arrow hop), so
+    # spreading a small batch over the 32-way floor is pure overhead —
+    # target >=4 MiB of chunk payload per task and let tiny plate
+    # micro-batches collapse to a handful of tasks. At real volumes
+    # ceil(bytes/4MiB) exceeds every other bound and nothing changes.
+    chunk_bytes = (
+        math.prod(chunks.get(d, 1) for d in dims) * np.dtype(dtype).itemsize
+    )
+    n_tasks = min(n_tasks, max(1, -(-total_chunks * chunk_bytes // (4 << 20))))
     packed = packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
     (
         packed.write.format("ome_zarr")

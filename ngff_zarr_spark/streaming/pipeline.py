@@ -60,7 +60,14 @@ def incremental_well_write_stream(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect()
+        # per-phase accounting (ngff_zarr_spark.phases) so bench/ops
+        # can attribute wall time to manifest collect vs plan build vs
+        # the distributed field writes — the variance of this path is
+        # scheduling-dominated and needs attribution, not guessing
+        from ..phases import phase
+
+        with phase("manifest_collect"):
+            rows = batch_df.collect()
         # deterministic order within a batch (manifests may arrive
         # together): well path then field
         rows.sort(key=lambda r: (r.row_name, r.column_name, r.field_index))
@@ -73,10 +80,8 @@ def incremental_well_write_stream(
         # O(fields) to O(fields / 64).
         from ..hcs import write_hcs_fields
 
-        write_hcs_fields(
-            spark,
-            store_path,
-            [
+        with phase("build_multiscales"):
+            fields = [
                 (
                     r.row_name,
                     r.column_name,
@@ -87,11 +92,16 @@ def incremental_well_write_stream(
                     int(r.acquisition_id or 0),
                 )
                 for r in rows
-            ],
-            plate,
-            version=version,
-            **to_zarr_kwargs,
-        )
+            ]
+        with phase("write_fields"):
+            write_hcs_fields(
+                spark,
+                store_path,
+                fields,
+                plate,
+                version=version,
+                **to_zarr_kwargs,
+            )
 
     writer = manifests.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
     if checkpoint_dir:
