@@ -563,6 +563,18 @@ def main():
             f"# {name}: best {best:.3f}s  runs {runs}", file=sys.stderr
         )
 
+    # run tag = current git HEAD — lets a reader detect a stale
+    # bench_out.json left by a previous round (ADVICE r11)
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        head = None
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -571,6 +583,7 @@ def main():
         "first_run": first_run,
         "runs": n_runs,
         "sf": sf,
+        "git_head": head,
     }
     if errors:
         out["errors"] = errors

@@ -355,8 +355,12 @@ def write_image(
 
 
 # serializes only the temp-view registration + analysis window of
-# write_image_batch (fixed view-slot names are shared across calls)
+# write_image_batch; the counter makes every call's view names unique,
+# so correctness never depends on WHEN spark.sql() analyzes the union
+# (classic PySpark inlines eagerly; Spark Connect may defer — with
+# per-call names a deferred analysis still resolves this call's views)
 _WIB_VIEW_LOCK = threading.Lock()
+_WIB_CALL_SEQ = 0
 
 
 def write_image_batch(
@@ -407,10 +411,12 @@ def write_image_batch(
     # and the multi-branch analysis happens JVM-side. The per-branch
     # /*+ COALESCE(1) */ hint keeps the physical shape identical (one
     # map task per field — a field is a few KB of rows, not
-    # 64 x default-parallelism). View slots are fixed names reused
-    # across calls (no unbounded catalog leak); the lock covers only
-    # registration + analysis — the resolved plan is captured by
-    # spark.sql(), so concurrent saves still overlap.
+    # 64 x default-parallelism). View names live in the reserved
+    # ``_ngff_wib_*`` namespace and are UNIQUE PER CALL (monotonic
+    # counter), so concurrent batches never see each other's views even
+    # when analysis is deferred (Spark Connect), and no user view can be
+    # clobbered; the finally-block drop leaves the caller's catalog
+    # exactly as it was.
     ck_sql = f"({dims[0]} div {chunks.get(dims[0], 1)})"
     for d, g in zip(dims[1:], grid[1:]):
         ck_sql = f"({ck_sql} * {g} + ({d} div {chunks.get(d, 1)}))"
@@ -419,44 +425,57 @@ def write_image_batch(
         c = chunks.get(d, 1)
         off_sql = f"({off_sql} * {c} + ({d} % {c}))"
 
+    global _WIB_CALL_SEQ
     with _WIB_VIEW_LOCK:
-        branches = []
-        for fid, (df, _) in enumerate(fields):
-            nm = f"_wib_src_{fid}"
-            df.createOrReplaceTempView(nm)
-            branches.append(
-                f"SELECT /*+ COALESCE(1) */ "
-                f"CAST({ck_sql} + {fid * n_chunks} AS BIGINT) AS ck, "
-                f"CAST({off_sql} AS BIGINT) AS off, v FROM {nm}"
-            )
+        _WIB_CALL_SEQ += 1
+        seq = _WIB_CALL_SEQ
+    view_names = [f"_ngff_wib_{seq}_{fid}" for fid in range(len(fields))]
+    branches = []
+    for fid, (df, _) in enumerate(fields):
+        df.createOrReplaceTempView(view_names[fid])
+        branches.append(
+            f"SELECT /*+ COALESCE(1) */ "
+            f"CAST({ck_sql} + {fid * n_chunks} AS BIGINT) AS ck, "
+            f"CAST({off_sql} AS BIGINT) AS off, v FROM {view_names[fid]}"
+        )
+    try:
         packed = spark.sql(" UNION ALL ".join(branches))
-    total_chunks = n_chunks * len(fields)
-    n_tasks = max(1, min(total_chunks, max(32, total_chunks // 8)))
-    # volume-aware floor: every write task pays a fixed ~50-100 ms
-    # (scheduling + Python data-source writer init + Arrow hop), so
-    # spreading a small batch over the 32-way floor is pure overhead —
-    # target >=4 MiB of chunk payload per task and let tiny plate
-    # micro-batches collapse to a handful of tasks. At real volumes
-    # ceil(bytes/4MiB) exceeds every other bound and nothing changes.
-    chunk_bytes = (
-        math.prod(chunks.get(d, 1) for d in dims) * np.dtype(dtype).itemsize
-    )
-    n_tasks = min(n_tasks, max(1, -(-total_chunks * chunk_bytes // (4 << 20))))
-    packed = packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
-    (
-        packed.write.format("ome_zarr")
-        .mode("overwrite")
-        .option("path", store_path)
-        .option("array_paths", _json.dumps([p for _, p in fields]))
-        .option("zarr_format", str(zarr_format))
-        .option("shape", ",".join(str(shape[d]) for d in dims))
-        .option("chunks", ",".join(str(chunks.get(d, 1)) for d in dims))
-        .option("dims", ",".join(dims))
-        .option("dtype", dtype)
-        .option("compressor", compressor or "")
-        .option("packed", "true")
-        .save()
-    )
+        total_chunks = n_chunks * len(fields)
+        n_tasks = max(1, min(total_chunks, max(32, total_chunks // 8)))
+        # volume-aware floor: every write task pays a fixed ~50-100 ms
+        # (scheduling + Python data-source writer init + Arrow hop), so
+        # spreading a small batch over the 32-way floor is pure
+        # overhead — target a fixed payload per task and let tiny plate
+        # micro-batches collapse to a handful of tasks. The target is
+        # compressor-aware: CPU-heavy codecs (gzip/zlib/bz2) get 1 MiB
+        # per task so mid-size batches don't serialize compression on
+        # 1-2 cores; cheap/absent codecs get 4 MiB. chunk_bytes uses
+        # the dense chunk shape — it overstates ragged edge chunks, but
+        # only toward MORE tasks, never fewer. At real volumes the byte
+        # bound exceeds every other bound and nothing changes.
+        chunk_bytes = (
+            math.prod(chunks.get(d, 1) for d in dims) * np.dtype(dtype).itemsize
+        )
+        per_task = (1 << 20) if compressor in ("gzip", "zlib", "bz2") else (4 << 20)
+        n_tasks = min(n_tasks, max(1, -(-total_chunks * chunk_bytes // per_task)))
+        packed = packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
+        (
+            packed.write.format("ome_zarr")
+            .mode("overwrite")
+            .option("path", store_path)
+            .option("array_paths", _json.dumps([p for _, p in fields]))
+            .option("zarr_format", str(zarr_format))
+            .option("shape", ",".join(str(shape[d]) for d in dims))
+            .option("chunks", ",".join(str(chunks.get(d, 1)) for d in dims))
+            .option("dims", ",".join(dims))
+            .option("dtype", dtype)
+            .option("compressor", compressor or "")
+            .option("packed", "true")
+            .save()
+        )
+    finally:
+        for nm in view_names:
+            spark.catalog.dropTempView(nm)
 
 
 def read_image(

@@ -6,20 +6,32 @@ phase, not a guess).
 Driver-side only — the accumulator is a plain module dict; executors
 never import it with state. Phases nest additively: a name's total is
 the sum of all its enter/exit spans in the current window.
+
+SCOPING CONTRACT: the accumulator is PROCESS-GLOBAL, one measurement
+window at a time. A lock makes concurrent updates atomic (no lost
+increments), but two instrumented pipelines running at once still MERGE
+into one set of totals — reset()/snapshot() delimit a window, they
+don't isolate callers. That is the intended design: the only consumer
+is bench.py's single-threaded phase attribution. If an instrumented
+path ever needs concurrent per-caller accounting, switch the dicts to
+a contextvars.ContextVar holding per-context accumulators.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 
 PHASE_TIMES: dict[str, float] = {}
 PHASE_COUNTS: dict[str, int] = {}
+_LOCK = threading.Lock()
 
 
 def reset() -> None:
-    PHASE_TIMES.clear()
-    PHASE_COUNTS.clear()
+    with _LOCK:
+        PHASE_TIMES.clear()
+        PHASE_COUNTS.clear()
 
 
 @contextmanager
@@ -29,8 +41,9 @@ def phase(name: str):
         yield
     finally:
         dt = time.perf_counter() - t0
-        PHASE_TIMES[name] = PHASE_TIMES.get(name, 0.0) + dt
-        PHASE_COUNTS[name] = PHASE_COUNTS.get(name, 0) + 1
+        with _LOCK:
+            PHASE_TIMES[name] = PHASE_TIMES.get(name, 0.0) + dt
+            PHASE_COUNTS[name] = PHASE_COUNTS.get(name, 0) + 1
 
 
 def snapshot() -> dict[str, dict[str, float]]:

@@ -193,3 +193,20 @@ def test_stream_kwargs_reach_field_writes(spark, tmp_path):
 
     zarray = json.load(open(os.path.join(store, "A/1/0/scale0/image/.zarray")))
     assert zarray["dtype"] == "<u2"
+
+
+def test_write_image_batch_view_hygiene(spark, tmp_path):
+    """ADVICE r11: batch writes must not clobber user temp views and
+    must leave no _ngff_wib_* views behind in the caller's catalog."""
+    # a user view that an earlier implementation's fixed slot name
+    # would have silently replaced
+    spark.range(5).createOrReplaceTempView("_wib_src_0")
+    dims = ["z", "y", "x"]
+    write_image_batch(
+        [(_field_df(spark, i), f"arr{i}") for i in range(2)],
+        str(tmp_path / "hygiene.zarr"), SHAPE, dims, CHUNKS,
+    )
+    names = {t.name for t in spark.catalog.listTables()}
+    assert not any(n.startswith("_ngff_wib_") for n in names)
+    assert spark.table("_wib_src_0").count() == 5
+    spark.catalog.dropTempView("_wib_src_0")
