@@ -214,11 +214,17 @@ def sample_video_frames(docs: DataFrame, every_n: int = 2) -> DataFrame:
     return vids.mapInPandas(sample, "doc_id long, frame long, px_sum long")
 
 
-def audio_features(docs: DataFrame) -> DataFrame:
-    """Audio columns: int16-LE waveform payload; per-document features
-    (n_samples, sum of squares — the integer core of RMS) extracted
-    executor-side. Deterministic fake waveform; a real decoder (wav/
-    flac lib) slots into the same UDF."""
+AUD_RATE = 8000  # synthetic corpus sample rate (Hz)
+
+
+def attach_audio(docs: DataFrame) -> DataFrame:
+    """(doc_id, audio): each document's waveform as REAL RIFF/WAVE PCM
+    container bytes (ingest/wav.py encoder) — the audio modality meets
+    the same real-container standard as the PNG/JPEG image payloads.
+    Samples follow the deterministic corpus formula the oracle
+    re-derives in SQL; the container adds the canonical 44-byte header
+    the decoders must actually parse."""
+    from ..ingest.wav import wav_encode
     from .text import spread
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -228,20 +234,34 @@ def audio_features(docs: DataFrame) -> DataFrame:
                 d = int(d)
                 n = AUD_LEN_BASE + d % AUD_LEN_MOD
                 wave = ((d * AUD_A + np.arange(n) * AUD_I) % AUD_MOD).astype("<i2")
-                rows.append((d, wave.tobytes()))
+                rows.append((d, wav_encode(wave, sample_rate=AUD_RATE)))
             yield pd.DataFrame(rows, columns=["doc_id", "audio"])
 
-    auds = spread(docs).select("doc_id").mapInPandas(gen, "doc_id long, audio binary")
+    return spread(docs).select("doc_id").mapInPandas(gen, "doc_id long, audio binary")
+
+
+def audio_features(docs: DataFrame) -> DataFrame:
+    """Audio columns: PCM WAV payload; per-document features
+    (n_samples, sample_rate, sum of squares — the integer core of RMS)
+    extracted executor-side by the native RIFF parser."""
+    from ..ingest.wav import wav_decode
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
-                wave = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
-                rows.append((int(doc_id), len(wave), int((wave * wave).sum())))
-            yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "sq_sum"])
+                wave, rate = wav_decode(bytes(blob))
+                wave = wave.astype(np.int64)
+                rows.append(
+                    (int(doc_id), len(wave), int(rate), int((wave * wave).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sample_rate", "sq_sum"]
+            )
 
-    return auds.mapInPandas(feats, "doc_id long, n_samples long, sq_sum long")
+    return attach_audio(docs).mapInPandas(
+        feats, "doc_id long, n_samples long, sample_rate long, sq_sum long"
+    )
 
 
 def document_image_features(docs: DataFrame) -> DataFrame:
@@ -422,29 +442,21 @@ def audio_fingerprint(docs: DataFrame) -> DataFrame:
     bits pack most-significant-first into one non-negative BIGINT.
     Returns (doc_id, n_samples, fp).
 
-    Spark side decodes the REAL little-endian int16 payload bytes; the
-    oracle re-derives every sample from the synthetic formula in SQL —
-    all-integer, zero float surface."""
-    from .text import spread
+    Spark side decodes REAL RIFF/WAVE PCM container bytes through the
+    native parser (ingest/wav.py); the oracle re-derives every sample
+    from the synthetic formula in SQL — all-integer, zero float
+    surface."""
+    from ..ingest.wav import wav_decode
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                n = AUD_LEN_BASE + d % AUD_LEN_MOD
-                wave = ((d * AUD_A + np.arange(n) * AUD_I) % AUD_MOD).astype("<i2")
-                rows.append((d, wave.tobytes()))
-            yield pd.DataFrame(rows, columns=["doc_id", "audio"])
-
-    auds = spread(docs).select("doc_id").mapInPandas(gen, "doc_id long, audio binary")
+    auds = attach_audio(docs)
 
     def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         k = AUD_FP_FRAMES
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
-                wave = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+                wave, _rate = wav_decode(bytes(blob))
+                wave = wave.astype(np.int64)
                 n = len(wave)
                 frames = (np.arange(n) * k) // n
                 energy = np.zeros(k, dtype=np.int64)

@@ -671,6 +671,7 @@ GIF_SHAPE = (3, 15, 21)     # (n_frames, h, w)
 WEBP_SHAPE = (19, 27)       # (h, w)
 MGH_SHAPE = (3, 9, 11)      # (nz, ny, nx)
 MRC_SHAPE = (4, 7, 9)       # (nz, ny, nx)
+WAV_SHAPE = (2, 150)        # (channels, samples) = (c, x)
 
 
 def q_s16_nifti_ingest(spark, sf_dir):
@@ -885,6 +886,32 @@ def q_s11_mrc_ingest(spark, sf_dir):
     return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
 
 
+def q_s11_wav_ingest(spark, sf_dir):
+    """S11 (audio container): stereo PCM WAV ingest through backend
+    detection (S12; .wav is in no itk/tifffile table, so it takes the
+    reference's imageio fallback route, detect_cli_io_backend.py:
+    124-128) → cli → the native RIFF/WAVE parser (ingest/wav.py).
+    Integer PCM is lossless, so the deterministic sample formula
+    round-trips exactly; channels land on c, samples on x — the same
+    real-container standard the image modality already meets."""
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.wav import wav_encode
+
+    nch, ns = WAV_SHAPE
+    path = _tmp_store("ingest.wav")
+    ci, xi = np.indices((nch, ns))
+    arr = ((ci * 101 + xi * 13 + 37) % 2048).astype("int16")
+    with open(path, "wb") as f:
+        f.write(wav_encode(arr.T, sample_rate=8000))  # (n, ch) interleaved
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.IMAGEIO
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    assert img.dtype == "int16" and img.dims == ["c", "x"]
+    return img.data.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+
+
 def q_ingest_battery(spark, sf_dir):
     """S11/S12/S13 in one driver slot: single-file TIFF, PNG z-series
     glob, baseline JPEG, DICOM series, animated GIF, and lossless WebP
@@ -898,9 +925,11 @@ def q_ingest_battery(spark, sf_dir):
     wp = q_s11_webp_ingest(spark, sf_dir).withColumn("fmt", F.lit("webp"))
     mg = q_s11_mgh_ingest(spark, sf_dir).withColumn("fmt", F.lit("mgh"))
     mr = q_s11_mrc_ingest(spark, sf_dir).withColumn("fmt", F.lit("mrc"))
+    wv = q_s11_wav_ingest(spark, sf_dir).withColumn("fmt", F.lit("wav"))
     return (
         t.unionByName(p).unionByName(j).unionByName(dcm)
         .unionByName(g).unionByName(wp).unionByName(mg).unionByName(mr)
+        .unionByName(wv)
     )
 
 
@@ -3761,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_webp_ingest": q_s11_webp_ingest,
         "s11_mgh_ingest": q_s11_mgh_ingest,
         "s11_mrc_ingest": q_s11_mrc_ingest,
+        "s11_wav_ingest": q_s11_wav_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

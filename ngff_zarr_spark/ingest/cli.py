@@ -106,6 +106,17 @@ def cli_input_to_ngff_image(
             from .series import series_to_ngff_image
 
             return series_to_ngff_image(spark, input)
+        # RIFF/WAVE audio takes the imageio fallback route like any
+        # unknown extension (detect_cli_io_backend.py:124-128); the
+        # magic check (not the extension) picks the decoder so a
+        # mis-suffixed file still routes right. RIFF+WEBP stays an
+        # image and falls through to the raster dispatch.
+        with open(input[0], "rb") as f:
+            head = f.read(12)
+        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            from .wav import wav_to_ngff_image
+
+            return wav_to_ngff_image(spark, input[0])
         return _decode_2d_to_ngff_image(spark, input[0])
 
     raise ValueError(f"Unsupported backend {backend}")

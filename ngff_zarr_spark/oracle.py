@@ -469,6 +469,18 @@ def sql_s11_mrc_ingest():
 FROM range({nz * ny * nx}) r(i)"""
 
 
+def sql_s11_wav_ingest():
+    from .gate import WAV_SHAPE
+
+    nch, ns = WAV_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t,
+       CAST(i // {ns} AS BIGINT) AS c,
+       CAST(0 AS BIGINT) AS z, CAST(0 AS BIGINT) AS y,
+       CAST(i % {ns} AS BIGINT) AS x,
+       CAST(((i // {ns}) * 101 + (i % {ns}) * 13 + 37) % 2048 AS BIGINT) AS v
+FROM range({nch * ns}) r(i)"""
+
+
 def sql_ingest_battery():
     return (
         f"SELECT 'tiff' AS fmt, * FROM ({sql_s11_tiff_ingest()})\n"
@@ -478,7 +490,8 @@ def sql_ingest_battery():
         f"UNION ALL\nSELECT 'gif' AS fmt, * FROM ({sql_s11_gif_ingest()})\n"
         f"UNION ALL\nSELECT 'webp' AS fmt, * FROM ({sql_s11_webp_ingest()})\n"
         f"UNION ALL\nSELECT 'mgh' AS fmt, * FROM ({sql_s11_mgh_ingest()})\n"
-        f"UNION ALL\nSELECT 'mrc' AS fmt, * FROM ({sql_s11_mrc_ingest()})"
+        f"UNION ALL\nSELECT 'mrc' AS fmt, * FROM ({sql_s11_mrc_ingest()})\n"
+        f"UNION ALL\nSELECT 'wav' AS fmt, * FROM ({sql_s11_wav_ingest()})"
     )
 
 
@@ -2453,13 +2466,16 @@ GROUP BY doc_id, frame"""
 
 
 def sql_multimodal_audio():
-    from .functions.multimodal import AUD_A, AUD_I, AUD_LEN_BASE, AUD_LEN_MOD, AUD_MOD
+    from .functions.multimodal import (
+        AUD_A, AUD_I, AUD_LEN_BASE, AUD_LEN_MOD, AUD_MOD, AUD_RATE,
+    )
 
     max_n = AUD_LEN_BASE + AUD_LEN_MOD - 1
     return f"""WITH auds AS (
   SELECT doc_id, {AUD_LEN_BASE} + doc_id % {AUD_LEN_MOD} AS n FROM documents
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST({AUD_RATE} AS BIGINT) AS sample_rate,
        CAST(SUM(((doc_id * {AUD_A} + s.i * {AUD_I}) % {AUD_MOD}) * ((doc_id * {AUD_A} + s.i * {AUD_I}) % {AUD_MOD})) AS BIGINT) AS sq_sum
 FROM auds CROSS JOIN range({max_n}) s(i)
 WHERE s.i < n
@@ -3019,7 +3035,7 @@ _DIGEST_SPECS = {
         "hour_epoch": "l", "n_nonempty": "l", "reg_checksum": "l", "est": "d",
     },
     "multimodal_frame_sample": {"doc_id": "l", "frame": "l", "px_sum": "l"},
-    "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sq_sum": "l"},
+    "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sample_rate": "l", "sq_sum": "l"},
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
     "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
     "dedup_minhash": {"doc_a": "l", "doc_b": "l", "est_jaccard": "d"},
@@ -3234,6 +3250,7 @@ def oracles() -> dict[str, str]:
         "s11_webp_ingest": sql_s11_webp_ingest(),
         "s11_mgh_ingest": sql_s11_mgh_ingest(),
         "s11_mrc_ingest": sql_s11_mrc_ingest(),
+        "s11_wav_ingest": sql_s11_wav_ingest(),
         "ingest_battery": sql_ingest_battery(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sig": sql_dedup_minhash_sig(),

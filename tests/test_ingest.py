@@ -322,3 +322,95 @@ def test_rfc4_axis_dict_helpers():
     assert len(problems) == 2
     remove_anatomical_orientation_from_axis(ax)
     assert "orientation" not in ax
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_mono_int16():
+    from ngff_zarr_spark.ingest.wav import wav_decode, wav_encode
+
+    w = ((np.arange(100) * 13 + 37) % 2048).astype("<i2")
+    dec, rate = wav_decode(wav_encode(w, 8000))
+    assert rate == 8000 and dec.dtype == np.int16
+    assert (dec == w).all()
+
+
+def test_wav_roundtrip_stereo_and_depths():
+    from ngff_zarr_spark.ingest.wav import wav_decode, wav_encode
+
+    w = ((np.arange(64) * 7 + 5) % 251).astype("<i2")
+    s = np.stack([w, w[::-1]], axis=1)
+    dec, _ = wav_decode(wav_encode(s, 44100))
+    assert dec.shape == (64, 2) and (dec == s).all()
+    u = (np.arange(33) % 251).astype("u1")  # odd data size -> pad byte
+    enc = wav_encode(u, 16000)
+    assert len(enc) % 2 == 0
+    dec8, r = wav_decode(enc)
+    assert r == 16000 and (dec8 == u).all()
+    i32 = (np.arange(50) * 100001 - 2**30).astype("<i4")
+    dec32, _ = wav_decode(wav_encode(i32, 48000))
+    assert (dec32 == i32).all()
+
+
+def test_wav_extensible_and_junk_chunks():
+    import struct
+
+    from ngff_zarr_spark.ingest.wav import wav_decode
+
+    w = ((np.arange(100) * 13 + 37) % 2048).astype("<i2")
+    data = w.tobytes()
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM
+    body = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0)
+        + struct.pack("<H", 1) + b"\x00" * 14
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + len(data)) + b"WAVE"
+    blob += b"fmt " + struct.pack("<I", len(body)) + body
+    blob += b"data" + struct.pack("<I", len(data)) + data
+    dec, rate = wav_decode(blob)
+    assert rate == 8000 and (dec == w).all()
+    # unknown odd-sized chunk before fmt is skipped with even padding
+    blob2 = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+    blob2 += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    blob2 += b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    blob2 += b"data" + struct.pack("<I", len(data)) + data
+    dec2, _ = wav_decode(blob2)
+    assert (dec2 == w).all()
+
+
+def test_wav_rejects_non_pcm_and_bad_magic():
+    import struct
+
+    from ngff_zarr_spark.ingest.wav import wav_decode
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"\x00" * 44)
+    blob = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+    blob += b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 3, 1, 8000, 32000, 4, 32  # IEEE float
+    )
+    blob += b"data" + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="format tag"):
+        wav_decode(blob)
+
+
+def test_wav_ingest_via_cli(spark, tmp_path):
+    from ngff_zarr_spark.ingest import cli_input_to_ngff_image
+    from ngff_zarr_spark.ingest.wav import wav_encode
+
+    w = ((np.arange(40) * 13 + 37) % 2048).astype("<i2")
+    s = np.stack([w, (w * 2) % 2048], axis=1)
+    p = tmp_path / "clip.wav"
+    p.write_bytes(wav_encode(s, 8000))
+    backend = detect_cli_io_backend([str(p)])
+    assert backend == ConversionBackend.IMAGEIO  # unknown-extension fallback
+    img = cli_input_to_ngff_image(spark, backend, [str(p)])
+    assert img.dims == ["c", "x"] and img.dtype == "int16"
+    got = {(r.c, r.x): r.v for r in img.data.collect()}
+    for ch in range(2):
+        for i in range(40):
+            assert got[(ch, i)] == s[i, ch]
