@@ -2958,6 +2958,23 @@ def q_events_percentiles_bucketed(spark, sf_dir):
     return exact_percentiles_bucketed(_events(spark, sf_dir))
 
 
+def q_events_percentiles_residual(spark, sf_dir):
+    """Descent-EXHAUSTION forcing case (VERDICT r10 ask #8): with
+    n_buckets=2, occupancy_bound=4, descent_rounds=1, every needed
+    bucket is still far over the bound when the unrolled rounds run
+    out, so the residual path — rank the surviving over-cap bucket
+    rows directly in the final bounded pass — resolves every target.
+    Exactness doesn't depend on the knobs (they are cost knobs), so
+    this shares the plain quantile_cont oracle verbatim, like the
+    production-knob bucketed gate."""
+    from .functions.events import exact_percentiles_bucketed
+
+    return exact_percentiles_bucketed(
+        _events(spark, sf_dir), n_buckets=2, occupancy_bound=4,
+        descent_rounds=1,
+    )
+
+
 def q_events_user_topn(spark, sf_dir):
     """Top-5 users per event type by event count — the windowed top-N
     pattern (rank inside a partition, deterministic tie-break by
@@ -3521,6 +3538,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_bloom_semijoin",
     # r10: trailing-window HLL distinct
     "events_sliding_distinct",
+    # r12: forced descent-exhaustion residual path (VERDICT r10 ask #8)
+    "events_percentiles_residual",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -3791,6 +3810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_mgh_ingest": q_s11_mgh_ingest,
         "s11_mrc_ingest": q_s11_mrc_ingest,
         "s11_wav_ingest": q_s11_wav_ingest,
+        # r12: descent-exhaustion residual percentiles — graded via
+        # events_analytics_battery's digest of its FULL output
+        "events_percentiles_residual": q_events_percentiles_residual,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

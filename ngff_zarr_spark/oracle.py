@@ -2953,6 +2953,7 @@ _DIGEST_P = 1_000_000_007
 # gate.EVENTS_ANALYTICS_PARTS etc. (equality pinned in pytest).
 _DIGEST_SPECS = {
     "events_percentiles": {"event_type": "s", "n": "l", "p50": "d", "p90": "d", "p99": "d"},
+    "events_percentiles_residual": {"event_type": "s", "n": "l", "p50": "d", "p90": "d", "p99": "d"},
     "events_user_topn": {"event_type": "s", "rank": "l", "user_id": "l", "n": "l"},
     "events_daily_running": {"event_type": "s", "day": "l", "n": "l", "running_n": "l"},
     "events_asof_attribution": {
@@ -3098,6 +3099,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_bloom_semijoin",
     # r10: trailing-window HLL distinct
     "events_sliding_distinct",
+    # r12: forced descent-exhaustion residual path
+    "events_percentiles_residual",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -3498,6 +3501,9 @@ GROUP BY 1, 2, 3""",
     d["events_asof_segmented"] = d["events_asof_attribution"]
     # histogram-descent percentiles == the buffering aggregate
     d["events_percentiles_bucketed"] = d["events_percentiles"]
+    # descent-exhaustion knobs (n_buckets=2, bound=4, rounds=1) are
+    # cost knobs, never correctness knobs — same oracle
+    d["events_percentiles_residual"] = d["events_percentiles"]
     # a single-drain stateful streaming as-of == the batch as-of
     d["events_asof_stream"] = d["events_asof_attribution"]
     # digest batteries: UNION ALL of each constituent's oracle wrapped

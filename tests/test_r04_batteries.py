@@ -83,6 +83,7 @@ BATTERIES = {
         "s11_webp_ingest",
         "s11_mgh_ingest",
         "s11_mrc_ingest",
+        "s11_wav_ingest",
     ],
     # r8 digest batteries (value-exact content digests per constituent;
     # see gate._digest_gate) — rotate the whole r7/r8 events-analytics
