@@ -467,6 +467,9 @@ QUERIES = {
     # descent path's cost is a measured number
     "events_percentiles": bench_percentiles,
     "events_percentiles_skew": bench_percentiles_skew,
+    # r12: TF-IDF shingle weights + term-partitioned sparse top-k
+    # cosine (df-capped self-join, two-phase top-k)
+    "ir_tfidf_topk": gate.q_ir_tfidf_topk,
 }
 
 

@@ -1,0 +1,141 @@
+"""Sparse-vector information-retrieval operators over the documents
+table: TF-IDF weighting and term-at-a-time sparse top-k document
+similarity.
+
+The scale design is the classic term-partitioned formulation (the one
+every large-scale IR/dedup system uses because the alternative — a
+dense doc×doc product — is quadratic): weights live as (doc, term, w)
+rows, the self-join runs ON THE TERM KEY so only documents sharing a
+term ever meet, and high-document-frequency terms are EXCLUDED from
+pairing by an absolute ``max_df`` cap. The cap is what keeps the plan
+100 TB-safe: a term in ``df`` documents contributes df² pair rows, so
+un-capped stopwords alone would recreate the quadratic blowup, while
+capped terms bound per-document candidates by n_distinct_terms·max_df.
+Semantically the cap costs almost nothing — a ubiquitous term carries
+the least IDF mass by construction. Everything is built-in DataFrame
+ops (explode → two hash aggregates → one equi-join → one aggregate →
+two-phase top-k); no UDFs, no driver-side loops, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import spread, tokens_col
+
+TFIDF_MAX_DF = 64   # absolute df pairing cap
+TFIDF_TOPK = 5
+TFIDF_SHINGLE_K = 3  # words per term (same k as the dedup shingles)
+
+
+def tfidf_weights(docs: DataFrame, max_df: int = TFIDF_MAX_DF) -> DataFrame:
+    """(doc_id, term, w): smooth-IDF TF-IDF weights where a term is a
+    ``TFIDF_SHINGLE_K``-word shingle of the lowercased text (the same
+    k-gram space the MinHash dedup family uses — single words are far
+    too coarse a similarity signal once a corpus's head vocabulary
+    saturates, and a shingle's df decays fast enough that the absolute
+    ``max_df`` cap keeps essentially all of the discriminative mass).
+    w = tf · (ln((1+N)/(1+df)) + 1) — the sklearn smooth-idf
+    convention, exactly reproducible in SQL; tf counts OCCURRENCES
+    (repeated shingles weigh more), unlike the dedup family's distinct
+    sets.
+
+    N arrives via a broadcast 1-row cross join (no driver action); df
+    comes from a term-key aggregate of the same tf table the weights
+    join against, so Catalyst reuses the term partitioning for the
+    join instead of adding a shuffle."""
+    k = TFIDF_SHINGLE_K
+    toksed = spread(docs).select(
+        "doc_id", tokens_col(F.lower(F.col("text"))).alias("toks")
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())
+    tf = (
+        toksed.select("doc_id", F.explode(shingles).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        tf.join(df_tab, "term")
+        .filter(F.col("df") <= int(max_df))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("n_total")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = TFIDF_TOPK, max_df: int = TFIDF_MAX_DF,
+    prebuckets: int = 64,
+) -> DataFrame:
+    """Top-k most-similar documents per document by TF-IDF cosine over
+    the ``max_df``-capped term space: (doc_a, rank, doc_b, cos). Norms
+    use the SAME capped weights the dot products use, so cos is a true
+    cosine in that space (self-similarity = 1).
+
+    Pair generation is the term-key self-join described in the module
+    docstring; the final per-document selection is the engine's
+    standard two-phase exact top-k (rank inside (doc, hash-prebucket),
+    keep k, re-rank the ≤ prebuckets·k survivors) so one
+    million-candidate hub document never serializes a partition.
+    Scores round to 6dp BEFORE ranking with a doc_b tie-break — the
+    exact convention the ANN gates use to stay hash-comparable with
+    the DuckDB twin."""
+    w = tfidf_weights(docs, max_df=max_df)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("term"), F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    b = w.select(F.col("term"), F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )
+    order = [F.col("cos").desc(), F.col("doc_b").asc()]
+    w1 = Window.partitionBy(
+        "doc_a", F.pmod(F.hash("doc_b"), F.lit(prebuckets))
+    ).orderBy(*order)
+    stage1 = (
+        scored.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk")
+    )
+    w2 = Window.partitionBy("doc_a").orderBy(*order)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_a", "rank", "doc_b", "cos")
+    )

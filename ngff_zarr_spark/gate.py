@@ -3521,6 +3521,30 @@ def _digest_gate(df: DataFrame, name: str) -> DataFrame:
     ).select(F.lit(name).alias("gate"), "n_rows", "d1", "d2")
 
 
+def q_ir_tfidf_weights(spark, sf_dir):
+    """Smooth-IDF TF-IDF weights over the df-capped term space
+    (functions/ir.py): explode → two hash aggregates → term-key join —
+    the sparse-matrix representation every downstream IR op consumes.
+    Rounded 6dp for cross-engine hash equality (ln is IEEE-identical
+    on equal inputs; rounding absorbs the last-ulp tail)."""
+    from .functions.ir import tfidf_weights
+
+    return tfidf_weights(_docs(spark, sf_dir)).select(
+        "doc_id", "term", F.round("w", 6).alias("w")
+    )
+
+
+def q_ir_tfidf_topk(spark, sf_dir):
+    """Top-5 most-similar documents per document by TF-IDF cosine —
+    term-partitioned sparse self-join (only docs sharing a ≤max_df
+    term ever pair; no all-pairs product anywhere), two-phase exact
+    top-k. DuckDB twin re-derives tf/df/idf/dot/norm from the same
+    tokenization."""
+    from .functions.ir import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir))
+
+
 # digest-battery compositions — mirrored in oracle.py (same names, same
 # column render order) and pinned battery ≡ constituents in pytest
 EVENTS_ANALYTICS_PARTS = [
@@ -3571,6 +3595,9 @@ CORPUS_SAMPLING_PARTS = [
     # r10: hashed-bigram LM scoring (all-integer rows)
     "text_lm_perplexity",
     "corpus_dsir_weights",
+    # r12: TF-IDF sparse weights + term-partitioned top-k similarity
+    "ir_tfidf_weights",
+    "ir_tfidf_topk",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3813,6 +3840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: descent-exhaustion residual percentiles — graded via
         # events_analytics_battery's digest of its FULL output
         "events_percentiles_residual": q_events_percentiles_residual,
+        # r12: TF-IDF IR ops — graded via corpus_sampling_battery
+        "ir_tfidf_weights": q_ir_tfidf_weights,
+        "ir_tfidf_topk": q_ir_tfidf_topk,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

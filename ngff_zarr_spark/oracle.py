@@ -909,6 +909,58 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
 
 
+def _tfidf_w_cte(max_df: int) -> str:
+    """tf/df/smooth-idf weight CTEs shared by the TF-IDF oracles —
+    first-principles mirror of functions/ir.tfidf_weights (same
+    tokenization CTE as every text oracle, same sklearn smooth-idf
+    formula, same absolute df cap)."""
+    return f"""{_toks_cte(lower=True)},
+tfx AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_SHINGLE}) AS term FROM q) GROUP BY 1, 2
+),
+dfx AS (SELECT term, COUNT(*) AS df FROM tfx GROUP BY 1),
+nx AS (SELECT COUNT(*) AS n_total FROM documents),
+wx AS (
+  SELECT doc_id, term,
+         tf * (ln((1.0 + n_total) / (1.0 + df)) + 1.0) AS w
+  FROM tfx JOIN dfx USING (term) CROSS JOIN nx
+  WHERE df <= {max_df}
+)"""
+
+
+def sql_ir_tfidf_weights():
+    from .functions.ir import TFIDF_MAX_DF
+
+    return f"""WITH {_tfidf_w_cte(TFIDF_MAX_DF)}
+SELECT doc_id, term, round(w, 6) AS w FROM wx"""
+
+
+def sql_ir_tfidf_topk():
+    from .functions.ir import TFIDF_MAX_DF, TFIDF_TOPK
+
+    return f"""WITH {_tfidf_w_cte(TFIDF_MAX_DF)},
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM wx GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM wx a JOIN wx b ON a.term = b.term AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+),
+cosx AS (
+  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots
+  JOIN nrm na ON na.doc_id = doc_a
+  JOIN nrm nb ON nb.doc_id = doc_b
+),
+r AS (
+  SELECT doc_a, doc_b, cos,
+         row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b) AS rank
+  FROM cosx
+)
+SELECT doc_a, CAST(rank AS BIGINT) AS rank, doc_b, cos
+FROM r WHERE rank <= {TFIDF_TOPK}"""
+
+
 def sql_corpus_dsir_weights():
     from .functions.lm import LM_BUCKETS as B
 
@@ -3018,6 +3070,8 @@ _DIGEST_SPECS = {
         "doc_id": "l", "n_bigrams": "l", "weight_micro": "l",
         "weight_avg_micro": "l",
     },
+    "ir_tfidf_weights": {"doc_id": "l", "term": "s", "w": "d"},
+    "ir_tfidf_topk": {"doc_a": "l", "rank": "l", "doc_b": "l", "cos": "d"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -3132,6 +3186,9 @@ CORPUS_SAMPLING_PARTS = [
     # r10: hashed-bigram LM scoring (all-integer rows)
     "text_lm_perplexity",
     "corpus_dsir_weights",
+    # r12: TF-IDF sparse weights + term-partitioned top-k similarity
+    "ir_tfidf_weights",
+    "ir_tfidf_topk",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3355,6 +3412,8 @@ def oracles() -> dict[str, str]:
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "text_lm_perplexity": sql_text_lm_perplexity(),
         "corpus_dsir_weights": sql_corpus_dsir_weights(),
+        "ir_tfidf_weights": sql_ir_tfidf_weights(),
+        "ir_tfidf_topk": sql_ir_tfidf_topk(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),

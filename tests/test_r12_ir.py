@@ -1,0 +1,126 @@
+"""r12 IR operators: TF-IDF shingle weights + sparse top-k similarity
+cross-checked against a brute-force numpy/python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark.functions.ir import (
+    TFIDF_SHINGLE_K,
+    tfidf_topk,
+    tfidf_weights,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "pack my box with five dozen liquor jugs again and again"),
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "the quick brown fox naps beside the lazy dog"),
+    (6, "completely unrelated text about spark physical plans"),
+    (7, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+]
+
+
+def _ref_weights(docs, max_df):
+    """Brute-force shingle TF-IDF (pure python)."""
+    n_total = len(docs)
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        sh = [
+            " ".join(toks[i : i + TFIDF_SHINGLE_K])
+            for i in range(max(0, len(toks) - TFIDF_SHINGLE_K + 1))
+        ] if len(toks) >= TFIDF_SHINGLE_K else []
+        tf = {}
+        for s in sh:
+            tf[s] = tf.get(s, 0) + 1
+        per_doc[doc_id] = tf
+    df = {}
+    for tf in per_doc.values():
+        for t in tf:
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for doc_id, tf in per_doc.items():
+        out[doc_id] = {
+            t: c * (math.log((1.0 + n_total) / (1.0 + df[t])) + 1.0)
+            for t, c in tf.items()
+            if df[t] <= max_df
+        }
+    return out
+
+
+def _ref_topk(docs, k, max_df):
+    w = _ref_weights(docs, max_df)
+    norms = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+    out = {}
+    for a, wa in w.items():
+        scored = []
+        for b, wb in w.items():
+            if a == b:
+                continue
+            dot = sum(wa[t] * wb[t] for t in wa.keys() & wb.keys())
+            if dot > 0:
+                scored.append((round(dot / (norms[a] * norms[b]), 6), b))
+        scored.sort(key=lambda sb: (-sb[0], sb[1]))
+        out[a] = [(r + 1, b, c) for r, (c, b) in enumerate(scored[:k])]
+    return out
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tfidf_weights_match_reference(spark):
+    got = {
+        (r.doc_id, r.term): r.w
+        for r in tfidf_weights(_docs_df(spark), max_df=8).collect()
+    }
+    want = {
+        (d, t): w for d, ws in _ref_weights(DOCS, 8).items() for t, w in ws.items()
+    }
+    assert set(got) == set(want)
+    for key, w in want.items():
+        assert got[key] == pytest.approx(w, abs=1e-9), key
+
+
+def test_tfidf_topk_matches_reference(spark):
+    got = {}
+    for r in tfidf_topk(_docs_df(spark), k=3, max_df=8).collect():
+        got.setdefault(r.doc_a, []).append((r.rank, r.doc_b, r.cos))
+    for a in got:
+        got[a].sort()
+    want = _ref_topk(DOCS, 3, 8)
+    want = {a: v for a, v in want.items() if v}
+    assert got == want
+
+
+def test_tfidf_exact_duplicates_are_rank1_with_cos1(spark):
+    top = tfidf_topk(_docs_df(spark), k=3, max_df=8)
+    r1 = {r.doc_a: (r.doc_b, r.cos) for r in top.filter("rank = 1").collect()}
+    assert r1[0] == (7, 1.0)
+    assert r1[7] == (0, 1.0)
+
+
+def test_tfidf_max_df_cap_drops_stop_shingles(spark):
+    """With max_df=1 every shared shingle is dropped, so no pairs
+    survive — the cap bounds pairing work by construction."""
+    assert tfidf_topk(_docs_df(spark), k=3, max_df=1).count() == 0
+
+
+def test_tfidf_topk_plan_has_no_cartesian(spark):
+    import contextlib
+    import io
+
+    df = tfidf_topk(_docs_df(spark), k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # 1-row N broadcast is the only nested-loop-ish join allowed
+    assert plan.count("CartesianProduct") == 0
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
