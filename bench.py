@@ -470,6 +470,8 @@ QUERIES = {
     # r12: TF-IDF shingle weights + term-partitioned sparse top-k
     # cosine (df-capped self-join, two-phase top-k)
     "ir_tfidf_topk": gate.q_ir_tfidf_topk,
+    # r12: hashed linear quality scorer + calibrated keep threshold
+    "text_quality_classifier": gate.q_text_quality_classifier,
 }
 
 

@@ -294,3 +294,74 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         & (F.col("n_distinct_stopwords") >= GOPHER_MIN_DISTINCT_STOPWORDS)
         & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC),
     )
+
+
+QC_N_FEAT = 1024     # hashed feature buckets
+QC_KEEP_FRAC = 0.7   # calibrated corpus keep rate
+
+
+def hashed_quality_classifier(
+    docs: DataFrame,
+    n_feat: int = QC_N_FEAT,
+    keep_frac: float = QC_KEEP_FRAC,
+) -> DataFrame:
+    """fastText-style hashed linear scorer with DISTRIBUTED threshold
+    calibration — the inference+calibration half of the quality-filter
+    stage every pretraining pipeline runs (the trained weights of a
+    real classifier drop into the same plan; here they are
+    deterministic hash-derived integers so the DuckDB twin re-derives
+    every score from md5 alone).
+
+    Feature = token hash bucket: b(tok) = h64('qc:'||tok) % n_feat.
+    Weight  = hash of the bucket:  w(b) = h64('qcw:'||b) % 2001 − 1000
+    (integers in [−1000, 1000] — the weight "table" is a pure function,
+    so scoring is ONE projection: no weight broadcast, no join, no UDF,
+    zero shuffles until the aggregate).
+
+    score = Σ_tokens w(b(tok))  (exact BIGINT);
+    score_per_tok = round(score / n_tokens, 6);
+    keep  = score_per_tok ≥ the corpus (1−keep_frac) quantile of
+    score_per_tok — an exact distributed percentile (one tiny 1-row
+    aggregate broadcast back), so the filter keeps the TOP keep_frac
+    of the corpus by construction rather than trusting a hand-set
+    threshold. Returns (doc_id, n_tokens, score, score_per_tok, keep)."""
+    toks = tokens_col(F.lower(F.col("text")))
+    w_of = lambda t: (
+        F.pmod(
+            h64(
+                F.concat(
+                    F.lit("qcw:"),
+                    F.pmod(h64(F.concat(F.lit("qc:"), t)), F.lit(n_feat)).cast("string"),
+                )
+            ),
+            F.lit(2001),
+        )
+        - F.lit(1000)
+    )
+    scored = spread(docs).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + w_of(t)
+        ).alias("score"),
+    ).filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.round(F.col("score") / F.col("n_tokens"), 6).alias("score_per_tok"),
+    )
+    cut = scored.agg(
+        F.round(
+            F.expr(f"percentile(score_per_tok, {1.0 - float(keep_frac)})"), 6
+        ).alias("cutoff")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            "score_per_tok",
+            (F.col("score_per_tok") >= F.col("cutoff")).alias("keep"),
+        )
+    )

@@ -3521,6 +3521,18 @@ def _digest_gate(df: DataFrame, name: str) -> DataFrame:
     ).select(F.lit(name).alias("gate"), "n_rows", "d1", "d2")
 
 
+def q_text_quality_classifier(spark, sf_dir):
+    """Hashed linear quality scorer + distributed threshold calibration
+    (functions/text.hashed_quality_classifier): md5-derived integer
+    weights make every score BIGINT-exact, and the keep decision
+    compares against an exact corpus quantile (Spark percentile ==
+    DuckDB quantile_cont) — one projection, one aggregate, one 1-row
+    broadcast."""
+    from .functions.text import hashed_quality_classifier
+
+    return hashed_quality_classifier(_docs(spark, sf_dir))
+
+
 def q_ir_tfidf_weights(spark, sf_dir):
     """Smooth-IDF TF-IDF weights over the df-capped term space
     (functions/ir.py): explode → two hash aggregates → term-key join —
@@ -3595,9 +3607,11 @@ CORPUS_SAMPLING_PARTS = [
     # r10: hashed-bigram LM scoring (all-integer rows)
     "text_lm_perplexity",
     "corpus_dsir_weights",
-    # r12: TF-IDF sparse weights + term-partitioned top-k similarity
+    # r12: TF-IDF sparse weights + term-partitioned top-k similarity,
+    # hashed linear quality classifier with calibrated keep threshold
     "ir_tfidf_weights",
     "ir_tfidf_topk",
+    "text_quality_classifier",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3840,9 +3854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: descent-exhaustion residual percentiles — graded via
         # events_analytics_battery's digest of its FULL output
         "events_percentiles_residual": q_events_percentiles_residual,
-        # r12: TF-IDF IR ops — graded via corpus_sampling_battery
+        # r12: TF-IDF IR ops + hashed quality classifier — graded via
+        # corpus_sampling_battery
         "ir_tfidf_weights": q_ir_tfidf_weights,
         "ir_tfidf_topk": q_ir_tfidf_topk,
+        "text_quality_classifier": q_text_quality_classifier,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

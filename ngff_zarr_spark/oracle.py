@@ -929,6 +929,28 @@ wx AS (
 )"""
 
 
+def sql_text_quality_classifier():
+    from .functions.text import QC_KEEP_FRAC, QC_N_FEAT
+
+    bucket = H64.format(s="concat('qc:', t)")
+    wexpr = (
+        H64.format(s=f"concat('qcw:', CAST(({bucket}) % {QC_N_FEAT} AS VARCHAR))")
+        + " % 2001 - 1000"
+    )
+    q = 1.0 - QC_KEEP_FRAC
+    return f"""WITH {_toks_cte(lower=True)},
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(toks, t -> {wexpr})), 0) AS BIGINT) AS score
+  FROM q WHERE len(toks) > 0
+),
+s2 AS (SELECT *, round(CAST(score AS DOUBLE) / n_tokens, 6) AS score_per_tok FROM s),
+c AS (SELECT round(quantile_cont(score_per_tok, {q}), 6) AS cutoff FROM s2)
+SELECT doc_id, n_tokens, score, score_per_tok,
+       score_per_tok >= cutoff AS keep
+FROM s2 CROSS JOIN c"""
+
+
 def sql_ir_tfidf_weights():
     from .functions.ir import TFIDF_MAX_DF
 
@@ -3072,6 +3094,10 @@ _DIGEST_SPECS = {
     },
     "ir_tfidf_weights": {"doc_id": "l", "term": "s", "w": "d"},
     "ir_tfidf_topk": {"doc_a": "l", "rank": "l", "doc_b": "l", "cos": "d"},
+    "text_quality_classifier": {
+        "doc_id": "l", "n_tokens": "l", "score": "l",
+        "score_per_tok": "d", "keep": "s",
+    },
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -3186,9 +3212,11 @@ CORPUS_SAMPLING_PARTS = [
     # r10: hashed-bigram LM scoring (all-integer rows)
     "text_lm_perplexity",
     "corpus_dsir_weights",
-    # r12: TF-IDF sparse weights + term-partitioned top-k similarity
+    # r12: TF-IDF sparse weights + term-partitioned top-k similarity,
+    # hashed linear quality classifier with calibrated keep threshold
     "ir_tfidf_weights",
     "ir_tfidf_topk",
+    "text_quality_classifier",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3414,6 +3442,7 @@ def oracles() -> dict[str, str]:
         "corpus_dsir_weights": sql_corpus_dsir_weights(),
         "ir_tfidf_weights": sql_ir_tfidf_weights(),
         "ir_tfidf_topk": sql_ir_tfidf_topk(),
+        "text_quality_classifier": sql_text_quality_classifier(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),

@@ -124,3 +124,57 @@ def test_tfidf_topk_plan_has_no_cartesian(spark):
     # 1-row N broadcast is the only nested-loop-ish join allowed
     assert plan.count("CartesianProduct") == 0
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- quality classifier
+
+
+def _h64_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_score(text: str, n_feat: int = 1024) -> tuple[int, int]:
+    toks = text.lower().split()
+    sc = sum(
+        _h64_py(f"qcw:{_h64_py('qc:' + t) % n_feat}") % 2001 - 1000 for t in toks
+    )
+    return len(toks), sc
+
+
+def test_quality_classifier_scores_match_reference(spark):
+    from ngff_zarr_spark.functions.text import hashed_quality_classifier
+
+    texts = [
+        "the quick brown fox", "lorem ipsum dolor", "a b c d e f",
+        "   spaced    out   tokens ", "singleton", "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.score) for r in
+           hashed_quality_classifier(docs).collect()}
+    for i, t in enumerate(texts):
+        n, sc = _ref_score(t)
+        if n == 0:
+            assert i not in got  # empty docs are excluded
+        else:
+            assert got[i] == (n, sc), (i, t)
+
+
+def test_quality_classifier_keep_rate(spark):
+    """Calibration property: with distinct per-token scores, keep rate
+    lands within one document of the configured keep_frac."""
+    from ngff_zarr_spark.functions.text import hashed_quality_classifier
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{17 * i % 101}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = hashed_quality_classifier(docs, keep_frac=0.7)
+    kept = out.filter("keep").count()
+    assert abs(kept - 70) <= 2
+    # scoring is deterministic across invocations
+    kept2 = hashed_quality_classifier(docs, keep_frac=0.7).filter("keep").count()
+    assert kept == kept2
