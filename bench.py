@@ -472,6 +472,10 @@ QUERIES = {
     "ir_tfidf_topk": gate.q_ir_tfidf_topk,
     # r12: hashed linear quality scorer + calibrated keep threshold
     "text_quality_classifier": gate.q_text_quality_classifier,
+    # r12: distributed BPE merge learning (8 vocab-sized argmax jobs)
+    # and the trained tokenizer applied back via one vocab join
+    "text_bpe_merges": gate.q_text_bpe_merges,
+    "text_bpe_subwords": gate.q_text_bpe_subwords,
 }
 
 

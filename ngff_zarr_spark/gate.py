@@ -3521,6 +3521,28 @@ def _digest_gate(df: DataFrame, name: str) -> DataFrame:
     ).select(F.lit(name).alias("gate"), "n_rows", "d1", "d2")
 
 
+def q_text_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (functions/bpe.py): K=8 argmax
+    merge iterations over the word-count vocabulary — the corpus is
+    scanned ONCE (word counts); every iteration is a vocab-sized hash
+    aggregate + a 1-row broadcast + one literal replace. The DuckDB
+    twin unrolls the identical K stages as chained CTEs (same greedy
+    left-to-right replace semantics, same tie-break)."""
+    from .functions.bpe import bpe_learn
+
+    return bpe_learn(_docs(spark, sf_dir))
+
+
+def q_text_bpe_subwords(spark, sf_dir):
+    """Apply the learned BPE vocabulary back to the corpus: per-doc
+    (n_words, n_subwords) via one join of doc-word counts against the
+    final segment-count vocab — the tokenize step of the trained
+    tokenizer, never rescanning text per merge."""
+    from .functions.bpe import bpe_subword_stats
+
+    return bpe_subword_stats(_docs(spark, sf_dir))
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Hashed linear quality scorer + distributed threshold calibration
     (functions/text.hashed_quality_classifier): md5-derived integer
@@ -3612,6 +3634,9 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_weights",
     "ir_tfidf_topk",
     "text_quality_classifier",
+    # r12: distributed BPE tokenizer training + subword segmentation
+    "text_bpe_merges",
+    "text_bpe_subwords",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3859,6 +3884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_tfidf_weights": q_ir_tfidf_weights,
         "ir_tfidf_topk": q_ir_tfidf_topk,
         "text_quality_classifier": q_text_quality_classifier,
+        "text_bpe_merges": q_text_bpe_merges,
+        "text_bpe_subwords": q_text_bpe_subwords,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

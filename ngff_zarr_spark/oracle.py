@@ -951,6 +951,88 @@ SELECT doc_id, n_tokens, score, score_per_tok,
 FROM s2 CROSS JOIN c"""
 
 
+def _bpe_ctes(n_merges: int) -> str:
+    """K-stage BPE merge unroll — the CTE-chain mirror of
+    functions/bpe._learn. Stage i: pair counts p{i} over vocab w{i-1}
+    (adjacent symbols weighted by word count), argmax b{i} with the
+    sentinel fallback and (count desc, left, right) tie-break, then
+    w{i} applies the merge as ONE literal replace (DuckDB's replace is
+    left-to-right non-overlapping — greedy BPE application, same as
+    Spark's)."""
+    sep = "chr(31)"
+    sent = "chr(2)"
+    parts = [
+        _toks_cte(lower=True),
+        f"""wc AS (
+  SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(toks) AS word FROM q)
+  WHERE word NOT LIKE '%' || {sep} || '%' AND word NOT LIKE '%' || {sent} || '%'
+  GROUP BY 1
+)""",
+        f"""w0 AS (
+  SELECT word, cnt,
+         {sep} || array_to_string(regexp_extract_all(word, '.'), {sep} || {sep}) || {sep} AS seq
+  FROM wc
+)""",
+    ]
+    for i in range(1, int(n_merges) + 1):
+        parts.append(f"""p{i} AS (
+  SELECT string_split(pr, {sep})[1] AS la, string_split(pr, {sep})[2] AS rb,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT cnt, unnest(CASE WHEN len(sy) >= 2 THEN
+        list_transform(range(0, len(sy)-1), j -> sy[j+1] || {sep} || sy[j+2])
+      ELSE [] END) AS pr
+    FROM (SELECT cnt, string_split(trim(seq, {sep}), {sep} || {sep}) AS sy FROM w{i-1})
+  ) GROUP BY 1, 2
+)""")
+        parts.append(f"""b{i} AS (
+  SELECT la, rb, c FROM (
+    SELECT la, rb, c FROM p{i}
+    UNION ALL SELECT {sent}, {sent}, CAST(-1 AS BIGINT)
+  ) ORDER BY c DESC, la, rb LIMIT 1
+)""")
+        parts.append(f"""w{i} AS (
+  SELECT word, cnt,
+         replace(seq, {sep} || la || {sep} || {sep} || rb || {sep},
+                 {sep} || la || rb || {sep}) AS seq
+  FROM w{i-1} CROSS JOIN b{i}
+)""")
+    return ",\n".join(parts)
+
+
+def sql_text_bpe_merges():
+    from .functions.bpe import BPE_MERGES
+
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, la AS left, rb AS right, c AS pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""WITH {_bpe_ctes(BPE_MERGES)}
+SELECT * FROM ({steps}) WHERE pair_count > 0"""
+
+
+def sql_text_bpe_subwords():
+    from .functions.bpe import BPE_MERGES
+
+    sep = "chr(31)"
+    sent = "chr(2)"
+    return f"""WITH {_bpe_ctes(BPE_MERGES)},
+seg AS (
+  SELECT word, CAST(len(string_split(trim(seq, {sep}), {sep} || {sep})) AS BIGINT) AS n_syms
+  FROM w{BPE_MERGES}
+),
+dwc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS word FROM q)
+  WHERE word NOT LIKE '%' || {sep} || '%' AND word NOT LIKE '%' || {sent} || '%'
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * n_syms) AS BIGINT) AS n_subwords
+FROM dwc JOIN seg USING (word)
+GROUP BY 1"""
+
+
 def sql_ir_tfidf_weights():
     from .functions.ir import TFIDF_MAX_DF
 
@@ -3098,6 +3180,8 @@ _DIGEST_SPECS = {
         "doc_id": "l", "n_tokens": "l", "score": "l",
         "score_per_tok": "d", "keep": "s",
     },
+    "text_bpe_merges": {"step": "l", "left": "s", "right": "s", "pair_count": "l"},
+    "text_bpe_subwords": {"doc_id": "l", "n_words": "l", "n_subwords": "l"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -3217,6 +3301,9 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_weights",
     "ir_tfidf_topk",
     "text_quality_classifier",
+    # r12: distributed BPE tokenizer training + subword segmentation
+    "text_bpe_merges",
+    "text_bpe_subwords",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3274,8 +3361,12 @@ def _digest_sql(name: str, inner: str, spec: dict[str, str]) -> str:
     columns, mod a prime, summed)."""
     rend = []
     for c in sorted(spec):
+        # identifiers are double-quoted: constituent columns may be
+        # reserved words ("left"/"right" in the BPE merge table)
         expr = (
-            f"CAST(round(({c}) * 1000000, 0) AS BIGINT)" if spec[c] == "d" else c
+            f'CAST(round(("{c}") * 1000000, 0) AS BIGINT)'
+            if spec[c] == "d"
+            else f'"{c}"'
         )
         rend.append(f"COALESCE(CAST({expr} AS VARCHAR), '@')")
     row = "concat_ws('|', " + ", ".join(rend) + ")"
@@ -3443,6 +3534,8 @@ def oracles() -> dict[str, str]:
         "ir_tfidf_weights": sql_ir_tfidf_weights(),
         "ir_tfidf_topk": sql_ir_tfidf_topk(),
         "text_quality_classifier": sql_text_quality_classifier(),
+        "text_bpe_merges": sql_text_bpe_merges(),
+        "text_bpe_subwords": sql_text_bpe_subwords(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),

@@ -178,3 +178,96 @@ def test_quality_classifier_keep_rate(spark):
     # scoring is deterministic across invocations
     kept2 = hashed_quality_classifier(docs, keep_frac=0.7).filter("keep").count()
     assert kept == kept2
+
+
+# --------------------------------------------------------------- BPE
+
+
+def _ref_bpe(docs, n_merges):
+    """Textbook word-count BPE (pure python, greedy left-to-right
+    application, (count desc, left, right) tie-break)."""
+    wc = {}
+    for _, text in docs:
+        for w in text.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + wc[w]
+        if not pc:
+            break
+        (la, rb), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, la, rb, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, wc
+
+
+BPE_DOCS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new"),
+    (2, "low new wider widest"),
+    (3, "xyz xyz xyzq"),
+]
+
+
+def test_bpe_merges_match_reference(spark):
+    from ngff_zarr_spark.functions.bpe import bpe_learn
+
+    docs = spark.createDataFrame(BPE_DOCS, "doc_id long, text string")
+    got = [(r.step, r.left, r.right, r.pair_count)
+           for r in bpe_learn(docs, 10).orderBy("step").collect()]
+    want, _, _ = _ref_bpe(BPE_DOCS, 10)
+    assert got == want
+
+
+def test_bpe_subword_stats_match_reference(spark):
+    from ngff_zarr_spark.functions.bpe import bpe_subword_stats
+
+    docs = spark.createDataFrame(BPE_DOCS, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_subwords)
+           for r in bpe_subword_stats(docs, 6).collect()}
+    merges, vocab, _ = _ref_bpe(BPE_DOCS, 6)
+    want = {}
+    for doc_id, text in BPE_DOCS:
+        ws = text.lower().split()
+        want[doc_id] = (len(ws), sum(len(vocab[w]) for w in ws))
+    assert got == want
+
+
+def test_bpe_exhaustion_stops_cleanly(spark):
+    """Single 2-char word: exactly one merge is learnable; asking for
+    10 returns 1 row and segmentation collapses to one symbol."""
+    from ngff_zarr_spark.functions.bpe import bpe_learn, bpe_subword_stats
+
+    docs = spark.createDataFrame([(0, "ab ab"), (1, "ab")], "doc_id long, text string")
+    merges = bpe_learn(docs, 10).collect()
+    assert [(r.step, r.left, r.right, r.pair_count) for r in merges] == [
+        (1, "a", "b", 3)
+    ]
+    stats = {r.doc_id: r.n_subwords for r in bpe_subword_stats(docs, 10).collect()}
+    assert stats == {0: 2, 1: 1}
+
+
+def test_bpe_overlapping_runs_merge_greedily(spark):
+    """'aaaa' under merge (a,a): greedy left-to-right gives [aa, aa];
+    'aaa' gives [aa, a] — the literal-replace application must match
+    the sequential fold exactly."""
+    from ngff_zarr_spark.functions.bpe import bpe_learn, bpe_subword_stats
+
+    docs = spark.createDataFrame([(0, "aaaa aaa")], "doc_id long, text string")
+    m = bpe_learn(docs, 1).collect()
+    assert (m[0].left, m[0].right) == ("a", "a")
+    stats = bpe_subword_stats(docs, 1).first()
+    assert stats.n_subwords == 4  # [aa, aa] + [aa, a]
