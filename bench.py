@@ -476,6 +476,8 @@ QUERIES = {
     # and the trained tokenizer applied back via one vocab join
     "text_bpe_merges": gate.q_text_bpe_merges,
     "text_bpe_subwords": gate.q_text_bpe_subwords,
+    # r12: Levenshtein re-rank of capped LSH candidates (threshold DP)
+    "dedup_edit_distance": gate.q_dedup_edit_distance,
 }
 
 

@@ -589,3 +589,41 @@ def dup_shingle_frac(docs: DataFrame, k: int = SHINGLE_K, min_df: int = 2) -> Da
             F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6).alias("dup_frac"),
         )
     )
+
+
+EDIT_MAX_DIST = 24  # default edit-distance acceptance bound
+
+
+def edit_distance_candidates(
+    docs: DataFrame,
+    max_dist: int = EDIT_MAX_DIST,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Exact-edit-distance near-dup verification (the RETSim-style
+    re-rank stage): MinHash/LSH band candidates — already bucket-capped,
+    never all-pairs — re-scored with a TRUE Levenshtein distance over
+    the normalized text, keeping pairs within ``max_dist`` edits.
+    Returns (doc_a, doc_b, dist), doc_a < doc_b.
+
+    Scale: candidate generation is the existing capped band join;
+    distance runs JVM-side via the THRESHOLD form of ``levenshtein``
+    (O(len·max_dist) banded DP with early exit instead of the O(len²)
+    full matrix — at book-length documents that's the difference
+    between a bounded row cost and a quadratic one). The oracle
+    computes the full DuckDB levenshtein and filters — identical
+    accepted set, because the threshold form only short-circuits
+    ABOVE the bound."""
+    cand = minhash_candidates(docs, max_bucket=max_bucket).select("doc_a", "doc_b")
+    norm = docs.select("doc_id", _norm_text(F.col("text")).alias("nt"))
+    ta = norm.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("ta"))
+    tb = norm.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("ta"), F.col("tb"), int(max_dist)).cast("long").alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= int(max_dist)))
+    )

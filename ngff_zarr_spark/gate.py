@@ -975,6 +975,15 @@ def q_dedup_clusters(spark, sf_dir):
     return D.duplicate_clusters(D.minhash_candidates(_docs(spark, sf_dir)))
 
 
+def q_dedup_edit_distance(spark, sf_dir):
+    """Exact Levenshtein re-rank of the capped MinHash/LSH candidates
+    (functions/dedup.edit_distance_candidates): the RETSim-style
+    verification stage — threshold-banded levenshtein JVM-side (early
+    exit above the bound), identical accepted set to the oracle's
+    full-distance filter."""
+    return D.edit_distance_candidates(_docs(spark, sf_dir))
+
+
 def q_dedup_keep(spark, sf_dir):
     """End-to-end dedup decision: the surviving doc_id set after
     dropping every non-representative member of each duplicate
@@ -3663,6 +3672,8 @@ DEDUP_PARTS = [
     # r11 (VERDICT r10 ask #2): the streaming gram-ledger twin of
     # keep-one substring dedup, previously slot 147 (ungraded)
     "dedup_substring_stream",
+    # r12: exact Levenshtein re-rank of the capped band candidates
+    "dedup_edit_distance",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -3996,6 +4007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: temperature mixture resampling (doc realization + report)
         # r10: streaming gram-ledger twin of keep-one substring dedup
         "dedup_substring_stream": q_dedup_substring_stream,
+        # r12: Levenshtein re-rank — graded via dedup_battery
+        "dedup_edit_distance": q_dedup_edit_distance,
         # r10: perceptual image hashing + near-dup pairs
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_image_dedup": q_multimodal_image_dedup,

@@ -1259,6 +1259,21 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.125"""
 
 
+def sql_dedup_edit_distance():
+    from .functions.dedup import EDIT_MAX_DIST
+
+    norm = NORM.format(c="text")
+    return f"""WITH cand2 AS (
+{sql_dedup_minhash()}
+),
+nt AS (SELECT doc_id, {norm} AS t FROM documents)
+SELECT c.doc_a, c.doc_b, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM cand2 c
+JOIN nt a ON a.doc_id = c.doc_a
+JOIN nt b ON b.doc_id = c.doc_b
+WHERE levenshtein(a.t, b.t) <= {EDIT_MAX_DIST}"""
+
+
 def sql_s14_itk_adapter():
     # deterministic 3x4x5 ITK fixture: v = (z*73+y*179+x*283) % 251,
     # spacing (x,y,z)=(0.5,0.75,2.0) origin (1,2,3) — physical coords
@@ -3204,6 +3219,7 @@ _DIGEST_SPECS = {
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
     "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
     "dedup_minhash": {"doc_a": "l", "doc_b": "l", "est_jaccard": "d"},
+    "dedup_edit_distance": {"doc_a": "l", "doc_b": "l", "dist": "l"},
     "dedup_clusters": {"doc_id": "l", "cluster_id": "l"},
     "dedup_keep": {"doc_id": "l"},
     "dedup_simhash": {"doc_id": "l", "simhash": "l"},
@@ -3327,6 +3343,8 @@ DEDUP_PARTS = [
     # r11 (VERDICT r10 ask #2): the streaming gram-ledger twin of
     # keep-one substring dedup, previously slot 147 (ungraded)
     "dedup_substring_stream",
+    # r12: exact Levenshtein re-rank of the capped band candidates
+    "dedup_edit_distance",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -3528,6 +3546,7 @@ def oracles() -> dict[str, str]:
         "dedup_dup_spans": sql_dedup_dup_spans(),
         "dedup_substring_cut": sql_dedup_substring_cut(),
         "dedup_substring_stream": sql_dedup_substring_stream(),
+        "dedup_edit_distance": sql_dedup_edit_distance(),
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "text_lm_perplexity": sql_text_lm_perplexity(),
         "corpus_dsir_weights": sql_corpus_dsir_weights(),

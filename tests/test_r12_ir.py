@@ -271,3 +271,45 @@ def test_bpe_overlapping_runs_merge_greedily(spark):
     assert (m[0].left, m[0].right) == ("a", "a")
     stats = bpe_subword_stats(docs, 1).first()
     assert stats.n_subwords == 4  # [aa, aa] + [aa, a]
+
+
+# ------------------------------------------- edit-distance re-rank
+
+
+def test_edit_distance_candidates_match_bruteforce(spark):
+    from ngff_zarr_spark.functions.dedup import edit_distance_candidates
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "proceeds to describe spark physical plans in detail") * 2
+    texts = {
+        0: base,
+        1: base.replace("quick", "quack"),            # 2 edits
+        2: base.replace("lazy dog", "lazy cat"),       # 3 edits
+        3: base + " extra trailing tokens appended here",  # insertion
+        4: "completely different content with no overlap at all",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.dist
+           for r in edit_distance_candidates(docs, max_dist=24).collect()}
+
+    def lev(a, b):
+        import numpy as np
+        pa = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            cur = np.empty(len(b) + 1, dtype=np.int64)
+            cur[0] = i
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(pa[j] + 1, cur[j - 1] + 1, pa[j - 1] + (ca != cb))
+            pa = cur
+        return int(pa[-1])
+
+    # every reported pair carries the TRUE distance
+    for (a, b), d in got.items():
+        assert d == lev(texts[a], texts[b]), (a, b)
+        assert d <= 24
+    # the duplicated-shingle near-dup is found (16-perm MinHash recall
+    # is probabilistic for weaker overlaps, so only the strongest pair
+    # is asserted — the distance-exactness loop above is the contract)
+    assert (0, 1) in got and got[(0, 1)] == 2
+    # the unrelated doc pairs with nothing
+    assert not any(4 in pair for pair in got)
