@@ -478,6 +478,8 @@ QUERIES = {
     "text_bpe_subwords": gate.q_text_bpe_subwords,
     # r12: Levenshtein re-rank of capped LSH candidates (threshold DP)
     "dedup_edit_distance": gate.q_dedup_edit_distance,
+    # r12: Okapi BM25 doc-as-query retrieval over the shingle space
+    "ir_bm25_topk": gate.q_ir_bm25_topk,
 }
 
 

@@ -29,22 +29,12 @@ TFIDF_TOPK = 5
 TFIDF_SHINGLE_K = 3  # words per term (same k as the dedup shingles)
 
 
-def tfidf_weights(docs: DataFrame, max_df: int = TFIDF_MAX_DF) -> DataFrame:
-    """(doc_id, term, w): smooth-IDF TF-IDF weights where a term is a
-    ``TFIDF_SHINGLE_K``-word shingle of the lowercased text (the same
-    k-gram space the MinHash dedup family uses — single words are far
-    too coarse a similarity signal once a corpus's head vocabulary
-    saturates, and a shingle's df decays fast enough that the absolute
-    ``max_df`` cap keeps essentially all of the discriminative mass).
-    w = tf · (ln((1+N)/(1+df)) + 1) — the sklearn smooth-idf
-    convention, exactly reproducible in SQL; tf counts OCCURRENCES
-    (repeated shingles weigh more), unlike the dedup family's distinct
-    sets.
-
-    N arrives via a broadcast 1-row cross join (no driver action); df
-    comes from a term-key aggregate of the same tf table the weights
-    join against, so Catalyst reuses the term partitioning for the
-    join instead of adding a shuffle."""
+def _shingle_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): occurrence counts of TFIDF_SHINGLE_K-word
+    shingles of the lowercased text — the shared term space of every
+    IR operator in this module. Tokenization is materialized through a
+    projection boundary before the positional transform (same reason
+    as dedup.shingle_df: a lambda body embeds its argument tree)."""
     k = TFIDF_SHINGLE_K
     toksed = spread(docs).select(
         "doc_id", tokens_col(F.lower(F.col("text"))).alias("toks")
@@ -61,11 +51,30 @@ def tfidf_weights(docs: DataFrame, max_df: int = TFIDF_MAX_DF) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
-    tf = (
+    return (
         toksed.select("doc_id", F.explode(shingles).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+def tfidf_weights(docs: DataFrame, max_df: int = TFIDF_MAX_DF) -> DataFrame:
+    """(doc_id, term, w): smooth-IDF TF-IDF weights where a term is a
+    ``TFIDF_SHINGLE_K``-word shingle of the lowercased text (the same
+    k-gram space the MinHash dedup family uses — single words are far
+    too coarse a similarity signal once a corpus's head vocabulary
+    saturates, and a shingle's df decays fast enough that the absolute
+    ``max_df`` cap keeps essentially all of the discriminative mass).
+    w = tf · (ln((1+N)/(1+df)) + 1) — the sklearn smooth-idf
+    convention, exactly reproducible in SQL; tf counts OCCURRENCES
+    (repeated shingles weigh more), unlike the dedup family's distinct
+    sets.
+
+    N arrives via a broadcast 1-row cross join (no driver action); df
+    comes from a term-key aggregate of the same tf table the weights
+    join against, so Catalyst reuses the term partitioning for the
+    join instead of adding a shuffle."""
+    tf = _shingle_tf(docs)
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
@@ -138,4 +147,92 @@ def tfidf_topk(
         stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
         .select("doc_a", "rank", "doc_b", "cos")
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = TFIDF_TOPK,
+    max_df: int = TFIDF_MAX_DF,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    prebuckets: int = 64,
+) -> DataFrame:
+    """Okapi BM25 retrieval: each query is a document's distinct shingle
+    set (doc-as-query, the standard retrieval-eval shape); every corpus
+    document sharing a below-``max_df`` shingle is scored
+
+        Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl/avgdl))
+
+    with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Document length dl is
+    the document's TOTAL shingle-occurrence count (pre-cap — length
+    normalization must reflect the document, not the pruned term
+    space); avgdl is the corpus mean (1-row broadcast). The df cap
+    bounds candidate generation exactly as in :func:`tfidf_topk`; the
+    query doc itself scores too (self-retrieval at rank 1 is the
+    built-in sanity signal). Returns (query_id, rank, doc_id, score),
+    score rounded 6dp before the two-phase top-k rank."""
+    k1 = float(k1)
+    b = float(b)
+    tf = _shingle_tf(docs)
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    # explicit exact-long-sum / count division (one double op) rather
+    # than AVG: aggregate-internal accumulation order is an engine
+    # implementation detail, a single division is not
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    qterms = (
+        tf.filter(F.col("doc_id").isin([int(q) for q in query_ids]))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+        .join(df_tab, "term")
+        .filter(F.col("df") <= int(max_df))
+    )
+    scored = (
+        qterms.join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_total") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.hash("neighbor_id"), F.lit(prebuckets))
+    ).orderBy(*order)
+    stage1 = (
+        scored.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("neighbor_id").alias("doc_id"), "score")
     )

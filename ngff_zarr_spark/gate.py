@@ -3552,6 +3552,17 @@ def q_text_bpe_subwords(spark, sf_dir):
     return bpe_subword_stats(_docs(spark, sf_dir))
 
 
+def q_ir_bm25_topk(spark, sf_dir):
+    """Okapi BM25 doc-as-query retrieval over the shingle term space
+    (functions/ir.bm25_topk): 10 query documents, df-capped candidate
+    generation, exact-sum avgdl, two-phase top-k. Self-retrieval at
+    rank 1 is the built-in sanity signal; the DuckDB twin re-derives
+    tf/df/dl/avgdl/idf and the full scoring formula."""
+    from .functions.ir import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), list(range(10)))
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Hashed linear quality scorer + distributed threshold calibration
     (functions/text.hashed_quality_classifier): md5-derived integer
@@ -3642,6 +3653,7 @@ CORPUS_SAMPLING_PARTS = [
     # hashed linear quality classifier with calibrated keep threshold
     "ir_tfidf_weights",
     "ir_tfidf_topk",
+    "ir_bm25_topk",
     "text_quality_classifier",
     # r12: distributed BPE tokenizer training + subword segmentation
     "text_bpe_merges",
@@ -3894,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_sampling_battery
         "ir_tfidf_weights": q_ir_tfidf_weights,
         "ir_tfidf_topk": q_ir_tfidf_topk,
+        "ir_bm25_topk": q_ir_bm25_topk,
         "text_quality_classifier": q_text_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_subwords": q_text_bpe_subwords,

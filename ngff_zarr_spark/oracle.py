@@ -1033,6 +1033,47 @@ FROM dwc JOIN seg USING (word)
 GROUP BY 1"""
 
 
+def sql_ir_bm25_topk():
+    from .functions.ir import BM25_B, BM25_K1, TFIDF_MAX_DF, TFIDF_TOPK
+
+    qids = ", ".join(str(i) for i in range(10))
+    return f"""WITH {_toks_cte(lower=True)},
+tfx AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_SHINGLE}) AS term FROM q) GROUP BY 1, 2
+),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY 1),
+nx AS (SELECT COUNT(*) AS n_total FROM documents),
+dlx AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfx GROUP BY 1),
+ax AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+qt AS (
+  SELECT tfx.doc_id AS query_id, tfx.term
+  FROM tfx JOIN dfx USING (term)
+  WHERE tfx.doc_id IN ({qids}) AND df <= {TFIDF_MAX_DF}
+),
+sc AS (
+  SELECT qt.query_id, tfx.doc_id,
+         round(SUM(
+           ln(1.0 + (n_total - df + 0.5) / (df + 0.5))
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl / avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN tfx USING (term)
+  JOIN dfx USING (term)
+  JOIN dlx ON dlx.doc_id = tfx.doc_id
+  CROSS JOIN nx CROSS JOIN ax
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM r WHERE rank <= {TFIDF_TOPK}"""
+
+
 def sql_ir_tfidf_weights():
     from .functions.ir import TFIDF_MAX_DF
 
@@ -3191,6 +3232,7 @@ _DIGEST_SPECS = {
     },
     "ir_tfidf_weights": {"doc_id": "l", "term": "s", "w": "d"},
     "ir_tfidf_topk": {"doc_a": "l", "rank": "l", "doc_b": "l", "cos": "d"},
+    "ir_bm25_topk": {"query_id": "l", "rank": "l", "doc_id": "l", "score": "d"},
     "text_quality_classifier": {
         "doc_id": "l", "n_tokens": "l", "score": "l",
         "score_per_tok": "d", "keep": "s",
@@ -3316,6 +3358,7 @@ CORPUS_SAMPLING_PARTS = [
     # hashed linear quality classifier with calibrated keep threshold
     "ir_tfidf_weights",
     "ir_tfidf_topk",
+    "ir_bm25_topk",
     "text_quality_classifier",
     # r12: distributed BPE tokenizer training + subword segmentation
     "text_bpe_merges",
@@ -3552,6 +3595,7 @@ def oracles() -> dict[str, str]:
         "corpus_dsir_weights": sql_corpus_dsir_weights(),
         "ir_tfidf_weights": sql_ir_tfidf_weights(),
         "ir_tfidf_topk": sql_ir_tfidf_topk(),
+        "ir_bm25_topk": sql_ir_bm25_topk(),
         "text_quality_classifier": sql_text_quality_classifier(),
         "text_bpe_merges": sql_text_bpe_merges(),
         "text_bpe_subwords": sql_text_bpe_subwords(),

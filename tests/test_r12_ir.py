@@ -313,3 +313,58 @@ def test_edit_distance_candidates_match_bruteforce(spark):
     assert (0, 1) in got and got[(0, 1)] == 2
     # the unrelated doc pairs with nothing
     assert not any(4 in pair for pair in got)
+
+
+# -------------------------------------------------------------- BM25
+
+
+def test_bm25_matches_reference(spark):
+    from ngff_zarr_spark.functions.ir import BM25_B, BM25_K1, bm25_topk
+
+    got = {}
+    for r in bm25_topk(_docs_df(spark), [0, 2], k=4, max_df=8).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for a in got:
+        got[a].sort()
+
+    # brute-force reference
+    n_total = len(DOCS)
+    tf = {}
+    for d, text in DOCS:
+        toks = text.lower().split()
+        for i in range(max(0, len(toks) - TFIDF_SHINGLE_K + 1)):
+            t = " ".join(toks[i : i + TFIDF_SHINGLE_K])
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    dl = {}
+    for (d, _), c in tf.items():
+        dl[d] = dl.get(d, 0) + c
+    avgdl = sum(dl.values()) / len(dl)
+    want = {}
+    for qid in (0, 2):
+        qterms = [t for (d, t) in tf if d == qid and df[t] <= 8]
+        scores = {}
+        for d in dl:
+            s = 0.0
+            for t in qterms:
+                c = tf.get((d, t), 0)
+                if c:
+                    idf = math.log(1.0 + (n_total - df[t] + 0.5) / (df[t] + 0.5))
+                    s += idf * c * (BM25_K1 + 1.0) / (
+                        c + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
+                    )
+            if s > 0:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        want[qid] = [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+    assert got == want
+
+
+def test_bm25_self_retrieval_rank1(spark):
+    from ngff_zarr_spark.functions.ir import bm25_topk
+
+    top = bm25_topk(_docs_df(spark), [1, 4], k=3, max_df=8)
+    r1 = {r.query_id: r.doc_id for r in top.filter("rank = 1").collect()}
+    assert r1 == {1: 1, 4: 4}
