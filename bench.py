@@ -480,6 +480,13 @@ QUERIES = {
     "dedup_edit_distance": gate.q_dedup_edit_distance,
     # r12: Okapi BM25 doc-as-query retrieval over the shingle space
     "ir_bm25_topk": gate.q_ir_bm25_topk,
+    # r12: the remaining slim-schema TPC-H plan families
+    "tpch_q7": gate.q_tpch_q7,
+    "tpch_q8": gate.q_tpch_q8,
+    "tpch_q9": gate.q_tpch_q9,
+    "tpch_q13": gate.q_tpch_q13,
+    "tpch_q15": gate.q_tpch_q15,
+    "tpch_q18": gate.q_tpch_q18,
 }
 
 

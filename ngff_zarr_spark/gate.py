@@ -91,6 +91,15 @@ Q17_BRAND = "Brand#23"
 Q17_MAX_SIZE = 10
 Q21_LATE_DAYS = 60
 Q21_NATIONS = ("NATION_5", "NATION_10")
+# r12 relational-family sweep constants (slim-schema adaptations)
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q7_LO, Q7_HI = "1996-01-01 00:00:00", "1998-01-01 00:00:00"
+Q8_REGION, Q8_NATION, Q8_TYPE = "ASIA", "NATION_2", "PROMO"
+Q8_LO, Q8_HI = "1995-01-01 00:00:00", "1997-01-01 00:00:00"
+Q9_NAME_FRAG = "ring"
+Q13_EXCL_PRIORITY = "1-URGENT"  # stands in for q13's comment filter
+Q15_LO, Q15_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+Q18_MIN_QTY = 320
 Q22_SEGMENTS = (1, 5, 9, 13, 17, 21)
 Q22_CUTOFF = "2000-07-01 00:00:00"
 
@@ -2320,6 +2329,182 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue between two nations in both
+    directions, by supplier nation / customer nation / ship year. Both
+    nation dims broadcast; the (n1,n2)∈{(A,B),(B,A)} disjunction is a
+    residual on the joined row; one final 3-key aggregate."""
+    a, b = Q7_NATIONS
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q7_LO) & (F.col("l_shipdate") < Q7_HI)
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): the target nation's share of
+    region revenue for one part type per order year. The share is a
+    conditional-sum / sum ratio on one aggregate — no second pass; the
+    customer-side region filter prunes through two broadcast dims."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q8_LO) & (F.col("o_orderdate") < Q8_HI)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n1 = _t(spark, sf_dir, "nation")  # customer nation -> region
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("sk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            (
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, F.col("volume")).otherwise(F.lit(0).cast("decimal(18,6)")))
+                / F.sum("volume")
+            ).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted to the slim schema:
+    profit = revenue (no partsupp/supplycost table exists), parts
+    matched by a name fragment, grouped by supplier nation and order
+    year. Part and nation broadcast; one 2-key aggregate."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_FRAG)
+    ).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    so zero-order customers survive with c_count = 0, then the
+    count-of-counts double aggregate. The priority exclusion stands in
+    for q13's comment filter (the slim schema has no o_comment)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != Q13_EXCL_PRIORITY
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) achieving the global maximum. The max is a 1-row
+    aggregate broadcast back (the decorrelated form of the view +
+    scalar subquery); equality compares the EXACT decimal sums, so no
+    float boundary can split the verdict across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_LO) & (F.col("l_shipdate") < Q15_HI)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    per_sup = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = per_sup.agg(F.max("total_rev").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_sup.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 6).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose line quantities
+    sum past the threshold — a group-HAVING semi-join back onto
+    orders⋈customer. The qualifying key set is tiny (the HAVING is the
+    point), so it broadcasts into the enrichment join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
+            F.round(F.col("sum_qty"), 6).alias("sum_qty"),
+        )
+    )
+
+
 def q_s18_hcs_store_read(spark, sf_dir):
     """S18/S19/S20: write a real plate store (plate attrs + per-well
     image writes with attr upsert), read it back, return the enriched
@@ -3712,6 +3897,13 @@ TPCH_PARTS = [
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
+    # r12: the remaining slim-schema-expressible plan families
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q18",
 ]
 
 
@@ -3907,6 +4099,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_tfidf_weights": q_ir_tfidf_weights,
         "ir_tfidf_topk": q_ir_tfidf_topk,
         "ir_bm25_topk": q_ir_bm25_topk,
+        # r12: relational-family sweep — graded via tpch_battery
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q18": q_tpch_q18,
         "text_quality_classifier": q_text_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_subwords": q_text_bpe_subwords,

@@ -2847,6 +2847,108 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
 
 
+def sql_tpch_q7():
+    from .gate import Q7_HI, Q7_LO, Q7_NATIONS
+
+    a, b = Q7_NATIONS
+    return f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_LO}' AND l_shipdate < TIMESTAMP '{Q7_HI}'
+  AND ((n1.n_name = '{a}' AND n2.n_name = '{b}')
+    OR (n1.n_name = '{b}' AND n2.n_name = '{a}'))
+GROUP BY 1, 2, 3"""
+
+
+def sql_tpch_q8():
+    from .gate import Q8_HI, Q8_LO, Q8_NATION, Q8_REGION, Q8_TYPE
+
+    return f"""WITH allv AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE p.p_type = '{Q8_TYPE}' AND r.r_name = '{Q8_REGION}'
+    AND o_orderdate >= TIMESTAMP '{Q8_LO}' AND o_orderdate < TIMESTAMP '{Q8_HI}'
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  / SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM allv GROUP BY 1"""
+
+
+def sql_tpch_q9():
+    from .gate import Q9_NAME_FRAG
+
+    return f"""SELECT n.n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{Q9_NAME_FRAG}%'
+GROUP BY 1, 2"""
+
+
+def sql_tpch_q13():
+    from .gate import Q13_EXCL_PRIORITY
+
+    return f"""WITH pc AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority <> '{Q13_EXCL_PRIORITY}') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY 1"""
+
+
+def sql_tpch_q15():
+    from .gate import Q15_HI, Q15_LO
+
+    return f"""WITH pr AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}' AND l_shipdate < TIMESTAMP '{Q15_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+FROM pr JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM pr)"""
+
+
+def sql_tpch_q18():
+    from .gate import Q18_MIN_QTY
+
+    return f"""WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > {Q18_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 6) AS o_totalprice,
+       round(sum_qty, 6) AS sum_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
 def sql_tpch_q17():
     # decorrelated form written out (per-part agg joined back) — the
     # threshold compare is the integer-exact qty*5*cnt < sum rewrite of
@@ -3302,6 +3404,12 @@ _DIGEST_SPECS = {
     "tpch_q14": {"promo_revenue": "d", "total_revenue": "d", "promo_pct": "d"},
     "tpch_q19": {"revenue": "d"},
     "tpch_q17": {"avg_yearly": "d", "n_small_lines": "l"},
+    "tpch_q7": {"supp_nation": "s", "cust_nation": "s", "l_year": "l", "revenue": "d"},
+    "tpch_q8": {"o_year": "l", "mkt_share": "d"},
+    "tpch_q9": {"nation": "s", "o_year": "l", "sum_profit": "d"},
+    "tpch_q13": {"c_count": "l", "custdist": "l"},
+    "tpch_q15": {"s_suppkey": "l", "s_name": "s", "total_revenue": "d"},
+    "tpch_q18": {"c_custkey": "l", "c_name": "s", "o_orderkey": "l", "o_orderdate": "s", "o_totalprice": "d", "sum_qty": "d"},
     "tpch_q21": {"s_name": "s", "numwait": "l"},
     "tpch_q22": {"cntrycode": "l", "numcust": "l", "totacctbal": "d"},
 }
@@ -3412,6 +3520,13 @@ TPCH_PARTS = [
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
+    # r12: the remaining slim-schema-expressible plan families
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q18",
 ]
 
 
@@ -3563,6 +3678,12 @@ def oracles() -> dict[str, str]:
         "tpch_q19": sql_tpch_q19(),
         "tpch_q10": sql_tpch_q10(),
         "tpch_q17": sql_tpch_q17(),
+        "tpch_q7": sql_tpch_q7(),
+        "tpch_q8": sql_tpch_q8(),
+        "tpch_q9": sql_tpch_q9(),
+        "tpch_q13": sql_tpch_q13(),
+        "tpch_q15": sql_tpch_q15(),
+        "tpch_q18": sql_tpch_q18(),
         "tpch_q21": sql_tpch_q21(),
         "tpch_q22": sql_tpch_q22(),
         "j3_well_catalog": sql_j3_well_catalog(),

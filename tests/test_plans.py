@@ -332,3 +332,22 @@ def test_ann_serving_plan_shapes(spark, sf_dir):
 
         assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= 4, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_r12_tpch_sweep_plan_shapes(spark, sf_dir):
+    """r12 relational sweep: every join in q7/q8/q9/q18 broadcasts its
+    dimension or qualifying-key side — no cartesian anywhere, and no
+    nested-loop join except a deliberate 1-row scalar broadcast
+    (q15's global max)."""
+    for fn, bnlj_ok in (
+        (gate.q_tpch_q7, 0),
+        (gate.q_tpch_q8, 0),
+        (gate.q_tpch_q9, 0),
+        (gate.q_tpch_q13, 0),
+        (gate.q_tpch_q15, 2),  # 1-row max broadcast may plan as BNLJ
+        (gate.q_tpch_q18, 0),
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("CartesianProduct") == 0, fn.__name__
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_ok, fn.__name__
+        assert "PushedFilters" in plan, fn.__name__
