@@ -487,6 +487,11 @@ QUERIES = {
     "tpch_q13": gate.q_tpch_q13,
     "tpch_q15": gate.q_tpch_q15,
     "tpch_q18": gate.q_tpch_q18,
+    "tpch_q2": gate.q_tpch_q2,
+    "tpch_q11": gate.q_tpch_q11,
+    "tpch_q12": gate.q_tpch_q12,
+    "tpch_q16": gate.q_tpch_q16,
+    "tpch_q20": gate.q_tpch_q20,
 }
 
 

@@ -100,6 +100,15 @@ Q9_NAME_FRAG = "ring"
 Q13_EXCL_PRIORITY = "1-URGENT"  # stands in for q13's comment filter
 Q15_LO, Q15_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
 Q18_MIN_QTY = 320
+Q2_SIZE, Q2_REGION = 5, "EUROPE"
+Q11_NATION = "NATION_3"
+Q11_FRAC_INV = 1000  # HAVING value > total/1000, compared as value*1000 > total
+Q12_LATE_DAYS = 90
+Q12_LO, Q12_HI = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+Q16_EXCL_BRAND = "Brand#45"
+Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+Q20_NAME_FRAG = "bolt"
+Q20_LO, Q20_HI = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
 Q22_SEGMENTS = (1, 5, 9, 13, 17, 21)
 Q22_CUTOFF = "2000-07-01 00:00:00"
 
@@ -2505,6 +2514,150 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (min-cost supplier), adapted: the slim schema has no
+    partsupp, so supplier cost is derived from observed unit prices —
+    MIN(round(l_extendedprice/l_quantity, 6)) per (part, supplier).
+    For size-{Q2_SIZE} parts and region-eligible suppliers, return the
+    supplier(s) achieving each part's minimum cost: the correlated
+    scalar-min-per-group decorrelated into an aggregate joined back.
+    Rounding BEFORE the min keeps the equality compare engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("up"),
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min("up").alias("unit_cost"))
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    elig = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == Q2_SIZE).select("p_partkey")
+    pc = (
+        cost.join(elig, cost.l_suppkey == elig.s_suppkey)
+        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+    )
+    mc = pc.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        pc.join(mc, "p_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "s_suppkey", "s_name", "min_cost")
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted: per-part revenue value
+    from one nation's suppliers, keeping parts whose value exceeds
+    1/{Q11_FRAC_INV} of that nation's total — the global-scalar HAVING
+    decorrelated into a 1-row broadcast. The threshold compares
+    value*{Q11_FRAC_INV} > total on EXACT decimals (no float division
+    anywhere near the boundary)."""
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("value"))
+    )
+    tot = v.agg(F.sum("value").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") * Q11_FRAC_INV > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping priority split), adapted: the slim schema
+    has no shipmode/commit/receipt dates, so 'late' means shipped
+    ≥ {Q12_LATE_DAYS} days after ordering, bucketed by l_returnflag
+    (the shipmode stand-in); per bucket, counts of high-priority
+    (1-URGENT/2-HIGH) vs lower-priority orders among 1997-shipped late
+    lines — the conditional-count aggregate over a fact⋈fact join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q12_LO) & (F.col("l_shipdate") < Q12_HI)
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (supplier-part relationship), adapted: the observed
+    (part, supplier) relation from lineitem stands in for partsupp and
+    negative account balance for the complaints filter. Distinct
+    supplier counts per (brand, type, size) with a NOT-IN anti-join —
+    Catalyst plans it as a broadcast anti join, never a full scan per
+    row."""
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & F.col("p_size").isin(*[int(s) for s in Q16_SIZES])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        rel.join(F.broadcast(bad), rel.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (part promotion), adapted: without ps_availqty,
+    'excess stock' becomes DOMINANCE — suppliers who shipped more than
+    half of a {Q20_NAME_FRAG}-part's total 1997 volume. The nested-IN
+    chain (suppliers ∈ dominant-shippers ∈ name-matched parts)
+    compiles to semi-join stages; output is the distinct qualifying
+    supplier list."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q20_NAME_FRAG)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q20_LO) & (F.col("l_shipdate") < Q20_HI)
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sh = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    tot = sh.groupBy("l_partkey").agg(F.sum("q").alias("t"))
+    dominant = (
+        sh.join(tot, "l_partkey")
+        .filter(F.col("q") * 2 > F.col("t"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return sup.join(F.broadcast(dominant), sup.s_suppkey == dominant.l_suppkey, "left_semi")
+
+
 def q_s18_hcs_store_read(spark, sf_dir):
     """S18/S19/S20: write a real plate store (plate attrs + per-well
     image writes with attr upsert), read it back, return the enriched
@@ -3904,6 +4057,12 @@ TPCH_PARTS = [
     "tpch_q13",
     "tpch_q15",
     "tpch_q18",
+    # r12: partsupp/shipmode-dependent families via documented stand-ins
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 
@@ -4106,6 +4265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q18": q_tpch_q18,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "text_quality_classifier": q_text_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_subwords": q_text_bpe_subwords,

@@ -2949,6 +2949,90 @@ JOIN big ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey"""
 
 
+def sql_tpch_q2():
+    from .gate import Q2_REGION, Q2_SIZE
+
+    return f"""WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+elig AS (
+  SELECT s_suppkey, s_name FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q2_REGION}'
+),
+pc AS (
+  SELECT p.p_partkey, e.s_suppkey, e.s_name, c.unit_cost
+  FROM cost c
+  JOIN elig e ON c.l_suppkey = e.s_suppkey
+  JOIN part p ON c.l_partkey = p.p_partkey
+  WHERE p.p_size = {Q2_SIZE}
+),
+mc AS (SELECT p_partkey, MIN(unit_cost) AS min_cost FROM pc GROUP BY 1)
+SELECT pc.p_partkey, pc.s_suppkey, pc.s_name, mc.min_cost
+FROM pc JOIN mc ON pc.p_partkey = mc.p_partkey AND pc.unit_cost = mc.min_cost"""
+
+
+def sql_tpch_q11():
+    from .gate import Q11_FRAC_INV, Q11_NATION
+
+    return f"""WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = '{Q11_NATION}'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, round(CAST(value AS DOUBLE), 6) AS value
+FROM v WHERE value * {Q11_FRAC_INV} > (SELECT SUM(value) FROM v)"""
+
+
+def sql_tpch_q12():
+    from .gate import Q12_HI, Q12_LATE_DAYS, Q12_LO
+
+    return f"""SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_LO}' AND l_shipdate < TIMESTAMP '{Q12_HI}'
+  AND l_shipdate >= o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY 1"""
+
+
+def sql_tpch_q16():
+    from .gate import Q16_EXCL_BRAND, Q16_SIZES
+
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel
+JOIN part p ON rel.l_partkey = p.p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}' AND p_size IN ({sizes})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3"""
+
+
+def sql_tpch_q20():
+    from .gate import Q20_HI, Q20_LO, Q20_NAME_FRAG
+
+    return f"""WITH sh AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%{Q20_NAME_FRAG}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_LO}' AND l_shipdate < TIMESTAMP '{Q20_HI}'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, SUM(q) AS t FROM sh GROUP BY 1),
+dom AS (
+  SELECT DISTINCT l_suppkey FROM sh JOIN tot USING (l_partkey) WHERE q * 2 > t
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)"""
+
+
 def sql_tpch_q17():
     # decorrelated form written out (per-part agg joined back) — the
     # threshold compare is the integer-exact qty*5*cnt < sum rewrite of
@@ -3410,6 +3494,11 @@ _DIGEST_SPECS = {
     "tpch_q13": {"c_count": "l", "custdist": "l"},
     "tpch_q15": {"s_suppkey": "l", "s_name": "s", "total_revenue": "d"},
     "tpch_q18": {"c_custkey": "l", "c_name": "s", "o_orderkey": "l", "o_orderdate": "s", "o_totalprice": "d", "sum_qty": "d"},
+    "tpch_q2": {"p_partkey": "l", "s_suppkey": "l", "s_name": "s", "min_cost": "d"},
+    "tpch_q11": {"p_partkey": "l", "value": "d"},
+    "tpch_q12": {"l_returnflag": "s", "high_line_count": "l", "low_line_count": "l"},
+    "tpch_q16": {"p_brand": "s", "p_type": "s", "p_size": "l", "supplier_cnt": "l"},
+    "tpch_q20": {"s_suppkey": "l", "s_name": "s"},
     "tpch_q21": {"s_name": "s", "numwait": "l"},
     "tpch_q22": {"cntrycode": "l", "numcust": "l", "totacctbal": "d"},
 }
@@ -3527,6 +3616,12 @@ TPCH_PARTS = [
     "tpch_q13",
     "tpch_q15",
     "tpch_q18",
+    # r12: partsupp/shipmode-dependent families via documented stand-ins
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 
@@ -3684,6 +3779,11 @@ def oracles() -> dict[str, str]:
         "tpch_q13": sql_tpch_q13(),
         "tpch_q15": sql_tpch_q15(),
         "tpch_q18": sql_tpch_q18(),
+        "tpch_q2": sql_tpch_q2(),
+        "tpch_q11": sql_tpch_q11(),
+        "tpch_q12": sql_tpch_q12(),
+        "tpch_q16": sql_tpch_q16(),
+        "tpch_q20": sql_tpch_q20(),
         "tpch_q21": sql_tpch_q21(),
         "tpch_q22": sql_tpch_q22(),
         "j3_well_catalog": sql_j3_well_catalog(),

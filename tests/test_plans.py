@@ -351,3 +351,22 @@ def test_r12_tpch_sweep_plan_shapes(spark, sf_dir):
         assert plan.count("CartesianProduct") == 0, fn.__name__
         assert plan.count("BroadcastNestedLoopJoin") <= bnlj_ok, fn.__name__
         assert "PushedFilters" in plan, fn.__name__
+
+
+def test_r12_tpch_standins_plan_shapes(spark, sf_dir):
+    """q2/q11/q12/q16/q20 (partsupp/shipmode stand-ins): no cartesian;
+    q11's global-total 1-row broadcast is the only nested loop; q16's
+    NOT IN is a broadcast ANTI join and q20's nested IN a SEMI join —
+    never per-row subquery scans."""
+    for fn, bnlj_ok in (
+        (gate.q_tpch_q2, 0),
+        (gate.q_tpch_q11, 2),  # 1-row total broadcast
+        (gate.q_tpch_q12, 0),
+        (gate.q_tpch_q16, 0),
+        (gate.q_tpch_q20, 0),
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("CartesianProduct") == 0, fn.__name__
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_ok, fn.__name__
+    assert "LeftAnti" in plan_of(gate.q_tpch_q16(spark, sf_dir))
+    assert "LeftSemi" in plan_of(gate.q_tpch_q20(spark, sf_dir))
