@@ -492,6 +492,8 @@ QUERIES = {
     "tpch_q12": gate.q_tpch_q12,
     "tpch_q16": gate.q_tpch_q16,
     "tpch_q20": gate.q_tpch_q20,
+    # r12: integer-exact PageRank over the capped candidate graph
+    "graph_pagerank": gate.q_graph_pagerank,
 }
 
 

@@ -1002,6 +1002,18 @@ def q_dedup_edit_distance(spark, sf_dir):
     return D.edit_distance_candidates(_docs(spark, sf_dir))
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Damped PageRank (5 integer-exact iterations) over the capped
+    MinHash candidate graph (functions/graph.py): per round one edge
+    join + one aggregate, ranks persisted so the lineage stays linear,
+    no scalar ever collected. All-BIGINT micro-unit arithmetic, so the
+    K-stage DuckDB CTE unroll matches exactly."""
+    from .functions.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    return pagerank(docs, D.minhash_candidates(docs).select("doc_a", "doc_b"))
+
+
 def q_dedup_keep(spark, sf_dir):
     """End-to-end dedup decision: the surviving doc_id set after
     dropping every non-representative member of each duplicate
@@ -4024,6 +4036,8 @@ DEDUP_PARTS = [
     "dedup_substring_stream",
     # r12: exact Levenshtein re-rank of the capped band candidates
     "dedup_edit_distance",
+    # r12: iterative graph analytics over the candidate edges
+    "graph_pagerank",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -4385,6 +4399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_stream": q_dedup_substring_stream,
         # r12: Levenshtein re-rank — graded via dedup_battery
         "dedup_edit_distance": q_dedup_edit_distance,
+        # r12: integer-exact PageRank over the candidate graph
+        "graph_pagerank": q_graph_pagerank,
         # r10: perceptual image hashing + near-dup pairs
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_image_dedup": q_multimodal_image_dedup,

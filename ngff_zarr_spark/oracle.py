@@ -1315,6 +1315,42 @@ JOIN nt b ON b.doc_id = c.doc_b
 WHERE levenshtein(a.t, b.t) <= {EDIT_MAX_DIST}"""
 
 
+def sql_graph_pagerank():
+    from .functions.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE
+
+    base_num = PR_DAMP_DEN - PR_DAMP_NUM
+    # MATERIALIZED: ed is referenced by every iteration's c{i}; left
+    # to the default heuristic DuckDB may inline and re-run the heavy
+    # minhash candidate derivation once per round (measured 94 s vs
+    # ~2 s materialized)
+    parts = [f"""cand AS MATERIALIZED (
+{sql_dedup_minhash()}
+)""", """und AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand
+)""", """degx AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY 1)""",
+"""ed AS MATERIALIZED (SELECT und.src, und.dst, deg FROM und JOIN degx USING (src))""",
+"""nx AS (SELECT COUNT(*) AS n_total FROM documents)""",
+f"""r0 AS (
+  SELECT doc_id, CAST({PR_SCALE} // n_total AS BIGINT) AS r,
+         CAST(({base_num} * ({PR_SCALE} // n_total)) // {PR_DAMP_DEN} AS BIGINT) AS base
+  FROM documents CROSS JOIN nx
+)"""]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""c{i} AS (
+  SELECT dst, CAST(SUM(r // deg) AS BIGINT) AS s
+  FROM r{i-1} JOIN ed ON r{i-1}.doc_id = ed.src GROUP BY 1
+)""")
+        parts.append(f"""r{i} AS (
+  SELECT r{i-1}.doc_id,
+         CAST(base + ({PR_DAMP_NUM} * COALESCE(s, 0)) // {PR_DAMP_DEN} AS BIGINT) AS r,
+         base
+  FROM r{i-1} LEFT JOIN c{i} ON r{i-1}.doc_id = c{i}.dst
+)""")
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT doc_id, r AS rank_micro FROM r{PR_ITERS}"
+
+
 def sql_s14_itk_adapter():
     # deterministic 3x4x5 ITK fixture: v = (z*73+y*179+x*283) % 251,
     # spacing (x,y,z)=(0.5,0.75,2.0) origin (1,2,3) — physical coords
@@ -3448,6 +3484,7 @@ _DIGEST_SPECS = {
     "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
     "dedup_minhash": {"doc_a": "l", "doc_b": "l", "est_jaccard": "d"},
     "dedup_edit_distance": {"doc_a": "l", "doc_b": "l", "dist": "l"},
+    "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "dedup_clusters": {"doc_id": "l", "cluster_id": "l"},
     "dedup_keep": {"doc_id": "l"},
     "dedup_simhash": {"doc_id": "l", "simhash": "l"},
@@ -3585,6 +3622,8 @@ DEDUP_PARTS = [
     "dedup_substring_stream",
     # r12: exact Levenshtein re-rank of the capped band candidates
     "dedup_edit_distance",
+    # r12: iterative graph analytics over the candidate edges
+    "graph_pagerank",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -3811,6 +3850,7 @@ def oracles() -> dict[str, str]:
         "dedup_substring_cut": sql_dedup_substring_cut(),
         "dedup_substring_stream": sql_dedup_substring_stream(),
         "dedup_edit_distance": sql_dedup_edit_distance(),
+        "graph_pagerank": sql_graph_pagerank(),
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "text_lm_perplexity": sql_text_lm_perplexity(),
         "corpus_dsir_weights": sql_corpus_dsir_weights(),

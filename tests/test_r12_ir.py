@@ -368,3 +368,41 @@ def test_bm25_self_retrieval_rank1(spark):
     top = bm25_topk(_docs_df(spark), [1, 4], k=3, max_df=8)
     r1 = {r.query_id: r.doc_id for r in top.filter("rank = 1").collect()}
     assert r1 == {1: 1, 4: 4}
+
+
+# ---------------------------------------------------------- PageRank
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from ngff_zarr_spark.functions.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        pagerank,
+    )
+
+    # path + triangle + isolate: 0-1-2, 3-4-5-3, 6
+    edge_list = [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)]
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    got = {r.doc_id: r.rank_micro for r in pagerank(docs, edges, n_iters=5).collect()}
+
+    # pure-python integer reference
+    und = edge_list + [(b, a) for a, b in edge_list]
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    n = 7
+    r0 = PR_SCALE // n
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * r0 // PR_DAMP_DEN
+    r = {i: r0 for i in range(n)}
+    for _ in range(5):
+        s = {i: 0 for i in range(n)}
+        for a, b in und:
+            s[b] += r[a] // deg[a]
+        r = {i: base + PR_DAMP_NUM * s[i] // PR_DAMP_DEN for i in range(n)}
+    assert got == r
+    # triangle nodes conserve mass symmetrically; the isolate decays
+    assert got[3] == got[4] == got[5]
+    assert got[6] == base
+    assert got[1] > got[0] == got[2]  # path center outranks endpoints
