@@ -115,6 +115,12 @@ def test_capped_band_pairs_no_extra_aggregate_join(spark, sf_dir):
 
     from ngff_zarr_spark.functions.dedup import minhash_candidates
 
+    # from-scratch shape: leftover caches from OTHER operators sharing
+    # the banded-window subplan (e.g. pagerank's persisted edge table)
+    # make cache substitution split the window across consumers in the
+    # pre-AQE explain — runtime still serves from cache, but the shape
+    # pin must be deterministic
+    spark.catalog.clearCache()
     docs = gate._docs(spark, sf_dir)
     plan = plan_of(minhash_candidates(docs))
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
