@@ -325,31 +325,7 @@ def hashed_quality_classifier(
     aggregate broadcast back), so the filter keeps the TOP keep_frac
     of the corpus by construction rather than trusting a hand-set
     threshold. Returns (doc_id, n_tokens, score, score_per_tok, keep)."""
-    toks = tokens_col(F.lower(F.col("text")))
-    w_of = lambda t: (
-        F.pmod(
-            h64(
-                F.concat(
-                    F.lit("qcw:"),
-                    F.pmod(h64(F.concat(F.lit("qc:"), t)), F.lit(n_feat)).cast("string"),
-                )
-            ),
-            F.lit(2001),
-        )
-        - F.lit(1000)
-    )
-    scored = spread(docs).select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + w_of(t)
-        ).alias("score"),
-    ).filter(F.col("n_tokens") > 0).select(
-        "doc_id",
-        "n_tokens",
-        "score",
-        F.round(F.col("score") / F.col("n_tokens"), 6).alias("score_per_tok"),
-    )
+    scored = quality_score_projection(spread(docs), n_feat)
     cut = scored.agg(
         F.round(
             F.expr(f"percentile(score_per_tok, {1.0 - float(keep_frac)})"), 6
@@ -364,4 +340,36 @@ def hashed_quality_classifier(
             "score_per_tok",
             (F.col("score_per_tok") >= F.col("cutoff")).alias("keep"),
         )
+    )
+
+
+def quality_score_projection(docs: DataFrame, n_feat: int = QC_N_FEAT) -> DataFrame:
+    """The classifier's STATELESS half: (doc_id, n_tokens, score,
+    score_per_tok) — one projection, no aggregate, so it runs unchanged
+    in a streaming plan (the calibration half is inherently batch; a
+    stream applies a batch-calibrated cutoff)."""
+    toks = tokens_col(F.lower(F.col("text")))
+    w_of = lambda t: (
+        F.pmod(
+            h64(
+                F.concat(
+                    F.lit("qcw:"),
+                    F.pmod(h64(F.concat(F.lit("qc:"), t)), F.lit(n_feat)).cast("string"),
+                )
+            ),
+            F.lit(2001),
+        )
+        - F.lit(1000)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + w_of(t)
+        ).alias("score"),
+    ).filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.round(F.col("score") / F.col("n_tokens"), 6).alias("score_per_tok"),
     )

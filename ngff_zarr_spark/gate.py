@@ -3252,6 +3252,41 @@ def q_dedup_substring_stream(spark, sf_dir):
     return spark.sql(f"select * from {table} where n_occ >= 2")
 
 
+def q_text_quality_stream(spark, sf_dir):
+    """Streaming twin of the hashed quality classifier: the batch side
+    calibrates the exact-quantile cutoff (one tiny aggregate), the
+    stream scores and labels every arriving document against it with a
+    ZERO-STATE append-mode projection. stream == batch, so this shares
+    the batch classifier's oracle verbatim."""
+    import os
+    import shutil
+    import uuid
+
+    from .functions.text import QC_KEEP_FRAC, quality_score_projection
+    from .streaming.pipeline import streaming_quality_filter
+
+    cutoff = float(
+        quality_score_projection(_docs(spark, sf_dir))
+        .agg(F.round(F.expr(f"percentile(score_per_tok, {1.0 - QC_KEEP_FRAC})"), 6))
+        .first()[0]
+    )
+    docs_dir = _tmp_store("stream_qc_docs")
+    ckpt = _tmp_store("stream_qc_ckpt")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(docs_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", os.path.join(docs_dir, "documents.parquet")
+    )
+    table = f"stream_qc_{uuid.uuid4().hex[:8]}"
+    _scored, start = streaming_quality_filter(spark, docs_dir, ckpt, cutoff)
+    q = start(table)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
+    return spark.sql(f"select * from {table}")
+
+
 def q_dedup_exact_battery(spark, sf_dir):
     """Batch exact dedup + its Structured-Streaming ledger twin in one
     driver slot, tagged by mode. The oracle is the same batch SQL
@@ -4005,6 +4040,7 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_topk",
     "ir_bm25_topk",
     "text_quality_classifier",
+    "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
     "text_bpe_merges",
     "text_bpe_subwords",
@@ -4285,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "text_quality_classifier": q_text_quality_classifier,
+        "text_quality_stream": q_text_quality_stream,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_subwords": q_text_bpe_subwords,
         "s11_tiff_ingest": q_s11_tiff_ingest,

@@ -3459,6 +3459,10 @@ _DIGEST_SPECS = {
         "doc_id": "l", "n_tokens": "l", "score": "l",
         "score_per_tok": "d", "keep": "s",
     },
+    "text_quality_stream": {
+        "doc_id": "l", "n_tokens": "l", "score": "l",
+        "score_per_tok": "d", "keep": "s",
+    },
     "text_bpe_merges": {"step": "l", "left": "s", "right": "s", "pair_count": "l"},
     "text_bpe_subwords": {"doc_id": "l", "n_words": "l", "n_subwords": "l"},
     "multimodal_features": {
@@ -3594,6 +3598,7 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_topk",
     "ir_bm25_topk",
     "text_quality_classifier",
+    "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
     "text_bpe_merges",
     "text_bpe_subwords",
@@ -3858,6 +3863,8 @@ def oracles() -> dict[str, str]:
         "ir_tfidf_topk": sql_ir_tfidf_topk(),
         "ir_bm25_topk": sql_ir_bm25_topk(),
         "text_quality_classifier": sql_text_quality_classifier(),
+        # stream == batch: the drained sink equals the batch classifier
+        "text_quality_stream": sql_text_quality_classifier(),
         "text_bpe_merges": sql_text_bpe_merges(),
         "text_bpe_subwords": sql_text_bpe_subwords(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),

@@ -683,3 +683,47 @@ def streaming_substring_ledger(
         )
 
     return ledger, start
+
+
+def streaming_quality_filter(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    cutoff: float,
+):
+    """Streaming corpus quality filter: documents arrive as parquet
+    files; each is scored by the STATELESS hashed-linear projection
+    (functions/text.quality_score_projection — hash-derived weights,
+    no state, no aggregate) and labeled against a BATCH-CALIBRATED
+    cutoff. This is the production split of the classifier: the
+    exact-quantile calibration is inherently a corpus aggregate run
+    offline (or per retention window), while the ingest path applies
+    it as a pure append-mode projection — zero streaming state, so it
+    scales to any ingest rate. stream == batch is the gate's claim:
+    with the batch-calibrated cutoff, the drained sink equals
+    hashed_quality_classifier's full output row-for-row.
+
+    Returns (stream_df, start_fn) like the other streaming twins."""
+    from ..functions.text import quality_score_projection
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(batch_schema).parquet(docs_dir)
+    scored = quality_score_projection(docs).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        "score_per_tok",
+        (F.col("score_per_tok") >= F.lit(float(cutoff))).alias("keep"),
+    )
+
+    def start(sink_table: str):
+        return (
+            scored.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return scored, start

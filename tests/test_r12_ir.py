@@ -406,3 +406,46 @@ def test_pagerank_matches_integer_reference(spark):
     assert got[3] == got[4] == got[5]
     assert got[6] == base
     assert got[1] > got[0] == got[2]  # path center outranks endpoints
+
+
+def test_quality_stream_equals_batch(spark, tmp_path):
+    """Streaming scorer with the batch-calibrated cutoff drains to the
+    batch classifier's exact output, across MULTIPLE micro-batch
+    files."""
+    import pyspark.sql.functions as F
+
+    from ngff_zarr_spark.functions.text import (
+        QC_KEEP_FRAC,
+        hashed_quality_classifier,
+        quality_score_projection,
+    )
+    from ngff_zarr_spark.streaming.pipeline import streaming_quality_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{17 * i % 101}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "docs")
+    # three separate files -> three micro-batch inputs
+    docs.filter("doc_id < 20").write.parquet(d)
+    docs.filter("doc_id >= 20 and doc_id < 40").write.mode("append").parquet(d)
+    docs.filter("doc_id >= 40").write.mode("append").parquet(d)
+    cutoff = float(
+        quality_score_projection(docs)
+        .agg(F.round(F.expr(f"percentile(score_per_tok, {1.0 - QC_KEEP_FRAC})"), 6))
+        .first()[0]
+    )
+    _, start = streaming_quality_filter(
+        spark, d, str(tmp_path / "ckpt"), cutoff
+    )
+    q = start("qc_stream_sink")
+    assert q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_tokens, r.score, r.score_per_tok, r.keep)
+        for r in spark.sql("select * from qc_stream_sink").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.score, r.score_per_tok, r.keep)
+        for r in hashed_quality_classifier(docs).collect()
+    }
+    assert got == want
