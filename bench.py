@@ -494,6 +494,8 @@ QUERIES = {
     "tpch_q20": gate.q_tpch_q20,
     # r12: integer-exact PageRank over the capped candidate graph
     "graph_pagerank": gate.q_graph_pagerank,
+    # r12: trained-tokenizer encode (positional words x vocab join)
+    "text_bpe_encode": gate.q_text_bpe_encode,
 }
 
 

@@ -150,3 +150,55 @@ def bpe_subword_stats(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             F.sum(F.col("cnt") * F.col("n_syms")).cast("long").alias("n_subwords"),
         )
     )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenize the corpus with the learned vocabulary: one row per
+    emitted subword — (doc_id, word_idx, sym_idx, token_id, token),
+    where word_idx is the word's position in the document, sym_idx the
+    subword's position within the word, and token_id the vocabulary id
+    (alphabetical rank over the final symbol set — deterministic and
+    oracle-reproducible; a frequency-ranked id table drops in the same
+    way).
+
+    Encoding is ONE join of the corpus's positional words against the
+    (vocab-sized) final segmentation, then a posexplode — text is
+    never re-merged per document, which is the point of the word-count
+    formulation: the expensive K-round merge application happened once
+    per DISTINCT word."""
+    from pyspark.sql import Window
+
+    _, vocab = _learn(docs, n_merges)
+    seg = vocab.select("word", _syms(F.col("seq")).alias("syms"))
+    ids = (
+        seg.select(F.explode("syms").alias("token"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.col("token").asc())).cast("long"),
+        )
+    )
+    dw = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.posexplode(tokens_col(F.lower(F.col("text")))).alias("word_idx", "word"),
+        )
+        .filter(~F.col("word").contains(SEP) & ~F.col("word").contains(SENTINEL))
+    )
+    return (
+        dw.join(seg, "word")
+        .select(
+            "doc_id",
+            F.col("word_idx").cast("long").alias("word_idx"),
+            F.posexplode("syms").alias("sym_idx", "token"),
+        )
+        .select(
+            "doc_id",
+            "word_idx",
+            F.col("sym_idx").cast("long").alias("sym_idx"),
+            "token",
+        )
+        .join(F.broadcast(ids), "token")
+        .select("doc_id", "word_idx", "sym_idx", "token_id", "token")
+    )

@@ -3948,6 +3948,19 @@ def q_ir_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), list(range(10)))
 
 
+def q_text_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the learned BPE vocabulary
+    (functions/bpe.bpe_encode): positional words join the vocab-sized
+    final segmentation once, subwords posexplode with stable
+    (word_idx, sym_idx) positions and alphabetical-rank token ids —
+    text is never re-merged per document. The DuckDB twin unrolls the
+    same K merge stages and re-derives positions via index-tagged
+    unnests."""
+    from .functions.bpe import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir))
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Hashed linear quality scorer + distributed threshold calibration
     (functions/text.hashed_quality_classifier): md5-derived integer
@@ -4044,6 +4057,7 @@ CORPUS_SAMPLING_PARTS = [
     # r12: distributed BPE tokenizer training + subword segmentation
     "text_bpe_merges",
     "text_bpe_subwords",
+    "text_bpe_encode",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -4324,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_stream": q_text_quality_stream,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_subwords": q_text_bpe_subwords,
+        "text_bpe_encode": q_text_bpe_encode,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

@@ -1074,6 +1074,49 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
 FROM r WHERE rank <= {TFIDF_TOPK}"""
 
 
+def sql_text_bpe_encode():
+    from .functions.bpe import BPE_MERGES
+
+    sep = "chr(31)"
+    sent = "chr(2)"
+    return f"""WITH {_bpe_ctes(BPE_MERGES)},
+seg AS (
+  SELECT word, string_split(trim(seq, {sep}), {sep} || {sep}) AS syms
+  FROM w{BPE_MERGES}
+),
+ids AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT unnest(syms) AS token FROM seg)
+),
+dw0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks)),
+                i -> CAST(i AS VARCHAR) || {sep} || toks[i+1])) AS pr
+  FROM q
+),
+dw AS (
+  SELECT doc_id,
+         CAST(string_split(pr, {sep})[1] AS BIGINT) AS word_idx,
+         substr(pr, position({sep} IN pr) + 1) AS word
+  FROM dw0
+),
+ex0 AS (
+  SELECT doc_id, word_idx,
+         unnest(list_transform(range(len(syms)),
+                j -> CAST(j AS VARCHAR) || {sep} || syms[j+1])) AS pr2
+  FROM dw JOIN seg USING (word)
+  WHERE word NOT LIKE '%' || {sep} || '%' AND word NOT LIKE '%' || {sent} || '%'
+),
+ex AS (
+  SELECT doc_id, word_idx,
+         CAST(string_split(pr2, {sep})[1] AS BIGINT) AS sym_idx,
+         substr(pr2, position({sep} IN pr2) + 1) AS token
+  FROM ex0
+)
+SELECT doc_id, word_idx, sym_idx, token_id, token
+FROM ex JOIN ids USING (token)"""
+
+
 def sql_ir_tfidf_weights():
     from .functions.ir import TFIDF_MAX_DF
 
@@ -3465,6 +3508,7 @@ _DIGEST_SPECS = {
     },
     "text_bpe_merges": {"step": "l", "left": "s", "right": "s", "pair_count": "l"},
     "text_bpe_subwords": {"doc_id": "l", "n_words": "l", "n_subwords": "l"},
+    "text_bpe_encode": {"doc_id": "l", "word_idx": "l", "sym_idx": "l", "token_id": "l", "token": "s"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -3602,6 +3646,7 @@ CORPUS_SAMPLING_PARTS = [
     # r12: distributed BPE tokenizer training + subword segmentation
     "text_bpe_merges",
     "text_bpe_subwords",
+    "text_bpe_encode",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -3867,6 +3912,7 @@ def oracles() -> dict[str, str]:
         "text_quality_stream": sql_text_quality_classifier(),
         "text_bpe_merges": sql_text_bpe_merges(),
         "text_bpe_subwords": sql_text_bpe_subwords(),
+        "text_bpe_encode": sql_text_bpe_encode(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),

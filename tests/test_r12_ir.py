@@ -449,3 +449,21 @@ def test_quality_stream_equals_batch(spark, tmp_path):
         for r in hashed_quality_classifier(docs).collect()
     }
     assert got == want
+
+
+def test_bpe_encode_matches_reference(spark):
+    from ngff_zarr_spark.functions.bpe import bpe_encode
+
+    docs = spark.createDataFrame(BPE_DOCS, "doc_id long, text string")
+    got = {}
+    for r in bpe_encode(docs, 6).collect():
+        got[(r.doc_id, r.word_idx, r.sym_idx)] = (r.token, r.token_id)
+    _, vocab, _ = _ref_bpe(BPE_DOCS, 6)
+    all_syms = sorted({s for syms in vocab.values() for s in syms})
+    ids = {t: i + 1 for i, t in enumerate(all_syms)}
+    want = {}
+    for doc_id, text in BPE_DOCS:
+        for wi, w in enumerate(text.lower().split()):
+            for si, sym in enumerate(vocab[w]):
+                want[(doc_id, wi, si)] = (sym, ids[sym])
+    assert got == want
