@@ -496,6 +496,8 @@ QUERIES = {
     "graph_pagerank": gate.q_graph_pagerank,
     # r12: trained-tokenizer encode (positional words x vocab join)
     "text_bpe_encode": gate.q_text_bpe_encode,
+    # r12: Z-order layout keys (1-row stats broadcast + shift/mask)
+    "events_zorder_key": gate.q_events_zorder_key,
 }
 
 

@@ -3326,6 +3326,18 @@ def q_events_dedup_stream(spark, sf_dir):
     return spark.sql(f"select * from {table}")
 
 
+def q_events_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (user_id, value)
+    (functions/layout.py): 16-bit min/max buckets per dimension from a
+    1-row broadcast, shift/mask interleave — the layout key a 100 TB
+    table sorts/range-partitions by so row-group stats skip on EITHER
+    filter column. The oracle re-derives every bit with an independent
+    multiplication-form interleave."""
+    from .functions.layout import zorder_keys
+
+    return zorder_keys(_events(spark, sf_dir), "user_id", "value", "event_id")
+
+
 def q_events_percentiles(spark, sf_dir):
     """Exact per-type value percentiles (p50/p90/p99) via Spark's
     ``percentile`` (exact linear interpolation, NOT approx_percentile —
@@ -4016,6 +4028,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_sliding_distinct",
     # r12: forced descent-exhaustion residual path (VERDICT r10 ask #8)
     "events_percentiles_residual",
+    # r12: Z-order layout keys (data-skipping clustering)
+    "events_zorder_key",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -4339,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_subwords": q_text_bpe_subwords,
         "text_bpe_encode": q_text_bpe_encode,
+        "events_zorder_key": q_events_zorder_key,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

@@ -1117,6 +1117,36 @@ SELECT doc_id, word_idx, sym_idx, token_id, token
 FROM ex JOIN ids USING (token)"""
 
 
+def sql_events_zorder_key():
+    from .functions.layout import ZORDER_BITS
+
+    k = (1 << ZORDER_BITS) - 1
+    def bucket(col, lo, hi):
+        return (
+            f"CAST(LEAST(CAST({k} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+            f"CAST(floor((CAST({col} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {k}.0 "
+            f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) AS BIGINT))) AS BIGINT)"
+        )
+    # independent multiplication-form interleave (the Spark side uses
+    # shifts/ORs): bit i of b1 lands at weight 2^(2i+1), of b2 at 2^(2i)
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((b1 >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((b2 >> {i}) & 1) * {1 << (2 * i)}")
+    inter = " + ".join(terms)
+    return f"""WITH stats AS (
+  SELECT MIN(user_id) AS lo1, MAX(user_id) AS hi1,
+         MIN(value) AS lo2, MAX(value) AS hi2
+  FROM events
+),
+b AS (
+  SELECT event_id, {bucket("user_id", "lo1", "hi1")} AS b1,
+         {bucket("value", "lo2", "hi2")} AS b2
+  FROM events CROSS JOIN stats
+)
+SELECT event_id, b1, b2, CAST({inter} AS BIGINT) AS zkey FROM b"""
+
+
 def sql_ir_tfidf_weights():
     from .functions.ir import TFIDF_MAX_DF
 
@@ -3509,6 +3539,7 @@ _DIGEST_SPECS = {
     "text_bpe_merges": {"step": "l", "left": "s", "right": "s", "pair_count": "l"},
     "text_bpe_subwords": {"doc_id": "l", "n_words": "l", "n_subwords": "l"},
     "text_bpe_encode": {"doc_id": "l", "word_idx": "l", "sym_idx": "l", "token_id": "l", "token": "s"},
+    "events_zorder_key": {"event_id": "l", "b1": "l", "b2": "l", "zkey": "l"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -3605,6 +3636,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_sliding_distinct",
     # r12: forced descent-exhaustion residual path
     "events_percentiles_residual",
+    # r12: Z-order layout keys (data-skipping clustering)
+    "events_zorder_key",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -3913,6 +3946,7 @@ def oracles() -> dict[str, str]:
         "text_bpe_merges": sql_text_bpe_merges(),
         "text_bpe_subwords": sql_text_bpe_subwords(),
         "text_bpe_encode": sql_text_bpe_encode(),
+        "events_zorder_key": sql_events_zorder_key(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),

@@ -467,3 +467,63 @@ def test_bpe_encode_matches_reference(spark):
             for si, sym in enumerate(vocab[w]):
                 want[(doc_id, wi, si)] = (sym, ids[sym])
     assert got == want
+
+
+# ------------------------------------------------------------ Z-order
+
+
+def test_zorder_interleave_matches_reference(spark):
+    from ngff_zarr_spark.functions.layout import zorder_keys
+
+    rows = [(i, x, float(y)) for i, (x, y) in enumerate(
+        [(0, 0.0), (0, 100.0), (100, 0.0), (100, 100.0),
+         (50, 50.0), (25, 75.0), (99, 1.0), (1, 99.0)]
+    )]
+    df = spark.createDataFrame(rows, "rid long, x long, y double")
+    got = {r.rid: (r.b1, r.b2, r.zkey) for r in
+           zorder_keys(df, "x", "y", "rid", bits=4).collect()}
+
+    def bucket(v, lo, hi, k=15):
+        import math
+        return max(0, min(k, int(math.floor((float(v) - lo) * 15.0 / (hi - lo)))))
+
+    def inter(b1, b2):
+        z = 0
+        for i in range(4):
+            z |= ((b1 >> i) & 1) << (2 * i + 1)
+            z |= ((b2 >> i) & 1) << (2 * i)
+        return z
+
+    for rid, x, y in rows:
+        b1, b2 = bucket(x, 0, 100), bucket(y, 0.0, 100.0)
+        assert got[rid] == (b1, b2, inter(b1, b2)), rid
+
+
+def test_zorder_locality_bounds_both_dimensions(spark):
+    """The layout property the key exists for: any contiguous zkey
+    range touches a bounded box in BOTH dimensions — sort by zkey,
+    split into 16 equal runs, and every run's per-dimension bucket
+    extent must be far below the full 16-bit extent (a single-column
+    sort leaves the other dimension's extent at ~full range)."""
+    import random
+
+    from ngff_zarr_spark.functions.layout import zorder_keys
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(10**6), float(rng.randrange(10**6))) for i in range(4096)]
+    df = spark.createDataFrame(rows, "rid long, x long, y double")
+    z = [(r.b1, r.b2, r.zkey) for r in zorder_keys(df, "x", "y", "rid").collect()]
+    # quadrant-aligned key cells (top 2 interleaved bits per dim fixed):
+    # inside each cell BOTH extents are < 2^14 BY CONSTRUCTION — the
+    # deterministic form of "a key range bounds both dimensions"
+    # (rank-based runs straddling the top-bit flip can span full range,
+    # which is why the pin uses aligned cells, like row groups laid
+    # down by a range partitioner on the key would be)
+    cells = {}
+    for b1, b2, zk in z:
+        cells.setdefault(zk >> 28, []).append((b1, b2))
+    assert len(cells) == 16  # uniform data touches all 16 top cells
+    for cell, pts in cells.items():
+        ext1 = max(p[0] for p in pts) - min(p[0] for p in pts)
+        ext2 = max(p[1] for p in pts) - min(p[1] for p in pts)
+        assert ext1 < (1 << 14) and ext2 < (1 << 14), (cell, ext1, ext2)
