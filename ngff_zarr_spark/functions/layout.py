@@ -28,12 +28,15 @@ ZORDER_BITS = 16  # per-dimension bucket resolution
 
 def _bucket(col: str, lo: str, hi: str, bits: int) -> str:
     """SQL text of the bits-bit bucket of ``col`` given per-column
-    min/max columns ``lo``/``hi`` (same text runs in DuckDB)."""
+    min/max columns ``lo``/``hi`` (same text runs in DuckDB). A
+    CONSTANT dimension (hi == lo) buckets to 0 — without the guard the
+    scale divides by zero and every key goes NULL."""
     k = (1 << bits) - 1
     return (
-        f"CAST(LEAST(CAST({k} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+        f"CASE WHEN CAST({hi} AS DOUBLE) = CAST({lo} AS DOUBLE) THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(LEAST(CAST({k} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
         f"CAST(floor((CAST({col} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {k}.0 "
-        f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) AS BIGINT))) AS BIGINT)"
+        f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) AS BIGINT))) AS BIGINT) END"
     )
 
 

@@ -1122,10 +1122,12 @@ def sql_events_zorder_key():
 
     k = (1 << ZORDER_BITS) - 1
     def bucket(col, lo, hi):
+        # constant-dimension guard mirrors the engine: hi == lo -> 0
         return (
-            f"CAST(LEAST(CAST({k} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+            f"CASE WHEN CAST({hi} AS DOUBLE) = CAST({lo} AS DOUBLE) THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(LEAST(CAST({k} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
             f"CAST(floor((CAST({col} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {k}.0 "
-            f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) AS BIGINT))) AS BIGINT)"
+            f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) AS BIGINT))) AS BIGINT) END"
         )
     # independent multiplication-form interleave (the Spark side uses
     # shifts/ORs): bit i of b1 lands at weight 2^(2i+1), of b2 at 2^(2i)

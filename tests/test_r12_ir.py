@@ -527,3 +527,15 @@ def test_zorder_locality_bounds_both_dimensions(spark):
         ext1 = max(p[0] for p in pts) - min(p[0] for p in pts)
         ext2 = max(p[1] for p in pts) - min(p[1] for p in pts)
         assert ext1 < (1 << 14) and ext2 < (1 << 14), (cell, ext1, ext2)
+
+
+def test_zorder_constant_dimension_buckets_to_zero(spark):
+    from ngff_zarr_spark.functions.layout import zorder_keys
+
+    df = spark.createDataFrame(
+        [(0, 7, 1.0), (1, 7, 2.0), (2, 7, 3.0)], "rid long, x long, y double"
+    )
+    rows = {r.rid: (r.b1, r.b2, r.zkey) for r in
+            zorder_keys(df, "x", "y", "rid", bits=4).collect()}
+    assert all(v[0] == 0 for v in rows.values())  # constant dim -> 0
+    assert rows[0][2] is not None and rows[2][1] == 15
