@@ -539,3 +539,52 @@ def test_zorder_constant_dimension_buckets_to_zero(spark):
             zorder_keys(df, "x", "y", "rid", bits=4).collect()}
     assert all(v[0] == 0 for v in rows.values())  # constant dim -> 0
     assert rows[0][2] is not None and rows[2][1] == 15
+
+
+def test_property_bpe_random_corpora(spark):
+    """Hypothesis sweep: random small-alphabet corpora (heavy pair
+    collisions, tie-breaks exercised constantly) — the distributed
+    learner, subword stats, and encoder all equal the textbook
+    reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ngff_zarr_spark.functions.bpe import (
+        bpe_encode,
+        bpe_learn,
+        bpe_subword_stats,
+    )
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=1, max_size=6),
+        k=st.integers(1, 6),
+    )
+    def check(texts, k):
+        rows = list(enumerate(texts))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want_merges, vocab, _ = _ref_bpe(rows, k)
+        got_merges = [(r.step, r.left, r.right, r.pair_count)
+                      for r in bpe_learn(docs, k).orderBy("step").collect()]
+        assert got_merges == want_merges, texts
+        got_stats = {r.doc_id: (r.n_words, r.n_subwords)
+                     for r in bpe_subword_stats(docs, k).collect()}
+        want_stats = {
+            d: (len(t.split()), sum(len(vocab[w]) for w in t.split()))
+            for d, t in rows
+        }
+        assert got_stats == want_stats, texts
+        got_enc = {(r.doc_id, r.word_idx, r.sym_idx): r.token
+                   for r in bpe_encode(docs, k).collect()}
+        want_enc = {
+            (d, wi, si): sym
+            for d, t in rows
+            for wi, w in enumerate(t.split())
+            for si, sym in enumerate(vocab[w])
+        }
+        assert got_enc == want_enc, texts
+
+    check()
