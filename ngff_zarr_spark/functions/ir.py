@@ -1,6 +1,6 @@
 """Sparse-vector information-retrieval operators over the documents
-table: TF-IDF weighting and term-at-a-time sparse top-k document
-similarity.
+table: TF-IDF weighting, term-at-a-time sparse top-k document
+similarity, and Okapi BM25 doc-as-query retrieval.
 
 The scale design is the classic term-partitioned formulation (the one
 every large-scale IR/dedup system uses because the alternative — a

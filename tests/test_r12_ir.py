@@ -588,3 +588,39 @@ def test_property_bpe_random_corpora(spark):
         assert got_enc == want_enc, texts
 
     check()
+
+
+def test_property_tfidf_random_corpora(spark):
+    """Hypothesis sweep: random corpora — distributed shingle TF-IDF
+    weights and top-k cosine equal the brute-force reference under
+    every df-cap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"])
+    doc = st.lists(word, min_size=3, max_size=10).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=2, max_size=6),
+        max_df=st.integers(1, 6),
+    )
+    def check(texts, max_df):
+        rows = list(enumerate(texts))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got_w = {(r.doc_id, r.term): r.w
+                 for r in tfidf_weights(docs, max_df=max_df).collect()}
+        want_w = {(d, t): w for d, ws in _ref_weights(rows, max_df).items()
+                  for t, w in ws.items()}
+        assert set(got_w) == set(want_w), texts
+        for key, w in want_w.items():
+            assert got_w[key] == pytest.approx(w, abs=1e-9)
+        got_k = {}
+        for r in tfidf_topk(docs, k=3, max_df=max_df).collect():
+            got_k.setdefault(r.doc_a, []).append((r.rank, r.doc_b, r.cos))
+        for a in got_k:
+            got_k[a].sort()
+        want_k = {a: v for a, v in _ref_topk(rows, 3, max_df).items() if v}
+        assert got_k == want_k, texts
+
+    check()
