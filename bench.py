@@ -498,6 +498,8 @@ QUERIES = {
     "text_bpe_encode": gate.q_text_bpe_encode,
     # r12: Z-order layout keys (1-row stats broadcast + shift/mask)
     "events_zorder_key": gate.q_events_zorder_key,
+    # r12: hybrid retrieval — integer RRF of the BM25 + cosine runs
+    "ir_rrf_fusion": gate.q_ir_rrf_fusion,
 }
 
 

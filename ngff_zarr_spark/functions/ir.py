@@ -236,3 +236,48 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("neighbor_id").alias("doc_id"), "score")
     )
+
+
+RRF_K = 60          # standard reciprocal-rank-fusion constant
+RRF_UNIT = 1_000_000  # integer micro-unit so fusion scores hash exactly
+
+
+def rrf_fusion(
+    runs: list[DataFrame],
+    k: int = TFIDF_TOPK,
+    prebuckets: int = 64,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval runs: each run is a
+    (query_id, rank, doc_id) DataFrame (any extra columns ignored) and
+    contributes ``RRF_UNIT div (RRF_K + rank)`` — INTEGER micro-units,
+    so fused scores are BIGINT-exact across engines instead of
+    last-ulp-sensitive float sums of 1/(60+r). A document absent from
+    a run simply contributes nothing from it (standard RRF). Returns
+    (query_id, rank, doc_id, rrf_micro) — the fused top-k per query
+    through the engine's two-phase exact top-k."""
+    contrib = None
+    for r in runs:
+        c = r.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"CAST({RRF_UNIT} div ({RRF_K} + rank) AS BIGINT)").alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("long").alias("rrf_micro")
+    )
+    order = [F.col("rrf_micro").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.hash("doc_id"), F.lit(prebuckets))
+    ).orderBy(*order)
+    stage1 = (
+        scored.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_micro")
+    )

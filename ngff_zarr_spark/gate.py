@@ -3973,6 +3973,24 @@ def q_text_bpe_encode(spark, sf_dir):
     return bpe_encode(_docs(spark, sf_dir))
 
 
+def q_ir_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 text run
+    and the exact-cosine embedding run for the same 10 query documents
+    (functions/ir.rrf_fusion) — integer micro-unit contributions so
+    the fused ranking is BIGINT-exact. The lexical run includes
+    self-retrieval and the embedding run excludes self (its operator
+    contract); fusion consumes both as-is."""
+    from .functions import similarity as S
+    from .functions.ir import bm25_topk, rrf_fusion
+
+    qids = list(range(10))
+    text_run = bm25_topk(_docs(spark, sf_dir), qids)
+    emb_run = S.cosine_topk(
+        _emb(spark, sf_dir), qids, k=ANN_K, dim=EMB_DIM
+    ).select("query_id", "rank", F.col("neighbor_id").alias("doc_id"))
+    return rrf_fusion([text_run, emb_run])
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Hashed linear quality scorer + distributed threshold calibration
     (functions/text.hashed_quality_classifier): md5-derived integer
@@ -4066,6 +4084,7 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_weights",
     "ir_tfidf_topk",
     "ir_bm25_topk",
+    "ir_rrf_fusion",
     "text_quality_classifier",
     "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
@@ -4336,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_tfidf_weights": q_ir_tfidf_weights,
         "ir_tfidf_topk": q_ir_tfidf_topk,
         "ir_bm25_topk": q_ir_bm25_topk,
+        "ir_rrf_fusion": q_ir_rrf_fusion,
         # r12: relational-family sweep — graded via tpch_battery
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,

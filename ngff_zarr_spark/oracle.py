@@ -1149,6 +1149,33 @@ b AS (
 SELECT event_id, b1, b2, CAST({inter} AS BIGINT) AS zkey FROM b"""
 
 
+def sql_ir_rrf_fusion():
+    from .functions.ir import RRF_K, RRF_UNIT, TFIDF_TOPK
+
+    return f"""WITH t_run AS MATERIALIZED (
+{sql_ir_bm25_topk()}
+),
+e_run AS MATERIALIZED (
+{sql_ann_cosine_topk()}
+),
+contrib AS (
+  SELECT query_id, doc_id, {RRF_UNIT} // ({RRF_K} + rank) AS c FROM t_run
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, {RRF_UNIT} // ({RRF_K} + rank) AS c FROM e_run
+),
+sc AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+  FROM contrib GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro
+FROM r WHERE rank <= {TFIDF_TOPK}"""
+
+
 def sql_ir_tfidf_weights():
     from .functions.ir import TFIDF_MAX_DF
 
@@ -3530,6 +3557,7 @@ _DIGEST_SPECS = {
     "ir_tfidf_weights": {"doc_id": "l", "term": "s", "w": "d"},
     "ir_tfidf_topk": {"doc_a": "l", "rank": "l", "doc_b": "l", "cos": "d"},
     "ir_bm25_topk": {"query_id": "l", "rank": "l", "doc_id": "l", "score": "d"},
+    "ir_rrf_fusion": {"query_id": "l", "rank": "l", "doc_id": "l", "rrf_micro": "l"},
     "text_quality_classifier": {
         "doc_id": "l", "n_tokens": "l", "score": "l",
         "score_per_tok": "d", "keep": "s",
@@ -3676,6 +3704,7 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_weights",
     "ir_tfidf_topk",
     "ir_bm25_topk",
+    "ir_rrf_fusion",
     "text_quality_classifier",
     "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
@@ -3942,6 +3971,7 @@ def oracles() -> dict[str, str]:
         "ir_tfidf_weights": sql_ir_tfidf_weights(),
         "ir_tfidf_topk": sql_ir_tfidf_topk(),
         "ir_bm25_topk": sql_ir_bm25_topk(),
+        "ir_rrf_fusion": sql_ir_rrf_fusion(),
         "text_quality_classifier": sql_text_quality_classifier(),
         # stream == batch: the drained sink equals the batch classifier
         "text_quality_stream": sql_text_quality_classifier(),

@@ -624,3 +624,37 @@ def test_property_tfidf_random_corpora(spark):
         assert got_k == want_k, texts
 
     check()
+
+
+def test_rrf_fusion_matches_reference(spark):
+    from ngff_zarr_spark.functions.ir import RRF_K, RRF_UNIT, rrf_fusion
+
+    run1 = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12), (1, 1, 20)],
+        "query_id long, rank long, doc_id long",
+    )
+    run2 = spark.createDataFrame(
+        [(0, 1, 11), (0, 2, 13), (1, 1, 21), (1, 2, 20)],
+        "query_id long, rank long, doc_id long",
+    )
+    got = {}
+    for r in rrf_fusion([run1, run2], k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.rrf_micro))
+    for q in got:
+        got[q].sort()
+
+    def c(rank):
+        return RRF_UNIT // (RRF_K + rank)
+
+    scores = {
+        0: {10: c(1), 11: c(2) + c(1), 12: c(3), 13: c(2)},
+        1: {20: c(1) + c(2), 21: c(1)},
+    }
+    want = {}
+    for q, sc in scores.items():
+        ranked = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want[q] = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+    assert got == want
+    # doc 11 (rank-2 lexical + rank-1 embedding) outranks every
+    # single-run rank-1: the hybrid behavior RRF exists for
+    assert want[0][0][1] == 11
