@@ -2,11 +2,13 @@
 
 Images ride as opaque ``binary`` columns with typed metadata; decode and
 feature extraction run as Arrow-batched UDFs over ``mapInPandas`` so
-the bytes never visit the driver. The decoder here is the engine's own
-pure-Python PNG codec (ingest/png.py) — a REAL decode of real bytes;
-heavier codecs (JPEG/video frames) follow the identical plumbing with
-the external library imported inside the UDF (not available in this
-image).
+the bytes never visit the driver. Every modality decodes REAL container
+bytes through the engine's native codecs: PNG images (ingest/png.py),
+RIFF/WAVE PCM audio (ingest/wav.py), and animated GIF89a video
+(ingest/gif.py — LZW, graphic-control blocks, canvas compositing). A
+production pipeline swaps in heavier codecs (JPEG2000/H.264) inside the
+same UDFs; the plumbing — binary column, typed metadata, Arrow batches,
+no shuffle until an aggregate — is exactly this.
 
 The attach step synthesizes a deterministic per-document PNG (size and
 pixels derived from doc_id), standing in for a crawl's image payloads:
@@ -160,22 +162,50 @@ AUD_LEN_BASE, AUD_LEN_MOD = 64, 17      # samples = 64 + doc_id % 17
 AUD_A, AUD_I, AUD_MOD = 37, 13, 2048    # sample = (doc*37 + i*13) % 2048
 
 
-def synth_video_bytes(doc_id: int, n_frames: int) -> bytes:
-    """Concatenated raw uint8 frames (a real container format would be
-    decoded by an executor-side library import — absent in this image,
-    so the payload is a deterministic raw stream with the SAME binary-
-    column + typed-metadata plumbing)."""
+def synth_video_frames(doc_id: int, n_frames: int) -> np.ndarray:
+    """The deterministic (n_frames, FRAME_H, FRAME_W) uint8 frame stack
+    the oracle re-derives in SQL: pixel (f, y, x) = (doc_id·17 + f·11 +
+    y·5 + x·2) mod 256."""
     f, y, x = np.indices((n_frames, FRAME_H, FRAME_W))
     frames = (doc_id * VID_A + f * VID_F + y * VID_Y + x * VID_X) % VID_MOD
-    return frames.astype("uint8").tobytes()
+    return frames.astype("uint8")
+
+
+def synth_video_bytes(doc_id: int, n_frames: int) -> bytes:
+    """One document's video payload as a REAL animated GIF89a container
+    (ingest/gif.py encoder: global identity-gray color table, NETSCAPE
+    loop extension, per-frame graphic-control blocks, LZW-compressed
+    frame data) — the video modality meets the same real-container
+    standard as the PNG/JPEG images and RIFF/WAVE audio. Frame pixels
+    follow the deterministic corpus formula; every consumer decodes the
+    container through the native GIF parser, so LZW/compositing bugs
+    mismatch the SQL oracle."""
+    from ..ingest.gif import gif_encode
+
+    return gif_encode(synth_video_frames(doc_id, n_frames), frames=True)
+
+
+def decode_video_frames(blob: bytes) -> np.ndarray:
+    """Decode a video payload back to its (n, h, w) uint8 frame stack
+    via the native animated-GIF decoder (LZW + canvas compositing)."""
+    from ..ingest.gif import gif_decode
+
+    stack = gif_decode(blob)
+    if stack.ndim != 3:
+        raise ValueError(
+            f"video payload decoded to shape {stack.shape}; expected an "
+            "(n, h, w) grayscale animation"
+        )
+    return stack
 
 
 def sample_video_frames(docs: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video columns: binary payload + typed n_frames metadata; frame
-    sampling (every ``every_n``-th frame) runs executor-side over the
-    byte stream — the frame STRIDE means a container with an index
-    (mp4 stbl) seeks, never decoding skipped frames. Emits per-sampled-
-    frame features (doc_id, frame, px_sum)."""
+    """Video columns: animated-GIF89a binary payload + typed n_frames
+    metadata; frame sampling (every ``every_n``-th frame) decodes the
+    container executor-side — a production container with an index
+    (mp4 stbl) would seek to the sampled frames, while GIF's LZW
+    stream decodes sequentially (the delta-coded-container trade-off).
+    Emits per-sampled-frame features (doc_id, frame, px_sum)."""
     from .text import spread
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -198,15 +228,17 @@ def sample_video_frames(docs: DataFrame, every_n: int = 2) -> DataFrame:
         .mapInPandas(gen, "doc_id long, n_frames long, video binary")
     )
 
-    frame_bytes = FRAME_H * FRAME_W
-
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, nf, blob in zip(pdf["doc_id"], pdf["n_frames"], pdf["video"]):
-                raw = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(
-                    int(nf), FRAME_H, FRAME_W
-                )
+                raw = decode_video_frames(bytes(blob))
+                if raw.shape != (int(nf), FRAME_H, FRAME_W):
+                    raise ValueError(
+                        f"doc {int(doc_id)}: container decoded to "
+                        f"{raw.shape}, metadata says ({int(nf)}, "
+                        f"{FRAME_H}, {FRAME_W})"
+                    )
                 for f in range(0, int(nf), every_n):
                     rows.append((int(doc_id), f, int(raw[f].sum(dtype=np.int64))))
             yield pd.DataFrame(rows, columns=["doc_id", "frame", "px_sum"])
@@ -503,9 +535,10 @@ def video_frame_tokens(docs: DataFrame) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 nf = N_FRAMES_BASE + d % N_FRAMES_MOD
-                raw = np.frombuffer(
-                    synth_video_bytes(d, nf), dtype=np.uint8
-                ).reshape(nf, fb).astype(np.int64)
+                # encode → REAL GIF89a container → native decode: the
+                # token fold consumes decoded frames, never the formula
+                raw = decode_video_frames(synth_video_bytes(d, nf))
+                raw = raw.reshape(nf, fb).astype(np.int64)
                 for f in range(nf):
                     acc = 0
                     for px in raw[f]:
