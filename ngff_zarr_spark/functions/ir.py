@@ -28,6 +28,17 @@ TFIDF_MAX_DF = 64   # absolute df pairing cap
 TFIDF_TOPK = 5
 TFIDF_SHINGLE_K = 3  # words per term (same k as the dedup shingles)
 
+# Fixed free-text eval queries for the serving-path gate: phrases from
+# the synthetic corpus vocabulary, long enough to yield several
+# TFIDF_SHINGLE_K-gram terms each. The gate and the DuckDB oracle both
+# read THIS list (single source of truth for the literals).
+IR_EVAL_QUERIES = [
+    (0, "key agg row scan slow fast table value part hash"),
+    (1, "batch window spark order data column agg join"),
+    (2, "small fast slow filter value small value table"),
+    (3, "stream customer group spark data vector"),
+]
+
 
 def _shingle_tf(docs: DataFrame) -> DataFrame:
     """(doc_id, term, tf): occurrence counts of TFIDF_SHINGLE_K-word
@@ -58,7 +69,37 @@ def _shingle_tf(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_weights(docs: DataFrame, max_df: int = TFIDF_MAX_DF) -> DataFrame:
+def _topk_per_group(
+    scored: DataFrame,
+    group: str,
+    bucket_col: str,
+    order: list,
+    k: int,
+    prebuckets: int,
+) -> DataFrame:
+    """The engine's standard two-phase exact top-k (rank inside
+    (group, hash-prebucket), keep k, re-rank the ≤ prebuckets·k
+    survivors) shared by every retrieval operator in this module — one
+    million-candidate hub group never serializes a partition. Appends a
+    1-based ``rank`` column and keeps rows with rank ≤ k."""
+    w1 = Window.partitionBy(
+        group, F.pmod(F.hash(bucket_col), F.lit(prebuckets))
+    ).orderBy(*order)
+    stage1 = (
+        scored.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk")
+    )
+    w2 = Window.partitionBy(group).orderBy(*order)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_weights(
+    docs: DataFrame, max_df: int = TFIDF_MAX_DF, tf: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, term, w): smooth-IDF TF-IDF weights where a term is a
     ``TFIDF_SHINGLE_K``-word shingle of the lowercased text (the same
     k-gram space the MinHash dedup family uses — single words are far
@@ -73,8 +114,14 @@ def tfidf_weights(docs: DataFrame, max_df: int = TFIDF_MAX_DF) -> DataFrame:
     N arrives via a broadcast 1-row cross join (no driver action); df
     comes from a term-key aggregate of the same tf table the weights
     join against, so Catalyst reuses the term partitioning for the
-    join instead of adding a shuffle."""
-    tf = _shingle_tf(docs)
+    join instead of adding a shuffle.
+
+    ``tf``: optionally a precomputed (ideally persisted) _shingle_tf
+    table — a hybrid-retrieval pass that runs several lexical scorers
+    over the same corpus materializes the tokenize→count work once and
+    shares it (VERDICT r12 watch item)."""
+    if tf is None:
+        tf = _shingle_tf(docs)
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
@@ -97,7 +144,7 @@ def tfidf_weights(docs: DataFrame, max_df: int = TFIDF_MAX_DF) -> DataFrame:
 
 def tfidf_topk(
     docs: DataFrame, k: int = TFIDF_TOPK, max_df: int = TFIDF_MAX_DF,
-    prebuckets: int = 64,
+    prebuckets: int = 64, tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k most-similar documents per document by TF-IDF cosine over
     the ``max_df``-capped term space: (doc_a, rank, doc_b, cos). Norms
@@ -112,7 +159,7 @@ def tfidf_topk(
     Scores round to 6dp BEFORE ranking with a doc_b tie-break — the
     exact convention the ANN gates use to stay hash-comparable with
     the DuckDB twin."""
-    w = tfidf_weights(docs, max_df=max_df)
+    w = tfidf_weights(docs, max_df=max_df, tf=tf)
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -134,19 +181,8 @@ def tfidf_topk(
         )
     )
     order = [F.col("cos").desc(), F.col("doc_b").asc()]
-    w1 = Window.partitionBy(
-        "doc_a", F.pmod(F.hash("doc_b"), F.lit(prebuckets))
-    ).orderBy(*order)
-    stage1 = (
-        scored.withColumn("_prk", F.row_number().over(w1))
-        .filter(F.col("_prk") <= k)
-        .drop("_prk")
-    )
-    w2 = Window.partitionBy("doc_a").orderBy(*order)
-    return (
-        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("doc_a", "rank", "doc_b", "cos")
+    return _topk_per_group(scored, "doc_a", "doc_b", order, k, prebuckets).select(
+        "doc_a", "rank", "doc_b", "cos"
     )
 
 
@@ -162,6 +198,7 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     prebuckets: int = 64,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 retrieval: each query is a document's distinct shingle
     set (doc-as-query, the standard retrieval-eval shape); every corpus
@@ -179,8 +216,74 @@ def bm25_topk(
     score rounded 6dp before the two-phase top-k rank."""
     k1 = float(k1)
     b = float(b)
-    tf = _shingle_tf(docs)
+    if tf is None:
+        tf = _shingle_tf(docs)
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id").isin([int(q) for q in query_ids]))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+        .join(df_tab, "term")
+        .filter(F.col("df") <= int(max_df))
+    )
+    return _bm25_rank(docs, tf, df_tab, qterms, k, k1, b, prebuckets)
+
+
+def bm25_query_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = TFIDF_TOPK,
+    max_df: int = TFIDF_MAX_DF,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    prebuckets: int = 64,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Free-text BM25 retrieval — the serving path of the retrieval
+    stack: each (query_id, text) literal tokenizes through the SAME
+    shingle space as the corpus (lowercase → whitespace tokens →
+    TFIDF_SHINGLE_K-gram terms, distinct per query), then scores via
+    the identical df-capped join and formula as the doc-as-query form.
+    A query shorter than the shingle width contributes no terms and
+    retrieves nothing (by construction, not by crash).
+
+    Plan shape: the query set is request-sized BY CONTRACT, so its
+    shingled term list is explicitly ``F.broadcast`` onto the tf join —
+    the corpus-wide tf table never shuffles for a serving lookup;
+    candidate volume stays bounded by n_query_terms · max_df. Returns
+    (query_id, rank, doc_id, score), 6dp-rounded scores, two-phase
+    top-k."""
+    k1 = float(k1)
+    b = float(b)
+    if tf is None:
+        tf = _shingle_tf(docs)
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qdf = docs.sparkSession.createDataFrame(
+        [(int(q), str(t)) for q, t in queries], "doc_id long, text string"
+    )
+    qterms = F.broadcast(
+        _shingle_tf(qdf)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+        .join(df_tab, "term")
+        .filter(F.col("df") <= int(max_df))
+    )
+    return _bm25_rank(docs, tf, df_tab, qterms, k, k1, b, prebuckets)
+
+
+def _bm25_rank(
+    docs: DataFrame,
+    tf: DataFrame,
+    df_tab: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    prebuckets: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: join the capped (query_id, term, df)
+    list to the corpus tf/dl tables, sum the per-term contributions,
+    two-phase top-k. Both N and avgdl arrive as 1-row broadcasts."""
     total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     # explicit exact-long-sum / count division (one double op) rather
@@ -188,13 +291,6 @@ def bm25_topk(
     # implementation detail, a single division is not
     avgdl = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
-    )
-    qterms = (
-        tf.filter(F.col("doc_id").isin([int(q) for q in query_ids]))
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .distinct()
-        .join(df_tab, "term")
-        .filter(F.col("df") <= int(max_df))
     )
     scored = (
         qterms.join(tf, "term")
@@ -222,20 +318,9 @@ def bm25_topk(
         .agg(F.round(F.sum("part"), 6).alias("score"))
     )
     order = [F.col("score").desc(), F.col("neighbor_id").asc()]
-    w1 = Window.partitionBy(
-        "query_id", F.pmod(F.hash("neighbor_id"), F.lit(prebuckets))
-    ).orderBy(*order)
-    stage1 = (
-        scored.withColumn("_prk", F.row_number().over(w1))
-        .filter(F.col("_prk") <= k)
-        .drop("_prk")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col("neighbor_id").alias("doc_id"), "score")
-    )
+    return _topk_per_group(
+        scored, "query_id", "neighbor_id", order, k, prebuckets
+    ).select("query_id", "rank", F.col("neighbor_id").alias("doc_id"), "score")
 
 
 RRF_K = 60          # standard reciprocal-rank-fusion constant
@@ -267,17 +352,6 @@ def rrf_fusion(
         F.sum("c").cast("long").alias("rrf_micro")
     )
     order = [F.col("rrf_micro").desc(), F.col("doc_id").asc()]
-    w1 = Window.partitionBy(
-        "query_id", F.pmod(F.hash("doc_id"), F.lit(prebuckets))
-    ).orderBy(*order)
-    stage1 = (
-        scored.withColumn("_prk", F.row_number().over(w1))
-        .filter(F.col("_prk") <= k)
-        .drop("_prk")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "rrf_micro")
+    return _topk_per_group(scored, "query_id", "doc_id", order, k, prebuckets).select(
+        "query_id", "rank", "doc_id", "rrf_micro"
     )

@@ -3979,16 +3979,35 @@ def q_ir_rrf_fusion(spark, sf_dir):
     (functions/ir.rrf_fusion) — integer micro-unit contributions so
     the fused ranking is BIGINT-exact. The lexical run includes
     self-retrieval and the embedding run excludes self (its operator
-    contract); fusion consumes both as-is."""
+    contract); fusion consumes both as-is. The shingle tf table is
+    materialized ONCE (persist) and shared into the lexical scorer —
+    its four in-plan references (df, dl, qterms, scoring join) hit the
+    cache instead of re-running tokenize→count (VERDICT r12 watch
+    item)."""
     from .functions import similarity as S
-    from .functions.ir import bm25_topk, rrf_fusion
+    from .functions.ir import _shingle_tf, bm25_topk, rrf_fusion
 
+    docs = _docs(spark, sf_dir)
+    tf = _shingle_tf(docs).persist()
     qids = list(range(10))
-    text_run = bm25_topk(_docs(spark, sf_dir), qids)
+    text_run = bm25_topk(docs, qids, tf=tf)
     emb_run = S.cosine_topk(
         _emb(spark, sf_dir), qids, k=ANN_K, dim=EMB_DIM
     ).select("query_id", "rank", F.col("neighbor_id").alias("doc_id"))
     return rrf_fusion([text_run, emb_run])
+
+
+def q_ir_bm25_query(spark, sf_dir):
+    """Free-text BM25 serving path (functions/ir.bm25_query_topk): four
+    literal query strings tokenize through the corpus shingle space and
+    score via the identical capped join as the doc-as-query form; the
+    request-sized query term list broadcasts onto the tf join so the
+    corpus-wide tf table never shuffles for a lookup. The DuckDB twin
+    shingles the same literals from a VALUES CTE sharing the corpus
+    CTE stack."""
+    from .functions.ir import IR_EVAL_QUERIES, bm25_query_topk
+
+    return bm25_query_topk(_docs(spark, sf_dir), IR_EVAL_QUERIES)
 
 
 def q_text_quality_classifier(spark, sf_dir):
@@ -4085,6 +4104,8 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_topk",
     "ir_bm25_topk",
     "ir_rrf_fusion",
+    # r13: free-text query serving path
+    "ir_bm25_query",
     "text_quality_classifier",
     "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
@@ -4356,6 +4377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_tfidf_topk": q_ir_tfidf_topk,
         "ir_bm25_topk": q_ir_bm25_topk,
         "ir_rrf_fusion": q_ir_rrf_fusion,
+        # r13: free-text query serving path (VERDICT r12 ask #3)
+        "ir_bm25_query": q_ir_bm25_query,
         # r12: relational-family sweep — graded via tpch_battery
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,

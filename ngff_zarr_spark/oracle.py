@@ -1074,6 +1074,61 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
 FROM r WHERE rank <= {TFIDF_TOPK}"""
 
 
+def sql_ir_bm25_query():
+    """Free-text BM25 twin: the SAME corpus CTE stack as the
+    doc-as-query oracle, with the query terms shingled from a VALUES
+    CTE of the gate's literal strings (functions/ir.IR_EVAL_QUERIES is
+    the single source of truth for both engines)."""
+    from .functions.ir import BM25_B, BM25_K1, IR_EVAL_QUERIES, TFIDF_MAX_DF, TFIDF_TOPK
+
+    vals = ", ".join(
+        "({}, '{}')".format(q, t.replace("'", "''")) for q, t in IR_EVAL_QUERIES
+    )
+    qnorm = NORM.format(c="qtext")
+    return f"""WITH {_toks_cte(lower=True)},
+tfx AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_SHINGLE}) AS term FROM q) GROUP BY 1, 2
+),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY 1),
+nx AS (SELECT COUNT(*) AS n_total FROM documents),
+dlx AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfx GROUP BY 1),
+ax AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+qq AS (SELECT * FROM (VALUES {vals}) AS t(query_id, qtext)),
+qtk AS (
+  SELECT query_id,
+         list_filter(string_split({qnorm}, ' '), t -> t != '') AS toks
+  FROM qq
+),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({_SHINGLE}) AS term FROM qtk)
+  JOIN dfx USING (term)
+  WHERE df <= {TFIDF_MAX_DF}
+),
+sc AS (
+  SELECT qt.query_id, tfx.doc_id,
+         round(SUM(
+           ln(1.0 + (n_total - df + 0.5) / (df + 0.5))
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl / avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN tfx USING (term)
+  JOIN dfx USING (term)
+  JOIN dlx ON dlx.doc_id = tfx.doc_id
+  CROSS JOIN nx CROSS JOIN ax
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM r WHERE rank <= {TFIDF_TOPK}"""
+
+
 def sql_text_bpe_encode():
     from .functions.bpe import BPE_MERGES
 
@@ -3557,6 +3612,7 @@ _DIGEST_SPECS = {
     "ir_tfidf_weights": {"doc_id": "l", "term": "s", "w": "d"},
     "ir_tfidf_topk": {"doc_a": "l", "rank": "l", "doc_b": "l", "cos": "d"},
     "ir_bm25_topk": {"query_id": "l", "rank": "l", "doc_id": "l", "score": "d"},
+    "ir_bm25_query": {"query_id": "l", "rank": "l", "doc_id": "l", "score": "d"},
     "ir_rrf_fusion": {"query_id": "l", "rank": "l", "doc_id": "l", "rrf_micro": "l"},
     "text_quality_classifier": {
         "doc_id": "l", "n_tokens": "l", "score": "l",
@@ -3705,6 +3761,8 @@ CORPUS_SAMPLING_PARTS = [
     "ir_tfidf_topk",
     "ir_bm25_topk",
     "ir_rrf_fusion",
+    # r13: free-text query serving path
+    "ir_bm25_query",
     "text_quality_classifier",
     "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
@@ -3971,6 +4029,7 @@ def oracles() -> dict[str, str]:
         "ir_tfidf_weights": sql_ir_tfidf_weights(),
         "ir_tfidf_topk": sql_ir_tfidf_topk(),
         "ir_bm25_topk": sql_ir_bm25_topk(),
+        "ir_bm25_query": sql_ir_bm25_query(),
         "ir_rrf_fusion": sql_ir_rrf_fusion(),
         "text_quality_classifier": sql_text_quality_classifier(),
         # stream == batch: the drained sink equals the batch classifier
