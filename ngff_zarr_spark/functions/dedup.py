@@ -16,6 +16,8 @@ because the hashes are the portable ``h64`` md5 derivation.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -324,6 +326,19 @@ def duplicate_clusters(
             f"max_iters={max_iters}: need at least diameter+1 rounds "
             "(>=1 even for an empty pair graph) to detect convergence"
         )
+    with _checkpoint_scope(pairs, checkpoint_dir, reliable) as use_reliable:
+        return _duplicate_clusters_loop(pairs, max_iters, use_reliable)
+
+
+@contextlib.contextmanager
+def _checkpoint_scope(pairs: DataFrame, checkpoint_dir: str | None, reliable: bool | None):
+    """Shared checkpoint-dir plumbing for the iterative CC twins: apply
+    the reliable-mode defaulting contract (documented on
+    duplicate_clusters), set the session checkpoint dir for the scope,
+    and restore the EXACT prior dir (or unset) on exit — the public
+    setCheckpointDir can't do either (it appends a fresh UUID subdir),
+    so restoration goes through the JVM var directly. Yields the
+    resolved ``reliable`` flag."""
     sc = pairs.sparkSession.sparkContext
     prior_dir = sc.getCheckpointDir()
     set_dir = checkpoint_dir is not None and checkpoint_dir != prior_dir
@@ -339,12 +354,9 @@ def duplicate_clusters(
     if set_dir:
         sc.setCheckpointDir(checkpoint_dir)
     try:
-        return _duplicate_clusters_loop(pairs, max_iters, reliable)
+        yield reliable
     finally:
         if set_dir:
-            # restore the EXACT prior dir (or unset). The public
-            # setCheckpointDir can't do either — it appends a fresh UUID
-            # subdir — so go through the JVM var directly.
             try:
                 jopt = (
                     sc._jvm.scala.Option.apply(prior_dir)
@@ -422,6 +434,132 @@ def _duplicate_clusters_loop(
             "raise max_iters (rounds needed = graph diameter + 1)"
         )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    max_iters: int = 30,
+    checkpoint_dir: str | None = None,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Diameter-robust connected components: the alternating
+    large-star / small-star edge contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). Same contract as
+    :func:`duplicate_clusters` — (doc_id, cluster_id = smallest
+    reachable doc_id) for every doc appearing in ≥1 pair — but the
+    round count is O(log² n) in the worst case instead of the graph
+    DIAMETER, so a chain-shaped candidate graph (boilerplate A≈B≈C…
+    chains are real in web corpora) converges in ~10 rounds where
+    hash-min propagation needs diameter+1 and aborts at its budget.
+
+    Per round, on the canonical (small, large) distinct edge set:
+
+    - **large-star**: for each node u, attach every LARGER neighbor v
+      to m = min(Γ(u) ∪ {u}) — one symmetrize (explode, not a
+      plan-doubling union), one min-aggregate, one join.
+    - **small-star**: orient edges large→small; attach each smaller
+      neighborhood (and u itself) to its minimum — one min-aggregate,
+      one join, one union with the (node-count-bounded) mins table.
+
+    Both stars preserve connectivity and never increase the edge count
+    beyond the symmetrized input; at the fixpoint the edge set IS the
+    star {(component min, member)}, read off as labels directly. Each
+    round's edges are checkpointed (same reliable/local contract as
+    duplicate_clusters — see _checkpoint_scope) to truncate lineage.
+    Convergence is detected by edge-set equality (count + one EXCEPT —
+    both sides already distinct); ``max_iters`` rounds without a
+    fixpoint RAISES rather than return wrong labels.
+
+    100 TB posture: every step is edge-count-bounded (no node ever
+    materializes its full 2-hop neighborhood, unlike naive contraction);
+    the min-aggregates are map-side-combinable; no driver collect.
+    Prefer this twin when the candidate graph's shape is unknown;
+    hash-min stays the default for the near-clique clusters LSH
+    actually emits (fewer shuffles per round, rounds ≈ 2-3)."""
+    if max_iters <= 0:
+        raise ValueError(f"max_iters={max_iters}: need >= 1 round")
+    with _checkpoint_scope(pairs, checkpoint_dir, reliable) as use_reliable:
+        return _star_loop(pairs, max_iters, use_reliable)
+
+
+def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
+    if reliable:
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    # nodes (for the final label join: self-paired docs have no edge
+    # but still owe a (doc, doc) row by the duplicate_clusters contract)
+    nodes = _pin(
+        pairs.select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+        ).distinct()
+    )
+    # canonical (s < b) distinct edge set; self loops drop here
+    edges = _pin(
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("s"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("s") < F.col("b"))
+        .distinct()
+    )
+    n_edges = edges.count()
+    converged = n_edges == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        # large-star over the symmetrized neighborhoods
+        sym = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("u"), F.col("b").alias("w")),
+                    F.struct(F.col("b").alias("u"), F.col("s").alias("w")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.w")
+        mins = sym.groupBy("u").agg(F.min("w").alias("mn"))
+        ls = (
+            sym.filter(F.col("w") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.least("mn", F.col("u")).alias("s"), F.col("w").alias("b")
+            )
+            .filter(F.col("s") < F.col("b"))
+            .distinct()
+        )
+        # small-star on the large→small orientation (every ls edge
+        # already has s < b, so b is the large endpoint)
+        mins2 = ls.groupBy("b").agg(F.min("s").alias("mn"))
+        ss = (
+            ls.join(mins2, "b")
+            .select(F.col("mn").alias("s"), F.col("s").alias("b"))
+            .unionByName(
+                mins2.select(F.col("mn").alias("s"), F.col("b").alias("b"))
+            )
+            .filter(F.col("s") < F.col("b"))
+            .distinct()
+        )
+        new_edges = _pin(ss)
+        new_n = new_edges.count()
+        if new_n == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+            converged = True
+        edges, n_edges = new_edges, new_n
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in max_iters={max_iters} "
+            "rounds; raise max_iters (expected rounds ~ O(log^2 n))"
+        )
+    # fixpoint edge set is the star {(component min, member)}
+    return nodes.join(
+        edges.select(F.col("b").alias("doc_id"), F.col("s").alias("root")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id")
+    )
 
 
 def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -993,6 +993,27 @@ def q_dedup_clusters(spark, sf_dir):
     return D.duplicate_clusters(D.minhash_candidates(_docs(spark, sf_dir)))
 
 
+def q_dedup_clusters_chain(spark, sf_dir):
+    """Diameter-robust connected components
+    (functions/dedup.duplicate_clusters_star — alternating large-star/
+    small-star contraction) on the adversarial shape for label
+    propagation: ~10k nodes in 512-long CHAINS (consecutive event_ids
+    paired within 512-blocks, diameter 511 >> the hash-min twin's
+    abort budget). Converges in O(log n) ≈ 10 rounds; the DuckDB twin
+    is the same monotone recursive-CTE closure the near-dup cluster
+    oracle uses, over the identical join-derived chain pairs."""
+    ev = _events(spark, sf_dir).select("event_id")
+    pairs = (
+        ev.select(F.col("event_id").alias("doc_a"))
+        .join(
+            ev.select(F.col("event_id").alias("doc_b")),
+            F.col("doc_b") == F.col("doc_a") + F.lit(1),
+        )
+        .filter(F.pmod(F.col("doc_a") + 1, F.lit(512)) != 0)
+    )
+    return D.duplicate_clusters_star(pairs)
+
+
 def q_dedup_edit_distance(spark, sf_dir):
     """Exact Levenshtein re-rank of the capped MinHash/LSH candidates
     (functions/dedup.edit_distance_candidates): the RETSim-style
@@ -4379,6 +4400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_rrf_fusion": q_ir_rrf_fusion,
         # r13: free-text query serving path (VERDICT r12 ask #3)
         "ir_bm25_query": q_ir_bm25_query,
+        # r13: star-contraction CC on a diameter-511 chain graph
+        "dedup_clusters_chain": q_dedup_clusters_chain,
         # r12: relational-family sweep — graded via tpch_battery
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,

@@ -1636,6 +1636,31 @@ reach(u, label) AS (
 SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u"""
 
 
+def sql_dedup_clusters_chain():
+    """Chain-graph closure twin for the star-contraction CC gate: the
+    SAME monotone recursive CTE as sql_dedup_clusters, over pairs built
+    by the identical consecutive-event_id-within-512-blocks join. For a
+    512-chain the monotone restriction materializes O(len²/2) reach
+    rows per chain (~2.6M total at sf0.01 — measured 3.3 s)."""
+    return """WITH RECURSIVE pairs AS (
+  SELECT e1.event_id AS doc_a, e2.event_id AS doc_b
+  FROM events e1 JOIN events e2 ON e2.event_id = e1.event_id + 1
+  WHERE (e1.event_id + 1) % 512 != 0
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.u
+  WHERE r.label < e.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u"""
+
+
 def sql_dedup_keep():
     return f"""WITH clusters AS ({sql_dedup_clusters()})
 SELECT doc_id FROM documents
@@ -3651,6 +3676,7 @@ _DIGEST_SPECS = {
     "dedup_edit_distance": {"doc_a": "l", "doc_b": "l", "dist": "l"},
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "dedup_clusters": {"doc_id": "l", "cluster_id": "l"},
+    "dedup_clusters_chain": {"doc_id": "l", "cluster_id": "l"},
     "dedup_keep": {"doc_id": "l"},
     "dedup_simhash": {"doc_id": "l", "simhash": "l"},
     "dedup_ngram_jaccard": {"doc_a": "l", "doc_b": "l", "jaccard": "d"},
@@ -3917,6 +3943,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash_sig": sql_dedup_minhash_sig(),
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_clusters": sql_dedup_clusters(),
+        "dedup_clusters_chain": sql_dedup_clusters_chain(),
         "dedup_keep": sql_dedup_keep(),
         "dedup_skew_cluster": sql_dedup_skew_cluster(),
         "corpus_decontaminate": sql_corpus_decontaminate(),
