@@ -40,13 +40,16 @@ def _bucket(col: str, lo: str, hi: str, bits: int) -> str:
     )
 
 
-def _interleave(b1: str, b2: str, bits: int) -> str:
-    """SQL text interleaving two bits-bit buckets (b1 takes the odd =
-    higher bit of each pair), shift/mask only."""
+def _interleave_nd(buckets: list[str], bits: int) -> str:
+    """SQL text interleaving N bits-bit buckets: bit i of dimension j
+    lands at position i*n + (n-1-j) — dimension 0 takes the HIGHEST
+    bit of each n-bit group (for n=2 this is exactly the classic
+    b1-odd/b2-even Morton layout). Shift/mask only."""
+    n = len(buckets)
     terms = []
     for i in range(bits):
-        terms.append(f"((({b1} >> {i}) & 1) << {2 * i + 1})")
-        terms.append(f"((({b2} >> {i}) & 1) << {2 * i})")
+        for j, b in enumerate(buckets):
+            terms.append(f"((({b} >> {i}) & 1) << {i * n + (n - 1 - j)})")
     return "(" + " | ".join(terms) + ")"
 
 
@@ -57,29 +60,60 @@ def zorder_keys(
     id_col: str,
     bits: int = ZORDER_BITS,
 ) -> DataFrame:
-    """(id_col, b1, b2, zkey): each row's per-dimension buckets and
-    Morton key over numeric columns ``c1``/``c2``. min/max come from
-    ONE tiny aggregate broadcast back — no sort, no shuffle beyond the
-    1-row broadcast; the follow-up ``df.repartitionByRange(zkey)`` (or
-    a writer's sortBy) is what physically clusters the data."""
-    stats = df.agg(
-        F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
-        F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
-    )
-    b1 = _bucket(c1, "lo1", "hi1", bits)
-    b2 = _bucket(c2, "lo2", "hi2", bits)
-    return (
-        df.select(id_col, c1, c2)
-        .crossJoin(F.broadcast(stats))
-        .selectExpr(
-            id_col,
-            f"{b1} AS b1",
-            f"{b2} AS b2",
+    """(id_col, b1, b2, zkey): the classic two-column Morton key —
+    the N-dimensional form specialized to [c1, c2]."""
+    return zorder_keys_nd(df, [c1, c2], id_col, bits=bits)
+
+
+def zorder_keys_nd(
+    df: DataFrame,
+    cols: list[str],
+    id_col: str,
+    bits: int | None = None,
+) -> DataFrame:
+    """(id_col, b1..bN, zkey): each row's per-dimension buckets and the
+    N-dimensional Morton key over numeric columns ``cols``. min/max for
+    every dimension come from ONE tiny aggregate broadcast back — no
+    sort, no shuffle beyond the 1-row broadcast; the follow-up
+    ``df.repartitionByRange(zkey)`` (or a writer's sortBy) is what
+    physically clusters the data so parquet row-group min/max stats
+    prune on ANY filtered subset of the dimensions
+    (tests/test_r13_zorder.py pins the row-group skip payoff).
+
+    ``bits`` defaults to as much per-dimension resolution as fits a
+    non-negative BIGINT (≤ ``ZORDER_BITS``); N·bits must stay ≤ 62."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (one column: just sort)")
+    if bits is None:
+        bits = min(ZORDER_BITS, 62 // n)
+    if bits < 1 or n * bits > 62:
+        raise ValueError(
+            f"bits={bits} with {n} dims needs {n * bits} key bits; "
+            "must be 1 <= n*bits <= 62 to fit a non-negative BIGINT"
         )
+    stats = df.agg(
+        *[
+            a
+            for j, c in enumerate(cols)
+            for a in (
+                F.min(c).alias(f"lo{j + 1}"),
+                F.max(c).alias(f"hi{j + 1}"),
+            )
+        ]
+    )
+    bexprs = [
+        f"{_bucket(c, f'lo{j + 1}', f'hi{j + 1}', bits)} AS b{j + 1}"
+        for j, c in enumerate(cols)
+    ]
+    bnames = [f"b{j + 1}" for j in range(n)]
+    return (
+        df.select(id_col, *cols)
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(id_col, *bexprs)
         .selectExpr(
             id_col,
-            "b1",
-            "b2",
-            f"CAST({_interleave('b1', 'b2', bits)} AS BIGINT) AS zkey",
+            *bnames,
+            f"CAST({_interleave_nd(bnames, bits)} AS BIGINT) AS zkey",
         )
     )

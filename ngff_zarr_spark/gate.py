@@ -3359,6 +3359,20 @@ def q_events_zorder_key(spark, sf_dir):
     return zorder_keys(_events(spark, sf_dir), "user_id", "value", "event_id")
 
 
+def q_events_zorder_nd(spark, sf_dir):
+    """N-dimensional Z-order keys (functions/layout.zorder_keys_nd):
+    the 3-dim Morton key over (user_id, value, ts-ns) — the layout for
+    a table filtered on any subset of user/value/time ranges. Same
+    1-row stats broadcast + shift/mask projection as the 2-dim form;
+    the oracle re-derives every bit with the independent
+    multiplication-form interleave over epoch_ns(ts)."""
+    from .functions.layout import zorder_keys_nd
+
+    return zorder_keys_nd(
+        _events(spark, sf_dir), ["user_id", "value", "ts"], "event_id"
+    )
+
+
 def q_events_percentiles(spark, sf_dir):
     """Exact per-type value percentiles (p50/p90/p99) via Spark's
     ``percentile`` (exact linear interpolation, NOT approx_percentile —
@@ -4420,6 +4434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_subwords": q_text_bpe_subwords,
         "text_bpe_encode": q_text_bpe_encode,
         "events_zorder_key": q_events_zorder_key,
+        # r13: 3-dim Morton keys (user, value, time)
+        "events_zorder_nd": q_events_zorder_nd,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

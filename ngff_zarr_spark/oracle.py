@@ -1204,6 +1204,45 @@ b AS (
 SELECT event_id, b1, b2, CAST({inter} AS BIGINT) AS zkey FROM b"""
 
 
+def sql_events_zorder_nd():
+    """3-dim twin of sql_events_zorder_key: same guarded bucket
+    expression per dimension (user_id, value, ts-as-epoch-ns), and the
+    independent multiplication-form interleave with bit i of dim j at
+    weight 2^(i*3 + (2-j))."""
+    from .functions.layout import ZORDER_BITS
+
+    n = 3
+    bits = min(ZORDER_BITS, 62 // n)
+    k = (1 << bits) - 1
+
+    def bucket(col, lo, hi):
+        return (
+            f"CASE WHEN CAST({hi} AS DOUBLE) = CAST({lo} AS DOUBLE) THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(LEAST(CAST({k} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+            f"CAST(floor((CAST({col} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {k}.0 "
+            f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) AS BIGINT))) AS BIGINT) END"
+        )
+
+    terms = []
+    for i in range(bits):
+        for j in range(n):
+            terms.append(f"((b{j + 1} >> {i}) & 1) * {1 << (i * n + (n - 1 - j))}")
+    inter = " + ".join(terms)
+    return f"""WITH stats AS (
+  SELECT MIN(user_id) AS lo1, MAX(user_id) AS hi1,
+         MIN(value) AS lo2, MAX(value) AS hi2,
+         MIN(epoch_ns(ts)) AS lo3, MAX(epoch_ns(ts)) AS hi3
+  FROM events
+),
+b AS (
+  SELECT event_id, {bucket("user_id", "lo1", "hi1")} AS b1,
+         {bucket("value", "lo2", "hi2")} AS b2,
+         {bucket("epoch_ns(ts)", "lo3", "hi3")} AS b3
+  FROM events CROSS JOIN stats
+)
+SELECT event_id, b1, b2, b3, CAST({inter} AS BIGINT) AS zkey FROM b"""
+
+
 def sql_ir_rrf_fusion():
     from .functions.ir import RRF_K, RRF_UNIT, TFIDF_TOPK
 
@@ -3651,6 +3690,7 @@ _DIGEST_SPECS = {
     "text_bpe_subwords": {"doc_id": "l", "n_words": "l", "n_subwords": "l"},
     "text_bpe_encode": {"doc_id": "l", "word_idx": "l", "sym_idx": "l", "token_id": "l", "token": "s"},
     "events_zorder_key": {"event_id": "l", "b1": "l", "b2": "l", "zkey": "l"},
+    "events_zorder_nd": {"event_id": "l", "b1": "l", "b2": "l", "b3": "l", "zkey": "l"},
     "multimodal_features": {
         "doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
         "n_px": "l", "px_mean": "d",
@@ -4065,6 +4105,7 @@ def oracles() -> dict[str, str]:
         "text_bpe_subwords": sql_text_bpe_subwords(),
         "text_bpe_encode": sql_text_bpe_encode(),
         "events_zorder_key": sql_events_zorder_key(),
+        "events_zorder_nd": sql_events_zorder_nd(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
