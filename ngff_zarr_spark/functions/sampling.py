@@ -178,12 +178,26 @@ def seeded_shuffle(
         "lrk", F.row_number().over(w_local).cast("long") - 1
     )
     counts = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # the prefix-sum windows run over the n_buckets-row COUNT SUMMARY,
+    # never the data — bounded by construction. Partitioning by a
+    # NON-FOLDABLE constant-zero (a plain lit(0) is folded away by the
+    # optimizer) is semantically the empty partition spec (everything
+    # in one group) but keeps WindowExec's "No Partition Defined"
+    # warning out of the logs, so any future warning is a REAL
+    # unbounded window, not this bounded summary.
+    # self-subtraction: x*0 is folded away by the optimizer (which
+    # would resurface the warning), x-x is not
+    one_group = F.col("b") - F.col("b")
+    w_off = (
+        Window.partitionBy(one_group)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offs = counts.select(
         "b",
         F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
         F.sum("cnt").over(
-            Window.orderBy("b").rowsBetween(
+            Window.partitionBy(one_group).orderBy("b").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("n_total"),

