@@ -500,6 +500,12 @@ QUERIES = {
     "events_zorder_key": gate.q_events_zorder_key,
     # r12: hybrid retrieval — integer RRF of the BM25 + cosine runs
     "ir_rrf_fusion": gate.q_ir_rrf_fusion,
+    # r13: free-text BM25 serving path (broadcast query terms onto tf)
+    "ir_bm25_query": gate.q_ir_bm25_query,
+    # r13: star-contraction CC on ~diameter-511 chains (O(log n) rounds)
+    "dedup_clusters_chain": gate.q_dedup_clusters_chain,
+    # r13: 3-dim Morton keys (user, value, time)
+    "events_zorder_nd": gate.q_events_zorder_nd,
 }
 
 

@@ -3717,6 +3717,22 @@ _DIGEST_SPECS = {
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "dedup_clusters": {"doc_id": "l", "cluster_id": "l"},
     "dedup_clusters_chain": {"doc_id": "l", "cluster_id": "l"},
+    # r13 planner/metadata battery constituents
+    "a10_minmax": {"v_min": "l", "v_max": "l"},
+    "a11_chunk_cost": {"n_chunks": "l", "total_bytes": "l"},
+    "c2_scale_translation": {
+        "level": "l", "scale_z": "d", "translation_z": "d",
+        "scale_y": "d", "translation_y": "d",
+        "scale_x": "d", "translation_x": "d",
+    },
+    "a9_pyramid_plan": {"level": "l", "fz": "l", "fy": "l", "fx": "l"},
+    "chunk_table_sums": {"cz": "l", "cy": "l", "cx": "l", "n_vox": "l", "vsum": "l"},
+    "c8_rfc4_orientation": {"axis": "s", "lps": "s", "ras": "s", "otype": "s"},
+    "c9_version_roundtrip": {
+        "step": "s", "version": "s", "axes": "s",
+        "ds_path": "s", "ds_scale": "s", "ds_translation": "s",
+    },
+    "c10_method_provenance": {"method": "s", "package": "s", "function": "s"},
     "dedup_keep": {"doc_id": "l"},
     "dedup_simhash": {"doc_id": "l", "simhash": "l"},
     "dedup_ngram_jaccard": {"doc_a": "l", "doc_b": "l", "jaccard": "d"},
@@ -3770,6 +3786,20 @@ _DIGEST_SPECS = {
     "tpch_q21": {"s_name": "s", "numwait": "l"},
     "tpch_q22": {"cntrycode": "l", "numcust": "l", "totacctbal": "d"},
 }
+
+PLANNER_PARTS = [
+    "a10_minmax",
+    "a11_chunk_cost",
+    "c2_scale_translation",
+    "a9_pyramid_plan",
+    "chunk_table_sums",
+]
+
+METADATA_PARTS = [
+    "c8_rfc4_orientation",
+    "c9_version_roundtrip",
+    "c10_method_provenance",
+]
 
 EVENTS_ANALYTICS_PARTS = [
     "events_percentiles",
@@ -4269,6 +4299,8 @@ GROUP BY 1, 2, 3""",
         ("dedup_battery", DEDUP_PARTS),
         ("ann_battery", ANN_PARTS),
         ("tpch_battery", TPCH_PARTS),
+        ("planner_battery", PLANNER_PARTS),
+        ("metadata_battery", METADATA_PARTS),
     ):
         d[bname] = "\nUNION ALL\n".join(
             _digest_sql(p, d[p], _DIGEST_SPECS[p]) for p in parts

@@ -35,9 +35,11 @@ STARVED_R3 = [
     "itk_adapter_battery",
     "s17_omero_nifti",
     "c7_validate_battery",
-    "c8_rfc4_orientation",
-    "c9_version_roundtrip",
-    "c10_method_provenance",
+    # r13 rotation: c8/c9/c10 fold into metadata_battery; the freed
+    # slots grade the r12 IR/graph flagships directly
+    "metadata_battery",
+    "ir_tfidf_topk",
+    "graph_pagerank",
     "t1_stream_pixels",
     "t2_t3_callbacks",
 ]
@@ -183,7 +185,27 @@ def test_first_50_layout():
         "events_range_windows_bucketed",
     ):
         assert k in qs[50:], k
+    # r13: a battery constituent may ALSO hold a direct window slot
+    # (graph_pagerank rotated in; double grading is never a problem) —
+    # the requirement is only that every constituent stays registered
     for k in gate.DEDUP_PARTS + gate.ANN_PARTS + gate.TPCH_PARTS:
+        assert k in qs[50:] or k in first50, k
+    # r13 rotation (VERDICT r12 ask #6): planner/metadata singletons
+    # fold into two digest batteries; the six freed slots grade the
+    # r12/r13 flagships directly. Displaced constituents stay
+    # registered past the window.
+    for k in (
+        "planner_battery",
+        "metadata_battery",
+        "ir_tfidf_topk",
+        "graph_pagerank",
+        "text_bpe_merges",
+        "ir_bm25_query",
+        "dedup_clusters_chain",
+        "events_zorder_nd",
+    ):
+        assert k in first50, k
+    for k in gate.PLANNER_PARTS + gate.METADATA_PARTS:
         assert k in qs[50:], k
     # every constituent stays registered (past the window, or filling a
     # spare window slot until an r8 ingest gate claims it — direct
@@ -210,6 +232,8 @@ def test_digest_parts_lists_mirror_oracle():
     assert gate.DEDUP_PARTS == oracle.DEDUP_PARTS
     assert gate.ANN_PARTS == oracle.ANN_PARTS
     assert gate.TPCH_PARTS == oracle.TPCH_PARTS
+    assert gate.PLANNER_PARTS == oracle.PLANNER_PARTS
+    assert gate.METADATA_PARTS == oracle.METADATA_PARTS
     for p in (
         gate.EVENTS_ANALYTICS_PARTS
         + gate.CORPUS_SAMPLING_PARTS
@@ -218,6 +242,8 @@ def test_digest_parts_lists_mirror_oracle():
         + gate.DEDUP_PARTS
         + gate.ANN_PARTS
         + gate.TPCH_PARTS
+        + gate.PLANNER_PARTS
+        + gate.METADATA_PARTS
     ):
         assert p in oracle._DIGEST_SPECS, p
 
