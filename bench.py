@@ -506,6 +506,10 @@ QUERIES = {
     "dedup_clusters_chain": gate.q_dedup_clusters_chain,
     # r13: 3-dim Morton keys (user, value, time)
     "events_zorder_nd": gate.q_events_zorder_nd,
+    # r13: recall/MRR/nDCG of the BM25 run vs the Jaccard relevance set
+    "ir_eval_metrics": gate.q_ir_eval_metrics,
+    # r13: free-vector ANN serving path (broadcast queries, one pass)
+    "ann_cosine_query": gate.q_ann_cosine_query,
 }
 
 

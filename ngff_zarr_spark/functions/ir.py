@@ -355,3 +355,59 @@ def rrf_fusion(
     return _topk_per_group(scored, "query_id", "doc_id", order, k, prebuckets).select(
         "query_id", "rank", "doc_id", "rrf_micro"
     )
+
+
+def ranking_metrics(
+    run: DataFrame, qrels: DataFrame, k: int = TFIDF_TOPK
+) -> DataFrame:
+    """Retrieval-quality evaluation of a ranked run against a binary
+    relevance set — the measurement half of the retrieval stack (a
+    corpus pipeline that builds an index should also be able to score
+    it, at corpus scale, without collecting either side).
+
+    ``run``: (query_id, rank, doc_id) — any of this module's retrieval
+    outputs. ``qrels``: (query_id, doc_id) binary relevance pairs.
+    Returns per query: (query_id, n_rel, n_hits, recall, mrr, ndcg),
+    doubles rounded 6dp:
+
+    - recall@k   = |retrieved∩relevant| / |relevant|
+    - MRR@k      = 1 / rank of the first relevant hit (0 if none)
+    - nDCG@k     = Σ_hits 1/log2(rank+1) over the IDEAL prefix
+                   Σ_{i=1..min(n_rel,k)} 1/log2(i+1)
+
+    Plan shape: one distinct + count per query side, one equi-join of
+    the (≤ n_queries·k)-row run against qrels, one aggregate — every
+    step hash-partitioned on query_id; the ideal-DCG denominator is a
+    per-row ``aggregate(sequence(...))`` fold over at most k terms (no
+    join, no window). The per-query DCG sums ≤ k doubles, so the 6dp
+    round absorbs cross-engine summation-order ulps."""
+    q = qrels.select("query_id", "doc_id").distinct()
+    n_rel = q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = (
+        run.filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "doc_id")
+        .join(q, ["query_id", "doc_id"])
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("rank").alias("first_rank"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {int(k)}))), "
+        "cast(0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return n_rel.join(agg, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_rel"), 6
+        ).alias("recall"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6).alias("ndcg"),
+    )

@@ -117,3 +117,71 @@ def zorder_keys_nd(
             f"CAST({_interleave_nd(bnames, bits)} AS BIGINT) AS zkey",
         )
     )
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int | None = None
+) -> DataFrame:
+    """All of ``df``'s columns plus the N-dim Morton ``zkey`` — the
+    join-free form a writer uses (zorder_keys_nd projects only
+    id+dims, which would force a join to recover the payload; at
+    100 TB that join IS the cost, so the key is computed inline from
+    the same 1-row broadcast stats)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (one column: just sort)")
+    if bits is None:
+        bits = min(ZORDER_BITS, 62 // n)
+    if bits < 1 or n * bits > 62:
+        raise ValueError(
+            f"bits={bits} with {n} dims needs {n * bits} key bits; "
+            "must be 1 <= n*bits <= 62 to fit a non-negative BIGINT"
+        )
+    stats = df.agg(
+        *[
+            a
+            for j, c in enumerate(cols)
+            for a in (
+                F.min(c).alias(f"_zlo{j + 1}"),
+                F.max(c).alias(f"_zhi{j + 1}"),
+            )
+        ]
+    )
+    # two-step projection: materialize the bucket columns first, then
+    # interleave — inlining the bucket CASE text into every interleave
+    # term would repeat it bits·n times (codegen bloat)
+    bexprs = [
+        f"{_bucket(c, f'_zlo{j + 1}', f'_zhi{j + 1}', bits)} AS _zb{j + 1}"
+        for j, c in enumerate(cols)
+    ]
+    bnames = [f"_zb{j + 1}" for j in range(n)]
+    base = df.columns
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .selectExpr(*base, *bexprs)
+        .selectExpr(
+            *base,
+            f"CAST({_interleave_nd(bnames, bits)} AS BIGINT) AS zkey",
+        )
+    )
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int,
+    bits: int | None = None,
+) -> DataFrame:
+    """Physically cluster ``df`` on the Z-order curve over ``cols``:
+    range-partition by zkey (contiguous curve segments per output
+    file) and sort within partitions, then drop the key. Write the
+    result as parquet and row-group min/max stats prune scans filtered
+    on ANY subset of ``cols`` (tests/test_r13_zorder.py pins the
+    payoff). This is the OPTIMIZE ZORDER BY verb as a plain
+    DataFrame-to-DataFrame transform."""
+    return (
+        with_zorder_key(df, cols, bits=bits)
+        .repartitionByRange(n_partitions, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+    )

@@ -207,6 +207,56 @@ def cosine_topk(
     return _topk_per_query(dots, k, "cosine")
 
 
+# Fixed free-vector eval queries for the ANN serving-path gate: every
+# component is an exact eighth (n/8), so the float64 value and its
+# decimal SQL literal are bit-identical across engines. The gate and
+# the DuckDB oracle both read THIS list (single source of truth).
+ANN_EVAL_QUERIES = [
+    (q, [(((q * 37 + j * 11) % 17) - 8) / 8.0 for j in range(64)])
+    for q in range(4)
+]
+
+
+def cosine_query_topk(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Free-vector ANN serving path — the embedding twin of the
+    free-text BM25 query form: score literal (query_id, vector) pairs
+    against the corpus without requiring the query to BE a corpus row
+    (no self-exclusion — the query is external). Returns
+    (query_id, rank, neighbor_id, cosine), 6dp-rounded, two-phase
+    top-k.
+
+    Plan shape: the request-sized query set broadcasts onto one
+    streaming pass over the corpus (broadcast-nested-loop, same shape
+    as cosine_topk's doc-as-query form); norms and dots are array-
+    native folds inside whole-stage codegen."""
+    from .text import spread
+
+    spark = emb.sparkSession
+    e = spread(emb).select("vec_id", "embedding", _norm().alias("norm"))
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qemb array<double>",
+    )
+    q = qdf.select(
+        "query_id", "qemb", _norm(F.col("qemb")).alias("qnorm")
+    )
+    dots = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("embedding"), F.col("qemb"))
+            / (F.col("qnorm") * F.col("norm")),
+            6,
+        ).alias("cosine"),
+    )
+    return _topk_per_query(dots, k, "cosine")
+
+
 def lsh_band_buckets(
     emb: DataFrame,
     dim: int = 64,

@@ -4045,6 +4045,44 @@ def q_ir_bm25_query(spark, sf_dir):
     return bm25_query_topk(_docs(spark, sf_dir), IR_EVAL_QUERIES)
 
 
+def q_ir_eval_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation (functions/ir.ranking_metrics):
+    recall@k / MRR / nDCG@k of the BM25 doc-as-query run against a
+    deterministic relevance set = self ∪ the n-gram-Jaccard near-dup
+    pairs touching the 10 query docs (df-capped, the 100 TB posture).
+    The DuckDB twin composes the BM25 and Jaccard oracle CTEs and
+    re-derives every metric including the ideal-DCG prefix sums."""
+    from .functions.ir import bm25_topk, ranking_metrics
+
+    docs = _docs(spark, sf_dir)
+    qids = list(range(10))
+    run = bm25_topk(docs, qids)
+    jac = D.ngram_jaccard_pairs(docs)
+    sym = jac.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("doc_id")
+    ).unionByName(
+        jac.select(F.col("doc_b").alias("query_id"), F.col("doc_a").alias("doc_id"))
+    )
+    self_rels = spark.createDataFrame(
+        [(q, q) for q in qids], "query_id long, doc_id long"
+    )
+    qrels = sym.filter(F.col("query_id").isin(qids)).unionByName(self_rels)
+    return ranking_metrics(run, qrels)
+
+
+def q_ann_cosine_query(spark, sf_dir):
+    """Free-vector ANN serving path (functions/similarity.
+    cosine_query_topk): four literal query vectors — exact eighths, so
+    the DuckDB twin's decimal literals parse bit-identical — broadcast
+    onto one streaming pass over the corpus embeddings. The embedding
+    twin of the free-text BM25 query gate."""
+    from .functions.similarity import ANN_EVAL_QUERIES, cosine_query_topk
+
+    return cosine_query_topk(
+        _emb(spark, sf_dir), ANN_EVAL_QUERIES, k=ANN_K, dim=EMB_DIM
+    )
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Hashed linear quality scorer + distributed threshold calibration
     (functions/text.hashed_quality_classifier): md5-derived integer
@@ -4141,6 +4179,8 @@ CORPUS_SAMPLING_PARTS = [
     "ir_rrf_fusion",
     # r13: free-text query serving path
     "ir_bm25_query",
+    # r13: retrieval-quality metrics vs the Jaccard relevance set
+    "ir_eval_metrics",
     "text_quality_classifier",
     "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
@@ -4190,6 +4230,8 @@ ANN_PARTS = [
     "ann_ivf_balanced",
     "semantic_dedup",
     "ann_recall_eval",
+    # r13: free-vector serving path
+    "ann_cosine_query",
 ]
 # r11 (VERDICT r10 ask #4): every past-the-window TPC-H plan-family
 # gate — including the new correlated-subquery trio — grades in-window
@@ -4452,6 +4494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_tfidf_weights": q_ir_tfidf_weights,
         "ir_bm25_topk": q_ir_bm25_topk,
         "ir_rrf_fusion": q_ir_rrf_fusion,
+        # r13: recall/MRR/nDCG eval + free-vector ANN serving — graded
+        # via corpus_sampling_battery / ann_battery
+        "ir_eval_metrics": q_ir_eval_metrics,
+        "ann_cosine_query": q_ann_cosine_query,
         # r13 rotation: the displaced metadata/planner singletons stay
         # registered past the window, proven via their digest batteries
         "c8_rfc4_orientation": q_c8_rfc4_orientation,

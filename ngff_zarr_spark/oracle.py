@@ -1204,6 +1204,87 @@ b AS (
 SELECT event_id, b1, b2, CAST({inter} AS BIGINT) AS zkey FROM b"""
 
 
+def sql_ann_cosine_query():
+    """Free-vector twin: literal query vectors from a VALUES CTE (the
+    gate's ANN_EVAL_QUERIES — exact eighths, so decimal literals parse
+    bit-identical), indexed-sum dot products against the corpus, ranks
+    on the ROUNDED cosine exactly like sql_ann_cosine_topk."""
+    from .functions.similarity import ANN_EVAL_QUERIES
+
+    vals = ", ".join(
+        "({}, [{}])".format(q, ", ".join(repr(float(x)) for x in v))
+        for q, v in ANN_EVAL_QUERIES
+    )
+    return f"""WITH {_UNROLL},
+qv AS (SELECT * FROM (VALUES {vals}) AS t(query_id, qemb)),
+qn AS (
+  SELECT query_id, qemb,
+         sqrt(list_sum(list_transform(qemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+  FROM qv
+),
+dots AS (
+  SELECT qn.query_id, c.vec_id AS neighbor_id, qn.qnorm AS qnorm, c.norm AS cn,
+         SUM(CAST(c.embedding[CAST(r.i AS INTEGER)+1] AS DOUBLE)
+             * CAST(qn.qemb[CAST(r.i AS INTEGER)+1] AS DOUBLE)) AS dot
+  FROM u c
+  CROSS JOIN qn
+  CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2, 3, 4
+),
+rk AS (
+  SELECT query_id, neighbor_id, round(dot / (qnorm * cn), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (qnorm * cn), 6) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM rk WHERE rank <= {ANN_K}"""
+
+
+def sql_ir_eval_metrics():
+    """Retrieval-eval twin: the BM25 run CTE and the (df-capped)
+    Jaccard pair CTE are the SAME oracle SQL those gates grade with;
+    the metrics layer re-derives recall/MRR/nDCG including the
+    ideal-DCG prefix via a list fold."""
+    from .functions.dedup import DEFAULT_MAX_DF
+    from .functions.ir import TFIDF_TOPK
+
+    k = TFIDF_TOPK
+    return f"""WITH run AS MATERIALIZED (
+{sql_ir_bm25_topk()}
+),
+jac AS MATERIALIZED (
+{sql_dedup_ngram_jaccard(max_df=DEFAULT_MAX_DF)}
+),
+qr AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+    SELECT doc_a AS query_id, doc_b AS doc_id FROM jac
+    UNION ALL
+    SELECT doc_b AS query_id, doc_a AS doc_id FROM jac
+    UNION ALL
+    SELECT r.i AS query_id, r.i AS doc_id FROM range(10) r(i)
+  ) WHERE query_id < 10
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
+hits AS (
+  SELECT run.query_id, run.rank
+  FROM run JOIN qr ON qr.query_id = run.query_id AND qr.doc_id = run.doc_id
+  WHERE run.rank <= {k}
+),
+agg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MIN(rank) AS first_rank,
+         SUM(1.0 / log2(rank + 1)) AS dcg
+  FROM hits GROUP BY 1
+)
+SELECT n.query_id, n.n_rel,
+  CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+  round(COALESCE(a.n_hits, 0) / n.n_rel, 6) AS recall,
+  round(COALESCE(1.0 / a.first_rank, 0), 6) AS mrr,
+  round(COALESCE(a.dcg, 0) / list_sum(list_transform(
+    range(1, CAST(least(n.n_rel, {k}) AS BIGINT) + 1),
+    i -> 1.0 / log2(i + 1))), 6) AS ndcg
+FROM nrel n LEFT JOIN agg a USING (query_id)"""
+
+
 def sql_events_zorder_nd():
     """3-dim twin of sql_events_zorder_key: same guarded bucket
     expression per dimension (user_id, value, ts-as-epoch-ns), and the
@@ -3737,6 +3818,11 @@ _DIGEST_SPECS = {
     "dedup_simhash": {"doc_id": "l", "simhash": "l"},
     "dedup_ngram_jaccard": {"doc_a": "l", "doc_b": "l", "jaccard": "d"},
     "ann_cosine_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
+    "ann_cosine_query": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
+    "ir_eval_metrics": {
+        "query_id": "l", "n_rel": "l", "n_hits": "l",
+        "recall": "d", "mrr": "d", "ndcg": "d",
+    },
     "ann_lsh_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
     "ann_ivf_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
     "ann_ivfpq_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "score_u": "l"},
@@ -3859,6 +3945,8 @@ CORPUS_SAMPLING_PARTS = [
     "ir_rrf_fusion",
     # r13: free-text query serving path
     "ir_bm25_query",
+    # r13: retrieval-quality metrics vs the Jaccard relevance set
+    "ir_eval_metrics",
     "text_quality_classifier",
     "text_quality_stream",
     # r12: distributed BPE tokenizer training + subword segmentation
@@ -3905,6 +3993,8 @@ ANN_PARTS = [
     "ann_ivf_balanced",
     "semantic_dedup",
     "ann_recall_eval",
+    # r13: free-vector serving path
+    "ann_cosine_query",
 ]
 # r11 (VERDICT r10 ask #4): mirror of gate.TPCH_PARTS
 TPCH_PARTS = [
@@ -4027,6 +4117,8 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": sql_text_fingerprint(),
         "text_winnow": sql_text_winnow(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
+        "ann_cosine_query": sql_ann_cosine_query(),
+        "ir_eval_metrics": sql_ir_eval_metrics(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_balanced": sql_ann_ivf_balanced(),

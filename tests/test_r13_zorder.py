@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from ngff_zarr_spark.functions.layout import (
     ZORDER_BITS,
+    cluster_by_zorder,
+    with_zorder_key,
     zorder_keys,
     zorder_keys_nd,
 )
@@ -93,6 +95,20 @@ def test_nd_constant_dimension_guard(spark):
     assert any(r.zkey > 0 for r in out)
 
 
+def test_with_zorder_key_matches_projected_form(spark, sf_dir):
+    # the join-free writer form computes the SAME key as the projected
+    # (id, buckets, zkey) form, and keeps every original column
+    ev = _events(spark, sf_dir).limit(300)
+    a = {
+        r.event_id: r.zkey
+        for r in zorder_keys_nd(ev, ["user_id", "value"], "event_id").collect()
+    }
+    wk = with_zorder_key(ev, ["user_id", "value"])
+    assert set(ev.columns) | {"zkey"} == set(wk.columns)
+    b = {r.event_id: r.zkey for r in wk.select("event_id", "zkey").collect()}
+    assert a == b
+
+
 def test_nd_rejects_bit_overflow(spark):
     df = spark.createDataFrame([(1, 2, 3)], "id long, a long, b long")
     with pytest.raises(ValueError, match="bits"):
@@ -134,8 +150,6 @@ def test_zorder_layout_prunes_row_groups(spark):
     ev = _events(spark, "/root/testdata/sf0.01").select(
         "event_id", "user_id", "value"
     )
-    keys = zorder_keys(ev, "user_id", "value", "event_id").select("event_id", "zkey")
-    with_key = ev.join(keys, "event_id")
 
     lo_u, hi_u = 100, 160          # user_id spans ~0..500 at sf0.01
     stats = ev.agg(
@@ -148,12 +162,9 @@ def test_zorder_layout_prunes_row_groups(spark):
     try:
         natural = os.path.join(base, "natural")
         clustered = os.path.join(base, "clustered")
-        with_key.repartition(16).write.parquet(natural)
-        (
-            with_key.repartitionByRange(16, "zkey")
-            .sortWithinPartitions("zkey")
-            .write.parquet(clustered)
-        )
+        ev.repartition(16).write.parquet(natural)
+        # the production verb: join-free inline zkey + range partition
+        cluster_by_zorder(ev, ["user_id", "value"], 16).write.parquet(clustered)
         pred = {"user_id": (lo_u, hi_u), "value": (lo_v, hi_v)}
         s_nat, t_nat = _surviving_row_groups(natural, pred)
         s_clu, t_clu = _surviving_row_groups(clustered, pred)
