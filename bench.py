@@ -510,6 +510,8 @@ QUERIES = {
     "ir_eval_metrics": gate.q_ir_eval_metrics,
     # r13: free-vector ANN serving path (broadcast queries, one pass)
     "ann_cosine_query": gate.q_ann_cosine_query,
+    # r13: C4-style line-level dedup (cut corpus-repeated line-blocks)
+    "dedup_lines": gate.q_dedup_lines,
 }
 
 

@@ -222,3 +222,69 @@ def substring_dedup_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)).alias("cut_frac"),
     )
+
+
+LINE_LEN = 6  # tokens per line-block when the corpus carries no newlines
+
+
+def line_dedup(docs: DataFrame, line_len: int = LINE_LEN, max_df: int = 1) -> DataFrame:
+    """C4-style line-level deduplication (Raffel et al. 2020 drop any
+    line that occurs verbatim in more than one document; reference
+    analog: the corpus-hygiene role of the dedup family): documents are
+    segmented into consecutive ``line_len``-token blocks (the corpus
+    tables carry no newlines, so block boundaries stand in for line
+    boundaries — a real crawl would split on '\\n' with the same
+    pipeline), every block whose distinct-document frequency exceeds
+    ``max_df`` is cut from EVERY document holding it, and the surviving
+    blocks are re-joined into the cleaned text.
+
+    Returns (doc_id, clean_text, n_lines, n_kept, n_dropped) — one row
+    per input document, clean_text == '' when everything was cut (the
+    caller decides whether empty docs survive, mirroring C4's
+    drop-empty follow-up).
+
+    100 TB posture:
+      * block construction is a pure projection over the token array
+        (slice + array_join inside codegen) — no explode-regroup
+        round-trip, no shuffle until the frequency aggregate;
+      * the duplicate test shuffles 64-bit line hashes, never text,
+        and each block row joins EXACTLY ONE frequency row (the same
+        cardinality-preserving shape as duplicated_spans — a
+        boilerplate line repeated a million times cannot blow up the
+        join);
+      * reassembly is one groupBy(doc_id) whose state is the document
+        itself — bounded by the longest document, not the corpus.
+    """
+    toks = F.col("toks")
+    n_blocks = F.ceil(F.size(toks) / F.lit(line_len)).cast("int")
+    blocks_col = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
+            lambda b: F.array_join(F.slice(toks, b * line_len + 1, line_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = (
+        spread(docs)
+        .select("doc_id", tokens_col(_norm_text(F.col("text"))).alias("toks"))
+        .select("doc_id", F.posexplode(blocks_col).alias("blk", "line"))
+        .withColumn("lh", h64(F.col("line")))
+    )
+    freq = blocks.groupBy("lh", "doc_id").agg(F.lit(1)).groupBy("lh").agg(
+        F.count(F.lit(1)).alias("line_df")
+    )
+    flagged = blocks.join(freq, "lh").withColumn(
+        "keep", F.col("line_df") <= max_df
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("blk", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_dropped"),
+    )

@@ -1023,6 +1023,18 @@ def q_dedup_edit_distance(spark, sf_dir):
     return D.edit_distance_candidates(_docs(spark, sf_dir))
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4-style line-level dedup (functions/spans.line_dedup): cut
+    every 6-token line-block whose distinct-document frequency exceeds
+    1 from EVERY holder and re-join the survivors — the corpus-hygiene
+    rewrite pass (Raffel et al. 2020). Block construction is a pure
+    array projection (no explode-regroup); the frequency join is
+    cardinality-preserving on 64-bit line hashes."""
+    from .functions.spans import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir))
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (5 integer-exact iterations) over the capped
     MinHash candidate graph (functions/graph.py): per round one edge
@@ -4217,6 +4229,9 @@ DEDUP_PARTS = [
     "dedup_edit_distance",
     # r12: iterative graph analytics over the candidate edges
     "graph_pagerank",
+    # r13: C4-style line-level dedup (cut corpus-repeated line-blocks,
+    # re-join survivors)
+    "dedup_lines",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -4637,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_stream": q_dedup_substring_stream,
         # r12: Levenshtein re-rank — graded via dedup_battery
         "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_lines": q_dedup_lines,
         # r10: perceptual image hashing + near-dup pairs
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_image_dedup": q_multimodal_image_dedup,

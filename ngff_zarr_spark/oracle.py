@@ -1592,6 +1592,35 @@ JOIN nt b ON b.doc_id = c.doc_b
 WHERE levenshtein(a.t, b.t) <= {EDIT_MAX_DIST}"""
 
 
+def sql_dedup_lines():
+    """First-principles twin of functions/spans.line_dedup: same
+    normalize → 6-token block segmentation → distinct-doc frequency →
+    cut-and-rejoin, derived directly from the C4 rule (frequency keyed
+    on the full line STRING here vs the 64-bit line hash in Spark — an
+    intentionally independent derivation)."""
+    from .functions.spans import LINE_LEN as L
+
+    norm = NORM.format(c="text")
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS t
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, CAST((i-1)//{L} AS BIGINT) AS blk,
+         string_agg(t[i], ' ' ORDER BY i) AS line
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM blocks GROUP BY 1)
+SELECT b.doc_id,
+       COALESCE(string_agg(CASE WHEN line_df <= 1 THEN b.line END, ' ' ORDER BY b.blk), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN line_df <= 1 THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN line_df > 1 THEN 1 ELSE 0 END) AS n_dropped
+FROM blocks b JOIN freq USING (line)
+GROUP BY 1"""
+
+
 def sql_graph_pagerank():
     from .functions.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE
 
@@ -3795,6 +3824,10 @@ _DIGEST_SPECS = {
     "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
     "dedup_minhash": {"doc_a": "l", "doc_b": "l", "est_jaccard": "d"},
     "dedup_edit_distance": {"doc_a": "l", "doc_b": "l", "dist": "l"},
+    "dedup_lines": {
+        "doc_id": "l", "clean_text": "s", "n_lines": "l",
+        "n_kept": "l", "n_dropped": "l",
+    },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "dedup_clusters": {"doc_id": "l", "cluster_id": "l"},
     "dedup_clusters_chain": {"doc_id": "l", "cluster_id": "l"},
@@ -3980,6 +4013,8 @@ DEDUP_PARTS = [
     "dedup_edit_distance",
     # r12: iterative graph analytics over the candidate edges
     "graph_pagerank",
+    # r13: C4-style line-level dedup
+    "dedup_lines",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -4211,6 +4246,7 @@ def oracles() -> dict[str, str]:
         "dedup_substring_cut": sql_dedup_substring_cut(),
         "dedup_substring_stream": sql_dedup_substring_stream(),
         "dedup_edit_distance": sql_dedup_edit_distance(),
+        "dedup_lines": sql_dedup_lines(),
         "graph_pagerank": sql_graph_pagerank(),
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "text_lm_perplexity": sql_text_lm_perplexity(),
