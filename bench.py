@@ -512,6 +512,8 @@ QUERIES = {
     "ann_cosine_query": gate.q_ann_cosine_query,
     # r13: C4-style line-level dedup (cut corpus-repeated line-blocks)
     "dedup_lines": gate.q_dedup_lines,
+    # r13: degree-ordered triangle counting over the candidate graph
+    "graph_triangles": gate.q_graph_triangles,
 }
 
 

@@ -1047,6 +1047,18 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(docs, D.minhash_candidates(docs).select("doc_a", "doc_b"))
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Degree-ordered triangle counting + local clustering coefficient
+    (functions/graph.triangle_stats) over the capped MinHash candidate
+    graph — the graph-quality signal separating near-clique duplicate
+    clusters from chains of band coincidences. Orientation bounds the
+    wedge join's fan-out by O(√m) regardless of hub degree."""
+    from .functions.graph import triangle_stats
+
+    docs = _docs(spark, sf_dir)
+    return triangle_stats(docs, D.minhash_candidates(docs).select("doc_a", "doc_b"))
+
+
 def q_dedup_keep(spark, sf_dir):
     """End-to-end dedup decision: the surviving doc_id set after
     dropping every non-representative member of each duplicate
@@ -4232,6 +4244,8 @@ DEDUP_PARTS = [
     # r13: C4-style line-level dedup (cut corpus-repeated line-blocks,
     # re-join survivors)
     "dedup_lines",
+    # r13: degree-ordered triangle counting + clustering coefficient
+    "graph_triangles",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -4653,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: Levenshtein re-rank — graded via dedup_battery
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_lines": q_dedup_lines,
+        "graph_triangles": q_graph_triangles,
         # r10: perceptual image hashing + near-dup pairs
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_image_dedup": q_multimodal_image_dedup,

@@ -1621,6 +1621,47 @@ FROM blocks b JOIN freq USING (line)
 GROUP BY 1"""
 
 
+def sql_graph_triangles():
+    """Independent twin of functions/graph.triangle_stats: triangles
+    enumerated the TEXTBOOK way — canonical a<b edges joined three-fold
+    with a<b<c — no degree ordering at all (the orientation is the
+    Spark side's skew defense, not part of the semantics)."""
+    return f"""WITH cand AS MATERIALIZED (
+{sql_dedup_minhash()}
+),
+canon AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+  FROM cand WHERE doc_a <> doc_b
+),
+degx AS (
+  SELECT doc_id, COUNT(*) AS deg FROM (
+    SELECT a AS doc_id FROM canon UNION ALL SELECT b AS doc_id FROM canon
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT doc_id, COUNT(*) AS n_tri FROM (
+    SELECT x AS doc_id FROM tri
+    UNION ALL SELECT y AS doc_id FROM tri
+    UNION ALL SELECT z AS doc_id FROM tri
+  ) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(degx.deg, 0) AS deg,
+       COALESCE(pern.n_tri, 0) AS n_tri,
+       CASE WHEN COALESCE(degx.deg, 0) >= 2
+            THEN round(2 * COALESCE(pern.n_tri, 0) / (degx.deg * (degx.deg - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM documents d
+LEFT JOIN degx ON degx.doc_id = d.doc_id
+LEFT JOIN pern ON pern.doc_id = d.doc_id"""
+
+
 def sql_graph_pagerank():
     from .functions.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE
 
@@ -3829,6 +3870,9 @@ _DIGEST_SPECS = {
         "n_kept": "l", "n_dropped": "l",
     },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
+    "graph_triangles": {
+        "doc_id": "l", "deg": "l", "n_tri": "l", "clustering": "d",
+    },
     "dedup_clusters": {"doc_id": "l", "cluster_id": "l"},
     "dedup_clusters_chain": {"doc_id": "l", "cluster_id": "l"},
     # r13 planner/metadata battery constituents
@@ -4015,6 +4059,8 @@ DEDUP_PARTS = [
     "graph_pagerank",
     # r13: C4-style line-level dedup
     "dedup_lines",
+    # r13: triangle counting + clustering coefficient
+    "graph_triangles",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -4248,6 +4294,7 @@ def oracles() -> dict[str, str]:
         "dedup_edit_distance": sql_dedup_edit_distance(),
         "dedup_lines": sql_dedup_lines(),
         "graph_pagerank": sql_graph_pagerank(),
+        "graph_triangles": sql_graph_triangles(),
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "text_lm_perplexity": sql_text_lm_perplexity(),
         "corpus_dsir_weights": sql_corpus_dsir_weights(),
