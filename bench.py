@@ -514,6 +514,8 @@ QUERIES = {
     "dedup_lines": gate.q_dedup_lines,
     # r13: degree-ordered triangle counting over the candidate graph
     "graph_triangles": gate.q_graph_triangles,
+    # r13: weighted sampling without replacement (priority sampling)
+    "corpus_priority_sample": gate.q_corpus_priority_sample,
 }
 
 

@@ -212,3 +212,79 @@ def seeded_shuffle(
             .alias("shard"),
         )
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+    k: int = 5,
+    salt: str = "prio",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement, k per
+    stratum — priority sampling (Duffield, Lund & Thorup 2005): each
+    item gets priority q = w / u for a per-item uniform u, and the k
+    LARGEST priorities are the sample, giving inclusion probability
+    increasing in weight with a per-item Horvitz-Thompson estimate
+    ``est_w = max(w, tau)`` (tau = the (k+1)-th priority; summing
+    est_w over the sample estimates the stratum's total weight,
+    unbiased). Strata with <= k items are taken whole with est_w = w
+    (tau = 0) — exactly the DLT boundary case.
+
+    Cross-engine exactness (why this is oracle-graded, not
+    statistically tested): u = (h64(salt:id) + 1) / 2^60 — an exact
+    power-of-two scaling of an integer in [1, 2^60] onto (0, 1] — and
+    q = w / u. Int-to-double rounding, the exponent-only /2^60, and a
+    single IEEE division are all correctly rounded in both engines, so
+    every priority is bit-identical in Spark and DuckDB; no ln/pow
+    (whose libm implementations differ in the last ulp) anywhere. The
+    classic exponential-key formulation (Efraimidis-Spirakis u^(1/w))
+    was rejected for exactly that reason.
+
+    100 TB posture: the same TWO-PHASE exact top-k as cap_per_source —
+    phase 1 ranks within (stratum, u mod 64) so one mega-stratum fans
+    out 64 ways, phase 2 ranks the <= 64*(k+1) survivors; keeping k+1
+    through both phases makes tau available without touching the full
+    table again. Returns (doc_id, stratum, weight, sample_rank,
+    est_w)."""
+    hv = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(2**60))
+    prio = F.col(weight_col).cast("double") / u
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        F.col(weight_col).cast("long").alias("weight"),
+        prio.alias("prio"),
+        (hv % 64).alias("pre"),
+    )
+    w1 = Window.partitionBy("stratum", "pre").orderBy(
+        F.col("prio").desc(), F.col("doc_id").asc()
+    )
+    stage1 = (
+        base.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k + 1)
+        .drop("_prk", "pre")
+    )
+    w2 = Window.partitionBy("stratum").orderBy(
+        F.col("prio").desc(), F.col("doc_id").asc()
+    )
+    ranked = stage1.withColumn("sample_rank", F.row_number().over(w2)).filter(
+        F.col("sample_rank") <= k + 1
+    )
+    tau = F.max(F.when(F.col("sample_rank") == k + 1, F.col("prio"))).over(
+        Window.partitionBy("stratum")
+    )
+    return (
+        ranked.withColumn("tau", F.coalesce(tau, F.lit(0.0)))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            "doc_id",
+            "stratum",
+            "weight",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            F.round(
+                F.greatest(F.col("weight").cast("double"), F.col("tau")), 6
+            ).alias("est_w"),
+        )
+    )

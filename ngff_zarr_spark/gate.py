@@ -3528,6 +3528,19 @@ def q_corpus_stratified_sample(spark, sf_dir):
     )
 
 
+def q_corpus_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement, 5 docs per source with
+    probability increasing in n_chars (functions/sampling.
+    priority_sample — Duffield-Lund-Thorup priority sampling): rank by
+    the IEEE-exact priority w/u over the portable-h64 uniform, keep the
+    top k, report each survivor's Horvitz-Thompson weight estimate
+    max(w, tau). Two-phase top-k so a mega-source cannot serialize one
+    sort task."""
+    from .functions.sampling import priority_sample
+
+    return priority_sample(_docs(spark, sf_dir), k=5)
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """AS-OF join (functions/events.asof_join): for every purchase, the
     user's latest click at ts <= purchase ts — the attribution query.
@@ -4168,6 +4181,8 @@ EVENTS_ANALYTICS_PARTS = [
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
     "corpus_stratified_sample",
+    # r13: weighted (priority) sampling without replacement
+    "corpus_priority_sample",
     "text_gopher",
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
@@ -4614,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_windows": q_events_range_windows,
         "corpus_split_counts": q_corpus_split_counts,
         "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_priority_sample": q_corpus_priority_sample,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,

@@ -3778,6 +3778,10 @@ _DIGEST_SPECS = {
     },
     "corpus_split_counts": {"split": "s", "lang": "s", "n_docs": "l"},
     "corpus_stratified_sample": {"source": "s", "sample_rank": "l", "doc_id": "l"},
+    "corpus_priority_sample": {
+        "doc_id": "l", "stratum": "s", "weight": "l",
+        "sample_rank": "l", "est_w": "d",
+    },
     "text_gopher": {
         "doc_id": "l", "n_words": "l", "mean_word_len": "d",
         "n_distinct_stopwords": "l", "dup_word_frac": "d",
@@ -3987,6 +3991,7 @@ EVENTS_ANALYTICS_PARTS = [
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
     "corpus_stratified_sample",
+    "corpus_priority_sample",
     "text_gopher",
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
@@ -4417,6 +4422,26 @@ r AS (
 )
 SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
 FROM r WHERE sample_rank <= 5""",
+        "corpus_priority_sample": f"""WITH base AS (
+  SELECT doc_id, source AS stratum, CAST(n_chars AS BIGINT) AS weight,
+         CAST(n_chars AS DOUBLE)
+           / (CAST(({H64.format(s="concat('prio:', CAST(doc_id AS VARCHAR))")}) + 1 AS DOUBLE)
+              / 1152921504606846976.0) AS prio
+  FROM documents
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY stratum ORDER BY prio DESC, doc_id ASC) AS sample_rank
+  FROM base
+),
+tt AS (
+  SELECT stratum,
+         COALESCE(MAX(CASE WHEN sample_rank = 6 THEN prio END), 0.0) AS tau
+  FROM rk WHERE sample_rank <= 6 GROUP BY 1
+)
+SELECT rk.doc_id, rk.stratum, rk.weight, CAST(rk.sample_rank AS BIGINT) AS sample_rank,
+       round(GREATEST(CAST(rk.weight AS DOUBLE), tau), 6) AS est_w
+FROM rk JOIN tt USING (stratum)
+WHERE sample_rank <= 5""",
         # FORWARD as-of: DuckDB ASOF is backward-only, so the twin is
         # the arg_min aggregate over a max-deduped click side (same
         # tie-break as the operator); LEFT JOIN keeps unmatched NULLs
