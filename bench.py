@@ -516,6 +516,8 @@ QUERIES = {
     "graph_triangles": gate.q_graph_triangles,
     # r13: weighted sampling without replacement (priority sampling)
     "corpus_priority_sample": gate.q_corpus_priority_sample,
+    # r13: int8 scalar-quantized ANN serving path (integer dot scorer)
+    "ann_sq8_topk": gate.q_ann_sq8_topk,
 }
 
 

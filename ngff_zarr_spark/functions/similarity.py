@@ -1513,3 +1513,103 @@ def ivfpq_residual_topk(
         ).alias("score_u"),
     )
     return _topk_per_query(scored, k, "score_u")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the serving-memory workhorse of real
+# vector stores (FAISS SQ8 / Milvus / pgvector halfvec-style): 4x
+# smaller vectors, integer dot products, exact-arithmetic rescale.
+
+SQ8_LEVELS = 127  # symmetric int8 range [-127, 127]
+
+
+def sq8_quantize(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: q_i =
+    round(127 * x_i / max|x|), plus the integer self-dot ``qnorm`` the
+    scorer needs. All-zero vectors quantize to zeros (scale 0).
+
+    Every step is exact or correctly rounded IEEE (abs/max exact, one
+    multiply + one divide + round) so Spark and DuckDB produce
+    bit-identical codes — the reason sq8_topk is oracle-graded rather
+    than recall-tested. Pure projection: no shuffle, no UDF; at 100 TB
+    this runs as a map over the corpus scan and the quantized table is
+    what serving loads (64 B of codes + 8 B norm per 64-dim vector vs
+    256 B of floats)."""
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    qvec = F.when(
+        maxabs > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(
+                (F.lit(float(SQ8_LEVELS)) * v.cast("double")) / maxabs
+            ).cast("long"),
+        ),
+    ).otherwise(
+        F.transform(F.col("embedding"), lambda v: F.lit(0).cast("long"))
+    )
+    qnorm = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    return (
+        emb.select("vec_id", qvec.alias("qvec"))
+        .select("vec_id", "qvec", qnorm.alias("qnorm"))
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k neighbors by QUANTIZED cosine (self excluded): integer
+    dot product over the SQ8 codes, rescaled by the exact integer code
+    norms — est_cos = dot_q / sqrt(qnorm_a * qnorm_b). Returns
+    (query_id, rank, neighbor_id, est_cos).
+
+    The integer dot (|q_i| <= 127, 64 dims -> |dot| <= ~10^6) is
+    BIGINT-exact in any summation order — the float-drift hazard the
+    full-precision scorer must round away simply does not exist here.
+    Plan shape matches cosine_topk: request-sized quantized query side
+    broadcast onto one streaming pass over the quantized corpus,
+    zip_with/aggregate folds inside codegen, two-phase top-k."""
+    from .text import spread
+
+    q8 = sq8_quantize(spread(emb))
+    q = q8.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("qnorm").alias("qn_q"),
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("qq"), lambda u, w: u * w),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q8.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_q.alias("dot_q"),
+            F.col("qnorm").alias("qn_n"),
+            F.col("qn_q"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                (F.col("qn_q") > 0) & (F.col("qn_n") > 0),
+                F.round(
+                    F.col("dot_q")
+                    / F.sqrt((F.col("qn_q") * F.col("qn_n")).cast("double")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("est_cos"),
+        )
+    )
+    return _topk_per_query(scored, k, "est_cos")

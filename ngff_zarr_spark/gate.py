@@ -1711,6 +1711,15 @@ def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """int8 scalar-quantized ANN (functions/similarity.sq8_topk):
+    per-vector symmetric SQ8 codes (4x memory cut — what serving
+    actually loads), BIGINT-exact integer dot products, exact-integer
+    norm rescale. Correctly-rounded-only arithmetic end to end, so the
+    DuckDB twin matches bit-for-bit with no recall slack."""
+    return S.sq8_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
+
+
 def q_emb_near_dup_lsh(spark, sf_dir):
     """LSH-banded near-dup: candidates from hyperplane band buckets,
     exact cosine re-rank. No all-pairs join anywhere in the plan."""
@@ -4276,6 +4285,8 @@ ANN_PARTS = [
     "ann_recall_eval",
     # r13: free-vector serving path
     "ann_cosine_query",
+    # r13: int8 scalar-quantized serving path (integer-exact scorer)
+    "ann_sq8_topk",
 ]
 # r11 (VERDICT r10 ask #4): every past-the-window TPC-H plan-family
 # gate — including the new correlated-subquery trio — grades in-window
@@ -4585,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,

@@ -2044,6 +2044,57 @@ _UNROLL = f"""u AS (
 )"""
 
 
+def sql_ann_sq8_topk():
+    """Twin of functions/similarity.sq8_topk: identical expression tree
+    (abs/max exact; one multiply, one divide, round; integer dot and
+    norms BIGINT-exact) so no rounding slack is needed beyond the
+    shared 6dp on the final estimate."""
+    from .functions.similarity import SQ8_LEVELS
+
+    return f"""WITH mx AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         CASE WHEN maxabs > 0
+              THEN list_transform(embedding,
+                     v -> CAST(round(({SQ8_LEVELS}.0 * CAST(v AS DOUBLE)) / maxabs) AS BIGINT))
+              ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS q
+  FROM mx
+),
+nn AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+  FROM qv
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(c.q[CAST(r.i AS INTEGER)+1] * q.q[CAST(r.i AS INTEGER)+1]) AS BIGINT) AS dot_q,
+         q.qn AS qn_q, c.qn AS qn_n
+  FROM nn q
+  JOIN nn c ON c.vec_id != q.vec_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2, 4, 5
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN qn_q > 0 AND qn_n > 0
+              THEN round(dot_q / sqrt(CAST(qn_q * qn_n AS DOUBLE)), 6)
+              ELSE 0.0 END AS est_cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN qn_q > 0 AND qn_n > 0
+                          THEN round(dot_q / sqrt(CAST(qn_q * qn_n AS DOUBLE)), 6)
+                          ELSE 0.0 END) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, est_cos
+FROM rk WHERE rank <= {ANN_K}"""
+
+
 def sql_ann_cosine_topk():
     # ranks on the ROUNDED cosine (ties → neighbor_id) so last-ulp
     # summation-order differences across engines cannot flip ranks
@@ -3900,6 +3951,7 @@ _DIGEST_SPECS = {
     "dedup_ngram_jaccard": {"doc_a": "l", "doc_b": "l", "jaccard": "d"},
     "ann_cosine_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
     "ann_cosine_query": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
+    "ann_sq8_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "est_cos": "d"},
     "ir_eval_metrics": {
         "query_id": "l", "n_rel": "l", "n_hits": "l",
         "recall": "d", "mrr": "d", "ndcg": "d",
@@ -4081,6 +4133,8 @@ ANN_PARTS = [
     "ann_recall_eval",
     # r13: free-vector serving path
     "ann_cosine_query",
+    # r13: int8 scalar-quantized serving path
+    "ann_sq8_topk",
 ]
 # r11 (VERDICT r10 ask #4): mirror of gate.TPCH_PARTS
 TPCH_PARTS = [
@@ -4203,6 +4257,7 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": sql_text_fingerprint(),
         "text_winnow": sql_text_winnow(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
+        "ann_sq8_topk": sql_ann_sq8_topk(),
         "ann_cosine_query": sql_ann_cosine_query(),
         "ir_eval_metrics": sql_ir_eval_metrics(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
