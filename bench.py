@@ -518,6 +518,8 @@ QUERIES = {
     "corpus_priority_sample": gate.q_corpus_priority_sample,
     # r13: int8 scalar-quantized ANN serving path (integer dot scorer)
     "ann_sq8_topk": gate.q_ann_sq8_topk,
+    # r13: MMR diversity re-rank over the SQ8 pool (all-integer greedy)
+    "ann_mmr_rerank": gate.q_ann_mmr_rerank,
 }
 
 

@@ -1613,3 +1613,147 @@ def sq8_topk(
         )
     )
     return _topk_per_query(scored, k, "est_cos")
+
+
+MMR_POOL = 20      # candidate pool per query fed to the diversifier
+MMR_LAM_NUM = 1    # lambda = num/den: relevance weight in the MMR score
+MMR_LAM_DEN = 2
+
+
+def mmr_rerank_sq8(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = MMR_POOL,
+    lam_num: int = MMR_LAM_NUM,
+    lam_den: int = MMR_LAM_DEN,
+    dim: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over the SQ8 serving scorer: greedily pick k of the top
+    ``pool`` candidates, each pick maximizing
+    lam*rel(d) - (1-lam)*max_{s in picked} sim(d, s) — the diversity
+    re-rank every retrieval stack runs between ANN and the consumer so
+    near-duplicate hits don't crowd out coverage. Returns
+    (query_id, pick_rank, neighbor_id, mmr_u).
+
+    ALL-INTEGER greedy: relevance and pairwise similarity are the SQ8
+    estimates scaled to micro-units (round(est_cos*1e6) as BIGINT) and
+    the score is lam_num*rel_u - (lam_den-lam_num)*maxsim_u — BIGINT
+    arithmetic end-to-end, ties to the smaller neighbor_id, so the
+    K-step unrolled DuckDB CTE reproduces every pick exactly (the
+    float formulation would hinge last-ulp argmax flips; see
+    functions/graph.py for the same convention).
+
+    100 TB posture: the iterative argmax runs per GROUP inside one
+    Arrow-batched applyInPandas over (pool cands, pool^2 sims) — both
+    request-bounded, never corpus-bounded; the corpus-sized work
+    (scoring + two-phase top-pool + the pool self-join) is all
+    JVM-side DataFrame ops. A driver-side literal-feedback loop (the
+    bpe.py trap) or a k-round join cascade were both rejected: the
+    per-query state is a few hundred rows, exactly what bounded-group
+    applyInPandas is for."""
+    import pandas as pd
+
+    from .text import spread
+
+    q8 = sq8_quantize(spread(emb))
+    q = q8.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("qnorm").alias("qn_q"),
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("qq"), lambda u, w: u * w),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    est = F.when(
+        (F.col("qn_q") > 0) & (F.col("qnorm") > 0),
+        F.round(
+            dot_q / F.sqrt((F.col("qn_q") * F.col("qnorm")).cast("double")), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = q8.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est_cos")
+    )
+    cands = _topk_per_query(scored, pool, "est_cos").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("est_cos") * 1_000_000).cast("long").alias("rel_u"),
+    ).localCheckpoint()
+
+    # pairwise similarities among each query's pool: request-bounded
+    # (pool^2 rows/query) — broadcast the pair list onto two passes
+    # over the quantized corpus for the code arrays
+    ca = cands.select("query_id", F.col("neighbor_id").alias("a"))
+    cb = cands.select("query_id", F.col("neighbor_id").alias("b"))
+    pairs = ca.join(cb, "query_id").filter(F.col("a") != F.col("b"))
+    qa = q8.select(
+        F.col("vec_id").alias("a"), F.col("qvec").alias("va"),
+        F.col("qnorm").alias("na"),
+    )
+    qb = q8.select(
+        F.col("vec_id").alias("b"), F.col("qvec").alias("vb"),
+        F.col("qnorm").alias("nb"),
+    )
+    with_a = qa.join(F.broadcast(pairs), "a")
+    with_ab = qb.join(F.broadcast(with_a), "b")
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda u, w: u * w),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim_est = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(
+            pair_dot / F.sqrt((F.col("na") * F.col("nb")).cast("double")), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    # request-bounded tables; localCheckpoint makes each a leaf so the
+    # pool self-join and the cogroup don't trip the ambiguous-self-join
+    # analyzer (cands appears on three sides), and the corpus scoring
+    # pass runs exactly once instead of once per consumer
+    sims = with_ab.select(
+        "query_id", "a", "b",
+        F.round(sim_est * 1_000_000).cast("long").alias("sim_u"),
+    ).localCheckpoint()
+
+    ln, ld, kk = int(lam_num), int(lam_den), int(k)
+
+    def mmr_fn(key, cpdf, spdf):
+        rel = {
+            int(n): int(r)
+            for n, r in zip(cpdf["neighbor_id"], cpdf["rel_u"])
+        }
+        simm = {
+            (int(a), int(b)): int(su)
+            for a, b, su in zip(spdf["a"], spdf["b"], spdf["sim_u"])
+        }
+        picked: list[int] = []
+        rows = []
+        remaining = set(rel)
+        for rank in range(1, kk + 1):
+            if not remaining:
+                break
+            best = None
+            for d in sorted(remaining):
+                ms = max((simm.get((d, s2), 0) for s2 in picked), default=0)
+                sc = ln * rel[d] - (ld - ln) * ms
+                if best is None or sc > best[0]:
+                    best = (sc, d)
+            picked.append(best[1])
+            remaining.discard(best[1])
+            rows.append((int(key[0]), rank, best[1], best[0]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "pick_rank", "neighbor_id", "mmr_u"]
+        )
+
+    return (
+        cands.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            mmr_fn,
+            "query_id long, pick_rank long, neighbor_id long, mmr_u long",
+        )
+    )

@@ -1720,6 +1720,17 @@ def q_ann_sq8_topk(spark, sf_dir):
     return S.sq8_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
 
+def q_ann_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-rank over the SQ8 serving scorer
+    (functions/similarity.mmr_rerank_sq8): greedy all-BIGINT selection
+    of 5 from each query's top-20 pool, lambda=1/2. The iterative
+    argmax runs per-group in one Arrow-batched applyInPandas over
+    request-bounded state; the corpus-sized scoring stays JVM-side."""
+    return S.mmr_rerank_sq8(
+        _emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM
+    )
+
+
 def q_emb_near_dup_lsh(spark, sf_dir):
     """LSH-banded near-dup: candidates from hyperplane band buckets,
     exact cosine re-rank. No all-pairs join anywhere in the plan."""
@@ -4287,6 +4298,8 @@ ANN_PARTS = [
     "ann_cosine_query",
     # r13: int8 scalar-quantized serving path (integer-exact scorer)
     "ann_sq8_topk",
+    # r13: MMR diversity re-rank over the SQ8 pool (all-integer greedy)
+    "ann_mmr_rerank",
 ]
 # r11 (VERDICT r10 ask #4): every past-the-window TPC-H plan-family
 # gate — including the new correlated-subquery trio — grades in-window
@@ -4597,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_mmr_rerank": q_ann_mmr_rerank,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,

@@ -2044,6 +2044,113 @@ _UNROLL = f"""u AS (
 )"""
 
 
+def sql_ann_mmr_rerank():
+    """Unrolled twin of functions/similarity.mmr_rerank_sq8: the same
+    SQ8 micro-unit relevance/similarity tables, then ANN_K greedy
+    selection rounds as explicit CTEs (the pagerank-style unroll) —
+    BIGINT scores end-to-end, ties to the smaller neighbor_id."""
+    from .functions.similarity import (
+        MMR_LAM_DEN,
+        MMR_LAM_NUM,
+        MMR_POOL,
+        SQ8_LEVELS,
+    )
+
+    ln, comp = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
+    parts = [f"""mx AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+  FROM embeddings
+)""", f"""qv AS (
+  SELECT vec_id,
+         CASE WHEN maxabs > 0
+              THEN list_transform(embedding,
+                     v -> CAST(round(({SQ8_LEVELS}.0 * CAST(v AS DOUBLE)) / maxabs) AS BIGINT))
+              ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS q
+  FROM mx
+)""", """nn AS MATERIALIZED (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+  FROM qv
+)""", f"""qdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(c.q[CAST(r.i AS INTEGER)+1] * q.q[CAST(r.i AS INTEGER)+1]) AS BIGINT) AS dot_q,
+         q.qn AS qn_q, c.qn AS qn_n
+  FROM nn q
+  JOIN nn c ON c.vec_id != q.vec_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2, 4, 5
+)""", f"""cands AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         CAST(round(est_cos * 1000000) AS BIGINT) AS rel_u
+  FROM (
+    SELECT query_id, neighbor_id,
+           CASE WHEN qn_q > 0 AND qn_n > 0
+                THEN round(dot_q / sqrt(CAST(qn_q * qn_n AS DOUBLE)), 6)
+                ELSE 0.0 END AS est_cos,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY (CASE WHEN qn_q > 0 AND qn_n > 0
+                            THEN round(dot_q / sqrt(CAST(qn_q * qn_n AS DOUBLE)), 6)
+                            ELSE 0.0 END) DESC, neighbor_id) AS prk
+    FROM qdots
+  ) WHERE prk <= {MMR_POOL}
+)""", f"""pdots AS (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         CAST(SUM(na.q[CAST(r.i AS INTEGER)+1] * nb.q[CAST(r.i AS INTEGER)+1]) AS BIGINT) AS dot_q,
+         na.qn AS qn_a, nb.qn AS qn_b
+  FROM cands c1
+  JOIN cands c2 ON c2.query_id = c1.query_id AND c2.neighbor_id != c1.neighbor_id
+  JOIN nn na ON na.vec_id = c1.neighbor_id
+  JOIN nn nb ON nb.vec_id = c2.neighbor_id
+  CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2, 3, 5, 6
+)""", """sims AS MATERIALIZED (
+  SELECT query_id, a, b,
+         CAST(round((CASE WHEN qn_a > 0 AND qn_b > 0
+                          THEN round(dot_q / sqrt(CAST(qn_a * qn_b AS DOUBLE)), 6)
+                          ELSE 0.0 END) * 1000000) AS BIGINT) AS sim_u
+  FROM pdots
+)""", f"""sel1 AS (
+  SELECT query_id, neighbor_id, CAST({ln} * rel_u AS BIGINT) AS mmr_u
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel_u DESC, neighbor_id) AS rn
+        FROM cands)
+  WHERE rn = 1
+)""", """picked1 AS (SELECT query_id, neighbor_id FROM sel1)"""]
+    for i in range(2, ANN_K + 1):
+        parts.append(f"""sc{i} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel_u, MAX(s.sim_u) AS msim
+  FROM cands c
+  JOIN sims s ON s.query_id = c.query_id AND s.a = c.neighbor_id
+  JOIN picked{i-1} p ON p.query_id = s.query_id AND p.neighbor_id = s.b
+  WHERE NOT EXISTS (SELECT 1 FROM picked{i-1} x
+                    WHERE x.query_id = c.query_id
+                      AND x.neighbor_id = c.neighbor_id)
+  GROUP BY 1, 2, 3
+)""")
+        parts.append(f"""sel{i} AS (
+  SELECT query_id, neighbor_id,
+         CAST({ln} * rel_u - {comp} * msim AS BIGINT) AS mmr_u
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY ({ln} * rel_u - {comp} * msim) DESC, neighbor_id) AS rn
+        FROM sc{i})
+  WHERE rn = 1
+)""")
+        parts.append(
+            f"""picked{i} AS (SELECT query_id, neighbor_id FROM picked{i-1}
+  UNION ALL SELECT query_id, neighbor_id FROM sel{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({i} AS BIGINT) AS pick_rank, neighbor_id, mmr_u FROM sel{i}"
+        for i in range(1, ANN_K + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\n{union}"
+
+
 def sql_ann_sq8_topk():
     """Twin of functions/similarity.sq8_topk: identical expression tree
     (abs/max exact; one multiply, one divide, round; integer dot and
@@ -3952,6 +4059,7 @@ _DIGEST_SPECS = {
     "ann_cosine_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
     "ann_cosine_query": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
     "ann_sq8_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "est_cos": "d"},
+    "ann_mmr_rerank": {"query_id": "l", "pick_rank": "l", "neighbor_id": "l", "mmr_u": "l"},
     "ir_eval_metrics": {
         "query_id": "l", "n_rel": "l", "n_hits": "l",
         "recall": "d", "mrr": "d", "ndcg": "d",
@@ -4135,6 +4243,8 @@ ANN_PARTS = [
     "ann_cosine_query",
     # r13: int8 scalar-quantized serving path
     "ann_sq8_topk",
+    # r13: MMR diversity re-rank over the SQ8 pool
+    "ann_mmr_rerank",
 ]
 # r11 (VERDICT r10 ask #4): mirror of gate.TPCH_PARTS
 TPCH_PARTS = [
@@ -4258,6 +4368,7 @@ def oracles() -> dict[str, str]:
         "text_winnow": sql_text_winnow(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_sq8_topk": sql_ann_sq8_topk(),
+        "ann_mmr_rerank": sql_ann_mmr_rerank(),
         "ann_cosine_query": sql_ann_cosine_query(),
         "ir_eval_metrics": sql_ir_eval_metrics(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
