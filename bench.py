@@ -520,6 +520,8 @@ QUERIES = {
     "ann_sq8_topk": gate.q_ann_sq8_topk,
     # r13: MMR diversity re-rank over the SQ8 pool (all-integer greedy)
     "ann_mmr_rerank": gate.q_ann_mmr_rerank,
+    # r13: streaming twin of priority sampling (bounded top-(k+1) state)
+    "corpus_priority_sample_stream": gate.q_corpus_priority_sample_stream,
 }
 
 

@@ -214,6 +214,29 @@ def seeded_shuffle(
     )
 
 
+def priority_scored(
+    docs: DataFrame,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+    salt: str = "prio",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, stratum, weight, prio, pre): the per-item priority
+    projection shared verbatim by the batch sampler and its streaming
+    twin — q = w / ((h64(salt:id) + 1) / 2^60), all correctly-rounded
+    IEEE (see priority_sample), plus the 64-way pre-bucket key."""
+    hv = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(2**60))
+    prio = F.col(weight_col).cast("double") / u
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        F.col(weight_col).cast("long").alias("weight"),
+        prio.alias("prio"),
+        (hv % 64).alias("pre"),
+    )
+
+
 def priority_sample(
     docs: DataFrame,
     strata_col: str = "source",
@@ -248,16 +271,7 @@ def priority_sample(
     through both phases makes tau available without touching the full
     table again. Returns (doc_id, stratum, weight, sample_rank,
     est_w)."""
-    hv = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    u = (hv + F.lit(1)).cast("double") / F.lit(float(2**60))
-    prio = F.col(weight_col).cast("double") / u
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(strata_col).alias("stratum"),
-        F.col(weight_col).cast("long").alias("weight"),
-        prio.alias("prio"),
-        (hv % 64).alias("pre"),
-    )
+    base = priority_scored(docs, strata_col, weight_col, salt, id_col)
     w1 = Window.partitionBy("stratum", "pre").orderBy(
         F.col("prio").desc(), F.col("doc_id").asc()
     )

@@ -3561,6 +3561,52 @@ def q_corpus_priority_sample(spark, sf_dir):
     return priority_sample(_docs(spark, sf_dir), k=5)
 
 
+def q_corpus_priority_sample_stream(spark, sf_dir):
+    """Streaming twin of weighted priority sampling (streaming/
+    pipeline.streaming_priority_sample): the corpus arrives as TWO
+    parquet halves drained one micro-batch each (maxFilesPerTrigger=1);
+    per-stratum top-(k+1) priority buffers merge across batches in
+    applyInPandasWithState state, and the LAST emission per stratum
+    must equal the batch sampler row-for-row — stream == batch, one
+    shared oracle."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    from .streaming.pipeline import streaming_priority_sample
+
+    d = _tmp_store("stream_prio_docs")
+    ckpt = _tmp_store("stream_prio_ckpt")
+    for p in (d, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(d, "part1.parquet"))
+    pq.write_table(t.slice(half), os.path.join(d, "part2.parquet"))
+    _, start = streaming_priority_sample(
+        spark, d, ckpt, k=5, max_files_per_trigger=1
+    )
+    sink = f"prio_sample_sink_{uuid.uuid4().hex[:8]}"
+    q = start(sink)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming priority sample did not drain in time")
+    tbl = spark.table(sink)
+    wlast = Window.partitionBy("stratum")
+    return (
+        tbl.withColumn("_mx", F.max("batch_seq").over(wlast))
+        .filter(F.col("batch_seq") == F.col("_mx"))
+        .select(
+            "doc_id", "stratum", "weight", "sample_rank",
+            F.round("est_w", 6).alias("est_w"),
+        )
+    )
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """AS-OF join (functions/events.asof_join): for every purchase, the
     user's latest click at ts <= purchase ts — the attribution query.
@@ -4203,6 +4249,8 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_stratified_sample",
     # r13: weighted (priority) sampling without replacement
     "corpus_priority_sample",
+    # r13: its streaming twin (bounded per-stratum top-(k+1) state)
+    "corpus_priority_sample_stream",
     "text_gopher",
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
@@ -4656,6 +4704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_counts": q_corpus_split_counts,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_priority_sample": q_corpus_priority_sample,
+        "corpus_priority_sample_stream": q_corpus_priority_sample_stream,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,

@@ -3940,6 +3940,10 @@ _DIGEST_SPECS = {
         "doc_id": "l", "stratum": "s", "weight": "l",
         "sample_rank": "l", "est_w": "d",
     },
+    "corpus_priority_sample_stream": {
+        "doc_id": "l", "stratum": "s", "weight": "l",
+        "sample_rank": "l", "est_w": "d",
+    },
     "text_gopher": {
         "doc_id": "l", "n_words": "l", "mean_word_len": "d",
         "n_distinct_stopwords": "l", "dup_word_frac": "d",
@@ -4152,6 +4156,7 @@ CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
     "corpus_stratified_sample",
     "corpus_priority_sample",
+    "corpus_priority_sample_stream",
     "text_gopher",
     "dedup_shingle_frac",
     "ann_ivfpq_residual_topk",
@@ -4653,6 +4658,10 @@ GROUP BY 1, 2, 3""",
     d["events_percentiles_residual"] = d["events_percentiles"]
     # a single-drain stateful streaming as-of == the batch as-of
     d["events_asof_stream"] = d["events_asof_attribution"]
+    # a fully-drained stateful streaming priority sample == the batch
+    # sampler (deterministic content-hash priorities; merge order
+    # cannot change the per-stratum top-k)
+    d["corpus_priority_sample_stream"] = d["corpus_priority_sample"]
     # digest batteries: UNION ALL of each constituent's oracle wrapped
     # in the digest reduction — the inner SQL IS the constituent's own
     # oracle entry, so battery correctness derives from constituent

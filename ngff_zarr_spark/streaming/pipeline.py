@@ -727,3 +727,128 @@ def streaming_quality_filter(
         )
 
     return scored, start
+
+
+def streaming_priority_sample(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    salt: str = "prio",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of weighted priority sampling (functions/
+    sampling.priority_sample): documents arrive as parquet files; each
+    micro-batch folds its arrivals into a per-stratum TOP-(k+1)
+    priority buffer held in applyInPandasWithState state, and every
+    update emits the stratum's CURRENT sample (rank 1..k plus the
+    Horvitz-Thompson est_w against the buffered (k+1)-th priority,
+    tagged with a per-stratum ``batch_seq``). A production sink
+    upserts on (stratum, sample_rank); the memory-sink gate reads the
+    max-batch_seq emission per stratum — after draining every file
+    that emission equals the batch sampler row-for-row (priorities are
+    deterministic content hashes, so merge order cannot change the
+    top-k), which is why stream and batch SHARE one oracle.
+
+    State per stratum is three (k+1)-length arrays — bounded by the
+    sample size, never by stream length. The priority projection runs
+    JVM-side BEFORE the stateful op (the same priority_scored
+    expression tree as batch — the pandas worker never hashes);
+    per-batch work is one numpy argsort over buffered+arrived rows,
+    truncated straight back to k+1. est_w is emitted UNROUNDED — the
+    gate applies the same F.round(.., 6) as the batch sampler, so both
+    sides share one (JVM HALF_UP) rounding rule instead of mixing in
+    Python's bankers rounding."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.sampling import priority_scored
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    docs = reader.parquet(docs_dir)
+    scored = priority_scored(docs, salt=salt).drop("pre")
+
+    out_schema = StructType(
+        [
+            StructField("stratum", StringType()),
+            StructField("batch_seq", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("weight", LongType()),
+            StructField("sample_rank", LongType()),
+            StructField("est_w", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("doc_ids", ArrayType(LongType())),
+            StructField("weights", ArrayType(LongType())),
+            StructField("prios", ArrayType(DoubleType())),
+        ]
+    )
+
+    def sampler(key, pdfs, state: GroupState):
+        (stratum,) = key
+        seq, ids, ws, ps = state.get if state.exists else (0, [], [], [])
+        ids, ws, ps = list(ids), list(ws), list(ps)
+        for pdf in pdfs:
+            if len(pdf):
+                ids += [int(x) for x in pdf["doc_id"]]
+                ws += [int(x) for x in pdf["weight"]]
+                ps += [float(x) for x in pdf["prio"]]
+        # top-(k+1) under (prio desc, doc_id asc); lexsort keys are
+        # applied last-key-primary
+        order = np.lexsort((np.asarray(ids), -np.asarray(ps)))[: k + 1]
+        ids = [ids[i] for i in order]
+        ws = [ws[i] for i in order]
+        ps = [ps[i] for i in order]
+        seq += 1
+        state.update((seq, ids, ws, ps))
+        tau = ps[k] if len(ps) == k + 1 else 0.0
+        rows = [
+            (
+                stratum,
+                seq,
+                ids[r],
+                ws[r],
+                r + 1,
+                max(float(ws[r]), tau),
+            )
+            for r in range(min(k, len(ids)))
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "stratum", "batch_seq", "doc_id", "weight",
+                    "sample_rank", "est_w",
+                ],
+            )
+
+    sample = scored.groupBy("stratum").applyInPandasWithState(
+        sampler, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+    def start(sink_table: str):
+        return (
+            sample.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return sample, start
