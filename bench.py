@@ -522,6 +522,8 @@ QUERIES = {
     "ann_mmr_rerank": gate.q_ann_mmr_rerank,
     # r13: streaming twin of priority sampling (bounded top-(k+1) state)
     "corpus_priority_sample_stream": gate.q_corpus_priority_sample_stream,
+    # r13: label-centroid separation diagnostic (integer SQ8 sums)
+    "emb_label_centroids": gate.q_emb_label_centroids,
 }
 
 

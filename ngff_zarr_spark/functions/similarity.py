@@ -1757,3 +1757,87 @@ def mmr_rerank_sq8(
             "query_id long, pick_rank long, neighbor_id long, mmr_u long",
         )
     )
+
+
+def label_centroid_similarity(emb: DataFrame) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids in SQ8
+    code space — the cluster-separation diagnostic a labeling/
+    clustering pass reports (labels whose centroids sit close are
+    candidates for merging; a label far from all others is either a
+    clean concept or noise). Returns (label_a, label_b, n_a, n_b,
+    cos_centroid) for label_a < label_b.
+
+    Integer-exact core: centroids are the UNSCALED per-dimension BIGINT
+    sums of the SQ8 codes (cosine is scale-invariant, so dividing by
+    the count is pointless work); the centroid dot product and the
+    self-dots are then BIGINT-exact in any summation/merge order, and
+    only the final dot/(sqrt(na)*sqrt(nb)) touches doubles (two
+    correctly-rounded sqrts + multiply + divide + the shared 6dp round
+    — deterministic cross-engine, the sq8_topk argument). sqrt per
+    side rather than sqrt(na*nb): the BIGINT product of two self-dots
+    can overflow at corpus scale (~10^13 each), the doubles cannot.
+
+    100 TB posture: one posexplode to (label, pos, code) rows whose
+    map-side partial aggregation collapses each task's contribution to
+    |labels|*dim rows before the shuffle — the shuffle carries
+    label-count-sized data regardless of corpus size; the pairwise
+    join runs over the |labels|*dim summary table (broadcast-sized).
+    No UDFs, no collects."""
+    from .text import spread
+
+    src = spread(emb)
+    q8 = sq8_quantize(src)
+    labeled = src.select("vec_id", "label").join(q8, "vec_id")
+    sums = (
+        labeled.select(
+            "label", F.posexplode(F.col("qvec")).alias("pos", "qv")
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").cast("long").alias("s"))
+    )
+    counts = labeled.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    norms = (
+        sums.groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("nrm"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .join(ca, "label_a")
+        .join(cb, "label_b")
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.round(
+                    F.col("dot")
+                    / (
+                        F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double"))
+                    ),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("cos_centroid"),
+        )
+    )

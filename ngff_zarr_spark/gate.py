@@ -1731,6 +1731,14 @@ def q_ann_mmr_rerank(spark, sf_dir):
     )
 
 
+def q_emb_label_centroids(spark, sf_dir):
+    """Pairwise label-centroid cosine in SQ8 code space
+    (functions/similarity.label_centroid_similarity): BIGINT centroid
+    sums (merge-order-proof), label-count-sized shuffle via map-side
+    partial aggregation, doubles only at the final rescale."""
+    return S.label_centroid_similarity(_emb(spark, sf_dir))
+
+
 def q_emb_near_dup_lsh(spark, sf_dir):
     """LSH-banded near-dup: candidates from hyperplane band buckets,
     exact cosine re-rank. No all-pairs join anywhere in the plan."""
@@ -4348,6 +4356,8 @@ ANN_PARTS = [
     "ann_sq8_topk",
     # r13: MMR diversity re-rank over the SQ8 pool (all-integer greedy)
     "ann_mmr_rerank",
+    # r13: label-centroid separation diagnostic (integer SQ8 sums)
+    "emb_label_centroids",
 ]
 # r11 (VERDICT r10 ask #4): every past-the-window TPC-H plan-family
 # gate — including the new correlated-subquery trio — grades in-window
@@ -4659,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
         "ann_mmr_rerank": q_ann_mmr_rerank,
+        "emb_label_centroids": q_emb_label_centroids,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,

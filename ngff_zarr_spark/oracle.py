@@ -2044,6 +2044,55 @@ _UNROLL = f"""u AS (
 )"""
 
 
+def sql_emb_label_centroids():
+    """Twin of functions/similarity.label_centroid_similarity: same SQ8
+    codes, per-(label, dim) BIGINT sums, pairwise centroid cosine with
+    per-side sqrt (the BIGINT na*nb product would overflow at corpus
+    scale; the doubles cannot)."""
+    from .functions.similarity import SQ8_LEVELS
+
+    return f"""WITH mx AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, label,
+         CASE WHEN maxabs > 0
+              THEN list_transform(embedding,
+                     v -> CAST(round(({SQ8_LEVELS}.0 * CAST(v AS DOUBLE)) / maxabs) AS BIGINT))
+              ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS q
+  FROM mx
+),
+sums AS (
+  SELECT label, CAST(r.i AS BIGINT) AS pos,
+         CAST(SUM(q[CAST(r.i AS INTEGER)+1]) AS BIGINT) AS s
+  FROM qv CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2
+),
+counts AS (SELECT label, COUNT(*) AS n FROM qv GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT label, CAST(SUM(s * s) AS BIGINT) AS nrm FROM sums GROUP BY 1
+)
+SELECT CAST(d.label_a AS BIGINT) AS label_a,
+       CAST(d.label_b AS BIGINT) AS label_b,
+       ca.n AS n_a, cb.n AS n_b,
+       CASE WHEN na.nrm > 0 AND nb.nrm > 0
+            THEN round(dot / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6)
+            ELSE 0.0 END AS cos_centroid
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+JOIN counts ca ON ca.label = d.label_a
+JOIN counts cb ON cb.label = d.label_b"""
+
+
 def sql_ann_mmr_rerank():
     """Unrolled twin of functions/similarity.mmr_rerank_sq8: the same
     SQ8 micro-unit relevance/similarity tables, then ANN_K greedy
@@ -4064,6 +4113,10 @@ _DIGEST_SPECS = {
     "ann_cosine_query": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
     "ann_sq8_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "est_cos": "d"},
     "ann_mmr_rerank": {"query_id": "l", "pick_rank": "l", "neighbor_id": "l", "mmr_u": "l"},
+    "emb_label_centroids": {
+        "label_a": "l", "label_b": "l", "n_a": "l", "n_b": "l",
+        "cos_centroid": "d",
+    },
     "ir_eval_metrics": {
         "query_id": "l", "n_rel": "l", "n_hits": "l",
         "recall": "d", "mrr": "d", "ndcg": "d",
@@ -4250,6 +4303,8 @@ ANN_PARTS = [
     "ann_sq8_topk",
     # r13: MMR diversity re-rank over the SQ8 pool
     "ann_mmr_rerank",
+    # r13: label-centroid separation diagnostic
+    "emb_label_centroids",
 ]
 # r11 (VERDICT r10 ask #4): mirror of gate.TPCH_PARTS
 TPCH_PARTS = [
@@ -4374,6 +4429,7 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_sq8_topk": sql_ann_sq8_topk(),
         "ann_mmr_rerank": sql_ann_mmr_rerank(),
+        "emb_label_centroids": sql_emb_label_centroids(),
         "ann_cosine_query": sql_ann_cosine_query(),
         "ir_eval_metrics": sql_ir_eval_metrics(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
