@@ -146,13 +146,23 @@ def test_first_50_layout():
         "sketch_battery",
     ):
         assert b in first50, b
-    # r8: the parity battery (pytest-only §2 rows → driver-graded) and
-    # the duplicated-span op hold slots 49-50; multimodal_features/
-    # resize move past the window (proven via multimodal_battery)
+    # r8: the parity battery (pytest-only §2 rows → driver-graded)
+    # holds slot 49; multimodal_features/resize move past the window
+    # (proven via multimodal_battery)
     assert "parity_battery" in first50
-    assert "dedup_dup_spans" in first50
     assert "multimodal_features" in qs[50:]
     assert "multimodal_resize" in qs[50:]
+    # r13 second-batch rotation: three double-covered singletons move
+    # past the window (each still value-proven via its battery digest);
+    # the SQ8 scorer, the MMR diversifier and line-level dedup take
+    # their slots as DIRECT driver rows
+    for k in ("ann_sq8_topk", "ann_mmr_rerank", "dedup_lines"):
+        assert k in first50, k
+    for k in ("sketch_hll_distinct", "corpus_filter_pipeline", "dedup_dup_spans"):
+        assert k in qs[50:], k
+        assert any(
+            k in parts for parts in BATTERIES.values()
+        ) or k in gate.CORPUS_SAMPLING_PARTS + gate.SKETCH_PARTS, k
     # r9 rotation (VERDICT r8 ask #7): dedup/ANN families fold into two
     # digest batteries. r10 rotation (VERDICT r9 ask #2): the five r9
     # skew-safe twins take the window slots of the asof forward/
@@ -171,9 +181,7 @@ def test_first_50_layout():
         "events_percentiles_bucketed",
         "events_user_topn_bucketed",
         "events_asof_stream",
-        "sketch_hll_distinct",
         "dedup_skew_cluster",
-        "corpus_filter_pipeline",
     ):
         assert k in first50, k
     for k in (
