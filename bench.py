@@ -524,6 +524,8 @@ QUERIES = {
     "corpus_priority_sample_stream": gate.q_corpus_priority_sample_stream,
     # r13: label-centroid separation diagnostic (integer SQ8 sums)
     "emb_label_centroids": gate.q_emb_label_centroids,
+    # r13: vocabulary coverage curve (bounded frequency-summary math)
+    "text_vocab_coverage": gate.q_text_vocab_coverage,
 }
 
 

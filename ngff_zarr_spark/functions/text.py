@@ -373,3 +373,97 @@ def quality_score_projection(docs: DataFrame, n_feat: int = QC_N_FEAT) -> DataFr
         "score",
         F.round(F.col("score") / F.col("n_tokens"), 6).alias("score_per_tok"),
     )
+
+
+VOCAB_COVERAGE_FRACTIONS = [(1, 2), (9, 10), (99, 100)]
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    fractions: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Vocabulary coverage curve — for each target fraction num/den,
+    how many distinct tokens (taken most-frequent-first) cover at
+    least that share of all token occurrences. The planning number
+    behind vocabulary-size choices for tokenizers and embedding
+    tables ("50k types cover 99 % of the stream"). Returns one row per
+    fraction: (cov_num, cov_den, threshold_tokens, n_vocab_needed,
+    vocab_size, total_tokens) — all BIGINT, fully integer-exact
+    (threshold = ceil(total*num/den); within a tied-frequency group
+    tokens are interchangeable, so the answer needs
+    ceil(remaining/freq) of them, no tie-break ambiguity).
+
+    100 TB posture — NO vocab-sized sort or window anywhere: the token
+    counts collapse to the FREQUENCY SUMMARY (freq -> how many tokens
+    have it, via two hash aggregates with map-side combining), and a
+    corpus with T total occurrences has at most sqrt(2T) distinct
+    frequency values (k distinct frequencies are >= 1+2+...+k = k(k+1)/2
+    occurrences) — 10^13 tokens bound the summary at ~4.5M rows. The
+    prefix-sum window runs over THAT bounded table (non-foldable
+    constant-zero partition spec, the seeded_shuffle convention), and
+    the per-fraction answer is one broadcast-crossjoin arithmetic pick
+    over it."""
+    fractions = VOCAB_COVERAGE_FRACTIONS if fractions is None else fractions
+    from pyspark.sql import Window
+
+    counts = (
+        spread(docs)
+        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    fsum = counts.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    one_group = F.col("freq") - F.col("freq")
+    w_prev = (
+        Window.partitionBy(one_group)
+        .orderBy(F.col("freq").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = fsum.select(
+        "freq",
+        "n_toks",
+        F.coalesce(F.sum(F.col("freq") * F.col("n_toks")).over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+        F.coalesce(F.sum("n_toks").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("vocab_before"),
+    )
+    totals = fsum.agg(
+        F.sum(F.col("freq") * F.col("n_toks")).cast("long").alias("total_tokens"),
+        F.sum("n_toks").cast("long").alias("vocab_size"),
+    )
+    spark = docs.sparkSession
+    fr = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in fractions], "cov_num long, cov_den long"
+    )
+    # threshold = ceil(total*num/den); the covering group is the one
+    # whose cumulative range contains it; inside the group take
+    # ceil(remaining/freq) interchangeable tokens
+    joined = (
+        pref.crossJoin(F.broadcast(fr))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "threshold",
+            F.expr("CAST((total_tokens * cov_num + cov_den - 1) div cov_den AS BIGINT)"),
+        )
+        .filter(
+            (F.col("cum_before") < F.col("threshold"))
+            & (F.col("cum_before") + F.col("freq") * F.col("n_toks")
+               >= F.col("threshold"))
+        )
+        .select(
+            "cov_num",
+            "cov_den",
+            F.col("threshold").alias("threshold_tokens"),
+            F.expr(
+                "CAST(vocab_before + (threshold - cum_before + freq - 1) div freq"
+                " AS BIGINT)"
+            ).alias("n_vocab_needed"),
+            "vocab_size",
+            "total_tokens",
+        )
+    )
+    return joined

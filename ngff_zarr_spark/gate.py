@@ -3988,6 +3988,16 @@ def q_storage_roundtrip_battery(spark, sf_dir):
     )
 
 
+def q_text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (functions/text.vocab_coverage): how
+    many distinct tokens, most-frequent-first, cover 50/90/99 % of all
+    occurrences — integer-exact over the FREQUENCY SUMMARY, whose size
+    is bounded by sqrt(2*total) (no vocab-sized sort anywhere)."""
+    from .functions.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
 def q_text_battery(spark, sf_dir):
     """All five text-analysis operators joined on doc_id into one wide
     row per document (token counts, quality, lang-id, fingerprints,
@@ -4302,6 +4312,8 @@ CORPUS_SAMPLING_PARTS = [
     "text_bpe_merges",
     "text_bpe_subwords",
     "text_bpe_encode",
+    # r13: vocabulary coverage curve (bounded frequency-summary math)
+    "text_vocab_coverage",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -4659,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_stream": q_text_quality_stream,
         "text_bpe_subwords": q_text_bpe_subwords,
         "text_bpe_encode": q_text_bpe_encode,
+        "text_vocab_coverage": q_text_vocab_coverage,
         "events_zorder_key": q_events_zorder_key,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,

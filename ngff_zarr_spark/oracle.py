@@ -1662,6 +1662,50 @@ LEFT JOIN degx ON degx.doc_id = d.doc_id
 LEFT JOIN pern ON pern.doc_id = d.doc_id"""
 
 
+def sql_text_vocab_coverage():
+    """Twin of functions/text.vocab_coverage: same whitespace
+    tokenization, frequency summary, prefix sums, and the integer
+    ceil-division pick (all BIGINT; ties need no break — tokens inside
+    one frequency group are interchangeable)."""
+    from .functions.text import VOCAB_COVERAGE_FRACTIONS
+
+    vals = ", ".join(f"({n}, {d})" for n, d in VOCAB_COVERAGE_FRACTIONS)
+    return f"""WITH toks AS (
+  SELECT list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), t -> t != '') AS t
+  FROM documents
+),
+cnt AS (
+  SELECT t[i] AS tok, COUNT(*) AS freq
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+  GROUP BY 1
+),
+fsum AS (SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_toks FROM cnt GROUP BY 1),
+pref AS (
+  SELECT freq, n_toks,
+         CAST(COALESCE(SUM(freq * n_toks) OVER (ORDER BY freq DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(COALESCE(SUM(n_toks) OVER (ORDER BY freq DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS vocab_before
+  FROM fsum
+),
+tot AS (
+  SELECT CAST(SUM(freq * n_toks) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_toks) AS BIGINT) AS vocab_size
+  FROM fsum
+),
+fr AS (SELECT * FROM (VALUES {vals}) v(cov_num, cov_den))
+SELECT CAST(cov_num AS BIGINT) AS cov_num,
+       CAST(cov_den AS BIGINT) AS cov_den,
+       CAST((total_tokens * cov_num + cov_den - 1) // cov_den AS BIGINT) AS threshold_tokens,
+       CAST(vocab_before
+            + (((total_tokens * cov_num + cov_den - 1) // cov_den) - cum_before + freq - 1) // freq
+         AS BIGINT) AS n_vocab_needed,
+       vocab_size, total_tokens
+FROM pref CROSS JOIN fr CROSS JOIN tot
+WHERE cum_before < (total_tokens * cov_num + cov_den - 1) // cov_den
+  AND cum_before + freq * n_toks >= (total_tokens * cov_num + cov_den - 1) // cov_den"""
+
+
 def sql_graph_pagerank():
     from .functions.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE
 
@@ -4085,6 +4129,10 @@ _DIGEST_SPECS = {
         "n_kept": "l", "n_dropped": "l",
     },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
+    "text_vocab_coverage": {
+        "cov_num": "l", "cov_den": "l", "threshold_tokens": "l",
+        "n_vocab_needed": "l", "vocab_size": "l", "total_tokens": "l",
+    },
     "graph_triangles": {
         "doc_id": "l", "deg": "l", "n_tri": "l", "clustering": "d",
     },
@@ -4253,6 +4301,8 @@ CORPUS_SAMPLING_PARTS = [
     "text_bpe_merges",
     "text_bpe_subwords",
     "text_bpe_encode",
+    # r13: vocabulary coverage curve
+    "text_vocab_coverage",
 ]
 MULTIMODAL_PARTS = [
     "multimodal_features",
@@ -4526,6 +4576,7 @@ def oracles() -> dict[str, str]:
         "dedup_edit_distance": sql_dedup_edit_distance(),
         "dedup_lines": sql_dedup_lines(),
         "graph_pagerank": sql_graph_pagerank(),
+        "text_vocab_coverage": sql_text_vocab_coverage(),
         "graph_triangles": sql_graph_triangles(),
         "corpus_seeded_shuffle": sql_corpus_seeded_shuffle(),
         "text_lm_perplexity": sql_text_lm_perplexity(),
