@@ -526,6 +526,8 @@ QUERIES = {
     "emb_label_centroids": gate.q_emb_label_centroids,
     # r13: vocabulary coverage curve (bounded frequency-summary math)
     "text_vocab_coverage": gate.q_text_vocab_coverage,
+    # r13: native multi-level ROLLUP report over events
+    "events_rollup": gate.q_events_rollup,
 }
 
 

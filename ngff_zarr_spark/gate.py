@@ -2049,6 +2049,39 @@ def q_multimodal_audio(spark, sf_dir):
     return audio_features(_docs(spark, sf_dir))
 
 
+def q_events_rollup(spark, sf_dir):
+    """Multi-level ROLLUP report — per (event_type, day), per
+    event_type, and grand total in ONE native rollup aggregate
+    (Catalyst expands the grouping sets; one shuffle, map-side partial
+    aggregation at every level). grouping_id disambiguates levels and
+    matches DuckDB's GROUPING() bit order (MSB = first key, verified);
+    money sums go through the exact decimal(18,6) path so the rolled-up
+    totals are order-independent."""
+    ev = _events(spark, sf_dir)
+    ns_per_day = 86_400_000_000_000
+    rolled = (
+        ev.withColumn("day_epoch", F.expr(f"ts div {ns_per_day}") * 86400)
+        .rollup("event_type", "day_epoch")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    # rolled-up grouping NULLs -> sentinels: gid already disambiguates
+    # levels, and NULL-free keys keep every comparator (driver, DuckDB,
+    # digest) on plain total orders
+    return rolled.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("day_epoch"), F.lit(-1)).cast("long").alias("day_epoch"),
+        "gid",
+        "n",
+        "sum_value",
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling 1-hour event-time aggregate (the batch shape of the
     streaming windowed agg in streaming/pipeline.py)."""
@@ -4261,6 +4294,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_percentiles_residual",
     # r12: Z-order layout keys (data-skipping clustering)
     "events_zorder_key",
+    # r13: native multi-level ROLLUP report (grouping-id parity)
+    "events_rollup",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -4673,6 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "text_vocab_coverage": q_text_vocab_coverage,
         "events_zorder_key": q_events_zorder_key,
+        "events_rollup": q_events_rollup,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,

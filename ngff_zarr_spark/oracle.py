@@ -3390,6 +3390,24 @@ FROM probes p JOIN cm ON cm.row = p.row AND cm.bucket = p.bucket
 GROUP BY 1, 2"""
 
 
+def sql_events_rollup():
+    """Twin of gate.q_events_rollup: DuckDB ROLLUP with GROUPING()
+    (bit order MSB=first key matches Spark grouping_id — verified on a
+    hand fixture), same exact-decimal money summation."""
+    return """SELECT COALESCE(event_type, '<all>') AS event_type,
+       CAST(COALESCE(day_epoch, -1) AS BIGINT) AS day_epoch,
+       CAST(GROUPING(event_type, day_epoch) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 86400000000000 * 86400 AS BIGINT) AS day_epoch,
+         value
+  FROM events
+)
+GROUP BY ROLLUP(event_type, day_epoch)"""
+
+
 def sql_events_hourly():
     return """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour_epoch, event_type,
        COUNT(*) AS n,
@@ -4115,6 +4133,10 @@ _DIGEST_SPECS = {
         "rep_doc": "l", "rep_pos": "l", "is_canonical": "s",
     },
     "multimodal_dedup_verdict": {"doc_id": "l", "reason": "s", "keep": "s"},
+    "events_rollup": {
+        "event_type": "s", "day_epoch": "l", "gid": "l", "n": "l",
+        "sum_value": "d",
+    },
     "events_sliding_distinct": {
         "hour_epoch": "l", "n_nonempty": "l", "reg_checksum": "l", "est": "d",
     },
@@ -4252,6 +4274,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_percentiles_residual",
     # r12: Z-order layout keys (data-skipping clustering)
     "events_zorder_key",
+    # r13: native multi-level ROLLUP report
+    "events_rollup",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -4501,6 +4525,7 @@ def oracles() -> dict[str, str]:
         "multimodal_audio_dedup": sql_multimodal_audio_dedup(),
         "events_sliding_distinct": sql_events_sliding_distinct(),
         "events_hourly": sql_events_hourly(),
+        "events_rollup": sql_events_rollup(),
         "events_hourly_stream": sql_events_hourly(),
         "events_session_window": sql_events_session_window(),
         "s14_itk_adapter": sql_s14_itk_adapter(),
