@@ -185,3 +185,41 @@ def cluster_by_zorder(
         .sortWithinPartitions("zkey")
         .drop("zkey")
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_cols: list[str] | None = None,
+    files_per_partition: int = 1,
+    bits: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet write, optionally Z-order
+    clustered WITHIN each partition — the two layout levers composed
+    the way a 100 TB table actually uses them: coarse categorical
+    pruning via directory partitions (the scan's PartitionFilters
+    never open non-matching files at all) and fine numeric pruning via
+    row-group min/max on the clustered columns inside each partition.
+
+    The pre-write shuffle is ONE repartition keyed by (partition cols
+    [, zkey range]) so each output partition directory is written by
+    tasks that hold only its rows — without it, every task appends a
+    file into every directory and a 10k-partition table gets
+    tasks*10k tiny files (the classic small-files failure).
+    tests/test_r13_partition_pruning.py pins both pruning layers."""
+    if cluster_cols:
+        keyed = with_zorder_key(df, cluster_cols, bits=bits)
+        shaped = (
+            keyed.repartitionByRange(
+                max(files_per_partition, 1) * 8,
+                *(list(partition_cols) + ["zkey"]),
+            )
+            .sortWithinPartitions(*(list(partition_cols) + ["zkey"]))
+            .drop("zkey")
+        )
+    else:
+        shaped = df.repartition(
+            max(files_per_partition, 1) * 8, *partition_cols
+        )
+    shaped.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
