@@ -528,6 +528,8 @@ QUERIES = {
     "text_vocab_coverage": gate.q_text_vocab_coverage,
     # r13: native multi-level ROLLUP report over events
     "events_rollup": gate.q_events_rollup,
+    # r13: free-vector MMR serving path (literal queries, SQ8 greedy)
+    "ann_mmr_query": gate.q_ann_mmr_query,
 }
 
 

@@ -1622,12 +1622,13 @@ MMR_LAM_DEN = 2
 
 def mmr_rerank_sq8(
     emb: DataFrame,
-    query_ids: list[int],
+    query_ids: list[int] | None,
     k: int = 5,
     pool: int = MMR_POOL,
     lam_num: int = MMR_LAM_NUM,
     lam_den: int = MMR_LAM_DEN,
     dim: int = 64,
+    queries: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) over the SQ8 serving scorer: greedily pick k of the top
@@ -1658,11 +1659,26 @@ def mmr_rerank_sq8(
     from .text import spread
 
     q8 = sq8_quantize(spread(emb))
-    q = q8.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("qq"),
-        F.col("qnorm").alias("qn_q"),
-    )
+    if queries is not None:
+        spark = emb.sparkSession
+        qdf = spark.createDataFrame(
+            [(int(qi), [float(x) for x in v]) for qi, v in queries],
+            "vec_id long, embedding array<float>",
+        )
+        # literal queries quantize through the SAME Spark expression as
+        # the corpus (a driver-side Python round() would use bankers
+        # rounding and diverge from the engines on exact halves)
+        q = sq8_quantize(qdf).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("qq"),
+            F.col("qnorm").alias("qn_q"),
+        )
+    else:
+        q = q8.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("qq"),
+            F.col("qnorm").alias("qn_q"),
+        )
     dot_q = F.aggregate(
         F.zip_with(F.col("qvec"), F.col("qq"), lambda u, w: u * w),
         F.lit(0).cast("long"),
@@ -1674,9 +1690,16 @@ def mmr_rerank_sq8(
             dot_q / F.sqrt((F.col("qn_q") * F.col("qnorm")).cast("double")), 6
         ),
     ).otherwise(F.lit(0.0))
-    scored = q8.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est_cos")
-    )
+    if queries is not None:
+        scored = q8.crossJoin(F.broadcast(q)).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est_cos")
+        )
+    else:
+        scored = q8.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est_cos")
+        )
     cands = _topk_per_query(scored, pool, "est_cos").select(
         "query_id",
         "neighbor_id",

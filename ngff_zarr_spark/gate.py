@@ -1731,6 +1731,19 @@ def q_ann_mmr_rerank(spark, sf_dir):
     )
 
 
+def q_ann_mmr_query(spark, sf_dir):
+    """Free-vector MMR serving path: the ANN_EVAL_QUERIES literal
+    vectors quantize through the same Spark SQ8 expression as the
+    corpus (driver-side Python rounding would diverge on exact halves)
+    and re-rank with the identical all-BIGINT greedy — the last piece
+    of the serving symmetry (free-text BM25 / free-vector cosine /
+    free-vector diversified)."""
+    return S.mmr_rerank_sq8(
+        _emb(spark, sf_dir), None, k=ANN_K, dim=EMB_DIM,
+        queries=S.ANN_EVAL_QUERIES,
+    )
+
+
 def q_emb_label_centroids(spark, sf_dir):
     """Pairwise label-centroid cosine in SQ8 code space
     (functions/similarity.label_centroid_similarity): BIGINT centroid
@@ -4405,6 +4418,8 @@ ANN_PARTS = [
     "ann_mmr_rerank",
     # r13: label-centroid separation diagnostic (integer SQ8 sums)
     "emb_label_centroids",
+    # r13: free-vector MMR serving path
+    "ann_mmr_query",
 ]
 # r11 (VERDICT r10 ask #4): every past-the-window TPC-H plan-family
 # gate — including the new correlated-subquery trio — grades in-window
@@ -4726,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_label_centroids": q_emb_label_centroids,
+        "ann_mmr_query": q_ann_mmr_query,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,

@@ -2137,11 +2137,14 @@ JOIN counts ca ON ca.label = d.label_a
 JOIN counts cb ON cb.label = d.label_b"""
 
 
-def sql_ann_mmr_rerank():
+def sql_ann_mmr_rerank(query_literals=False):
     """Unrolled twin of functions/similarity.mmr_rerank_sq8: the same
     SQ8 micro-unit relevance/similarity tables, then ANN_K greedy
     selection rounds as explicit CTEs (the pagerank-style unroll) —
-    BIGINT scores end-to-end, ties to the smaller neighbor_id."""
+    BIGINT scores end-to-end, ties to the smaller neighbor_id. With
+    ``query_literals`` the relevance side is the ANN_EVAL_QUERIES
+    VALUES list quantized through the SAME expression as the corpus
+    (free-vector serving twin, no self-exclusion)."""
     from .functions.similarity import (
         MMR_LAM_DEN,
         MMR_LAM_NUM,
@@ -2165,7 +2168,42 @@ def sql_ann_mmr_rerank():
   SELECT vec_id, q,
          CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
   FROM qv
-)""", f"""qdots AS (
+)"""]
+    if query_literals:
+        from .functions.similarity import ANN_EVAL_QUERIES
+
+        vals = ", ".join(
+            "({}, [{}])".format(qi, ", ".join(repr(float(x)) for x in v))
+            for qi, v in ANN_EVAL_QUERIES
+        )
+        parts.append(f"""qlit AS (
+  SELECT query_id,
+         CASE WHEN maxabs > 0
+              THEN list_transform(qemb,
+                     v -> CAST(round(({SQ8_LEVELS}.0 * CAST(v AS DOUBLE)) / maxabs) AS BIGINT))
+              ELSE list_transform(qemb, v -> CAST(0 AS BIGINT)) END AS q
+  FROM (
+    SELECT query_id, qemb,
+           list_max(list_transform(qemb, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+    FROM (VALUES {vals}) AS t(query_id, qemb)
+  )
+)""")
+        parts.append("""qn2 AS (
+  SELECT query_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+  FROM qlit
+)""")
+        parts.append(f"""qdots AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(c.q[CAST(r.i AS INTEGER)+1] * q.q[CAST(r.i AS INTEGER)+1]) AS BIGINT) AS dot_q,
+         q.qn AS qn_q, c.qn AS qn_n
+  FROM qn2 q
+  CROSS JOIN nn c
+  CROSS JOIN range({EMB_DIM}) r(i)
+  GROUP BY 1, 2, 4, 5
+)""")
+    else:
+        parts.append(f"""qdots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST(SUM(c.q[CAST(r.i AS INTEGER)+1] * q.q[CAST(r.i AS INTEGER)+1]) AS BIGINT) AS dot_q,
          q.qn AS qn_q, c.qn AS qn_n
@@ -2174,7 +2212,8 @@ def sql_ann_mmr_rerank():
   CROSS JOIN range({EMB_DIM}) r(i)
   WHERE q.vec_id < 10
   GROUP BY 1, 2, 4, 5
-)""", f"""cands AS MATERIALIZED (
+)""")
+    parts += [f"""cands AS MATERIALIZED (
   SELECT query_id, neighbor_id,
          CAST(round(est_cos * 1000000) AS BIGINT) AS rel_u
   FROM (
@@ -4183,6 +4222,7 @@ _DIGEST_SPECS = {
     "ann_cosine_query": {"query_id": "l", "rank": "l", "neighbor_id": "l", "cosine": "d"},
     "ann_sq8_topk": {"query_id": "l", "rank": "l", "neighbor_id": "l", "est_cos": "d"},
     "ann_mmr_rerank": {"query_id": "l", "pick_rank": "l", "neighbor_id": "l", "mmr_u": "l"},
+    "ann_mmr_query": {"query_id": "l", "pick_rank": "l", "neighbor_id": "l", "mmr_u": "l"},
     "emb_label_centroids": {
         "label_a": "l", "label_b": "l", "n_a": "l", "n_b": "l",
         "cos_centroid": "d",
@@ -4379,6 +4419,8 @@ ANN_PARTS = [
     "ann_mmr_rerank",
     # r13: label-centroid separation diagnostic
     "emb_label_centroids",
+    # r13: free-vector MMR serving path
+    "ann_mmr_query",
 ]
 # r11 (VERDICT r10 ask #4): mirror of gate.TPCH_PARTS
 TPCH_PARTS = [
@@ -4503,6 +4545,7 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_sq8_topk": sql_ann_sq8_topk(),
         "ann_mmr_rerank": sql_ann_mmr_rerank(),
+        "ann_mmr_query": sql_ann_mmr_rerank(query_literals=True),
         "emb_label_centroids": sql_emb_label_centroids(),
         "ann_cosine_query": sql_ann_cosine_query(),
         "ir_eval_metrics": sql_ir_eval_metrics(),

@@ -117,6 +117,30 @@ def test_pool_smaller_than_corpus_and_k(spark):
     assert sorted(r.pick_rank for r in got) == [1, 2, 3]
 
 
+def test_query_literals_match_duckdb_oracle_sf0001(spark):
+    import duckdb
+
+    from ngff_zarr_spark.gate import q_ann_mmr_query
+    from ngff_zarr_spark.oracle import oracles
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.query_id, r.pick_rank, r.neighbor_id, r.mmr_u)
+        for r in q_ann_mmr_query(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(t) for t in con.execute(oracles()["ann_mmr_query"]).fetchall()
+    )
+    assert got == want
+    # no self-exclusion in the free-vector path: any corpus row may be
+    # picked, and every query yields a full k picks
+    assert len(got) == 4 * 5
+
+
 def test_matches_duckdb_oracle_sf0001(spark):
     import duckdb
 
