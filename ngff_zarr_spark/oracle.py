@@ -1463,7 +1463,8 @@ w AS (SELECT lang, n_total,
 t AS (SELECT SUM(w_micro) AS s_micro, SUM(n_total) AS n_corpus FROM w),
 plan AS (
   SELECT lang, n_total, w_micro,
-         (CAST({B} AS BIGINT) * n_corpus * w_micro) // (s_micro * n_total) AS rate_micro
+         CAST((CAST({B} AS BIGINT) * n_corpus * w_micro) // (s_micro * n_total)
+              AS BIGINT) AS rate_micro
   FROM w CROSS JOIN t
 )"""
 
@@ -1615,8 +1616,8 @@ freq AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM blocks GROUP BY 1)
 SELECT b.doc_id,
        COALESCE(string_agg(CASE WHEN line_df <= 1 THEN b.line END, ' ' ORDER BY b.blk), '') AS clean_text,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN line_df <= 1 THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN line_df > 1 THEN 1 ELSE 0 END) AS n_dropped
+       CAST(SUM(CASE WHEN line_df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN line_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM blocks b JOIN freq USING (line)
 GROUP BY 1"""
 
