@@ -119,7 +119,18 @@ def _learn(docs: DataFrame, n_merges: int):
         if prev is not None:
             prev.unpersist()
         prev, words = words, nxt
-    return merge_rows, words
+    from ._scope import handoff
+
+    # swap the final vocab's explicit persist for a GC-managed leaf:
+    # the vocab is model-sized (distinct words), downstream consumers
+    # (subword stats, encode) reference the leaf, and nothing stays
+    # pinned once the caller's result is gone. The loop keeps two
+    # generations pinned (words + prev — prev is only released one
+    # round later); after the handoff leaf exists, prev is dead too.
+    leaf = handoff(words)
+    if prev is not None and prev is not words:
+        prev.unpersist()
+    return merge_rows, leaf
 
 
 def bpe_learn(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:

@@ -197,8 +197,14 @@ def _capped_band_pairs(
         *[F.col(f"hub.{c}").alias(f"{c}_a") for c in pay],
         *[F.col(c).alias(f"{c}_b") for c in pay],
     )
-    return (
-        _pairwise(bx.filter(F.col("occ") <= max_bucket)).unionByName(star).distinct()
+    from ._scope import checkpointed
+
+    # scope the bx cache to this call: the (much smaller, cap-bounded)
+    # candidate list is checkpointed and the windowed band table
+    # released — an explicit cache must not outlive its query
+    return checkpointed(
+        _pairwise(bx.filter(F.col("occ") <= max_bucket)).unionByName(star).distinct(),
+        bx,
     )
 
 
@@ -257,11 +263,16 @@ def minhash_candidates(
         ((F.col(f"a{p}") == F.col(f"b{p}")).cast("long") for p in range(num_perm)),
         start=F.lit(0).cast("long"),
     )
-    return (
+    from ._scope import checkpointed
+
+    # wide is scoped to this call (three consumers above); the scored
+    # candidate pairs are the small side — checkpoint them, release it
+    return checkpointed(
         cand.join(wa, "doc_a")
         .join(wb, "doc_b")
         .select("doc_a", "doc_b", (agree / num_perm).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .filter(F.col("est_jaccard") >= min_est_jaccard),
+        wide,
     )
 
 
@@ -686,7 +697,9 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    from ._scope import checkpointed
+
+    return checkpointed(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -694,7 +707,8 @@ def ngram_jaccard_pairs(
             "doc_b",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
+        .filter(F.col("jaccard") >= min_jaccard),
+        sh,
     )
 
 
@@ -711,9 +725,11 @@ def dup_shingle_frac(docs: DataFrame, k: int = SHINGLE_K, min_df: int = 2) -> Da
     combine over the shingle vocabulary) joined back to the
     inverted-index rows — the join is df-bounded fan-out, never
     quadratic; text never shuffles."""
+    from ._scope import checkpointed
+
     sh = shingle_df(docs, k).cache()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    return checkpointed(
         sh.join(dfreq, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -725,7 +741,8 @@ def dup_shingle_frac(docs: DataFrame, k: int = SHINGLE_K, min_df: int = 2) -> Da
             "n_shingles",
             "n_dup_shingles",
             F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6).alias("dup_frac"),
-        )
+        ),
+        sh,
     )
 
 

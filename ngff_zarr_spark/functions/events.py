@@ -830,6 +830,11 @@ def exact_percentiles_bucketed(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
     ).persist()
+    # every persist in this function is scoped to THIS call: the tiny
+    # result is checkpointed at the end and the pinned frames released
+    # (functions/_scope.py) — the descent loop re-persists `rows` per
+    # round, so each generation is tracked
+    pinned = [stats]
     bucket = F.when(
         F.col("vmax") == F.col("vmin"), F.lit(0)
     ).otherwise(
@@ -854,6 +859,7 @@ def exact_percentiles_bucketed(
         F.min("v").alias("bmin"),
         F.max("v").alias("bmax"),
     ).persist()
+    pinned.append(hist)
     w_cum = (
         Window.partitionBy("g").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -910,6 +916,7 @@ def exact_percentiles_bucketed(
         # needed-bucket restriction (memory-and-disk) so rounds scan
         # the data under descent, never the corpus again
         rows = rows.persist()
+        pinned.append(rows)
         # constant-valued buckets: any rank selects bmin — resolve now
         # (this is the massive-ties layout subdivision cannot split)
         const = bstats.filter(F.col("bmin") == F.col("bmax"))
@@ -1020,8 +1027,11 @@ def exact_percentiles_bucketed(
     # LEFT join from stats so an all-NULL group (per_p has no rows for
     # it) still surfaces with n=COUNT(*) and NULL quantiles — matching
     # the plain `percentile` aggregate the oracle runs
-    return (
+    from ._scope import checkpointed
+
+    return checkpointed(
         stats.select("g", "n").join(per_p, "g", "left")
         .groupBy(F.col("g").alias(group_col), F.col("n").cast("long").alias("n"))
-        .agg(*agg_cols)
+        .agg(*agg_cols),
+        *pinned,
     )

@@ -48,6 +48,9 @@ def pagerank(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # persisted for the K rounds only — released before returning
+    # (every round's ranks is an eager localCheckpoint, so by the time
+    # we return, ed has been fully consumed; functions/_scope.py)
     ed = und.join(deg, "src").persist()
 
     n_total = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
@@ -85,6 +88,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    ed.unpersist()
     return ranks.select("doc_id", F.col("r").alias("rank_micro"))
 
 
@@ -111,11 +115,15 @@ def triangle_stats(docs: DataFrame, edges: DataFrame) -> DataFrame:
     Everything is joins + aggregates on 64-bit ids: no UDFs, no
     collects, no iteration.
     """
+    from ._scope import checkpointed
+
     # canon/oriented are each consumed by several joins below; persist
     # (the pagerank convention) so the candidate-derivation subtree
     # plans ONCE instead of being inlined per consumer — unpersisted,
     # the physical plan carries ~6 copies of the upstream MinHash
-    # pipeline (measured: 56 exchanges vs 13)
+    # pipeline (measured: 56 exchanges vs 13). Both caches are scoped
+    # to this call: the returned per-doc stats are checkpointed and
+    # the temps released (functions/_scope.py).
     canon = (
         edges.select(
             F.least("doc_a", "doc_b").alias("a"),
@@ -167,7 +175,7 @@ def triangle_stats(docs: DataFrame, edges: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
-    return (
+    result = (
         docs.select("doc_id")
         .join(deg, "doc_id", "left")
         .join(per_node, "doc_id", "left")
@@ -185,3 +193,4 @@ def triangle_stats(docs: DataFrame, edges: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+    return checkpointed(result, canon, oriented)

@@ -135,14 +135,20 @@ def lm_perplexity(
         F.sum("lp_micro").cast("long").alias("logprob_micro"),
     )
     ids = spread(docs).select("doc_id")
+    from ._scope import checkpointed
+
     # avg_micro = per-bigram average in micro-units via BIGINT division
     # (both engines truncate toward zero) — the whole row is integer,
-    # so the oracle hash has no float rounding surface at all
-    return ids.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        "logprob_micro",
-        F.expr("logprob_micro div n_bigrams").cast("long").alias("avg_micro"),
+    # so the oracle hash has no float rounding surface at all.
+    # ref_grams' cache is scoped to this call (functions/_scope.py).
+    return checkpointed(
+        ids.join(scored, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "logprob_micro",
+            F.expr("logprob_micro div n_bigrams").cast("long").alias("avg_micro"),
+        ),
+        ref_grams,
     )
 
 
@@ -206,9 +212,14 @@ def dsir_importance(
         F.sum("lr_micro").cast("long").alias("weight_micro"),
     )
     ids = spread(docs).select("doc_id")
-    return ids.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        "weight_micro",
-        F.expr("weight_micro div n_bigrams").cast("long").alias("weight_avg_micro"),
+    from ._scope import checkpointed
+
+    return checkpointed(
+        ids.join(scored, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "weight_micro",
+            F.expr("weight_micro div n_bigrams").cast("long").alias("weight_avg_micro"),
+        ),
+        dg,
     )

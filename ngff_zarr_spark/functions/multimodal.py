@@ -446,7 +446,9 @@ def image_near_dup(
         F.col("h_hi").alias("hi_b"),
         F.col("h_lo").alias("lo_b"),
     )
-    return (
+    from ._scope import checkpointed
+
+    return checkpointed(
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -457,7 +459,8 @@ def image_near_dup(
                 + F.bit_count(F.expr("lo_a ^ lo_b"))
             ).cast("long").alias("dist"),
         )
-        .filter(F.col("dist") <= int(max_hamming))
+        .filter(F.col("dist") <= int(max_hamming)),
+        ah,
     )
 
 

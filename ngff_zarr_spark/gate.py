@@ -4189,6 +4189,8 @@ def q_ir_rrf_fusion(spark, sf_dir):
     from .functions import similarity as S
     from .functions.ir import _shingle_tf, bm25_topk, rrf_fusion
 
+    from .functions._scope import checkpointed
+
     docs = _docs(spark, sf_dir)
     tf = _shingle_tf(docs).persist()
     qids = list(range(10))
@@ -4196,7 +4198,9 @@ def q_ir_rrf_fusion(spark, sf_dir):
     emb_run = S.cosine_topk(
         _emb(spark, sf_dir), qids, k=ANN_K, dim=EMB_DIM
     ).select("query_id", "rank", F.col("neighbor_id").alias("doc_id"))
-    return rrf_fusion([text_run, emb_run])
+    # the fused ranking is request-sized; checkpoint it and release the
+    # corpus-wide tf cache so nothing outlives the query
+    return checkpointed(rrf_fusion([text_run, emb_run]), tf)
 
 
 def q_ir_bm25_query(spark, sf_dir):
