@@ -3889,6 +3889,70 @@ def q_dtype_uint64_roundtrip(spark, sf_dir):
     return _dtype_roundtrip(spark, "uint64")
 
 
+def _complex_roundtrip(spark, dtype: str, version: str = "0.4") -> DataFrame:
+    """complex64/128 fidelity (SURVEY §1.2 StructType([re, im]) mapping;
+    reference dtype map to_ngff_zarr.py:89-117): the pixel value rides
+    as ``struct<re, im>`` — Spark has no native complex — and disk keeps
+    the true interleaved ``<c8``/``<c16`` layout (pinned byte-level by
+    tests/test_minizarr_interop.py). ``re`` carries the standard pixel
+    formula, ``im`` an independent second integer formula; the gate
+    folds both into one BIGINT v = re + 251·im so the battery's tagged
+    union stays single-column (each half 0..250 is exact even in
+    complex64's float32 components)."""
+    from .model import NgffImage
+    from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    store = _tmp_store(f"dt_{dtype}_{version}.ome.zarr")
+    data = pixel_df(spark, IMG3D).select(
+        "t",
+        "c",
+        "z",
+        "y",
+        "x",
+        F.struct(
+            F.col("v").alias("re"),
+            ((F.col("v") * 3 + 7) % 251).alias("im"),
+        ).alias("v"),
+    )
+    img = NgffImage(
+        data=data,
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="image",
+        dtype=dtype,
+    )
+    ms = _tm(img, scale_factors=[], chunks={"z": 16, "y": 32, "x": 32})
+    zf = 3 if version == "0.5" else 2
+    _tz(
+        store,
+        ms,
+        version=version,
+        compressor="zstd" if zf == 3 else "blosc:lz4:5:1",
+        chunks_per_shard=2 if zf == 3 else None,
+    )
+    return read_image(spark, store, "scale0/image", zarr_format=zf).select(
+        "t",
+        "c",
+        "z",
+        "y",
+        "x",
+        (F.col("v.re") + 251 * F.col("v.im")).cast("long").alias("v"),
+    )
+
+
+def q_dtype_complex64_roundtrip(spark, sf_dir):
+    """complex64 as ``<c8`` in a v2 blosc store."""
+    return _complex_roundtrip(spark, "complex64", version="0.4")
+
+
+def q_dtype_complex128_roundtrip(spark, sf_dir):
+    """complex128 as ``<c16`` through the v3 zstd SHARDED path — pins
+    complex through the shard index/codec stack too."""
+    return _complex_roundtrip(spark, "complex128", version="0.5")
+
+
 # ---------------------------------------------------------------------------
 # Battery gates (r4): the driver verifies the FIRST 50 entries of
 # queries(); the registry outgrew that window in r3, starving 18 gates
@@ -4029,6 +4093,8 @@ def q_storage_roundtrip_battery(spark, sf_dir):
             "float16": q_dtype_float16_roundtrip(spark, sf_dir),
             "int64": q_dtype_int64_roundtrip(spark, sf_dir),
             "uint64": q_dtype_uint64_roundtrip(spark, sf_dir),
+            "complex64": q_dtype_complex64_roundtrip(spark, sf_dir),
+            "complex128": q_dtype_complex128_roundtrip(spark, sf_dir),
             "http_sharded": q_s2_http_read(spark, sf_dir),
         }
     )
@@ -4772,6 +4838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_float16_roundtrip": q_dtype_float16_roundtrip,
         "dtype_int64_roundtrip": q_dtype_int64_roundtrip,
         "dtype_uint64_roundtrip": q_dtype_uint64_roundtrip,
+        "dtype_complex64_roundtrip": q_dtype_complex64_roundtrip,
+        "dtype_complex128_roundtrip": q_dtype_complex128_roundtrip,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,

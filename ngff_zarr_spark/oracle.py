@@ -341,6 +341,14 @@ def sql_s1_s4_zarr_roundtrip():
 SELECT t, c, z, y, x, v FROM P"""
 
 
+def sql_dtype_complex_roundtrip():
+    # complex roundtrip gates fold struct<re,im> back into one BIGINT
+    # v = re + 251*im; re is the standard pixel formula, im its second
+    # independent integer formula (gate._complex_roundtrip)
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT t, c, z, y, x, CAST(v + 251 * ((v*3 + 7) % 251) AS BIGINT) AS v FROM P"""
+
+
 def sql_s4_multiscale_level1():
     return _sql_bin_shrink(IMG3D, {"z": 2, "y": 2, "x": 2})
 
@@ -4042,6 +4050,9 @@ def sql_storage_roundtrip_battery():
         "uint16", "float16", "int64", "uint64",
     ]
     d = {t: sql_s1_s4_zarr_roundtrip() for t in tags}
+    # complex tags fold re+251*im into the shared single-column shape
+    d["complex64"] = sql_dtype_complex_roundtrip()
+    d["complex128"] = sql_dtype_complex_roundtrip()
     d["http_sharded"] = sql_s2_http_read()
     return _tagged_union_sql(d, "t, c, z, y, x, v")
 
@@ -4507,6 +4518,8 @@ def oracles() -> dict[str, str]:
         "dtype_float16_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "dtype_int64_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "dtype_uint64_roundtrip": sql_s1_s4_zarr_roundtrip(),
+        "dtype_complex64_roundtrip": sql_dtype_complex_roundtrip(),
+        "dtype_complex128_roundtrip": sql_dtype_complex_roundtrip(),
         "slicing_battery": sql_slicing_battery(),
         "downsample_battery": sql_downsample_battery(),
         "gaussian_battery": sql_gaussian_battery(),

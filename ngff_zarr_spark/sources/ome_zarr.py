@@ -60,6 +60,25 @@ PIXEL_SCHEMA = StructType(
     + [StructField("v", DoubleType(), True)]
 )
 
+# complex64/128 arrays (reference dtype map, to_ngff_zarr.py:89-117):
+# Spark has no native complex type, so the pixel value surfaces as
+# struct<re,im> (SURVEY §1.2) — disk keeps the true <c8/<c16 layout
+COMPLEX_PIXEL_SCHEMA = StructType(
+    [StructField(d, LongType(), False) for d in PIXEL_DIMS]
+    + [
+        StructField(
+            "v",
+            StructType(
+                [
+                    StructField("re", DoubleType(), True),
+                    StructField("im", DoubleType(), True),
+                ]
+            ),
+            True,
+        )
+    ]
+)
+
 # chunk-table representation (SURVEY §1.3): one row per stored chunk —
 # chunk grid indices, valid (clipped) extents, and the chunk's RAW
 # little-endian C-order buffer. ~40 bytes/voxel in the exploded pixel
@@ -249,7 +268,19 @@ class OmeZarrReader(DataSourceReader):
         arrays = []
         for d in PIXEL_DIMS:
             arrays.append(pa.array(cols.get(d, np.zeros(n, dtype=np.int64))))
-        arrays.append(pa.array(arr.astype(np.float64).ravel()))
+        if arr.dtype.kind == "c":
+            flat = arr.ravel()
+            arrays.append(
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(flat.real.astype(np.float64)),
+                        pa.array(flat.imag.astype(np.float64)),
+                    ],
+                    names=["re", "im"],
+                )
+            )
+        else:
+            arrays.append(pa.array(arr.astype(np.float64).ravel()))
         return pa.RecordBatch.from_arrays(arrays, names=list(PIXEL_DIMS) + ["v"])
 
     def _chunk_row_batch(self, arr: np.ndarray, cidx, extent) -> pa.RecordBatch:
@@ -422,7 +453,17 @@ class OmeZarrWriter(DataSourceArrowWriter):
             # Arrow → numpy directly (vectorized, zero-copy for the
             # non-null numeric columns here); to_pydict would box every
             # cell into a Python object first — measured ~2s/8M rows
-            vals = batch.column("v").to_numpy(zero_copy_only=False)
+            vcol = batch.column("v")
+            if m.dtype.kind == "c":
+                # struct<re,im> rows → native complex buffer (the only
+                # place the two halves meet; disk gets true <c8/<c16)
+                vals = vcol.field("re").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64) + 1j * vcol.field("im").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+            else:
+                vals = vcol.to_numpy(zero_copy_only=False)
             if self.packed:
                 # (ck, off) mixed-radix form from write_image: decode
                 # per-dim chunk indices and within-chunk coords with
@@ -532,6 +573,22 @@ class OmeZarrDataSource(DataSource):
     def schema(self):
         if self.options.get("mode", "pixel") == "chunk":
             return CHUNK_SCHEMA
+        # reads of a complex array surface v as struct<re,im>; a write
+        # target may not exist yet (schema comes from the input df then)
+        try:
+            store = open_store(
+                self.options["path"], _parse_storage_options(self.options)
+            )
+            array_path = self.options.get("array_path") or (
+                f"scale{int(self.options.get('scale', '0'))}/image"
+            )
+            meta = store.read_array_meta(
+                array_path, int(self.options.get("zarr_format", "2"))
+            )
+            if np.dtype(meta.dtype).kind == "c":
+                return COMPLEX_PIXEL_SCHEMA
+        except Exception:
+            pass
         return PIXEL_SCHEMA
 
     def reader(self, schema) -> OmeZarrReader:

@@ -147,3 +147,88 @@ def test_engine_sharded_v3_read_independently(spark, tmp_path):
     got = minizarr.read_v3_array(store, ms_doc["datasets"][0]["path"])
     assert got.dtype == arr.dtype
     assert np.array_equal(got, arr)
+
+
+def _complex_image(spark, dtype):
+    """complex pixel table: v = struct<re, im> (SURVEY §1.2 — no native
+    complex in Spark; reference dtype contract to_ngff_zarr.py:89-117)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    arr = (
+        rng.integers(0, 200, (4, 6, 5)) + 1j * rng.integers(0, 200, (4, 6, 5))
+    ).astype(dtype)
+    dims = ["z", "y", "x"]
+    idx = np.indices(arr.shape).reshape(3, -1)
+    pdf = pd.DataFrame({
+        "t": np.zeros(arr.size, dtype=np.int64),
+        "c": np.zeros(arr.size, dtype=np.int64),
+        "z": idx[0].astype(np.int64),
+        "y": idx[1].astype(np.int64),
+        "x": idx[2].astype(np.int64),
+    })
+    pdf["v"] = [
+        {"re": float(r), "im": float(i)}
+        for r, i in zip(arr.real.reshape(-1), arr.imag.reshape(-1))
+    ]
+    df = spark.createDataFrame(
+        pdf, "t long, c long, z long, y long, x long, v struct<re:double,im:double>"
+    )
+    img = to_ngff_image(
+        df, dims=dims, shape=dict(zip(dims, arr.shape)),
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+    )
+    img.dtype = np.dtype(dtype).name
+    return img, arr
+
+
+def test_engine_complex64_v2_read_independently(spark, tmp_path):
+    """The v2 ``<c8`` byte path (VERDICT r13 ask #3): the engine writes
+    a complex64 store, the independent reader reconstructs the exact
+    interleaved complex values from the raw chunk bytes."""
+    img, arr = _complex_image(spark, "complex64")
+    ms = to_multiscales(img, scale_factors=[], method="ITKWASM_BIN_SHRINK",
+                        chunks={"z": 2, "y": 4, "x": 3})
+    store = str(tmp_path / "cx2.ome.zarr")
+    to_ngff_zarr(store, ms, version="0.4", compressor="gzip")
+    meta = json.loads((tmp_path / "cx2.ome.zarr" / "scale0" / "image" / ".zarray").read_text())
+    assert meta["dtype"] == "<c8"
+    ms_doc, zf = minizarr.read_ome_attrs(store)
+    assert zf == 2
+    got = minizarr.read_v2_array(store, ms_doc["datasets"][0]["path"])
+    assert got.dtype == np.dtype("complex64")
+    assert np.array_equal(got, arr)
+
+
+def test_engine_complex128_v3_read_independently(spark, tmp_path):
+    """v3 ``complex128`` data_type through the sharded path, reassembled
+    by the independent implementation from the v3 spec alone."""
+    img, arr = _complex_image(spark, "complex128")
+    ms = to_multiscales(img, scale_factors=[], method="ITKWASM_BIN_SHRINK",
+                        chunks={"z": 1, "y": 2, "x": 3})
+    store = str(tmp_path / "cx3.ome.zarr")
+    to_ngff_zarr(store, ms, version="0.5", compressor="gzip",
+                 chunks_per_shard={"z": 2, "y": 2, "x": 1})
+    ms_doc, zf = minizarr.read_ome_attrs(store)
+    assert zf == 3
+    got = minizarr.read_v3_array(store, ms_doc["datasets"][0]["path"])
+    assert got.dtype == np.dtype("complex128")
+    assert np.array_equal(got, arr)
+
+
+def test_complex_read_back_struct(spark, tmp_path):
+    """read_image surfaces a complex array as v struct<re,im> and the
+    values round-trip exactly."""
+    img, arr = _complex_image(spark, "complex64")
+    ms = to_multiscales(img, scale_factors=[], method="ITKWASM_BIN_SHRINK",
+                        chunks={"z": 2, "y": 3, "x": 5})
+    store = str(tmp_path / "cxr.ome.zarr")
+    to_ngff_zarr(store, ms, version="0.4", compressor=None)
+    df = read_image(spark, store, "scale0/image")
+    assert dict(df.dtypes)["v"] == "struct<re:double,im:double>"
+    got = {(r.z, r.y, r.x): complex(r.v.re, r.v.im) for r in df.collect()}
+    assert len(got) == arr.size
+    assert all(
+        got[z, y, x] == complex(arr[z, y, x])
+        for z in range(4) for y in range(6) for x in range(5)
+    )

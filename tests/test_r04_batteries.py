@@ -63,6 +63,8 @@ BATTERIES = {
         "dtype_float16_roundtrip",
         "dtype_int64_roundtrip",
         "dtype_uint64_roundtrip",
+        "dtype_complex64_roundtrip",
+        "dtype_complex128_roundtrip",
         "s2_http_read",
     ],
     "text_battery": [

@@ -147,6 +147,7 @@ def read_v3_array(root: str | Path, path: str = "") -> np.ndarray:
         "int16": "<i2", "uint16": "<u2", "int32": "<i4", "uint32": "<u4",
         "int64": "<i8", "uint64": "<u8",
         "float16": "<f2", "float32": "<f4", "float64": "<f8",
+        "complex64": "<c8", "complex128": "<c16",
     }
     if dt not in _V3_DTYPES:
         raise NotImplementedError(f"minizarr: v3 data_type {dt!r}")
