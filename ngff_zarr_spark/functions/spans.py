@@ -227,16 +227,26 @@ def substring_dedup_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
 LINE_LEN = 6  # tokens per line-block when the corpus carries no newlines
 
 
-def line_dedup(docs: DataFrame, line_len: int = LINE_LEN, max_df: int = 1) -> DataFrame:
+def line_dedup(
+    docs: DataFrame,
+    line_len: int = LINE_LEN,
+    max_df: int = 1,
+    delimiter: str | None = None,
+) -> DataFrame:
     """C4-style line-level deduplication (Raffel et al. 2020 drop any
     line that occurs verbatim in more than one document; reference
     analog: the corpus-hygiene role of the dedup family): documents are
-    segmented into consecutive ``line_len``-token blocks (the corpus
-    tables carry no newlines, so block boundaries stand in for line
-    boundaries — a real crawl would split on '\\n' with the same
-    pipeline), every block whose distinct-document frequency exceeds
-    ``max_df`` is cut from EVERY document holding it, and the surviving
-    blocks are re-joined into the cleaned text.
+    segmented into lines, every line whose distinct-document frequency
+    exceeds ``max_df`` is cut from EVERY document holding it, and the
+    surviving lines are re-joined into the cleaned text.
+
+    With ``delimiter`` set (e.g. ``"\\n"`` — C4's actual rule), lines
+    are the VERBATIM delimiter-separated segments of ``text`` and the
+    survivors re-join with the same delimiter. With ``delimiter=None``
+    (default, for corpora that carry no newlines like the synthetic
+    documents table) consecutive ``line_len``-token blocks of the
+    normalized token stream stand in for line boundaries and survivors
+    re-join with single spaces — the same pipeline either way.
 
     Returns (doc_id, clean_text, n_lines, n_kept, n_dropped) — one row
     per input document, clean_text == '' when everything was cut (the
@@ -255,21 +265,37 @@ def line_dedup(docs: DataFrame, line_len: int = LINE_LEN, max_df: int = 1) -> Da
       * reassembly is one groupBy(doc_id) whose state is the document
         itself — bounded by the longest document, not the corpus.
     """
-    toks = F.col("toks")
-    n_blocks = F.ceil(F.size(toks) / F.lit(line_len)).cast("int")
-    blocks_col = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
-            lambda b: F.array_join(F.slice(toks, b * line_len + 1, line_len), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    blocks = (
-        spread(docs)
-        .select("doc_id", tokens_col(_norm_text(F.col("text"))).alias("toks"))
-        .select("doc_id", F.posexplode(blocks_col).alias("blk", "line"))
-        .withColumn("lh", h64(F.col("line")))
-    )
+    if delimiter is not None:
+        import re as _re
+
+        joiner = delimiter
+        blocks = (
+            spread(docs)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.split(F.col("text"), _re.escape(delimiter), -1)
+                ).alias("blk", "line"),
+            )
+            .withColumn("lh", h64(F.col("line")))
+        )
+    else:
+        joiner = " "
+        toks = F.col("toks")
+        n_blocks = F.ceil(F.size(toks) / F.lit(line_len)).cast("int")
+        blocks_col = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
+                lambda b: F.array_join(F.slice(toks, b * line_len + 1, line_len), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        blocks = (
+            spread(docs)
+            .select("doc_id", tokens_col(_norm_text(F.col("text"))).alias("toks"))
+            .select("doc_id", F.posexplode(blocks_col).alias("blk", "line"))
+            .withColumn("lh", h64(F.col("line")))
+        )
     freq = blocks.groupBy("lh", "doc_id").agg(F.lit(1)).groupBy("lh").agg(
         F.count(F.lit(1)).alias("line_df")
     )
@@ -282,7 +308,7 @@ def line_dedup(docs: DataFrame, line_len: int = LINE_LEN, max_df: int = 1) -> Da
             F.transform(
                 F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
             ),
-            " ",
+            joiner,
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),

@@ -1035,6 +1035,39 @@ def q_dedup_lines(spark, sf_dir):
     return line_dedup(_docs(spark, sf_dir))
 
 
+# the repeated boilerplate line injected into every third document of
+# the newline fixture (the synthetic corpus carries no newlines, so the
+# gate builds them — same move as dedup_skew's boilerplate cluster).
+# oracle.sql_dedup_lines_nl imports this verbatim.
+NL_BOILER = "all rights reserved subscribe to our newsletter"
+
+
+def q_dedup_lines_nl(spark, sf_dir):
+    """Newline-mode line dedup (VERDICT r13 ask #4 — C4's ACTUAL rule,
+    Raffel et al. §2.2): split on '\\n', drop every line held by more
+    than one document, re-join survivors with '\\n'. The fixture
+    synthesizes newline-bearing docs from the corpus: three 40-char
+    substring lines per doc, the middle one replaced by a shared
+    boilerplate line in every third document — the boilerplate (and any
+    organically repeated substring line) must vanish from every holder,
+    uniques must survive verbatim."""
+    from .functions.spans import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    nl = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(NL_BOILER)).otherwise(
+                F.substring("text", 41, 40)
+            ),
+            F.substring("text", 81, 40),
+        ).alias("text"),
+    )
+    return line_dedup(nl, delimiter="\n")
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (5 integer-exact iterations) over the capped
     MinHash candidate graph (functions/graph.py): per round one edge
@@ -4465,6 +4498,9 @@ DEDUP_PARTS = [
     # r13: C4-style line-level dedup (cut corpus-repeated line-blocks,
     # re-join survivors)
     "dedup_lines",
+    # r14: the newline-delimiter mode over a synthesized newline corpus
+    # (C4's actual '\n' rule)
+    "dedup_lines_nl",
     # r13: degree-ordered triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -4840,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_uint64_roundtrip": q_dtype_uint64_roundtrip,
         "dtype_complex64_roundtrip": q_dtype_complex64_roundtrip,
         "dtype_complex128_roundtrip": q_dtype_complex128_roundtrip,
+        "dedup_lines_nl": q_dedup_lines_nl,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,

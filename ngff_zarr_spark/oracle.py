@@ -1630,6 +1630,38 @@ FROM blocks b JOIN freq USING (line)
 GROUP BY 1"""
 
 
+def sql_dedup_lines_nl():
+    """Twin of the newline-mode line_dedup gate: same synthesized
+    3-line newline corpus (boilerplate middle line in every third doc),
+    then frequency keyed on the verbatim line STRING (vs the 64-bit
+    hash in Spark — intentionally independent), cut-and-rejoin with
+    chr(10)."""
+    from .gate import NL_BOILER
+
+    return f"""WITH nl AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 40),
+           CASE WHEN doc_id % 3 = 0 THEN '{NL_BOILER}'
+                ELSE substr(text, 41, 40) END,
+           substr(text, 81, 40)) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS blk, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM nl),
+       unnest(generate_series(1, len(ls))) AS u(i)
+),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1)
+SELECT l.doc_id,
+       COALESCE(string_agg(CASE WHEN line_df <= 1 THEN l.line END, chr(10) ORDER BY l.blk), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN line_df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN line_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM lines l JOIN freq USING (line)
+GROUP BY 1"""
+
+
 def sql_graph_triangles():
     """Independent twin of functions/graph.triangle_stats: triangles
     enumerated the TEXTBOOK way — canonical a<b edges joined three-fold
@@ -4201,6 +4233,10 @@ _DIGEST_SPECS = {
         "doc_id": "l", "clean_text": "s", "n_lines": "l",
         "n_kept": "l", "n_dropped": "l",
     },
+    "dedup_lines_nl": {
+        "doc_id": "l", "clean_text": "s", "n_lines": "l",
+        "n_kept": "l", "n_dropped": "l",
+    },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "text_vocab_coverage": {
         "cov_num": "l", "cov_den": "l", "threshold_tokens": "l",
@@ -4408,6 +4444,8 @@ DEDUP_PARTS = [
     "graph_pagerank",
     # r13: C4-style line-level dedup
     "dedup_lines",
+    # r14: newline-delimiter mode over a synthesized newline corpus
+    "dedup_lines_nl",
     # r13: triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -4657,6 +4695,7 @@ def oracles() -> dict[str, str]:
         "dedup_substring_stream": sql_dedup_substring_stream(),
         "dedup_edit_distance": sql_dedup_edit_distance(),
         "dedup_lines": sql_dedup_lines(),
+        "dedup_lines_nl": sql_dedup_lines_nl(),
         "graph_pagerank": sql_graph_pagerank(),
         "text_vocab_coverage": sql_text_vocab_coverage(),
         "graph_triangles": sql_graph_triangles(),
