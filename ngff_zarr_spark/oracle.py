@@ -341,6 +341,18 @@ def sql_s1_s4_zarr_roundtrip():
 SELECT t, c, z, y, x, v FROM P"""
 
 
+def sql_s1_roi_pruned_read():
+    # the pruned ROI scan must return EXACTLY the pixel formula under
+    # the same WHERE — no chunk the pruner dropped may contain ROI rows
+    from .gate import ROI_PRUNED_FILTER
+
+    where = " AND ".join(
+        f"{d} >= {lo} AND {d} < {hi}" for d, (lo, hi) in ROI_PRUNED_FILTER.items()
+    )
+    return f"""WITH {pixel_cte_sql(IMG3D)}
+SELECT t, c, z, y, x, v FROM P WHERE {where}"""
+
+
 def sql_dtype_complex_roundtrip():
     # complex roundtrip gates fold struct<re,im> back into one BIGINT
     # v = re + 251*im; re is the standard pixel formula, im its second
@@ -4085,6 +4097,7 @@ def sql_storage_roundtrip_battery():
     # complex tags fold re+251*im into the shared single-column shape
     d["complex64"] = sql_dtype_complex_roundtrip()
     d["complex128"] = sql_dtype_complex_roundtrip()
+    d["roi_pruned"] = sql_s1_roi_pruned_read()
     d["http_sharded"] = sql_s2_http_read()
     return _tagged_union_sql(d, "t, c, z, y, x, v")
 
@@ -4558,6 +4571,7 @@ def oracles() -> dict[str, str]:
         "dtype_uint64_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "dtype_complex64_roundtrip": sql_dtype_complex_roundtrip(),
         "dtype_complex128_roundtrip": sql_dtype_complex_roundtrip(),
+        "s1_roi_pruned_read": sql_s1_roi_pruned_read(),
         "slicing_battery": sql_slicing_battery(),
         "downsample_battery": sql_downsample_battery(),
         "gaussian_battery": sql_gaussian_battery(),

@@ -65,6 +65,7 @@ BATTERIES = {
         "dtype_uint64_roundtrip",
         "dtype_complex64_roundtrip",
         "dtype_complex128_roundtrip",
+        "s1_roi_pruned_read",
         "s2_http_read",
     ],
     "text_battery": [
