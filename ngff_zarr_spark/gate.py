@@ -4625,6 +4625,18 @@ METADATA_PARTS = [
     "c10_method_provenance",
 ]
 
+# r14 rotation (VERDICT r13 ask #7): the five long-stable HCS/NIfTI
+# singletons digest-fold into one driver slot, freeing four slots for
+# the r13 late additions (events_rollup, text_vocab_coverage,
+# ann_mmr_query, corpus_priority_sample_stream) to grade DIRECTLY.
+HCS_PARTS = [
+    "s18_hcs_store_read",
+    "f7_well_lookup",
+    "j3_well_catalog",
+    "s17_omero_nifti",
+    "s16_nifti_ingest",
+]
+
 
 def q_planner_battery(spark, sf_dir):
     """r13 battery: the five long-stable planner/stats singletons
@@ -4639,6 +4651,14 @@ def q_metadata_battery(spark, sf_dir):
     """r13 battery: the three metadata singletons (RFC-4 orientation,
     version roundtrip, method provenance) in one digest slot."""
     return _digest_battery(METADATA_PARTS)(spark, sf_dir)
+
+
+def q_hcs_battery(spark, sf_dir):
+    """r14 battery: the five long-stable HCS/NIfTI singletons (plate
+    read, well lookup, well catalog join, OMERO-from-NIfTI window,
+    NIfTI pixel ingest) in one digest slot — frees four slots for the
+    r13 late-addition rotation (VERDICT r13 ask #7)."""
+    return _digest_battery(HCS_PARTS)(spark, sf_dir)
 
 
 def q_events_analytics_battery(spark, sf_dir):
@@ -4714,14 +4734,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "events_sessionize": q_events_sessionize,
         "events_session_window": q_events_session_window,
-        "s18_hcs_store_read": q_s18_hcs_store_read,
-        "f7_well_lookup": q_f7_well_lookup,
-        "j3_well_catalog": q_j3_well_catalog,
+        # r14 rotation (VERDICT r13 ask #7): the five long-stable
+        # HCS/NIfTI singletons (s18/f7/j3/s17/s16) fold into one digest
+        # battery; their four freed slots grade the r13 late additions
+        # DIRECTLY (events_rollup, text_vocab_coverage, ann_mmr_query,
+        # corpus_priority_sample_stream). Constituents stay registered
+        # past slot 50.
+        "hcs_battery": q_hcs_battery,
+        "events_rollup": q_events_rollup,
+        "text_vocab_coverage": q_text_vocab_coverage,
         # r7: s14+s15 fold into one tagged battery so the EXPORT adapter
         # (S15, previously pytest-only) is driver-graded; constituents
         # stay addressable past slot 50
         "itk_adapter_battery": q_itk_adapter_battery,
-        "s17_omero_nifti": q_s17_omero_nifti,
+        "ann_mmr_query": q_ann_mmr_query,
         "c7_validate_battery": q_c7_validate_battery,
         # r13 rotation (VERDICT r12 ask #6): the three long-stable
         # metadata singletons (c8/c9/c10) fold into one digest battery;
@@ -4748,7 +4774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_roundtrip_battery": q_storage_roundtrip_battery,
         "events_zorder_nd": q_events_zorder_nd,
         "s4_multiscale_level1": q_s4_multiscale_level1,
-        "s16_nifti_ingest": q_s16_nifti_ingest,
+        # r14 rotation: s16_nifti_ingest folded into hcs_battery; its
+        # slot grades the streaming priority sampler directly
+        "corpus_priority_sample_stream": q_corpus_priority_sample_stream,
         # r7: tiff + png-series + the new native-JPEG decode fold into
         # one tagged ingest battery. (r9: ann_pq_topk moved into the
         # ann_battery fold, freeing its slot for the rotation.)
@@ -4871,9 +4899,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_stream": q_text_quality_stream,
         "text_bpe_subwords": q_text_bpe_subwords,
         "text_bpe_encode": q_text_bpe_encode,
-        "text_vocab_coverage": q_text_vocab_coverage,
         "events_zorder_key": q_events_zorder_key,
-        "events_rollup": q_events_rollup,
+        # r14 rotation: the five hcs_battery constituents stay
+        # registered past the window (proven via the battery digest)
+        "s18_hcs_store_read": q_s18_hcs_store_read,
+        "f7_well_lookup": q_f7_well_lookup,
+        "j3_well_catalog": q_j3_well_catalog,
+        "s17_omero_nifti": q_s17_omero_nifti,
+        "s16_nifti_ingest": q_s16_nifti_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,
@@ -4891,7 +4924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_label_centroids": q_emb_label_centroids,
-        "ann_mmr_query": q_ann_mmr_query,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -4941,7 +4973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_counts": q_corpus_split_counts,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_priority_sample": q_corpus_priority_sample,
-        "corpus_priority_sample_stream": q_corpus_priority_sample_stream,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,

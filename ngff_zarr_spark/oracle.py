@@ -4255,6 +4255,26 @@ _DIGEST_SPECS = {
         "cov_num": "l", "cov_den": "l", "threshold_tokens": "l",
         "n_vocab_needed": "l", "vocab_size": "l", "total_tokens": "l",
     },
+    # r14: hcs_battery constituents
+    "s18_hcs_store_read": {
+        "well_path": "s", "row_name": "s", "col_name": "s",
+        "acquisition_id": "l", "field_index": "l", "image_path": "s",
+    },
+    "f7_well_lookup": {
+        "plate_id": "s", "row_index": "l", "col_index": "l",
+        "row_name": "s", "col_name": "s", "well_path": "s",
+    },
+    "j3_well_catalog": {
+        "plate_id": "s", "well_path": "s", "row_name": "s",
+        "col_name": "s", "acquisition_id": "l", "field_index": "l",
+        "image_path": "s",
+    },
+    "s17_omero_nifti": {
+        "color": "s", "wmin": "d", "wmax": "d", "wstart": "d", "wend": "d",
+    },
+    "s16_nifti_ingest": {
+        "t": "l", "c": "l", "z": "l", "y": "l", "x": "l", "v": "l",
+    },
     "graph_triangles": {
         "doc_id": "l", "deg": "l", "n_tri": "l", "clustering": "d",
     },
@@ -4354,6 +4374,15 @@ METADATA_PARTS = [
     "c8_rfc4_orientation",
     "c9_version_roundtrip",
     "c10_method_provenance",
+]
+
+# r14: mirrors gate.HCS_PARTS (pinned equal in pytest)
+HCS_PARTS = [
+    "s18_hcs_store_read",
+    "f7_well_lookup",
+    "j3_well_catalog",
+    "s17_omero_nifti",
+    "s16_nifti_ingest",
 ]
 
 EVENTS_ANALYTICS_PARTS = [
@@ -4918,6 +4947,7 @@ GROUP BY 1, 2, 3""",
         ("tpch_battery", TPCH_PARTS),
         ("planner_battery", PLANNER_PARTS),
         ("metadata_battery", METADATA_PARTS),
+        ("hcs_battery", HCS_PARTS),
     ):
         d[bname] = "\nUNION ALL\n".join(
             _digest_sql(p, d[p], _DIGEST_SPECS[p]) for p in parts

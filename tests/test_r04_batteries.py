@@ -28,12 +28,15 @@ STARVED_R3 = [
     "events_hourly_stream",
     "events_sessionize",
     "events_session_window",
-    "s18_hcs_store_read",
-    "f7_well_lookup",
-    "j3_well_catalog",
+    # r14 rotation: the five HCS/NIfTI singletons (s18/f7/j3/s17/s16)
+    # fold into hcs_battery; the freed slots grade the r13 late
+    # additions directly (VERDICT r13 ask #7)
+    "hcs_battery",
+    "events_rollup",
+    "text_vocab_coverage",
     # r7: s14's slot is the itk battery (s14 import + s15 export)
     "itk_adapter_battery",
-    "s17_omero_nifti",
+    "ann_mmr_query",
     "c7_validate_battery",
     # r13 rotation: c8/c9/c10 fold into metadata_battery; the freed
     # slots grade the r12 IR/graph flagships directly
@@ -98,6 +101,8 @@ BATTERIES = {
     "corpus_sampling_battery": gate.CORPUS_SAMPLING_PARTS,
     "multimodal_battery": gate.MULTIMODAL_PARTS,
     "sketch_battery": gate.SKETCH_PARTS,
+    # r14 fold: the five HCS/NIfTI singletons (digest battery)
+    "hcs_battery": gate.HCS_PARTS,
     # r9 folds: dedup + ANN families (digest batteries)
     "dedup_battery": gate.DEDUP_PARTS,
     "ann_battery": gate.ANN_PARTS,
@@ -166,6 +171,19 @@ def test_first_50_layout():
         assert any(
             k in parts for parts in BATTERIES.values()
         ) or k in gate.CORPUS_SAMPLING_PARTS + gate.SKETCH_PARTS, k
+    # r14 rotation (VERDICT r13 ask #7): the four r13 late additions
+    # grade DIRECTLY; the five hcs_battery constituents move past the
+    # window, each still value-proven via the battery digest
+    for k in (
+        "hcs_battery",
+        "events_rollup",
+        "text_vocab_coverage",
+        "ann_mmr_query",
+        "corpus_priority_sample_stream",
+    ):
+        assert k in first50, k
+    for k in gate.HCS_PARTS:
+        assert k in qs[50:], k
     # r9 rotation (VERDICT r8 ask #7): dedup/ANN families fold into two
     # digest batteries. r10 rotation (VERDICT r9 ask #2): the five r9
     # skew-safe twins take the window slots of the asof forward/
@@ -245,6 +263,7 @@ def test_digest_parts_lists_mirror_oracle():
     assert gate.TPCH_PARTS == oracle.TPCH_PARTS
     assert gate.PLANNER_PARTS == oracle.PLANNER_PARTS
     assert gate.METADATA_PARTS == oracle.METADATA_PARTS
+    assert gate.HCS_PARTS == oracle.HCS_PARTS
     for p in (
         gate.EVENTS_ANALYTICS_PARTS
         + gate.CORPUS_SAMPLING_PARTS
@@ -255,6 +274,7 @@ def test_digest_parts_lists_mirror_oracle():
         + gate.TPCH_PARTS
         + gate.PLANNER_PARTS
         + gate.METADATA_PARTS
+        + gate.HCS_PARTS
     ):
         assert p in oracle._DIGEST_SPECS, p
 
