@@ -396,6 +396,18 @@ def sql_s11_tiff_ingest():
 FROM range({h * w}) r(i)"""
 
 
+def sql_s11_tiff_series():
+    from .gate import TIFF_SERIES_SHAPE
+
+    nz, h, w = TIFF_SERIES_SHAPE
+    return f"""SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS c,
+       CAST(i // {h * w} AS BIGINT) AS z,
+       CAST((i // {w}) % {h} AS BIGINT) AS y,
+       CAST(i % {w} AS BIGINT) AS x,
+       CAST(((i // {h * w}) * 73 + ((i // {w}) % {h}) * 179 + (i % {w}) * 283) % 251 AS BIGINT) AS v
+FROM range({nz * h * w}) r(i)"""
+
+
 def sql_s13_png_series():
     from .gate import SERIES_SHAPE
 
@@ -504,6 +516,7 @@ FROM range({nch * ns}) r(i)"""
 def sql_ingest_battery():
     return (
         f"SELECT 'tiff' AS fmt, * FROM ({sql_s11_tiff_ingest()})\n"
+        f"UNION ALL\nSELECT 'tiff_series' AS fmt, * FROM ({sql_s11_tiff_series()})\n"
         f"UNION ALL\nSELECT 'png_series' AS fmt, * FROM ({sql_s13_png_series()})\n"
         f"UNION ALL\nSELECT 'jpeg' AS fmt, * FROM ({sql_s11_jpeg_ingest()})\n"
         f"UNION ALL\nSELECT 'dicom' AS fmt, * FROM ({sql_s11_dicom_ingest()})\n"
@@ -4611,6 +4624,7 @@ def oracles() -> dict[str, str]:
         "s4_multiscale_level1": sql_s4_multiscale_level1(),
         "s16_nifti_ingest": sql_s16_nifti_ingest(),
         "s11_tiff_ingest": sql_s11_tiff_ingest(),
+        "s11_tiff_series": sql_s11_tiff_series(),
         "s13_png_series": sql_s13_png_series(),
         "s11_jpeg_ingest": sql_s11_jpeg_ingest(),
         "s11_dicom_ingest": sql_s11_dicom_ingest(),

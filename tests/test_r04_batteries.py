@@ -84,6 +84,7 @@ BATTERIES = {
     "dedup_exact_battery": ["dedup_exact", "dedup_exact_stream"],
     "ingest_battery": [
         "s11_tiff_ingest",
+        "s11_tiff_series",
         "s13_png_series",
         "s11_jpeg_ingest",
         "s11_dicom_ingest",
