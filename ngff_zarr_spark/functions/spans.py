@@ -314,3 +314,53 @@ def line_dedup(
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_dropped"),
     )
+
+
+CONTAM_N = 13  # GPT-3's decontamination match length (13-grams)
+
+
+def contamination_scan(docs: DataFrame, bench: DataFrame, n: int = CONTAM_N) -> DataFrame:
+    """Benchmark decontamination scan (Brown et al. 2020 Appendix C —
+    the 13-gram rule; the train/test-overlap audit every pretraining
+    corpus needs): flag each training document that shares at least one
+    verbatim normalized n-gram with a held-out benchmark set, and
+    report how much of it overlaps.
+
+    Returns (doc_id, n_grams, n_hit, hit_frac, dirty) — one row per
+    training document; ``n_hit`` counts corpus gram POSITIONS matching
+    any benchmark gram, ``dirty`` = 1 when any position matched.
+
+    100 TB posture:
+      * the benchmark gram set is benchmark-sized (few MB for any real
+        eval suite): distinct 64-bit hashes BROADCAST to every task —
+        the corpus never shuffles for the membership test;
+      * the corpus side is one projection + posexplode to (doc, gh) and
+        one per-doc aggregate; the broadcast join is cardinality-
+        preserving (the bench set is distinct, each position matches at
+        most once) — a boilerplate gram shared by millions of documents
+        multiplies nothing;
+      * text never leaves its scan: only 64-bit hashes move.
+    """
+    cg = _positioned_grams(docs, n)
+    bg = _positioned_grams(bench, n).select("gh").distinct()
+    hits = (
+        cg.join(F.broadcast(bg), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    totals = spread(docs).select(
+        "doc_id",
+        F.greatest(
+            F.size(tokens_col(_norm_text(F.col("text")))) - (n - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6),
+        ).otherwise(F.lit(0.0)).alias("hit_frac"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).cast("long").alias("dirty"),
+    )

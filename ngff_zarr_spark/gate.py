@@ -1074,6 +1074,33 @@ def q_dedup_lines(spark, sf_dir):
 # oracle.sql_dedup_lines_nl imports this verbatim.
 NL_BOILER = "all rights reserved subscribe to our newsletter"
 
+# contamination fixture: every doc_id % this == 0 contributes a
+# 30-token excerpt (normalized tokens 11..40) to the "benchmark" set
+CONTAM_MOD = 101
+
+
+def q_dedup_contamination(spark, sf_dir):
+    """Benchmark decontamination (functions/spans.contamination_scan —
+    the GPT-3 Appendix C 13-gram rule): the benchmark set is a 30-token
+    excerpt of every 101st document; every training doc sharing a
+    verbatim normalized 13-gram with the set is flagged with its
+    overlap fraction. The excerpt donors must come back dirty (their
+    own grams are in the set); organic near-duplicates of a donor leak
+    too — exactly the audit's purpose. The DuckDB twin re-derives the
+    excerpt set and keys membership on the verbatim gram STRING (vs the
+    64-bit hash in Spark — intentionally independent)."""
+    from .functions.dedup import _norm_text
+    from .functions.spans import contamination_scan
+    from .functions.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(_norm_text(F.col("text")))
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 11, 30), " ").alias("text"),
+    )
+    return contamination_scan(docs, bench)
+
 
 def q_dedup_lines_nl(spark, sf_dir):
     """Newline-mode line dedup (VERDICT r13 ask #4 — C4's ACTUAL rule,
@@ -4578,6 +4605,8 @@ DEDUP_PARTS = [
     # r14: the newline-delimiter mode over a synthesized newline corpus
     # (C4's actual '\n' rule)
     "dedup_lines_nl",
+    # r14: benchmark decontamination (GPT-3 13-gram rule)
+    "dedup_contamination",
     # r13: degree-ordered triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -4987,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_complex64_roundtrip": q_dtype_complex64_roundtrip,
         "dtype_complex128_roundtrip": q_dtype_complex128_roundtrip,
         "dedup_lines_nl": q_dedup_lines_nl,
+        "dedup_contamination": q_dedup_contamination,
         "s1_roi_pruned_read": q_s1_roi_pruned_read,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,

@@ -1687,6 +1687,44 @@ FROM lines l JOIN freq USING (line)
 GROUP BY 1"""
 
 
+def sql_dedup_contamination():
+    """Twin of the 13-gram decontamination scan: same normalized
+    tokenization and excerpt construction, membership keyed on the
+    verbatim gram string."""
+    from .functions.spans import CONTAM_N as N
+    from .gate import CONTAM_MOD
+
+    norm = NORM.format(c="text")
+    g = N - 1  # slice span arithmetic below
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS t
+  FROM documents
+),
+bench AS (
+  SELECT t[11:40] AS bt FROM toks WHERE doc_id % {CONTAM_MOD} = 0
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(bt[i:i+{g}], ' ') AS gram
+  FROM bench, unnest(generate_series(1, greatest(len(bt) - {g}, 0))) AS u(i)
+),
+cg AS (
+  SELECT doc_id, array_to_string(t[i:i+{g}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {g}, 0))) AS u(i)
+),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM cg JOIN bgrams USING (gram) GROUP BY 1
+)
+SELECT toks.doc_id,
+       CAST(greatest(len(t) - {g}, 0) AS BIGINT) AS n_grams,
+       COALESCE(n_hit, 0) AS n_hit,
+       CASE WHEN len(t) - {g} > 0
+            THEN round(COALESCE(n_hit, 0) / (len(t) - {g}), 6)
+            ELSE 0.0 END AS hit_frac,
+       CAST(CASE WHEN COALESCE(n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS dirty
+FROM toks LEFT JOIN hits USING (doc_id)"""
+
+
 def sql_graph_triangles():
     """Independent twin of functions/graph.triangle_stats: triangles
     enumerated the TEXTBOOK way — canonical a<b edges joined three-fold
@@ -4263,6 +4301,10 @@ _DIGEST_SPECS = {
         "doc_id": "l", "clean_text": "s", "n_lines": "l",
         "n_kept": "l", "n_dropped": "l",
     },
+    "dedup_contamination": {
+        "doc_id": "l", "n_grams": "l", "n_hit": "l",
+        "hit_frac": "d", "dirty": "l",
+    },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "text_vocab_coverage": {
         "cov_num": "l", "cov_den": "l", "threshold_tokens": "l",
@@ -4501,6 +4543,8 @@ DEDUP_PARTS = [
     "dedup_lines",
     # r14: newline-delimiter mode over a synthesized newline corpus
     "dedup_lines_nl",
+    # r14: benchmark decontamination (GPT-3 13-gram rule)
+    "dedup_contamination",
     # r13: triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -4753,6 +4797,7 @@ def oracles() -> dict[str, str]:
         "dedup_edit_distance": sql_dedup_edit_distance(),
         "dedup_lines": sql_dedup_lines(),
         "dedup_lines_nl": sql_dedup_lines_nl(),
+        "dedup_contamination": sql_dedup_contamination(),
         "graph_pagerank": sql_graph_pagerank(),
         "text_vocab_coverage": sql_text_vocab_coverage(),
         "graph_triangles": sql_graph_triangles(),
