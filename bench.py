@@ -530,6 +530,12 @@ QUERIES = {
     "events_rollup": gate.q_events_rollup,
     # r13: free-vector MMR serving path (literal queries, SQ8 greedy)
     "ann_mmr_query": gate.q_ann_mmr_query,
+    # r14: newline-mode C4 line dedup over the synthesized nl corpus
+    "dedup_lines_nl": gate.q_dedup_lines_nl,
+    # r14: 13-gram benchmark decontamination (broadcast gram set)
+    "dedup_contamination": gate.q_dedup_contamination,
+    # r14: end-to-end chunk-pruned ROI read (write + pruned scan)
+    "s1_roi_pruned_read": gate.q_s1_roi_pruned_read,
 }
 
 
