@@ -39,10 +39,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Plan-inspection escape: checkpoint leaves hide the operator's plan
+# from .explain(), so plan-shape tests flip this to True (monkeypatch)
+# to receive the LAZY plan instead. Production code never touches it —
+# with it on, temps stay pinned and the caller owns the cleanup
+# (tests clearCache()).
+PLAN_INSPECTION = False
+
 
 def checkpointed(result: DataFrame, *temps: DataFrame) -> DataFrame:
     """Eagerly materialize ``result`` as a lineage-truncated leaf,
     then release the ``temps``' explicit caches. Returns the leaf."""
+    if PLAN_INSPECTION:
+        return result
     out = result.localCheckpoint()
     for t in temps:
         t.unpersist()
@@ -53,6 +62,8 @@ def handoff(temp: DataFrame) -> DataFrame:
     """Swap an explicitly persisted ``temp`` for a GC-managed
     checkpoint leaf: downstream plans reference the leaf; the explicit
     cache is released immediately."""
+    if PLAN_INSPECTION:
+        return temp
     out = temp.localCheckpoint()
     temp.unpersist()
     return out

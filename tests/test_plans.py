@@ -12,11 +12,27 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from ngff_zarr_spark import gate
 from ngff_zarr_spark.fixtures import IMG3D, pixel_df
 from ngff_zarr_spark.operators import bin_shrink, nearest
+
+
+@pytest.fixture()
+def lazy_plans(spark):
+    """r14 cache scoping makes scoped operators return checkpoint
+    LEAVES, which hide their plan from .explain — tests that pin the
+    plan shape flip the inspection escape to receive the lazy plan,
+    then clear the deliberately-unreleased caches."""
+    from ngff_zarr_spark.functions import _scope
+
+    old = _scope.PLAN_INSPECTION
+    _scope.PLAN_INSPECTION = True
+    yield
+    _scope.PLAN_INSPECTION = old
+    spark.catalog.clearCache()
 
 
 def plan_of(df) -> str:
@@ -100,7 +116,7 @@ def test_pixel_scan_filter_reaches_source(spark, tmp_path):
     assert n_exchanges(plan) == 0
 
 
-def test_capped_band_pairs_no_extra_aggregate_join(spark, sf_dir):
+def test_capped_band_pairs_no_extra_aggregate_join(spark, sf_dir, lazy_plans):
     """The r7 bucket-occupancy cap must ride a WINDOW over the band
     exchange — not a separate occupancy aggregate joined back (that
     shape cost ~2x on the candidate path). r8 pin tightened: the
@@ -142,7 +158,7 @@ def test_gopher_two_hash_aggregates_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_dup_shingle_frac_inverted_index_shape(spark, sf_dir):
+def test_dup_shingle_frac_inverted_index_shape(spark, sf_dir, lazy_plans):
     """dup_shingle_frac: document-frequency aggregate + df-bounded join
     + per-doc aggregate. No pairwise doc-doc join may appear (join keys
     are shingle/doc_id only), no Python."""
@@ -301,7 +317,7 @@ def test_seeded_shuffle_no_corpus_window(spark, sf_dir):
     assert "windowspecdefinition(b#" in plan or "partitionBy" not in plan
 
 
-def test_lm_scoring_no_python(spark, sf_dir):
+def test_lm_scoring_no_python(spark, sf_dir, lazy_plans):
     """LM perplexity / DSIR: hash aggregates + joins, zero Python nodes
     (the whole bigram pipeline is codegen transforms + md5)."""
     from pyspark.sql import functions as F
