@@ -341,19 +341,36 @@ def contamination_scan(docs: DataFrame, bench: DataFrame, n: int = CONTAM_N) -> 
         multiplies nothing;
       * text never leaves its scan: only 64-bit hashes move.
     """
-    cg = _positioned_grams(docs, n)
+    hits = contamination_hits(docs, bench, n)
+    return compose_contamination(contamination_totals(docs, n), hits)
+
+
+def contamination_hits(docs: DataFrame, bench: DataFrame, n: int = CONTAM_N) -> DataFrame:
+    """(doc_id, n_hit) for documents with ≥1 benchmark-gram position —
+    the stateful half of the scan (the streaming twin folds exactly
+    this aggregate across micro-batches)."""
     bg = _positioned_grams(bench, n).select("gh").distinct()
-    hits = (
-        cg.join(F.broadcast(bg), "gh")
+    return (
+        _positioned_grams(docs, n)
+        .join(F.broadcast(bg), "gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
-    totals = spread(docs).select(
+
+
+def contamination_totals(docs: DataFrame, n: int = CONTAM_N) -> DataFrame:
+    """(doc_id, n_grams): per-doc gram-position counts — a stateless
+    projection."""
+    return spread(docs).select(
         "doc_id",
         F.greatest(
             F.size(tokens_col(_norm_text(F.col("text")))) - (n - 1), F.lit(0)
         ).cast("long").alias("n_grams"),
     )
+
+
+def compose_contamination(totals: DataFrame, hits: DataFrame) -> DataFrame:
+    """totals ⟕ hits → the scan's public row shape."""
     return totals.join(hits, "doc_id", "left").select(
         "doc_id",
         "n_grams",

@@ -1079,6 +1079,19 @@ NL_BOILER = "all rights reserved subscribe to our newsletter"
 CONTAM_MOD = 101
 
 
+def _contam_bench(docs: DataFrame) -> DataFrame:
+    """The deterministic 'benchmark' set: a 30-token excerpt (normalized
+    tokens 11..40) of every CONTAM_MOD-th document."""
+    from .functions.dedup import _norm_text
+    from .functions.text import tokens_col
+
+    toks = tokens_col(_norm_text(F.col("text")))
+    return docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 11, 30), " ").alias("text"),
+    )
+
+
 def q_dedup_contamination(spark, sf_dir):
     """Benchmark decontamination (functions/spans.contamination_scan —
     the GPT-3 Appendix C 13-gram rule): the benchmark set is a 30-token
@@ -1088,18 +1101,49 @@ def q_dedup_contamination(spark, sf_dir):
     own grams are in the set); organic near-duplicates of a donor leak
     too — exactly the audit's purpose. The DuckDB twin re-derives the
     excerpt set and keys membership on the verbatim gram STRING (vs the
-    64-bit hash in Spark — intentionally independent)."""
-    from .functions.dedup import _norm_text
+    64-bit hash in Spark — intentionally independent). Complements
+    functions/corpus.decontaminate (r9): that variant reports the
+    DISTINCT-gram any-overlap verdict at n=8, this one positional
+    coverage at n=13 — the flag-strength metric vs the verdict metric."""
     from .functions.spans import contamination_scan
-    from .functions.text import tokens_col
 
     docs = _docs(spark, sf_dir)
-    toks = tokens_col(_norm_text(F.col("text")))
-    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.array_join(F.slice(toks, 11, 30), " ").alias("text"),
+    return contamination_scan(docs, _contam_bench(docs))
+
+
+def q_dedup_contamination_stream(spark, sf_dir):
+    """Streaming twin of the decontamination scan: the corpus streams
+    in as TWO parquet files (maxFilesPerTrigger=1 forces two
+    micro-batches), the per-doc hit counts fold across batches against
+    the static benchmark gram set, and the drained hit table composes
+    with the stateless totals projection. stream == batch, shared
+    oracle."""
+    import shutil
+    import uuid
+
+    from .functions.spans import compose_contamination, contamination_totals
+    from .streaming.pipeline import streaming_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = _contam_bench(docs)
+    docs_dir = _tmp_store("stream_contam_docs")
+    ckpt = _tmp_store("stream_contam_ckpt")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # two disjoint halves -> two micro-batches; any row split yields the
+    # same final composition, parity with the batch gate is the claim
+    docs.repartition(2, "doc_id").write.mode("overwrite").parquet(docs_dir)
+    table = f"stream_contam_{uuid.uuid4().hex[:8]}"
+    _hits, start = streaming_contamination(
+        spark, docs_dir, ckpt, bench, max_files_per_trigger=1
     )
-    return contamination_scan(docs, bench)
+    q = start(table)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
+    return compose_contamination(
+        contamination_totals(docs), spark.sql(f"select * from {table}")
+    )
 
 
 def q_dedup_lines_nl(spark, sf_dir):
@@ -4605,8 +4649,10 @@ DEDUP_PARTS = [
     # r14: the newline-delimiter mode over a synthesized newline corpus
     # (C4's actual '\n' rule)
     "dedup_lines_nl",
-    # r14: benchmark decontamination (GPT-3 13-gram rule)
+    # r14: benchmark decontamination (GPT-3 13-gram rule) + its
+    # cross-batch streaming twin (shared oracle)
     "dedup_contamination",
+    "dedup_contamination_stream",
     # r13: degree-ordered triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -5017,6 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_complex128_roundtrip": q_dtype_complex128_roundtrip,
         "dedup_lines_nl": q_dedup_lines_nl,
         "dedup_contamination": q_dedup_contamination,
+        "dedup_contamination_stream": q_dedup_contamination_stream,
         "s1_roi_pruned_read": q_s1_roi_pruned_read,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,

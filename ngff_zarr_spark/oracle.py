@@ -4305,6 +4305,10 @@ _DIGEST_SPECS = {
         "doc_id": "l", "n_grams": "l", "n_hit": "l",
         "hit_frac": "d", "dirty": "l",
     },
+    "dedup_contamination_stream": {
+        "doc_id": "l", "n_grams": "l", "n_hit": "l",
+        "hit_frac": "d", "dirty": "l",
+    },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "text_vocab_coverage": {
         "cov_num": "l", "cov_den": "l", "threshold_tokens": "l",
@@ -4543,8 +4547,10 @@ DEDUP_PARTS = [
     "dedup_lines",
     # r14: newline-delimiter mode over a synthesized newline corpus
     "dedup_lines_nl",
-    # r14: benchmark decontamination (GPT-3 13-gram rule)
+    # r14: benchmark decontamination (GPT-3 13-gram rule) + its
+    # cross-batch streaming twin (shared oracle)
     "dedup_contamination",
+    "dedup_contamination_stream",
     # r13: triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -4798,6 +4804,8 @@ def oracles() -> dict[str, str]:
         "dedup_lines": sql_dedup_lines(),
         "dedup_lines_nl": sql_dedup_lines_nl(),
         "dedup_contamination": sql_dedup_contamination(),
+        # a fully-drained cross-batch hit fold == the batch scan
+        "dedup_contamination_stream": sql_dedup_contamination(),
         "graph_pagerank": sql_graph_pagerank(),
         "text_vocab_coverage": sql_text_vocab_coverage(),
         "graph_triangles": sql_graph_triangles(),

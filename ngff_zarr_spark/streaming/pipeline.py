@@ -685,6 +685,49 @@ def streaming_substring_ledger(
     return ledger, start
 
 
+def streaming_contamination(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    bench,
+    n: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the 13-gram benchmark decontamination scan
+    (functions/spans.contamination_scan): documents arrive as parquet
+    files; each micro-batch's positional gram hashes broadcast-join the
+    STATIC benchmark gram set (eval suites change offline, exactly like
+    the quality cutoff in streaming_quality_filter) and fold into the
+    running per-document hit count. Streaming state is one row per
+    CONTAMINATED document — bounded by the corpus's dirty set, which a
+    functioning decontamination pipeline keeps tiny; the clean corpus
+    never enters state. The gate composes the drained hit table with
+    the stateless per-doc totals projection and must equal the batch
+    operator row-for-row (shared oracle).
+
+    Returns (stream_df, start_fn) like the other streaming twins."""
+    from ..functions.spans import CONTAM_N, contamination_hits
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(docs_dir)
+    hits = contamination_hits(docs, bench, n or CONTAM_N)
+
+    def start(sink_table: str):
+        return (
+            hits.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return hits, start
+
+
 def streaming_quality_filter(
     spark: SparkSession,
     docs_dir: str,
