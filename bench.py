@@ -536,6 +536,8 @@ QUERIES = {
     "dedup_contamination": gate.q_dedup_contamination,
     # r14: end-to-end chunk-pruned ROI read (write + pruned scan)
     "s1_roi_pruned_read": gate.q_s1_roi_pruned_read,
+    # r14: cross-batch streaming twin of the decontamination scan
+    "dedup_contamination_stream": gate.q_dedup_contamination_stream,
 }
 
 
@@ -627,11 +629,19 @@ def main():
         print(f"# warmup failed (continuing): {exc}", file=sys.stderr)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — time a subset (bar-setting for new
+    # entries without a full sweep); the official capture leaves it unset
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = (
+        {k: v for k, v in QUERIES.items() if k in set(only.split(","))}
+        if only
+        else QUERIES
+    )
     timings = {}
     first_run = {}
     errors = {}
     total = 0.0
-    for name, fn in QUERIES.items():
+    for name, fn in selected.items():
         # per-query isolation: one broken query must never zero the
         # whole bench file (round-5 post-mortem — a single regression
         # crashed main() and the round recorded no numbers at all)
