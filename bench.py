@@ -538,6 +538,9 @@ QUERIES = {
     "s1_roi_pruned_read": gate.q_s1_roi_pruned_read,
     # r14: cross-batch streaming twin of the decontamination scan
     "dedup_contamination_stream": gate.q_dedup_contamination_stream,
+    # r14: incremental new-crawl-vs-corpus dedup verdicts (cross-set
+    # banded minhash, ref-side witness cap, corpus never self-paired)
+    "dedup_incremental": gate.q_dedup_incremental,
 }
 
 

@@ -134,6 +134,25 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     )
 
 
+def _band_table(wide: DataFrame, num_perm: int, band_size: int) -> DataFrame:
+    """(doc_id, band, band_key) from the wide signature. Band key is
+    the order-independent polynomial sum of minhash * 31^i over the
+    band's positions — plain projection arithmetic on the wide row
+    (minhash < 2^32, * 31^3, summed over 4 → the key stays < 2^49:
+    exact BIGINT in both engines)."""
+    n_bands = num_perm // band_size
+    band_keys = [
+        sum(
+            (F.col(f"m{b * band_size + i}") * F.lit(31 ** i) for i in range(band_size)),
+            start=F.lit(0).cast("long"),
+        )
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
+
+
 def _capped_band_pairs(
     bands: DataFrame, max_bucket: int | None, payload: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -235,21 +254,7 @@ def minhash_candidates(
     filter; the default 0.125 < 4/16 qualifies). Only the enumerated
     pair list shrinks for oversized buckets."""
     wide = minhash_signatures_wide(docs, num_perm).cache()
-    n_bands = num_perm // band_size
-    # order-independent polynomial band key: sum of minhash * 31^i over
-    # the band's positions — plain projection arithmetic on the wide row
-    # (minhash < 2^32, * 31^3, summed over 4 → the key stays < 2^49:
-    # exact BIGINT in both engines)
-    band_keys = [
-        sum(
-            (F.col(f"m{b * band_size + i}") * F.lit(31 ** i) for i in range(band_size)),
-            start=F.lit(0).cast("long"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = wide.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
-    )
+    bands = _band_table(wide, num_perm, band_size)
     cand = _capped_band_pairs(bands, max_bucket)
     wa = wide.select(
         F.col("doc_id").alias("doc_a"),
@@ -781,4 +786,104 @@ def edit_distance_candidates(
             F.levenshtein(F.col("ta"), F.col("tb"), int(max_dist)).cast("long").alias("dist"),
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= int(max_dist)))
+    )
+
+
+def minhash_candidates_incremental(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    min_est_jaccard: float = 0.125,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental (new-crawl vs existing-corpus) LSH candidates:
+    (new_doc, ref_doc, est_jaccard) for banded-signature collisions
+    ACROSS the two sets only — the reference corpus is never paired
+    against itself, so a daily ingest pays for the batch, not the
+    accumulated 100 TB. Caller contract: disjoint doc_id spaces.
+
+    Skew posture: a reference-side bucket above ``max_bucket`` (a
+    boilerplate cluster already IN the corpus) keeps only its
+    ``max_bucket`` smallest doc_ids as WITNESSES — the incremental
+    decision is "does this new doc near-duplicate anything", and one
+    witness proves it; per-bucket join fan-out is ≤ cap × colliding
+    new docs, never |bucket| × new. The new side is the small side by
+    assumption and is not capped (every new doc must be judged)."""
+    from pyspark.sql import Window
+
+    from ._scope import checkpointed
+
+    wn = minhash_signatures_wide(new_docs, num_perm).cache()
+    wr = minhash_signatures_wide(ref_docs, num_perm).cache()
+    nb = _band_table(wn, num_perm, band_size).withColumnRenamed("doc_id", "new_doc")
+    rb = _band_table(wr, num_perm, band_size)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        rb = (
+            rb.select("doc_id", "band", "band_key", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= max_bucket)
+            .drop("rn")
+        )
+    cand = (
+        nb.join(rb, ["band", "band_key"])
+        .select("new_doc", F.col("doc_id").alias("ref_doc"))
+        .distinct()
+    )
+    wa = wn.select(
+        F.col("doc_id").alias("new_doc"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(num_perm)],
+    )
+    wb = wr.select(
+        F.col("doc_id").alias("ref_doc"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(num_perm)],
+    )
+    agree = sum(
+        ((F.col(f"a{p}") == F.col(f"b{p}")).cast("long") for p in range(num_perm)),
+        start=F.lit(0).cast("long"),
+    )
+    return checkpointed(
+        cand.join(wa, "new_doc")
+        .join(wb, "ref_doc")
+        .select("new_doc", "ref_doc", (agree / num_perm).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard),
+        wn,
+        wr,
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Per-new-document ingest verdicts against the existing corpus:
+    (doc_id, n_ref_matches, best_est_jaccard, keep) — keep = 1 iff no
+    reference document matches at ``min_est_jaccard`` or above. The
+    ingest-time gatekeeper a continuously-growing corpus runs on every
+    new batch (candidates from :func:`minhash_candidates_incremental`,
+    one per-new-doc aggregate on top)."""
+    cand = minhash_candidates_incremental(
+        new_docs, ref_docs, min_est_jaccard=min_est_jaccard, max_bucket=max_bucket
+    )
+    per = cand.groupBy("new_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref_matches"),
+        F.max("est_jaccard").alias("best"),
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(per.withColumnRenamed("new_doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("long").alias(
+                "n_ref_matches"
+            ),
+            F.round(F.coalesce(F.col("best"), F.lit(0.0)), 6).alias(
+                "best_est_jaccard"
+            ),
+            (F.coalesce(F.col("n_ref_matches"), F.lit(0)) == 0).cast("long").alias(
+                "keep"
+            ),
+        )
     )

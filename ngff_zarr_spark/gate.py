@@ -1172,6 +1172,37 @@ def q_dedup_lines_nl(spark, sf_dir):
     return line_dedup(nl, delimiter="\n")
 
 
+# incremental-ingest fixture: every doc with doc_id % INCR_MOD == 0
+# arrives again VERBATIM in the "new batch" (must be dropped);
+# % INCR_MOD == 1 arrives token-REVERSED (fresh content, must be kept)
+INCR_MOD = 41
+INCR_ID_BASE = 10_000_000
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental cross-corpus dedup (functions/dedup.incremental_dedup
+    — the ingest-time gatekeeper of a continuously-growing corpus): a
+    synthetic 'new crawl' of verbatim re-crawls and token-reversed
+    fresh docs is judged against the existing corpus via cross-set
+    banded MinHash; verbatim re-crawls score est_jaccard 1.0 against
+    their corpus twin and are dropped, reversed docs share no forward
+    shingles and are kept. The reference corpus is NEVER self-paired —
+    work scales with the batch. The DuckDB twin re-derives both sides'
+    signatures from one unioned CTE stack and mirrors the ref-side
+    witness cap."""
+    from .functions.dedup import _norm_text, incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens_col(_norm_text(F.col("text")))
+    new = docs.filter(F.col("doc_id") % INCR_MOD < 2).select(
+        (F.col("doc_id") + INCR_ID_BASE).alias("doc_id"),
+        F.when(F.col("doc_id") % INCR_MOD == 0, F.col("text")).otherwise(
+            F.array_join(F.reverse(toks), " ")
+        ).alias("text"),
+    )
+    return incremental_dedup(new, docs)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (5 integer-exact iterations) over the capped
     MinHash candidate graph (functions/graph.py): per round one edge
@@ -4653,6 +4684,8 @@ DEDUP_PARTS = [
     # cross-batch streaming twin (shared oracle)
     "dedup_contamination",
     "dedup_contamination_stream",
+    # r14: incremental (new-crawl vs corpus) cross-set dedup verdicts
+    "dedup_incremental",
     # r13: degree-ordered triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -5064,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_nl": q_dedup_lines_nl,
         "dedup_contamination": q_dedup_contamination,
         "dedup_contamination_stream": q_dedup_contamination_stream,
+        "dedup_incremental": q_dedup_incremental,
         "s1_roi_pruned_read": q_s1_roi_pruned_read,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,

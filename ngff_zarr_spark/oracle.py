@@ -1611,6 +1611,63 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.125"""
 
 
+def sql_dedup_incremental():
+    """Twin of the incremental ingest gatekeeper: one unioned CTE stack
+    derives both sides' signatures (identical content-hash
+    construction), the ref-side witness cap mirrors the Spark
+    row_number-by-doc_id rule, and pairing is STRICTLY new × ref."""
+    from .functions.dedup import DEFAULT_MAX_BUCKET
+    from .gate import INCR_ID_BASE, INCR_MOD
+
+    norm = NORM.format(c="text")
+    band_sig = "CAST(SUM(minhash * ([1,31,961,29791])[CAST(perm%4 AS INTEGER)+1]) AS BIGINT)"
+    return f"""WITH newdocs AS (
+  SELECT doc_id + {INCR_ID_BASE} AS doc_id,
+         CASE WHEN doc_id % {INCR_MOD} = 0 THEN text
+              ELSE array_to_string(list_reverse(list_filter(string_split({norm}, ' '), t -> t != '')), ' ')
+         END AS text
+  FROM documents WHERE doc_id % {INCR_MOD} < 2
+),
+alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM newdocs
+),
+{_sig_cte("alldocs")},
+bands AS (
+  SELECT doc_id, band, {band_sig} AS band_key
+  FROM (SELECT doc_id, perm, minhash, perm//4 AS band FROM sig)
+  GROUP BY doc_id, band
+),
+rb AS (
+  SELECT band, band_key, doc_id,
+         row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+  FROM bands WHERE doc_id < {INCR_ID_BASE}
+),
+nb AS (SELECT band, band_key, doc_id AS new_doc FROM bands WHERE doc_id >= {INCR_ID_BASE}),
+cand AS (
+  SELECT DISTINCT nb.new_doc, rb.doc_id AS ref_doc
+  FROM nb JOIN rb USING (band, band_key)
+  WHERE rb.rn <= {DEFAULT_MAX_BUCKET}
+),
+est AS (
+  SELECT c.new_doc, c.ref_doc,
+         CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.new_doc
+  JOIN sig sb ON sb.doc_id = c.ref_doc AND sb.perm = sa.perm
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_ref_matches, MAX(est_jaccard) AS best
+  FROM est WHERE est_jaccard >= 0.5 GROUP BY 1
+)
+SELECT nd.doc_id,
+       COALESCE(n_ref_matches, 0) AS n_ref_matches,
+       round(COALESCE(best, 0.0), 6) AS best_est_jaccard,
+       CAST(CASE WHEN COALESCE(n_ref_matches, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM newdocs nd LEFT JOIN hits ON hits.new_doc = nd.doc_id"""
+
+
 def sql_dedup_edit_distance():
     from .functions.dedup import EDIT_MAX_DIST
 
@@ -4309,6 +4366,10 @@ _DIGEST_SPECS = {
         "doc_id": "l", "n_grams": "l", "n_hit": "l",
         "hit_frac": "d", "dirty": "l",
     },
+    "dedup_incremental": {
+        "doc_id": "l", "n_ref_matches": "l",
+        "best_est_jaccard": "d", "keep": "l",
+    },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "text_vocab_coverage": {
         "cov_num": "l", "cov_den": "l", "threshold_tokens": "l",
@@ -4551,6 +4612,8 @@ DEDUP_PARTS = [
     # cross-batch streaming twin (shared oracle)
     "dedup_contamination",
     "dedup_contamination_stream",
+    # r14: incremental (new-crawl vs corpus) cross-set dedup verdicts
+    "dedup_incremental",
     # r13: triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -4806,6 +4869,7 @@ def oracles() -> dict[str, str]:
         "dedup_contamination": sql_dedup_contamination(),
         # a fully-drained cross-batch hit fold == the batch scan
         "dedup_contamination_stream": sql_dedup_contamination(),
+        "dedup_incremental": sql_dedup_incremental(),
         "graph_pagerank": sql_graph_pagerank(),
         "text_vocab_coverage": sql_text_vocab_coverage(),
         "graph_triangles": sql_graph_triangles(),
