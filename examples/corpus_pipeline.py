@@ -3,10 +3,11 @@
 Run:  python examples/corpus_pipeline.py [sf_dir]
 
 Chains the stages a real pretraining data pipeline runs — quality
-signals, PII scrub, dedup (exact + near + substring spans), language
-mixing, train/val split, sequence packing — and prints the funnel
-report. Every operator here is oracle-checked in the gate registry;
-this script is the user-facing composition.
+signals, PII scrub, dedup (exact + near + substring spans), benchmark
+decontamination, incremental ingest screening, language mixing,
+train/val split, sequence packing — and prints the funnel report.
+Every operator here is oracle-checked in the gate registry; this
+script is the user-facing composition.
 """
 
 from __future__ import annotations
@@ -43,6 +44,35 @@ def main(sf_dir: str) -> None:
 
     print("== duplicated-substring contamination (top 5 docs) ==")
     duplicated_token_fraction(docs).orderBy(F.col("dup_frac").desc()).show(5)
+
+    print("== benchmark decontamination (13-gram rule) ==")
+    # the 'benchmark' here is an excerpt slice of the corpus itself, so
+    # the scan visibly fires; in production pass the real eval suites
+    from ngff_zarr_spark.functions.dedup import _norm_text
+    from ngff_zarr_spark.functions.spans import contamination_scan
+    from ngff_zarr_spark.functions.text import tokens_col
+
+    toks = tokens_col(_norm_text(F.col("text")))
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 5, 40), " ").alias("text"),
+    )
+    contamination_scan(docs, bench).agg(
+        F.sum("dirty").alias("dirty_docs"),
+        F.round(F.avg("hit_frac"), 4).alias("mean_hit_frac"),
+    ).show()
+
+    print("== incremental ingest screening (new crawl vs corpus) ==")
+    # simulate a re-crawl batch: half verbatim duplicates, half fresh
+    from ngff_zarr_spark.functions.dedup import incremental_dedup
+
+    new_batch = docs.filter(F.col("doc_id") % 25 < 2).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 25 == 0, F.col("text")).otherwise(
+            F.array_join(F.reverse(toks), " ")
+        ).alias("text"),
+    )
+    incremental_dedup(new_batch, docs).groupBy("keep").count().orderBy("keep").show()
 
     print("== language mixing report ==")
     rebalance_by_lang(docs).orderBy("lang").show()
