@@ -541,6 +541,9 @@ QUERIES = {
     # r14: incremental new-crawl-vs-corpus dedup verdicts (cross-set
     # banded minhash, ref-side witness cap, corpus never self-paired)
     "dedup_incremental": gate.q_dedup_incremental,
+    # r14: the foreachBatch streaming ingest gatekeeper over the
+    # offline corpus signature index
+    "dedup_incremental_stream": gate.q_dedup_incremental_stream,
 }
 
 

@@ -791,11 +791,12 @@ def edit_distance_candidates(
 
 def minhash_candidates_incremental(
     new_docs: DataFrame,
-    ref_docs: DataFrame,
+    ref_docs: DataFrame | None,
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
     min_est_jaccard: float = 0.125,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    ref_wide: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (new-crawl vs existing-corpus) LSH candidates:
     (new_doc, ref_doc, est_jaccard) for banded-signature collisions
@@ -809,13 +810,20 @@ def minhash_candidates_incremental(
     decision is "does this new doc near-duplicate anything", and one
     witness proves it; per-bucket join fan-out is ≤ cap × colliding
     new docs, never |bucket| × new. The new side is the small side by
-    assumption and is not capped (every new doc must be judged)."""
+    assumption and is not capped (every new doc must be judged).
+
+    ``ref_wide`` short-circuits the corpus signature build: production
+    maintains the corpus signature INDEX offline (one wide row per
+    doc) and every ingest batch reuses it — pass that table here and
+    ``ref_docs`` may be None. Caller owns its lifecycle (not
+    unpersisted here)."""
     from pyspark.sql import Window
 
     from ._scope import checkpointed
 
     wn = minhash_signatures_wide(new_docs, num_perm).cache()
-    wr = minhash_signatures_wide(ref_docs, num_perm).cache()
+    owns_ref = ref_wide is None
+    wr = minhash_signatures_wide(ref_docs, num_perm).cache() if owns_ref else ref_wide
     nb = _band_table(wn, num_perm, band_size).withColumnRenamed("doc_id", "new_doc")
     rb = _band_table(wr, num_perm, band_size)
     if max_bucket is not None:
@@ -842,30 +850,36 @@ def minhash_candidates_incremental(
         ((F.col(f"a{p}") == F.col(f"b{p}")).cast("long") for p in range(num_perm)),
         start=F.lit(0).cast("long"),
     )
+    temps = (wn, wr) if owns_ref else (wn,)
     return checkpointed(
         cand.join(wa, "new_doc")
         .join(wb, "ref_doc")
         .select("new_doc", "ref_doc", (agree / num_perm).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard),
-        wn,
-        wr,
+        *temps,
     )
 
 
 def incremental_dedup(
     new_docs: DataFrame,
-    ref_docs: DataFrame,
+    ref_docs: DataFrame | None,
     min_est_jaccard: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    ref_wide: DataFrame | None = None,
 ) -> DataFrame:
     """Per-new-document ingest verdicts against the existing corpus:
     (doc_id, n_ref_matches, best_est_jaccard, keep) — keep = 1 iff no
     reference document matches at ``min_est_jaccard`` or above. The
     ingest-time gatekeeper a continuously-growing corpus runs on every
     new batch (candidates from :func:`minhash_candidates_incremental`,
-    one per-new-doc aggregate on top)."""
+    one per-new-doc aggregate on top; ``ref_wide`` reuses an offline
+    corpus signature index)."""
     cand = minhash_candidates_incremental(
-        new_docs, ref_docs, min_est_jaccard=min_est_jaccard, max_bucket=max_bucket
+        new_docs,
+        ref_docs,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket=max_bucket,
+        ref_wide=ref_wide,
     )
     per = cand.groupBy("new_doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_ref_matches"),

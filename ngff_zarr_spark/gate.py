@@ -1203,6 +1203,43 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(new, docs)
 
 
+def q_dedup_incremental_stream(spark, sf_dir):
+    """Streaming twin of the ingest gatekeeper: the synthetic new-crawl
+    batch streams in as TWO parquet files (two micro-batches), each
+    judged inside foreachBatch against the offline corpus signature
+    index; the drained parquet sink must equal the batch gate
+    row-for-row (shared oracle)."""
+    import shutil
+
+    from .functions.dedup import _norm_text, minhash_signatures_wide
+    from .streaming.pipeline import streaming_incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens_col(_norm_text(F.col("text")))
+    new = docs.filter(F.col("doc_id") % INCR_MOD < 2).select(
+        (F.col("doc_id") + INCR_ID_BASE).alias("doc_id"),
+        F.when(F.col("doc_id") % INCR_MOD == 0, F.col("text")).otherwise(
+            F.array_join(F.reverse(toks), " ")
+        ).alias("text"),
+    )
+    # the offline corpus signature index: built once, GC-scoped leaf
+    ref_wide = minhash_signatures_wide(docs).localCheckpoint()
+    docs_dir = _tmp_store("stream_incr_docs")
+    ckpt = _tmp_store("stream_incr_ckpt")
+    sink = _tmp_store("stream_incr_sink")
+    for p in (docs_dir, ckpt, sink):
+        shutil.rmtree(p, ignore_errors=True)
+    new.repartition(2, "doc_id").write.mode("overwrite").parquet(docs_dir)
+    _docs_stream, start = streaming_incremental_dedup(
+        spark, docs_dir, ckpt, ref_wide, sink, max_files_per_trigger=1
+    )
+    q = start()
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream drain exceeded 180s — refusing to grade a partial sink")
+    return spark.read.parquet(sink)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (5 integer-exact iterations) over the capped
     MinHash candidate graph (functions/graph.py): per round one edge
@@ -4685,7 +4722,9 @@ DEDUP_PARTS = [
     "dedup_contamination",
     "dedup_contamination_stream",
     # r14: incremental (new-crawl vs corpus) cross-set dedup verdicts
+    # + the foreachBatch streaming ingest gatekeeper (shared oracle)
     "dedup_incremental",
+    "dedup_incremental_stream",
     # r13: degree-ordered triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -5098,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination": q_dedup_contamination,
         "dedup_contamination_stream": q_dedup_contamination_stream,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
         "s1_roi_pruned_read": q_s1_roi_pruned_read,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,

@@ -4370,6 +4370,10 @@ _DIGEST_SPECS = {
         "doc_id": "l", "n_ref_matches": "l",
         "best_est_jaccard": "d", "keep": "l",
     },
+    "dedup_incremental_stream": {
+        "doc_id": "l", "n_ref_matches": "l",
+        "best_est_jaccard": "d", "keep": "l",
+    },
     "graph_pagerank": {"doc_id": "l", "rank_micro": "l"},
     "text_vocab_coverage": {
         "cov_num": "l", "cov_den": "l", "threshold_tokens": "l",
@@ -4613,7 +4617,9 @@ DEDUP_PARTS = [
     "dedup_contamination",
     "dedup_contamination_stream",
     # r14: incremental (new-crawl vs corpus) cross-set dedup verdicts
+    # + the foreachBatch streaming ingest gatekeeper (shared oracle)
     "dedup_incremental",
+    "dedup_incremental_stream",
     # r13: triangle counting + clustering coefficient
     "graph_triangles",
 ]
@@ -4870,6 +4876,8 @@ def oracles() -> dict[str, str]:
         # a fully-drained cross-batch hit fold == the batch scan
         "dedup_contamination_stream": sql_dedup_contamination(),
         "dedup_incremental": sql_dedup_incremental(),
+        # a fully-drained foreachBatch gatekeeper == the batch verdicts
+        "dedup_incremental_stream": sql_dedup_incremental(),
         "graph_pagerank": sql_graph_pagerank(),
         "text_vocab_coverage": sql_text_vocab_coverage(),
         "graph_triangles": sql_graph_triangles(),

@@ -728,6 +728,54 @@ def streaming_contamination(
     return hits, start
 
 
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    ref_wide,
+    sink_dir: str,
+    min_est_jaccard: float = 0.5,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingest gatekeeper (functions/dedup.incremental_dedup):
+    new-crawl documents arrive as parquet files; each micro-batch is
+    judged against the OFFLINE corpus signature index (``ref_wide`` —
+    one wide MinHash row per corpus doc, maintained out-of-band exactly
+    like the quality cutoff and the benchmark gram set in the sibling
+    twins) and appends its keep/drop verdicts to a parquet sink.
+
+    foreachBatch, deliberately: a verdict depends only on (new doc,
+    reference corpus) — never on other new docs — so each micro-batch
+    runs the IDENTICAL batch operator and the drained sink equals the
+    batch output under any file split. Zero streaming state; the
+    per-batch work is the batch-sized signature build plus the
+    witness-capped cross-set band join.
+
+    Returns (stream_df, start_fn); start() drains with availableNow."""
+    from ..functions.dedup import incremental_dedup
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(docs_dir)
+
+    def handle(batch_df, _batch_id):
+        incremental_dedup(
+            batch_df, None, min_est_jaccard=min_est_jaccard, ref_wide=ref_wide
+        ).write.mode("append").parquet(sink_dir)
+
+    def start():
+        return (
+            docs.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return docs, start
+
+
 def streaming_quality_filter(
     spark: SparkSession,
     docs_dir: str,
