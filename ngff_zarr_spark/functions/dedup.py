@@ -789,6 +789,42 @@ def edit_distance_candidates(
     )
 
 
+def _capped_ref_bands(
+    wide: DataFrame, num_perm: int, band_size: int, max_bucket: int | None
+) -> DataFrame:
+    """Witness-capped band table of the reference side: per (band,
+    band_key) keep only the ``max_bucket`` smallest doc_ids."""
+    from pyspark.sql import Window
+
+    rb = _band_table(wide, num_perm, band_size)
+    if max_bucket is None:
+        return rb
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    return (
+        rb.select("doc_id", "band", "band_key", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= max_bucket)
+        .drop("rn")
+    )
+
+
+def build_ref_index(
+    ref_docs: DataFrame,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """The offline corpus index every ingest batch reuses:
+    ``(ref_wide, ref_bands)`` — the wide signature table and the
+    witness-capped band table. Production materializes both to storage
+    (bucketed by band_key / doc_id for co-located lookups) and refreshes
+    them as the corpus grows; here they come back as GC-scoped
+    checkpoint leaves so a long-lived session can hold them across many
+    :func:`incremental_dedup` batches without recomputation."""
+    wide = minhash_signatures_wide(ref_docs, num_perm).localCheckpoint()
+    bands = _capped_ref_bands(wide, num_perm, band_size, max_bucket).localCheckpoint()
+    return wide, bands
+
+
 def minhash_candidates_incremental(
     new_docs: DataFrame,
     ref_docs: DataFrame | None,
@@ -797,6 +833,7 @@ def minhash_candidates_incremental(
     min_est_jaccard: float = 0.125,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     ref_wide: DataFrame | None = None,
+    ref_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (new-crawl vs existing-corpus) LSH candidates:
     (new_doc, ref_doc, est_jaccard) for banded-signature collisions
@@ -812,27 +849,25 @@ def minhash_candidates_incremental(
     new docs, never |bucket| × new. The new side is the small side by
     assumption and is not capped (every new doc must be judged).
 
-    ``ref_wide`` short-circuits the corpus signature build: production
-    maintains the corpus signature INDEX offline (one wide row per
-    doc) and every ingest batch reuses it — pass that table here and
-    ``ref_docs`` may be None. Caller owns its lifecycle (not
-    unpersisted here)."""
-    from pyspark.sql import Window
-
+    ``ref_wide``/``ref_bands`` short-circuit the corpus-side builds:
+    production maintains the corpus signature INDEX offline — the wide
+    signature table AND the witness-capped band table (see
+    :func:`build_ref_index`) — and every ingest batch reuses both, so
+    per-batch work is batch-sized plus index hash lookups (the corpus
+    is never re-scanned, re-banded, or re-windowed per batch). With
+    either provided, ``ref_docs`` may be None; caller owns their
+    lifecycle (not unpersisted here)."""
     from ._scope import checkpointed
 
     wn = minhash_signatures_wide(new_docs, num_perm).cache()
     owns_ref = ref_wide is None
     wr = minhash_signatures_wide(ref_docs, num_perm).cache() if owns_ref else ref_wide
     nb = _band_table(wn, num_perm, band_size).withColumnRenamed("doc_id", "new_doc")
-    rb = _band_table(wr, num_perm, band_size)
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
-        rb = (
-            rb.select("doc_id", "band", "band_key", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") <= max_bucket)
-            .drop("rn")
-        )
+    rb = (
+        _capped_ref_bands(wr, num_perm, band_size, max_bucket)
+        if ref_bands is None
+        else ref_bands
+    )
     cand = (
         nb.join(rb, ["band", "band_key"])
         .select("new_doc", F.col("doc_id").alias("ref_doc"))
@@ -866,20 +901,22 @@ def incremental_dedup(
     min_est_jaccard: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     ref_wide: DataFrame | None = None,
+    ref_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Per-new-document ingest verdicts against the existing corpus:
     (doc_id, n_ref_matches, best_est_jaccard, keep) — keep = 1 iff no
     reference document matches at ``min_est_jaccard`` or above. The
     ingest-time gatekeeper a continuously-growing corpus runs on every
     new batch (candidates from :func:`minhash_candidates_incremental`,
-    one per-new-doc aggregate on top; ``ref_wide`` reuses an offline
-    corpus signature index)."""
+    one per-new-doc aggregate on top; ``ref_wide``/``ref_bands`` reuse
+    the :func:`build_ref_index` offline corpus index)."""
     cand = minhash_candidates_incremental(
         new_docs,
         ref_docs,
         min_est_jaccard=min_est_jaccard,
         max_bucket=max_bucket,
         ref_wide=ref_wide,
+        ref_bands=ref_bands,
     )
     per = cand.groupBy("new_doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_ref_matches"),

@@ -1211,7 +1211,7 @@ def q_dedup_incremental_stream(spark, sf_dir):
     row-for-row (shared oracle)."""
     import shutil
 
-    from .functions.dedup import _norm_text, minhash_signatures_wide
+    from .functions.dedup import _norm_text, build_ref_index
     from .streaming.pipeline import streaming_incremental_dedup
 
     docs = _docs(spark, sf_dir)
@@ -1222,8 +1222,9 @@ def q_dedup_incremental_stream(spark, sf_dir):
             F.array_join(F.reverse(toks), " ")
         ).alias("text"),
     )
-    # the offline corpus signature index: built once, GC-scoped leaf
-    ref_wide = minhash_signatures_wide(docs).localCheckpoint()
+    # the offline corpus index (signatures + witness-capped bands):
+    # built ONCE, GC-scoped leaves, reused by every micro-batch
+    ref_index = build_ref_index(docs)
     docs_dir = _tmp_store("stream_incr_docs")
     ckpt = _tmp_store("stream_incr_ckpt")
     sink = _tmp_store("stream_incr_sink")
@@ -1231,7 +1232,7 @@ def q_dedup_incremental_stream(spark, sf_dir):
         shutil.rmtree(p, ignore_errors=True)
     new.repartition(2, "doc_id").write.mode("overwrite").parquet(docs_dir)
     _docs_stream, start = streaming_incremental_dedup(
-        spark, docs_dir, ckpt, ref_wide, sink, max_files_per_trigger=1
+        spark, docs_dir, ckpt, ref_index, sink, max_files_per_trigger=1
     )
     q = start()
     if not q.awaitTermination(180):

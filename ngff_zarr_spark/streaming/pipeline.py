@@ -732,28 +732,30 @@ def streaming_incremental_dedup(
     spark: SparkSession,
     docs_dir: str,
     checkpoint_dir: str,
-    ref_wide,
+    ref_index,
     sink_dir: str,
     min_est_jaccard: float = 0.5,
     max_files_per_trigger: int | None = None,
 ):
     """Streaming ingest gatekeeper (functions/dedup.incremental_dedup):
     new-crawl documents arrive as parquet files; each micro-batch is
-    judged against the OFFLINE corpus signature index (``ref_wide`` —
-    one wide MinHash row per corpus doc, maintained out-of-band exactly
-    like the quality cutoff and the benchmark gram set in the sibling
-    twins) and appends its keep/drop verdicts to a parquet sink.
+    judged against the OFFLINE corpus index (``ref_index`` =
+    dedup.build_ref_index's (wide signatures, witness-capped bands) —
+    maintained out-of-band exactly like the quality cutoff and the
+    benchmark gram set in the sibling twins) and appends its keep/drop
+    verdicts to a parquet sink.
 
     foreachBatch, deliberately: a verdict depends only on (new doc,
     reference corpus) — never on other new docs — so each micro-batch
     runs the IDENTICAL batch operator and the drained sink equals the
-    batch output under any file split. Zero streaming state; the
-    per-batch work is the batch-sized signature build plus the
-    witness-capped cross-set band join.
+    batch output under any file split. Zero streaming state; per-batch
+    work is the batch-sized signature build plus index hash lookups —
+    the corpus is never re-scanned, re-banded or re-windowed per batch.
 
     Returns (stream_df, start_fn); start() drains with availableNow."""
     from ..functions.dedup import incremental_dedup
 
+    ref_wide, ref_bands = ref_index
     batch_schema = spark.read.parquet(docs_dir).schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
@@ -762,7 +764,11 @@ def streaming_incremental_dedup(
 
     def handle(batch_df, _batch_id):
         incremental_dedup(
-            batch_df, None, min_est_jaccard=min_est_jaccard, ref_wide=ref_wide
+            batch_df,
+            None,
+            min_est_jaccard=min_est_jaccard,
+            ref_wide=ref_wide,
+            ref_bands=ref_bands,
         ).write.mode("append").parquet(sink_dir)
 
     def start():
