@@ -59,3 +59,19 @@ def test_sub_threshold_overlap_kept(spark):
     new = _df(spark, [(101, BASE.split(" ", 8)[-1] + " " + OTHER)])
     out = incremental_dedup(new, ref).collect()[0]
     assert out.keep == 1
+
+
+def test_prebuilt_index_equals_direct_path(spark):
+    """incremental_dedup over build_ref_index's precomputed corpus
+    index must equal the direct (ref_docs) path row-for-row."""
+    from ngff_zarr_spark.functions.dedup import build_ref_index
+
+    ref = _df(spark, [(i, BASE if i % 2 == 0 else OTHER + f" v{i}") for i in range(8)])
+    new = _df(spark, [(101, BASE), (102, "fresh and unrelated writing about parquet row groups")])
+    direct = sorted(tuple(r) for r in incremental_dedup(new, ref).collect())
+    wide, bands = build_ref_index(ref)
+    indexed = sorted(
+        tuple(r)
+        for r in incremental_dedup(new, None, ref_wide=wide, ref_bands=bands).collect()
+    )
+    assert direct == indexed
