@@ -62,3 +62,33 @@ def test_complex_roundtrip_read_no_exchange(spark):
     plan = plan_of(df)
     assert "BatchScan" in plan
     assert n_exchanges(plan) == 0
+
+
+def test_incremental_prebuilt_index_no_rewindow(spark, sf_dir):
+    """With build_ref_index's precomputed index, the per-batch plan
+    must contain NO Window node (the witness cap was applied offline)
+    and no cartesian/nested-loop join."""
+    from ngff_zarr_spark.functions import _scope
+    from ngff_zarr_spark.functions.dedup import (
+        build_ref_index,
+        minhash_candidates_incremental,
+    )
+
+    docs = gate._docs(spark, sf_dir)
+    wide, bands = build_ref_index(docs)
+    new = docs.limit(5).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    # the verdict plan is a checkpoint leaf; inspect the lazy candidate
+    # stage via the inspection escape instead
+
+    old = _scope.PLAN_INSPECTION
+    _scope.PLAN_INSPECTION = True
+    try:
+        plan = plan_of(
+            minhash_candidates_incremental(new, None, ref_wide=wide, ref_bands=bands)
+        )
+    finally:
+        _scope.PLAN_INSPECTION = old
+        spark.catalog.clearCache()
+    assert re.findall(r"\(\d+\) Window", plan) == []
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
