@@ -4936,7 +4936,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver rows. Constituents stay registered past slot 50.
         "metadata_battery": q_metadata_battery,
         "ir_tfidf_topk": q_ir_tfidf_topk,
-        "graph_pagerank": q_graph_pagerank,
+        # r14 second rotation: graph_pagerank and dedup_lines are both
+        # dedup_battery constituents (digest value-proven in-window), so
+        # their direct rows rotate to the two r14 flagships — the
+        # 13-gram decontamination scan and the incremental ingest
+        # gatekeeper. Both displaced gates stay registered past slot 50.
+        "dedup_contamination": q_dedup_contamination,
         "t1_stream_pixels": q_t1_stream_pixels,
         "t2_t3_callbacks": q_t2_t3_callbacks,
         # --- slots 19–50: everything else, families folded ---
@@ -5023,8 +5028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the duplicated-substring span op; multimodal_features/
         # resize move past the window (proven via multimodal_battery)
         "parity_battery": q_parity_battery,
-        "dedup_lines": q_dedup_lines,
+        "dedup_incremental": q_dedup_incremental,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        # r14 second rotation: the displaced double-covered rows
+        "graph_pagerank": q_graph_pagerank,
+        "dedup_lines": q_dedup_lines,
         "dedup_dup_spans": q_dedup_dup_spans,
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -5135,9 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_complex64_roundtrip": q_dtype_complex64_roundtrip,
         "dtype_complex128_roundtrip": q_dtype_complex128_roundtrip,
         "dedup_lines_nl": q_dedup_lines_nl,
-        "dedup_contamination": q_dedup_contamination,
         "dedup_contamination_stream": q_dedup_contamination_stream,
-        "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "s1_roi_pruned_read": q_s1_roi_pruned_read,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,

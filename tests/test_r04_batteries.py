@@ -39,10 +39,12 @@ STARVED_R3 = [
     "ann_mmr_query",
     "c7_validate_battery",
     # r13 rotation: c8/c9/c10 fold into metadata_battery; the freed
-    # slots grade the r12 IR/graph flagships directly
+    # slots grade the r12 IR/graph flagships directly. r14 second
+    # rotation: graph_pagerank (a dedup_battery constituent) hands its
+    # direct row to the 13-gram decontamination flagship.
     "metadata_battery",
     "ir_tfidf_topk",
-    "graph_pagerank",
+    "dedup_contamination",
     "t1_stream_pixels",
     "t2_t3_callbacks",
 ]
@@ -165,7 +167,7 @@ def test_first_50_layout():
     # past the window (each still value-proven via its battery digest);
     # the SQ8 scorer, the MMR diversifier and line-level dedup take
     # their slots as DIRECT driver rows
-    for k in ("ann_sq8_topk", "ann_mmr_rerank", "dedup_lines"):
+    for k in ("ann_sq8_topk", "ann_mmr_rerank"):
         assert k in first50, k
     for k in ("sketch_hll_distinct", "corpus_filter_pipeline", "dedup_dup_spans"):
         assert k in qs[50:], k
@@ -185,6 +187,14 @@ def test_first_50_layout():
         assert k in first50, k
     for k in gate.HCS_PARTS:
         assert k in qs[50:], k
+    # r14 second rotation: the two r14 dedup flagships grade DIRECTLY;
+    # graph_pagerank and dedup_lines (both dedup_battery constituents,
+    # digest value-proven in-window) move past the window
+    for k in ("dedup_contamination", "dedup_incremental"):
+        assert k in first50, k
+    for k in ("graph_pagerank", "dedup_lines"):
+        assert k in qs[50:], k
+        assert k in gate.DEDUP_PARTS, k
     # r9 rotation (VERDICT r8 ask #7): dedup/ANN families fold into two
     # digest batteries. r10 rotation (VERDICT r9 ask #2): the five r9
     # skew-safe twins take the window slots of the asof forward/
@@ -223,12 +233,12 @@ def test_first_50_layout():
     # r13 rotation (VERDICT r12 ask #6): planner/metadata singletons
     # fold into two digest batteries; the six freed slots grade the
     # r12/r13 flagships directly. Displaced constituents stay
-    # registered past the window.
+    # registered past the window. (graph_pagerank rotated back out in
+    # r14's second rotation — asserted below.)
     for k in (
         "planner_battery",
         "metadata_battery",
         "ir_tfidf_topk",
-        "graph_pagerank",
         "text_bpe_merges",
         "ir_bm25_query",
         "dedup_clusters_chain",
