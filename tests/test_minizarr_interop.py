@@ -232,3 +232,23 @@ def test_complex_read_back_struct(spark, tmp_path):
         got[z, y, x] == complex(arr[z, y, x])
         for z in range(4) for y in range(6) for x in range(5)
     )
+
+
+def test_complex_copy_array_preserves_dtype_and_values(spark, tmp_path):
+    """The chunk-table copy path is byte-level — a complex64 store
+    migrates store-to-store without decoding, keeping <c8 and values."""
+    from ngff_zarr_spark.ome_zarr_api import copy_array
+
+    img, arr = _complex_image(spark, "complex64")
+    ms = to_multiscales(img, scale_factors=[], method="ITKWASM_BIN_SHRINK",
+                        chunks={"z": 2, "y": 3, "x": 5})
+    src = str(tmp_path / "cxsrc.ome.zarr")
+    to_ngff_zarr(src, ms, version="0.4", compressor="gzip")
+    dst = str(tmp_path / "cxdst.ome.zarr")
+    n = copy_array(spark, src, dst, "scale0/image")
+    assert n == 2 * 2 * 1  # ceil(4/2) * ceil(6/3) * ceil(5/5) chunks
+    meta = json.loads((tmp_path / "cxdst.ome.zarr" / "scale0" / "image" / ".zarray").read_text())
+    assert meta["dtype"] == "<c8"
+    got = minizarr.read_v2_array(dst, "scale0/image")
+    assert got.dtype == np.dtype("complex64")
+    assert np.array_equal(got, arr)
