@@ -49,7 +49,24 @@ PLAN_INSPECTION = False
 
 def checkpointed(result: DataFrame, *temps: DataFrame) -> DataFrame:
     """Eagerly materialize ``result`` as a lineage-truncated leaf,
-    then release the ``temps``' explicit caches. Returns the leaf."""
+    then release the ``temps``' explicit caches. Returns the leaf.
+
+    EAGER-EXECUTION CONTRACT (ADVICE r14): operators returning through
+    here (minhash_candidates, triangle_stats, lm_perplexity,
+    exact_percentiles_bucketed, ...) execute AT CONSTRUCTION, not at
+    first action. Two consequences for composing callers:
+
+    - downstream filters/projections do NOT push into the operator's
+      plan — the full result materializes first. When you only need a
+      slice, pre-filter the INPUTS (doc/event tables), not the output.
+    - the leaf's blocks are non-replicated: an executor loss after
+      construction fails consuming jobs instead of recomputing (the
+      module-docstring trade; reliable checkpointing is the upgrade).
+
+    The results these operators return are deliberately the SMALL side
+    (pairs, per-group stats, model rows), so eager materialization
+    costs one bounded job — that is why the trade is on by default
+    rather than exposed as a flag on every operator."""
     if PLAN_INSPECTION:
         return result
     out = result.localCheckpoint()

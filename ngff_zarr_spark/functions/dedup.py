@@ -843,21 +843,36 @@ def minhash_candidates_incremental(
 
     Skew posture: a reference-side bucket above ``max_bucket`` (a
     boilerplate cluster already IN the corpus) keeps only its
-    ``max_bucket`` smallest doc_ids as WITNESSES — the incremental
-    decision is "does this new doc near-duplicate anything", and one
-    witness proves it; per-bucket join fan-out is ≤ cap × colliding
-    new docs, never |bucket| × new. The new side is the small side by
-    assumption and is not capped (every new doc must be judged).
+    ``max_bucket`` smallest doc_ids as WITNESSES; per-bucket join
+    fan-out is ≤ cap × colliding new docs, never |bucket| × new. The
+    new side is the small side by assumption and is not capped (every
+    new doc must be judged). The cap is a recall/cost TRADE, not a
+    free lunch: a retained witness proves only the BAND collision —
+    it may still fail the downstream ``min_est_jaccard`` signature
+    test, so a new doc whose only true near-duplicates were capped
+    out of every shared bucket can be wrongly kept. The oracle twin
+    applies the identical cap, so gates stay exact; the recall loss
+    is bounded by how often a >cap bucket's kept witnesses are all
+    band-coincidences, which shrinks as band_size grows (ADVICE r14).
 
     ``ref_wide``/``ref_bands`` short-circuit the corpus-side builds:
     production maintains the corpus signature INDEX offline — the wide
     signature table AND the witness-capped band table (see
     :func:`build_ref_index`) — and every ingest batch reuses both, so
     per-batch work is batch-sized plus index hash lookups (the corpus
-    is never re-scanned, re-banded, or re-windowed per batch). With
-    either provided, ``ref_docs`` may be None; caller owns their
-    lifecycle (not unpersisted here)."""
+    is never re-scanned, re-banded, or re-windowed per batch). To omit
+    ``ref_docs``, BOTH index halves are required: ``ref_bands`` alone
+    cannot serve the signature-agreement join (ADVICE r14). Caller owns
+    their lifecycle (not unpersisted here)."""
     from ._scope import checkpointed
+
+    if ref_docs is None and ref_wide is None:
+        raise ValueError(
+            "minhash_candidates_incremental: ref_docs=None requires ref_wide "
+            "(the est_jaccard join needs the corpus signature table; "
+            "ref_bands alone only generates candidates). Pass both halves "
+            "of build_ref_index's result."
+        )
 
     wn = minhash_signatures_wide(new_docs, num_perm).cache()
     owns_ref = ref_wide is None

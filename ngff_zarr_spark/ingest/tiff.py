@@ -487,6 +487,10 @@ def tiff_to_ngff_image(spark, path, name: str = "image"):
     else:
         if any(p.shape != pages[0].shape for p in pages):
             raise ValueError("multi-page TIFF with heterogeneous page shapes")
+        # np.stack silently promotes mixed uint8/uint16 pages — the
+        # NgffImage dtype claim must match the stored pages (ADVICE r14)
+        if any(p.dtype != pages[0].dtype for p in pages):
+            raise ValueError("multi-page TIFF with heterogeneous page dtypes")
         arr = np.stack(pages)
         dims = ["z", "y", "x"] if arr.ndim == 3 else ["z", "y", "x", "c"]
     df = array_to_pixel_df(spark, arr, dims)

@@ -27,7 +27,8 @@ def parse_bars(baseline_path: str) -> dict[str, float]:
         if len(cells) < 2:
             continue
         name = cells[0].strip("`* ")
-        if not re.fullmatch(r"[a-z0-9_]+", name):
+        # dots allow namespaced sub-phase bars (hcs_stream_write.pixel_jobs)
+        if not re.fullmatch(r"[a-z0-9_.]+", name):
             continue
         for c in cells[1:]:
             m = re.search(r"(?:≤|<=)\s*([0-9.]+)\s*s", c)
