@@ -825,6 +825,176 @@ def build_ref_index(
     return wide, bands
 
 
+# ---------------------------------------------------------------------------
+# persisted corpus index (VERDICT r14 ask #2): the build_ref_index
+# tables as PARQUET TABLES with an incremental refresh verb, so the
+# continuously-growing-corpus story survives session restarts and the
+# index is shared by every ingest job, not one driver's checkpoints.
+#
+# Layout under `path`:
+#   wide/   — the FULL signature table (doc_id, m0..m{P-1}), hash-
+#             clustered on doc_id (`n_files` output files): the
+#             est_jaccard join side. Never capped — every admitted doc
+#             must be judgeable against.
+#   bands/  — the witness-capped band table, disk-partitioned by
+#             `band` (partition pruning for band-sliced probes) and
+#             hash-clustered on band_key within each band dir.
+#   _meta.json — {num_perm, band_size, max_bucket, max_doc_id}: the
+#             refresh contract's parameters + the monotonic-id
+#             high-water mark.
+#
+# REFRESH = APPEND, exactly equal to a from-scratch rebuild, because of
+# the monotonic-id ingest contract (new batch ids strictly above the
+# stored high-water mark — the same disjoint-growing-id contract
+# incremental_dedup already requires): the stored witnesses of any
+# bucket are its smallest doc_ids, so a rebuild would keep them all and
+# rank every new arrival AFTER them. Refresh therefore only has to (a)
+# append the whole batch to wide/, and (b) append the batch's band rows
+# whose merged rank (stored bucket size + rank within the batch) still
+# clears the cap. Stored rows are never rewritten or demoted.
+#
+# Cost shape (the plan contract, pinned in tests/test_r15_ref_index.py):
+# refresh scans the BATCH plus the stored bands table's two key columns
+# (columnar scan joined against the batch's touched bucket keys — an
+# index-metadata scan bounded by cap × occupied buckets, never the
+# corpus text and never wide/), so a daily batch pays batch-sized work
+# plus one bounded index-column scan. On a metastore cluster the same
+# tables would be written with bucketBy(band_key)/(doc_id) to make the
+# probe joins shuffle-free; the path layout here is the portable form.
+# ---------------------------------------------------------------------------
+
+INDEX_FILES = 16  # output-file clustering knob (executor-count-sized)
+
+
+def _index_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_meta.json")
+
+
+def write_ref_index(
+    ref_docs: DataFrame,
+    path: str,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    n_files: int = INDEX_FILES,
+) -> None:
+    """Materialize the corpus dedup index (see layout note above) from
+    scratch. Overwrites ``path``."""
+    import json
+    import os
+
+    wide = minhash_signatures_wide(ref_docs, num_perm)
+    bands = _capped_ref_bands(wide, num_perm, band_size, max_bucket)
+    wide.repartition(n_files, "doc_id").write.mode("overwrite").parquet(
+        os.path.join(path, "wide")
+    )
+    (
+        bands.repartition(n_files, "band_key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "bands"))
+    )
+    hi = ref_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    with open(_index_meta_path(path), "w") as fh:
+        json.dump(
+            {
+                "num_perm": num_perm,
+                "band_size": band_size,
+                "max_bucket": max_bucket,
+                "max_doc_id": int(hi) if hi is not None else -1,
+            },
+            fh,
+        )
+
+
+def read_ref_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(ref_wide, ref_bands) from a persisted index — drop-in for
+    :func:`build_ref_index`'s return, reusable across sessions."""
+    import os
+
+    wide = spark.read.parquet(os.path.join(path, "wide"))
+    bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        "doc_id", "band", "band_key"
+    )
+    return wide, bands
+
+
+def read_ref_index_meta(path: str) -> dict:
+    import json
+
+    with open(_index_meta_path(path)) as fh:
+        return json.load(fh)
+
+
+def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
+    """Admit ``new_docs`` into the persisted index: append their
+    signatures to wide/ and their still-under-cap band rows to bands/.
+    Equal to a from-scratch :func:`write_ref_index` over the union
+    (pinned in tests/test_r15_ref_index.py) under the monotonic-id
+    contract, which is VERIFIED here: a batch at or below the stored
+    high-water mark raises instead of silently corrupting witness
+    order."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    meta = read_ref_index_meta(path)
+    num_perm, band_size = meta["num_perm"], meta["band_size"]
+    max_bucket = meta["max_bucket"]
+    lo = new_docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    if lo["lo"] is None:
+        return  # empty batch — nothing to admit
+    if lo["lo"] <= meta["max_doc_id"]:
+        raise ValueError(
+            f"refresh_ref_index: batch min doc_id {lo['lo']} <= stored "
+            f"high-water mark {meta['max_doc_id']} — the append-only "
+            "refresh requires strictly growing doc_ids (rebuild with "
+            "write_ref_index for out-of-order corpora)"
+        )
+    new_wide = minhash_signatures_wide(new_docs, num_perm).localCheckpoint()
+    new_bands = _band_table(new_wide, num_perm, band_size)
+    if max_bucket is None:
+        admitted = new_bands
+    else:
+        # stored occupancy of ONLY the buckets this batch touches: the
+        # stored-bands scan reads two key columns and semi-joins the
+        # (small) touched-key set before aggregating
+        stored = spark.read.parquet(os.path.join(path, "bands")).select(
+            "band", "band_key"
+        )
+        touched = new_bands.select("band", "band_key").distinct()
+        occ = (
+            stored.join(F.broadcast(touched), ["band", "band_key"])
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("stored_n"))
+        )
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        admitted = (
+            new_bands.withColumn("rn", F.row_number().over(w))
+            .join(occ, ["band", "band_key"], "left")
+            .filter(
+                F.col("rn") + F.coalesce(F.col("stored_n"), F.lit(0))
+                <= F.lit(int(max_bucket))
+            )
+            .select("doc_id", "band", "band_key")
+        )
+    new_wide.write.mode("append").parquet(os.path.join(path, "wide"))
+    (
+        admitted.repartition("band_key")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "bands"))
+    )
+    meta["max_doc_id"] = int(lo["hi"])
+    with open(_index_meta_path(path), "w") as fh:
+        json.dump(meta, fh)
+
+
 def minhash_candidates_incremental(
     new_docs: DataFrame,
     ref_docs: DataFrame | None,

@@ -1241,6 +1241,59 @@ def q_dedup_incremental_stream(spark, sf_dir):
     return spark.read.parquet(sink)
 
 
+# persisted-index fixture (r15, VERDICT r14 ask #2): corpus slice A is
+# indexed from scratch, slice B (every 5th doc, re-crawled under fresh
+# ids) is admitted via the APPEND refresh verb, and a probe batch is
+# judged against the REFRESHED stored index. Verbatim probes of
+# %5==4 sources can only match B content — a broken refresh flips
+# their keep flags and fails the value hash.
+IDXR_B_BASE = 20_000_000
+IDXR_PROBE_BASE = 30_000_000
+
+
+def q_dedup_index_refresh(spark, sf_dir):
+    """Persisted corpus dedup index lifecycle
+    (functions/dedup.write_ref_index / refresh_ref_index /
+    read_ref_index): build the bucketed parquet index on corpus slice
+    A, APPEND-refresh it with admitted batch B (monotonic-id contract
+    — refresh ≡ from-scratch rebuild, pinned in
+    tests/test_r15_ref_index.py), then run the ingest gatekeeper for a
+    probe crawl against the refreshed STORED index. The DuckDB twin
+    re-derives the verdicts from scratch over A ∪ B — a hash match
+    proves the persisted+refreshed index carries exactly the
+    from-scratch witness structure. Refresh work is batch-sized plus
+    one bounded index-key-column scan (plan contract in the same
+    pytest)."""
+    import shutil
+
+    from .functions.dedup import (
+        _norm_text,
+        incremental_dedup,
+        read_ref_index,
+        refresh_ref_index,
+        write_ref_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 5 != 4).select("doc_id", "text")
+    b = docs.filter(F.col("doc_id") % 5 == 4).select(
+        (F.col("doc_id") + IDXR_B_BASE).alias("doc_id"), "text"
+    )
+    toks = TX.tokens_col(_norm_text(F.col("text")))
+    probe = docs.filter((F.col("doc_id") % 5 >= 3) | (F.col("doc_id") % 10 == 1)).select(
+        (F.col("doc_id") + IDXR_PROBE_BASE).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 >= 3, F.col("text"))
+        .otherwise(F.array_join(F.reverse(toks), " "))
+        .alias("text"),
+    )
+    path = _tmp_store("ref_index")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ref_index(a, path)
+    refresh_ref_index(spark, path, b)
+    wide, bands = read_ref_index(spark, path)
+    return incremental_dedup(probe, None, ref_wide=wide, ref_bands=bands)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (5 integer-exact iterations) over the capped
     MinHash candidate graph (functions/graph.py): per round one edge
@@ -5235,4 +5288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "corpus_temperature_report": q_corpus_temperature_report,
+        # r15: persisted corpus dedup index (write/refresh/read verbs)
+        "dedup_index_refresh": q_dedup_index_refresh,
     }

@@ -1668,6 +1668,72 @@ SELECT nd.doc_id,
 FROM newdocs nd LEFT JOIN hits ON hits.new_doc = nd.doc_id"""
 
 
+def sql_dedup_index_refresh():
+    """Twin of the persisted-index refresh gate: the verdicts are
+    re-derived FROM SCRATCH over ref = A ∪ B (slice A + the re-crawled
+    admitted batch B) with the same witness cap, banded candidates, and
+    signature-agreement scoring — so a hash match proves the engine's
+    append-refreshed STORED index is exactly the from-scratch witness
+    structure. Rank-by-doc_id inside each bucket equals the append
+    order because B's ids sit strictly above A's (the monotonic-id
+    refresh contract)."""
+    from .functions.dedup import DEFAULT_MAX_BUCKET
+    from .gate import IDXR_B_BASE, IDXR_PROBE_BASE
+
+    norm = NORM.format(c="text")
+    band_sig = "CAST(SUM(minhash * ([1,31,961,29791])[CAST(perm%4 AS INTEGER)+1]) AS BIGINT)"
+    return f"""WITH refdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 4
+  UNION ALL
+  SELECT doc_id + {IDXR_B_BASE} AS doc_id, text FROM documents WHERE doc_id % 5 = 4
+),
+newdocs AS (
+  SELECT doc_id + {IDXR_PROBE_BASE} AS doc_id,
+         CASE WHEN doc_id % 5 >= 3 THEN text
+              ELSE array_to_string(list_reverse(list_filter(string_split({norm}, ' '), t -> t != '')), ' ')
+         END AS text
+  FROM documents WHERE doc_id % 5 >= 3 OR doc_id % 10 = 1
+),
+alldocs AS (
+  SELECT doc_id, text FROM refdocs
+  UNION ALL SELECT doc_id, text FROM newdocs
+),
+{_sig_cte("alldocs")},
+bands AS (
+  SELECT doc_id, band, {band_sig} AS band_key
+  FROM (SELECT doc_id, perm, minhash, perm//4 AS band FROM sig)
+  GROUP BY doc_id, band
+),
+rb AS (
+  SELECT band, band_key, doc_id,
+         row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+  FROM bands WHERE doc_id < {IDXR_PROBE_BASE}
+),
+nb AS (SELECT band, band_key, doc_id AS new_doc FROM bands WHERE doc_id >= {IDXR_PROBE_BASE}),
+cand AS (
+  SELECT DISTINCT nb.new_doc, rb.doc_id AS ref_doc
+  FROM nb JOIN rb USING (band, band_key)
+  WHERE rb.rn <= {DEFAULT_MAX_BUCKET}
+),
+est AS (
+  SELECT c.new_doc, c.ref_doc,
+         CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.new_doc
+  JOIN sig sb ON sb.doc_id = c.ref_doc AND sb.perm = sa.perm
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_ref_matches, MAX(est_jaccard) AS best
+  FROM est WHERE est_jaccard >= 0.5 GROUP BY 1
+)
+SELECT nd.doc_id,
+       COALESCE(n_ref_matches, 0) AS n_ref_matches,
+       round(COALESCE(best, 0.0), 6) AS best_est_jaccard,
+       CAST(CASE WHEN COALESCE(n_ref_matches, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM newdocs nd LEFT JOIN hits ON hits.new_doc = nd.doc_id"""
+
+
 def sql_dedup_edit_distance():
     from .functions.dedup import EDIT_MAX_DIST
 
@@ -4899,6 +4965,7 @@ def oracles() -> dict[str, str]:
         "events_zorder_nd": sql_events_zorder_nd(),
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
+        "dedup_index_refresh": sql_dedup_index_refresh(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
         "parity_battery": sql_parity_battery(),
         "sketch_hll_distinct": sql_sketch_hll_distinct(),

@@ -1,0 +1,159 @@
+"""Persisted corpus dedup index (r15, VERDICT r14 ask #2).
+
+Pins the three claims the refresh verb makes:
+1. refresh-then-read == from-scratch rebuild over the union (wide AND
+   bands row sets identical), including when the witness cap binds;
+2. the monotonic-id contract is enforced (out-of-order batch raises);
+3. refresh work is batch-sized: the admitted-bands plan scans the
+   stored bands table's key columns only (never wide/, never any
+   document text), and the probe path over the refreshed index equals
+   the in-memory build_ref_index path row-for-row.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark.functions.dedup import (
+    build_ref_index,
+    incremental_dedup,
+    read_ref_index,
+    read_ref_index_meta,
+    refresh_ref_index,
+    write_ref_index,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _mkdocs(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, text string")
+
+
+BOILER = "the quick brown fox jumps over the lazy dog again and again"
+
+
+@pytest.fixture()
+def corpus(spark):
+    # 12 distinct docs + a 6-member boilerplate cluster (ids 100..105)
+    rows = [(i, f"unique document number {i} with some distinct words {i * 7}")
+            for i in range(12)]
+    rows += [(100 + i, BOILER) for i in range(6)]
+    return _mkdocs(spark, rows)
+
+
+def test_refresh_equals_rebuild(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    a = corpus.filter(F.col("doc_id") < 100)
+    b = corpus.filter(F.col("doc_id") >= 100)
+    write_ref_index(a, path, max_bucket=3)
+    refresh_ref_index(spark, path, b)
+    w_r, b_r = read_ref_index(spark, path)
+
+    path2 = str(tmp_path / "idx2")
+    write_ref_index(corpus, path2, max_bucket=3)
+    w_s, b_s = read_ref_index(spark, path2)
+
+    wide_cols = sorted(w_r.columns)
+    assert _rows(w_r, wide_cols) == _rows(w_s, wide_cols)
+    band_cols = ["doc_id", "band", "band_key"]
+    assert _rows(b_r, band_cols) == _rows(b_s, band_cols)
+    # the cap bound binds: the boilerplate cluster shares every bucket,
+    # so each of its buckets stores exactly 3 witnesses
+    occ = (
+        b_s.filter(F.col("doc_id") >= 100)
+        .groupBy("band", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ == 3
+
+
+def test_refresh_cap_orders_across_batches(spark, tmp_path):
+    # batch 1 fills 2 of 3 witness slots; batch 2 may admit exactly one
+    path = str(tmp_path / "idx")
+    write_ref_index(_mkdocs(spark, [(1, BOILER), (2, BOILER)]), path, max_bucket=3)
+    refresh_ref_index(spark, path, _mkdocs(spark, [(10, BOILER), (11, BOILER)]))
+    _, bands = read_ref_index(spark, path)
+    per_bucket = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("hi")
+    )
+    for r in per_bucket.collect():
+        assert r["n"] == 3  # 2 stored + 1 admitted
+        assert r["hi"] == 10  # rank order: 1, 2, then the SMALLER new id
+
+
+def test_monotonic_contract_enforced(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    write_ref_index(corpus, path)
+    assert read_ref_index_meta(path)["max_doc_id"] == 105
+    with pytest.raises(ValueError, match="high-water"):
+        refresh_ref_index(spark, path, _mkdocs(spark, [(50, "late arrival")]))
+    # empty batch is a no-op, not an error
+    refresh_ref_index(spark, path, _mkdocs(spark, []))
+    assert read_ref_index_meta(path)["max_doc_id"] == 105
+
+
+def test_probe_over_stored_index_equals_in_memory(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    write_ref_index(corpus.filter(F.col("doc_id") < 100), path)
+    refresh_ref_index(spark, path, corpus.filter(F.col("doc_id") >= 100))
+    w, b = read_ref_index(spark, path)
+    probe = _mkdocs(
+        spark,
+        [(1000, BOILER), (1001, "completely novel text nothing shares this")],
+    )
+    got = incremental_dedup(probe, None, ref_wide=w, ref_bands=b)
+    mem = build_ref_index(corpus)
+    want = incremental_dedup(probe, None, ref_wide=mem[0], ref_bands=mem[1])
+    cols = ["doc_id", "n_ref_matches", "best_est_jaccard", "keep"]
+    assert _rows(got, cols) == _rows(want, cols)
+    by_id = {r[0]: r for r in _rows(got, cols)}
+    assert by_id[1000][3] == 0  # boilerplate probe dropped
+    assert by_id[1001][3] == 1  # novel probe kept
+
+
+def test_refresh_plan_is_batch_sized(spark, corpus, tmp_path):
+    """The refresh job's only STORED-side input is the bands table's
+    key columns: wide/ is never opened, the bands FileScan projects
+    band_key alone (band is a pruned partition column, with a
+    dynamic-pruning expression from the batch's touched buckets), and
+    the stored side reaches the occupancy aggregate through a
+    broadcast of the batch-derived key set — so stored-side work is an
+    index-key-column scan, batch-side work is batch-sized."""
+    path = str(tmp_path / "idx")
+    write_ref_index(corpus.filter(F.col("doc_id") < 100), path)
+
+    from ngff_zarr_spark.functions import dedup as D
+
+    batch = corpus.filter(F.col("doc_id") >= 100)
+    new_wide = D.minhash_signatures_wide(batch)
+    new_bands = D._band_table(new_wide, 16, 4)
+    stored = spark.read.parquet(os.path.join(path, "bands")).select(
+        "band", "band_key"
+    )
+    touched = new_bands.select("band", "band_key").distinct()
+    occ = (
+        stored.join(F.broadcast(touched), ["band", "band_key"])
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("stored_n"))
+    )
+    plan = occ._jdf.queryExecution().executedPlan().toString()
+    # the stored wide/ table is never an input of the refresh
+    assert f"{path}/wide" not in plan
+    # the one file scan (bands/) projects ONLY band_key; the batch's
+    # touched buckets dynamically prune the band partition dirs
+    # (the Location field is elided in toString(), so identify the scan
+    # by its projected schema: bands/ is the only parquet input at all)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1
+    assert "ReadSchema: struct<band_key:bigint>" in scans[0]
+    assert "dynamicpruning" in scans[0]
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
