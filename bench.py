@@ -560,13 +560,26 @@ QUERIES = {
     # r14: the foreachBatch streaming ingest gatekeeper over the
     # offline corpus signature index
     "dedup_incremental_stream": gate.q_dedup_incremental_stream,
+    # r15: persisted-index lifecycle (write + append-refresh + probe
+    # over the stored index — parquet I/O is part of the measured cost)
+    "dedup_index_refresh": gate.q_dedup_index_refresh,
+    # r15: the composed 6-stage corpus pipeline (filter → line dedup →
+    # near-dup keep → decontaminate → mixture → pack, digest output)
+    "corpus_pipeline": gate.q_corpus_pipeline_battery,
 }
 
 
 # end-to-end pipeline entries (hundreds of scheduled jobs per run):
 # one timed run — best-of-3 would triple bench wall-clock for entries
 # whose variance is dominated by job-scheduling, not plan choice
-SINGLE_RUN = {"hcs_stream_write", "dedup_skew"}
+SINGLE_RUN = {
+    "hcs_stream_write",
+    "dedup_skew",
+    # r15: stage-checkpointed pipelines — dozens of scheduled jobs per
+    # run, same rationale as hcs_stream_write
+    "dedup_index_refresh",
+    "corpus_pipeline",
+}
 
 
 def run_query(df) -> None:

@@ -1966,6 +1966,91 @@ def q_corpus_filter_pipeline(spark, sf_dir):
     return filter_pipeline(_docs(spark, sf_dir))
 
 
+# composed-pipeline constants (r15, VERDICT r14 ask #1) — shared with
+# oracle.sql_corpus_pipeline_battery
+PIPE_MIX_MUL = 1024   # mix_id = doc_id * MUL + epoch (epoch << MUL)
+PIPE_PACK_BUDGET = 512
+PIPE_PACK_BUCKETS = 8
+
+
+def q_corpus_pipeline_battery(spark, sf_dir):
+    """The composed corpus pipeline as ONE driver-graded gate (r15,
+    VERDICT r14 ask #1 — every operator is green solo; composition is
+    the untested surface real users hit first; reference analog: the
+    end-to-end CLI trace, reference cli.py:164-440). Six stages, each
+    consuming the previous stage's SURVIVORS:
+
+      1. filter_pipeline      — exact dedup / lang / Gopher verdicts
+      2. line_dedup           — cut corpus-repeated 6-token line blocks
+                                from the kept docs; drop emptied docs
+      3. minhash near-dup keep — capped band candidates → connected
+                                components → representative survivors,
+                                over the REWRITTEN texts
+      4. contamination_scan   — 13-gram rule vs the benchmark excerpts
+                                (drawn from the ORIGINAL corpus); drop
+                                dirty docs
+      5. temperature_mixture  — integer-exact alpha=0.5 mix keyed on
+                                source, realized with repetition epochs
+      6. pack_sequences       — hashed-bucket block packing of the
+                                realized (doc, epoch) stream
+
+    Output: one value-exact digest row per stage (gate._digest_gate),
+    so the DuckDB twin — the same chain composed from the re-
+    parameterized per-operator oracles — checks every intermediate
+    table, not just the final packs. Stage tables are localCheckpoint
+    leaves: each feeds both its digest and the next stage, and the
+    composed lineage would otherwise replay minhash under the pack
+    window (the graph_pagerank plan-doubling lesson)."""
+    from .functions.corpus import filter_pipeline, temperature_mixture
+    from .functions.dedup import dedup_keep_representatives, minhash_candidates
+    from .functions.packing import pack_sequences
+    from .functions.spans import contamination_scan, line_dedup
+
+    docs = _docs(spark, sf_dir)
+    dec = filter_pipeline(docs).localCheckpoint()
+    s1 = docs.join(dec.filter("keep").select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    ld = line_dedup(s1).localCheckpoint()
+    s2 = (
+        ld.filter(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint()
+    )
+    keep3 = (
+        dedup_keep_representatives(s2, minhash_candidates(s2))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    s3 = s2.join(keep3, "doc_id")
+    contam = contamination_scan(s3, _contam_bench(docs)).localCheckpoint()
+    s4 = (
+        s3.join(contam.filter(F.col("dirty") == 0).select("doc_id"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
+    )
+    mix = temperature_mixture(s4, group_col="source").localCheckpoint()
+    mixdocs = mix.join(s4.select("doc_id", "text"), "doc_id").select(
+        (F.col("doc_id") * PIPE_MIX_MUL + F.col("epoch")).alias("mix_id"), "text"
+    )
+    packed = pack_sequences(
+        mixdocs,
+        budget=PIPE_PACK_BUDGET,
+        n_buckets=PIPE_PACK_BUCKETS,
+        id_col="mix_id",
+    )
+    out = _digest_gate(dec, "pipe_filter")
+    for name, df in (
+        ("pipe_lines", ld),
+        ("pipe_dedup", keep3),
+        ("pipe_contam", contam),
+        ("pipe_mix", mix),
+        ("pipe_pack", packed),
+    ):
+        out = out.unionByName(_digest_gate(df, name))
+    return out
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
@@ -5290,4 +5375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_report": q_corpus_temperature_report,
         # r15: persisted corpus dedup index (write/refresh/read verbs)
         "dedup_index_refresh": q_dedup_index_refresh,
+        # r15: the composed end-to-end corpus pipeline (6-stage digests)
+        "corpus_pipeline_battery": q_corpus_pipeline_battery,
     }

@@ -1546,6 +1546,147 @@ j AS (
 SELECT doc_id, reason, reason = 'kept' AS keep FROM j"""
 
 
+def sql_corpus_pipeline_battery():
+    """Composed corpus-pipeline twin (r15, VERDICT r14 ask #1): the
+    end-to-end pretraining hygiene chain filter_pipeline → line_dedup →
+    minhash near-dup keep → 13-gram decontamination → temperature
+    mixture → sequence packing, re-derived from scratch as ONE chained
+    CTE stack with every stage consuming the previous stage's
+    SURVIVORS — the cross-operator composition real users run (the
+    reference's CLI trace analog, reference cli.py:164-440). Each
+    stage's FULL table is digest-reduced, so the gate value-checks all
+    six intermediates, not just the final pack table. Stage bodies are
+    the existing per-operator oracles re-parameterized to the survivor
+    CTEs (filter: sql_corpus_filter_pipeline verbatim; lines:
+    _sql_line_dedup('s1'); keep: sql_dedup_clusters('s2') + the
+    NOT-IN representative rule; contamination: the sql_dedup_
+    contamination derivation with the bench excerpts still drawn from
+    the ORIGINAL corpus; mixture: the integer-exact alpha=0.5 plan
+    keyed on source; packing: the hashed-bucket block contract)."""
+    from .functions.corpus import MIX_BUCKETS as B
+    from .functions.spans import CONTAM_N
+    from .gate import (
+        CONTAM_MOD,
+        PIPE_MIX_MUL,
+        PIPE_PACK_BUCKETS,
+        PIPE_PACK_BUDGET,
+    )
+
+    g = CONTAM_N - 1
+    norm = NORM.format(c="text")
+    toks_raw = TOKS_RAW.format(c="text")
+    h_mix = H64.format(s="concat('temp:', CAST(doc_id AS VARCHAR))")
+    h_pack = H64.format(s="concat('pack:', CAST(mix_id AS VARCHAR))")
+    specs = {
+        "pipe_filter": ("SELECT doc_id, reason, keep FROM dec",
+                        {"doc_id": "l", "reason": "s", "keep": "s"}),
+        "pipe_lines": ("SELECT * FROM ld",
+                       {"doc_id": "l", "clean_text": "s", "n_lines": "l",
+                        "n_kept": "l", "n_dropped": "l"}),
+        "pipe_dedup": ("SELECT doc_id FROM keep3", {"doc_id": "l"}),
+        "pipe_contam": ("SELECT * FROM contam",
+                        {"doc_id": "l", "n_grams": "l", "n_hit": "l",
+                         "hit_frac": "d", "dirty": "l"}),
+        "pipe_mix": ("SELECT * FROM mix",
+                     {"doc_id": "l", "source": "s", "epoch": "l"}),
+        "pipe_pack": ("SELECT * FROM packed",
+                      {"doc_id": "l", "bucket": "l", "n_tokens": "l",
+                       "pack_offset": "l", "pack_id": "l"}),
+    }
+    digests = "\nUNION ALL\n".join(
+        _digest_sql(name, inner, spec) for name, (inner, spec) in specs.items()
+    )
+    return f"""WITH dec AS MATERIALIZED ({sql_corpus_filter_pipeline()}),
+s1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN dec ON dec.doc_id = d.doc_id AND dec.keep
+),
+ld AS MATERIALIZED ({_sql_line_dedup("s1")}),
+s2 AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM ld WHERE clean_text != ''),
+clusters AS MATERIALIZED ({sql_dedup_clusters(table="s2")}),
+keep3 AS MATERIALIZED (
+  SELECT doc_id FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+),
+s3 AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM s2 JOIN keep3 USING (doc_id)),
+ct AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS t FROM s3
+),
+btoks AS (
+  SELECT list_filter(string_split({norm}, ' '), t -> t != '')[11:40] AS bt
+  FROM documents WHERE doc_id % {CONTAM_MOD} = 0
+),
+bgrams AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(bt[i:i+{g}], ' ') AS gram
+  FROM btoks, unnest(generate_series(1, greatest(len(bt) - {g}, 0))) AS u(i)
+),
+cg AS (
+  SELECT doc_id, array_to_string(t[i:i+{g}], ' ') AS gram
+  FROM ct, unnest(generate_series(1, greatest(len(t) - {g}, 0))) AS u(i)
+),
+chits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM cg JOIN bgrams USING (gram) GROUP BY 1
+),
+contam AS MATERIALIZED (
+  SELECT ct.doc_id,
+         CAST(greatest(len(t) - {g}, 0) AS BIGINT) AS n_grams,
+         COALESCE(n_hit, 0) AS n_hit,
+         CASE WHEN len(t) - {g} > 0
+              THEN round(COALESCE(n_hit, 0) / (len(t) - {g}), 6)
+              ELSE 0.0 END AS hit_frac,
+         CAST(CASE WHEN COALESCE(n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS dirty
+  FROM ct LEFT JOIN chits USING (doc_id)
+),
+s4 AS MATERIALIZED (
+  SELECT s3.doc_id, s3.text, d.source
+  FROM s3 JOIN contam ON contam.doc_id = s3.doc_id
+  JOIN documents d ON d.doc_id = s3.doc_id
+  WHERE contam.dirty = 0
+),
+mc AS (SELECT source, COUNT(*) AS n_total FROM s4 GROUP BY 1),
+mw AS (SELECT source, n_total,
+              CAST(floor(pow(CAST(n_total AS DOUBLE), 0.5) * {B} + 0.5) AS BIGINT) AS w_micro
+       FROM mc),
+mt AS (SELECT SUM(w_micro) AS s_micro, SUM(n_total) AS n_corpus FROM mw),
+mplan AS (
+  SELECT source, n_total, w_micro,
+         CAST((CAST({B} AS BIGINT) * n_corpus * w_micro) // (s_micro * n_total)
+              AS BIGINT) AS rate_micro
+  FROM mw CROSS JOIN mt
+),
+mkeyed AS (SELECT doc_id, source, ({h_mix}) % {B} AS bucket FROM s4),
+mix AS MATERIALIZED (
+  SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+  FROM (
+    SELECT k.doc_id, k.source, k.bucket,
+           CAST(p.rate_micro // {B} AS BIGINT) AS n_full,
+           p.rate_micro % {B} AS frac_thr, u.epoch
+    FROM mkeyed k JOIN mplan p ON p.source = k.source,
+         unnest(generate_series(0, CAST(p.rate_micro // {B} AS BIGINT))) AS u(epoch)
+  ) WHERE epoch < n_full OR bucket < frac_thr
+),
+mixdocs AS MATERIALIZED (
+  SELECT mix.doc_id * {PIPE_MIX_MUL} + mix.epoch AS mix_id, s4.text
+  FROM mix JOIN s4 ON s4.doc_id = mix.doc_id
+),
+pt AS (SELECT mix_id, CAST(len({toks_raw}) AS BIGINT) AS n_tokens, ({h_pack}) AS h
+       FROM mixdocs),
+pb AS (SELECT mix_id, n_tokens, LEAST(n_tokens, {PIPE_PACK_BUDGET}) AS ct,
+              h % {PIPE_PACK_BUCKETS} AS bucket, h
+       FROM pt),
+packed AS MATERIALIZED (
+  SELECT mix_id AS doc_id, bucket, n_tokens,
+         CAST(cum - ct AS BIGINT) AS pack_offset,
+         CAST((cum - ct) // {PIPE_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM (SELECT mix_id, n_tokens, ct, bucket,
+               SUM(ct) OVER (PARTITION BY bucket ORDER BY h, mix_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM pb)
+)
+{digests}"""
+
+
 def sql_dedup_shingle_frac():
     from .functions.dedup import SHINGLE_K  # noqa: F401 — k=3 pinned in _SHINGLE
 
@@ -1755,12 +1896,18 @@ def sql_dedup_lines():
     cut-and-rejoin, derived directly from the C4 rule (frequency keyed
     on the full line STRING here vs the 64-bit line hash in Spark — an
     intentionally independent derivation)."""
+    return _sql_line_dedup("documents")
+
+
+def _sql_line_dedup(table: str) -> str:
+    """Table-parameterized body of sql_dedup_lines (the composed
+    corpus-pipeline oracle runs it over the filter-stage survivors)."""
     from .functions.spans import LINE_LEN as L
 
     norm = NORM.format(c="text")
     return f"""WITH toks AS (
   SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS t
-  FROM documents
+  FROM {table}
 ),
 blocks AS (
   SELECT doc_id, CAST((i-1)//{L} AS BIGINT) AS blk,
@@ -4966,6 +5113,7 @@ def oracles() -> dict[str, str]:
         "corpus_temperature_mix": sql_corpus_temperature_mix(),
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_index_refresh": sql_dedup_index_refresh(),
+        "corpus_pipeline_battery": sql_corpus_pipeline_battery(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
         "parity_battery": sql_parity_battery(),
         "sketch_hll_distinct": sql_sketch_hll_distinct(),
