@@ -4837,25 +4837,33 @@ SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"
 # r9 folds: the dedup and ANN families (11 direct slots) become two
 # digest batteries, freeing 9 slots to grade r8's hardest semantics
 # DIRECTLY (VERDICT r8 ask #7) plus the r9 adversarial-skew gate
+# r15 split (VERDICT r14 ask #6): dedup_battery had grown to 15
+# constituents (~45 s at sf0.01) — one flaky constituent would red the
+# whole row and mask which operator broke. The near-dup PAIRS/CLUSTERS
+# family stays dedup_battery; the corpus-HYGIENE rewrite/scan family
+# (lines / substring ledger / contamination / incremental ingest)
+# moves to hygiene_battery. Both ≤ 8 constituents.
 DEDUP_PARTS = [
     "dedup_minhash",
     "dedup_clusters",
     "dedup_keep",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    # r11 (VERDICT r10 ask #2): the streaming gram-ledger twin of
-    # keep-one substring dedup, previously slot 147 (ungraded)
-    "dedup_substring_stream",
     # r12: exact Levenshtein re-rank of the capped band candidates
     "dedup_edit_distance",
-    # r12: iterative graph analytics over the candidate edges
+    # r12/r13: iterative graph analytics over the candidate edges
     "graph_pagerank",
+    "graph_triangles",
+]
+HYGIENE_PARTS = [
     # r13: C4-style line-level dedup (cut corpus-repeated line-blocks,
     # re-join survivors)
     "dedup_lines",
     # r14: the newline-delimiter mode over a synthesized newline corpus
     # (C4's actual '\n' rule)
     "dedup_lines_nl",
+    # r11: the streaming gram-ledger twin of keep-one substring dedup
+    "dedup_substring_stream",
     # r14: benchmark decontamination (GPT-3 13-gram rule) + its
     # cross-batch streaming twin (shared oracle)
     "dedup_contamination",
@@ -4864,8 +4872,6 @@ DEDUP_PARTS = [
     # + the foreachBatch streaming ingest gatekeeper (shared oracle)
     "dedup_incremental",
     "dedup_incremental_stream",
-    # r13: degree-ordered triangle counting + clustering coefficient
-    "graph_triangles",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -5011,10 +5017,20 @@ def q_sketch_battery(spark, sf_dir):
 
 
 def q_dedup_battery(spark, sf_dir):
-    """r9 fold: the MinHash/LSH near-dup family (candidates, connected
-    components, keep decision, SimHash, n-gram Jaccard) in one digest
-    slot — frees four slots for direct grading of the r8/r9 rotation."""
+    """r9 fold, r15 split: the MinHash/LSH near-dup PAIRS family
+    (candidates, connected components, keep decision, SimHash, n-gram
+    Jaccard, Levenshtein re-rank, candidate-graph analytics) in one
+    digest slot. The corpus-hygiene half lives in hygiene_battery."""
     return _digest_battery(DEDUP_PARTS)(spark, sf_dir)
+
+
+def q_hygiene_battery(spark, sf_dir):
+    """r15 split of dedup_battery (VERDICT r14 ask #6): the corpus-
+    hygiene rewrite/scan family — line dedup (block + newline modes),
+    the streaming substring gram ledger, batch+stream 13-gram
+    decontamination, batch+stream incremental ingest verdicts — in one
+    digest slot."""
+    return _digest_battery(HYGIENE_PARTS)(spark, sf_dir)
 
 
 def q_tpch_battery(spark, sf_dir):
@@ -5054,26 +5070,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_session_window": q_events_session_window,
         # r14 rotation (VERDICT r13 ask #7): the five long-stable
-        # HCS/NIfTI singletons (s18/f7/j3/s17/s16) fold into one digest
-        # battery; their four freed slots grade the r13 late additions
-        # DIRECTLY (events_rollup, text_vocab_coverage, ann_mmr_query,
-        # corpus_priority_sample_stream). Constituents stay registered
-        # past slot 50.
+        # HCS/NIfTI singletons fold into hcs_battery. r15 rotation
+        # (VERDICT r14 ask #5): the four r13/r14 singletons that held
+        # these slots (events_rollup, text_vocab_coverage,
+        # ann_mmr_query, ir_tfidf_topk) are all battery constituents
+        # (events_analytics / corpus_sampling / ann) — their digest
+        # coverage stays in-window, so the direct rows rotate to the
+        # r14 late additions the verdict named: the newline-mode line
+        # dedup, the two streaming dedup twins, and the TIFF z-stack
+        # series ingest.
         "hcs_battery": q_hcs_battery,
-        "events_rollup": q_events_rollup,
-        "text_vocab_coverage": q_text_vocab_coverage,
+        "dedup_lines_nl": q_dedup_lines_nl,
+        "dedup_contamination_stream": q_dedup_contamination_stream,
         # r7: s14+s15 fold into one tagged battery so the EXPORT adapter
         # (S15, previously pytest-only) is driver-graded; constituents
         # stay addressable past slot 50
         "itk_adapter_battery": q_itk_adapter_battery,
-        "ann_mmr_query": q_ann_mmr_query,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
         "c7_validate_battery": q_c7_validate_battery,
         # r13 rotation (VERDICT r12 ask #6): the three long-stable
-        # metadata singletons (c8/c9/c10) fold into one digest battery;
-        # their two freed slots give the r12 IR/graph flagships direct
-        # driver rows. Constituents stay registered past slot 50.
+        # metadata singletons (c8/c9/c10) fold into one digest battery.
         "metadata_battery": q_metadata_battery,
-        "ir_tfidf_topk": q_ir_tfidf_topk,
+        "s11_tiff_series": q_s11_tiff_series,
         # r14 second rotation: graph_pagerank and dedup_lines are both
         # dedup_battery constituents (digest value-proven in-window), so
         # their direct rows rotate to the two r14 flagships — the
@@ -5087,20 +5105,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_battery": q_downsample_battery,
         "gaussian_battery": q_gaussian_battery,
         # r13 rotation (VERDICT r12 ask #6): the five long-stable
-        # planner/stats singletons (a10/a11/c2/a9/chunk_table_sums)
-        # fold into one digest battery; the four freed slots rotate in
-        # the r12/r13 flagships (BPE training, free-text BM25, the
-        # diameter-robust CC chain gate, N-dim Z-order).
+        # planner/stats singletons fold into planner_battery. r15
+        # rotation: text_bpe_merges / ir_bm25_query /
+        # corpus_priority_sample_stream (all corpus_sampling_battery
+        # constituents, digest-proven in-window) hand their direct rows
+        # to the two r14 complex-dtype roundtrips and the persisted-
+        # index lifecycle gate (VERDICT r14 asks #2/#5).
         "planner_battery": q_planner_battery,
-        "text_bpe_merges": q_text_bpe_merges,
-        "ir_bm25_query": q_ir_bm25_query,
+        "dtype_complex64_roundtrip": q_dtype_complex64_roundtrip,
+        "dtype_complex128_roundtrip": q_dtype_complex128_roundtrip,
         "dedup_clusters_chain": q_dedup_clusters_chain,
         "storage_roundtrip_battery": q_storage_roundtrip_battery,
         "events_zorder_nd": q_events_zorder_nd,
         "s4_multiscale_level1": q_s4_multiscale_level1,
-        # r14 rotation: s16_nifti_ingest folded into hcs_battery; its
-        # slot grades the streaming priority sampler directly
-        "corpus_priority_sample_stream": q_corpus_priority_sample_stream,
+        "dedup_index_refresh": q_dedup_index_refresh,
         # r7: tiff + png-series + the new native-JPEG decode fold into
         # one tagged ingest battery. (r9: ann_pq_topk moved into the
         # ann_battery fold, freeing its slot for the rotation.)
@@ -5142,15 +5160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the relational plan-family gates were the only registered
         # surface with no driver-graded row
         "tpch_battery": q_tpch_battery,
-        # r13 second-batch rotation: sketch_hll_distinct,
-        # corpus_filter_pipeline and dedup_dup_spans move past the
-        # window (each stays value-proven via its battery digest:
-        # SKETCH_PARTS / CORPUS_SAMPLING_PARTS); the freed slots grade
-        # the SQ8 serving scorer, the MMR diversifier and line-level
-        # dedup DIRECTLY
-        "ann_sq8_topk": q_ann_sq8_topk,
+        # r15 rotation (VERDICT r14 asks #1/#6): ann_sq8_topk and
+        # ann_mmr_rerank (both ann_battery constituents, digest-proven
+        # in-window) hand their direct rows to the composed corpus
+        # pipeline and the hygiene half of the split dedup_battery.
+        "corpus_pipeline_battery": q_corpus_pipeline_battery,
         "dedup_skew_cluster": q_dedup_skew_cluster,
-        "ann_mmr_rerank": q_ann_mmr_rerank,
+        "hygiene_battery": q_hygiene_battery,
         "text_battery": q_text_battery,
         # r8: the four multimodal gates and two sketch gates fold into
         # two digest batteries (value-exact content digests, see
@@ -5168,6 +5184,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parity_battery": q_parity_battery,
         "dedup_incremental": q_dedup_incremental,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        # r15 rotation: the nine displaced double-covered rows (each
+        # still value-proven in-window via its battery digest)
+        "events_rollup": q_events_rollup,
+        "text_vocab_coverage": q_text_vocab_coverage,
+        "ann_mmr_query": q_ann_mmr_query,
+        "ir_tfidf_topk": q_ir_tfidf_topk,
+        "text_bpe_merges": q_text_bpe_merges,
+        "ir_bm25_query": q_ir_bm25_query,
+        "corpus_priority_sample_stream": q_corpus_priority_sample_stream,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_mmr_rerank": q_ann_mmr_rerank,
         # r14 second rotation: the displaced double-covered rows
         "graph_pagerank": q_graph_pagerank,
         "dedup_lines": q_dedup_lines,
@@ -5235,7 +5262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s17_omero_nifti": q_s17_omero_nifti,
         "s16_nifti_ingest": q_s16_nifti_ingest,
         "s11_tiff_ingest": q_s11_tiff_ingest,
-        "s11_tiff_series": q_s11_tiff_series,
         "s13_png_series": q_s13_png_series,
         "s11_jpeg_ingest": q_s11_jpeg_ingest,
         "s14_itk_adapter": q_s14_itk_adapter,
@@ -5278,11 +5304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_float16_roundtrip": q_dtype_float16_roundtrip,
         "dtype_int64_roundtrip": q_dtype_int64_roundtrip,
         "dtype_uint64_roundtrip": q_dtype_uint64_roundtrip,
-        "dtype_complex64_roundtrip": q_dtype_complex64_roundtrip,
-        "dtype_complex128_roundtrip": q_dtype_complex128_roundtrip,
-        "dedup_lines_nl": q_dedup_lines_nl,
-        "dedup_contamination_stream": q_dedup_contamination_stream,
-        "dedup_incremental_stream": q_dedup_incremental_stream,
         "s1_roi_pruned_read": q_s1_roi_pruned_read,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "text_token_count": q_text_token_count,
@@ -5373,8 +5394,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "corpus_temperature_report": q_corpus_temperature_report,
-        # r15: persisted corpus dedup index (write/refresh/read verbs)
-        "dedup_index_refresh": q_dedup_index_refresh,
-        # r15: the composed end-to-end corpus pipeline (6-stage digests)
-        "corpus_pipeline_battery": q_corpus_pipeline_battery,
     }

@@ -4808,33 +4808,28 @@ MULTIMODAL_PARTS = [
     "multimodal_dedup_verdict",
 ]
 SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
+# r15 split (VERDICT r14 ask #6) — mirrors gate.DEDUP_PARTS /
+# gate.HYGIENE_PARTS (pinned equal in pytest)
 DEDUP_PARTS = [
     "dedup_minhash",
     "dedup_clusters",
     "dedup_keep",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    # r11 (VERDICT r10 ask #2): the streaming gram-ledger twin of
-    # keep-one substring dedup, previously slot 147 (ungraded)
-    "dedup_substring_stream",
     # r12: exact Levenshtein re-rank of the capped band candidates
     "dedup_edit_distance",
-    # r12: iterative graph analytics over the candidate edges
+    # r12/r13: iterative graph analytics over the candidate edges
     "graph_pagerank",
-    # r13: C4-style line-level dedup
+    "graph_triangles",
+]
+HYGIENE_PARTS = [
     "dedup_lines",
-    # r14: newline-delimiter mode over a synthesized newline corpus
     "dedup_lines_nl",
-    # r14: benchmark decontamination (GPT-3 13-gram rule) + its
-    # cross-batch streaming twin (shared oracle)
+    "dedup_substring_stream",
     "dedup_contamination",
     "dedup_contamination_stream",
-    # r14: incremental (new-crawl vs corpus) cross-set dedup verdicts
-    # + the foreachBatch streaming ingest gatekeeper (shared oracle)
     "dedup_incremental",
     "dedup_incremental_stream",
-    # r13: triangle counting + clustering coefficient
-    "graph_triangles",
 ]
 ANN_PARTS = [
     "ann_cosine_topk",
@@ -5297,6 +5292,7 @@ GROUP BY 1, 2, 3""",
         ("multimodal_battery", MULTIMODAL_PARTS),
         ("sketch_battery", SKETCH_PARTS),
         ("dedup_battery", DEDUP_PARTS),
+        ("hygiene_battery", HYGIENE_PARTS),
         ("ann_battery", ANN_PARTS),
         ("tpch_battery", TPCH_PARTS),
         ("planner_battery", PLANNER_PARTS),

@@ -28,22 +28,22 @@ STARVED_R3 = [
     "events_hourly_stream",
     "events_sessionize",
     "events_session_window",
-    # r14 rotation: the five HCS/NIfTI singletons (s18/f7/j3/s17/s16)
-    # fold into hcs_battery; the freed slots grade the r13 late
-    # additions directly (VERDICT r13 ask #7)
+    # r14 rotation: the five HCS/NIfTI singletons fold into
+    # hcs_battery. r15 rotation (VERDICT r14 ask #5): the four
+    # displaced singletons (events_rollup, text_vocab_coverage,
+    # ann_mmr_query, ir_tfidf_topk) are battery constituents (digest-
+    # proven in-window); their rows grade the r14 late additions
+    # directly.
     "hcs_battery",
-    "events_rollup",
-    "text_vocab_coverage",
+    "dedup_lines_nl",
+    "dedup_contamination_stream",
     # r7: s14's slot is the itk battery (s14 import + s15 export)
     "itk_adapter_battery",
-    "ann_mmr_query",
+    "dedup_incremental_stream",
     "c7_validate_battery",
-    # r13 rotation: c8/c9/c10 fold into metadata_battery; the freed
-    # slots grade the r12 IR/graph flagships directly. r14 second
-    # rotation: graph_pagerank (a dedup_battery constituent) hands its
-    # direct row to the 13-gram decontamination flagship.
+    # r13 rotation: c8/c9/c10 fold into metadata_battery.
     "metadata_battery",
-    "ir_tfidf_topk",
+    "s11_tiff_series",
     "dedup_contamination",
     "t1_stream_pixels",
     "t2_t3_callbacks",
@@ -106,8 +106,10 @@ BATTERIES = {
     "sketch_battery": gate.SKETCH_PARTS,
     # r14 fold: the five HCS/NIfTI singletons (digest battery)
     "hcs_battery": gate.HCS_PARTS,
-    # r9 folds: dedup + ANN families (digest batteries)
+    # r9 folds: dedup + ANN families (digest batteries); r15 split:
+    # the corpus-hygiene half of dedup_battery (VERDICT r14 ask #6)
     "dedup_battery": gate.DEDUP_PARTS,
+    "hygiene_battery": gate.HYGIENE_PARTS,
     "ann_battery": gate.ANN_PARTS,
     # r11 fold: the past-the-window TPC-H plan-family gates
     "tpch_battery": gate.TPCH_PARTS,
@@ -163,38 +165,58 @@ def test_first_50_layout():
     assert "parity_battery" in first50
     assert "multimodal_features" in qs[50:]
     assert "multimodal_resize" in qs[50:]
-    # r13 second-batch rotation: three double-covered singletons move
-    # past the window (each still value-proven via its battery digest);
-    # the SQ8 scorer, the MMR diversifier and line-level dedup take
-    # their slots as DIRECT driver rows
-    for k in ("ann_sq8_topk", "ann_mmr_rerank"):
-        assert k in first50, k
+    # r13 second-batch rotation residue: the three double-covered
+    # singletons stay past the window, value-proven via batteries
     for k in ("sketch_hll_distinct", "corpus_filter_pipeline", "dedup_dup_spans"):
         assert k in qs[50:], k
         assert any(
             k in parts for parts in BATTERIES.values()
         ) or k in gate.CORPUS_SAMPLING_PARTS + gate.SKETCH_PARTS, k
-    # r14 rotation (VERDICT r13 ask #7): the four r13 late additions
-    # grade DIRECTLY; the five hcs_battery constituents move past the
-    # window, each still value-proven via the battery digest
-    for k in (
-        "hcs_battery",
-        "events_rollup",
-        "text_vocab_coverage",
-        "ann_mmr_query",
-        "corpus_priority_sample_stream",
-    ):
-        assert k in first50, k
+    # r14 rotation (VERDICT r13 ask #7): hcs_battery in-window; its
+    # five constituents past the window, value-proven via the digest
+    assert "hcs_battery" in first50
     for k in gate.HCS_PARTS:
         assert k in qs[50:], k
     # r14 second rotation: the two r14 dedup flagships grade DIRECTLY;
-    # graph_pagerank and dedup_lines (both dedup_battery constituents,
-    # digest value-proven in-window) move past the window
+    # graph_pagerank (dedup_battery) and dedup_lines (hygiene_battery
+    # since the r15 split) move past the window
     for k in ("dedup_contamination", "dedup_incremental"):
         assert k in first50, k
-    for k in ("graph_pagerank", "dedup_lines"):
+    assert "graph_pagerank" in qs[50:] and "graph_pagerank" in gate.DEDUP_PARTS
+    assert "dedup_lines" in qs[50:] and "dedup_lines" in gate.HYGIENE_PARTS
+    # r15 rotation (VERDICT r14 asks #1/#2/#5/#6): the six named r14
+    # additions + the persisted-index gate + the composed pipeline +
+    # the hygiene half of the split dedup_battery grade DIRECTLY; the
+    # nine displaced rows are all battery constituents and move past
+    # the window, each still value-proven via its digest
+    for k in (
+        "dedup_lines_nl",
+        "dedup_contamination_stream",
+        "dedup_incremental_stream",
+        "s11_tiff_series",
+        "dtype_complex64_roundtrip",
+        "dtype_complex128_roundtrip",
+        "dedup_index_refresh",
+        "corpus_pipeline_battery",
+        "hygiene_battery",
+    ):
+        assert k in first50, k
+    for k, battery in (
+        ("events_rollup", gate.EVENTS_ANALYTICS_PARTS),
+        ("text_vocab_coverage", gate.CORPUS_SAMPLING_PARTS),
+        ("ann_mmr_query", gate.ANN_PARTS),
+        ("ir_tfidf_topk", gate.CORPUS_SAMPLING_PARTS),
+        ("text_bpe_merges", gate.CORPUS_SAMPLING_PARTS),
+        ("ir_bm25_query", gate.CORPUS_SAMPLING_PARTS),
+        ("corpus_priority_sample_stream", gate.CORPUS_SAMPLING_PARTS),
+        ("ann_sq8_topk", gate.ANN_PARTS),
+        ("ann_mmr_rerank", gate.ANN_PARTS),
+    ):
         assert k in qs[50:], k
-        assert k in gate.DEDUP_PARTS, k
+        assert k in battery, k
+    # the split keeps both halves small enough that one flaky
+    # constituent can't mask eight others (VERDICT r14 ask #6)
+    assert len(gate.DEDUP_PARTS) <= 8 and len(gate.HYGIENE_PARTS) <= 8
     # r9 rotation (VERDICT r8 ask #7): dedup/ANN families fold into two
     # digest batteries. r10 rotation (VERDICT r9 ask #2): the five r9
     # skew-safe twins take the window slots of the asof forward/
@@ -228,7 +250,7 @@ def test_first_50_layout():
     # r13: a battery constituent may ALSO hold a direct window slot
     # (graph_pagerank rotated in; double grading is never a problem) —
     # the requirement is only that every constituent stays registered
-    for k in gate.DEDUP_PARTS + gate.ANN_PARTS + gate.TPCH_PARTS:
+    for k in gate.DEDUP_PARTS + gate.HYGIENE_PARTS + gate.ANN_PARTS + gate.TPCH_PARTS:
         assert k in qs[50:] or k in first50, k
     # r13 rotation (VERDICT r12 ask #6): planner/metadata singletons
     # fold into two digest batteries; the six freed slots grade the
@@ -238,9 +260,6 @@ def test_first_50_layout():
     for k in (
         "planner_battery",
         "metadata_battery",
-        "ir_tfidf_topk",
-        "text_bpe_merges",
-        "ir_bm25_query",
         "dedup_clusters_chain",
         "events_zorder_nd",
     ):
@@ -256,6 +275,7 @@ def test_first_50_layout():
         + gate.MULTIMODAL_PARTS
         + gate.SKETCH_PARTS
         + gate.DEDUP_PARTS
+        + gate.HYGIENE_PARTS
         + gate.ANN_PARTS
     ):
         assert k in qs, k
@@ -270,6 +290,7 @@ def test_digest_parts_lists_mirror_oracle():
     assert gate.MULTIMODAL_PARTS == oracle.MULTIMODAL_PARTS
     assert gate.SKETCH_PARTS == oracle.SKETCH_PARTS
     assert gate.DEDUP_PARTS == oracle.DEDUP_PARTS
+    assert gate.HYGIENE_PARTS == oracle.HYGIENE_PARTS
     assert gate.ANN_PARTS == oracle.ANN_PARTS
     assert gate.TPCH_PARTS == oracle.TPCH_PARTS
     assert gate.PLANNER_PARTS == oracle.PLANNER_PARTS
@@ -281,6 +302,7 @@ def test_digest_parts_lists_mirror_oracle():
         + gate.MULTIMODAL_PARTS
         + gate.SKETCH_PARTS
         + gate.DEDUP_PARTS
+        + gate.HYGIENE_PARTS
         + gate.ANN_PARTS
         + gate.TPCH_PARTS
         + gate.PLANNER_PARTS
