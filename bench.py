@@ -566,6 +566,19 @@ QUERIES = {
     # r15: the composed 6-stage corpus pipeline (filter → line dedup →
     # near-dup keep → decontaminate → mixture → pack, digest output)
     "corpus_pipeline": gate.q_corpus_pipeline_battery,
+    # r15: the composed 5-stage events pipeline (sessionize → engaged
+    # cut → as-of attribution → funnel/retention → percentiles)
+    "events_pipeline": gate.q_events_pipeline_battery,
+    # r15: exact two-pass heavy hitters (Misra-Gries candidates +
+    # broadcast recount — never a distinct-key-sized shuffle)
+    "sketch_heavy_hitters": gate.q_sketch_heavy_hitters,
+    # r15: URL canonicalization dedup + per-host crawl profile (pure
+    # JVM expression canonicalizer, one hash aggregate each)
+    "web_url_dedup": gate.q_web_url_dedup,
+    "web_host_stats": gate.q_web_host_stats,
+    # r15: streaming heavy hitters (two-micro-batch candidate ledger +
+    # drain-time exact recount over the accumulated files)
+    "sketch_heavy_hitters_stream": gate.q_sketch_heavy_hitters_stream,
 }
 
 
@@ -579,6 +592,7 @@ SINGLE_RUN = {
     # run, same rationale as hcs_stream_write
     "dedup_index_refresh",
     "corpus_pipeline",
+    "events_pipeline",
 }
 
 

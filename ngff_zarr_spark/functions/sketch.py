@@ -224,3 +224,124 @@ def sliding_distinct_users(
         "reg_checksum",
         F.round(est, 6).alias("est"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    phi_num: int = 1,
+    phi_den: int = 100,
+    k: int = 100,
+) -> DataFrame:
+    """EXACT phi-fraction heavy hitters in two passes — the frequent-
+    items primitive (top n-grams, hot users, mirror hosts) a corpus
+    profiler runs where a plain groupBy's shuffle would move one row
+    per DISTINCT key (at 100 TB of n-grams: trillions).
+
+    Pass 1 — candidates: per-partition Misra–Gries summaries with ``k``
+    counters via ``mapInPandas`` (state bounded at k entries per task,
+    output ≤ k rows per partition — shuffle is k×partitions rows, not
+    distinct-keys rows). The classic guarantee composes across
+    partitions: if a key survives in NO partition summary, its count in
+    every partition p is ≤ N_p/(k+1), so its global count is
+    ≤ N/(k+1) — contrapositive: every key with count > N/(k+1) reaches
+    the candidate set. With phi > 1/(k+1) the candidates are a strict
+    superset of the true heavy hitters.
+
+    Pass 2 — exact recount: broadcast the (≤ k × partitions)-row
+    candidate set back over the stream as a semi-join, exact groupBy
+    count of candidates only, filter ``n * phi_den >= phi_num * N``
+    (pure integer arithmetic — no float threshold). The recount
+    discards false candidates, so the output EQUALS the plain
+    ``GROUP BY … HAVING count >= ceil(phi·N)`` — the DuckDB oracle —
+    while never shuffling the distinct-key space.
+
+    Returns (key_cols…, n, frac) with frac = round(n/N, 6).
+
+    Raises ValueError unless (k+1)·phi_num > phi_den (the regime where
+    the superset guarantee holds — below it, exactness would be lost
+    silently)."""
+    _check_hh_bound(phi_num, phi_den, k)
+    cand = mg_candidates(df, key_cols, k)
+    return hh_recount(df, cand, key_cols, phi_num, phi_den)
+
+
+def _check_hh_bound(phi_num: int, phi_den: int, k: int) -> None:
+    if (k + 1) * phi_num <= phi_den:
+        raise ValueError(
+            f"k={k} too small for phi={phi_num}/{phi_den}: the Misra-Gries "
+            f"superset guarantee needs (k+1)*phi > 1 (k >= {phi_den // phi_num})"
+        )
+
+
+def _hh_keyed(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
+    return df.select(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]).alias(
+            "_hhk"
+        ),
+        *key_cols,
+    )
+
+
+def mg_candidates(df: DataFrame, key_cols: tuple[str, ...], k: int) -> DataFrame:
+    """Pass 1 of :func:`heavy_hitters`, exposed for the streaming twin:
+    distinct per-partition Misra-Gries survivors as (key_cols…) rows —
+    ≤ k per input partition. The guarantee composes across any
+    concatenation of streams/partitions: a key absent from EVERY
+    summary has count ≤ N_p/(k+1) in each part p, hence ≤ N/(k+1)
+    globally — so unioning candidate sets over micro-batches keeps the
+    superset property for the whole stream."""
+    import pandas as pd
+
+    keyed = _hh_keyed(df, key_cols)
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key in pdf["_hhk"]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({"_hhk": list(counters.keys())})
+
+    return (
+        keyed.select("_hhk").mapInPandas(mg, "_hhk string").distinct()
+    )
+
+
+def hh_recount(
+    df: DataFrame,
+    cand: DataFrame,
+    key_cols: tuple[str, ...],
+    phi_num: int,
+    phi_den: int,
+) -> DataFrame:
+    """Pass 2 of :func:`heavy_hitters`: broadcast the candidate keys
+    (a ``_hhk`` column) over the full stream, exact-count candidates
+    only, keep ``n·phi_den ≥ phi_num·N`` (integer threshold). Exact by
+    construction given a candidate SUPERSET."""
+    keyed = _hh_keyed(df, key_cols)
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    counts = (
+        keyed.join(F.broadcast(cand.select("_hhk").distinct()), "_hhk")
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") * phi_den >= phi_num * F.col("_n"))
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_n"), 6).alias("frac"),
+        )
+    )

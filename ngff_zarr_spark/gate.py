@@ -2051,6 +2051,220 @@ def q_corpus_pipeline_battery(spark, sf_dir):
     return out
 
 
+# composed events-pipeline constants (r15) — shared with
+# oracle.sql_events_pipeline_battery. Threshold 64 ≈ the per-user
+# session-count median at every SF (43..90 observed), so the engaged
+# cut keeps a non-trivial strict subset at sf0.001/0.01/0.1 alike.
+EPIPE_MIN_SESSIONS = 64
+EPIPE_SEGMENT_NS = 6 * 3600 * 1_000_000_000
+
+
+def q_events_pipeline_battery(spark, sf_dir):
+    """The composed product-analytics pipeline as ONE driver-graded
+    gate (r15 — the events-side sibling of corpus_pipeline_battery:
+    every events operator is green solo; the composition users run is
+    sessionize → cohort cut → attribution → funnel/retention →
+    percentiles, each stage consuming the previous stage's SURVIVORS).
+    Five stages, all in their SKEW-SAFE production forms:
+
+      1. sessionize_counts_segmented — per-user session/event counts
+      2. engaged cut                 — users with ≥ EPIPE_MIN_SESSIONS
+                                       sessions (the cohort filter)
+      3. asof_join_segmented         — purchase→latest-prior-click
+                                       attribution over ENGAGED users
+      4. funnel + cohort_retention   — over the engaged users' events
+      5. exact_percentiles_bucketed  — value percentiles by type for
+                                       CONVERTING users (stage-3
+                                       survivors with a matched click)
+
+    Output: one value-exact digest row per stage (gate._digest_gate),
+    so the DuckDB twin — the same chain as chained CTEs over the
+    engaged subset — checks every intermediate table. This also keeps
+    the three segmented/bucketed twins' operators driver-graded after
+    their solo rows rotate into events_skew_battery: the composed gate
+    runs all three on a non-trivial filtered input."""
+    from .functions.events import (
+        asof_join_segmented,
+        cohort_retention,
+        exact_percentiles_bucketed,
+        funnel,
+        sessionize_counts_segmented,
+    )
+
+    ev = _events(spark, sf_dir).localCheckpoint()
+    sess = sessionize_counts_segmented(
+        ev.select("user_id", F.col("ts").alias("ns")),
+        int(SESSION_GAP_S) * 1_000_000_000,
+        EPIPE_SEGMENT_NS,
+    ).localCheckpoint()
+    engaged = sess.filter(
+        F.col("n_sessions") >= EPIPE_MIN_SESSIONS
+    ).select("user_id")
+    ee = ev.join(F.broadcast(engaged), "user_id").localCheckpoint()
+    purchases = ee.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ee.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    att = asof_join_segmented(
+        purchases, clicks, key="user_id", ts_col="ts",
+        value_cols=("event_id",), suffix="_click",
+        segment_ns=EPIPE_SEGMENT_NS,
+    ).localCheckpoint()
+    fun = funnel(ee)
+    ret = cohort_retention(ee)
+    conv = att.filter(F.col("event_id_click").isNotNull()).select(
+        "user_id"
+    ).distinct()
+    pct = exact_percentiles_bucketed(ee.join(F.broadcast(conv), "user_id"))
+    out = _digest_gate(sess, "epipe_sessions")
+    for name, df in (
+        ("epipe_asof", att),
+        ("epipe_funnel", fun),
+        ("epipe_retention", ret),
+        ("epipe_percentiles", pct),
+    ):
+        out = out.unionByName(_digest_gate(df, name))
+    return out
+
+
+# heavy-hitter constants (r15) — phi = 1%, k = 100 counters: the
+# smallest k for which the Misra-Gries superset guarantee covers phi
+# (exactness is enforced, not assumed — sketch.heavy_hitters raises
+# below the bound)
+HH_PHI_NUM, HH_PHI_DEN, HH_K = 1, 100, 100
+
+
+def _hh_tokens(docs: DataFrame) -> DataFrame:
+    """(lang, token) stream for the heavy-hitter gates — stateless
+    per-row explode, identical to the oracle's list_filter/unnest."""
+    return docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+
+
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Exact 1%-frequency (lang, token) heavy hitters over the corpus
+    token stream (functions/sketch.heavy_hitters): per-partition
+    Misra-Gries candidate summaries (bounded k-entry state, k×P-row
+    shuffle — never the distinct-key space), broadcast exact recount,
+    integer threshold n*100 >= N. Provably equal to the plain
+    GROUP BY + HAVING the DuckDB twin runs."""
+    from .functions.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _hh_tokens(_docs(spark, sf_dir)),
+        ("lang", "token"),
+        HH_PHI_NUM,
+        HH_PHI_DEN,
+        HH_K,
+    )
+
+
+def q_sketch_heavy_hitters_stream(spark, sf_dir):
+    """Streaming twin of sketch_heavy_hitters: the corpus streams in as
+    TWO parquet files (maxFilesPerTrigger=1 forces two micro-batches);
+    each batch appends its Misra-Gries candidate survivors to a parquet
+    ledger (zero streaming state, ≤ k×P rows per batch), and the drain
+    finishes with ONE exact recount over the accumulated files. The
+    cross-batch superset argument is in sketch.mg_candidates; stream ==
+    batch, shared oracle."""
+    import shutil
+
+    from .functions.sketch import _check_hh_bound, hh_recount
+    from .streaming.pipeline import streaming_heavy_hitters
+
+    _check_hh_bound(HH_PHI_NUM, HH_PHI_DEN, HH_K)
+    docs = _docs(spark, sf_dir)
+    docs_dir = _tmp_store("stream_hh_docs")
+    ckpt = _tmp_store("stream_hh_ckpt")
+    cand_dir = _tmp_store("stream_hh_cand")
+    for d in (docs_dir, ckpt, cand_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    docs.repartition(2, "doc_id").write.mode("overwrite").parquet(docs_dir)
+    _, start = streaming_heavy_hitters(
+        spark, docs_dir, ckpt, cand_dir, _hh_tokens, ("lang", "token"),
+        HH_K, max_files_per_trigger=1,
+    )
+    q = start()
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "stream drain exceeded 180s — refusing to grade a partial sink"
+        )
+    cand = spark.read.parquet(cand_dir)
+    return hh_recount(
+        _hh_tokens(spark.read.parquet(docs_dir)),
+        cand,
+        ("lang", "token"),
+        HH_PHI_NUM,
+        HH_PHI_DEN,
+    )
+
+
+# web-hygiene constants (r15) — shared with oracle.sql_web_* twins.
+# documents has no URL column, so the gate synthesizes one raw URL per
+# doc from (doc_id, source, lang) with deterministic spelling noise
+# (case, www, default port, trailing slash, tracking params, param
+# order, fragment); the oracle derives the CANONICAL independently
+# from the generator fields — not by re-running the parser — so the
+# twin checks the canonicalizer's semantics, not its mechanics.
+WEB_PATH_SLOTS = 400
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    hostbase = F.concat(F.col("source"), F.lit(".example.com"))
+    scheme = F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS"))
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("WWW."), F.upper(hostbase)))
+        .when(d % 5 == 1, F.concat(F.lit("www."), hostbase))
+        .otherwise(hostbase)
+    )
+    port = F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/page-"),
+        (d % WEB_PATH_SLOTS).cast("string"),
+    )
+    trail = F.when(d % 11 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?a=1&b=2"))
+        .when(d % 4 == 2, F.lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 13 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, trail, q, frag).alias(
+            "url"
+        ),
+    )
+
+
+def q_web_url_dedup(spark, sf_dir):
+    """URL-level dedup clusters over the synthesized noisy-URL corpus
+    (functions/web.url_dedup): canonicalize (pure JVM expressions) then
+    one hash aggregate on the canonical string — representative, member
+    count, distinct raw spellings."""
+    from .functions.web import url_dedup
+
+    return url_dedup(_doc_urls(_docs(spark, sf_dir)))
+
+
+def q_web_host_stats(spark, sf_dir):
+    """Per-host crawl profile (functions/web.host_stats): pages,
+    distinct canonical URLs, duplicate factor — the mirror-host
+    detection table."""
+    from .functions.web import host_stats
+
+    return host_stats(_doc_urls(_docs(spark, sf_dir)))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), list(range(10)), k=ANN_K, dim=EMB_DIM)
 
@@ -4833,7 +5047,13 @@ MULTIMODAL_PARTS = [
     "multimodal_video_clips",
     "multimodal_dedup_verdict",
 ]
-SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
+SKETCH_PARTS = [
+    "sketch_kmv_distinct",
+    "sketch_count_min",
+    "sketch_hll_distinct",
+    # r15: streaming heavy hitters (candidate ledger + drain recount)
+    "sketch_heavy_hitters_stream",
+]
 # r9 folds: the dedup and ANN families (11 direct slots) become two
 # digest batteries, freeing 9 slots to grade r8's hardest semantics
 # DIRECTLY (VERDICT r8 ask #7) plus the r9 adversarial-skew gate
@@ -4854,6 +5074,22 @@ DEDUP_PARTS = [
     # r12/r13: iterative graph analytics over the candidate edges
     "graph_pagerank",
     "graph_triangles",
+]
+# r15: the four segmented/bucketed skew twins fold into one digest
+# slot — their direct rows hand the window to the composed events
+# pipeline (which RUNS all three segmented operators on the engaged
+# subset), the heavy-hitter gate, and the web-hygiene battery. Each
+# twin's FULL solo output stays value-proven in-window via this digest.
+EVENTS_SKEW_PARTS = [
+    "events_sessionize_segmented",
+    "events_asof_segmented",
+    "events_percentiles_bucketed",
+    "events_user_topn_bucketed",
+]
+# r15: URL canonicalization dedup + host crawl profile
+WEB_PARTS = [
+    "web_url_dedup",
+    "web_host_stats",
 ]
 HYGIENE_PARTS = [
     # r13: C4-style line-level dedup (cut corpus-repeated line-blocks,
@@ -5033,6 +5269,23 @@ def q_hygiene_battery(spark, sf_dir):
     return _digest_battery(HYGIENE_PARTS)(spark, sf_dir)
 
 
+def q_events_skew_battery(spark, sf_dir):
+    """r15 fold: the four skew-safe twins (segmented sessionize,
+    segmented as-of, histogram-descent percentiles, two-phase bucketed
+    top-N) in one digest slot — each stays value-exact in-window while
+    their former direct slots grade the r15 additions. The twins'
+    OPERATORS additionally run composed (on the engaged subset) inside
+    events_pipeline_battery."""
+    return _digest_battery(EVENTS_SKEW_PARTS)(spark, sf_dir)
+
+
+def q_web_battery(spark, sf_dir):
+    """r15: URL-hygiene family (canonicalize+dedup clusters, per-host
+    crawl profile) in one digest slot; constituents registered past the
+    window with full oracles."""
+    return _digest_battery(WEB_PARTS)(spark, sf_dir)
+
+
 def q_tpch_battery(spark, sf_dir):
     """r11 fold: the eight past-the-window TPC-H gates (EXISTS semi,
     full-pushdown scan agg, join-heavy top-20, conditional agg,
@@ -5149,10 +5402,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the window, each still value-proven via the battery and
         # individually addressable. The twins each share the
         # corresponding plain form's oracle verbatim.
-        "events_sessionize_segmented": q_events_sessionize_segmented,
-        "events_asof_segmented": q_events_asof_segmented,
-        "events_percentiles_bucketed": q_events_percentiles_bucketed,
-        "events_user_topn_bucketed": q_events_user_topn_bucketed,
+        # r15 second rotation: the four segmented/bucketed skew twins
+        # fold into events_skew_battery (digest value-proven
+        # in-window); their slots grade the composed events pipeline —
+        # which RUNS the three segmented operators on the engaged
+        # subset — plus the exact heavy-hitter gate and the URL-hygiene
+        # battery. events_asof_stream keeps its direct row (streaming
+        # exactly-once claims stay directly graded).
+        "events_skew_battery": q_events_skew_battery,
+        "events_pipeline_battery": q_events_pipeline_battery,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "web_battery": q_web_battery,
         "events_asof_stream": q_events_asof_stream,
         # r11: events_range_windows_bucketed rotates past the window
         # (still value-proven via events_analytics_battery's digest of
@@ -5184,6 +5444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parity_battery": q_parity_battery,
         "dedup_incremental": q_dedup_incremental,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        # r15 second rotation: the four displaced skew twins (each
+        # value-proven in-window via events_skew_battery) and the two
+        # web_battery constituents
+        "events_sessionize_segmented": q_events_sessionize_segmented,
+        "events_asof_segmented": q_events_asof_segmented,
+        "events_percentiles_bucketed": q_events_percentiles_bucketed,
+        "events_user_topn_bucketed": q_events_user_topn_bucketed,
+        "web_url_dedup": q_web_url_dedup,
+        "web_host_stats": q_web_host_stats,
         # r15 rotation: the nine displaced double-covered rows (each
         # still value-proven in-window via its battery digest)
         "events_rollup": q_events_rollup,
@@ -5207,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_count_min": q_sketch_count_min,
+        "sketch_heavy_hitters_stream": q_sketch_heavy_hitters_stream,
         "s11_dicom_ingest": q_s11_dicom_ingest,
         "s11_gif_ingest": q_s11_gif_ingest,
         "s11_webp_ingest": q_s11_webp_ingest,

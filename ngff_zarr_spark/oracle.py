@@ -1687,6 +1687,179 @@ packed AS MATERIALIZED (
 {digests}"""
 
 
+def sql_events_pipeline_battery():
+    """Composed events-pipeline twin (r15): sessionize → engaged cut →
+    as-of attribution → funnel + retention → converting-user
+    percentiles, as ONE chained CTE stack over the engaged subset —
+    the events-side sibling of sql_corpus_pipeline_battery. Stage
+    bodies are the existing per-operator oracles re-parameterized to
+    the survivor CTEs (sessionize: sql_events_sessionize verbatim;
+    as-of: the native ASOF LEFT JOIN with the max_by click tie-break;
+    funnel/retention: the s0/s1/s2 and cohort derivations over `ee`;
+    percentiles: quantile_cont over converting users)."""
+    from .gate import EPIPE_MIN_SESSIONS
+
+    week_ns = 7 * 86400 * 1_000_000_000
+    specs = {
+        "epipe_sessions": (
+            "SELECT * FROM sess",
+            {"user_id": "l", "n_sessions": "l", "n_events": "l"},
+        ),
+        "epipe_asof": (
+            "SELECT * FROM att",
+            {"user_id": "l", "ts": "l", "event_id": "l",
+             "event_id_click": "l", "ts_click": "l"},
+        ),
+        "epipe_funnel": (
+            "SELECT * FROM fun",
+            {"step_index": "l", "step": "s", "n_users": "l"},
+        ),
+        "epipe_retention": (
+            "SELECT * FROM ret",
+            {"cohort_week": "l", "week_offset": "l", "n_users": "l"},
+        ),
+        "epipe_percentiles": (
+            "SELECT * FROM pct",
+            {"event_type": "s", "n": "l", "p50": "d", "p90": "d", "p99": "d"},
+        ),
+    }
+    digests = "\nUNION ALL\n".join(
+        _digest_sql(name, inner, spec) for name, (inner, spec) in specs.items()
+    )
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT event_id, user_id, event_type, value,
+         CAST(epoch_ns(ts) AS BIGINT) AS ts
+  FROM events
+),
+sg AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS MATERIALIZED (
+  SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+         COUNT(*) AS n_events
+  FROM sg GROUP BY 1
+),
+engaged AS MATERIALIZED (
+  SELECT user_id FROM sess WHERE n_sessions >= {EPIPE_MIN_SESSIONS}
+),
+ee AS MATERIALIZED (SELECT ev.* FROM ev JOIN engaged USING (user_id)),
+p AS (SELECT user_id, ts, event_id FROM ee WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id_click
+  FROM ee WHERE event_type = 'click' GROUP BY 1, 2
+),
+att AS MATERIALIZED (
+  SELECT p.user_id, p.ts, p.event_id, c.event_id_click, c.ts AS ts_click
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+s0 AS (SELECT user_id AS u, MIN(ts) AS done FROM ee WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT ee.user_id AS u, MIN(ee.ts) AS done FROM ee JOIN s0 ON s0.u = ee.user_id
+       WHERE ee.event_type = 'click' AND ee.ts >= s0.done GROUP BY 1),
+s2 AS (SELECT ee.user_id AS u, MIN(ee.ts) AS done FROM ee JOIN s1 ON s1.u = ee.user_id
+       WHERE ee.event_type = 'purchase' AND ee.ts >= s1.done GROUP BY 1),
+fun AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step,
+         CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+),
+co AS (SELECT user_id AS u, MIN(ts // {week_ns}) AS cohort_week
+       FROM ee WHERE event_type = 'signup' GROUP BY 1),
+ac AS (SELECT DISTINCT user_id AS u, ts // {week_ns} AS week FROM ee),
+ret AS MATERIALIZED (
+  SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+         CAST(week - cohort_week AS BIGINT) AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ac JOIN co ON co.u = ac.u
+  WHERE week >= cohort_week GROUP BY 1, 2
+),
+conv AS MATERIALIZED (
+  SELECT DISTINCT user_id FROM att WHERE event_id_click IS NOT NULL
+),
+pct AS MATERIALIZED (
+  SELECT event_type, COUNT(*) AS n,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+  FROM ee JOIN conv USING (user_id) GROUP BY 1
+)
+{digests}"""
+
+
+def sql_sketch_heavy_hitters():
+    """Twin of gate.q_sketch_heavy_hitters: the Misra-Gries candidate
+    pass is correctness-transparent in the guaranteed regime
+    (phi > 1/(k+1): no heavy key can be missed; the recount removes
+    false candidates), so the oracle is the plain exact
+    GROUP BY + integer-threshold HAVING."""
+    from .gate import HH_PHI_DEN, HH_PHI_NUM
+
+    return f"""WITH t AS (
+  SELECT lang, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS token
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS nn FROM t)
+SELECT lang, token, COUNT(*) AS n,
+       round(COUNT(*) / (SELECT nn FROM n), 6) AS frac
+FROM t GROUP BY 1, 2
+HAVING COUNT(*) * {HH_PHI_DEN} >= {HH_PHI_NUM} * (SELECT nn FROM n)"""
+
+
+# the synthesized raw-URL expression — MUST stay arithmetic-identical
+# to gate._doc_urls
+_WEB_RAW_URL = """(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+    (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' || upper(source || '.example.com')
+          WHEN doc_id % 5 = 1 THEN 'www.' || source || '.example.com'
+          ELSE source || '.example.com' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+    '/' || lang || '/page-' || CAST(doc_id % {slots} AS VARCHAR) ||
+    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                     WHEN 1 THEN '?a=1&b=2'
+                     WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
+                     ELSE '' END) ||
+    (CASE WHEN doc_id % 13 = 0 THEN '#sec' ELSE '' END)"""
+
+# the INDEPENDENT canonical derivation: straight from the generator
+# fields, never through the parser — the twin checks the
+# canonicalizer's semantics, not its mechanics
+_WEB_CANON_URL = """'https://' || source || '.example.com/' || lang || '/page-'
+    || CAST(doc_id % {slots} AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 3 THEN '' ELSE '?a=1&b=2' END)"""
+
+
+def _sql_web_urls():
+    from .gate import WEB_PATH_SLOTS
+
+    raw = _WEB_RAW_URL.format(slots=WEB_PATH_SLOTS)
+    canon = _WEB_CANON_URL.format(slots=WEB_PATH_SLOTS)
+    return f"""u AS (
+  SELECT doc_id, {raw} AS url, {canon} AS canonical_url,
+         source || '.example.com' AS host
+  FROM documents
+)"""
+
+
+def sql_web_url_dedup():
+    return f"""WITH {_sql_web_urls()}
+SELECT canonical_url, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms
+FROM u GROUP BY 1"""
+
+
+def sql_web_host_stats():
+    return f"""WITH {_sql_web_urls()}
+SELECT host, COUNT(*) AS n_pages,
+       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+       round(COUNT(*) / COUNT(DISTINCT canonical_url), 6) AS dup_factor
+FROM u GROUP BY 1"""
+
+
 def sql_dedup_shingle_frac():
     from .functions.dedup import SHINGLE_K  # noqa: F401 — k=3 pinned in _SHINGLE
 
@@ -4458,6 +4631,16 @@ _DIGEST_SPECS = {
         "user_id": "l", "ts": "l", "event_id": "l", "event_id_click": "l", "ts_click": "l",
     },
     "events_range_windows": {"start_ts": "l", "event_type": "s", "n": "l"},
+    # r15: the skew twins folded into events_skew_battery (shapes ==
+    # their plain forms) and the web-hygiene constituents
+    "events_sessionize_segmented": {"user_id": "l", "n_sessions": "l", "n_events": "l"},
+    "events_asof_segmented": {
+        "user_id": "l", "ts": "l", "event_id": "l", "event_id_click": "l", "ts_click": "l",
+    },
+    "events_percentiles_bucketed": {"event_type": "s", "n": "l", "p50": "d", "p90": "d", "p99": "d"},
+    "events_user_topn_bucketed": {"event_type": "s", "rank": "l", "user_id": "l", "n": "l"},
+    "web_url_dedup": {"canonical_url": "s", "rep_id": "l", "n_docs": "l", "n_raw_forms": "l"},
+    "web_host_stats": {"host": "s", "n_pages": "l", "n_urls": "l", "dup_factor": "d"},
     "events_range_windows_bucketed": {"start_ts": "l", "event_type": "s", "n": "l"},
     "events_count_sessions_stream": {
         "user_id": "l", "chunk": "l", "n_events": "l", "start_ts": "l", "end_ts": "l",
@@ -4561,6 +4744,7 @@ _DIGEST_SPECS = {
     "multimodal_audio": {"doc_id": "l", "n_samples": "l", "sample_rate": "l", "sq_sum": "l"},
     "sketch_kmv_distinct": {"k_used": "l", "kth_hash": "l", "est": "d"},
     "sketch_count_min": {"value": "s", "exact_n": "l", "cm_est": "l"},
+    "sketch_heavy_hitters_stream": {"lang": "s", "token": "s", "n": "l", "frac": "d"},
     "dedup_minhash": {"doc_a": "l", "doc_b": "l", "est_jaccard": "d"},
     "dedup_edit_distance": {"doc_a": "l", "doc_b": "l", "dist": "l"},
     "dedup_lines": {
@@ -4722,6 +4906,19 @@ HCS_PARTS = [
     "s16_nifti_ingest",
 ]
 
+# r15: mirrors gate.EVENTS_SKEW_PARTS / gate.WEB_PARTS (pinned equal
+# in pytest)
+EVENTS_SKEW_PARTS = [
+    "events_sessionize_segmented",
+    "events_asof_segmented",
+    "events_percentiles_bucketed",
+    "events_user_topn_bucketed",
+]
+WEB_PARTS = [
+    "web_url_dedup",
+    "web_host_stats",
+]
+
 EVENTS_ANALYTICS_PARTS = [
     "events_percentiles",
     "events_user_topn",
@@ -4807,7 +5004,12 @@ MULTIMODAL_PARTS = [
     "multimodal_video_clips",
     "multimodal_dedup_verdict",
 ]
-SKETCH_PARTS = ["sketch_kmv_distinct", "sketch_count_min", "sketch_hll_distinct"]
+SKETCH_PARTS = [
+    "sketch_kmv_distinct",
+    "sketch_count_min",
+    "sketch_hll_distinct",
+    "sketch_heavy_hitters_stream",
+]
 # r15 split (VERDICT r14 ask #6) — mirrors gate.DEDUP_PARTS /
 # gate.HYGIENE_PARTS (pinned equal in pytest)
 DEDUP_PARTS = [
@@ -5109,6 +5311,10 @@ def oracles() -> dict[str, str]:
         "corpus_temperature_report": sql_corpus_temperature_report(),
         "dedup_index_refresh": sql_dedup_index_refresh(),
         "corpus_pipeline_battery": sql_corpus_pipeline_battery(),
+        "events_pipeline_battery": sql_events_pipeline_battery(),
+        "sketch_heavy_hitters": sql_sketch_heavy_hitters(),
+        "web_url_dedup": sql_web_url_dedup(),
+        "web_host_stats": sql_web_host_stats(),
         "dedup_dup_token_frac": sql_dedup_dup_token_frac(),
         "parity_battery": sql_parity_battery(),
         "sketch_hll_distinct": sql_sketch_hll_distinct(),
@@ -5282,6 +5488,8 @@ GROUP BY 1, 2, 3""",
     # sampler (deterministic content-hash priorities; merge order
     # cannot change the per-stratum top-k)
     d["corpus_priority_sample_stream"] = d["corpus_priority_sample"]
+    # the candidate-ledger streaming heavy hitters == the batch recount
+    d["sketch_heavy_hitters_stream"] = d["sketch_heavy_hitters"]
     # digest batteries: UNION ALL of each constituent's oracle wrapped
     # in the digest reduction — the inner SQL IS the constituent's own
     # oracle entry, so battery correctness derives from constituent
@@ -5298,6 +5506,8 @@ GROUP BY 1, 2, 3""",
         ("planner_battery", PLANNER_PARTS),
         ("metadata_battery", METADATA_PARTS),
         ("hcs_battery", HCS_PARTS),
+        ("events_skew_battery", EVENTS_SKEW_PARTS),
+        ("web_battery", WEB_PARTS),
     ):
         d[bname] = "\nUNION ALL\n".join(
             _digest_sql(p, d[p], _DIGEST_SPECS[p]) for p in parts

@@ -782,6 +782,60 @@ def streaming_incremental_dedup(
     return docs, start
 
 
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    cand_dir: str,
+    transform,
+    key_cols: tuple[str, ...],
+    k: int,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of exact heavy hitters (functions/sketch.
+    heavy_hitters): the corpus streams in as parquet files; each
+    micro-batch runs the Misra-Gries CANDIDATE pass only
+    (sketch.mg_candidates — bounded k-entry state per task, ≤ k×P
+    output rows) and appends its survivors to a parquet candidate
+    ledger. Zero streaming state; the superset guarantee composes
+    across micro-batches (a key missed by every batch summary has
+    global count ≤ N/(k+1) — see mg_candidates), so at drain the
+    ledger is a superset of the stream's true heavy hitters and ONE
+    exact recount over the accumulated corpus (the same files the
+    stream ingested — ingest pipelines persist their batches anyway)
+    finishes the job. stream == batch is the gate's claim; shared
+    GROUP BY + HAVING oracle.
+
+    ``transform`` maps a raw micro-batch DataFrame to the keyed frame
+    carrying ``key_cols`` (e.g. docs → (lang, token) explode); it must
+    be stateless/per-row, like the quality projection in
+    streaming_quality_filter.
+
+    Returns (stream_df, start_fn); start() drains with availableNow."""
+    from ..functions.sketch import mg_candidates
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(docs_dir)
+
+    def handle(batch_df, _batch_id):
+        mg_candidates(transform(batch_df), key_cols, k).write.mode(
+            "append"
+        ).parquet(cand_dir)
+
+    def start():
+        return (
+            docs.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return docs, start
+
+
 def streaming_quality_filter(
     spark: SparkSession,
     docs_dir: str,

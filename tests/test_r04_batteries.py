@@ -113,6 +113,10 @@ BATTERIES = {
     "ann_battery": gate.ANN_PARTS,
     # r11 fold: the past-the-window TPC-H plan-family gates
     "tpch_battery": gate.TPCH_PARTS,
+    # r15 folds: the segmented/bucketed skew twins and the web-hygiene
+    # family (digest batteries)
+    "events_skew_battery": gate.EVENTS_SKEW_PARTS,
+    "web_battery": gate.WEB_PARTS,
 }
 
 
@@ -230,10 +234,6 @@ def test_first_50_layout():
         "dedup_battery",
         "ann_battery",
         "tpch_battery",
-        "events_sessionize_segmented",
-        "events_asof_segmented",
-        "events_percentiles_bucketed",
-        "events_user_topn_bucketed",
         "events_asof_stream",
         "dedup_skew_cluster",
     ):
@@ -246,6 +246,20 @@ def test_first_50_layout():
         "events_bloom_semijoin",
         "events_range_windows_bucketed",
     ):
+        assert k in qs[50:], k
+    # r15 second rotation: the four segmented/bucketed skew twins fold
+    # into events_skew_battery (digest value-proven in-window); their
+    # direct slots grade the composed events pipeline (which runs the
+    # three segmented operators on the engaged subset), the exact
+    # heavy-hitter gate, and the web-hygiene battery
+    for k in (
+        "events_skew_battery",
+        "events_pipeline_battery",
+        "sketch_heavy_hitters",
+        "web_battery",
+    ):
+        assert k in first50, k
+    for k in gate.EVENTS_SKEW_PARTS + gate.WEB_PARTS:
         assert k in qs[50:], k
     # r13: a battery constituent may ALSO hold a direct window slot
     # (graph_pagerank rotated in; double grading is never a problem) —
@@ -296,6 +310,8 @@ def test_digest_parts_lists_mirror_oracle():
     assert gate.PLANNER_PARTS == oracle.PLANNER_PARTS
     assert gate.METADATA_PARTS == oracle.METADATA_PARTS
     assert gate.HCS_PARTS == oracle.HCS_PARTS
+    assert gate.EVENTS_SKEW_PARTS == oracle.EVENTS_SKEW_PARTS
+    assert gate.WEB_PARTS == oracle.WEB_PARTS
     for p in (
         gate.EVENTS_ANALYTICS_PARTS
         + gate.CORPUS_SAMPLING_PARTS
@@ -308,6 +324,8 @@ def test_digest_parts_lists_mirror_oracle():
         + gate.PLANNER_PARTS
         + gate.METADATA_PARTS
         + gate.HCS_PARTS
+        + gate.EVENTS_SKEW_PARTS
+        + gate.WEB_PARTS
     ):
         assert p in oracle._DIGEST_SPECS, p
 
@@ -323,7 +341,11 @@ def test_digest_specs_match_gate_schemas(spark, sf_dir):
 
     qs = gate.queries()
     for p, spec in oracle._DIGEST_SPECS.items():
-        if p in ("events_count_sessions_stream", "dedup_substring_stream"):
+        if p in (
+            "events_count_sessions_stream",
+            "dedup_substring_stream",
+            "sketch_heavy_hitters_stream",
+        ):
             continue
         df = qs[p](spark, sf_dir)
         assert set(df.columns) == set(spec), p

@@ -1,0 +1,111 @@
+"""r15: URL canonicalization + web-crawl hygiene (functions/web.py).
+
+Pins the RFC-3986-subset normalization rules case by case, the
+idempotence invariant (canonicalizing a canonical URL is a no-op — the
+property that makes the pass safe to re-run over a partially-processed
+crawl), and the dedup/host-profile accounting over the synthesized
+noisy-URL corpus the gate grades."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ngff_zarr_spark.functions.web import canonicalize_url, host_stats, url_dedup
+from ngff_zarr_spark.gate import _doc_urls, _docs
+
+CASES = [
+    # the motivating example: every noise class at once
+    ("HTTP://WWW.Site.com:80/a/?utm_source=x&b=2&a=1#frag",
+     "http://site.com/a?a=1&b=2"),
+    ("https://site.com:443/a?a=1&b=2", "https://site.com/a?a=1&b=2"),
+    # empty path -> '/', root slash kept
+    ("https://site.com", "https://site.com/"),
+    ("https://site.com/", "https://site.com/"),
+    # non-default port kept
+    ("https://site.com:8080/x", "https://site.com:8080/x"),
+    # tracking-only query drops entirely (no dangling '?')
+    ("https://site.com/x?gclid=abc", "https://site.com/x"),
+    ("https://site.com/x?fbclid=1&z=9&UTM_CAMPAIGN=a",
+     "https://site.com/x?z=9"),
+    # param ordering is canonical
+    ("https://site.com/x?b=2&a=1", "https://site.com/x?a=1&b=2"),
+    ("https://site.com/x?a=1&b=2", "https://site.com/x?a=1&b=2"),
+    # path case is PRESERVED (paths are case-sensitive per RFC 3986;
+    # only scheme and host normalize)
+    ("ftp://Host.org/Dir/", "ftp://host.org/Dir"),
+    # unparseable -> NULL quarantine, never a garbage collision key
+    ("not a url", None),
+    ("", None),
+]
+
+
+def test_canonicalization_cases(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, raw
+
+
+def test_idempotent_on_corpus(spark, sf_dir):
+    urls = _doc_urls(_docs(spark, sf_dir))
+    once = urls.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).where(F.col("c1") != F.col("c2"))
+    assert twice.count() == 0
+
+
+def test_url_dedup_accounting(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    clusters = url_dedup(_doc_urls(docs))
+    agg = clusters.agg(
+        F.sum("n_docs").alias("members"),
+        F.min("n_raw_forms").alias("min_raw"),
+        F.max("n_raw_forms").alias("max_raw"),
+    ).collect()[0]
+    # every doc lands in exactly one cluster (all synthesized URLs parse)
+    assert agg.members == n_docs
+    assert agg.min_raw >= 1
+    # raw spellings never exceed members, and the noise classes
+    # actually produce multi-spelling clusters somewhere
+    assert clusters.where(F.col("n_raw_forms") > F.col("n_docs")).count() == 0
+    # representative is the minimum member id: rebuild membership and
+    # compare min-per-canonical
+    canon = _doc_urls(docs).select(
+        "doc_id", canonicalize_url(F.col("url")).alias("cu")
+    )
+    mins = canon.groupBy("cu").agg(F.min("doc_id").alias("want_rep"))
+    bad = (
+        clusters.join(mins, clusters.canonical_url == mins.cu)
+        .where(F.col("rep_id") != F.col("want_rep"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_host_stats_accounting(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    hs = host_stats(_doc_urls(docs))
+    rows = hs.collect()
+    assert sum(r.n_pages for r in rows) == docs.count()
+    # hosts are canonical: lowercase, no www, no port
+    for r in rows:
+        assert r.host == r.host.lower()
+        assert not r.host.startswith("www.")
+        assert ":" not in r.host
+        assert r.dup_factor >= 1.0
+
+
+def test_gate_collision_structure(spark, sf_dir):
+    # the synthesized corpus must actually exercise collapse: fewer
+    # canonical URLs than documents (spelling noise + slot collisions)
+    docs = _docs(spark, sf_dir)
+    clusters = url_dedup(_doc_urls(docs))
+    assert clusters.count() < docs.count()
+    assert clusters.where(F.col("n_docs") >= 2).count() > 0
