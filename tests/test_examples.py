@@ -30,3 +30,12 @@ def test_plate_ingestion_example_runs():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "plate ingestion complete" in r.stdout
+
+
+def test_crawl_hygiene_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/crawl_hygiene.py", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "crawl hygiene complete" in r.stdout
