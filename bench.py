@@ -579,6 +579,9 @@ QUERIES = {
     # r15: streaming heavy hitters (two-micro-batch candidate ledger +
     # drain-time exact recount over the accumulated files)
     "sketch_heavy_hitters_stream": gate.q_sketch_heavy_hitters_stream,
+    # r15: the composed 5-stage multimodal pipeline (decode -> size cut
+    # -> aHash pairs -> cross-modal verdict -> resize of the kept docs)
+    "multimodal_pipeline": gate.q_multimodal_pipeline_battery,
 }
 
 
@@ -593,6 +596,7 @@ SINGLE_RUN = {
     "dedup_index_refresh",
     "corpus_pipeline",
     "events_pipeline",
+    "multimodal_pipeline",
 }
 
 

@@ -2129,6 +2129,64 @@ def q_events_pipeline_battery(spark, sf_dir):
     return out
 
 
+# composed multimodal-pipeline constant (r15) — shared with
+# oracle.sql_multimodal_pipeline_battery. n_px = (6 + id%3)(8 + id%5)
+# ∈ {48..96}; the ≥70 cut keeps exactly 8 of the 15 (id mod 15)
+# residue classes, so a non-trivial strict subset survives at every SF.
+MPIPE_MIN_PX = 70
+
+
+def q_multimodal_pipeline_battery(spark, sf_dir):
+    """The composed multimodal ingest pipeline as ONE driver-graded
+    gate (r15 — third of the composed-pipeline family, after the corpus
+    and events chains): decode → size admission → perceptual near-dup
+    pairs → cross-modal keep verdict → resize of the kept docs, each
+    stage consuming the previous stage's SURVIVORS. The Spark side
+    decodes REAL PNG bytes at every stage; the DuckDB twin re-derives
+    every pixel from the generator formula over the survivor CTEs — a
+    codec, sampling, or plumbing bug at ANY stage mismatches.
+
+      1. document_image_features  — decode + per-doc image stats
+      2. size cut                 — n_px >= MPIPE_MIN_PX (admission)
+      3. image_near_dup           — aHash band pairs at Hamming ≤ 1
+                                    over the ADMITTED docs
+      4. multimodal_dedup_verdict — text/image/audio keep decision over
+                                    the admitted docs (reps chosen
+                                    WITHIN the filtered corpus)
+      5. resize_image_pixels      — 4×4 nearest resize of the KEPT docs
+
+    Output: one value-exact digest row per stage (gate._digest_gate);
+    stage tables are localCheckpoint leaves (the decode UDFs would
+    otherwise re-run under every downstream digest)."""
+    from .functions.multimodal import (
+        document_image_features,
+        image_near_dup,
+        multimodal_dedup_verdict,
+        resize_image_pixels,
+    )
+
+    docs = _docs(spark, sf_dir)
+    feats = document_image_features(docs).localCheckpoint()
+    kept_ids = feats.filter(F.col("n_px") >= MPIPE_MIN_PX).select("doc_id")
+    s2 = docs.join(F.broadcast(kept_ids), "doc_id").localCheckpoint()
+    pairs = image_near_dup(s2, max_hamming=1)
+    verdict = multimodal_dedup_verdict(s2).localCheckpoint()
+    s4 = s2.join(
+        F.broadcast(verdict.filter(F.col("keep") == "yes").select("doc_id")),
+        "doc_id",
+    )
+    resized = resize_image_pixels(s4)
+    out = _digest_gate(feats, "mpipe_features")
+    for name, df in (
+        ("mpipe_sizecut", s2.select("doc_id")),
+        ("mpipe_pairs", pairs),
+        ("mpipe_verdict", verdict),
+        ("mpipe_resize", resized),
+    ):
+        out = out.unionByName(_digest_gate(df, name))
+    return out
+
+
 # heavy-hitter constants (r15) — phi = 1%, k = 100 counters: the
 # smallest k for which the Misra-Gries superset guarantee covers phi
 # (exactness is enforced, not assumed — sketch.heavy_hitters raises
@@ -4981,6 +5039,9 @@ EVENTS_ANALYTICS_PARTS = [
     "events_zorder_key",
     # r13: native multi-level ROLLUP report (grouping-id parity)
     "events_rollup",
+    # r15: the replay-dedup exactly-once stream folds in, freeing its
+    # direct slot for the composed multimodal pipeline
+    "events_dedup_stream",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -5385,7 +5446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # freeing the slot that rotates events_dedup_stream (the
         # replay-dedup exactly-once claim) into the driver window
         "dedup_exact_battery": q_dedup_exact_battery,
-        "events_dedup_stream": q_events_dedup_stream,
+        # r15 third rotation: events_dedup_stream folds into
+        # events_analytics_battery (digest value-proven in-window);
+        # its slot grades the composed multimodal pipeline
+        "multimodal_pipeline_battery": q_multimodal_pipeline_battery,
         # r9: the dedup and ANN families fold into two digest batteries
         # (11 slots → 2); the 9 freed slots grade DIRECTLY (VERDICT r8
         # ask #7): the as-of family's forward/tolerance forms, the
@@ -5453,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_topn_bucketed": q_events_user_topn_bucketed,
         "web_url_dedup": q_web_url_dedup,
         "web_host_stats": q_web_host_stats,
+        "events_dedup_stream": q_events_dedup_stream,
         # r15 rotation: the nine displaced double-covered rows (each
         # still value-proven in-window via its battery digest)
         "events_rollup": q_events_rollup,

@@ -1791,6 +1791,172 @@ pct AS MATERIALIZED (
 {digests}"""
 
 
+def sql_multimodal_pipeline_battery():
+    """Composed multimodal-pipeline twin (r15): decode features → size
+    admission → aHash near-dup pairs → cross-modal keep verdict →
+    resize of the kept docs, as ONE chained CTE stack over the
+    survivor CTEs — every pixel/bit re-derived from the generator
+    formula (the Spark side decodes real PNG bytes; the twin checks
+    semantics at every stage). Stage bodies mirror the per-operator
+    oracles (sql_multimodal_features / _image_dedup / _dedup_verdict /
+    _resize) re-parameterized to the admitted set."""
+    from .functions.dedup import DEFAULT_MAX_BUCKET
+    from .functions.multimodal import (
+        AUD_A,
+        AUD_FP_FRAMES,
+        AUD_I,
+        AUD_LEN_BASE,
+        AUD_LEN_MOD,
+        AUD_MOD,
+        H_BASE,
+        H_MOD,
+        PIX_A,
+        PIX_MOD,
+        PIX_X,
+        PIX_Y,
+        W_BASE,
+        W_MOD,
+    )
+    from .gate import MPIPE_MIN_PX
+
+    max_px = (W_BASE + W_MOD - 1) * (H_BASE + H_MOD - 1)
+    k = AUD_FP_FRAMES
+    max_n = AUD_LEN_BASE + AUD_LEN_MOD - 1
+    specs = {
+        "mpipe_features": (
+            "SELECT * FROM feats",
+            {"doc_id": "l", "n_chars": "l", "img_h": "l", "img_w": "l",
+             "n_px": "l", "px_mean": "d"},
+        ),
+        "mpipe_sizecut": ("SELECT doc_id FROM s2", {"doc_id": "l"}),
+        "mpipe_pairs": (
+            "SELECT * FROM pairs",
+            {"doc_a": "l", "doc_b": "l", "dist": "l"},
+        ),
+        "mpipe_verdict": (
+            "SELECT doc_id, reason, keep FROM verdict",
+            {"doc_id": "l", "reason": "s", "keep": "s"},
+        ),
+        "mpipe_resize": (
+            "SELECT * FROM resized",
+            {"doc_id": "l", "y": "l", "x": "l", "v": "l"},
+        ),
+    }
+    digests = "\nUNION ALL\n".join(
+        _digest_sql(name, inner, spec) for name, (inner, spec) in specs.items()
+    )
+    return f"""WITH fdims AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         {H_BASE} + doc_id % {H_MOD} AS h,
+         {W_BASE} + doc_id % {W_MOD} AS w
+  FROM documents
+),
+fpx AS (
+  SELECT doc_id, n_chars, h, w,
+         SUM((doc_id * {PIX_A} + (i // w) * {PIX_Y} + (i % w) * {PIX_X}) % {PIX_MOD}) AS s
+  FROM fdims CROSS JOIN range({max_px}) r(i)
+  WHERE i < h * w
+  GROUP BY 1, 2, 3, 4
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, n_chars, CAST(h AS BIGINT) AS img_h, CAST(w AS BIGINT) AS img_w,
+         CAST(h * w AS BIGINT) AS n_px,
+         round(CAST(s AS DOUBLE) / (h * w), 6) AS px_mean
+  FROM fpx
+),
+s2 AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN feats USING (doc_id)
+  WHERE feats.n_px >= {MPIPE_MIN_PX}
+),
+{_sql_ahash_cte(table="s2")},
+bb AS (
+  SELECT doc_id, b.i AS band,
+         CASE b.i
+           WHEN 0 THEN h_hi // 65536
+           WHEN 1 THEN h_hi % 65536
+           WHEN 2 THEN h_lo // 65536
+           ELSE h_lo % 65536
+         END AS bucket
+  FROM ah CROSS JOIN range(4) b(i)
+),
+bocc AS (
+  SELECT band, bucket, COUNT(*) AS occ, MIN(doc_id) AS hub
+  FROM bb GROUP BY 1, 2
+),
+bbx AS (
+  SELECT b.doc_id, b.band, b.bucket, o.occ, o.hub
+  FROM bb b JOIN bocc o ON b.band = o.band AND b.bucket = o.bucket
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bbx a JOIN bbx b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.occ <= {DEFAULT_MAX_BUCKET}
+    UNION ALL
+    SELECT hub AS doc_a, doc_id AS doc_b FROM bbx
+    WHERE occ > {DEFAULT_MAX_BUCKET} AND doc_id <> hub
+  )
+),
+pairs AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS dist
+  FROM cand c
+  JOIN ah ha ON ha.doc_id = c.doc_a
+  JOIN ah hb ON hb.doc_id = c.doc_b
+  WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 1
+),
+tkey AS (SELECT doc_id, md5({NORM.format(c="text")}) AS ck FROM s2),
+trep AS (SELECT ck, MIN(doc_id) AS rep FROM tkey GROUP BY 1),
+tdup AS (SELECT t.doc_id, t.doc_id <> r.rep AS text_dup FROM tkey t JOIN trep r USING (ck)),
+arep AS (SELECT h_hi, h_lo, MIN(doc_id) AS rep FROM ah GROUP BY 1, 2),
+adup AS (SELECT a.doc_id, a.doc_id <> r.rep AS image_dup
+         FROM ah a JOIN arep r ON a.h_hi = r.h_hi AND a.h_lo = r.h_lo),
+adims AS (SELECT doc_id, {AUD_LEN_BASE} + doc_id % {AUD_LEN_MOD} AS n FROM s2),
+asmp AS (
+  SELECT doc_id, n, (r.i * {k}) // n AS f,
+         (doc_id * {AUD_A} + r.i * {AUD_I}) % {AUD_MOD} AS w
+  FROM adims CROSS JOIN range({max_n}) r(i) WHERE r.i < n
+),
+aen AS (SELECT doc_id, f, SUM(w * w) AS energy FROM asmp GROUP BY 1, 2),
+abits AS (
+  SELECT doc_id, f,
+         CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id ORDER BY f)
+              THEN 1 ELSE 0 END AS b
+  FROM aen
+),
+afps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN f >= 1 THEN b * power(2, {k} - 1 - f) ELSE 0 END) AS BIGINT) AS fp
+  FROM abits GROUP BY 1
+),
+frep AS (SELECT fp, MIN(doc_id) AS rep FROM afps GROUP BY 1),
+fdup AS (SELECT a.doc_id, a.doc_id <> r.rep AS audio_dup FROM afps a JOIN frep r USING (fp)),
+verdict AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN tdup.text_dup THEN 'text_dup'
+              WHEN adup.image_dup THEN 'image_dup'
+              WHEN fdup.audio_dup THEN 'audio_dup'
+              ELSE 'unique' END AS reason,
+         CASE WHEN tdup.text_dup OR adup.image_dup OR fdup.audio_dup
+              THEN 'no' ELSE 'yes' END AS keep
+  FROM s2 d
+  JOIN tdup ON tdup.doc_id = d.doc_id
+  JOIN adup ON adup.doc_id = d.doc_id
+  JOIN fdup ON fdup.doc_id = d.doc_id
+),
+s4 AS (SELECT s2.doc_id FROM s2 JOIN verdict USING (doc_id) WHERE verdict.keep = 'yes'),
+rdims AS (
+  SELECT doc_id, {H_BASE} + doc_id % {H_MOD} AS h, {W_BASE} + doc_id % {W_MOD} AS w
+  FROM s4
+),
+resized AS MATERIALIZED (
+  SELECT doc_id, CAST(yy.i AS BIGINT) AS y, CAST(xx.i AS BIGINT) AS x,
+         CAST((doc_id * {PIX_A} + ((yy.i * h) // 4) * {PIX_Y} + ((xx.i * w) // 4) * {PIX_X}) % {PIX_MOD} AS BIGINT) AS v
+  FROM rdims CROSS JOIN range(4) yy(i) CROSS JOIN range(4) xx(i)
+)
+{digests}"""
+
+
 def sql_sketch_heavy_hitters():
     """Twin of gate.q_sketch_heavy_hitters: the Misra-Gries candidate
     pass is correctness-transparent in the guaranteed regime
@@ -3536,10 +3702,12 @@ SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
 FROM dots WHERE round(dot / (na * nb), 6) >= {NEAR_DUP_COS}"""
 
 
-def _sql_ahash_cte() -> str:
+def _sql_ahash_cte(table: str = "documents") -> str:
     """(doc_id, h_hi, h_lo) aHash table from the synthetic pixel
     formula — mirrors functions/multimodal.image_ahash (8×8 nearest
-    sample, integer mean threshold 64·p > Σp, two 32-bit halves)."""
+    sample, integer mean threshold 64·p > Σp, two 32-bit halves).
+    ``table`` re-parameterizes the source for composed-pipeline twins
+    (r15 multimodal_pipeline_battery)."""
     from .functions.multimodal import (
         AHASH_SIZE,
         H_BASE,
@@ -3555,7 +3723,7 @@ def _sql_ahash_cte() -> str:
     s8 = AHASH_SIZE
     return f"""dims AS (
   SELECT doc_id, {H_BASE} + doc_id % {H_MOD} AS h, {W_BASE} + doc_id % {W_MOD} AS w
-  FROM documents
+  FROM {table}
 ),
 samp AS (
   SELECT doc_id, g.i AS i,
@@ -4631,6 +4799,9 @@ _DIGEST_SPECS = {
         "user_id": "l", "ts": "l", "event_id": "l", "event_id_click": "l", "ts_click": "l",
     },
     "events_range_windows": {"start_ts": "l", "event_type": "s", "n": "l"},
+    "events_dedup_stream": {
+        "event_id": "l", "ts": "l", "user_id": "l", "event_type": "s", "value": "d",
+    },
     # r15: the skew twins folded into events_skew_battery (shapes ==
     # their plain forms) and the web-hygiene constituents
     "events_sessionize_segmented": {"user_id": "l", "n_sessions": "l", "n_events": "l"},
@@ -4940,6 +5111,8 @@ EVENTS_ANALYTICS_PARTS = [
     "events_zorder_key",
     # r13: native multi-level ROLLUP report
     "events_rollup",
+    # r15: replay-dedup exactly-once stream (folded from its direct slot)
+    "events_dedup_stream",
 ]
 CORPUS_SAMPLING_PARTS = [
     "corpus_split_counts",
@@ -5312,6 +5485,7 @@ def oracles() -> dict[str, str]:
         "dedup_index_refresh": sql_dedup_index_refresh(),
         "corpus_pipeline_battery": sql_corpus_pipeline_battery(),
         "events_pipeline_battery": sql_events_pipeline_battery(),
+        "multimodal_pipeline_battery": sql_multimodal_pipeline_battery(),
         "sketch_heavy_hitters": sql_sketch_heavy_hitters(),
         "web_url_dedup": sql_web_url_dedup(),
         "web_host_stats": sql_web_host_stats(),

@@ -140,7 +140,12 @@ def test_first_50_layout():
     # r7: the three folds freed slots for the export adapter, the
     # replay-dedup exactly-once gate, and plain-PQ ADC; constituents
     # stay registered past the window
-    assert "events_dedup_stream" in first50
+    # r15 third rotation: events_dedup_stream folds into
+    # events_analytics_battery; the composed multimodal pipeline takes
+    # its direct slot
+    assert "events_dedup_stream" in qs[50:]
+    assert "events_dedup_stream" in gate.EVENTS_ANALYTICS_PARTS
+    assert "multimodal_pipeline_battery" in first50
     assert "dedup_exact_battery" in first50
     assert "ingest_battery" in first50
     for k in (
@@ -345,6 +350,7 @@ def test_digest_specs_match_gate_schemas(spark, sf_dir):
             "events_count_sessions_stream",
             "dedup_substring_stream",
             "sketch_heavy_hitters_stream",
+            "events_dedup_stream",
         ):
             continue
         df = qs[p](spark, sf_dir)
