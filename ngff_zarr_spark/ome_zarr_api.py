@@ -458,7 +458,22 @@ def write_image_batch(
         )
         per_task = (1 << 20) if compressor in ("gzip", "zlib", "bz2") else (4 << 20)
         n_tasks = min(n_tasks, max(1, -(-total_chunks * chunk_bytes // per_task)))
-        packed = packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
+        if len(fields) >= n_tasks:
+            # zero-shuffle path (r15): every branch is a single
+            # partition (the per-branch COALESCE(1) hint) and the field
+            # id is the chunk key's highest radix digit, so no chunk
+            # ever spans two branches — a partition-count coalesce
+            # preserves chunk-locality while moving NOTHING. The
+            # repartition below would re-exchange the entire pixel
+            # volume per micro-batch; at plate-ingest scale (many
+            # fields per batch) that shuffle is pure waste. The
+            # in-task sort still guarantees each chunk flushes once.
+            packed = packed.coalesce(n_tasks).sortWithinPartitions("ck")
+        else:
+            # few huge fields: coalesce could not RAISE parallelism
+            # above the branch count, so pay the exchange to spread
+            # each field's chunks over n_tasks writers
+            packed = packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
         (
             packed.write.format("ome_zarr")
             .mode("overwrite")
