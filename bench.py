@@ -582,6 +582,9 @@ QUERIES = {
     # r15: the composed 5-stage multimodal pipeline (decode -> size cut
     # -> aHash pairs -> cross-modal verdict -> resize of the kept docs)
     "multimodal_pipeline": gate.q_multimodal_pipeline_battery,
+    # r15: streaming URL dedup (stateless canonical ledger + drain-time
+    # clustering aggregate)
+    "web_url_dedup_stream": gate.q_web_url_dedup_stream,
 }
 
 

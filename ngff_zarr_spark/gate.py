@@ -2314,6 +2314,36 @@ def q_web_url_dedup(spark, sf_dir):
     return url_dedup(_doc_urls(_docs(spark, sf_dir)))
 
 
+def q_web_url_dedup_stream(spark, sf_dir):
+    """Streaming twin of web_url_dedup: the corpus streams in as TWO
+    parquet files (maxFilesPerTrigger=1 forces two micro-batches); each
+    batch appends its canonicalized (canonical, raw, id) projection to
+    a parquet ledger (zero streaming state — the stateless-ingest
+    split), and the drain finishes with ONE clustering aggregate over
+    the ledger. stream == batch, shared oracle."""
+    import shutil
+
+    from .streaming.pipeline import streaming_url_dedup, url_dedup_from_ledger
+
+    docs = _docs(spark, sf_dir)
+    docs_dir = _tmp_store("stream_url_docs")
+    ckpt = _tmp_store("stream_url_ckpt")
+    ledger = _tmp_store("stream_url_ledger")
+    for d in (docs_dir, ckpt, ledger):
+        shutil.rmtree(d, ignore_errors=True)
+    docs.repartition(2, "doc_id").write.mode("overwrite").parquet(docs_dir)
+    _, start = streaming_url_dedup(
+        spark, docs_dir, ckpt, ledger, _doc_urls, max_files_per_trigger=1
+    )
+    q = start()
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "stream drain exceeded 180s — refusing to grade a partial sink"
+        )
+    return url_dedup_from_ledger(spark, ledger)
+
+
 def q_web_host_stats(spark, sf_dir):
     """Per-host crawl profile (functions/web.host_stats): pages,
     distinct canonical URLs, duplicate factor — the mirror-host
@@ -5151,6 +5181,9 @@ EVENTS_SKEW_PARTS = [
 WEB_PARTS = [
     "web_url_dedup",
     "web_host_stats",
+    # r15: the stateless-ingest streaming twin (canonical ledger +
+    # drain-time clustering aggregate)
+    "web_url_dedup_stream",
 ]
 HYGIENE_PARTS = [
     # r13: C4-style line-level dedup (cut corpus-repeated line-blocks,
@@ -5517,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_topn_bucketed": q_events_user_topn_bucketed,
         "web_url_dedup": q_web_url_dedup,
         "web_host_stats": q_web_host_stats,
+        "web_url_dedup_stream": q_web_url_dedup_stream,
         "events_dedup_stream": q_events_dedup_stream,
         # r15 rotation: the nine displaced double-covered rows (each
         # still value-proven in-window via its battery digest)

@@ -4812,6 +4812,7 @@ _DIGEST_SPECS = {
     "events_user_topn_bucketed": {"event_type": "s", "rank": "l", "user_id": "l", "n": "l"},
     "web_url_dedup": {"canonical_url": "s", "rep_id": "l", "n_docs": "l", "n_raw_forms": "l"},
     "web_host_stats": {"host": "s", "n_pages": "l", "n_urls": "l", "dup_factor": "d"},
+    "web_url_dedup_stream": {"canonical_url": "s", "rep_id": "l", "n_docs": "l", "n_raw_forms": "l"},
     "events_range_windows_bucketed": {"start_ts": "l", "event_type": "s", "n": "l"},
     "events_count_sessions_stream": {
         "user_id": "l", "chunk": "l", "n_events": "l", "start_ts": "l", "end_ts": "l",
@@ -5088,6 +5089,7 @@ EVENTS_SKEW_PARTS = [
 WEB_PARTS = [
     "web_url_dedup",
     "web_host_stats",
+    "web_url_dedup_stream",
 ]
 
 EVENTS_ANALYTICS_PARTS = [
@@ -5664,6 +5666,8 @@ GROUP BY 1, 2, 3""",
     d["corpus_priority_sample_stream"] = d["corpus_priority_sample"]
     # the candidate-ledger streaming heavy hitters == the batch recount
     d["sketch_heavy_hitters_stream"] = d["sketch_heavy_hitters"]
+    # the canonical-ledger streaming url dedup == the batch clustering
+    d["web_url_dedup_stream"] = d["web_url_dedup"]
     # digest batteries: UNION ALL of each constituent's oracle wrapped
     # in the digest reduction — the inner SQL IS the constituent's own
     # oracle entry, so battery correctness derives from constituent

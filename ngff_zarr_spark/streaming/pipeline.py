@@ -836,6 +836,84 @@ def streaming_heavy_hitters(
     return docs, start
 
 
+def streaming_url_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    ledger_dir: str,
+    url_builder,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of URL-level dedup (functions/web.url_dedup):
+    documents arrive as parquet files; each micro-batch canonicalizes
+    its URLs (pure JVM projection — zero streaming state, the same
+    stateless-ingest split as streaming_quality_filter) and appends
+    (canonical_url, raw, id) rows to a parquet ledger. The clustering
+    aggregate — representative, member count, distinct raw spellings —
+    runs ONCE at drain over the accumulated ledger. Structured
+    Streaming cannot run the countDistinct(raw) aggregate statefully
+    (distinct aggregations are unsupported on streams), and a crawl
+    pipeline persists its canonical table anyway, so the ledger IS the
+    production shape: per-batch work is a narrow map + append; the
+    cluster table refresh is a normal batch job over the table.
+
+    ``url_builder`` maps a raw micro-batch DataFrame to a frame with
+    (id_col, url_col); stateless/per-row.
+
+    Returns (stream_df, start_fn); start() drains with availableNow."""
+    from pyspark.sql import functions as F
+
+    from ..functions.web import canonicalize_url
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(docs_dir)
+
+    def handle(batch_df, _batch_id):
+        (
+            url_builder(batch_df)
+            .select(
+                canonicalize_url(F.col(url_col)).alias("canonical_url"),
+                F.col(url_col).alias("_raw"),
+                F.col(id_col).alias("_id"),
+            )
+            .where(F.col("canonical_url").isNotNull())
+            .write.mode("append")
+            .parquet(ledger_dir)
+        )
+
+    def start():
+        return (
+            docs.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return docs, start
+
+
+def url_dedup_from_ledger(spark: SparkSession, ledger_dir: str):
+    """The drain-time clustering aggregate over the canonical ledger —
+    identical to the tail of functions/web.url_dedup, so stream ==
+    batch is exact by construction."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(ledger_dir)
+        .groupBy("canonical_url")
+        .agg(
+            F.min("_id").cast("long").alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("_raw").cast("long").alias("n_raw_forms"),
+        )
+    )
+
+
 def streaming_quality_filter(
     spark: SparkSession,
     docs_dir: str,

@@ -351,6 +351,7 @@ def test_digest_specs_match_gate_schemas(spark, sf_dir):
             "dedup_substring_stream",
             "sketch_heavy_hitters_stream",
             "events_dedup_stream",
+            "web_url_dedup_stream",
         ):
             continue
         df = qs[p](spark, sf_dir)

@@ -109,3 +109,47 @@ def test_gate_collision_structure(spark, sf_dir):
     clusters = url_dedup(_doc_urls(docs))
     assert clusters.count() < docs.count()
     assert clusters.where(F.col("n_docs") >= 2).count() > 0
+
+
+def test_streaming_url_dedup_incremental(spark, sf_dir):
+    """The canonical ledger is append-only: after a drain, a new crawl
+    file re-drains from the same checkpoint, only the new batch is
+    canonicalized, and the drain-time aggregate over the grown ledger
+    equals a from-scratch batch run over all files."""
+    import shutil
+    import uuid
+
+    from ngff_zarr_spark.streaming.pipeline import (
+        streaming_url_dedup,
+        url_dedup_from_ledger,
+    )
+
+    base = f"/tmp/url_stream_{uuid.uuid4().hex[:8]}"
+    docs_dir, ckpt, ledger = f"{base}/docs", f"{base}/ckpt", f"{base}/led"
+    for p in (docs_dir, ckpt, ledger):
+        shutil.rmtree(p, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    half.coalesce(1).write.parquet(docs_dir)
+
+    def drain():
+        _, start = streaming_url_dedup(
+            spark, docs_dir, ckpt, ledger, _doc_urls, max_files_per_trigger=1
+        )
+        q = start()
+        assert q.awaitTermination(180)
+
+    drain()
+    n_first = spark.read.parquet(ledger).count()
+    assert n_first == half.count()
+    # second crawl batch lands; re-drain the SAME checkpoint
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    drain()
+    n_second = spark.read.parquet(ledger).count()
+    # only the new rows were appended — the first file never re-ran
+    assert n_second == docs.count()
+    got = {tuple(r) for r in url_dedup_from_ledger(spark, ledger).collect()}
+    want = {tuple(r) for r in url_dedup(_doc_urls(docs)).collect()}
+    assert got == want
