@@ -363,6 +363,56 @@ _WIB_VIEW_LOCK = threading.Lock()
 _WIB_CALL_SEQ = 0
 
 
+def _pack_batch_plan(
+    spark: SparkSession,
+    union_sql: str,
+    n_fields: int,
+    n_chunks: int,
+    dims: list[str],
+    chunks: dict[str, int],
+    dtype: str,
+    compressor: Optional[str],
+) -> DataFrame:
+    """The packed multi-field write plan (exposed for the plan-contract
+    test): parse the one big UNION ALL, size the writer tasks, then
+    pick the partitioning.
+
+    Task sizing — volume-aware floor: every write task pays a fixed
+    ~50-100 ms (scheduling + Python data-source writer init + Arrow
+    hop), so spreading a small batch over the 32-way floor is pure
+    overhead — target a fixed payload per task and let tiny plate
+    micro-batches collapse to a handful of tasks. The target is
+    compressor-aware: CPU-heavy codecs (gzip/zlib/bz2) get 1 MiB per
+    task so mid-size batches don't serialize compression on 1-2 cores;
+    cheap/absent codecs get 4 MiB. chunk_bytes uses the dense chunk
+    shape — it overstates ragged edge chunks, but only toward MORE
+    tasks, never fewer. At real volumes the byte bound exceeds every
+    other bound and nothing changes.
+
+    Partitioning — zero-shuffle path (r15): every branch is a single
+    partition (the per-branch COALESCE(1) hint) and the field id is
+    the chunk key's highest radix digit, so no chunk ever spans two
+    branches — a partition-count coalesce preserves chunk-locality
+    while moving NOTHING. The repartition alternative re-exchanges the
+    entire pixel volume per micro-batch; at plate-ingest scale (many
+    fields per batch) that shuffle is pure waste. The in-task sort
+    still guarantees each chunk flushes once. Few-huge-field batches
+    keep the repartition: coalesce could not RAISE parallelism above
+    the branch count, so pay the exchange to spread each field's
+    chunks over n_tasks writers."""
+    packed = spark.sql(union_sql)
+    total_chunks = n_chunks * n_fields
+    n_tasks = max(1, min(total_chunks, max(32, total_chunks // 8)))
+    chunk_bytes = (
+        math.prod(chunks.get(d, 1) for d in dims) * np.dtype(dtype).itemsize
+    )
+    per_task = (1 << 20) if compressor in ("gzip", "zlib", "bz2") else (4 << 20)
+    n_tasks = min(n_tasks, max(1, -(-total_chunks * chunk_bytes // per_task)))
+    if n_fields >= n_tasks:
+        return packed.coalesce(n_tasks).sortWithinPartitions("ck")
+    return packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
+
+
 def write_image_batch(
     fields: list[tuple[DataFrame, str]],
     store_path: str,
@@ -439,41 +489,10 @@ def write_image_batch(
             f"CAST({off_sql} AS BIGINT) AS off, v FROM {view_names[fid]}"
         )
     try:
-        packed = spark.sql(" UNION ALL ".join(branches))
-        total_chunks = n_chunks * len(fields)
-        n_tasks = max(1, min(total_chunks, max(32, total_chunks // 8)))
-        # volume-aware floor: every write task pays a fixed ~50-100 ms
-        # (scheduling + Python data-source writer init + Arrow hop), so
-        # spreading a small batch over the 32-way floor is pure
-        # overhead — target a fixed payload per task and let tiny plate
-        # micro-batches collapse to a handful of tasks. The target is
-        # compressor-aware: CPU-heavy codecs (gzip/zlib/bz2) get 1 MiB
-        # per task so mid-size batches don't serialize compression on
-        # 1-2 cores; cheap/absent codecs get 4 MiB. chunk_bytes uses
-        # the dense chunk shape — it overstates ragged edge chunks, but
-        # only toward MORE tasks, never fewer. At real volumes the byte
-        # bound exceeds every other bound and nothing changes.
-        chunk_bytes = (
-            math.prod(chunks.get(d, 1) for d in dims) * np.dtype(dtype).itemsize
+        packed = _pack_batch_plan(
+            spark, " UNION ALL ".join(branches), len(fields), n_chunks,
+            dims, chunks, dtype, compressor,
         )
-        per_task = (1 << 20) if compressor in ("gzip", "zlib", "bz2") else (4 << 20)
-        n_tasks = min(n_tasks, max(1, -(-total_chunks * chunk_bytes // per_task)))
-        if len(fields) >= n_tasks:
-            # zero-shuffle path (r15): every branch is a single
-            # partition (the per-branch COALESCE(1) hint) and the field
-            # id is the chunk key's highest radix digit, so no chunk
-            # ever spans two branches — a partition-count coalesce
-            # preserves chunk-locality while moving NOTHING. The
-            # repartition below would re-exchange the entire pixel
-            # volume per micro-batch; at plate-ingest scale (many
-            # fields per batch) that shuffle is pure waste. The
-            # in-task sort still guarantees each chunk flushes once.
-            packed = packed.coalesce(n_tasks).sortWithinPartitions("ck")
-        else:
-            # few huge fields: coalesce could not RAISE parallelism
-            # above the branch count, so pay the exchange to spread
-            # each field's chunks over n_tasks writers
-            packed = packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
         (
             packed.write.format("ome_zarr")
             .mode("overwrite")

@@ -103,3 +103,49 @@ def test_events_pipeline_engaged_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packed_batch_write_zero_shuffle(spark):
+    """The r15 zero-shuffle contract: a many-small-fields plate batch
+    (fields >= writer tasks) plans with NO Exchange — the per-branch
+    COALESCE(1) single-partition guarantee plus fid-as-highest-radix
+    chunk keys make a partition-count coalesce chunk-local. A
+    few-huge-fields batch keeps the exchange (parallelism above the
+    branch count needs it)."""
+    from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+    from ngff_zarr_spark.ome_zarr_api import _pack_batch_plan
+
+    spec = ImageSpec("pln", z=2, y=16, x=16)
+    fp = pixel_df(spark, spec).select("z", "y", "x", "v")
+    dims, chunks = ["z", "y", "x"], {"z": 2, "y": 16, "x": 16}
+
+    def union_sql(n_fields):
+        names = []
+        for fid in range(n_fields):
+            nm = f"_plan_zs_{fid}"
+            fp.createOrReplaceTempView(nm)
+            names.append(nm)
+        return " UNION ALL ".join(
+            f"SELECT /*+ COALESCE(1) */ CAST((z div 2) + {fid} AS BIGINT) AS ck, "
+            f"CAST(((z % 2) * 16 + y % 16) * 16 + x % 16 AS BIGINT) AS off, v "
+            f"FROM {names[fid]}"
+            for fid in range(n_fields)
+        )
+
+    # 64 tiny fields, 1 chunk each: fields >= n_tasks -> coalesce path
+    many = _pack_batch_plan(
+        spark, union_sql(64), 64, 1, dims, chunks, "float64", "gzip"
+    )
+    assert n_exchanges(plan_of(many)) == 0
+    # byte volume still routes through the writer correctly: the plan
+    # retains the in-task sort
+    assert "Sort" in plan_of(many)
+
+    # 2 fields x 4096 chunks of 2 MiB each: n_tasks > fields -> the
+    # exchange is REQUIRED to spread each field over many writers
+    big_chunks = {"z": 64, "y": 64, "x": 64}
+    few = _pack_batch_plan(
+        spark, union_sql(2), 2, 4096, ["z", "y", "x"], big_chunks,
+        "float64", "gzip",
+    )
+    assert n_exchanges(plan_of(few)) >= 1
