@@ -885,25 +885,37 @@ def write_ref_index(
     import json
     import os
 
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    hi_row = ref_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    hi = int(hi_row) if hi_row is not None else -1
     wide = minhash_signatures_wide(ref_docs, num_perm)
     bands = _capped_ref_bands(wide, num_perm, band_size, max_bucket)
+    # batch-scoped staging (crash safety, r15): every admission —
+    # including this base build — lands in its own batch=<hi> partition
+    # directory, and the _meta.json high-water mark is the COMMIT
+    # POINT. Readers filter batch <= max_doc_id, so a crash after a
+    # data write but before the meta write leaves an invisible orphan
+    # directory, and a retry overwrites exactly that directory
+    # (mode=overwrite on the batch dir) — no duplicate signatures, no
+    # half-admitted band rows, bit-identical to a crash-free run.
     wide.repartition(n_files, "doc_id").write.mode("overwrite").parquet(
-        os.path.join(path, "wide")
+        os.path.join(path, "wide", f"batch={hi}")
     )
     (
         bands.repartition(n_files, "band_key")
         .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(os.path.join(path, "bands"))
+        .parquet(os.path.join(path, "bands", f"batch={hi}"))
     )
-    hi = ref_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     with open(_index_meta_path(path), "w") as fh:
         json.dump(
             {
                 "num_perm": num_perm,
                 "band_size": band_size,
                 "max_bucket": max_bucket,
-                "max_doc_id": int(hi) if hi is not None else -1,
+                "max_doc_id": hi,
             },
             fh,
         )
@@ -911,12 +923,25 @@ def write_ref_index(
 
 def read_ref_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(ref_wide, ref_bands) from a persisted index — drop-in for
-    :func:`build_ref_index`'s return, reusable across sessions."""
+    :func:`build_ref_index`'s return, reusable across sessions. Only
+    COMMITTED batches are served: the batch partition column is
+    filtered against the _meta.json high-water mark, so orphan
+    directories left by a crashed refresh are invisible (partition
+    pruning — the orphan files are never opened)."""
     import os
 
-    wide = spark.read.parquet(os.path.join(path, "wide"))
-    bands = spark.read.parquet(os.path.join(path, "bands")).select(
-        "doc_id", "band", "band_key"
+    meta = read_ref_index_meta(path)
+    hi = meta["max_doc_id"]
+    num_perm = meta["num_perm"]
+    wide = (
+        spark.read.parquet(os.path.join(path, "wide"))
+        .filter(F.col("batch") <= hi)
+        .select("doc_id", *[f"m{p}" for p in range(num_perm)])
+    )
+    bands = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .filter(F.col("batch") <= hi)
+        .select("doc_id", "band", "band_key")
     )
     return wide, bands
 
@@ -929,13 +954,25 @@ def read_ref_index_meta(path: str) -> dict:
 
 
 def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
-    """Admit ``new_docs`` into the persisted index: append their
-    signatures to wide/ and their still-under-cap band rows to bands/.
-    Equal to a from-scratch :func:`write_ref_index` over the union
-    (pinned in tests/test_r15_ref_index.py) under the monotonic-id
-    contract, which is VERIFIED here: a batch at or below the stored
-    high-water mark raises instead of silently corrupting witness
-    order."""
+    """Admit ``new_docs`` into the persisted index: stage their
+    signatures and still-under-cap band rows into batch=<hi> partition
+    directories, then COMMIT by advancing the _meta.json high-water
+    mark. Equal to a from-scratch :func:`write_ref_index` over the
+    union (pinned in tests/test_r15_ref_index.py) under the
+    monotonic-id contract, which is VERIFIED here: a batch at or below
+    the stored high-water mark raises instead of silently corrupting
+    witness order.
+
+    Crash-safe and retry-idempotent (r15): the data writes land in
+    batch-scoped directories with mode=overwrite, and readers
+    (read_ref_index AND this function's own occupancy scan) filter
+    batch <= the committed high-water mark — a crash between the data
+    writes and the meta write leaves invisible orphans, and re-running
+    the same batch overwrites them exactly. Without the staging, a
+    retry after such a crash would re-APPEND the batch's signatures
+    (the stale high-water guard cannot tell a retry from a new batch),
+    silently corrupting every downstream est_jaccard agreement
+    count."""
     import json
     import os
 
@@ -963,9 +1000,14 @@ def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
     else:
         # stored occupancy of ONLY the buckets this batch touches: the
         # stored-bands scan reads two key columns and semi-joins the
-        # (small) touched-key set before aggregating
-        stored = spark.read.parquet(os.path.join(path, "bands")).select(
-            "band", "band_key"
+        # (small) touched-key set before aggregating. COMMITTED batches
+        # only — an orphan directory from a crashed prior attempt must
+        # not count toward occupancy (the batch filter is a partition
+        # prune, not a data read)
+        stored = (
+            spark.read.parquet(os.path.join(path, "bands"))
+            .filter(F.col("batch") <= meta["max_doc_id"])
+            .select("band", "band_key")
         )
         touched = new_bands.select("band", "band_key").distinct()
         occ = (
@@ -983,14 +1025,18 @@ def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
             )
             .select("doc_id", "band", "band_key")
         )
-    new_wide.write.mode("append").parquet(os.path.join(path, "wide"))
+    hi = int(lo["hi"])
+    new_wide.write.mode("overwrite").parquet(
+        os.path.join(path, "wide", f"batch={hi}")
+    )
     (
         admitted.repartition("band_key")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(os.path.join(path, "bands"))
+        .parquet(os.path.join(path, "bands", f"batch={hi}"))
     )
-    meta["max_doc_id"] = int(lo["hi"])
+    # commit point: only now do readers see the batch
+    meta["max_doc_id"] = hi
     with open(_index_meta_path(path), "w") as fh:
         json.dump(meta, fh)
 

@@ -157,3 +157,68 @@ def test_refresh_plan_is_batch_sized(spark, corpus, tmp_path):
     assert "ReadSchema: struct<band_key:bigint>" in scans[0]
     assert "dynamicpruning" in scans[0]
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+def test_crash_retry_idempotent(spark, corpus, tmp_path):
+    """Crash between the batch data writes and the meta commit, then
+    retry: the staged batch=<hi> layout makes the retry overwrite the
+    orphan exactly — no duplicate signatures, no half-admitted band
+    rows — and the recovered index equals a crash-free run. (Under the
+    old flat-append layout, the retry re-appended the batch's wide
+    rows: the stale high-water guard cannot tell a retry from a new
+    batch.)"""
+    import json
+
+    from ngff_zarr_spark.functions.dedup import _index_meta_path
+
+    path = str(tmp_path / "idx")
+    a = corpus.filter(F.col("doc_id") < 100)
+    b = corpus.filter(F.col("doc_id") >= 100)
+    write_ref_index(a, path, max_bucket=3)
+    meta_before = read_ref_index_meta(path)
+
+    # simulate the crash: a full refresh whose COMMIT is then lost
+    refresh_ref_index(spark, path, b)
+    with open(_index_meta_path(path), "w") as fh:
+        json.dump(meta_before, fh)
+
+    # orphan invisible: readers serve only the committed base
+    w_orphan, b_orphan = read_ref_index(spark, path)
+    assert w_orphan.count() == a.count()
+    assert b_orphan.filter(F.col("doc_id") >= 100).count() == 0
+
+    # retry the SAME batch — must converge, not duplicate
+    refresh_ref_index(spark, path, b)
+    w_r, b_r = read_ref_index(spark, path)
+    assert w_r.count() == corpus.count()  # one signature row per doc
+
+    path2 = str(tmp_path / "idx2")
+    write_ref_index(corpus, path2, max_bucket=3)
+    w_s, b_s = read_ref_index(spark, path2)
+    wide_cols = sorted(w_r.columns)
+    assert _rows(w_r, wide_cols) == _rows(w_s, wide_cols)
+    band_cols = ["doc_id", "band", "band_key"]
+    assert _rows(b_r, band_cols) == _rows(b_s, band_cols)
+
+
+def test_orphan_pruned_not_read(spark, corpus, tmp_path):
+    """The committed-batch filter is a partition PRUNE: scanning the
+    index with an orphan present plans only the committed batch
+    directories' files."""
+    import json
+
+    from ngff_zarr_spark.functions.dedup import _index_meta_path
+
+    path = str(tmp_path / "idx")
+    a = corpus.filter(F.col("doc_id") < 100)
+    b = corpus.filter(F.col("doc_id") >= 100)
+    write_ref_index(a, path, max_bucket=3)
+    meta_before = read_ref_index_meta(path)
+    refresh_ref_index(spark, path, b)
+    with open(_index_meta_path(path), "w") as fh:
+        json.dump(meta_before, fh)  # orphan the batch
+
+    wide, _ = read_ref_index(spark, path)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    # PartitionFilters on the batch column appear in the scan node
+    assert "batch" in plan
+    assert wide.count() == a.count()
