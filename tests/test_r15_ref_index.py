@@ -222,3 +222,45 @@ def test_orphan_pruned_not_read(spark, corpus, tmp_path):
     # PartitionFilters on the batch column appear in the scan node
     assert "batch" in plan
     assert wide.count() == a.count()
+
+
+def test_stream_gatekeeper_over_persisted_index(spark, corpus, tmp_path):
+    """The production loop closed: the gatekeeper stream fed from the
+    DISK index (write_ref_index → read_ref_index) drains the identical
+    verdicts as one fed from the in-memory build_ref_index — the index
+    can be maintained offline (refresh verb) and served to any number
+    of ingest streams across sessions."""
+    import shutil
+
+    from ngff_zarr_spark.functions.dedup import build_ref_index
+    from ngff_zarr_spark.streaming.pipeline import streaming_incremental_dedup
+
+    idx_path = str(tmp_path / "idx")
+    write_ref_index(corpus, idx_path, max_bucket=3)
+
+    # new crawl: one verbatim re-crawl (drop) + one fresh doc (keep)
+    new = _mkdocs(spark, [
+        (500, BOILER),
+        (501, "an entirely fresh document with novel content words"),
+        (502, "unique document number 3 with some distinct words 21"),
+    ])
+    docs_dir = str(tmp_path / "docs")
+    new.coalesce(1).write.parquet(docs_dir)
+
+    def drain(tag, ref_index):
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        sink = str(tmp_path / f"sink_{tag}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        _, start = streaming_incremental_dedup(
+            spark, docs_dir, ckpt, ref_index, sink
+        )
+        q = start()
+        assert q.awaitTermination(180)
+        return {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    from_disk = drain("disk", read_ref_index(spark, idx_path))
+    in_memory = drain("mem", build_ref_index(corpus, max_bucket=3))
+    assert from_disk == in_memory
+    keeps = {r[0]: r for r in from_disk}
+    assert 500 in keeps and 501 in keeps
