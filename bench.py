@@ -775,12 +775,24 @@ def main():
             fh.write(line + "\n")
     except OSError as exc:
         print(f"# bench_out.json write failed: {exc}", file=sys.stderr)
-    # stdout gets a COMPACT line (no first_run — it lives in
-    # bench_out.json): the driver keeps only the TAIL of stdout, so the
-    # last line must be short enough to survive front-truncation intact
-    # (VERDICT r14 ask #4 — BENCH_rNN.json carried parsed:null since
-    # r10 because the single fat line lost its opening brace)
-    slim = {k: v for k, v in out.items() if k != "first_run"}
+    # stdout gets a TOTALS-ONLY line (VERDICT r15 ask #1): the driver
+    # keeps only a 2000-char TAIL of stdout, so a line carrying the
+    # 110-entry per-query dict loses its opening brace and parses null.
+    # The full record (queries, first_run, phase tripwires) lives in
+    # bench_out.json, which is what check_bars.py and the judge read.
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "runs": out["runs"],
+        "sf": out["sf"],
+        "git_head": out["git_head"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "load_avg_start": out["load_avg_start"],
+        "contended": out["contended"],
+        "detail": "bench_out.json",
+    }
     print(json.dumps(slim))
 
 

@@ -953,6 +953,35 @@ def read_ref_index_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _gc_orphan_batches(path: str, max_doc_id: int) -> None:
+    """Delete wide/batch=* and bands/batch=* directories whose batch id
+    exceeds the committed high-water mark — uncommitted orphans from a
+    crashed refresh. Readers already hide them via the batch filter,
+    but a LATER commit of a *different* batch raises the high-water
+    mark past the orphan and would resurrect it: its rows were never
+    counted in that batch's occupancy scan (bucket caps could overfill)
+    and a crash between the wide and bands writes can leave wide rows
+    with no band rows (ADVICE r15). Collecting them at admission time
+    closes the crash-then-skip hole; a crash-then-retry still simply
+    overwrites its own directory."""
+    import os
+    import shutil
+
+    for sub in ("wide", "bands"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if not name.startswith("batch="):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid > max_doc_id:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
     """Admit ``new_docs`` into the persisted index: stage their
     signatures and still-under-cap band rows into batch=<hi> partition
@@ -979,6 +1008,10 @@ def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
     from pyspark.sql import Window
 
     meta = read_ref_index_meta(path)
+    # garbage-collect uncommitted orphans BEFORE admitting this batch:
+    # once this commit raises the high-water mark, any orphan below the
+    # new mark would become visible without ever being occupancy-counted
+    _gc_orphan_batches(path, int(meta["max_doc_id"]))
     num_perm, band_size = meta["num_perm"], meta["band_size"]
     max_bucket = meta["max_bucket"]
     lo = new_docs.agg(

@@ -43,14 +43,25 @@ TRACKING_PREFIXES = ("utm_",)
 TRACKING_EXACT = ("gclid", "fbclid")
 
 
+def _is_tracking_param(p: Column) -> Column:
+    """True when the raw ``k=v`` text names a tracking parameter.
+
+    Folds over the module-level constants so extending
+    ``TRACKING_PREFIXES`` / ``TRACKING_EXACT`` is authoritative."""
+    low = F.lower(p)
+    cond = F.lit(False)
+    for prefix in TRACKING_PREFIXES:
+        cond = cond | low.startswith(prefix)
+    for name in TRACKING_EXACT:
+        cond = cond | low.startswith(name + "=")
+    return cond
+
+
 def _canon_query(q: Column) -> Column:
     """Drop tracking params, sort the survivors by full k=v text."""
     parts = F.filter(
         F.split(q, "&"),
-        lambda p: (p != "")
-        & ~F.lower(p).startswith(TRACKING_PREFIXES[0])
-        & ~F.lower(p).startswith(TRACKING_EXACT[0] + "=")
-        & ~F.lower(p).startswith(TRACKING_EXACT[1] + "="),
+        lambda p: (p != "") & ~_is_tracking_param(p),
     )
     return F.array_join(F.array_sort(parts), "&")
 

@@ -873,7 +873,15 @@ def streaming_url_dedup(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     docs = reader.parquet(docs_dir)
 
-    def handle(batch_df, _batch_id):
+    def handle(batch_df, batch_id):
+        # batch_id-scoped directory + overwrite = replay-idempotent
+        # append: foreachBatch is at-least-once, and a micro-batch
+        # re-executed after a crash between the parquet write and the
+        # checkpoint commit must overwrite ITS OWN rows, not append a
+        # second copy that inflates n_docs/n_raw_forms at drain
+        # (ADVICE r15; same staging shape as the r15 ref-index commit)
+        import os
+
         (
             url_builder(batch_df)
             .select(
@@ -882,8 +890,8 @@ def streaming_url_dedup(
                 F.col(id_col).alias("_id"),
             )
             .where(F.col("canonical_url").isNotNull())
-            .write.mode("append")
-            .parquet(ledger_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(ledger_dir, f"batch={int(batch_id)}"))
         )
 
     def start():
@@ -904,7 +912,9 @@ def url_dedup_from_ledger(spark: SparkSession, ledger_dir: str):
     from pyspark.sql import functions as F
 
     return (
+        # partition discovery adds the staging `batch` column; drop it
         spark.read.parquet(ledger_dir)
+        .select("canonical_url", "_raw", "_id")
         .groupBy("canonical_url")
         .agg(
             F.min("_id").cast("long").alias("rep_id"),
