@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import fixtures as FX
-from .fixtures import IMG2D_LABEL, IMG3D, IMG5D, pixel_cte_sql, pixel_df
+from .fixtures import IMG2D_LABEL, IMG3D, IMG5D, ImageSpec, pixel_cte_sql, pixel_df
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as TX
@@ -2182,6 +2182,202 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
         ("mpipe_pairs", pairs),
         ("mpipe_verdict", verdict),
         ("mpipe_resize", resized),
+    ):
+        out = out.unionByName(_digest_gate(df, name))
+    return out
+
+
+# composed imaging-pipeline constants (r16, VERDICT r15 ask #2) —
+# shared with oracle.sql_imaging_pipeline_battery. The TIFF pages carry
+# the canonical pixel formula at t=c=0 (z*73 + y*179 + x*283) % 251, so
+# the whole chain re-derives from pixel_cte_sql(IPIPE). Odd y/x
+# exercise the floor-crop; G_WSUM**3 is the fixed-point kernel mass a
+# stored (dtype-preserving) pyramid level divides out.
+IPIPE = ImageSpec("ipipe", z=8, y=35, x=31)
+IPIPE_CHUNKS = {"z": 4, "y": 16, "x": 16}
+IPIPE_ROI = dict(z=(2, 6), y=(8, 30), x=(4, 28))
+IPIPE_SCALE = {"z": 2.0, "y": 0.5, "x": 0.5}
+IPIPE_TRANSLATION = {"z": 10.0, "y": 20.0, "x": 0.0}
+G_WSUM = G_WEIGHTS[0] + 2 * sum(G_WEIGHTS[1:])
+IPIPE_S3 = G_WSUM**3
+
+
+def q_imaging_pipeline_battery(spark, sf_dir):
+    """The composed IMAGING pipeline as ONE driver-graded gate (r16,
+    VERDICT r15 ask #2 — the fourth member of the composed family, and
+    the reference's primary user journey: cli.py:164-440 ingests a
+    microscopy file, builds the multiscale pyramid, and writes an
+    OME-Zarr store). Six stages, each consuming the previous stage's
+    OUTPUT:
+
+      1. ingest      — multi-page TIFF (LZW + predictor-2 + tiled)
+                       through backend auto-detect → pixel table
+      2. pyramid     — A1 Gaussian level 1 in the production chunked-
+                       kernel form (halo applyInArrow, fixed-point so
+                       the window-form SQL twin is bit-exact)
+      3. store       — 2-level pyramid written as a SHARDED zstd
+                       OME-Zarr 0.5 store (level 1 renormalized to the
+                       base dtype by integer-dividing the kernel mass,
+                       the dtype-preserving store shape); digest reads
+                       scale1 BACK through the v3 shard/codec stack
+      4. roi         — chunk-pruned ROI read-back of the stored base
+                       (coordinate predicates reach the DataSource)
+      5. convert     — 0.5 → 0.4 store conversion (zarr v3 → v2, data
+                       copied verbatim); digest reads scale1 from the
+                       CONVERTED store through the v2 path
+      6. meta        — version sniff + JSON-Schema validation verdict +
+                       distilled axes/dataset/transform fields of BOTH
+                       stores (the C7/C9 surface over real stores)
+
+    Output: one value-exact digest row per stage (gate._digest_gate);
+    the DuckDB twin re-derives stages 1–5 from the generator formula
+    (ingest codecs, halo exchange, shard index, compression, pruning,
+    and conversion all cancel only if every byte survived) and stage 6
+    from the deterministic metadata literals."""
+    import json as _json
+
+    import numpy as np
+
+    from .ingest import ConversionBackend, cli_input_to_ngff_image, detect_cli_io_backend
+    from .ingest.tiff import tiff_encode_pages
+    from .model import (
+        Axis,
+        Dataset,
+        Metadata,
+        Multiscales,
+        NgffImage,
+        ScaleTransform,
+        TranslationTransform,
+    )
+    from .ome_zarr_api import convert_ome_zarr_version, read_image, to_ngff_zarr
+    from .operators.kernels import gaussian_downsample_chunked
+    from .plans.planner import next_scale_metadata
+    from .sources.zarr_store import open_store
+    from .validate import sniff_store_attrs, validate_best_effort
+
+    # --- stage 1: TIFF series ingest through auto-detect ---
+    nz, h, w = IPIPE.z, IPIPE.y, IPIPE.x
+    path = _tmp_store("ipipe.tif")
+    yi, xi = np.indices((h, w))
+    pages = [
+        ((z * 73 + yi * 179 + xi * 283) % 251).astype("uint16") for z in range(nz)
+    ]
+    with open(path, "wb") as f:
+        f.write(tiff_encode_pages(pages, compression=5, predictor=2, tile=(16, 16)))
+    backend = detect_cli_io_backend([path])
+    assert backend == ConversionBackend.TIFFFILE
+    img = cli_input_to_ngff_image(spark, backend, [path])
+    l0 = img.data.select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    ).localCheckpoint()
+
+    # --- stage 2: A1 Gaussian level 1, production chunked form ---
+    l1 = gaussian_downsample_chunked(
+        l0, IPIPE.shape, F3D, chunks=dict(IPIPE_CHUNKS), fixed_point_bits=8
+    ).localCheckpoint()
+    # renormalize the fixed-point kernel mass back out so the stored
+    # level keeps the base dtype (what a real pyramid store does)
+    l1n = l1.withColumn("v", F.expr(f"v div {IPIPE_S3}")).localCheckpoint()
+
+    # --- stage 3: sharded zstd 0.5 write + scale1 read-back ---
+    scale1, translation1 = next_scale_metadata(IPIPE_SCALE, IPIPE_TRANSLATION, F3D)
+    shape1 = {d: IPIPE.shape[d] // F3D.get(d, 1) for d in ("z", "y", "x")}
+    mk = lambda data, shape, scale, translation: NgffImage(  # noqa: E731
+        data=data, dims=["z", "y", "x"], shape=dict(shape),
+        scale=dict(scale), translation=dict(translation),
+        name="image", dtype="uint16",
+    )
+    dims = ["z", "y", "x"]
+    meta = Metadata(
+        axes=[Axis(d, "space") for d in dims],
+        datasets=[
+            Dataset(
+                path=f"scale{i}/image",
+                coordinateTransformations=[
+                    ScaleTransform([s[d] for d in dims]),
+                    TranslationTransform([t[d] for d in dims]),
+                ],
+            )
+            for i, (s, t) in enumerate(
+                [(IPIPE_SCALE, IPIPE_TRANSLATION), (scale1, translation1)]
+            )
+        ],
+        name="image",
+        version="0.5",
+    )
+    ms = Multiscales(
+        images=[
+            mk(l0, {d: IPIPE.shape[d] for d in dims}, IPIPE_SCALE, IPIPE_TRANSLATION),
+            mk(l1n, shape1, scale1, translation1),
+        ],
+        metadata=meta,
+        chunks=dict(IPIPE_CHUNKS),
+    )
+    store05 = _tmp_store("ipipe05.ome.zarr")
+    to_ngff_zarr(store05, ms, version="0.5", compressor="zstd", chunks_per_shard=2)
+    back1 = read_image(spark, store05, "scale1/image", zarr_format=3).select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+    # --- stage 4: pruned ROI read of the stored base ---
+    cond = None
+    for d, (lo, hi) in IPIPE_ROI.items():
+        c = (F.col(d) >= lo) & (F.col(d) < hi)
+        cond = c if cond is None else (cond & c)
+    roi = (
+        read_image(spark, store05, "scale0/image", zarr_format=3)
+        .filter(cond)
+        .select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
+    )
+
+    # --- stage 5: 0.5 → 0.4 conversion, scale1 via the v2 path ---
+    store04 = _tmp_store("ipipe04.ome.zarr")
+    convert_ome_zarr_version(
+        spark, store05, store04, "0.4", compressor="blosc:lz4:5:1"
+    )
+    conv1 = read_image(spark, store04, "scale1/image", zarr_format=2).select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+    # --- stage 6: metadata + validation over BOTH real stores ---
+    rows = []
+    for tag, store_path, root in (
+        ("v05", store05, "zarr.json"),
+        ("v04", store04, ".zattrs"),
+    ):
+        st = open_store(store_path)
+        attrs = st.get_json(root)
+        if root == "zarr.json":
+            attrs = attrs.get("attributes", {})
+        version, model = sniff_store_attrs(attrs)
+        n_problems = min(1, len(validate_best_effort(attrs, version=version, model=model)))
+        msd = (attrs["ome"] if "ome" in attrs else attrs)["multiscales"][0]
+        rows.append(
+            (
+                tag,
+                version,
+                n_problems,
+                ",".join(a["name"] for a in msd["axes"]),
+                ",".join(ds["path"] for ds in msd["datasets"]),
+                _json.dumps(msd["datasets"][1]["coordinateTransformations"][0]["scale"]),
+                _json.dumps(
+                    msd["datasets"][1]["coordinateTransformations"][1]["translation"]
+                ),
+            )
+        )
+    meta_df = spark.createDataFrame(
+        rows,
+        "tag string, version string, n_problems int, axes string, "
+        "ds_paths string, ds1_scale string, ds1_translation string",
+    )
+
+    out = _digest_gate(l0, "ipipe_ingest")
+    for name, df in (
+        ("ipipe_pyramid", l1),
+        ("ipipe_store", back1),
+        ("ipipe_roi", roi),
+        ("ipipe_convert", conv1),
+        ("ipipe_meta", meta_df),
     ):
         out = out.unionByName(_digest_gate(df, name))
     return out
@@ -5427,13 +5623,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup, the two streaming dedup twins, and the TIFF z-stack
         # series ingest.
         "hcs_battery": q_hcs_battery,
-        "dedup_lines_nl": q_dedup_lines_nl,
-        "dedup_contamination_stream": q_dedup_contamination_stream,
+        # r16 rotation (VERDICT r15 ask #6): the five long-stable
+        # hygiene singletons (dedup_lines_nl, dedup_contamination,
+        # dedup_contamination_stream, dedup_incremental,
+        # dedup_incremental_stream — every one a hygiene_battery
+        # constituent, digest value-proven in-window) hand their direct
+        # rows to the four promotions the verdict named plus the
+        # composed imaging pipeline (ask #2).
+        "sketch_heavy_hitters_stream": q_sketch_heavy_hitters_stream,
+        "web_url_dedup": q_web_url_dedup,
         # r7: s14+s15 fold into one tagged battery so the EXPORT adapter
         # (S15, previously pytest-only) is driver-graded; constituents
         # stay addressable past slot 50
         "itk_adapter_battery": q_itk_adapter_battery,
-        "dedup_incremental_stream": q_dedup_incremental_stream,
+        "web_host_stats": q_web_host_stats,
         "c7_validate_battery": q_c7_validate_battery,
         # r13 rotation (VERDICT r12 ask #6): the three long-stable
         # metadata singletons (c8/c9/c10) fold into one digest battery.
@@ -5444,7 +5647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their direct rows rotate to the two r14 flagships — the
         # 13-gram decontamination scan and the incremental ingest
         # gatekeeper. Both displaced gates stay registered past slot 50.
-        "dedup_contamination": q_dedup_contamination,
+        "events_dedup_stream": q_events_dedup_stream,
         "t1_stream_pixels": q_t1_stream_pixels,
         "t2_t3_callbacks": q_t2_t3_callbacks,
         # --- slots 19–50: everything else, families folded ---
@@ -5539,19 +5742,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the duplicated-substring span op; multimodal_features/
         # resize move past the window (proven via multimodal_battery)
         "parity_battery": q_parity_battery,
-        "dedup_incremental": q_dedup_incremental,
+        # r16 (VERDICT r15 ask #2): the composed imaging pipeline — the
+        # reference's primary CLI journey, digest-checked per stage
+        "imaging_pipeline_battery": q_imaging_pipeline_battery,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        # r16 rotation: the five displaced hygiene singletons (each
+        # value-proven in-window via hygiene_battery's digest)
+        "dedup_lines_nl": q_dedup_lines_nl,
+        "dedup_contamination": q_dedup_contamination,
+        "dedup_contamination_stream": q_dedup_contamination_stream,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
         # r15 second rotation: the four displaced skew twins (each
-        # value-proven in-window via events_skew_battery) and the two
-        # web_battery constituents
+        # value-proven in-window via events_skew_battery)
         "events_sessionize_segmented": q_events_sessionize_segmented,
         "events_asof_segmented": q_events_asof_segmented,
         "events_percentiles_bucketed": q_events_percentiles_bucketed,
         "events_user_topn_bucketed": q_events_user_topn_bucketed,
-        "web_url_dedup": q_web_url_dedup,
-        "web_host_stats": q_web_host_stats,
         "web_url_dedup_stream": q_web_url_dedup_stream,
-        "events_dedup_stream": q_events_dedup_stream,
         # r15 rotation: the nine displaced double-covered rows (each
         # still value-proven in-window via its battery digest)
         "events_rollup": q_events_rollup,
@@ -5575,7 +5783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_count_min": q_sketch_count_min,
-        "sketch_heavy_hitters_stream": q_sketch_heavy_hitters_stream,
         "s11_dicom_ingest": q_s11_dicom_ingest,
         "s11_gif_ingest": q_s11_gif_ingest,
         "s11_webp_ingest": q_s11_webp_ingest,

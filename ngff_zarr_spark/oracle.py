@@ -1957,6 +1957,56 @@ resized AS MATERIALIZED (
 {digests}"""
 
 
+def sql_imaging_pipeline_battery():
+    """Composed imaging-pipeline twin (r16, VERDICT r15 ask #2): the
+    reference CLI journey — TIFF ingest → A1 Gaussian pyramid →
+    sharded v3 write → pruned ROI read-back → 0.5→0.4 conversion →
+    validate — re-derived entirely from the generator formula. Stages
+    1–5 are the pixel CTE, the window-form Gaussian (sql_a1_gaussian's
+    machinery re-parameterized to IPIPE), its kernel-mass
+    renormalization, and the ROI restriction; stage 6 is the
+    deterministic metadata literal. The Spark side runs real codecs
+    (LZW TIFF, zstd shards, blosc v2) at every stage — equality means
+    every byte survived every hop."""
+    from .gate import G_WEIGHTS, IPIPE, IPIPE_ROI, IPIPE_S3
+
+    f = {"z": 2, "y": 2, "x": 2}
+    roi_where = " AND ".join(
+        f"{d} >= {lo} AND {d} < {hi}" for d, (lo, hi) in IPIPE_ROI.items()
+    )
+    pix = {"t": "l", "c": "l", "z": "l", "y": "l", "x": "l", "v": "l"}
+    meta_vals = """SELECT * FROM (VALUES
+  ('v05', '0.5', 0, 'z,y,x', 'scale0/image,scale1/image',
+   '[4.0, 1.0, 1.0]', '[11.0, 20.25, 0.25]'),
+  ('v04', '0.4', 0, 'z,y,x', 'scale0/image,scale1/image',
+   '[4.0, 1.0, 1.0]', '[11.0, 20.25, 0.25]')
+) t(tag, version, n_problems, axes, ds_paths, ds1_scale, ds1_translation)"""
+    specs = {
+        "ipipe_ingest": ("SELECT * FROM P", pix),
+        "ipipe_pyramid": ("SELECT * FROM l1", pix),
+        "ipipe_store": ("SELECT * FROM l1n", pix),
+        "ipipe_roi": (f"SELECT * FROM P WHERE {roi_where}", pix),
+        "ipipe_convert": ("SELECT * FROM l1n", pix),
+        "ipipe_meta": (
+            meta_vals,
+            {"tag": "s", "version": "s", "n_problems": "l", "axes": "s",
+             "ds_paths": "s", "ds1_scale": "s", "ds1_translation": "s"},
+        ),
+    }
+    digests = "\nUNION ALL\n".join(
+        _digest_sql(name, inner, spec) for name, (inner, spec) in specs.items()
+    )
+    return f"""WITH {pixel_cte_sql(IPIPE)},
+gz AS ({_gauss_pass('P', 'z', G_WEIGHTS)}),
+gy AS ({_gauss_pass('gz', 'y', G_WEIGHTS)}),
+gx AS ({_gauss_pass('gy', 'x', G_WEIGHTS)}),
+l1 AS MATERIALIZED (
+  SELECT {_block_sel(f)}, v FROM gx WHERE {_crop3d(IPIPE, f)} AND {_stride(f)}
+),
+l1n AS (SELECT t, c, z, y, x, CAST(v // {IPIPE_S3} AS BIGINT) AS v FROM l1)
+{digests}"""
+
+
 def sql_sketch_heavy_hitters():
     """Twin of gate.q_sketch_heavy_hitters: the Misra-Gries candidate
     pass is correctness-transparent in the guaranteed regime
@@ -5488,6 +5538,7 @@ def oracles() -> dict[str, str]:
         "corpus_pipeline_battery": sql_corpus_pipeline_battery(),
         "events_pipeline_battery": sql_events_pipeline_battery(),
         "multimodal_pipeline_battery": sql_multimodal_pipeline_battery(),
+        "imaging_pipeline_battery": sql_imaging_pipeline_battery(),
         "sketch_heavy_hitters": sql_sketch_heavy_hitters(),
         "web_url_dedup": sql_web_url_dedup(),
         "web_host_stats": sql_web_host_stats(),

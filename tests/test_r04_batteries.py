@@ -35,16 +35,18 @@ STARVED_R3 = [
     # proven in-window); their rows grade the r14 late additions
     # directly.
     "hcs_battery",
-    "dedup_lines_nl",
-    "dedup_contamination_stream",
+    # r16 rotation (VERDICT r15 ask #6): the hygiene singletons'
+    # direct rows hand over to the named promotions
+    "sketch_heavy_hitters_stream",
+    "web_url_dedup",
     # r7: s14's slot is the itk battery (s14 import + s15 export)
     "itk_adapter_battery",
-    "dedup_incremental_stream",
+    "web_host_stats",
     "c7_validate_battery",
     # r13 rotation: c8/c9/c10 fold into metadata_battery.
     "metadata_battery",
     "s11_tiff_series",
-    "dedup_contamination",
+    "events_dedup_stream",
     "t1_stream_pixels",
     "t2_t3_callbacks",
 ]
@@ -140,10 +142,10 @@ def test_first_50_layout():
     # r7: the three folds freed slots for the export adapter, the
     # replay-dedup exactly-once gate, and plain-PQ ADC; constituents
     # stay registered past the window
-    # r15 third rotation: events_dedup_stream folds into
-    # events_analytics_battery; the composed multimodal pipeline takes
-    # its direct slot
-    assert "events_dedup_stream" in qs[50:]
+    # r15 third rotation: events_dedup_stream folded into
+    # events_analytics_battery; r16 promotes it BACK to a direct row
+    # (VERDICT r15 ask #6) — it stays a battery constituent
+    assert "events_dedup_stream" in first50
     assert "events_dedup_stream" in gate.EVENTS_ANALYTICS_PARTS
     assert "multimodal_pipeline_battery" in first50
     assert "dedup_exact_battery" in first50
@@ -186,11 +188,6 @@ def test_first_50_layout():
     assert "hcs_battery" in first50
     for k in gate.HCS_PARTS:
         assert k in qs[50:], k
-    # r14 second rotation: the two r14 dedup flagships grade DIRECTLY;
-    # graph_pagerank (dedup_battery) and dedup_lines (hygiene_battery
-    # since the r15 split) move past the window
-    for k in ("dedup_contamination", "dedup_incremental"):
-        assert k in first50, k
     assert "graph_pagerank" in qs[50:] and "graph_pagerank" in gate.DEDUP_PARTS
     assert "dedup_lines" in qs[50:] and "dedup_lines" in gate.HYGIENE_PARTS
     # r15 rotation (VERDICT r14 asks #1/#2/#5/#6): the six named r14
@@ -199,9 +196,6 @@ def test_first_50_layout():
     # nine displaced rows are all battery constituents and move past
     # the window, each still value-proven via its digest
     for k in (
-        "dedup_lines_nl",
-        "dedup_contamination_stream",
-        "dedup_incremental_stream",
         "s11_tiff_series",
         "dtype_complex64_roundtrip",
         "dtype_complex128_roundtrip",
@@ -210,6 +204,27 @@ def test_first_50_layout():
         "hygiene_battery",
     ):
         assert k in first50, k
+    # r16 rotation (VERDICT r15 asks #2/#6): the four named promotions
+    # plus the composed imaging pipeline grade DIRECTLY; the five
+    # displaced hygiene singletons are all hygiene_battery constituents
+    # and move past the window, each still value-proven via its digest
+    for k in (
+        "sketch_heavy_hitters_stream",
+        "web_url_dedup",
+        "web_host_stats",
+        "events_dedup_stream",
+        "imaging_pipeline_battery",
+    ):
+        assert k in first50, k
+    for k in (
+        "dedup_lines_nl",
+        "dedup_contamination",
+        "dedup_contamination_stream",
+        "dedup_incremental",
+        "dedup_incremental_stream",
+    ):
+        assert k in qs[50:], k
+        assert k in gate.HYGIENE_PARTS, k
     for k, battery in (
         ("events_rollup", gate.EVENTS_ANALYTICS_PARTS),
         ("text_vocab_coverage", gate.CORPUS_SAMPLING_PARTS),
@@ -264,8 +279,10 @@ def test_first_50_layout():
         "web_battery",
     ):
         assert k in first50, k
+    # r16: web_url_dedup / web_host_stats promoted to direct in-window
+    # rows (VERDICT r15 ask #6) while remaining WEB_PARTS constituents
     for k in gate.EVENTS_SKEW_PARTS + gate.WEB_PARTS:
-        assert k in qs[50:], k
+        assert k in qs[50:] or k in first50, k
     # r13: a battery constituent may ALSO hold a direct window slot
     # (graph_pagerank rotated in; double grading is never a problem) —
     # the requirement is only that every constituent stays registered
