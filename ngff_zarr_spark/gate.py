@@ -2157,8 +2157,14 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
 
     Output: one value-exact digest row per stage (gate._digest_gate);
     stage tables are localCheckpoint leaves (the decode UDFs would
-    otherwise re-run under every downstream digest)."""
+    otherwise re-run under every downstream digest).
+
+    r16 (VERDICT r15 ask #3): every image is decoded ONCE into the
+    shared decoded-pixel checkpoint; stages 1 and 3–5 consume it via
+    their ``pixels=`` path, so the chain's decode cost is paid once —
+    identical digests, the re-decode work gone."""
     from .functions.multimodal import (
+        decode_image_pixels,
         document_image_features,
         image_near_dup,
         multimodal_dedup_verdict,
@@ -2166,16 +2172,16 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    feats = document_image_features(docs).localCheckpoint()
+    px = decode_image_pixels(docs).localCheckpoint()
+    feats = document_image_features(docs, pixels=px).localCheckpoint()
     kept_ids = feats.filter(F.col("n_px") >= MPIPE_MIN_PX).select("doc_id")
     s2 = docs.join(F.broadcast(kept_ids), "doc_id").localCheckpoint()
-    pairs = image_near_dup(s2, max_hamming=1)
-    verdict = multimodal_dedup_verdict(s2).localCheckpoint()
-    s4 = s2.join(
-        F.broadcast(verdict.filter(F.col("keep") == "yes").select("doc_id")),
-        "doc_id",
-    )
-    resized = resize_image_pixels(s4)
+    px2 = px.join(F.broadcast(kept_ids), "doc_id")
+    pairs = image_near_dup(s2, max_hamming=1, pixels=px2)
+    verdict = multimodal_dedup_verdict(s2, pixels=px2).localCheckpoint()
+    s4_ids = verdict.filter(F.col("keep") == "yes").select("doc_id")
+    s4 = s2.join(F.broadcast(s4_ids), "doc_id")
+    resized = resize_image_pixels(s4, pixels=px2.join(F.broadcast(s4_ids), "doc_id"))
     out = _digest_gate(feats, "mpipe_features")
     for name, df in (
         ("mpipe_sizecut", s2.select("doc_id")),
