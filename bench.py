@@ -585,6 +585,11 @@ QUERIES = {
     # r15: streaming URL dedup (stateless canonical ledger + drain-time
     # clustering aggregate)
     "web_url_dedup_stream": gate.q_web_url_dedup_stream,
+    # r16: the composed 6-stage imaging pipeline (TIFF ingest -> A1
+    # Gaussian pyramid -> sharded v3 write -> pruned ROI read ->
+    # 0.5->0.4 conversion -> metadata/schema validation) — the
+    # reference CLI journey end-to-end
+    "imaging_pipeline": gate.q_imaging_pipeline_battery,
 }
 
 
@@ -600,6 +605,8 @@ SINGLE_RUN = {
     "corpus_pipeline",
     "events_pipeline",
     "multimodal_pipeline",
+    # r16: store writes + conversion + validation per run
+    "imaging_pipeline",
 }
 
 

@@ -510,6 +510,7 @@ def image_near_dup(
     max_hamming: int = 6,
     max_bucket: int | None = None,
     pixels: DataFrame | None = None,
+    ahash: DataFrame | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: (doc_a < doc_b, dist)
     with Hamming distance between aHashes ≤ ``max_hamming`` — the
@@ -526,7 +527,11 @@ def image_near_dup(
 
     if max_bucket is None:
         max_bucket = DEFAULT_MAX_BUCKET
-    ah = image_ahash(docs, pixels=pixels).persist()
+    # a caller-supplied aHash table (e.g. the composed pipeline, which
+    # shares ONE hash pass with the dedup verdict) keeps its own
+    # lifecycle; only a locally-built one is persisted and released
+    owns_ah = ahash is None
+    ah = image_ahash(docs, pixels=pixels).persist() if owns_ah else ahash
     bands = ah.select(
         "doc_id",
         F.explode(
@@ -556,7 +561,7 @@ def image_near_dup(
     )
     from ._scope import checkpointed
 
-    return checkpointed(
+    out = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -567,9 +572,9 @@ def image_near_dup(
                 + F.bit_count(F.expr("lo_a ^ lo_b"))
             ).cast("long").alias("dist"),
         )
-        .filter(F.col("dist") <= int(max_hamming)),
-        ah,
+        .filter(F.col("dist") <= int(max_hamming))
     )
+    return checkpointed(out, ah) if owns_ah else out
 
 
 AUD_FP_FRAMES = 32  # energy frames per fingerprint
@@ -726,7 +731,9 @@ def video_shared_clips(docs: DataFrame, w: int = VID_CLIP_W) -> DataFrame:
 
 
 def multimodal_dedup_verdict(
-    docs: DataFrame, pixels: DataFrame | None = None
+    docs: DataFrame,
+    pixels: DataFrame | None = None,
+    ahash: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-modal keep/drop decision — the multimodal sibling of
     corpus.filter_pipeline: a document is dropped if ANY modality is a
@@ -754,7 +761,7 @@ def multimodal_dedup_verdict(
     tdup = tkey.join(trep, "ck").select(
         "doc_id", (F.col("doc_id") != F.col("rep")).alias("text_dup")
     )
-    ah = image_ahash(docs, pixels=pixels)
+    ah = image_ahash(docs, pixels=pixels) if ahash is None else ahash
     arep = ah.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("rep"))
     adup = ah.join(arep, ["h_hi", "h_lo"]).select(
         "doc_id", (F.col("doc_id") != F.col("rep")).alias("image_dup")

@@ -2171,14 +2171,18 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
         resize_image_pixels,
     )
 
+    from .functions.multimodal import image_ahash
+
     docs = _docs(spark, sf_dir)
     px = decode_image_pixels(docs).localCheckpoint()
     feats = document_image_features(docs, pixels=px).localCheckpoint()
     kept_ids = feats.filter(F.col("n_px") >= MPIPE_MIN_PX).select("doc_id")
     s2 = docs.join(F.broadcast(kept_ids), "doc_id").localCheckpoint()
     px2 = px.join(F.broadcast(kept_ids), "doc_id")
-    pairs = image_near_dup(s2, max_hamming=1, pixels=px2)
-    verdict = multimodal_dedup_verdict(s2, pixels=px2).localCheckpoint()
+    # ONE aHash pass serves both the near-dup pairing and the verdict
+    ah2 = image_ahash(s2, pixels=px2).localCheckpoint()
+    pairs = image_near_dup(s2, max_hamming=1, ahash=ah2)
+    verdict = multimodal_dedup_verdict(s2, ahash=ah2).localCheckpoint()
     s4_ids = verdict.filter(F.col("keep") == "yes").select("doc_id")
     s4 = s2.join(F.broadcast(s4_ids), "doc_id")
     resized = resize_image_pixels(s4, pixels=px2.join(F.broadcast(s4_ids), "doc_id"))
