@@ -32,6 +32,15 @@ def test_plate_ingestion_example_runs():
     assert "plate ingestion complete" in r.stdout
 
 
+def test_imaging_pipeline_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/imaging_pipeline.py"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "imaging pipeline complete" in r.stdout
+
+
 def test_crawl_hygiene_example_runs():
     r = subprocess.run(
         [sys.executable, "examples/crawl_hygiene.py", "/root/testdata/sf0.001"],
