@@ -590,6 +590,9 @@ QUERIES = {
     # 0.5->0.4 conversion -> metadata/schema validation) — the
     # reference CLI journey end-to-end
     "imaging_pipeline": gate.q_imaging_pipeline_battery,
+    # r16: the composed crawl pipeline (canonicalize+cluster -> host
+    # profile -> per-host budget cap -> Gopher quality on survivors)
+    "web_pipeline": gate.q_web_pipeline_battery,
 }
 
 
@@ -607,6 +610,8 @@ SINGLE_RUN = {
     "multimodal_pipeline",
     # r16: store writes + conversion + validation per run
     "imaging_pipeline",
+    # r16: stage-checkpointed crawl chain
+    "web_pipeline",
 }
 
 

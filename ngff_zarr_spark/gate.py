@@ -2197,6 +2197,56 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
     return out
 
 
+# composed web-pipeline constant (r16) — shared with
+# oracle.sql_web_pipeline_battery: max canonical pages kept per host
+WPIPE_CAP = 4
+
+
+def q_web_pipeline_battery(spark, sf_dir):
+    """The composed CRAWL pipeline as ONE driver-graded gate (r16 —
+    fifth member of the composed family): the normalization-and-budget
+    chain a crawl pipeline runs before any content dedup, each stage
+    consuming the previous stage's output:
+
+      1. url_dedup       — canonicalize the noisy raw URLs, cluster to
+                           canonical pages (rep, members, raw forms)
+      2. host_stats      — per-host crawl profile over the same pass
+      3. crawl budget    — keep ≤ WPIPE_CAP canonical pages per host
+                           (the RefinedWeb-style per-domain cap, via
+                           the two-phase skew-safe top-k on the
+                           CLUSTER representatives — host as source)
+      4. quality         — Gopher verdicts over the surviving
+                           representatives' documents
+
+    Output: one value-exact digest row per stage (gate._digest_gate);
+    the DuckDB twin chains the re-parameterized per-operator oracles
+    (canonical derived INDEPENDENTLY from the generator fields, naive
+    single-window cap, gopher over the survivor CTE)."""
+    from .functions.sampling import cap_per_source
+    from .functions.text import gopher_quality
+    from .functions.web import host_stats, url_dedup
+
+    docs = _docs(spark, sf_dir)
+    urls = _doc_urls(docs).localCheckpoint()
+    clusters = url_dedup(urls).localCheckpoint()
+    hosts = host_stats(urls)
+    pages = clusters.select(
+        F.col("rep_id").alias("doc_id"),
+        F.regexp_extract("canonical_url", r"^https?://([^/:]+)", 1).alias("source"),
+    )
+    budget = cap_per_source(pages, k=WPIPE_CAP, salt="wpipe").localCheckpoint()
+    s4 = docs.join(F.broadcast(budget.select("doc_id")), "doc_id")
+    quality = gopher_quality(s4)
+    out = _digest_gate(clusters, "wpipe_clusters")
+    for name, df in (
+        ("wpipe_hosts", hosts),
+        ("wpipe_budget", budget),
+        ("wpipe_quality", quality),
+    ):
+        out = out.unionByName(_digest_gate(df, name))
+    return out
+
+
 # composed imaging-pipeline constants (r16, VERDICT r15 ask #2) —
 # shared with oracle.sql_imaging_pipeline_battery. The TIFF pages carry
 # the canonical pixel formula at t=c=0 (z*73 + y*179 + x*283) % 251, so
@@ -5756,6 +5806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's primary CLI journey, digest-checked per stage
         "imaging_pipeline_battery": q_imaging_pipeline_battery,
         # --- slots 51+: battery constituents + pytest-proven twins ---
+        # r16: the composed crawl pipeline (fifth composed family
+        # member) — registered past the window this round; rotation
+        # candidate for r17
+        "web_pipeline_battery": q_web_pipeline_battery,
         # r16 rotation: the five displaced hygiene singletons (each
         # value-proven in-window via hygiene_battery's digest)
         "dedup_lines_nl": q_dedup_lines_nl,

@@ -534,7 +534,10 @@ def sql_dedup_exact():
 FROM documents GROUP BY 1"""
 
 
-def sql_text_gopher():
+def sql_text_gopher(table: str = "documents"):
+    """``table`` re-parameterizes the source for composed-pipeline
+    twins (r16 web_pipeline_battery runs it over the crawl-budget
+    survivors)."""
     from .functions.text import (
         EN_STOPWORDS,
         GOPHER_MAX_TOP_BIGRAM_FRAC,
@@ -546,7 +549,7 @@ def sql_text_gopher():
     )
 
     stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
-    return f"""WITH {_toks_cte(lower=True)},
+    return f"""WITH {_toks_cte(lower=True, table=table)},
 w AS (SELECT doc_id, unnest(toks) AS tok FROM q),
 ws AS (
   SELECT doc_id, COUNT(*) AS n_words,
@@ -1954,6 +1957,68 @@ resized AS MATERIALIZED (
          CAST((doc_id * {PIX_A} + ((yy.i * h) // 4) * {PIX_Y} + ((xx.i * w) // 4) * {PIX_X}) % {PIX_MOD} AS BIGINT) AS v
   FROM rdims CROSS JOIN range(4) yy(i) CROSS JOIN range(4) xx(i)
 )
+{digests}"""
+
+
+def sql_web_pipeline_battery():
+    """Composed crawl-pipeline twin (r16): canonicalize+cluster →
+    host profile → per-host budget cap → Gopher quality over the
+    survivors, as one chained CTE stack. Stage bodies mirror the
+    per-operator oracles (sql_web_url_dedup / sql_web_host_stats /
+    sql_corpus_cap_per_source's naive window / sql_text_gopher
+    re-parameterized to the survivor set)."""
+    from .gate import WPIPE_CAP
+
+    h = H64.format(s="concat('wpipe:', CAST(doc_id AS VARCHAR))")
+    gopher_sv = "(" + sql_text_gopher(table="sv") + ")"
+    specs = {
+        "wpipe_clusters": (
+            "SELECT * FROM clusters",
+            {"canonical_url": "s", "rep_id": "l", "n_docs": "l", "n_raw_forms": "l"},
+        ),
+        "wpipe_hosts": (
+            "SELECT * FROM hosts",
+            {"host": "s", "n_pages": "l", "n_urls": "l", "dup_factor": "d"},
+        ),
+        "wpipe_budget": (
+            "SELECT * FROM budget",
+            {"doc_id": "l", "source": "s", "rk": "l"},
+        ),
+        "wpipe_quality": (
+            f"SELECT * FROM {gopher_sv} _g",
+            {"doc_id": "l", "n_words": "l", "mean_word_len": "d",
+             "n_distinct_stopwords": "l", "dup_word_frac": "d",
+             "top_bigram_frac": "d", "passes": "s"},
+        ),
+    }
+    digests = "\nUNION ALL\n".join(
+        _digest_sql(name, inner, spec) for name, (inner, spec) in specs.items()
+    )
+    return f"""WITH {_sql_web_urls()},
+clusters AS MATERIALIZED (
+  SELECT canonical_url, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms
+  FROM u GROUP BY 1
+),
+hosts AS (
+  SELECT host, COUNT(*) AS n_pages,
+         CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+         round(COUNT(*) / COUNT(DISTINCT canonical_url), 6) AS dup_factor
+  FROM u GROUP BY 1
+),
+pages AS (
+  SELECT rep_id AS doc_id,
+         regexp_extract(canonical_url, '^https?://([^/:]+)', 1) AS source
+  FROM clusters
+),
+budget AS MATERIALIZED (
+  SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rk
+    FROM pages
+  ) WHERE rk <= {WPIPE_CAP}
+),
+sv AS (SELECT d.doc_id, d.text FROM documents d JOIN budget USING (doc_id))
 {digests}"""
 
 
@@ -5539,6 +5604,7 @@ def oracles() -> dict[str, str]:
         "events_pipeline_battery": sql_events_pipeline_battery(),
         "multimodal_pipeline_battery": sql_multimodal_pipeline_battery(),
         "imaging_pipeline_battery": sql_imaging_pipeline_battery(),
+        "web_pipeline_battery": sql_web_pipeline_battery(),
         "sketch_heavy_hitters": sql_sketch_heavy_hitters(),
         "web_url_dedup": sql_web_url_dedup(),
         "web_host_stats": sql_web_host_stats(),
