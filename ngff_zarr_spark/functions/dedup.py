@@ -1074,6 +1074,47 @@ def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
         json.dump(meta, fh)
 
 
+def compact_ref_index(
+    spark, src: str, dst: str, n_files: int = INDEX_FILES
+) -> None:
+    """Compact a many-batch index into a single-batch layout at ``dst``
+    WITHOUT touching corpus text: the stored wide signatures and the
+    stored (already witness-capped) band rows are the source of truth
+    and are rewritten verbatim into one ``batch=<hi>`` staging per
+    table, committed by meta. After ~N daily refreshes the index
+    carries N batch directories per table; every open pays the listing
+    and footer cost of all of them — compaction is the standard
+    maintenance verb that folds them back to one (object-store table
+    compaction shape: build the new layout, then repoint the alias;
+    ``dst`` is the new alias target).
+
+    Exactly equal to the incremental index by construction: monotonic
+    admission keeps precisely the cap-smallest witnesses per bucket —
+    the same set a from-scratch cap over the union keeps (pinned by
+    refresh ≡ rebuild) — so copying the stored rows IS the rebuild.
+    Only committed batches are read (orphans stay behind); a crash
+    before the dst meta write leaves dst unreadable and src untouched."""
+    import json
+    import os
+    import shutil
+
+    meta = read_ref_index_meta(src)
+    hi = int(meta["max_doc_id"])
+    wide, bands = read_ref_index(spark, src)
+    shutil.rmtree(dst, ignore_errors=True)
+    wide.repartition(n_files, "doc_id").write.mode("overwrite").parquet(
+        os.path.join(dst, "wide", f"batch={hi}")
+    )
+    (
+        bands.repartition(n_files, "band_key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(dst, "bands", f"batch={hi}"))
+    )
+    with open(_index_meta_path(dst), "w") as fh:
+        json.dump(meta, fh)
+
+
 def minhash_candidates_incremental(
     new_docs: DataFrame,
     ref_docs: DataFrame | None,

@@ -1263,11 +1263,15 @@ def q_dedup_index_refresh(spark, sf_dir):
     proves the persisted+refreshed index carries exactly the
     from-scratch witness structure. Refresh work is batch-sized plus
     one bounded index-key-column scan (plan contract in the same
-    pytest)."""
+    pytest). r16: the refreshed index is COMPACTED (many-batch → one
+    batch layout, stored rows rewritten verbatim) before the probe, so
+    the maintenance verb is driver-graded too — the oracle is
+    unchanged, proving compaction loses/invents nothing."""
     import shutil
 
     from .functions.dedup import (
         _norm_text,
+        compact_ref_index,
         incremental_dedup,
         read_ref_index,
         refresh_ref_index,
@@ -1287,10 +1291,12 @@ def q_dedup_index_refresh(spark, sf_dir):
         .alias("text"),
     )
     path = _tmp_store("ref_index")
+    compacted = _tmp_store("ref_index_compact")
     shutil.rmtree(path, ignore_errors=True)
     write_ref_index(a, path)
     refresh_ref_index(spark, path, b)
-    wide, bands = read_ref_index(spark, path)
+    compact_ref_index(spark, path, compacted)
+    wide, bands = read_ref_index(spark, compacted)
     return incremental_dedup(probe, None, ref_wide=wide, ref_bands=bands)
 
 

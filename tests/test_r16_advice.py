@@ -151,3 +151,52 @@ def test_tracking_constants_are_authoritative(spark, monkeypatch):
         "https://s.com/x?a=1&fbclid=1"
     )
     assert _canon(spark, "https://s.com/x?gclid=1&a=1") == "https://s.com/x?a=1"
+
+
+def test_compact_ref_index_equals_source(spark, tmp_path):
+    """Compaction folds N batch directories into one per table, loses
+    nothing, invents nothing, and stays refreshable (monotonic guard
+    carries over via the copied meta)."""
+    import os
+
+    from ngff_zarr_spark.functions.dedup import (
+        compact_ref_index,
+        incremental_dedup,
+    )
+
+    base = [(i, f"unique document number {i} with words {i * 7}")
+            for i in range(12)]
+    a = _mkdocs(spark, base)
+    b = _mkdocs(spark, [(100 + i, BOILER) for i in range(6)])
+    c = _mkdocs(spark, [(200 + i, f"later crawl doc {i} tokens {i * 13}")
+                        for i in range(4)])
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_ref_index(a, src, max_bucket=3)
+    refresh_ref_index(spark, src, b)
+    refresh_ref_index(spark, src, c)
+    assert len(os.listdir(os.path.join(src, "wide"))) == 3
+
+    compact_ref_index(spark, src, dst)
+    # one batch directory per table
+    assert os.listdir(os.path.join(dst, "wide")) == ["batch=203"]
+    assert os.listdir(os.path.join(dst, "bands")) == ["batch=203"]
+    # identical meta + identical row sets
+    assert read_ref_index_meta(dst) == read_ref_index_meta(src)
+    ws, bs = read_ref_index(spark, src)
+    wd, bd = read_ref_index(spark, dst)
+    cols = sorted(ws.columns)
+    assert _rows(ws, cols) == _rows(wd, cols)
+    bc = ["doc_id", "band", "band_key"]
+    assert _rows(bs, bc) == _rows(bd, bc)
+
+    # identical probe verdicts through the gatekeeper
+    probe = _mkdocs(spark, [(500, BOILER), (501, "novel fresh words here")])
+    vs = {tuple(r) for r in incremental_dedup(probe, None, ref_wide=ws, ref_bands=bs).collect()}
+    vd = {tuple(r) for r in incremental_dedup(probe, None, ref_wide=wd, ref_bands=bd).collect()}
+    assert vs == vd
+
+    # compacted index keeps accepting batches
+    d = _mkdocs(spark, [(300, "yet another later document entirely")])
+    refresh_ref_index(spark, dst, d)
+    assert read_ref_index_meta(dst)["max_doc_id"] == 300
