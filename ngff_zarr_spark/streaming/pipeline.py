@@ -850,7 +850,10 @@ def streaming_url_dedup(
     documents arrive as parquet files; each micro-batch canonicalizes
     its URLs (pure JVM projection — zero streaming state, the same
     stateless-ingest split as streaming_quality_filter) and appends
-    (canonical_url, raw, id) rows to a parquet ledger. The clustering
+    (canonical_url, raw, id) rows to a batch-scoped parquet ledger
+    directory (``batch=<id>``, mode=overwrite — so an at-least-once
+    replay overwrites its own rows instead of appending a duplicate
+    copy; ADVICE r15). The clustering
     aggregate — representative, member count, distinct raw spellings —
     runs ONCE at drain over the accumulated ledger. Structured
     Streaming cannot run the countDistinct(raw) aggregate statefully

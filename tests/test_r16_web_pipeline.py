@@ -45,3 +45,26 @@ def test_matches_duckdb_twin(sf_dir, rows):
         for r in con.execute(oracle.sql_web_pipeline_battery()).fetchall()
     }
     assert got == want
+
+
+def test_plan_contracts(spark, sf_dir):
+    """The chain's scale posture: the budget survivor set broadcasts
+    into the doc join (never a shuffled join on the full corpus), and
+    no stage plans a cartesian or nested-loop join."""
+    from ngff_zarr_spark.functions.sampling import cap_per_source
+    from ngff_zarr_spark.functions.text import gopher_quality
+    from ngff_zarr_spark.functions.web import url_dedup
+
+    docs = gate._docs(spark, sf_dir)
+    urls = gate._doc_urls(docs)
+    clusters = url_dedup(urls)
+    pages = clusters.select(
+        F.col("rep_id").alias("doc_id"),
+        F.regexp_extract("canonical_url", r"^https?://([^/:]+)", 1).alias("source"),
+    )
+    budget = cap_per_source(pages, k=gate.WPIPE_CAP, salt="wpipe")
+    s4 = docs.join(F.broadcast(budget.select("doc_id")), "doc_id")
+    plan = gopher_quality(s4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
