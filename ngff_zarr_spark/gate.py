@@ -5027,13 +5027,49 @@ def q_s2_http_read(spark, sf_dir):
     return df.select("t", "c", "z", "y", "x", F.col("v").cast("long").alias("v"))
 
 
+def q_s_optimize_roundtrip(spark, sf_dir):
+    """Optimize verb (driver_api.optimize_ome_zarr_store — the
+    reference's optimize_zarr_store, cli.py's recompress/rechunk
+    workflow): write a v2 gzip store, rewrite it with a new chunk grid
+    + zstd + sharding (which forces the v3 layout), read the OPTIMIZED
+    store back. Pixels must be value-exact — levels are copied through
+    the distributed chunk writer, never recomputed."""
+    from .driver_api import optimize_ome_zarr_store
+    from .model import NgffImage
+    from .ome_zarr_api import read_image, to_multiscales as _tm, to_ngff_zarr as _tz
+
+    src = _tmp_store("opt_src.ome.zarr")
+    dst = _tmp_store("opt_dst.ome.zarr")
+    img = NgffImage(
+        data=pixel_df(spark, IMG3D).select("t", "c", "z", "y", "x", "v"),
+        dims=["z", "y", "x"],
+        shape={"z": IMG3D.z, "y": IMG3D.y, "x": IMG3D.x},
+        scale=dict(IMG3D_SCALE),
+        translation=dict(IMG3D_TRANSLATION),
+        name="image",
+    )
+    ms = _tm(img, scale_factors=[], chunks=dict(CHUNKS3D))
+    _tz(src, ms, version="0.4", compressor="gzip")
+    res = optimize_ome_zarr_store(
+        spark, src, dst,
+        compression_codec="zstd",
+        chunks={"z": 8, "y": 16, "x": 16},
+        chunks_per_shard=2,
+    )
+    assert res.success, res.error
+    return read_image(spark, dst, "scale0/image", zarr_format=3).select(
+        "t", "c", "z", "y", "x", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_storage_roundtrip_battery(spark, sf_dir):
     """S1/S2/S4/S8/S9/C3 in one slot: every container/codec/dtype
     write→read roundtrip tagged and unioned, plus the live-HTTP remote
-    read of the sharded golden store (r8). One hash mismatch in any
+    read of the sharded golden store (r8) and, since r16, the OPTIMIZE
+    verb (recompress+rechunk+shard rewrite). One hash mismatch in any
     layout (v2 gzip, legacy '.'-separator, blosc, v3 sharded, the
-    uint16/float16/int64/uint64 dtype tail, or the http path) fails
-    the whole battery."""
+    uint16/float16/int64/uint64 dtype tail, the http path, or the
+    optimized rewrite) fails the whole battery."""
     return _tagged_union(
         {
             "v2_gzip": q_s1_s4_zarr_roundtrip(spark, sf_dir),
@@ -5048,6 +5084,7 @@ def q_storage_roundtrip_battery(spark, sf_dir):
             "complex128": q_dtype_complex128_roundtrip(spark, sf_dir),
             "roi_pruned": q_s1_roi_pruned_read(spark, sf_dir),
             "http_sharded": q_s2_http_read(spark, sf_dir),
+            "optimized": q_s_optimize_roundtrip(spark, sf_dir),
         }
     )
 
@@ -5816,6 +5853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # member) — registered past the window this round; rotation
         # candidate for r17
         "web_pipeline_battery": q_web_pipeline_battery,
+        # r16: the optimize verb, addressable solo (battery tag
+        # "optimized" grades it in-window)
+        "s_optimize_roundtrip": q_s_optimize_roundtrip,
         # r16 rotation: the five displaced hygiene singletons (each
         # value-proven in-window via hygiene_battery's digest)
         "dedup_lines_nl": q_dedup_lines_nl,

@@ -4876,6 +4876,9 @@ def sql_storage_roundtrip_battery():
     d["complex128"] = sql_dtype_complex_roundtrip()
     d["roi_pruned"] = sql_s1_roi_pruned_read()
     d["http_sharded"] = sql_s2_http_read()
+    # r16: the optimize verb (recompress+rechunk+shard rewrite) copies
+    # levels verbatim, so its read-back is the same pixel formula
+    d["optimized"] = sql_s1_s4_zarr_roundtrip()
     return _tagged_union_sql(d, "t, c, z, y, x, v")
 
 
@@ -5605,6 +5608,7 @@ def oracles() -> dict[str, str]:
         "multimodal_pipeline_battery": sql_multimodal_pipeline_battery(),
         "imaging_pipeline_battery": sql_imaging_pipeline_battery(),
         "web_pipeline_battery": sql_web_pipeline_battery(),
+        "s_optimize_roundtrip": sql_s1_s4_zarr_roundtrip(),
         "sketch_heavy_hitters": sql_sketch_heavy_hitters(),
         "web_url_dedup": sql_web_url_dedup(),
         "web_host_stats": sql_web_host_stats(),
