@@ -17,6 +17,7 @@ because the hashes are the portable ``h64`` md5 derivation.
 from __future__ import annotations
 
 import contextlib
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -839,9 +840,23 @@ def build_ref_index(
 #   bands/  — the witness-capped band table, disk-partitioned by
 #             `band` (partition pruning for band-sliced probes) and
 #             hash-clustered on band_key within each band dir.
-#   _meta.json — {num_perm, band_size, max_bucket, max_doc_id}: the
-#             refresh contract's parameters + the monotonic-id
-#             high-water mark.
+#   _meta.json — {num_perm, band_size, max_bucket, max_doc_id[, gen]}:
+#             the refresh contract's parameters + the monotonic-id
+#             high-water mark. When `gen` is present (r17), the data
+#             tables live under a generation directory `gen=<G>/` and
+#             readers pin G == meta.gen — the level that makes
+#             SAME-PATH compaction possible (compact_ref_index_inplace
+#             publishes gen=G+1 then commits the meta; gen-less
+#             indexes keep the legacy flat layout and migrate on their
+#             first in-place compaction).
+#
+# WRITERS ARE SINGLE-WRITER (ADVICE r16): refresh and in-place
+# compaction serialize on a `_writer.lock` file under `path` — a
+# concurrent admission would race the orphan GC (one writer's in-flight
+# staging directory is indistinguishable from a crash orphan to
+# another) and a concurrent compaction would strand a refresh's batch
+# in the superseded generation. Contention fails loudly; a crash leaves
+# the lock behind and the error message names it for manual removal.
 #
 # REFRESH = APPEND, exactly equal to a from-scratch rebuild, because of
 # the monotonic-id ingest contract (new batch ids strictly above the
@@ -870,6 +885,51 @@ def _index_meta_path(path: str) -> str:
     import os
 
     return os.path.join(path, "_meta.json")
+
+
+def _index_data_root(path: str, meta: dict) -> str:
+    """Directory holding the wide/ and bands/ tables: a ``gen=<G>``
+    level when the meta carries a generation (r17 layout), else the
+    index root itself (legacy flat layout — every pre-r17 index)."""
+    import os
+
+    if "gen" in meta:
+        return os.path.join(path, f"gen={int(meta['gen'])}")
+    return path
+
+
+@contextmanager
+def _index_writer_lock(path: str):
+    """Exclusive single-writer lock for index mutation verbs (ADVICE
+    r16): O_CREAT|O_EXCL on ``path/_writer.lock`` — atomic on POSIX
+    filesystems. Concurrent writers raise instead of racing the orphan
+    GC / generation commit; a crashed writer leaves the lock behind
+    and the error names it (manual removal is the recovery — the
+    commit protocol itself is crash-safe, only the lock is sticky)."""
+    import json
+    import os
+    import time
+
+    lock = os.path.join(path, "_writer.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"ref index at {path} is locked by another writer "
+            f"({lock} exists). refresh_ref_index and "
+            "compact_ref_index_inplace are single-writer verbs; if the "
+            "previous writer crashed, remove the lock file and retry "
+            "(the batch-staging commit protocol is crash-safe)."
+        ) from None
+    try:
+        os.write(fd, json.dumps({"pid": os.getpid(), "time": time.time()}).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def write_ref_index(
@@ -927,19 +987,24 @@ def read_ref_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     COMMITTED batches are served: the batch partition column is
     filtered against the _meta.json high-water mark, so orphan
     directories left by a crashed refresh are invisible (partition
-    pruning — the orphan files are never opened)."""
+    pruning — the orphan files are never opened). Gen-aware (r17):
+    reads pin the generation recorded in the meta, so an in-place
+    compaction that publishes gen=G+1 never changes what an
+    already-opened reader sees (its plan references gen=G's files,
+    which survive until :func:`vacuum_ref_index`)."""
     import os
 
     meta = read_ref_index_meta(path)
+    root = _index_data_root(path, meta)
     hi = meta["max_doc_id"]
     num_perm = meta["num_perm"]
     wide = (
-        spark.read.parquet(os.path.join(path, "wide"))
+        spark.read.parquet(os.path.join(root, "wide"))
         .filter(F.col("batch") <= hi)
         .select("doc_id", *[f"m{p}" for p in range(num_perm)])
     )
     bands = (
-        spark.read.parquet(os.path.join(path, "bands"))
+        spark.read.parquet(os.path.join(root, "bands"))
         .filter(F.col("batch") <= hi)
         .select("doc_id", "band", "band_key")
     )
@@ -953,22 +1018,24 @@ def read_ref_index_meta(path: str) -> dict:
         return json.load(fh)
 
 
-def _gc_orphan_batches(path: str, max_doc_id: int) -> None:
-    """Delete wide/batch=* and bands/batch=* directories whose batch id
-    exceeds the committed high-water mark — uncommitted orphans from a
-    crashed refresh. Readers already hide them via the batch filter,
-    but a LATER commit of a *different* batch raises the high-water
-    mark past the orphan and would resurrect it: its rows were never
-    counted in that batch's occupancy scan (bucket caps could overfill)
-    and a crash between the wide and bands writes can leave wide rows
-    with no band rows (ADVICE r15). Collecting them at admission time
-    closes the crash-then-skip hole; a crash-then-retry still simply
-    overwrites its own directory."""
+def _gc_orphan_batches(data_root: str, max_doc_id: int) -> None:
+    """Delete wide/batch=* and bands/batch=* directories (under the
+    current generation's data root) whose batch id exceeds the
+    committed high-water mark — uncommitted orphans from a crashed
+    refresh. Readers already hide them via the batch filter, but a
+    LATER commit of a *different* batch raises the high-water mark past
+    the orphan and would resurrect it: its rows were never counted in
+    that batch's occupancy scan (bucket caps could overfill) and a
+    crash between the wide and bands writes can leave wide rows with no
+    band rows (ADVICE r15). Collecting them at admission time closes
+    the crash-then-skip hole; a crash-then-retry still simply
+    overwrites its own directory. Callers hold the writer lock (ADVICE
+    r16) — GC must never see another live writer's staging dirs."""
     import os
     import shutil
 
     for sub in ("wide", "bands"):
-        root = os.path.join(path, sub)
+        root = os.path.join(data_root, sub)
         if not os.path.isdir(root):
             continue
         for name in os.listdir(root):
@@ -1007,71 +1074,74 @@ def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
 
     from pyspark.sql import Window
 
-    meta = read_ref_index_meta(path)
-    # garbage-collect uncommitted orphans BEFORE admitting this batch:
-    # once this commit raises the high-water mark, any orphan below the
-    # new mark would become visible without ever being occupancy-counted
-    _gc_orphan_batches(path, int(meta["max_doc_id"]))
-    num_perm, band_size = meta["num_perm"], meta["band_size"]
-    max_bucket = meta["max_bucket"]
-    lo = new_docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    if lo["lo"] is None:
-        return  # empty batch — nothing to admit
-    if lo["lo"] <= meta["max_doc_id"]:
-        raise ValueError(
-            f"refresh_ref_index: batch min doc_id {lo['lo']} <= stored "
-            f"high-water mark {meta['max_doc_id']} — the append-only "
-            "refresh requires strictly growing doc_ids (rebuild with "
-            "write_ref_index for out-of-order corpora)"
-        )
-    new_wide = minhash_signatures_wide(new_docs, num_perm).localCheckpoint()
-    new_bands = _band_table(new_wide, num_perm, band_size)
-    if max_bucket is None:
-        admitted = new_bands
-    else:
-        # stored occupancy of ONLY the buckets this batch touches: the
-        # stored-bands scan reads two key columns and semi-joins the
-        # (small) touched-key set before aggregating. COMMITTED batches
-        # only — an orphan directory from a crashed prior attempt must
-        # not count toward occupancy (the batch filter is a partition
-        # prune, not a data read)
-        stored = (
-            spark.read.parquet(os.path.join(path, "bands"))
-            .filter(F.col("batch") <= meta["max_doc_id"])
-            .select("band", "band_key")
-        )
-        touched = new_bands.select("band", "band_key").distinct()
-        occ = (
-            stored.join(F.broadcast(touched), ["band", "band_key"])
-            .groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("stored_n"))
-        )
-        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
-        admitted = (
-            new_bands.withColumn("rn", F.row_number().over(w))
-            .join(occ, ["band", "band_key"], "left")
-            .filter(
-                F.col("rn") + F.coalesce(F.col("stored_n"), F.lit(0))
-                <= F.lit(int(max_bucket))
+    with _index_writer_lock(path):
+        meta = read_ref_index_meta(path)
+        root = _index_data_root(path, meta)
+        # garbage-collect uncommitted orphans BEFORE admitting this
+        # batch: once this commit raises the high-water mark, any
+        # orphan below the new mark would become visible without ever
+        # being occupancy-counted
+        _gc_orphan_batches(root, int(meta["max_doc_id"]))
+        num_perm, band_size = meta["num_perm"], meta["band_size"]
+        max_bucket = meta["max_bucket"]
+        lo = new_docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if lo["lo"] is None:
+            return  # empty batch — nothing to admit
+        if lo["lo"] <= meta["max_doc_id"]:
+            raise ValueError(
+                f"refresh_ref_index: batch min doc_id {lo['lo']} <= stored "
+                f"high-water mark {meta['max_doc_id']} — the append-only "
+                "refresh requires strictly growing doc_ids (rebuild with "
+                "write_ref_index for out-of-order corpora)"
             )
-            .select("doc_id", "band", "band_key")
+        new_wide = minhash_signatures_wide(new_docs, num_perm).localCheckpoint()
+        new_bands = _band_table(new_wide, num_perm, band_size)
+        if max_bucket is None:
+            admitted = new_bands
+        else:
+            # stored occupancy of ONLY the buckets this batch touches:
+            # the stored-bands scan reads two key columns and semi-joins
+            # the (small) touched-key set before aggregating. COMMITTED
+            # batches only — an orphan directory from a crashed prior
+            # attempt must not count toward occupancy (the batch filter
+            # is a partition prune, not a data read)
+            stored = (
+                spark.read.parquet(os.path.join(root, "bands"))
+                .filter(F.col("batch") <= meta["max_doc_id"])
+                .select("band", "band_key")
+            )
+            touched = new_bands.select("band", "band_key").distinct()
+            occ = (
+                stored.join(F.broadcast(touched), ["band", "band_key"])
+                .groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("stored_n"))
+            )
+            w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+            admitted = (
+                new_bands.withColumn("rn", F.row_number().over(w))
+                .join(occ, ["band", "band_key"], "left")
+                .filter(
+                    F.col("rn") + F.coalesce(F.col("stored_n"), F.lit(0))
+                    <= F.lit(int(max_bucket))
+                )
+                .select("doc_id", "band", "band_key")
+            )
+        hi = int(lo["hi"])
+        new_wide.write.mode("overwrite").parquet(
+            os.path.join(root, "wide", f"batch={hi}")
         )
-    hi = int(lo["hi"])
-    new_wide.write.mode("overwrite").parquet(
-        os.path.join(path, "wide", f"batch={hi}")
-    )
-    (
-        admitted.repartition("band_key")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(os.path.join(path, "bands", f"batch={hi}"))
-    )
-    # commit point: only now do readers see the batch
-    meta["max_doc_id"] = hi
-    with open(_index_meta_path(path), "w") as fh:
-        json.dump(meta, fh)
+        (
+            admitted.repartition("band_key")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(os.path.join(root, "bands", f"batch={hi}"))
+        )
+        # commit point: only now do readers see the batch
+        meta["max_doc_id"] = hi
+        with open(_index_meta_path(path), "w") as fh:
+            json.dump(meta, fh)
 
 
 def compact_ref_index(
@@ -1093,12 +1163,25 @@ def compact_ref_index(
     the same set a from-scratch cap over the union keeps (pinned by
     refresh ≡ rebuild) — so copying the stored rows IS the rebuild.
     Only committed batches are read (orphans stay behind); a crash
-    before the dst meta write leaves dst unreadable and src untouched."""
+    before the dst meta write leaves dst unreadable and src untouched.
+
+    ``dst`` must be a DIFFERENT path (guarded — ADVICE r16: the dst
+    tree is removed before the lazily-read src DataFrames execute, so
+    an aliased call would destroy the index it is reading). For
+    same-path compaction use :func:`compact_ref_index_inplace`."""
     import json
     import os
     import shutil
 
-    meta = read_ref_index_meta(src)
+    if os.path.abspath(dst) == os.path.abspath(src):
+        raise ValueError(
+            "compact_ref_index: dst == src would rmtree the source "
+            "index before its lazily-read DataFrames execute; use "
+            "compact_ref_index_inplace(spark, path) for same-path "
+            "compaction (generation layout)"
+        )
+    meta = dict(read_ref_index_meta(src))
+    meta.pop("gen", None)  # dst is written in the flat (gen-less) layout
     hi = int(meta["max_doc_id"])
     wide, bands = read_ref_index(spark, src)
     shutil.rmtree(dst, ignore_errors=True)
@@ -1113,6 +1196,76 @@ def compact_ref_index(
     )
     with open(_index_meta_path(dst), "w") as fh:
         json.dump(meta, fh)
+
+
+def compact_ref_index_inplace(
+    spark, path: str, n_files: int = INDEX_FILES
+) -> None:
+    """SAME-PATH compaction via a generation level (VERDICT r16 ask #5):
+    fold the index's N batch directories into one ``batch=<hi>`` under
+    a NEW ``gen=<G+1>`` directory, then commit by writing ``gen: G+1``
+    into the meta. The alias-repoint form (:func:`compact_ref_index`)
+    needs the deployment to be able to change the index path; this verb
+    compacts where the path IS the configuration.
+
+    Reader safety: reads pin the generation recorded in the meta at
+    open time (:func:`read_ref_index`), and this verb never deletes —
+    a reader that opened gen=G keeps scanning gen=G's files (still on
+    disk) while new opens see gen=G+1; superseded generations are
+    reclaimed by the separate :func:`vacuum_ref_index`, to be run once
+    in-flight readers have drained (the Delta VACUUM / Iceberg
+    expire-snapshots split). Crash before the meta write leaves a
+    partial gen=G+1 directory that the next compaction overwrites
+    (mode=overwrite, same staging rationale as refresh); src rows are
+    rewritten verbatim — compaction never re-minhashes text. Legacy
+    flat-layout indexes migrate on their first in-place compaction
+    (gen=1; vacuum then removes the flat tables). Single-writer
+    (shares the refresh lock)."""
+    import json
+    import os
+
+    with _index_writer_lock(path):
+        meta = dict(read_ref_index_meta(path))
+        hi = int(meta["max_doc_id"])
+        new_gen = int(meta.get("gen", 0)) + 1
+        new_root = os.path.join(path, f"gen={new_gen}")
+        wide, bands = read_ref_index(spark, path)
+        wide.repartition(n_files, "doc_id").write.mode("overwrite").parquet(
+            os.path.join(new_root, "wide", f"batch={hi}")
+        )
+        (
+            bands.repartition(n_files, "band_key")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(os.path.join(new_root, "bands", f"batch={hi}"))
+        )
+        # commit point: new opens now resolve gen=<new_gen>
+        meta["gen"] = new_gen
+        with open(_index_meta_path(path), "w") as fh:
+            json.dump(meta, fh)
+
+
+def vacuum_ref_index(path: str) -> None:
+    """Reclaim superseded generations left by
+    :func:`compact_ref_index_inplace`: every ``gen=<G>`` directory with
+    G != meta.gen, plus the legacy flat ``wide``/``bands`` tables once
+    a migration committed a generation. DESTRUCTIVE to still-open
+    readers pinned on an old generation — run it after in-flight
+    readers drain, exactly like Delta VACUUM. No-op on a flat-layout
+    index (nothing is superseded until a compaction commits)."""
+    import os
+    import shutil
+
+    meta = read_ref_index_meta(path)
+    if "gen" not in meta:
+        return
+    cur = f"gen={int(meta['gen'])}"
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if name.startswith("gen=") and name != cur and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name in ("wide", "bands") and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def minhash_candidates_incremental(

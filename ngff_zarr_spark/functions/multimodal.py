@@ -89,9 +89,10 @@ def decode_image_pixels(docs: DataFrame) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
                 arr = png_decode(bytes(blob)).astype(np.int64)
                 h, w = arr.shape[:2]
-                rows.append(
-                    (int(doc_id), int(h), int(w), [int(v) for v in arr.ravel()])
-                )
+                # ravel().tolist() converts to Python ints in C (ADVICE
+                # r16) — a per-element comprehension made building the
+                # shared checkpoint cost more than the decodes it saves
+                rows.append((int(doc_id), int(h), int(w), arr.ravel().tolist()))
             yield pd.DataFrame(rows, columns=["doc_id", "img_h", "img_w", "px"])
 
     return imgs.mapInPandas(

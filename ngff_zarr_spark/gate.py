@@ -1266,15 +1266,21 @@ def q_dedup_index_refresh(spark, sf_dir):
     pytest). r16: the refreshed index is COMPACTED (many-batch → one
     batch layout, stored rows rewritten verbatim) before the probe, so
     the maintenance verb is driver-graded too — the oracle is
-    unchanged, proving compaction loses/invents nothing."""
+    unchanged, proving compaction loses/invents nothing. r17: the
+    compaction is IN-PLACE (compact_ref_index_inplace — gen=G+1
+    publish + meta commit at the SAME path, then vacuum), so the
+    generation layout is the graded verb; readers opened before the
+    compaction keep their pinned generation
+    (tests/test_r17_ref_index_gen.py)."""
     import shutil
 
     from .functions.dedup import (
         _norm_text,
-        compact_ref_index,
+        compact_ref_index_inplace,
         incremental_dedup,
         read_ref_index,
         refresh_ref_index,
+        vacuum_ref_index,
         write_ref_index,
     )
 
@@ -1291,12 +1297,12 @@ def q_dedup_index_refresh(spark, sf_dir):
         .alias("text"),
     )
     path = _tmp_store("ref_index")
-    compacted = _tmp_store("ref_index_compact")
     shutil.rmtree(path, ignore_errors=True)
     write_ref_index(a, path)
     refresh_ref_index(spark, path, b)
-    compact_ref_index(spark, path, compacted)
-    wide, bands = read_ref_index(spark, compacted)
+    compact_ref_index_inplace(spark, path)
+    vacuum_ref_index(path)
+    wide, bands = read_ref_index(spark, path)
     return incremental_dedup(probe, None, ref_wide=wide, ref_bands=bands)
 
 

@@ -377,6 +377,13 @@ class StoreBase:
     ``get`` so correctness never depends on range support.
     """
 
+    # put_json_many fans puts over a thread pool ONLY when the store
+    # opts in (ADVICE r16): unknown subclasses are not assumed
+    # thread-safe and get the serial path. The built-in local and
+    # fsspec stores opt in — their puts are independent per-key
+    # operations with no shared mutable state.
+    THREAD_SAFE_PUTS = False
+
     # -- byte surface (subclass contract) -----------------------------------
 
     def put(self, key: str, data: bytes) -> None:  # pragma: no cover - abstract
@@ -446,7 +453,16 @@ class StoreBase:
         pool, so a multi-array commit (384-field plate → 768 docs) pays
         a handful of concurrent round-trip waves plus ONE consolidated
         sync, not 2N serial puts each with its own sync. Semantically
-        identical to calling put_json per key (pytest-pinned)."""
+        identical to calling put_json per key (pytest-pinned).
+
+        Hardening (ADVICE r16): the pooled path is gated on
+        ``THREAD_SAFE_PUTS`` (True for the built-in local/fsspec/http
+        stores, whose puts are independent per-key operations; a
+        subclass with shared mutable put state opts out and gets the
+        serial path), and every put is attempted even after a failure —
+        the batch then raises ONE aggregate error naming the exact
+        failed-key set, so a partially-published commit is explicit
+        rather than a silent mid-flight abort."""
         if not docs:
             return
         self._cons_cache = None
@@ -454,14 +470,30 @@ class StoreBase:
             k: json.dumps(doc, indent=1, sort_keys=False).encode()
             for k, doc in docs.items()
         }
-        if len(payloads) > 1:
+        failures: dict[str, Exception] = {}
+
+        def _put(k: str, b: bytes) -> None:
+            try:
+                self.put(k, b)
+            except Exception as exc:  # noqa: BLE001 - aggregated below
+                failures[k] = exc
+
+        if len(payloads) > 1 and self.THREAD_SAFE_PUTS:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(16, len(payloads))) as ex:
-                list(ex.map(lambda kv: self.put(*kv), payloads.items()))
+                list(ex.map(lambda kv: _put(*kv), payloads.items()))
         else:
             for k, b in payloads.items():
-                self.put(k, b)
+                _put(k, b)
+        if failures:
+            keys = sorted(failures)
+            raise RuntimeError(
+                f"put_json_many: {len(failures)}/{len(payloads)} metadata "
+                f"puts failed (keys: {keys}); the other "
+                f"{len(payloads) - len(failures)} puts landed — retry the "
+                "batch (puts are idempotent full-document overwrites)"
+            ) from failures[keys[0]]
         # ONE consolidated sync for the whole batch (same best-effort
         # rules as put_json's per-key sync)
         try:
@@ -827,6 +859,8 @@ class StoreBase:
 class ZarrStore(StoreBase):
     """Thin (key → bytes) mapping over a local directory."""
 
+    THREAD_SAFE_PUTS = True  # independent per-key file writes
+
     def __init__(self, root: str):
         self.root = Path(root)
 
@@ -875,6 +909,11 @@ class ZarrStore(StoreBase):
 class FsspecStore(StoreBase):
     """fsspec-backed byte surface (s3/gs/az/… when fsspec + the
     filesystem driver are installed)."""
+
+    # independent object PUTs through the fsspec sync API; flip the
+    # INSTANCE attribute for a driver known not to tolerate concurrent
+    # independent writes
+    THREAD_SAFE_PUTS = True
 
     def __init__(self, fs, root: str):
         self.fs = fs

@@ -39,7 +39,8 @@ def test_last_stdout_line_survives_tail_truncation():
         assert len(line) < 600, f"stdout line too fat ({len(line)} bytes)"
         doc = json.loads(line)
         for key in ("metric", "value", "unit", "runs", "sf", "git_head",
-                    "n_queries", "detail"):
+                    "n_queries", "detail", "load_avg_start", "load_avg_end",
+                    "foreign_cpu_avg", "contended"):
             assert key in doc, key
         assert "queries" not in doc  # the fat dict lives in bench_out.json
         # and the full record exists beside it
