@@ -735,6 +735,7 @@ def multimodal_dedup_verdict(
     docs: DataFrame,
     pixels: DataFrame | None = None,
     ahash: DataFrame | None = None,
+    audio: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-modal keep/drop decision — the multimodal sibling of
     corpus.filter_pipeline: a document is dropped if ANY modality is a
@@ -751,7 +752,15 @@ def multimodal_dedup_verdict(
     Plan shape: three independent hash aggregates (text md5 groups,
     image aHash groups, audio fingerprint groups) joined back to the
     doc list on doc_id/group keys — no modality ever pays for another
-    modality's shuffle, and each join is cardinality-preserving."""
+    modality's shuffle, and each join is cardinality-preserving.
+
+    ``ahash=`` / ``audio=`` (r17 for audio, VERDICT r16 ask #3) accept
+    precomputed signature tables so a composed pipeline pays each
+    modality's decode once: un-checkpointed, the rep self-join below
+    feeds the signature scan to BOTH its aggregate and probe sides and
+    Catalyst executes the decode twice. Standalone calls keep the
+    decode-inline defaults (the checkpoint trade is only right when a
+    caller shares the table)."""
     from .dedup import _norm_text
 
     ids = docs.select("doc_id")
@@ -767,7 +776,9 @@ def multimodal_dedup_verdict(
     adup = ah.join(arep, ["h_hi", "h_lo"]).select(
         "doc_id", (F.col("doc_id") != F.col("rep")).alias("image_dup")
     )
-    fp = audio_fingerprint(docs).select("doc_id", "fp")
+    fp = (audio_fingerprint(docs) if audio is None else audio).select(
+        "doc_id", "fp"
+    )
     frep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     fdup = fp.join(frep, "fp").select(
         "doc_id", (F.col("doc_id") != F.col("rep")).alias("audio_dup")

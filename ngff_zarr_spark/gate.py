@@ -2174,8 +2174,15 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
     r16 (VERDICT r15 ask #3): every image is decoded ONCE into the
     shared decoded-pixel checkpoint; stages 1 and 3–5 consume it via
     their ``pixels=`` path, so the chain's decode cost is paid once —
-    identical digests, the re-decode work gone."""
+    identical digests, the re-decode work gone.
+
+    r17 (VERDICT r16 ask #3): the audio modality gets the same
+    treatment — ONE checkpointed audio_fingerprint pass feeds the
+    verdict via ``audio=`` (un-passed, the verdict's rep self-join
+    decodes the WAV payloads twice, once per join side); single-attach
+    pinned in tests/test_r17_audio_passthrough.py."""
     from .functions.multimodal import (
+        audio_fingerprint,
         decode_image_pixels,
         document_image_features,
         image_near_dup,
@@ -2194,7 +2201,10 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
     # ONE aHash pass serves both the near-dup pairing and the verdict
     ah2 = image_ahash(s2, pixels=px2).localCheckpoint()
     pairs = image_near_dup(s2, max_hamming=1, ahash=ah2)
-    verdict = multimodal_dedup_verdict(s2, ahash=ah2).localCheckpoint()
+    # ONE audio-fingerprint pass (r17): without the checkpoint the
+    # verdict's rep self-join decodes every WAV twice
+    afp2 = audio_fingerprint(s2).localCheckpoint()
+    verdict = multimodal_dedup_verdict(s2, ahash=ah2, audio=afp2).localCheckpoint()
     s4_ids = verdict.filter(F.col("keep") == "yes").select("doc_id")
     s4 = s2.join(F.broadcast(s4_ids), "doc_id")
     resized = resize_image_pixels(s4, pixels=px2.join(F.broadcast(s4_ids), "doc_id"))
