@@ -5755,7 +5755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (S15, previously pytest-only) is driver-graded; constituents
         # stay addressable past slot 50
         "itk_adapter_battery": q_itk_adapter_battery,
-        "web_host_stats": q_web_host_stats,
+        # r17 rotation (VERDICT r16 ask #4): the composed crawl chain
+        # takes web_host_stats' slot — host_stats stays value-proven
+        # in-window via web_battery's digest AND runs live as the
+        # pipeline's stage 2; the displaced gate keeps its registration
+        # past the window.
+        "web_pipeline_battery": q_web_pipeline_battery,
         "c7_validate_battery": q_c7_validate_battery,
         # r13 rotation (VERDICT r12 ask #6): the three long-stable
         # metadata singletons (c8/c9/c10) fold into one digest battery.
@@ -5865,10 +5870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's primary CLI journey, digest-checked per stage
         "imaging_pipeline_battery": q_imaging_pipeline_battery,
         # --- slots 51+: battery constituents + pytest-proven twins ---
-        # r16: the composed crawl pipeline (fifth composed family
-        # member) — registered past the window this round; rotation
-        # candidate for r17
-        "web_pipeline_battery": q_web_pipeline_battery,
+        # r17 rotation: web_host_stats' direct row moved to
+        # web_pipeline_battery (above); still value-proven in-window
+        # via web_battery's digest
+        "web_host_stats": q_web_host_stats,
         # r16: the optimize verb, addressable solo (battery tag
         # "optimized" grades it in-window)
         "s_optimize_roundtrip": q_s_optimize_roundtrip,

@@ -41,7 +41,10 @@ STARVED_R3 = [
     "web_url_dedup",
     # r7: s14's slot is the itk battery (s14 import + s15 export)
     "itk_adapter_battery",
-    "web_host_stats",
+    # r17 rotation (VERDICT r16 ask #4): web_host_stats' row hands over
+    # to the composed crawl chain; host_stats stays digest-proven via
+    # web_battery and runs live as the pipeline's stage 2
+    "web_pipeline_battery",
     "c7_validate_battery",
     # r13 rotation: c8/c9/c10 fold into metadata_battery.
     "metadata_battery",
@@ -211,11 +214,17 @@ def test_first_50_layout():
     for k in (
         "sketch_heavy_hitters_stream",
         "web_url_dedup",
-        "web_host_stats",
         "events_dedup_stream",
         "imaging_pipeline_battery",
     ):
         assert k in first50, k
+    # r17 rotation (VERDICT r16 ask #4): the composed crawl chain takes
+    # web_host_stats' slot; the displaced gate is a web_battery
+    # constituent (digest value-proven in-window) and also runs live as
+    # the pipeline's stage 2
+    assert "web_pipeline_battery" in first50
+    assert "web_host_stats" in qs[50:]
+    assert "web_host_stats" in gate.WEB_PARTS
     for k in (
         "dedup_lines_nl",
         "dedup_contamination",
