@@ -48,3 +48,14 @@ def test_crawl_hygiene_example_runs():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "crawl hygiene complete" in r.stdout
+
+
+def test_dedup_index_lifecycle_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/dedup_index_lifecycle.py",
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "index lifecycle complete" in r.stdout
+    assert "compacted in place: gen=1" in r.stdout

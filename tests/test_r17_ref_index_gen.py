@@ -198,6 +198,27 @@ def test_compact_to_dst_strips_gen_from_meta(spark, tmp_path):
     assert _rows(w_dst, wcols) == expect
 
 
+def test_inplace_compaction_never_reminhashes(spark, tmp_path, monkeypatch):
+    """Plan contract: in-place compaction rewrites the STORED rows
+    verbatim — corpus text is never re-shingled or re-minhashed (at
+    100 TB that difference is a metadata-sized rewrite vs a full
+    corpus recompute). Pinned at the source: the signature builder
+    raising during compaction proves it is never called."""
+    import ngff_zarr_spark.functions.dedup as dd
+
+    path = str(tmp_path / "idx")
+    _build_three_batch_index(spark, path)
+
+    def boom(*a, **k):
+        raise AssertionError("compaction re-minhashed the corpus")
+
+    monkeypatch.setattr(dd, "minhash_signatures_wide", boom)
+    monkeypatch.setattr(dd, "_band_table", boom)
+    monkeypatch.setattr(dd, "_capped_ref_bands", boom)
+    compact_ref_index_inplace(spark, path)
+    assert read_ref_index_meta(path)["gen"] == 1
+
+
 def test_writer_lock_single_writer(spark, tmp_path):
     """A held lock makes refresh AND in-place compaction fail loudly,
     naming the lock file; both release the lock afterwards (success and
