@@ -696,8 +696,16 @@ def _proc_tree_cpu_s(pid: int | None = None) -> float | None:
                     rest = fh.read().rsplit(")", 1)[1].split()
                 # rest[11..14] = utime stime cutime cstime (1-indexed 14-17)
                 total += sum(int(v) for v in rest[11:15]) / _CLK_TCK
-                with open(f"/proc/{p}/task/{p}/children") as fh:
-                    stack.extend(int(c) for c in fh.read().split())
+                # children must be gathered from EVERY task (thread) of
+                # the process: the Spark JVM forks Python workers from
+                # non-main threads, and a main-thread-only walk counts
+                # their CPU as foreign
+                for tid in os.listdir(f"/proc/{p}/task"):
+                    try:
+                        with open(f"/proc/{p}/task/{tid}/children") as fh:
+                            stack.extend(int(c) for c in fh.read().split())
+                    except (OSError, ValueError):
+                        continue
             except (OSError, ValueError, IndexError):
                 continue
         return total

@@ -148,6 +148,39 @@ def test_concurrent_reader_survives_compaction(spark, tmp_path):
     assert _rows(b, bcols) == expect_b
 
 
+def test_reader_collecting_during_publish(spark, tmp_path):
+    """Stress the generation pin DURING the publish, not just across
+    it: a reader thread repeatedly collects the pre-compaction wide
+    table while compact_ref_index_inplace writes gen=1 and commits.
+    Every collect must return the full, correct row set — the verb
+    never deletes, so a pinned-generation scan can never observe a
+    partial index."""
+    import threading
+
+    path = str(tmp_path / "idx")
+    _build_three_batch_index(spark, path)
+    wide, _ = read_ref_index(spark, path)
+    wcols = sorted(wide.columns)
+    expect = _rows(wide, wcols)
+
+    results, stop = [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            results.append(_rows(wide, wcols) == expect)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        compact_ref_index_inplace(spark, path)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert results, "reader never completed a collect during the publish"
+    assert all(results), f"{results.count(False)}/{len(results)} stale reads"
+    assert read_ref_index_meta(path)["gen"] == 1
+
+
 def test_vacuum_reclaims_old_generations(spark, tmp_path):
     path = str(tmp_path / "idx")
     _build_three_batch_index(spark, path)
