@@ -631,8 +631,13 @@ LOAD_BAR = 2.0
 # mid-run contention bar: average FOREIGN cpu-seconds/second across the
 # whole run (system busy minus this process tree's own CPU — the bench
 # saturating local[32] never trips it, a concurrent pytest battery
-# does). 2 foreign CPUs sustained over a full sweep is real contention.
-FOREIGN_CPU_BAR = 2.0
+# does; measured 4.07 foreign CPUs while the 230-entry correctness gate
+# ran alongside). Calibration floor: Python workers whose pyspark
+# daemon exits first get reparented to init, so their teardown CPU
+# leaks out of the tree — a VERIFIED-solo full sweep reads ~1.7
+# "foreign" CPUs from this (single-entry runs read 0.0). The bar sits
+# above the orphan floor and below any real battery.
+FOREIGN_CPU_BAR = 4.0
 
 
 def _await_idle_box(max_wait_s: float = 600.0, load_bar: float = LOAD_BAR) -> float:

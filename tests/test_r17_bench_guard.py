@@ -21,7 +21,9 @@ import bench
 
 def test_bars_tightened():
     assert bench.LOAD_BAR == 2.0
-    assert bench.FOREIGN_CPU_BAR == 2.0
+    # above the ~1.7-CPU orphaned-worker-teardown floor a verified-solo
+    # full sweep reads, below the ≥4 CPUs any real battery draws
+    assert bench.FOREIGN_CPU_BAR == 4.0
 
 
 def test_proc_tree_cpu_counts_children():
