@@ -636,8 +636,11 @@ LOAD_BAR = 2.0
 # daemon exits first get reparented to init, so their teardown CPU
 # leaks out of the tree — a VERIFIED-solo full sweep reads ~1.7
 # "foreign" CPUs from this (single-entry runs read 0.0). The bar sits
-# above the orphan floor and below any real battery.
-FOREIGN_CPU_BAR = 4.0
+# at floor + ~1.3 margin: above two observed solo-sweep floors
+# (1.65/1.70), low enough to catch sub-battery contenders (a 3-CPU
+# concurrent job drifts timings and must stamp contended=true; only
+# the full 32-thread battery was measured at 4.07).
+FOREIGN_CPU_BAR = 3.0
 
 
 def _await_idle_box(max_wait_s: float = 600.0, load_bar: float = LOAD_BAR) -> float:
@@ -669,12 +672,16 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
 def _system_busy_s() -> float | None:
-    """System-wide busy cpu-seconds since boot (/proc/stat cpu line,
-    everything except idle+iowait). None off-Linux."""
+    """System-wide busy cpu-seconds since boot (/proc/stat cpu line):
+    user+nice+system+irq+softirq+steal. guest/guest_nice (fields 9-10)
+    are EXCLUDED — the kernel already folds guest time into user/nice,
+    so summing every field would double-count VM guests and inflate
+    the foreign measure on a VM-hosting box (code-review r17). None
+    off-Linux."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
-        vals = [int(v) for v in parts[1:]]
+        vals = [int(v) for v in parts[1:9]]  # through steal, no guest
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
         return (sum(vals) - idle) / _CLK_TCK
     except (OSError, ValueError, IndexError):

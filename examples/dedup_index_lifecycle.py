@@ -59,12 +59,16 @@ def main(sf_dir: str) -> None:
     write_ref_index(base, path)
     print(f"built index at {path}: high-water {read_ref_index_meta(path)['max_doc_id']}")
 
-    # 2. two daily refreshes (monotonic ids — each batch above the mark)
+    # 2. two daily refreshes (monotonic ids — each batch above the
+    # mark). The batch predicate is DETERMINISTIC (a filter, never an
+    # unordered limit): refresh executes its input twice — once for the
+    # high-water agg, once for the signature write — and a
+    # nondeterministic subset could admit rows above the committed mark
     hi = read_ref_index_meta(path)["max_doc_id"]
     for day in (1, 2):
-        batch = docs.filter(F.col("doc_id") % 3 == 2).select(
-            (F.col("doc_id") + day * (hi + 1)).alias("doc_id"), "text"
-        ).limit(200)
+        batch = docs.filter(
+            (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 17 == 2)
+        ).select((F.col("doc_id") + day * (hi + 1)).alias("doc_id"), "text")
         refresh_ref_index(spark, path, batch)
         print(f"day {day}: admitted batch, high-water now "
               f"{read_ref_index_meta(path)['max_doc_id']}")
@@ -73,13 +77,18 @@ def main(sf_dir: str) -> None:
 
     # 3. gatekeeper: a probe crawl (half re-crawls, half novel) judged
     # against the stored index — batch-sized work + index lookups only
-    probe = docs.filter(F.col("doc_id") % 7 == 0).select(
+    probe = docs.filter(F.col("doc_id") % 23 == 0).select(
         (F.col("doc_id") + 10 * (hi + 1)).alias("doc_id"), "text"
-    ).limit(300)
+    )
     wide, bands = read_ref_index(spark, path)
     verdicts = incremental_dedup(probe, None, ref_wide=wide, ref_bands=bands)
-    dup = verdicts.where(F.col("keep") == 0).count()  # keep is a 0/1 BIGINT
-    print(f"gatekeeper: {dup} of {verdicts.count()} probe docs are "
+    # one aggregate pass — keep is a 0/1 BIGINT, so both counts fold
+    # into a single job instead of executing the gatekeeper plan twice
+    stats = verdicts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(1 - F.col("keep")).alias("dups"),
+    ).collect()[0]
+    print(f"gatekeeper: {stats['dups']} of {stats['n']} probe docs are "
           "near-duplicates of the stored corpus")
 
     # 4. in-place compaction: N batch dirs -> one, SAME path (the index

@@ -887,6 +887,30 @@ def _index_meta_path(path: str) -> str:
     return os.path.join(path, "_meta.json")
 
 
+def _write_index_meta(path: str, meta: dict) -> None:
+    """ATOMIC meta commit: temp file + os.replace. The meta write IS
+    the commit point of every index verb — a plain open('w') truncates
+    first, so a crash mid-write would brick the whole index (every
+    verb starts by reading the meta), not just the in-flight batch."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_meta.", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps(meta))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, _index_meta_path(path))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def _index_data_root(path: str, meta: dict) -> str:
     """Directory holding the wide/ and bands/ tables: a ``gen=<G>``
     level when the meta carries a generation (r17 layout), else the
@@ -969,16 +993,15 @@ def write_ref_index(
         .partitionBy("band")
         .parquet(os.path.join(path, "bands", f"batch={hi}"))
     )
-    with open(_index_meta_path(path), "w") as fh:
-        json.dump(
-            {
-                "num_perm": num_perm,
-                "band_size": band_size,
-                "max_bucket": max_bucket,
-                "max_doc_id": hi,
-            },
-            fh,
-        )
+    _write_index_meta(
+        path,
+        {
+            "num_perm": num_perm,
+            "band_size": band_size,
+            "max_bucket": max_bucket,
+            "max_doc_id": hi,
+        },
+    )
 
 
 def read_ref_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -1140,8 +1163,7 @@ def refresh_ref_index(spark, path: str, new_docs: DataFrame) -> None:
         )
         # commit point: only now do readers see the batch
         meta["max_doc_id"] = hi
-        with open(_index_meta_path(path), "w") as fh:
-            json.dump(meta, fh)
+        _write_index_meta(path, meta)
 
 
 def compact_ref_index(
@@ -1173,7 +1195,9 @@ def compact_ref_index(
     import os
     import shutil
 
-    if os.path.abspath(dst) == os.path.abspath(src):
+    # realpath, not abspath: a symlink alias of the source must not
+    # slip past the guard into the rmtree (code-review r17)
+    if os.path.realpath(dst) == os.path.realpath(src):
         raise ValueError(
             "compact_ref_index: dst == src would rmtree the source "
             "index before its lazily-read DataFrames execute; use "
@@ -1194,8 +1218,7 @@ def compact_ref_index(
         .partitionBy("band")
         .parquet(os.path.join(dst, "bands", f"batch={hi}"))
     )
-    with open(_index_meta_path(dst), "w") as fh:
-        json.dump(meta, fh)
+    _write_index_meta(dst, meta)
 
 
 def compact_ref_index_inplace(
@@ -1241,8 +1264,7 @@ def compact_ref_index_inplace(
         )
         # commit point: new opens now resolve gen=<new_gen>
         meta["gen"] = new_gen
-        with open(_index_meta_path(path), "w") as fh:
-            json.dump(meta, fh)
+        _write_index_meta(path, meta)
 
 
 def vacuum_ref_index(path: str) -> None:
@@ -1252,20 +1274,27 @@ def vacuum_ref_index(path: str) -> None:
     a migration committed a generation. DESTRUCTIVE to still-open
     readers pinned on an old generation — run it after in-flight
     readers drain, exactly like Delta VACUUM. No-op on a flat-layout
-    index (nothing is superseded until a compaction commits)."""
+    index (nothing is superseded until a compaction commits).
+
+    Takes the writer lock: unserialized, vacuum could read meta.gen=G
+    while an in-flight compaction has already written gen=G+1's data
+    but not yet committed — the "superseded" check would then rmtree
+    the about-to-be-committed generation and the commit would publish
+    a pointer to deleted files (code-review r17)."""
     import os
     import shutil
 
-    meta = read_ref_index_meta(path)
-    if "gen" not in meta:
-        return
-    cur = f"gen={int(meta['gen'])}"
-    for name in os.listdir(path):
-        full = os.path.join(path, name)
-        if name.startswith("gen=") and name != cur and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-        elif name in ("wide", "bands") and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
+    with _index_writer_lock(path):
+        meta = read_ref_index_meta(path)
+        if "gen" not in meta:
+            return
+        cur = f"gen={int(meta['gen'])}"
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if name.startswith("gen=") and name != cur and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif name in ("wide", "bands") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def minhash_candidates_incremental(

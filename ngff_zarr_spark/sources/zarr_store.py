@@ -456,10 +456,10 @@ class StoreBase:
         identical to calling put_json per key (pytest-pinned).
 
         Hardening (ADVICE r16): the pooled path is gated on
-        ``THREAD_SAFE_PUTS`` (True for the built-in local/fsspec/http
-        stores, whose puts are independent per-key operations; a
-        subclass with shared mutable put state opts out and gets the
-        serial path), and every put is attempted even after a failure —
+        ``THREAD_SAFE_PUTS`` (True for the built-in local and fsspec
+        stores, whose puts are independent per-key operations;
+        HttpStore is read-only and, like any unknown subclass,
+        inherits False), and every put is attempted even after a failure —
         the batch then raises ONE aggregate error naming the exact
         failed-key set, so a partially-published commit is explicit
         rather than a silent mid-flight abort."""

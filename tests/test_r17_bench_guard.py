@@ -22,8 +22,30 @@ import bench
 def test_bars_tightened():
     assert bench.LOAD_BAR == 2.0
     # above the ~1.7-CPU orphaned-worker-teardown floor a verified-solo
-    # full sweep reads, below the ≥4 CPUs any real battery draws
-    assert bench.FOREIGN_CPU_BAR == 4.0
+    # full sweep reads (two observations: 1.65/1.70), low enough to
+    # catch a 3-CPU sub-battery contender
+    assert bench.FOREIGN_CPU_BAR == 3.0
+
+
+def test_system_busy_excludes_guest(monkeypatch):
+    """guest/guest_nice are already folded into user/nice by the
+    kernel — counting them again would inflate foreign on VM hosts."""
+    import builtins
+    import io
+
+    # user nice system idle iowait irq softirq steal guest guest_nice
+    line = "cpu  100 10 50 1000 20 5 5 10 77 33\n"
+    real_open = builtins.open
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/stat":
+            return io.StringIO(line)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    # busy = 100+10+50+5+5+10 = 180 ticks (idle+iowait excluded,
+    # guest 77/33 NOT double-counted)
+    assert bench._system_busy_s() == 180 / bench._CLK_TCK
 
 
 def test_proc_tree_cpu_counts_children():

@@ -15,7 +15,12 @@ import json
 
 import pytest
 
-from ngff_zarr_spark.sources.zarr_store import FsspecStore, StoreBase, ZarrStore
+from ngff_zarr_spark.sources.zarr_store import (
+    FsspecStore,
+    HttpStore,
+    StoreBase,
+    ZarrStore,
+)
 
 
 class _FlakyStore(ZarrStore):
@@ -41,6 +46,8 @@ def test_thread_safety_flags():
     assert StoreBase.THREAD_SAFE_PUTS is False
     assert ZarrStore.THREAD_SAFE_PUTS is True
     assert FsspecStore.THREAD_SAFE_PUTS is True
+    # read-only store: no pooled-write opt-in (its put raises anyway)
+    assert HttpStore.THREAD_SAFE_PUTS is False
 
 
 def test_aggregate_error_names_failed_keys(tmp_path):

@@ -209,8 +209,46 @@ def test_compact_dst_equals_src_guard(spark, tmp_path):
     rel = os.path.relpath(path)
     with pytest.raises(ValueError, match="dst == src"):
         compact_ref_index(spark, path, rel)
+    # ...and a SYMLINK alias (realpath, not abspath — an abspath-only
+    # guard would rmtree the real source through the link)
+    link = str(tmp_path / "idx_link")
+    os.symlink(path, link)
+    with pytest.raises(ValueError, match="dst == src"):
+        compact_ref_index(spark, path, link)
     # the guard fired before any destruction
     assert os.path.isdir(os.path.join(path, "wide"))
+
+
+def test_meta_commit_is_atomic(spark, tmp_path, monkeypatch):
+    """The meta write is the commit point of every verb: a crash
+    mid-commit must leave the PREVIOUS meta intact and readable (a
+    plain truncate-then-write would brick the whole index), and no temp
+    file may linger."""
+    path = str(tmp_path / "idx")
+    _build_three_batch_index(spark, path)
+    before = read_ref_index_meta(path)
+
+    real_replace = os.replace
+
+    def crash_replace(src, dst):
+        raise OSError("injected crash at the commit point")
+
+    # dedup imports os inside the function, binding this same module —
+    # patching the attribute reaches the commit site
+    monkeypatch.setattr(os, "replace", crash_replace)
+    batch = _mkdocs(spark, [(400, "post crash doc words")])
+    with pytest.raises(OSError, match="injected crash"):
+        refresh_ref_index(spark, path, batch)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # previous meta fully intact, no temp droppings, index readable
+    assert read_ref_index_meta(path) == before
+    assert not [n for n in os.listdir(path) if n.endswith(".tmp")]
+    w, _ = read_ref_index(spark, path)
+    assert w.count() > 0
+    # the crashed batch is an invisible orphan; a retry admits cleanly
+    refresh_ref_index(spark, path, batch)
+    assert read_ref_index_meta(path)["max_doc_id"] == 400
 
 
 def test_compact_to_dst_strips_gen_from_meta(spark, tmp_path):
