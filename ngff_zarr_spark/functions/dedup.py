@@ -874,8 +874,14 @@ def build_ref_index(
 # index-metadata scan bounded by cap × occupied buckets, never the
 # corpus text and never wide/), so a daily batch pays batch-sized work
 # plus one bounded index-column scan. On a metastore cluster the same
-# tables would be written with bucketBy(band_key)/(doc_id) to make the
-# probe joins shuffle-free; the path layout here is the portable form.
+# tables would be written bucketed on their FULL join keys —
+# bucketBy(band, band_key) for bands/, bucketBy(doc_id) for wide/ — to
+# make the probe joins corpus-side shuffle-free (since Spark 3.3
+# co-partition requires the partitioning to cover every join key:
+# spark.sql.requireAllClusterKeysForCoPartition). The path layout here
+# is the portable form; the shuffle-free plan is PINNED in
+# tests/test_r17_bucketed_index.py (bucketed probe join = 1 exchange,
+# the batch side only, vs 2 for the path layout, identical rows).
 # ---------------------------------------------------------------------------
 
 INDEX_FILES = 16  # output-file clustering knob (executor-count-sized)
