@@ -1279,7 +1279,12 @@ def vacuum_ref_index(path: str) -> None:
     G != meta.gen, plus the legacy flat ``wide``/``bands`` tables once
     a migration committed a generation. DESTRUCTIVE to still-open
     readers pinned on an old generation — run it after in-flight
-    readers drain, exactly like Delta VACUUM. No-op on a flat-layout
+    readers drain, exactly like Delta VACUUM. "In-flight readers"
+    includes RUNNING STREAMS: a streaming gatekeeper
+    (streaming/pipeline.py) resolves the index once at stream start and
+    scans its pinned generation on every micro-batch, so vacuum between
+    a stream's start and stop deletes files under it — compact freely,
+    vacuum only between stream restarts. No-op on a flat-layout
     index (nothing is superseded until a compaction commits).
 
     Takes the writer lock: unserialized, vacuum could read meta.gen=G
