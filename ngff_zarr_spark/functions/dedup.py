@@ -850,13 +850,19 @@ def build_ref_index(
 #             indexes keep the legacy flat layout and migrate on their
 #             first in-place compaction).
 #
-# WRITERS ARE SINGLE-WRITER (ADVICE r16): refresh and in-place
-# compaction serialize on a `_writer.lock` file under `path` — a
+# WRITERS ARE SINGLE-WRITER (ADVICE r16): refresh, in-place compaction
+# and vacuum serialize on a `_writer.lock` file under `path` — a
 # concurrent admission would race the orphan GC (one writer's in-flight
 # staging directory is indistinguishable from a crash orphan to
-# another) and a concurrent compaction would strand a refresh's batch
-# in the superseded generation. Contention fails loudly; a crash leaves
-# the lock behind and the error message names it for manual removal.
+# another), a concurrent compaction would strand a refresh's batch in
+# the superseded generation, and an unserialized vacuum could reclaim a
+# compaction's uncommitted generation. Contention fails loudly; a crash
+# leaves the lock behind and the error message names it for manual
+# removal. Commit primitives assume POSIX semantics (O_EXCL create for
+# the lock, fsync+rename for the atomic meta replace) — true on local
+# disks, NFS v3+, and HDFS-style stores; a plain-S3 deployment maps
+# both to conditional puts (If-None-Match / If-Match on the lock and
+# meta objects), the same translation every table format makes there.
 #
 # REFRESH = APPEND, exactly equal to a from-scratch rebuild, because of
 # the monotonic-id ingest contract (new batch ids strictly above the
