@@ -10,8 +10,12 @@ micro-batch appends ``{row}/{col}/{field}`` data and upserts metadata,
 so the store after N increments equals the batch-written store (the
 equality tests/test_streaming.py proves).
 
-Also here: the streaming twin of the events_hourly batch aggregate
-(watermarked tumbling window) — the standard late-data shape.
+Also here: the streaming twins of the batch operators — tumbling-window
+aggregates (complete mode, drain == batch), watermarked session windows
+(append mode — the bounded-state late-data shape), stateful as-of /
+count-sessions, and the stateless-ingest ledger family (each micro-batch
+writes a batch=<id> directory with mode=overwrite, so at-least-once
+replays overwrite their own rows — replay-idempotent by layout).
 """
 
 from __future__ import annotations
@@ -25,6 +29,43 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = "row_name string, column_name string, field_index long, acquisition_id long"
 
 
+def docs_stream_source(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger=None
+):
+    """Shared documents file-stream source (code-review r17 — this
+    boilerplate had been copy-pasted into eight functions and the
+    copies had drifted: falsy-zero vs is-None trigger guards, str vs
+    int option values, and none had the empty-directory fallback).
+    Schema derives from the live batch footers, exactly like
+    functions/events.events_stream_source; an empty or not-yet-created
+    directory falls back to the documented documents layout
+    (TESTDATA.md) so a stream can START before its producer writes the
+    first file."""
+    try:
+        batch_schema = spark.read.parquet(docs_dir).schema
+    except Exception:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        batch_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("lang", StringType()),
+                StructField("source", StringType()),
+                StructField("n_chars", LongType()),
+            ]
+        )
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(int(max_files_per_trigger)))
+    return reader.parquet(docs_dir)
+
+
 def incremental_well_write_stream(
     spark: SparkSession,
     manifest_dir: str,
@@ -33,6 +74,7 @@ def incremental_well_write_stream(
     multiscales_for_field: Callable,
     version: str = "0.4",
     checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
     **to_zarr_kwargs,
 ):
     """T1: stream acquisition manifests (one JSON per acquired field)
@@ -40,8 +82,10 @@ def incremental_well_write_stream(
 
     ``multiscales_for_field(row_name, column_name, field_index)`` builds
     the field's Multiscales (in production: reads the instrument's
-    staging area). Returns the StreamingQuery; callers trigger
-    ``availableNow`` for drain-and-stop or leave it continuous.
+    staging area). Returns the StreamingQuery. ``available_now=True``
+    (default) drains the existing manifests and stops — the gate/test
+    shape; pass False for a continuous stream that keeps ingesting as
+    the instrument acquires.
 
     Each micro-batch is collected to the driver ONLY as the manifest
     rows (a handful of field descriptors, not pixels) — the pixel
@@ -103,7 +147,9 @@ def incremental_well_write_stream(
                 **to_zarr_kwargs,
             )
 
-    writer = manifests.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
+    writer = manifests.writeStream.foreachBatch(write_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
@@ -111,7 +157,15 @@ def incremental_well_write_stream(
 
 def write_manifest(manifest_dir: str, row_name: str, column_name: str,
                    field_index: int, acquisition_id: int = 0) -> None:
-    """Drop one acquisition manifest (the instrument-side producer)."""
+    """Drop one acquisition manifest (the instrument-side producer).
+
+    ATOMIC into the watched directory (code-review r17): Spark's file
+    stream source lists whatever exists — a continuous stream can list
+    a half-written JSON, parse it PERMISSIVE into an all-null row, and
+    crash the write batch. Write-then-rename makes the file appear
+    complete or not at all (rename is atomic on the same filesystem;
+    the temp name is dot-prefixed so even a pre-rename listing skips
+    it — Spark ignores hidden files)."""
     import os
     import uuid
 
@@ -122,25 +176,38 @@ def write_manifest(manifest_dir: str, row_name: str, column_name: str,
         "field_index": field_index,
         "acquisition_id": acquisition_id,
     }
-    path = os.path.join(manifest_dir, f"acq-{uuid.uuid4().hex}.json")
-    with open(path, "w") as f:
+    name = f"acq-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(manifest_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
         f.write(json.dumps(doc))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(manifest_dir, name))
 
 
 def streaming_events_hourly(
     spark: SparkSession,
     events_dir: str,
     checkpoint_dir: str,
-    watermark: str = "1 hour",
+    watermark: str = "1 hour",  # kept for API compat; unused (see doc)
 ):
     """Streaming twin of the events_hourly batch aggregate: tumbling
-    1-hour event-time windows with a watermark for late data. Events
-    arrive as parquet files; the source schema is derived from the live
-    file footers and ``ts`` normalized to long ns (see
-    functions/events.py — a hardcoded schema silently misreads when the
-    physical timestamp type changes). Returns (stream_df, start_fn) —
-    start_fn(sink_table) runs availableNow into an in-memory table for
-    tests; production swaps the sink for kafka/delta."""
+    1-hour event-time windows in COMPLETE output mode — every window
+    stays live and re-emits, which is what makes a one-shot drain equal
+    the batch aggregate row-for-row (the gate's claim). Complete mode
+    deliberately has NO watermark semantics (Spark ignores watermarks
+    there: late rows always update their window, state is retained for
+    the stream's lifetime) — an earlier version piped a no-op
+    withWatermark through and the docstring oversold it as "the
+    late-data shape" (code-review r17). The honest bounded-state
+    late-data twins are streaming_sessionize / the session_window gate
+    (append mode + watermark, rows final once closed). Events arrive as
+    parquet files; the source schema is derived from the live file
+    footers and ``ts`` normalized to long ns (see functions/events.py —
+    a hardcoded schema silently misreads when the physical timestamp
+    type changes). Returns (stream_df, start_fn) — start_fn(sink_table)
+    runs availableNow into an in-memory table for tests; production
+    swaps the sink for kafka/delta."""
     from ..functions.events import events_stream_source
 
     ev = events_stream_source(spark, events_dir)
@@ -150,7 +217,7 @@ def streaming_events_hourly(
         "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
     agg = (
-        with_time.withWatermark("event_time", watermark)
+        with_time
         .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -253,8 +320,7 @@ def streaming_exact_dedup(
     """
     from ..functions.dedup import _norm_text
 
-    batch_schema = spark.read.parquet(docs_dir).schema
-    docs = spark.readStream.schema(batch_schema).parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir)
     agg = (
         docs.select(
             F.md5(_norm_text(F.col("text"))).alias("content_md5"), "doc_id"
@@ -480,13 +546,21 @@ def streaming_ivf_index_build(
         .parquet(emb_dir)
     )
 
-    def sink(batch, _bid):
+    def sink(batch, bid):
+        # batch-scoped + overwrite: an at-least-once replay overwrites
+        # its own vectors instead of appending duplicates (a duplicated
+        # vector would surface twice in every probe top-k — breaking
+        # the streamed-index == batch-index claim; code-review r17).
+        # Layout becomes batch=<id>/cell=N/ — cell stays a partition
+        # column, so the probe's cell-IN pruning is unchanged.
+        import os
+
         assigned = ivf_cells(batch, dim=dim, centroids=(C, Cn))
         (
             batch.join(assigned, "vec_id")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(index_path)
+            .parquet(os.path.join(index_path, f"batch={int(bid)}"))
         )
 
     spark.createDataFrame(
@@ -571,24 +645,40 @@ def streaming_asof_attribution(
             np.maximum.accumulate(idx, out=idx)
             purch = ~is_click
             if purch.any():
-                # fully vectorized match resolution: in-batch ffill
-                # index, else the state carry, else NULL
+                # fully vectorized match resolution: the BEST of the
+                # in-batch ffill candidate and the state carry by
+                # (ts, event_id), else NULL. Taking the max matters
+                # when micro-batches arrive out of time order: an
+                # in-batch click can be OLDER than the carried one
+                # (batch 1 delivers ts=100, batch 2 delivers ts=50 and
+                # the purchase) — preferring in-batch unconditionally
+                # would mis-attribute to the stale click
+                # (code-review r17).
                 m = idx[purch]
                 safe = np.where(m >= 0, m, 0)
                 has_carry = last_ts is not None
                 p_ts = ts[purch]
+                ib_ok = m >= 0
+                ib_ts = np.where(ib_ok, ts[safe], np.int64(-1))
+                ib_id = np.where(ib_ok, eid[safe], np.int64(-1))
                 # elementwise carry validity: a carried click newer
                 # than the purchase is a physically impossible backward
-                # match (possible when micro-batches arrive out of time
-                # order) — emit NULL for those rows instead
+                # match — the carry is no candidate for those rows
                 carry_ok = (
                     (np.int64(last_ts) <= p_ts)
                     if has_carry
                     else np.zeros(p_ts.size, dtype=bool)
                 )
-                mk_id = np.where(m >= 0, eid[safe], last_id if has_carry else 0)
-                mk_ts = np.where(m >= 0, ts[safe], last_ts if has_carry else 0)
-                valid = (m >= 0) | carry_ok
+                c_ts = np.int64(last_ts if has_carry else 0)
+                c_id = np.int64(last_id if has_carry else 0)
+                use_carry = carry_ok & (
+                    ~ib_ok
+                    | (c_ts > ib_ts)
+                    | ((c_ts == ib_ts) & (c_id > ib_id))
+                )
+                mk_id = np.where(use_carry, c_id, ib_id)
+                mk_ts = np.where(use_carry, c_ts, ib_ts)
+                valid = ib_ok | carry_ok
                 out = pd.DataFrame(
                     {
                         "user_id": np.full(int(purch.sum()), int(user_id),
@@ -655,8 +745,7 @@ def streaming_substring_ledger(
     Returns (stream_df, start_fn) like the other streaming twins."""
     from ..functions.spans import _positioned_grams
 
-    batch_schema = spark.read.parquet(docs_dir).schema
-    docs = spark.readStream.schema(batch_schema).parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir)
     ledger = (
         _positioned_grams(docs, n)
         .groupBy("gh")
@@ -708,11 +797,7 @@ def streaming_contamination(
     Returns (stream_df, start_fn) like the other streaming twins."""
     from ..functions.spans import CONTAM_N, contamination_hits
 
-    batch_schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(batch_schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    docs = reader.parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir, max_files_per_trigger)
     hits = contamination_hits(docs, bench, n or CONTAM_N)
 
     def start(sink_table: str):
@@ -756,20 +841,25 @@ def streaming_incremental_dedup(
     from ..functions.dedup import incremental_dedup
 
     ref_wide, ref_bands = ref_index
-    batch_schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(batch_schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    docs = reader.parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir, max_files_per_trigger)
 
-    def handle(batch_df, _batch_id):
+    def handle(batch_df, batch_id):
+        # batch-scoped directory + overwrite = replay-idempotent append
+        # (foreachBatch is at-least-once; a re-executed micro-batch
+        # must overwrite ITS OWN verdict rows, not append a duplicate
+        # copy — same pattern as the URL ledger / ref-index staging;
+        # code-review r17). Readers drop the staging `batch` column.
+        import os
+
         incremental_dedup(
             batch_df,
             None,
             min_est_jaccard=min_est_jaccard,
             ref_wide=ref_wide,
             ref_bands=ref_bands,
-        ).write.mode("append").parquet(sink_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={int(batch_id)}")
+        )
 
     def start():
         return (
@@ -814,16 +904,19 @@ def streaming_heavy_hitters(
     Returns (stream_df, start_fn); start() drains with availableNow."""
     from ..functions.sketch import mg_candidates
 
-    batch_schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(batch_schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    docs = reader.parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir, max_files_per_trigger)
 
-    def handle(batch_df, _batch_id):
+    def handle(batch_df, batch_id):
+        # batch-scoped + overwrite: an at-least-once replay overwrites
+        # its own candidate rows. A duplicated candidate copy would not
+        # break the superset ARGUMENT, but it inflates the ledger and
+        # breaks the drained-ledger == deterministic-run equality the
+        # restart pytest pins (code-review r17).
+        import os
+
         mg_candidates(transform(batch_df), key_cols, k).write.mode(
-            "append"
-        ).parquet(cand_dir)
+            "overwrite"
+        ).parquet(os.path.join(cand_dir, f"batch={int(batch_id)}"))
 
     def start():
         return (
@@ -866,15 +959,9 @@ def streaming_url_dedup(
     (id_col, url_col); stateless/per-row.
 
     Returns (stream_df, start_fn); start() drains with availableNow."""
-    from pyspark.sql import functions as F
-
     from ..functions.web import canonicalize_url
 
-    batch_schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(batch_schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    docs = reader.parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir, max_files_per_trigger)
 
     def handle(batch_df, batch_id):
         # batch_id-scoped directory + overwrite = replay-idempotent
@@ -912,8 +999,6 @@ def url_dedup_from_ledger(spark: SparkSession, ledger_dir: str):
     """The drain-time clustering aggregate over the canonical ledger —
     identical to the tail of functions/web.url_dedup, so stream ==
     batch is exact by construction."""
-    from pyspark.sql import functions as F
-
     return (
         # partition discovery adds the staging `batch` column; drop it
         spark.read.parquet(ledger_dir)
@@ -948,8 +1033,7 @@ def streaming_quality_filter(
     Returns (stream_df, start_fn) like the other streaming twins."""
     from ..functions.text import quality_score_projection
 
-    batch_schema = spark.read.parquet(docs_dir).schema
-    docs = spark.readStream.schema(batch_schema).parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir)
     scored = quality_score_projection(docs).select(
         "doc_id",
         "n_tokens",
@@ -1015,11 +1099,7 @@ def streaming_priority_sample(
 
     from ..functions.sampling import priority_scored
 
-    batch_schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(batch_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    docs = reader.parquet(docs_dir)
+    docs = docs_stream_source(spark, docs_dir, max_files_per_trigger)
     scored = priority_scored(docs, salt=salt).drop("pre")
 
     out_schema = StructType(
