@@ -72,6 +72,32 @@ def v2_dtype_to_np(s: str) -> np.dtype:
     return np.dtype(s).newbyteorder("=")
 
 
+def _fill_to_json(v):
+    """Spec-conform JSON encoding of a fill value: non-finite floats
+    must be the STRINGS "NaN"/"Infinity"/"-Infinity" (zarr v2 §fill
+    value, v3 core §fill_value) — json.dumps' bare NaN literal is not
+    strict JSON and breaks other ecosystems' parsers (code-review r17)."""
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+    return v
+
+
+def _parse_fill(v):
+    """Inverse of :func:`_fill_to_json` on the read side."""
+    if isinstance(v, str):
+        return {
+            "NaN": float("nan"),
+            "Infinity": float("inf"),
+            "-Infinity": float("-inf"),
+        }.get(v, v)
+    return v
+
+
 def parse_blosc_spec(compressor: str) -> tuple[str, int, int]:
     """'blosc:<cname>:<clevel>:<shuffle>' → (cname, clevel, shuffle)."""
     parts = compressor.split(":")
@@ -119,12 +145,25 @@ def decode_chunk_bytes(data: bytes, nbytes: int, compressor: Optional[str]) -> b
 
 
 def decode_chunk(
-    data: bytes, dtype: np.dtype, chunk_shape: tuple[int, ...], compressor: Optional[str]
+    data: bytes,
+    dtype: np.dtype,
+    chunk_shape: tuple[int, ...],
+    compressor: Optional[str],
+    byte_order: str = "<",
+    order: str = "C",
 ) -> np.ndarray:
+    """Raw chunk bytes → native-order C-contiguous array.
+
+    ``byte_order`` is the STORED byte order ('<' or '>': v2 dtype
+    prefix / v3 bytes-codec endian) — the buffer must be interpreted in
+    that order and converted after; interpreting big-endian bytes as
+    little-endian silently corrupts every value (code-review r17).
+    ``order`` is the v2 memory layout ('C' or 'F')."""
     nbytes = int(np.prod(chunk_shape)) * np.dtype(dtype).itemsize
     data = decode_chunk_bytes(data, nbytes, compressor)
-    arr = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<"))
-    return arr.reshape(chunk_shape).astype(dtype, copy=False)
+    arr = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder(byte_order))
+    arr = arr.reshape(chunk_shape, order=order)
+    return np.ascontiguousarray(arr.astype(dtype, copy=False))
 
 
 # -- codec spec ↔ store JSON translation (S9; reference
@@ -180,15 +219,40 @@ def compressor_to_v3_codec(compressor: Optional[str], typesize: int) -> Optional
 
 
 def compressor_from_v3_codecs(codecs: list[dict]) -> Optional[str]:
+    """Compressor spec from a v3 data-codec chain. STRICT (code-review
+    r17): an unrecognized codec (e.g. ``transpose``) previously fell
+    through silently and the array decoded to wrong data — unknown
+    names now raise, matching how unknown compressor strings already
+    do. The ``bytes`` codec is layout, not compression (its endian is
+    read separately by :func:`v3_byte_order`)."""
+    comp = None
     for c in codecs:
         name = c.get("name")
-        cfg = c.get("configuration", {})
+        cfg = c.get("configuration", {}) or {}
+        if name == "bytes":
+            continue
         if name in ("gzip", "zstd", "zlib"):
-            return name
-        if name == "blosc":
+            comp = name
+        elif name == "blosc":
             shuffle = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(cfg.get("shuffle", "shuffle"), 1)
-            return f"blosc:{cfg.get('cname', 'lz4')}:{cfg.get('clevel', 5)}:{shuffle}"
-    return None
+            comp = f"blosc:{cfg.get('cname', 'lz4')}:{cfg.get('clevel', 5)}:{shuffle}"
+        else:
+            raise ValueError(
+                f"unsupported zarr v3 codec {name!r} in data chain — "
+                "decoding past it would silently corrupt the array"
+            )
+    return comp
+
+
+def v3_byte_order(codecs: list[dict]) -> str:
+    """Stored byte order from a v3 data-codec chain's ``bytes`` codec
+    ('<' default little, '>' for endian:'big' — previously ignored and
+    big-endian stores decoded byte-swapped; code-review r17)."""
+    for c in codecs:
+        if c.get("name") == "bytes":
+            endian = (c.get("configuration") or {}).get("endian", "little")
+            return ">" if endian == "big" else "<"
+    return "<"
 
 
 @dataclass
@@ -221,6 +285,12 @@ class ZarrArrayMeta:
     # "c<sep>"; "v2" uses bare v2-style keys (separator default "."
     # under that encoding). Read-side tolerance; writes stay "default".
     key_encoding: str = "default"
+    # STORED byte order ('<'/'>': v2 dtype prefix / v3 bytes-codec
+    # endian) and v2 memory order ('C'/'F') — read-side tolerance for
+    # spec-legal stores this engine never writes (writes are always
+    # little-endian C-order); code-review r17.
+    byte_order: str = "<"
+    order: str = "C"
 
     @property
     def chunk_grid(self) -> tuple[int, ...]:
@@ -278,7 +348,7 @@ class ZarrArrayMeta:
             "chunks": list(self.chunks),
             "dtype": np_to_v2_dtype(self.dtype),
             "compressor": compressor_to_v2_json(self.compressor),
-            "fill_value": self.fill_value,
+            "fill_value": _fill_to_json(self.fill_value),
             "order": "C",
             "filters": None,
             "dimension_separator": self.dimension_separator,
@@ -324,7 +394,7 @@ class ZarrArrayMeta:
                 "name": "default",
                 "configuration": {"separator": self.dimension_separator},
             },
-            "fill_value": self.fill_value,
+            "fill_value": _fill_to_json(self.fill_value),
             "codecs": codecs,
         }
         if self.dimension_names:
@@ -404,6 +474,28 @@ class StoreBase:
     def get_suffix(self, key: str, length: int) -> bytes:
         data = self.get(key)
         return data[-length:]
+
+    # exceptions a byte op raises for a MISSING key (subclasses whose
+    # backend signals differently override the tuple or the methods)
+    MISSING_EXC: tuple = (FileNotFoundError, KeyError)
+
+    def get_or_none(self, key: str) -> Optional[bytes]:
+        """One-round-trip read: the bytes, or None for a missing key.
+        The hot chunk-read path previously issued exists()+get() — two
+        remote round trips per chunk on HTTP/object stores, doubling
+        request count and throttling pressure at scale (code-review
+        r17)."""
+        try:
+            return self.get(key)
+        except self.MISSING_EXC:
+            return None
+
+    def get_suffix_or_none(self, key: str, length: int) -> Optional[bytes]:
+        """Suffix read (shard index fetch), or None for a missing key."""
+        try:
+            return self.get_suffix(key, length)
+        except self.MISSING_EXC:
+            return None
 
     def delete(self, key: str) -> None:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -606,9 +698,24 @@ class StoreBase:
 
     def write_group(self, path: str, attributes: dict, zarr_format: int) -> None:
         if zarr_format == 3:
+            doc = {"zarr_format": 3, "node_type": "group", "attributes": attributes}
+            if not path and self.exists("zarr.json"):
+                # rewriting the ROOT of a consolidated v3 store must
+                # carry the inline consolidated_metadata forward — a
+                # fresh root doc silently dropped it, and every later
+                # open of an N-node store paid 1+N metadata GETs
+                # instead of 1 (code-review r17; the v2 path keeps
+                # .zmetadata in sync the same way)
+                try:
+                    cm = json.loads(self.get("zarr.json")).get(
+                        "consolidated_metadata"
+                    )
+                except Exception:  # noqa: BLE001 - unreadable root: fresh doc
+                    cm = None
+                if isinstance(cm, dict):
+                    doc["consolidated_metadata"] = cm
             self.put_json(
-                (f"{path}/zarr.json" if path else "zarr.json"),
-                {"zarr_format": 3, "node_type": "group", "attributes": attributes},
+                (f"{path}/zarr.json" if path else "zarr.json"), doc
             )
         else:
             prefix = f"{path}/" if path else ""
@@ -629,10 +736,12 @@ class StoreBase:
                 inner = tuple(cfg["chunk_shape"])
                 cps = tuple(g // i for g, i in zip(grid_chunks, inner))
                 comp = compressor_from_v3_codecs(cfg.get("codecs", []))
+                byte_order = v3_byte_order(cfg.get("codecs", []))
                 chunks = inner
             else:
                 cps = None
                 comp = compressor_from_v3_codecs(codecs)
+                byte_order = v3_byte_order(codecs)
                 chunks = grid_chunks
             cke = doc.get("chunk_key_encoding", {}) or {}
             encoding = cke.get("name", "default")
@@ -645,33 +754,53 @@ class StoreBase:
                 chunks=chunks,
                 dtype=np.dtype(doc["data_type"]),
                 compressor=comp,
-                fill_value=doc.get("fill_value", 0),
+                fill_value=_parse_fill(doc.get("fill_value", 0)),
                 zarr_format=3,
                 dimension_names=doc.get("dimension_names"),
                 chunks_per_shard=cps,
                 dimension_separator=sep,
                 key_encoding=encoding,
+                byte_order=byte_order,
             )
         doc = self.get_json(f"{path}/.zarray")
         comp = compressor_from_v2_json(doc.get("compressor"))
+        if doc.get("filters"):
+            # spec-legal but unimplemented: decoding past a filter
+            # chain (delta/quantize/…) returns post-filter bytes as
+            # pixel values — refuse loudly instead (code-review r17)
+            raise NotImplementedError(
+                f"zarr v2 filters are not supported (array {path!r} "
+                f"declares {doc['filters']!r})"
+            )
+        order = doc.get("order", "C")
+        if order not in ("C", "F"):
+            raise ValueError(f"zarr v2 order {order!r} is not valid")
         # v2 has no in-array dimension names; xarray convention stores
         # them as _ARRAY_DIMENSIONS in the sibling .zattrs (which this
         # engine's writer emits) — read them back so stores whose dim
         # order is not a (t,c,z,y,x) suffix map to the right columns.
         dim_names = None
-        if self.exists(f"{path}/.zattrs"):
-            try:
+        try:
+            # best-effort sniff: exists() itself may raise on stores
+            # that surface auth/HTTP errors for missing keys
+            if self.exists(f"{path}/.zattrs"):
                 dim_names = self.get_json(f"{path}/.zattrs").get("_ARRAY_DIMENSIONS")
-            except Exception:
-                dim_names = None
+        except Exception:  # noqa: BLE001 - optional sidecar only
+            dim_names = None
         meta = ZarrArrayMeta(
             path=path,
             shape=tuple(doc["shape"]),
             chunks=tuple(doc["chunks"]),
             dtype=v2_dtype_to_np(doc["dtype"]),
             compressor=comp,
-            fill_value=doc.get("fill_value", 0) or 0,
+            fill_value=_parse_fill(doc.get("fill_value", 0) or 0),
             zarr_format=2,
+            # stored byte order from the v2 dtype prefix: '>u2' bytes
+            # must be read big-endian THEN converted — normalizing the
+            # dtype before frombuffer byte-swapped every value
+            # (code-review r17)
+            byte_order=">" if np.dtype(doc["dtype"]).byteorder == ">" else "<",
+            order=order,
             dimension_names=list(dim_names) if dim_names else None,
             # v2 SPEC default is "." — a store without the field (plain
             # zarr.save()) uses dot keys; reading it with "/" keys would
@@ -697,11 +826,22 @@ class StoreBase:
             alt = ZarrArrayMeta(**{**meta.__dict__, "dimension_separator": flipped})
             if self.exists(alt.chunk_key(origin)):
                 return alt
-        except NotImplementedError:
-            pass  # store cannot probe (e.g. no exists); trust metadata
+        except Exception:  # noqa: BLE001 - best-effort probe only
+            # store cannot probe (no exists(), or exists surfaces auth/
+            # HTTP errors for missing keys — e.g. S3 403 without
+            # ListBucket): trust the declared metadata rather than
+            # turning a readable store into an open error
+            pass
         return meta
 
     def _encode_padded(self, meta: ZarrArrayMeta, arr: np.ndarray) -> bytes:
+        if meta.byte_order != "<" or meta.order != "C":
+            # this engine writes little-endian C-order only; re-encoding
+            # a chunk of a big-endian/F-order store would disagree with
+            # its declared metadata (code-review r17)
+            raise NotImplementedError(
+                "writing to big-endian or F-order stores is not supported"
+            )
         if tuple(arr.shape) != tuple(meta.chunks):
             full = np.full(meta.chunks, meta.fill_value, dtype=meta.dtype)
             full[tuple(slice(0, s) for s in arr.shape)] = arr
@@ -731,7 +871,8 @@ class StoreBase:
                     if other == inner:
                         continue
                     merged[other] = decode_chunk(
-                        data[off : off + nb], meta.dtype, meta.chunks, meta.compressor
+                        data[off : off + nb], meta.dtype, meta.chunks,
+                        meta.compressor, meta.byte_order, meta.order,
                     )
             self.write_shard(meta, sidx, merged)
             return
@@ -777,10 +918,14 @@ class StoreBase:
         fetch per shard instead of exists+index+range per chunk (3
         requests per chunk on HTTP/object stores)."""
         key = meta.shard_key(sidx)
-        if not self.exists(key):
-            return None
         n = int(np.prod(meta.chunks_per_shard))
-        return self._parse_shard_index(self.get_suffix(key, n * 16 + 4), n)
+        # ONE suffix read (missing shard → None) instead of
+        # exists()+get_suffix() — two round trips per shard on object
+        # stores (code-review r17)
+        tail = self.get_suffix_or_none(key, n * 16 + 4)
+        if tail is None:
+            return None
+        return self._parse_shard_index(tail, n)
 
     def read_chunk_via_index(
         self, meta: ZarrArrayMeta, idx: tuple[int, ...], index: Optional[np.ndarray]
@@ -803,6 +948,8 @@ class StoreBase:
             meta.dtype,
             meta.chunks,
             meta.compressor,
+            meta.byte_order,
+            meta.order,
         )
         return arr[tuple(slice(0, e) for e in extent)]
 
@@ -816,9 +963,16 @@ class StoreBase:
             sidx, _ = meta.shard_index_of(idx)
             return self.read_chunk_via_index(meta, idx, self.shard_index(meta, sidx))
         key = meta.chunk_key(idx)
-        if not self.exists(key):
+        # ONE GET per chunk (missing → fill) instead of exists()+get()
+        # — the hot path's request count halves on object stores
+        # (code-review r17)
+        data = self.get_or_none(key)
+        if data is None:
             return np.full(extent, meta.fill_value, dtype=meta.dtype)
-        arr = decode_chunk(self.get(key), meta.dtype, meta.chunks, meta.compressor)
+        arr = decode_chunk(
+            data, meta.dtype, meta.chunks, meta.compressor,
+            meta.byte_order, meta.order,
+        )
         return arr[tuple(slice(0, e) for e in extent)]
 
     # -- consolidated metadata (S10) ----------------------------------------
@@ -1131,6 +1285,28 @@ class HttpStore(StoreBase):
 
     def get_suffix(self, key: str, length: int) -> bytes:
         return self._ranged(key, f"bytes=-{length}", 0, length)
+
+    def get_or_none(self, key: str) -> Optional[bytes]:
+        # one GET: 404 → None; everything else (403, throttling after
+        # retries) surfaces — auth failures must never read as missing
+        import urllib.error
+
+        try:
+            return self.get(key)
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def get_suffix_or_none(self, key: str, length: int) -> Optional[bytes]:
+        import urllib.error
+
+        try:
+            return self.get_suffix(key, length)
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
 
     def list_keys(self, prefix: str = "") -> list[str]:
         raise NotImplementedError(
