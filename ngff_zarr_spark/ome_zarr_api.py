@@ -602,7 +602,11 @@ def copy_array(
         else None,
     )
     chunks_df = read_chunk_table(spark, src_store, array_path, zarr_format)
-    axes = meta.dimension_names or list(PIXEL_DIMS[5 - len(meta.shape):])
+    # same validated mapping as the reader built the ck_/ex_ columns
+    # with (foreign axis names fall back to positional — code-review r17)
+    from .sources.ome_zarr import _axis_map
+
+    axes = _axis_map(meta.dimension_names, len(meta.shape))
     np_dtype = str(meta.dtype)
 
     def write_parts(batches):

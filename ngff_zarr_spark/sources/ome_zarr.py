@@ -51,7 +51,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .zarr_store import ZarrArrayMeta, ZarrStore, open_store
+from .zarr_store import ZarrArrayMeta, ZarrStore, encode_chunk, open_store
 
 PIXEL_DIMS = ("t", "c", "z", "y", "x")
 
@@ -115,10 +115,34 @@ class ChunkRangePartition(InputPartition):
 def _axis_map(dimension_names: Optional[list], ndim: int) -> list[str]:
     """Store axis order → pixel-dim names; positional (t,c,z,y,x) trailing
     default when the store has no dimension_names (v2 without
-    _ARRAY_DIMENSIONS)."""
+    _ARRAY_DIMENSIONS).
+
+    Rank > 5 raises — the schema has five coordinate columns, and a
+    shortened axes list would silently build wrong chunk keys / read
+    all-fill (code-review r17). Foreign axis names (an xarray store
+    with ["time","lat","lon"]) fall back to the POSITIONAL mapping:
+    zero-filling unknown names would collapse every row onto the same
+    (0,0,0,0,0) key (code-review r17)."""
+    if ndim > len(PIXEL_DIMS):
+        raise ValueError(
+            f"array rank {ndim} exceeds the engine's {len(PIXEL_DIMS)}-dim "
+            f"pixel schema {PIXEL_DIMS}"
+        )
     if dimension_names:
-        return list(dimension_names)
+        names = list(dimension_names)
+        if all(n in PIXEL_DIMS for n in names) and len(set(names)) == len(names):
+            return names
+        return list(PIXEL_DIMS[5 - ndim:])
     return list(PIXEL_DIMS[5 - ndim:])
+
+
+def _resolve_array_path(options: dict) -> str:
+    """One source of truth for the default array node path — schema(),
+    reader and writer previously each computed it (code-review r17)."""
+    explicit = options.get("array_path")
+    if explicit:
+        return explicit
+    return f"scale{int(options.get('scale', '0'))}/image"
 
 
 def _parse_storage_options(options: dict) -> Optional[dict]:
@@ -134,17 +158,16 @@ def _parse_storage_options(options: dict) -> Optional[dict]:
 
 
 class OmeZarrReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, meta=None):
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
         self.mode = options.get("mode", "pixel")  # pixel | chunk
-        self.array_path = options.get("array_path")
         self.storage_options = _parse_storage_options(options)
-        if self.array_path is None:
-            scale = int(options.get("scale", "0"))
-            self.array_path = f"scale{scale}/image"
-        store = open_store(self.path, self.storage_options)
-        self.meta = store.read_array_meta(self.array_path, self.zarr_format)
+        self.array_path = _resolve_array_path(options)
+        if meta is None:
+            store = open_store(self.path, self.storage_options)
+            meta = store.read_array_meta(self.array_path, self.zarr_format)
+        self.meta = meta
         # explicit dims option (from_ngff_zarr passes the multiscales
         # axes) wins over stored dimension_names / positional default
         explicit = options.get("dims")
@@ -284,10 +307,11 @@ class OmeZarrReader(DataSourceReader):
         return pa.RecordBatch.from_arrays(arrays, names=list(PIXEL_DIMS) + ["v"])
 
     def _chunk_row_batch(self, arr: np.ndarray, cidx, extent) -> pa.RecordBatch:
-        """One chunk-table row: indices + clipped extents + raw buffer."""
-        raw = np.ascontiguousarray(arr).astype(
-            arr.dtype.newbyteorder("<"), copy=False
-        ).tobytes()
+        """One chunk-table row: indices + clipped extents + raw buffer.
+        Payload bytes come from the canonical encoder (compressor=None ⇒
+        raw little-endian C-order) so the chunk table can never diverge
+        from what write paths produce (code-review r17)."""
+        raw = encode_chunk(arr, None)
         idx_by_axis = dict(zip(self.axes, cidx))
         ext_by_axis = dict(zip(self.axes, extent))
         cols = []
@@ -351,7 +375,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
 
         self.path = options["path"]
         self.zarr_format = int(options.get("zarr_format", "2"))
-        self.array_path = options.get("array_path", "scale0/image")
+        self.array_path = _resolve_array_path(options)
         # multi-array ("fleet") write: N same-shaped arrays in ONE job.
         # write_image_batch folds the array index into the packed chunk
         # key as its highest radix digit; array_paths[i] is array i's
@@ -372,7 +396,7 @@ class OmeZarrWriter(DataSourceArrowWriter):
                 st.delete_prefix(p)
         shape = [int(s) for s in options["shape"].split(",")]
         chunks = [int(s) for s in options["chunks"].split(",")]
-        dims = options.get("dims", ",".join(PIXEL_DIMS[5 - len(shape):])).split(",")
+        dims = options.get("dims", ",".join(_axis_map(None, len(shape)))).split(",")
         self.dims = dims
         cps_opt = options.get("chunks_per_shard")
         cps = tuple(int(s) for s in cps_opt.split(",")) if cps_opt else None
@@ -454,6 +478,22 @@ class OmeZarrWriter(DataSourceArrowWriter):
             # non-null numeric columns here); to_pydict would box every
             # cell into a Python object first — measured ~2s/8M rows
             vcol = batch.column("v")
+            is_struct = pa.types.is_struct(vcol.type)
+            if (m.dtype.kind == "c") != is_struct:
+                # dispatching on the DECLARED dtype alone dies with an
+                # opaque AttributeError deep in the task when the actual
+                # column disagrees (code-review r17)
+                raise ValueError(
+                    f"write dtype {m.dtype} requires "
+                    f"{'struct<re,im>' if m.dtype.kind == 'c' else 'numeric'}"
+                    f" v column, got {vcol.type}"
+                )
+            if vcol.null_count and not is_struct:
+                # NULL pixels reach numpy as NaN, and NaN.astype(int)
+                # is platform-dependent garbage (code-review r17); a
+                # missing value IS the fill value. (Complex targets are
+                # float-based — their null→NaN path is representable.)
+                vcol = vcol.fill_null(float(m.fill_value))
             if m.dtype.kind == "c":
                 # struct<re,im> rows → native complex buffer (the only
                 # place the two halves meet; disk gets true <c8/<c16)
@@ -590,23 +630,41 @@ class OmeZarrDataSource(DataSource):
         # reads of a complex array surface v as struct<re,im>; a write
         # target may not exist yet (schema comes from the input df then)
         try:
-            store = open_store(
-                self.options["path"], _parse_storage_options(self.options)
-            )
-            array_path = self.options.get("array_path") or (
-                f"scale{int(self.options.get('scale', '0'))}/image"
-            )
-            meta = store.read_array_meta(
-                array_path, int(self.options.get("zarr_format", "2"))
-            )
+            meta = self._read_meta()
             if np.dtype(meta.dtype).kind == "c":
                 return COMPLEX_PIXEL_SCHEMA
-        except Exception:
+        except (FileNotFoundError, KeyError):
+            # genuinely absent array: the write-target case. Transient
+            # store errors must SURFACE here — swallowing them declared
+            # PIXEL_SCHEMA for a readable complex array and every read
+            # task then died on an Arrow schema mismatch instead of the
+            # real store failure (code-review r17)
             pass
         return PIXEL_SCHEMA
 
+    def _read_meta(self):
+        """Array metadata, fetched once per DataSource instance: schema()
+        and the reader previously each paid their own open_store +
+        metadata GET + v2 separator probes at planning time
+        (code-review r17)."""
+        cached = getattr(self, "_meta_cache", None)
+        if cached is None:
+            store = open_store(
+                self.options["path"], _parse_storage_options(self.options)
+            )
+            cached = store.read_array_meta(
+                _resolve_array_path(self.options),
+                int(self.options.get("zarr_format", "2")),
+            )
+            self._meta_cache = cached
+        return cached
+
     def reader(self, schema) -> OmeZarrReader:
-        return OmeZarrReader(self.options)
+        try:
+            meta = self._read_meta()
+        except (FileNotFoundError, KeyError):
+            meta = None  # reader re-raises with its own open
+        return OmeZarrReader(self.options, meta=meta)
 
     def writer(self, schema, overwrite: bool) -> OmeZarrWriter:
         return OmeZarrWriter(self.options, overwrite)
