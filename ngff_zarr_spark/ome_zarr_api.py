@@ -178,7 +178,10 @@ def to_multiscales(
     min_length (reference to_multiscales.py:316-317)."""
     if method not in METHODS:
         raise ValueError(f"Unknown method {method!r}; options: {sorted(METHODS)}")
-    chunks = chunks or default_chunks(image.dims)
+    # merge a partial user dict OVER the defaults: the planner indexes
+    # every spatial dim, and a dict that omits one previously died with
+    # a bare KeyError inside pyramid_scale_factors (code-review r17)
+    chunks = {**default_chunks(image.dims), **(chunks or {})}
     if isinstance(scale_factors, int):
         scale_factors = pyramid_scale_factors(
             image.shape, min_length=scale_factors, out_chunks=chunks
@@ -276,7 +279,8 @@ def write_image(
     to_ngff_zarr.py:1093-1101)."""
     spark = df.sparkSession
     register(spark)
-    n_chunks = math.prod(-(-shape[d] // chunks.get(d, 1)) for d in dims)
+    grid = [-(-shape[d] // chunks.get(d, 1)) for d in dims]
+    n_chunks = math.prod(grid)
     # PACKED exchange form (r8): instead of shuffling five coordinate
     # columns plus per-dim key columns, fold the chunk index into ONE
     # flat long (mixed radix over the chunk grid) and the within-chunk
@@ -287,8 +291,7 @@ def write_image(
     # exact integer `div`, never double division + cast: coordinates at
     # a 10^5-per-axis grid exceed nothing, but the fold products can —
     # keep every step in long arithmetic
-    grid = [-(-shape[d] // chunks.get(d, 1)) for d in dims]
-    if math.prod(grid) >= 2**63 or math.prod(chunks.get(d, 1) for d in dims) >= 2**63:
+    if n_chunks >= 2**63 or math.prod(chunks.get(d, 1) for d in dims) >= 2**63:
         # a silent long overflow in the mixed-radix fold would scatter
         # pixels into wrong chunks; no real store approaches this
         # (2^63 chunks), but fail loudly rather than corrupt
@@ -399,8 +402,31 @@ def _pack_batch_plan(
     still guarantees each chunk flushes once. Few-huge-field batches
     keep the repartition: coalesce could not RAISE parallelism above
     the branch count, so pay the exchange to spread each field's
-    chunks over n_tasks writers."""
+    chunks over n_tasks writers — and their branches carry NO
+    COALESCE(1) hint (write_image_batch decides up front): a
+    non-shuffle Repartition(1) collapses each field's ENTIRE upstream
+    computation onto one task, which the later repartition only undoes
+    for the write, not the compute (code-review r17)."""
     packed = spark.sql(union_sql)
+    n_tasks, use_coalesce = _batch_task_sizing(
+        n_fields, n_chunks, dims, chunks, dtype, compressor
+    )
+    if use_coalesce:
+        return packed.coalesce(n_tasks).sortWithinPartitions("ck")
+    return packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
+
+
+def _batch_task_sizing(
+    n_fields: int,
+    n_chunks: int,
+    dims: list[str],
+    chunks: dict[str, int],
+    dtype: str,
+    compressor: Optional[str],
+) -> tuple[int, bool]:
+    """(writer task count, take-the-coalesce-path?) — shared by the SQL
+    builder (hint decision) and the plan packer so they can never
+    disagree."""
     total_chunks = n_chunks * n_fields
     n_tasks = max(1, min(total_chunks, max(32, total_chunks // 8)))
     chunk_bytes = (
@@ -408,9 +434,7 @@ def _pack_batch_plan(
     )
     per_task = (1 << 20) if compressor in ("gzip", "zlib", "bz2") else (4 << 20)
     n_tasks = min(n_tasks, max(1, -(-total_chunks * chunk_bytes // per_task)))
-    if n_fields >= n_tasks:
-        return packed.coalesce(n_tasks).sortWithinPartitions("ck")
-    return packed.repartition(n_tasks, "ck").sortWithinPartitions("ck")
+    return n_tasks, n_fields >= n_tasks
 
 
 def write_image_batch(
@@ -480,11 +504,18 @@ def write_image_batch(
         _WIB_CALL_SEQ += 1
         seq = _WIB_CALL_SEQ
     view_names = [f"_ngff_wib_{seq}_{fid}" for fid in range(len(fields))]
+    # hint only on the coalesce path: on the few-huge-fields repartition
+    # path a per-branch COALESCE(1) would serialize each field's whole
+    # upstream compute onto one task (code-review r17)
+    _, use_coalesce = _batch_task_sizing(
+        len(fields), n_chunks, dims, chunks, dtype, compressor
+    )
+    hint = "/*+ COALESCE(1) */ " if use_coalesce else ""
     branches = []
     for fid, (df, _) in enumerate(fields):
         df.createOrReplaceTempView(view_names[fid])
         branches.append(
-            f"SELECT /*+ COALESCE(1) */ "
+            f"SELECT {hint}"
             f"CAST({ck_sql} + {fid * n_chunks} AS BIGINT) AS ck, "
             f"CAST({off_sql} AS BIGINT) AS off, v FROM {view_names[fid]}"
         )
@@ -548,21 +579,30 @@ def read_chunk_table(
     store_path: str,
     array_path: str,
     zarr_format: int = 2,
+    storage_options: Optional[dict] = None,
 ) -> DataFrame:
-    """Chunk-table scan (SURVEY §1.3): one row per stored chunk with its
+    """Chunk-table scan (SURVEY §1.3): one row per STORED chunk with its
     raw little-endian buffer — itemsize bytes/voxel instead of the
     exploded pixel table's ~40. The representation for I/O-bound ops
     (copy, rechunk, per-chunk kernels) where voxel rows would be pure
-    overhead."""
+    overhead. Never-written chunks are NOT rows (a sparse 10⁶-chunk
+    grid with 10³ stored chunks yields 10³ rows — synthesizing fill
+    rows would make every copy densify the store 1000×; code-review
+    r17); readers of a copied store reconstruct them from fill_value
+    exactly as on the source."""
+    import json
+
     register(spark)
-    return (
+    reader = (
         spark.read.format("ome_zarr")
         .option("path", store_path)
         .option("array_path", array_path)
         .option("zarr_format", str(zarr_format))
         .option("mode", "chunk")
-        .load()
     )
+    if storage_options:
+        reader = reader.option("storage_options", json.dumps(storage_options))
+    return reader.load()
 
 
 def copy_array(
@@ -571,47 +611,64 @@ def copy_array(
     dst_store: str,
     array_path: str,
     zarr_format: int = 2,
+    src_storage_options: Optional[dict] = None,
+    dst_storage_options: Optional[dict] = None,
 ) -> int:
     """Distributed store→store array copy over the chunk table: each
     task decodes nothing and moves chunk buffers straight to the
     destination (re-encoding with the destination codec). No pixel
     explosion, no shuffle — a pure parallel byte pipeline, the way a
     100 TB store migration must run. Returns the number of chunks
-    copied."""
+    copied.
+
+    The FULL source layout is preserved (code-review r17): sharding,
+    chunk-key encoding, and separator copy through — a sharded v3
+    source previously came out unsharded, exploding the object count by
+    prod(chunks_per_shard). Shard writes are race-free because the
+    chunk-table reader plans one partition RANGE over the shard grid
+    and emits each shard's inner chunks contiguously, so a shard is
+    always wholly owned by one task (the same ownership invariant as
+    write_image). Sparse sources stay sparse (see read_chunk_table)."""
+    import dataclasses
+
     import pandas as pd
 
-    from .sources.zarr_store import ZarrArrayMeta, open_store
+    from .sources.zarr_store import open_store
 
-    src = open_store(src_store)
+    src = open_store(src_store, src_storage_options)
     meta = src.read_array_meta(array_path, zarr_format)
-    dst = open_store(dst_store)
-    dst_meta = ZarrArrayMeta(
-        path=meta.path,
-        shape=meta.shape,
-        chunks=meta.chunks,
-        dtype=meta.dtype,
-        compressor=meta.compressor,
-        fill_value=meta.fill_value,
-        zarr_format=meta.zarr_format,
-        dimension_names=meta.dimension_names,
-    )
+    dst = open_store(dst_store, dst_storage_options)
+    # byte layout normalizes to what this engine writes (payload bytes
+    # are already canonical little-endian C from the chunk-table read)
+    dst_meta = dataclasses.replace(meta, byte_order="<", order="C")
     dst.write_array_meta(
         dst_meta,
         attributes={"_ARRAY_DIMENSIONS": list(meta.dimension_names)}
         if meta.zarr_format == 2 and meta.dimension_names
         else None,
     )
-    chunks_df = read_chunk_table(spark, src_store, array_path, zarr_format)
+    chunks_df = read_chunk_table(
+        spark, src_store, array_path, zarr_format, src_storage_options
+    )
     # same validated mapping as the reader built the ck_/ex_ columns
     # with (foreign axis names fall back to positional — code-review r17)
     from .sources.ome_zarr import _axis_map
 
     axes = _axis_map(meta.dimension_names, len(meta.shape))
     np_dtype = str(meta.dtype)
+    sharded = meta.chunks_per_shard is not None
 
     def write_parts(batches):
-        store = open_store(dst_store)
+        store = open_store(dst_store, dst_storage_options)
         n = 0
+        cur_shard, shard_chunks = None, {}
+
+        def flush_shard():
+            nonlocal cur_shard, shard_chunks
+            if cur_shard is not None and shard_chunks:
+                store.write_shard(dst_meta, cur_shard, shard_chunks)
+            cur_shard, shard_chunks = None, {}
+
         for pdf in batches:
             for _, row in pdf.iterrows():
                 cidx = tuple(int(row[f"ck_{d}"]) for d in axes)
@@ -620,8 +677,16 @@ def copy_array(
                 arr = np.frombuffer(
                     row["payload"], dtype=np.dtype(np_dtype).newbyteorder("<")
                 ).reshape(extent)
-                store.write_chunk(dst_meta, cidx, arr)
+                if sharded:
+                    sidx, inner = dst_meta.shard_index_of(cidx)
+                    if cur_shard is not None and sidx != cur_shard:
+                        flush_shard()
+                    cur_shard = sidx
+                    shard_chunks[inner] = arr
+                else:
+                    store.write_chunk(dst_meta, cidx, arr)
                 n += 1
+        flush_shard()
         yield pd.DataFrame({"n": [n]})
 
     counts = chunks_df.mapInPandas(write_parts, "n long")
@@ -668,8 +733,16 @@ def to_ngff_zarr(
         dtype = base.dtype or "float64"
     spark = base.data.sparkSession
     store = open_store(store_path)
-    attrs = group_attributes(meta, version)
-    ms_doc = (attrs["ome"] if version == "0.5" else attrs)["multiscales"][0]
+    if meta is not None:
+        attrs = group_attributes(meta, version)
+        ms_doc = (attrs["ome"] if version == "0.5" else attrs)["multiscales"][0]
+    else:
+        # metadata-less Multiscales (the dataclass default) is an
+        # intended input shape — the dataset loop already guards it;
+        # building group attributes from None crashed before anything
+        # was written (code-review r17)
+        attrs = {"ome": {"version": version}} if version == "0.5" else {}
+        ms_doc = {}
     if is_rfc4_enabled(enabled_rfcs):
         problems = validate_rfc4_axes(ms_doc.get("axes", []))
         if problems:

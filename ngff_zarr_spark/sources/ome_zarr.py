@@ -51,7 +51,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .zarr_store import ZarrArrayMeta, ZarrStore, encode_chunk, open_store
+from .zarr_store import (
+    ZarrArrayMeta,
+    ZarrStore,
+    decode_chunk,
+    encode_chunk,
+    open_store,
+)
 
 PIXEL_DIMS = ("t", "c", "z", "y", "x")
 
@@ -337,6 +343,8 @@ class OmeZarrReader(DataSourceReader):
                 # one shard: ONE index fetch serves every inner-chunk
                 # ranged read (3 requests/chunk → 1/shard + 1/chunk)
                 index = store.shard_index(m, unit_idx)
+                if index is None and self.mode == "chunk":
+                    continue  # never-written shard: no chunk-table rows
                 cps = m.chunks_per_shard
                 base = tuple(i * n for i, n in zip(unit_idx, cps))
                 for flat in range(int(np.prod(cps))):
@@ -348,6 +356,10 @@ class OmeZarrReader(DataSourceReader):
                     extent = m.chunk_extent(cidx)
                     if self._chunk_pruned(origin, extent):
                         continue
+                    if self.mode == "chunk" and (
+                        int(index[flat][0]) == 0xFFFFFFFFFFFFFFFF
+                    ):
+                        continue  # hole in the shard: not a stored chunk
                     arr = store.read_chunk_via_index(m, cidx, index)
                     if self.mode == "chunk":
                         yield self._chunk_row_batch(arr, cidx, extent)
@@ -355,10 +367,22 @@ class OmeZarrReader(DataSourceReader):
                         yield self._chunk_batch(arr, origin, extent)
             else:
                 extent = m.chunk_extent(unit_idx)
-                arr = store.read_chunk(m, unit_idx)
                 if self.mode == "chunk":
+                    # chunk table = STORED chunks only: synthesizing
+                    # fill rows for never-written chunks would densify
+                    # every sparse copy prod(grid)/n_stored-fold
+                    # (code-review r17); pixel mode stays dense — the
+                    # pixel table IS the logical array contents
+                    data = store.get_or_none(m.chunk_key(unit_idx))
+                    if data is None:
+                        continue
+                    arr = decode_chunk(
+                        data, m.dtype, m.chunks, m.compressor,
+                        m.byte_order, m.order,
+                    )[tuple(slice(0, e) for e in extent)]
                     yield self._chunk_row_batch(arr, unit_idx, extent)
                 else:
+                    arr = store.read_chunk(m, unit_idx)
                     yield self._chunk_batch(arr, m.chunk_origin(unit_idx), extent)
 
 

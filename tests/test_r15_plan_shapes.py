@@ -119,14 +119,14 @@ def test_packed_batch_write_zero_shuffle(spark):
     fp = pixel_df(spark, spec).select("z", "y", "x", "v")
     dims, chunks = ["z", "y", "x"], {"z": 2, "y": 16, "x": 16}
 
-    def union_sql(n_fields):
+    def union_sql(n_fields, hint="/*+ COALESCE(1) */ "):
         names = []
         for fid in range(n_fields):
             nm = f"_plan_zs_{fid}"
             fp.createOrReplaceTempView(nm)
             names.append(nm)
         return " UNION ALL ".join(
-            f"SELECT /*+ COALESCE(1) */ CAST((z div 2) + {fid} AS BIGINT) AS ck, "
+            f"SELECT {hint}CAST((z div 2) + {fid} AS BIGINT) AS ck, "
             f"CAST(((z % 2) * 16 + y % 16) * 16 + x % 16 AS BIGINT) AS off, v "
             f"FROM {names[fid]}"
             for fid in range(n_fields)
@@ -142,10 +142,19 @@ def test_packed_batch_write_zero_shuffle(spark):
     assert "Sort" in plan_of(many)
 
     # 2 fields x 4096 chunks of 2 MiB each: n_tasks > fields -> the
-    # exchange is REQUIRED to spread each field over many writers
+    # exchange is REQUIRED to spread each field over many writers, and
+    # the production SQL builder omits the per-branch hint on this path
+    # (a COALESCE(1) would serialize each field's upstream compute onto
+    # one task — code-review r17); mirror that here
+    from ngff_zarr_spark.ome_zarr_api import _batch_task_sizing
+
     big_chunks = {"z": 64, "y": 64, "x": 64}
+    n_tasks, use_coalesce = _batch_task_sizing(
+        2, 4096, ["z", "y", "x"], big_chunks, "float64", "gzip"
+    )
+    assert not use_coalesce and n_tasks > 2
     few = _pack_batch_plan(
-        spark, union_sql(2), 2, 4096, ["z", "y", "x"], big_chunks,
+        spark, union_sql(2, hint=""), 2, 4096, ["z", "y", "x"], big_chunks,
         "float64", "gzip",
     )
     assert n_exchanges(plan_of(few)) >= 1

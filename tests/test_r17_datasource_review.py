@@ -140,3 +140,112 @@ def test_one_metadata_fetch_per_load(tmp_path, monkeypatch):
     reader = ds.reader(None)
     assert len(calls) == 1, calls
     assert reader.meta.shape == (2, 2)
+
+
+def test_to_ngff_zarr_metadata_none(spark, tmp_path):
+    """metadata-less Multiscales (the dataclass default) writes instead
+    of crashing in group_attributes (the dataset loop already guarded
+    None — the attrs build did not)."""
+    from ngff_zarr_spark.model import Multiscales, NgffImage
+    from ngff_zarr_spark.ome_zarr_api import to_ngff_zarr
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, y, x, float(y * 4 + x)) for y in range(4) for x in range(4)],
+        "t long, c long, z long, y long, x long, v double",
+    )
+    img = NgffImage(
+        data=df, dims=["y", "x"], shape={"y": 4, "x": 4},
+        scale={"y": 1.0, "x": 1.0}, translation={"y": 0.0, "x": 0.0},
+        name="image",
+    )
+    path = str(tmp_path / "noneta")
+    to_ngff_zarr(path, Multiscales(images=[img]), compressor=None)
+    st = ZarrStore(path)
+    meta = st.read_array_meta("scale0/image", 2)
+    got = st.read_chunk(meta, (0,) * len(meta.shape))
+    assert float(got.reshape(4, 4)[2, 3]) == 11.0
+
+
+def test_to_multiscales_partial_chunks_dict(spark):
+    from ngff_zarr_spark.fixtures import ImageSpec, pixel_df
+    from ngff_zarr_spark.model import NgffImage
+    from ngff_zarr_spark.ome_zarr_api import to_multiscales
+
+    spec = ImageSpec("pchunks", z=8, y=16, x=16)
+    img = NgffImage(
+        data=pixel_df(spark, spec).select("z", "y", "x", "v"),
+        dims=["z", "y", "x"], shape={"z": 8, "y": 16, "x": 16},
+        scale={"z": 1.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 0.0, "x": 0.0}, name="image",
+    )
+    # omits z — previously KeyError inside pyramid_scale_factors
+    ms = to_multiscales(img, scale_factors=8, chunks={"y": 8, "x": 8})
+    assert ms.chunks["y"] == 8 and ms.chunks["z"] >= 1
+
+
+def test_copy_array_preserves_sharding(spark, tmp_path):
+    from ngff_zarr_spark.ome_zarr_api import copy_array, read_image, write_image
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(0, 0, z, y, x, float(z * 16 + y * 4 + x))
+         for z in range(4) for y in range(4) for x in range(4)],
+        "t long, c long, z long, y long, x long, v double",
+    )
+    write_image(
+        df, src, "scale0/image", {"z": 4, "y": 4, "x": 4}, ["z", "y", "x"],
+        {"z": 2, "y": 2, "x": 2}, dtype="float64", compressor="zstd",
+        zarr_format=3, chunks_per_shard={"z": 2, "y": 2, "x": 2},
+    )
+    n = copy_array(spark, src, dst, "scale0/image", zarr_format=3)
+    assert n == 8  # inner chunks
+    meta = ZarrStore(dst).read_array_meta("scale0/image", 3)
+    assert meta.chunks_per_shard == (2, 2, 2)  # sharding PRESERVED
+    a = sorted(map(tuple, read_image(spark, src, "scale0/image", zarr_format=3).collect()))
+    b = sorted(map(tuple, read_image(spark, dst, "scale0/image", zarr_format=3).collect()))
+    assert a == b and len(a) == 64
+
+
+def test_sparse_chunk_table_and_copy(spark, tmp_path):
+    """Chunk table = STORED chunks only; a sparse source copies sparse
+    (previously every never-written chunk was synthesized as a fill row
+    and written out, densifying the copy)."""
+    from ngff_zarr_spark.ome_zarr_api import copy_array, read_chunk_table
+
+    src = str(tmp_path / "sparse")
+    st = ZarrStore(src)
+    st.put_json(".zgroup", {"zarr_format": 2})
+    st.put_json(
+        "a/.zarray",
+        {
+            "zarr_format": 2, "shape": [4, 4], "chunks": [2, 2],
+            "dtype": "<f8", "compressor": None, "fill_value": 0,
+            "order": "C", "filters": None, "dimension_separator": "/",
+        },
+    )
+    st.put("a/1/0", np.arange(4, dtype="<f8").tobytes())  # 1 of 4 chunks
+    tbl = read_chunk_table(spark, src, "a")
+    assert tbl.count() == 1
+    dst = str(tmp_path / "sparse_dst")
+    n = copy_array(spark, src, dst, "a")
+    assert n == 1
+    dst_files = [
+        k for k in ZarrStore(dst).list_keys("a") if not k.endswith((".zarray",))
+    ]
+    assert dst_files == ["a/1/0"]  # no densification
+    # pixel reads of both stores agree (missing chunks reconstruct from
+    # fill on either side)
+    oz.register(spark)
+
+    def px(p):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("ome_zarr")
+                .option("path", p).option("array_path", "a").load()
+                .collect(),
+            )
+        )
+
+    assert px(src) == px(dst)
