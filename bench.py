@@ -801,12 +801,21 @@ def main():
     timings = {}
     first_run = {}
     errors = {}
+    entry_stamps = {}
     total = 0.0
     for name, fn in selected.items():
         # per-query isolation: one broken query must never zero the
         # whole bench file (round-5 post-mortem — a single regression
         # crashed main() and the round recorded no numbers at all)
         runs = []
+        # per-entry contention stamp (VERDICT r17 ask #2): the r17
+        # driver sweep passed the whole-run guard by 2% and still
+        # tripped one bar — a per-entry timestamp + rolling foreign-CPU
+        # reading lets a near-bar sweep's violations be attributed to a
+        # contention WINDOW post-hoc instead of requiring a full re-run
+        e_sys0, e_tree0, e_wall0 = (
+            _system_busy_s(), _proc_tree_cpu_s(), time.time(),
+        )
         try:
             for i in range(1 if name in SINGLE_RUN else n_runs):
                 # each run re-executes the FULL plan: some queries .cache()
@@ -820,6 +829,14 @@ def main():
         except Exception as exc:  # noqa: BLE001 - record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        finally:
+            e_fca = _foreign_cpu_avg(e_sys0, e_tree0, e_wall0)
+            entry_stamps[name] = {
+                "t_start": round(e_wall0 - wall0, 1),
+                "wall": round(time.time() - e_wall0, 3),
+                "foreign_cpu": round(e_fca, 2) if e_fca is not None else None,
+            }
+        if name in errors:
             continue
         best = min(runs)
         timings[name] = best
@@ -866,6 +883,10 @@ def main():
         "contended": bool(
             load_start > LOAD_BAR or (fca is not None and fca > FOREIGN_CPU_BAR)
         ),
+        # per-entry {t_start (s into the run), wall, foreign_cpu} —
+        # check_bars.py prints these next to any violation so a
+        # contention window is attributable post-hoc (r17 ask #2)
+        "entry_stamps": entry_stamps,
     }
     if errors:
         out["errors"] = errors

@@ -1250,20 +1250,33 @@ def compact_ref_index_inplace(
     reclaimed by the separate :func:`vacuum_ref_index`, to be run once
     in-flight readers have drained (the Delta VACUUM / Iceberg
     expire-snapshots split). Crash before the meta write leaves a
-    partial gen=G+1 directory that the next compaction overwrites
-    (mode=overwrite, same staging rationale as refresh); src rows are
-    rewritten verbatim — compaction never re-minhashes text. Legacy
-    flat-layout indexes migrate on their first in-place compaction
-    (gen=1; vacuum then removes the flat tables). Single-writer
-    (shares the refresh lock)."""
+    partial gen=G+1 directory, which is DELETED WHOLESALE on the next
+    compaction attempt (ADVICE r17): mode=overwrite alone only
+    replaces the exact batch=<hi> subdirectory, so if a refresh raised
+    the high-water mark between the crash and the retry, the crashed
+    attempt's batch=<old_hi> dirs would survive inside the newly
+    committed generation, pass the batch<=hi read filter, and
+    resurrect duplicate index rows. The uncommitted gen dir is safe to
+    remove under the writer lock — meta.gen < new_gen means no reader
+    ever pinned it, and the source DataFrames below read the CURRENT
+    generation's files, not new_root. Src rows are rewritten verbatim —
+    compaction never re-minhashes text. Legacy flat-layout indexes
+    migrate on their first in-place compaction (gen=1; vacuum then
+    removes the flat tables). Single-writer (shares the refresh
+    lock)."""
     import json
     import os
+    import shutil
 
     with _index_writer_lock(path):
         meta = dict(read_ref_index_meta(path))
         hi = int(meta["max_doc_id"])
         new_gen = int(meta.get("gen", 0)) + 1
         new_root = os.path.join(path, f"gen={new_gen}")
+        # clear any crash-leftover partial generation: uncommitted by
+        # definition (meta.gen < new_gen), possibly holding stale
+        # batch dirs from an attempt made at a LOWER high-water mark
+        shutil.rmtree(new_root, ignore_errors=True)
         wide, bands = read_ref_index(spark, path)
         wide.repartition(n_files, "doc_id").write.mode("overwrite").parquet(
             os.path.join(new_root, "wide", f"batch={hi}")

@@ -84,7 +84,14 @@ def events_stream_source(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         batch_schema = spark.read.parquet(events_dir).schema
-    except Exception:
+    except Exception as exc:
+        from ngff_zarr_spark._io_errors import is_missing_or_empty_source
+
+        if not is_missing_or_empty_source(exc):
+            # corrupt footer / permission / transient FS fault on an
+            # EXISTING dir: surface it — a hardcoded fallback schema
+            # here reads all-null columns (ADVICE r17)
+            raise
         # empty/not-yet-created source dir: no footers to derive from.
         # Fall back to the documented long-ns layout (TESTDATA.md) so
         # the stream can START before data arrives — matching the

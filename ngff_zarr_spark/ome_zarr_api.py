@@ -662,11 +662,26 @@ def copy_array(
         store = open_store(dst_store, dst_storage_options)
         n = 0
         cur_shard, shard_chunks = None, {}
+        # write_shard overwrites the whole shard object, so the
+        # contiguity invariant above is load-bearing: a second flush of
+        # the same shard index would silently discard the first one's
+        # chunks. Track flushed indices and fail LOUDLY on a repeat
+        # instead of corrupting the copy (ADVICE r17).
+        flushed = set()
 
         def flush_shard():
             nonlocal cur_shard, shard_chunks
             if cur_shard is not None and shard_chunks:
+                if cur_shard in flushed:
+                    raise RuntimeError(
+                        f"copy_array: shard {cur_shard} flushed twice in "
+                        "one task — the chunk-table reader no longer "
+                        "emits each shard's chunks contiguously; a "
+                        "second write_shard would discard the first "
+                        "flush's chunks"
+                    )
                 store.write_shard(dst_meta, cur_shard, shard_chunks)
+                flushed.add(cur_shard)
             cur_shard, shard_chunks = None, {}
 
         for pdf in batches:

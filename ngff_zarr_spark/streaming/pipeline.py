@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = "row_name string, column_name string, field_index long, acquisition_id long"
 
 
+from ngff_zarr_spark._io_errors import (
+    is_missing_or_empty_source as _is_missing_or_empty_source,
+)
+
+
 def docs_stream_source(
     spark: SparkSession, docs_dir: str, max_files_per_trigger=None
 ):
@@ -40,10 +45,17 @@ def docs_stream_source(
     functions/events.events_stream_source; an empty or not-yet-created
     directory falls back to the documented documents layout
     (TESTDATA.md) so a stream can START before its producer writes the
-    first file."""
+    first file. The fallback is NARROW (ADVICE r17): only the
+    missing-path / cannot-infer-schema cases fall back — any other
+    read failure (corrupt footer, permission, transient FS error) on
+    an EXISTING docs dir re-raises, because silently substituting a
+    hardcoded 5-column schema there would start the stream reading
+    all-null columns instead of surfacing the error."""
     try:
         batch_schema = spark.read.parquet(docs_dir).schema
-    except Exception:
+    except Exception as exc:
+        if not _is_missing_or_empty_source(exc):
+            raise
         from pyspark.sql.types import (
             LongType,
             StringType,

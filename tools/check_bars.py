@@ -61,8 +61,25 @@ def main() -> int:
     )
     if bench.get("contended"):
         print(f"WARNING: capture was contended (load {bench.get('load_avg_start')})")
+    stamps = bench.get("entry_stamps", {})
+    if violations:
+        # capture-level stamps up front so a violation is judged in
+        # context (r17 ask #2: the r17 sweep passed the guard by 2%)
+        print(
+            "  capture: load_avg_start={} load_avg_end={} foreign_cpu_avg={}".format(
+                bench.get("load_avg_start"),
+                bench.get("load_avg_end"),
+                bench.get("foreign_cpu_avg"),
+            )
+        )
     for name, sec, bar in sorted(violations, key=lambda v: v[1] / v[2], reverse=True):
-        print(f"  VIOLATION {name}: {sec:.3f}s > {bar}s bar")
+        st = stamps.get(name) or stamps.get(name.split(".", 1)[0])
+        ctx = (
+            "  [t_start={t_start}s wall={wall}s foreign_cpu={foreign_cpu}]".format(**st)
+            if st
+            else ""
+        )
+        print(f"  VIOLATION {name}: {sec:.3f}s > {bar}s bar{ctx}")
     if missing:
         print(f"  (barred entries missing from this capture: {missing})")
     return 1 if violations else 0
