@@ -370,6 +370,17 @@ def _centroids(emb: DataFrame, n_cells: int):
     the SQL twin uses (dim=64 < numpy's pairwise-summation threshold of
     128, so np.add.reduce is sequential)."""
     rows = emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
+    if len(rows) < n_cells:
+        # fail HERE with the contract, not three calls later: an
+        # undersized C either crashes numpy with an off-topic AxisError
+        # (zero seed rows) or silently shrinks the quantizer and then
+        # IndexErrors in write_ivf_partitioned's centroid table
+        # (r18 similarity review)
+        raise ValueError(
+            f"seed quantizer rule requires vec_ids 0..{n_cells - 1} present "
+            f"in the corpus (found {len(rows)} of {n_cells}); re-id the "
+            "corpus or pass pre-trained centroids/codebooks"
+        )
     C = np.array(
         [r.embedding for r in sorted(rows, key=lambda r: r.vec_id)], dtype=np.float64
     )
@@ -1430,6 +1441,11 @@ def ivfpq_residual_topk(
     seed_rows = (
         emb.filter(F.col("vec_id") < n_codes).select("vec_id", "embedding").collect()
     )
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"residual codebook seed rule requires vec_ids 0..{n_codes - 1} "
+            f"present in the corpus (found {len(seed_rows)} of {n_codes})"
+        )
     seed_rows.sort(key=lambda r: r.vec_id)
     S = np.array([r.embedding for r in seed_rows], dtype=np.float64)
     seed_cells = np.argmax(_cell_dots(pd.Series(list(S)), C, Cn), axis=1)
@@ -1658,6 +1674,10 @@ def mmr_rerank_sq8(
 
     from .text import spread
 
+    if query_ids is None and queries is None:
+        # isin(None) compiles to `vec_id IN (NULL)` — silently empty
+        # output instead of a caller-bug signal (r18 similarity review)
+        raise ValueError("mmr_rerank_sq8: pass query_ids or queries")
     q8 = sq8_quantize(spread(emb))
     if queries is not None:
         spark = emb.sparkSession
