@@ -192,6 +192,34 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFram
 MIX_BUCKETS = 1_000_000
 
 
+def _rate_micro_expr(budget: int | None):
+    """rate_micro = (10^6 · B · w_micro) div (s_micro · n_total), exact.
+
+    DECIMAL(38,0) intermediates, not BIGINT (r18 corpus review): at
+    production corpus sizes the numerator overflows a long — w_micro ~
+    n^alpha·10^6 is ~10^12 at 10^12 docs with alpha=0.5, so the triple
+    product reaches ~10^30 vs the 9.2·10^18 long ceiling. Under ANSI
+    mode (Spark 4 default) that raised ARITHMETIC_OVERFLOW at scale;
+    non-ANSI deployments would wrap silently and corrupt every rate.
+    Each binary product stays far under DECIMAL(38,0)'s 10^38 ceiling
+    (numerator ≤ ~10^30, denominator ≤ ~10^25) and decimal DIV on
+    scale-0 operands is exact integer division, so values are
+    bit-identical to the BIGINT form wherever that form didn't
+    overflow (pytest-pinned against Python bigints at overflow-regime
+    magnitudes)."""
+    b = (
+        f"CAST({int(budget)} AS DECIMAL(38,0))"
+        if budget is not None
+        else "CAST(n_corpus AS DECIMAL(38,0))"
+    )
+    return F.expr(
+        f"CAST((CAST({MIX_BUCKETS} AS DECIMAL(38,0)) * {b} * "
+        "CAST(w_micro AS DECIMAL(38,0))) DIV "
+        "(CAST(s_micro AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))) "
+        "AS BIGINT)"
+    )
+
+
 def temperature_mixture(
     docs: DataFrame,
     group_col: str = "lang",
@@ -246,13 +274,9 @@ def temperature_mixture(
         F.sum("n_total").alias("n_corpus"),
     )
     # integer DIV keeps the rate exact — no double divide anywhere
+    # (decimal-typed: see _rate_micro_expr for the overflow analysis)
     plan = w.crossJoin(F.broadcast(tot)).withColumn(
-        "rate_micro",
-        F.expr(
-            f"(CAST({MIX_BUCKETS} AS BIGINT) * "
-            + (f"CAST({int(budget)} AS BIGINT)" if budget is not None else "n_corpus")
-            + f" * w_micro) div (s_micro * n_total)"
-        ),
+        "rate_micro", _rate_micro_expr(budget)
     ).select(
         group_col,
         "n_total",
@@ -318,12 +342,7 @@ def temperature_mixture_report(
     )
     tot = w.agg(F.sum("w_micro").alias("s_micro"), F.sum("n_total").alias("n_corpus"))
     plan = w.crossJoin(F.broadcast(tot)).withColumn(
-        "rate_micro",
-        F.expr(
-            f"(CAST({MIX_BUCKETS} AS BIGINT) * "
-            + (f"CAST({int(budget)} AS BIGINT)" if budget is not None else "n_corpus")
-            + f" * w_micro) div (s_micro * n_total)"
-        ),
+        "rate_micro", _rate_micro_expr(budget)
     ).select(group_col, "n_total", "w_micro", "rate_micro")
     return plan.join(emitted, group_col, "left").select(
         group_col,

@@ -249,9 +249,13 @@ def line_dedup(
     re-join with single spaces — the same pipeline either way.
 
     Returns (doc_id, clean_text, n_lines, n_kept, n_dropped) — one row
-    per input document, clean_text == '' when everything was cut (the
-    caller decides whether empty docs survive, mirroring C4's
-    drop-empty follow-up).
+    per input document that produced at least one line/block,
+    clean_text == '' when everything was cut (the caller decides
+    whether empty docs survive, mirroring C4's drop-empty follow-up).
+    A token-less document under ``delimiter=None`` segments into zero
+    blocks and is absent from the output — there is nothing to clean
+    (r18 review: with a delimiter, splitting '' yields one empty line,
+    so such docs DO surface in that mode).
 
     100 TB posture:
       * block construction is a pure projection over the token array
