@@ -103,6 +103,29 @@ def test_check_bars_sub_phase_violation_uses_parent_stamp(tmp_path):
     assert "t_start=10.0s" in r.stdout
 
 
+def test_check_bars_margin_watch(tmp_path):
+    """Green entries at >= 85% of their bar are surfaced (VERDICT r17
+    ask #6 — pixel_jobs at 21.9/24 was green but one drift round from
+    tripping; the shrinking margin should be visible every round)."""
+    bench_path = tmp_path / "bench_out.json"
+    bench_path.write_text(
+        json.dumps({"queries": {"close_entry": 21.9, "roomy_entry": 2.0}})
+    )
+    baseline = tmp_path / "BASELINE.md"
+    baseline.write_text(
+        "| close_entry | 15 | ≤ 24 s | x |\n| roomy_entry | 1 | ≤ 10 s | x |\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "tools/check_bars.py", str(bench_path), str(baseline)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0  # green — watch lines never fail the check
+    assert "margin watch close_entry" in r.stdout and "91%" in r.stdout
+    assert "roomy_entry" not in r.stdout.replace(
+        "entries without a bar", ""
+    )
+
+
 def test_check_bars_legacy_capture_without_stamps(tmp_path):
     """Pre-r18 captures (no entry_stamps) still check cleanly."""
     bench_path = tmp_path / "bench_out.json"

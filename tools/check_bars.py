@@ -8,6 +8,12 @@ sections explicitly supersede — r11 hcs_stream_write precedent).
 
 Usage: python tools/check_bars.py [bench_out.json] [BASELINE.md]
 Exit 0 = all entries under their bars; 1 = violations (listed).
+
+Green entries consuming ≥ MARGIN_WATCH of their bar are listed as
+"margin watch" (VERDICT r17 ask #6: pixel_jobs sat at 21.9/24 — green,
+but one more round of box drift trips it; surfacing the shrinking
+margin each round is cheaper than re-running the attribution protocol
+after the trip).
 """
 
 from __future__ import annotations
@@ -38,6 +44,9 @@ def parse_bars(baseline_path: str) -> dict[str, float]:
     return bars
 
 
+MARGIN_WATCH = 0.85  # green entries at >= this fraction of their bar
+
+
 def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(here, "bench_out.json")
@@ -45,12 +54,14 @@ def main() -> int:
     bench = json.load(open(bench_path))
     queries = bench.get("queries", {})
     bars = parse_bars(baseline_path)
-    checked, violations, unbarred = 0, [], []
+    checked, violations, unbarred, watch = 0, [], [], []
     for name, sec in queries.items():
         if name in bars:
             checked += 1
             if sec > bars[name]:
                 violations.append((name, sec, bars[name]))
+            elif sec >= MARGIN_WATCH * bars[name]:
+                watch.append((name, sec, bars[name]))
         else:
             unbarred.append(name)
     missing = sorted(set(bars) - set(queries))
@@ -80,6 +91,11 @@ def main() -> int:
             else ""
         )
         print(f"  VIOLATION {name}: {sec:.3f}s > {bar}s bar{ctx}")
+    for name, sec, bar in sorted(watch, key=lambda v: v[1] / v[2], reverse=True):
+        print(
+            f"  margin watch {name}: {sec:.3f}s is {sec / bar:.0%} of its "
+            f"{bar}s bar"
+        )
     if missing:
         print(f"  (barred entries missing from this capture: {missing})")
     return 1 if violations else 0
