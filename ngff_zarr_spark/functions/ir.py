@@ -340,6 +340,10 @@ def rrf_fusion(
     a run simply contributes nothing from it (standard RRF). Returns
     (query_id, rank, doc_id, rrf_micro) — the fused top-k per query
     through the engine's two-phase exact top-k."""
+    if not runs:
+        # the fold below would fall through with contrib=None and die
+        # on an off-topic AttributeError (r18 review)
+        raise ValueError("rrf_fusion: need at least one retrieval run")
     contrib = None
     for r in runs:
         c = r.select(

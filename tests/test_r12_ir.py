@@ -658,3 +658,14 @@ def test_rrf_fusion_matches_reference(spark):
     # doc 11 (rank-2 lexical + rank-1 embedding) outranks every
     # single-run rank-1: the hybrid behavior RRF exists for
     assert want[0][0][1] == 11
+
+
+def test_rrf_fusion_empty_runs_raises(spark):
+    """r18 review: [] previously fell through the fold with
+    contrib=None and died on an off-topic AttributeError."""
+    import pytest
+
+    from ngff_zarr_spark.functions.ir import rrf_fusion
+
+    with pytest.raises(ValueError, match="at least one retrieval run"):
+        rrf_fusion([])
