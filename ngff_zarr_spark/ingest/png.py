@@ -116,6 +116,15 @@ def png_decode(data: bytes) -> np.ndarray:
     stride = w * channels * (depth // 8)
     bpp = max(1, channels * (depth // 8))
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    # exact structural check BEFORE the h-sized unfilter allocation
+    # (r18 fuzz finding: a bit-flipped IHDR dimension drove a
+    # multi-gigabyte MemoryError instead of a parse error): every PNG
+    # row is exactly 1 filter byte + stride pixel bytes
+    if raw.size != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length {raw.size} != {h * (stride + 1)} "
+            f"expected for {w}x{h}/{channels}ch/{depth}-bit"
+        )
     rows = _unfilter(raw, h, stride, bpp)
     if depth == 16:
         arr = rows.reshape(h, w, channels, 2)

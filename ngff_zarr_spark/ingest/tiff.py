@@ -286,13 +286,44 @@ def _decode_page(data: bytes, endian: str, tags: dict) -> np.ndarray:
             seg = _undo_predictor(seg)
         return seg
 
+    # structural guards BEFORE the (h, w) allocation (r18 fuzz finding:
+    # a bit-flipped ImageLength of 2^28 with one 16-row strip decoded
+    # "successfully" into a gigabytes-of-zeros image — the declared
+    # geometry must be covered by the segment tables, which for a
+    # well-formed file it exactly is)
+    if h <= 0 or w <= 0 or spp <= 0:
+        raise ValueError(f"bad TIFF geometry h={h} w={w} spp={spp}")
+    if bits not in (8, 16, 32):
+        raise ValueError(f"unsupported TIFF bit depth {bits}")
+    # plausibility cap on declared pixel volume vs bytes actually
+    # stored for the page: a flipped dimension bit declares a 10^7×
+    # expansion and previously MemoryErrored on the output allocation;
+    # 10^5 admits any real compression ratio (zlib ceiling 1032:1,
+    # constant-image LZW ~10^4:1) with a 1 MB floor for tiny pages
+    stored = sum(
+        tags.get(TILE_BYTE_COUNTS, tags.get(STRIP_BYTE_COUNTS, [0]))
+    )
+    if h * w * spp * (bits // 8) > 100_000 * max(stored, 1) + (1 << 20):
+        raise ValueError(
+            f"TIFF declares {h}x{w}x{spp}@{bits}-bit "
+            f"({h * w * spp * (bits // 8)} bytes) but stores only "
+            f"{stored} segment bytes — implausible, refusing"
+        )
     out = np.zeros((h, w, spp), dtype=dtype)
     if TILE_OFFSETS in tags:
         tw = tags[TILE_WIDTH][0]
         th = tags[TILE_LENGTH][0]
         offsets = tags[TILE_OFFSETS]
         counts = tags[TILE_BYTE_COUNTS]
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"bad TIFF tile size {tw}x{th}")
         tiles_across = -(-w // tw)
+        n_tiles = tiles_across * (-(-h // th))
+        if len(offsets) != n_tiles or len(counts) != n_tiles:
+            raise ValueError(
+                f"TIFF tile table mismatch: {len(offsets)} offsets / "
+                f"{len(counts)} counts for {n_tiles} declared tiles"
+            )
         for i, (o, c) in enumerate(zip(offsets, counts)):
             ty, tx = divmod(i, tiles_across)
             tile = segment(data[o : o + c], th, tw)
@@ -304,6 +335,14 @@ def _decode_page(data: bytes, endian: str, tags: dict) -> np.ndarray:
         rps = tags.get(ROWS_PER_STRIP, [h])[0]
         offsets = tags[STRIP_OFFSETS]
         counts = tags[STRIP_BYTE_COUNTS]
+        if rps <= 0:
+            raise ValueError(f"bad TIFF rows-per-strip {rps}")
+        n_strips = -(-h // rps)
+        if len(offsets) != n_strips or len(counts) != n_strips:
+            raise ValueError(
+                f"TIFF strip table mismatch: {len(offsets)} offsets / "
+                f"{len(counts)} counts for {n_strips} declared strips"
+            )
         y = 0
         for o, c in zip(offsets, counts):
             sh = min(rps, h - y)
