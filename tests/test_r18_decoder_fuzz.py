@@ -82,16 +82,44 @@ def test_png_exact_row_length_check():
         png_decode(bytes(corrupt))
 
 
-@pytest.mark.parametrize(
-    "name,data,dec",
-    [
+def _all_variants():
+    from ngff_zarr_spark.ingest.bmp import bmp_decode, bmp_encode
+    from ngff_zarr_spark.ingest.dicom import dicom_read, dicom_write
+    from ngff_zarr_spark.ingest.gif import gif_decode, gif_encode
+    from ngff_zarr_spark.ingest.mgh import mgh_decode, mgh_encode
+    from ngff_zarr_spark.ingest.mha import mha_read, mha_write
+    from ngff_zarr_spark.ingest.mrc import mrc_decode, mrc_encode
+    from ngff_zarr_spark.ingest.nrrd import nrrd_read, nrrd_write
+    from ngff_zarr_spark.ingest.wav import wav_decode, wav_encode
+    from ngff_zarr_spark.ingest.webp import webp_decode, webp_encode
+
+    vol = ((np.arange(6 * 8 * 10, dtype=np.int32).reshape(6, 8, 10) * 997)
+           % 30011).astype(np.int16)
+    return [
         ("tiff8", tiff_encode(IMG8), tiff_decode),
         ("tiff16", tiff_encode(IMG16), tiff_decode),
         ("tiff-lzw", tiff_encode_pages([IMG16], compression=5, predictor=2), tiff_decode),
         ("tiff-tiled", tiff_encode_pages([IMG8], tile=(8, 8)), tiff_decode),
         ("png8", png_encode(IMG8), png_decode),
         ("png-rgb", png_encode(RGB), png_decode),
-    ],
+        ("bmp", bmp_encode(IMG8), bmp_decode),
+        ("bmp-rgb", bmp_encode(RGB), bmp_decode),
+        ("gif", gif_encode(IMG8), gif_decode),
+        ("webp", webp_encode(RGB), webp_decode),
+        ("wav", wav_encode(np.arange(2000, dtype=np.int16)),
+         lambda d: wav_decode(d)[0]),
+        ("mgh", mgh_encode(vol), mgh_decode),
+        ("mrc", mrc_encode(vol), mrc_decode),
+        ("nrrd-gz", nrrd_write(vol), lambda d: nrrd_read(d)[0]),
+        ("nrrd-raw", nrrd_write(vol, encoding="raw"), lambda d: nrrd_read(d)[0]),
+        ("mha", mha_write(vol), lambda d: mha_read(d)[0]),
+        ("dicom", dicom_write(vol[0].astype(np.uint16)),
+         lambda d: dicom_read(d)[0]),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,data,dec", _all_variants(), ids=lambda v: v if isinstance(v, str) else ""
 )
 def test_mini_fuzz_never_hangs_or_memerrors(name, data, dec):
     """Deterministic truncations + seeded bit flips: a regular
