@@ -723,6 +723,22 @@ class StoreBase:
             if attributes:
                 self.put_json(f"{prefix}.zattrs", attributes)
 
+    @staticmethod
+    def _check_geometry(path: str, shape: tuple, chunks: tuple) -> None:
+        """Reject malformed array geometry at parse time (r18 metadata
+        probe: a negative shape or chunk size parsed silently and fed
+        nonsense into the chunk-grid planner; rank mismatches only
+        surfaced as reshape errors deep inside a task)."""
+        if len(shape) != len(chunks):
+            raise ValueError(
+                f"array {path!r}: shape rank {len(shape)} != chunk rank "
+                f"{len(chunks)}"
+            )
+        if any(int(s) < 0 for s in shape):
+            raise ValueError(f"array {path!r}: negative shape {shape}")
+        if any(int(c) < 1 for c in chunks):
+            raise ValueError(f"array {path!r}: non-positive chunks {chunks}")
+
     def read_array_meta(self, path: str, zarr_format: int) -> ZarrArrayMeta:
         if zarr_format == 3:
             doc = self.get_json(f"{path}/zarr.json")
@@ -734,6 +750,16 @@ class StoreBase:
             if sharding is not None:
                 cfg = sharding["configuration"]
                 inner = tuple(cfg["chunk_shape"])
+                if len(inner) != len(grid_chunks) or any(
+                    i < 1 or g % i for g, i in zip(grid_chunks, inner)
+                ):
+                    # the v3 spec requires the shard shape to be a
+                    # whole multiple of the inner chunk shape; the //
+                    # below would otherwise truncate silently (r18)
+                    raise ValueError(
+                        f"array {path!r}: shard shape {grid_chunks} is "
+                        f"not a whole multiple of inner chunks {inner}"
+                    )
                 cps = tuple(g // i for g, i in zip(grid_chunks, inner))
                 comp = compressor_from_v3_codecs(cfg.get("codecs", []))
                 byte_order = v3_byte_order(cfg.get("codecs", []))
@@ -748,6 +774,7 @@ class StoreBase:
             sep = (cke.get("configuration") or {}).get(
                 "separator", "." if encoding == "v2" else "/"
             )
+            self._check_geometry(path, tuple(doc["shape"]), chunks)
             return ZarrArrayMeta(
                 path=path,
                 shape=tuple(doc["shape"]),
@@ -787,6 +814,7 @@ class StoreBase:
                 dim_names = self.get_json(f"{path}/.zattrs").get("_ARRAY_DIMENSIONS")
         except Exception:  # noqa: BLE001 - optional sidecar only
             dim_names = None
+        self._check_geometry(path, tuple(doc["shape"]), tuple(doc["chunks"]))
         meta = ZarrArrayMeta(
             path=path,
             shape=tuple(doc["shape"]),
