@@ -735,7 +735,15 @@ def _foreign_cpu_avg(sys0, tree0, wall0) -> float | None:
     wall = time.time() - wall0
     if None in (sys0, tree0, sys1, tree1) or wall <= 0:
         return None
-    return max(0.0, (sys1 - sys0) - (tree1 - tree0)) / wall
+    fca = max(0.0, (sys1 - sys0) - (tree1 - tree0)) / wall
+    # A reading above the box's CPU count is physically impossible as an
+    # average concurrency — it's an accounting artifact (steal-time
+    # catch-up dumping accumulated ticks into a short window, or a
+    # /proc tree-walk race under-counting the bench's own delta). The
+    # r18 subset capture stamped one 0.3s entry at 395 "foreign CPUs" on
+    # a 32-CPU box; report such readings as unmeasurable, not as data.
+    ncpu = os.cpu_count() or 32
+    return None if fca > ncpu else fca
 
 
 def main():

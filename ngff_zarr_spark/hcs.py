@@ -300,13 +300,18 @@ def from_hcs_zarr(spark: SparkSession, store_path: str, validate: bool = False) 
         if not well_doc:
             continue
         for img in well_doc.get("images", []):
+            # defensive-typed like the rest of this parser: an image entry
+            # without a string path can't be addressed — skip it rather
+            # than KeyError mid-catalog (same posture as the well filter)
+            if not isinstance(img, dict) or not isinstance(img.get("path"), str):
+                continue
             image_rows.append(
                 (
                     store_path.rstrip("/").rsplit("/", 1)[-1],
                     w.rowIndex,
                     w.columnIndex,
                     int(img.get("acquisition", 0)),
-                    int(img["path"]) if str(img.get("path", "")).isdigit() else 0,
+                    int(img["path"]) if img["path"].isdigit() else 0,
                     w.path,
                     f"{w.path}/{img['path']}",
                 )

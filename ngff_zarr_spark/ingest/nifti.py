@@ -105,6 +105,11 @@ def read_nifti(path: str | Path) -> Nifti1Image:
         raise ValueError("not a NIfTI file (truncated header)")
     version, e = _header_version(raw)
     if version == 1:
+        # nifti1.h magic at offset 344: "n+1\0" single-file, "ni1\0"
+        # hdr/img pair — without this check any blob whose first 4
+        # bytes decode to 348 would "parse" as NIfTI
+        if raw[344:348] not in (b"n+1\x00", b"ni1\x00"):
+            raise ValueError(f"bad NIfTI-1 magic {raw[344:348]!r}")
         dim = struct.unpack_from(f"{e}8h", raw, 40)
         datatype = struct.unpack_from(f"{e}h", raw, 70)[0]
         pixdim = struct.unpack_from(f"{e}8f", raw, 76)

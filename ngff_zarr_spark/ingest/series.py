@@ -57,9 +57,16 @@ def series_to_pixel_df(
     spark: SparkSession,
     glob: str,
     decode: Optional[Callable[[str, bytes], np.ndarray]] = None,
+    expected_shape: Optional[tuple[int, int]] = None,
 ) -> DataFrame:
     """Read a glob of 2-D slice images as one (z, y, x) pixel table;
     z = lexicographic file order (the reference's glob-sorted stacking).
+
+    ``expected_shape`` (h, w), when given, makes every slice's decoded
+    geometry checked on the executor — a series with one mismatched
+    slice fails loudly instead of emitting out-of-volume coordinates
+    (the reference's dask imread stack errors on non-uniform shapes
+    too; cli_input_to_ngff_image.py:49-73).
     """
     decode_fn = decode or _default_decode
     files = spark.read.format("binaryFile").load(glob)
@@ -82,6 +89,12 @@ def series_to_pixel_df(
                 if arr.ndim != 2:
                     raise ValueError(
                         f"series slice {row['path']} must be 2-D, got {arr.shape}"
+                    )
+                if expected_shape is not None and arr.shape != tuple(expected_shape):
+                    raise ValueError(
+                        f"series slice {row['path']} is {arr.shape}, "
+                        f"expected {tuple(expected_shape)} — all slices of a "
+                        "series must share one shape"
                     )
                 h, wdt = arr.shape
                 yy, xx = np.divmod(np.arange(arr.size, dtype=np.int64), wdt)
@@ -108,7 +121,9 @@ def series_to_ngff_image(spark: SparkSession, glob: str, name: str = "series"):
     n_files = files.count()
     sample = files.orderBy("path").limit(1).collect()[0]
     arr = _default_decode(sample["path"], sample["content"])
-    df = series_to_pixel_df(spark, glob)
+    df = series_to_pixel_df(
+        spark, glob, expected_shape=(int(arr.shape[0]), int(arr.shape[1]))
+    )
     dims = ["z", "y", "x"]
     shape = {"z": int(n_files), "y": int(arr.shape[0]), "x": int(arr.shape[1])}
     return NgffImage(
