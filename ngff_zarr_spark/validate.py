@@ -88,6 +88,11 @@ def _validate_image(attrs: dict) -> list[str]:
                         f"{where}: version {version} axes must be objects, got string {ax!r}"
                     )
                 name = ax
+            elif not isinstance(ax, dict):
+                # a validator's job is to REPORT malformed shapes, not
+                # AttributeError on them
+                problems.append(f"{where}: axis entry not an object: {ax!r}")
+                continue
             else:
                 if string_axes:
                     problems.append(f"{where}: version 0.3 axes are name strings")
@@ -107,6 +112,9 @@ def _validate_image(attrs: dict) -> list[str]:
             problems.append(f"{where}: missing datasets")
             datasets = []
         for ds in datasets:
+            if not isinstance(ds, dict):
+                problems.append(f"{where}: dataset entry not an object: {ds!r}")
+                continue
             path = ds.get("path")
             if not isinstance(path, str) or not path:
                 problems.append(f"{where}: dataset missing path")
@@ -117,9 +125,14 @@ def _validate_image(attrs: dict) -> list[str]:
                         f"{where}: dataset {path!r} missing coordinateTransformations"
                     )
                 continue
-            if cts[0].get("type") != "scale":
+            if not isinstance(cts[0], dict) or cts[0].get("type") != "scale":
                 problems.append(f"{where}: dataset {path!r} first transform must be scale")
             for ct in cts:
+                if not isinstance(ct, dict):
+                    problems.append(
+                        f"{where}: dataset {path!r} transform not an object: {ct!r}"
+                    )
+                    continue
                 t = ct.get("type")
                 if t not in ("scale", "translation", "identity"):
                     problems.append(f"{where}: dataset {path!r} bad transform type {t!r}")
@@ -241,10 +254,13 @@ def sniff_store_attrs(attrs: dict) -> tuple[str, str]:
     else:
         fallback = "0.4"
         if model == "image":
-            mss = ns.get("multiscales") or [{}]
-            version = str((mss[0] or {}).get("version", fallback))
+            mss = ns.get("multiscales")
+            mss = mss if isinstance(mss, list) and mss else [{}]
+            m0 = mss[0] if isinstance(mss[0], dict) else {}
+            version = str(m0.get("version", fallback))
         else:
-            payload = ns.get(model) or {}
+            payload = ns.get(model)
+            payload = payload if isinstance(payload, dict) else {}
             version = str(payload.get("version", fallback))
     return (version if version in _KNOWN_VERSIONS else fallback), model
 

@@ -137,3 +137,32 @@ def test_omero_metadata_store_roundtrip():
         assert ch.color == "FF0000" and ch.label == "red"
         w = ch.window
         assert (w.min, w.max, w.start, w.end) == (0.0, 255.0, 10.0, 200.0)
+
+
+def test_validate_image_malformed_shapes_reported_not_raised():
+    """r18 review: the validator must REPORT non-object axis/dataset/
+    transform entries as problems, not AttributeError on them."""
+    attrs = _good_image_attrs()
+    ms = attrs["multiscales"][0]
+    ms["axes"] = [17, {"name": "y", "type": "space"}, {"name": "x", "type": "space"}]
+    ms["datasets"] = [
+        "not-an-object",
+        {
+            "path": "scale0/image",
+            "coordinateTransformations": ["bogus", {"type": "scale", "scale": [1, 1, 1]}],
+        },
+    ]
+    problems = validate(attrs, "image")
+    assert any("axis entry not an object" in p for p in problems)
+    assert any("dataset entry not an object" in p for p in problems)
+    assert any("transform not an object" in p for p in problems)
+    assert any("first transform must be scale" in p for p in problems)
+
+
+def test_sniff_store_attrs_never_raises_on_malformed():
+    from ngff_zarr_spark.validate import sniff_store_attrs
+
+    assert sniff_store_attrs({"multiscales": {"bad": "shape"}}) == ("0.4", "image")
+    assert sniff_store_attrs({"multiscales": ["bad"]}) == ("0.4", "image")
+    assert sniff_store_attrs({"plate": "bad"}) == ("0.4", "plate")
+    assert sniff_store_attrs({"well": 3}) == ("0.4", "well")
