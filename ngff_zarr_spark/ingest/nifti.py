@@ -98,7 +98,11 @@ def read_nifti(path: str | Path) -> Nifti1Image:
     — nifti2.h public layout), little- or big-endian, plain or
     gzipped. The reference reads both through nibabel; field semantics
     downstream (affine precedence, scaling defaults) are identical."""
-    raw = Path(path).read_bytes()
+    return parse_nifti_bytes(Path(path).read_bytes())
+
+
+def parse_nifti_bytes(raw: bytes) -> Nifti1Image:
+    """Bytes-level core of :func:`read_nifti` (plain or gzipped)."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     if len(raw) < 348:

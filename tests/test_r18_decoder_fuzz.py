@@ -93,6 +93,19 @@ def _all_variants():
     from ngff_zarr_spark.ingest.wav import wav_decode, wav_encode
     from ngff_zarr_spark.ingest.webp import webp_decode, webp_encode
 
+    import gzip
+
+    from ngff_zarr_spark.ingest.nifti import parse_nifti_bytes, write_nifti
+
+    def _nifti_bytes(version: int) -> bytes:
+        import tempfile
+        from pathlib import Path
+
+        with tempfile.TemporaryDirectory() as td:
+            p = Path(td) / "v.nii"
+            write_nifti(p, vol, version=version)
+            return p.read_bytes()
+
     vol = ((np.arange(6 * 8 * 10, dtype=np.int32).reshape(6, 8, 10) * 997)
            % 30011).astype(np.int16)
     return [
@@ -115,6 +128,10 @@ def _all_variants():
         ("mha", mha_write(vol), lambda d: mha_read(d)[0]),
         ("dicom", dicom_write(vol[0].astype(np.uint16)),
          lambda d: dicom_read(d)[0]),
+        ("nifti1", _nifti_bytes(1), lambda d: parse_nifti_bytes(d).data),
+        ("nifti2", _nifti_bytes(2), lambda d: parse_nifti_bytes(d).data),
+        ("nifti1-gz", gzip.compress(_nifti_bytes(1)),
+         lambda d: parse_nifti_bytes(d).data),
     ]
 
 
