@@ -152,3 +152,33 @@ def test_a3_label_catches_flipped_tiebreak(spark, oracle_con, monkeypatch):
 
     monkeypatch.setattr(DS, "_mode_over_blocks", flipped)
     assert _gate_verdict(spark, oracle_con, "a3_label_downsample")
+
+
+def test_dedup_minhash_catches_wrong_signature_length(
+    spark, oracle_con, monkeypatch
+):
+    """A mis-sized signature (8 perms instead of 16) must mismatch:
+    the fixture's 15/16-agreement pairs (est_jaccard 0.9375) cannot be
+    expressed as k/8, so their estimates necessarily change."""
+    from ngff_zarr_spark.functions import dedup as D
+
+    assert not _gate_verdict(spark, oracle_con, "dedup_minhash")
+    orig = D.minhash_candidates
+    monkeypatch.setattr(
+        D, "minhash_candidates", lambda docs, **k: orig(docs, num_perm=8)
+    )
+    assert _gate_verdict(spark, oracle_con, "dedup_minhash")
+
+
+def test_sessionize_catches_wrong_gap(spark, oracle_con, monkeypatch):
+    """A halved inactivity gap keeps the per-user rowcount (15 users)
+    but changes session counts — exercises the VALUE-hash compare path
+    rather than the rowcount shortcut."""
+    from ngff_zarr_spark.functions import events as E
+
+    assert not _gate_verdict(spark, oracle_con, "events_sessionize")
+    orig = E.sessionize_counts
+    monkeypatch.setattr(
+        E, "sessionize_counts", lambda df, gap: orig(df, gap // 2)
+    )
+    assert _gate_verdict(spark, oracle_con, "events_sessionize")
