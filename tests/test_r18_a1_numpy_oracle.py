@@ -82,3 +82,44 @@ def test_chunked_matches_independent_numpy(spark, kernel, factors):
         seen += 1
     assert seen == expected.size
     assert np.array_equal(got, expected)
+
+
+def test_label_downsample_matches_independent_numpy(spark):
+    """A3 third implementation: per-block center-voxel votes (odd f →
+    one center, even f → the two central voxels per dim) with argmax
+    count and smallest-label tie-break, written as plain nested numpy —
+    no shared code with the engine's filter + max_by aggregate."""
+    from collections import Counter
+
+    from ngff_zarr_spark.fixtures import IMG2D_LABEL
+    from ngff_zarr_spark.operators.downsample import label_downsample
+
+    spec = IMG2D_LABEL
+    arr = np.zeros((spec.y, spec.x), dtype=np.int64)
+    for r in pixel_df(spark, spec, label=True).collect():
+        arr[r.y, r.x] = int(r.v)
+
+    fy = fx = 4
+    offs = lambda f: [(f - 1) // 2] if f % 2 else [f // 2 - 1, f // 2]
+    ny, nx = spec.y // fy, spec.x // fx
+    expected = np.zeros((ny, nx), dtype=np.int64)
+    for by in range(ny):
+        for bx in range(nx):
+            votes = Counter(
+                arr[by * fy + oy, bx * fx + ox]
+                for oy in offs(fy)
+                for ox in offs(fx)
+            )
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            expected[by, bx] = best[0]
+
+    out = label_downsample(
+        pixel_df(spark, spec, label=True), spec.shape, {"y": fy, "x": fx}
+    )
+    got = np.zeros((ny, nx), dtype=np.int64)
+    seen = 0
+    for r in out.collect():
+        got[r.y, r.x] = int(r.v)
+        seen += 1
+    assert seen == ny * nx
+    assert np.array_equal(got, expected)
