@@ -123,3 +123,47 @@ def test_label_downsample_matches_independent_numpy(spark):
         seen += 1
     assert seen == ny * nx
     assert np.array_equal(got, expected)
+
+
+def test_mode_centered_matches_independent_numpy(spark):
+    """A8 centered form, third implementation: literal
+    generic_filter(size=f, mode='nearest')-at-stride-f semantics as
+    nested numpy loops (offset window [-(f//2), f-1-f//2] with index
+    clamping, mode with smallest-value tie-break) — independent of the
+    engine's broadcast window-map + weighted max_by construction."""
+    from collections import Counter
+
+    from ngff_zarr_spark.fixtures import IMG2D_LABEL
+    from ngff_zarr_spark.operators.downsample import mode_downsample_centered
+
+    spec = IMG2D_LABEL
+    arr = np.zeros((spec.y, spec.x), dtype=np.int64)
+    for r in pixel_df(spark, spec, label=True).collect():
+        arr[r.y, r.x] = int(r.v)
+
+    f = 4
+    half = f // 2
+    ny, nx = spec.y // f, spec.x // f
+    expected = np.zeros((ny, nx), dtype=np.int64)
+    for by in range(ny):
+        for bx in range(nx):
+            votes = Counter(
+                arr[
+                    min(max(by * f + dy, 0), spec.y - 1),
+                    min(max(bx * f + dx, 0), spec.x - 1),
+                ]
+                for dy in range(-half, f - half)
+                for dx in range(-half, f - half)
+            )
+            expected[by, bx] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+    out = mode_downsample_centered(
+        pixel_df(spark, spec, label=True), spec.shape, {"y": f, "x": f}
+    )
+    got = np.zeros((ny, nx), dtype=np.int64)
+    seen = 0
+    for r in out.collect():
+        got[r.y, r.x] = int(r.v)
+        seen += 1
+    assert seen == ny * nx
+    assert np.array_equal(got, expected)
