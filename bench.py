@@ -725,25 +725,33 @@ def _proc_tree_cpu_s(pid: int | None = None) -> float | None:
         return None
 
 
-def _foreign_cpu_avg(sys0, tree0, wall0) -> float | None:
-    """Average non-bench CPUs busy over the run: (system busy Δ − this
-    process tree's Δ) / wall. The r16 sweep drifted ~25% on 68
-    code-untouched entries while the start-only load stamp read
-    'uncontended' — this measures contention DURING the run with the
-    bench's own (full-box) load excluded."""
+def _foreign_cpu_raw(sys0, tree0, wall0) -> float | None:
+    """Average non-bench CPUs busy over the window, UNCLAMPED:
+    (system busy Δ − this process tree's Δ) / wall. None when the
+    /proc sources are unavailable."""
     sys1, tree1 = _system_busy_s(), _proc_tree_cpu_s()
     wall = time.time() - wall0
     if None in (sys0, tree0, sys1, tree1) or wall <= 0:
         return None
-    fca = max(0.0, (sys1 - sys0) - (tree1 - tree0)) / wall
-    # A reading above the box's CPU count is physically impossible as an
-    # average concurrency — it's an accounting artifact (steal-time
-    # catch-up dumping accumulated ticks into a short window, or a
-    # /proc tree-walk race under-counting the bench's own delta). The
-    # r18 subset capture stamped one 0.3s entry at 395 "foreign CPUs" on
-    # a 32-CPU box; report such readings as unmeasurable, not as data.
+    return max(0.0, (sys1 - sys0) - (tree1 - tree0)) / wall
+
+
+def _foreign_cpu_avg(sys0, tree0, wall0) -> float | None:
+    """Average non-bench CPUs busy over the run (r16 drift finding:
+    this measures contention DURING the run with the bench's own
+    full-box load excluded). A reading above the box's CPU count is
+    physically impossible as an average concurrency — it's an
+    accounting artifact (steal-time catch-up dumping accumulated ticks
+    into a short window, or a /proc tree-walk race under-counting the
+    bench's own delta). The r18 subset capture stamped one 0.3s entry
+    at 395 "foreign CPUs" on a 32-CPU box; report such readings as
+    unmeasurable, not as data. NOTE (ADVICE r18): the whole-run
+    contended flag must NOT be computed from this clamped value —
+    main() uses _foreign_cpu_raw so a steal-time spike still marks the
+    run contended."""
+    fca = _foreign_cpu_raw(sys0, tree0, wall0)
     ncpu = os.cpu_count() or 32
-    return None if fca > ncpu else fca
+    return None if fca is not None and fca > ncpu else fca
 
 
 def main():
@@ -888,8 +896,16 @@ def main():
             if (fca := _foreign_cpu_avg(sys0, tree0, wall0)) is not None
             else None
         ),
+        # contended grades from the RAW reading (ADVICE r18): a
+        # steal-time spike above ncpu is itself evidence the box was
+        # contended — clamping it to None must not let the run pass
+        # the contention guard
         "contended": bool(
-            load_start > LOAD_BAR or (fca is not None and fca > FOREIGN_CPU_BAR)
+            load_start > LOAD_BAR
+            or (
+                (fraw := _foreign_cpu_raw(sys0, tree0, wall0)) is not None
+                and fraw > FOREIGN_CPU_BAR
+            )
         ),
         # per-entry {t_start (s into the run), wall, foreign_cpu} —
         # check_bars.py prints these next to any violation so a

@@ -68,17 +68,29 @@ def _syms(seq: F.Column) -> F.Column:
     return F.split(F.btrim(seq, F.lit(SEP)), SEP + SEP)
 
 
-def _learn(docs: DataFrame, n_merges: int):
+def _learn(docs: DataFrame, n_merges: int, need_vocab: bool = True):
     """Run the merge-learning loop; returns (merge_rows, final_vocab)
     where merge_rows is a driver-side list of (step, left, right,
     pair_count) — exhausted steps carry the sentinel with
     pair_count = -1 and are filtered by the public wrappers — and
-    final_vocab is the (word, cnt, seq) DataFrame after all merges."""
+    final_vocab is the (word, cnt, seq) DataFrame after all merges
+    (None when ``need_vocab=False`` — bpe_learn only consumes the
+    merge table, so it skips the final vocab-sized checkpoint job).
+
+    Job-count posture (r19, guide §1.2 "fewer passes"): each iteration
+    runs ONE vocab-sized job — the argmax collect — instead of the
+    former argmax + explicit ``count()`` materialization pair. The
+    merge-applied generation is persisted LAZILY; the NEXT iteration's
+    argmax (or the final handoff) materializes it while its parent
+    generation is still cached, and the parent is released immediately
+    after that materialization. Two generations stay pinned at any
+    moment, exactly as before; the per-iteration job count halves
+    (2K+1 → K+1 vocab-sized jobs for K merges)."""
     words = _word_counts(docs, per_doc=False).select(
         "word", "cnt", _initial_seq()
     ).persist()
     merge_rows = []
-    prev = None
+    prev = None  # parent generation: cached until `words` materializes
     for step in range(1, int(n_merges) + 1):
         sy = _syms(F.col("seq"))
         n = F.size(sy)
@@ -100,6 +112,11 @@ def _learn(docs: DataFrame, n_merges: int):
             .limit(1)
             .collect()
         )
+        # the argmax job materialized `words`' cache (its first scan);
+        # the parent generation's cache is now dead weight — release it
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         la, rb, c = (
             (top[0].la, top[0].rb, int(top[0].c)) if top else (SENTINEL, SENTINEL, -1)
         )
@@ -114,21 +131,23 @@ def _learn(docs: DataFrame, n_merges: int):
                 F.lit(SEP + la + SEP + SEP + rb + SEP),
                 F.lit(SEP + la + rb + SEP),
             ).alias("seq"),
-        ).persist()
-        nxt.count()  # materialize before dropping the parent cache
+        ).persist()  # lazy: the next argmax/handoff materializes it
+        prev, words = words, nxt
+    if not need_vocab:
+        words.unpersist()
         if prev is not None:
             prev.unpersist()
-        prev, words = words, nxt
+        return merge_rows, None
     from ._scope import handoff
 
     # swap the final vocab's explicit persist for a GC-managed leaf:
     # the vocab is model-sized (distinct words), downstream consumers
     # (subword stats, encode) reference the leaf, and nothing stays
-    # pinned once the caller's result is gone. The loop keeps two
-    # generations pinned (words + prev — prev is only released one
-    # round later); after the handoff leaf exists, prev is dead too.
+    # pinned once the caller's result is gone. handoff() materializes
+    # the (possibly still-lazy) final generation while its parent is
+    # cached; the parent is released right after.
     leaf = handoff(words)
-    if prev is not None and prev is not words:
+    if prev is not None:
         prev.unpersist()
     return merge_rows, leaf
 
@@ -137,7 +156,7 @@ def bpe_learn(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     """The learned merge table: (step, left, right, pair_count),
     ordered by training step. Steps past pair exhaustion (no adjacent
     pair left anywhere in the vocab) are dropped."""
-    rows, _ = _learn(docs, n_merges)
+    rows, _ = _learn(docs, n_merges, need_vocab=False)
     return docs.sparkSession.createDataFrame(
         [r for r in rows if r[3] > 0],
         "step long, left string, right string, pair_count long",

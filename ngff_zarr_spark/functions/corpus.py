@@ -19,17 +19,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _norm_text, exact_dedup
+from .dedup import _norm_text
 from .text import gopher_quality
 
 
 def filter_pipeline(docs: DataFrame, keep_lang: str = "en") -> DataFrame:
     """doc_id, reason ('duplicate' | 'lang' | 'quality' | 'kept'),
     keep — the composed filter decision per document."""
+    # keyed carries (doc_id, lang, md5) — no text — and feeds BOTH the
+    # representative aggregate and the verdict join; the call-scoped
+    # persist makes the text scan + md5 pass run once instead of once
+    # per reference (r19, guide §2.3/§2.4 — previously the second pass
+    # hid inside an exact_dedup(docs) call that re-derived the
+    # identical content key from scratch)
     keyed = docs.select(
         "doc_id", "lang", F.md5(_norm_text(F.col("text"))).alias("content_md5")
+    ).persist()
+    reps = keyed.groupBy("content_md5").agg(
+        F.min("doc_id").alias("representative")
     )
-    reps = exact_dedup(docs).select("content_md5", "representative")
     gq = gopher_quality(docs).select("doc_id", F.col("passes").alias("gopher_passes"))
     j = keyed.join(reps, "content_md5").join(gq, "doc_id")
     reason = (
@@ -38,9 +46,12 @@ def filter_pipeline(docs: DataFrame, keep_lang: str = "en") -> DataFrame:
         .when(~F.col("gopher_passes"), F.lit("quality"))
         .otherwise(F.lit("kept"))
     )
-    return j.select(
+    out = j.select(
         "doc_id", reason.alias("reason")
     ).withColumn("keep", F.col("reason") == "kept")
+    from ._scope import checkpointed
+
+    return checkpointed(out, keyed)
 
 
 def chunk_documents(

@@ -538,6 +538,13 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
             ).alias("e")
         ).select("e.u", "e.w")
         mins = sym.groupBy("u").agg(F.min("w").alias("mn"))
+        # the intermediate distinct is load-bearing at scale (r19
+        # audit): on a near-clique component every neighbor u of w
+        # emits the same (component-min, w) row, so the deduped
+        # large-star output is O(nodes) where the raw multiset is
+        # O(edges) — the distinct is what bounds the small-star
+        # aggregate's input on dense components. Removing it measured
+        # wall-neutral at sf0.1 and amplifies at scale; kept.
         ls = (
             sym.filter(F.col("w") > F.col("u"))
             .join(mins, "u")
@@ -561,7 +568,20 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
         )
         new_edges = _pin(ss)
         new_n = new_edges.count()
-        if new_n == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+        # fixpoint test: counts equal AND no new edge outside the old
+        # set. Both sides are DISTINCT by construction, so a left-anti
+        # join is exactly EXCEPT ALL here — but unlike Spark's
+        # ExceptAll operator (which always shuffles both sides into a
+        # sort/aggregate) the anti join lets AQE broadcast the old edge
+        # set when it is small, which near the fixpoint it always is
+        # (the star: one edge per non-root node). r19, guide §3.1.
+        if (
+            new_n == n_edges
+            and new_edges.join(edges, ["s", "b"], "left_anti")
+            .limit(1)
+            .count()
+            == 0
+        ):
             converged = True
         edges, n_edges = new_edges, new_n
     if not converged:

@@ -159,7 +159,17 @@ def tfidf_topk(
     Scores round to 6dp BEFORE ranking with a doc_b tie-break — the
     exact convention the ANN gates use to stay hash-comparable with
     the DuckDB twin."""
-    w = tfidf_weights(docs, max_df=max_df, tf=tf)
+    # the weight table feeds THREE consumers (norms + both self-join
+    # sides) and its own build references tf twice (tf + df_tab); a
+    # call-scoped persist of each materializes the tokenize→tf→idf
+    # pipeline once instead of once per consumer — the pair-sized
+    # result is checkpointed and the caches released (r19, guide §2.4/§5)
+    owned = []
+    if tf is None:
+        tf = _shingle_tf(docs).persist()
+        owned.append(tf)
+    w = tfidf_weights(docs, max_df=max_df, tf=tf).persist()
+    owned.append(w)
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -181,9 +191,12 @@ def tfidf_topk(
         )
     )
     order = [F.col("cos").desc(), F.col("doc_b").asc()]
-    return _topk_per_group(scored, "doc_a", "doc_b", order, k, prebuckets).select(
+    out = _topk_per_group(scored, "doc_a", "doc_b", order, k, prebuckets).select(
         "doc_a", "rank", "doc_b", "cos"
     )
+    from ._scope import checkpointed
+
+    return checkpointed(out, *owned)
 
 
 BM25_K1 = 1.2
@@ -216,8 +229,18 @@ def bm25_topk(
     score rounded 6dp before the two-phase top-k rank."""
     k1 = float(k1)
     b = float(b)
-    if tf is None:
-        tf = _shingle_tf(docs)
+    # the tf table is referenced FOUR times downstream (df_tab, qterms,
+    # dl, the scoring join). Catalyst's ReusedExchange only dedupes the
+    # canonically-identical subtrees; the qterms branch gets the
+    # query-id filter pushed below the aggregate, so its subtree
+    # differs and the tokenize→count pipeline runs again per
+    # non-reusable reference. A call-scoped persist materializes it
+    # once; the request-sized result is checkpointed and the cache
+    # released (functions/_scope.py — the triangle_stats convention).
+    # r19, guide §2.4/§5.
+    owns_tf = tf is None
+    if owns_tf:
+        tf = _shingle_tf(docs).persist()
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qterms = (
         tf.filter(F.col("doc_id").isin([int(q) for q in query_ids]))
@@ -226,7 +249,12 @@ def bm25_topk(
         .join(df_tab, "term")
         .filter(F.col("df") <= int(max_df))
     )
-    return _bm25_rank(docs, tf, df_tab, qterms, k, k1, b, prebuckets)
+    out = _bm25_rank(docs, tf, df_tab, qterms, k, k1, b, prebuckets)
+    if owns_tf:
+        from ._scope import checkpointed
+
+        return checkpointed(out, tf)
+    return out
 
 
 def bm25_query_topk(
@@ -255,8 +283,11 @@ def bm25_query_topk(
     top-k."""
     k1 = float(k1)
     b = float(b)
-    if tf is None:
-        tf = _shingle_tf(docs)
+    # same call-scoped tf persist as bm25_topk (three non-reusable
+    # references: df_tab, dl, the scoring join) — r19, guide §2.4/§5
+    owns_tf = tf is None
+    if owns_tf:
+        tf = _shingle_tf(docs).persist()
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qdf = docs.sparkSession.createDataFrame(
         [(int(q), str(t)) for q, t in queries], "doc_id long, text string"
@@ -268,7 +299,12 @@ def bm25_query_topk(
         .join(df_tab, "term")
         .filter(F.col("df") <= int(max_df))
     )
-    return _bm25_rank(docs, tf, df_tab, qterms, k, k1, b, prebuckets)
+    out = _bm25_rank(docs, tf, df_tab, qterms, k, k1, b, prebuckets)
+    if owns_tf:
+        from ._scope import checkpointed
+
+        return checkpointed(out, tf)
+    return out
 
 
 def _bm25_rank(

@@ -758,11 +758,14 @@ def multimodal_dedup_verdict(
     precomputed signature tables so a composed pipeline pays each
     modality's decode once: un-checkpointed, the rep self-join below
     feeds the signature scan to BOTH its aggregate and probe sides and
-    Catalyst executes the decode twice. Standalone calls keep the
-    decode-inline defaults (the checkpoint trade is only right when a
-    caller shares the table)."""
+    Catalyst executes the decode twice. r19: STANDALONE calls now pay
+    the decode once too — a locally-built signature table is persisted
+    for the call and released on return (the measured standalone plan
+    decoded every PNG and WAV twice, exactly the duplication the
+    ``ahash=``/``audio=`` path exists to avoid; guide §2.4/§5)."""
     from .dedup import _norm_text
 
+    owned = []
     ids = docs.select("doc_id")
     tkey = docs.select(
         "doc_id", F.md5(_norm_text(F.col("text"))).alias("ck")
@@ -771,14 +774,20 @@ def multimodal_dedup_verdict(
     tdup = tkey.join(trep, "ck").select(
         "doc_id", (F.col("doc_id") != F.col("rep")).alias("text_dup")
     )
-    ah = image_ahash(docs, pixels=pixels) if ahash is None else ahash
+    if ahash is None:
+        ah = image_ahash(docs, pixels=pixels).persist()
+        owned.append(ah)
+    else:
+        ah = ahash
     arep = ah.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("rep"))
     adup = ah.join(arep, ["h_hi", "h_lo"]).select(
         "doc_id", (F.col("doc_id") != F.col("rep")).alias("image_dup")
     )
-    fp = (audio_fingerprint(docs) if audio is None else audio).select(
-        "doc_id", "fp"
-    )
+    if audio is None:
+        fp = audio_fingerprint(docs).select("doc_id", "fp").persist()
+        owned.append(fp)
+    else:
+        fp = audio.select("doc_id", "fp")
     frep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     fdup = fp.join(frep, "fp").select(
         "doc_id", (F.col("doc_id") != F.col("rep")).alias("audio_dup")
@@ -790,7 +799,7 @@ def multimodal_dedup_verdict(
         .when(F.col("audio_dup"), F.lit("audio_dup"))
         .otherwise(F.lit("unique"))
     )
-    return j.select(
+    out = j.select(
         "doc_id",
         reason.alias("reason"),
         F.when(
@@ -798,3 +807,8 @@ def multimodal_dedup_verdict(
             F.lit("no"),
         ).otherwise(F.lit("yes")).alias("keep"),
     )
+    if not owned:
+        return out
+    from ._scope import checkpointed
+
+    return checkpointed(out, *owned)

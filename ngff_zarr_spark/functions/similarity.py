@@ -370,7 +370,7 @@ def _centroids(emb: DataFrame, n_cells: int):
     the SQL twin uses (dim=64 < numpy's pairwise-summation threshold of
     128, so np.add.reduce is sequential)."""
     rows = emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
-    if len(rows) < n_cells:
+    if {r.vec_id for r in rows} != set(range(n_cells)):
         # fail HERE with the contract, not three calls later: an
         # undersized C either crashes numpy with an off-topic AxisError
         # (zero seed rows) or silently shrinks the quantizer and then
@@ -800,10 +800,17 @@ def semantic_dedup(
     pathological identical-direction cluster instead of 1 (gate
     semantic_dedup pins exactly this shape; the DuckDB oracle
     recomputes the identical lists, pairs, and verdicts)."""
+    # bal feeds THREE consumers (both self-join sides via e, plus the
+    # final keep-list join) and is itself the whole quantizer pipeline;
+    # e feeds both self-join sides. Call-scoped persists plan each
+    # once — unpersisted, the lazy plan re-derives the quantizer per
+    # reference (32 documents scans / 68 Exchanges measured in
+    # plans/r19/semantic_dedup_before.txt). Caches released via
+    # checkpointed() on return (r19, guide §2.4/§5).
     bal = ivf_cells_balanced(
         emb, dim, n_cells, cap=cap, prebuckets=prebuckets,
         kmeans_iters=kmeans_iters, centroids=centroids,
-    )
+    ).persist()
     from .text import spread
 
     e = (
@@ -815,6 +822,7 @@ def semantic_dedup(
         # into the join condition (ExtractPythonUDFFromJoinCondition
         # would demote that to a cross join + filter — quadratic)
         .repartition("cell", "subcell")
+        .persist()
     )
     a = e.select(
         F.col("cell"), F.col("subcell"),
@@ -845,14 +853,18 @@ def semantic_dedup(
     # dup_of uses a -1 sentinel (not NULL) for kept rows: the driver's
     # value-hash canonicalizer sorts mixed tuples and NULL longs break
     # cross-engine ordering
-    return (
+    from ._scope import checkpointed
+
+    return checkpointed(
         bal.select("vec_id")
         .join(dropped.withColumnRenamed("v", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
             F.col("dup_of").isNull().alias("keep"),
             F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
-        )
+        ),
+        bal,
+        e,
     )
 
 
@@ -1441,7 +1453,7 @@ def ivfpq_residual_topk(
     seed_rows = (
         emb.filter(F.col("vec_id") < n_codes).select("vec_id", "embedding").collect()
     )
-    if len(seed_rows) < n_codes:
+    if {r.vec_id for r in seed_rows} != set(range(n_codes)):
         raise ValueError(
             f"residual codebook seed rule requires vec_ids 0..{n_codes - 1} "
             f"present in the corpus (found {len(seed_rows)} of {n_codes})"

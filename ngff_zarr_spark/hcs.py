@@ -301,19 +301,26 @@ def from_hcs_zarr(spark: SparkSession, store_path: str, validate: bool = False) 
             continue
         for img in well_doc.get("images", []):
             # defensive-typed like the rest of this parser: an image entry
-            # without a string path can't be addressed — skip it rather
-            # than KeyError mid-catalog (same posture as the well filter)
-            if not isinstance(img, dict) or not isinstance(img.get("path"), str):
+            # without an addressable path can't be catalogued — skip it
+            # rather than KeyError mid-catalog (same posture as the well
+            # filter). Spec-lax stores write "path": 0 as a JSON integer;
+            # coerce numeric paths to str instead of silently dropping
+            # the image (ADVICE r18)
+            if not isinstance(img, dict):
                 continue
+            raw_path = img.get("path")
+            if isinstance(raw_path, bool) or not isinstance(raw_path, (str, int)):
+                continue
+            img_path = str(raw_path)
             image_rows.append(
                 (
                     store_path.rstrip("/").rsplit("/", 1)[-1],
                     w.rowIndex,
                     w.columnIndex,
                     int(img.get("acquisition", 0)),
-                    int(img["path"]) if img["path"].isdigit() else 0,
+                    int(img_path) if img_path.isdigit() else 0,
                     w.path,
-                    f"{w.path}/{img['path']}",
+                    f"{w.path}/{img_path}",
                 )
             )
     well_images = spark.createDataFrame(
@@ -516,19 +523,42 @@ def write_hcs_fields(
     for (dims_t, _shape_t, _chunks_t, dtype), members in groups.items():
         shape = members[0][0].shape
         lvl_chunks = dict(_chunks_t)
-        for i in range(0, len(members), max_fields_per_job):
-            batch = members[i : i + max_fields_per_job]
-            with phase("pixel_jobs"):
-                write_image_batch(
-                    [(im.data, ap) for im, ap, _ in batch],
-                    store_path,
-                    shape,
-                    list(dims_t),
-                    lvl_chunks,
-                    dtype=dtype,
-                    compressor=compressor,
-                    zarr_format=zarr_format,
-                )
+        batches = [
+            members[i : i + max_fields_per_job]
+            for i in range(0, len(members), max_fields_per_job)
+        ]
+
+        def _write_one(batch):
+            write_image_batch(
+                [(im.data, ap) for im, ap, _ in batch],
+                store_path,
+                shape,
+                list(dims_t),
+                lvl_chunks,
+                dtype=dtype,
+                compressor=compressor,
+                zarr_format=zarr_format,
+            )
+
+        # overlap the independent per-batch Spark jobs (guide §2.6):
+        # each batched write is latency-bound (64 coalesce-1 map tasks
+        # + a handful of write tasks never fill the cluster), and the
+        # batches touch DISJOINT array paths of the store, so 2-3 jobs
+        # in flight back-fill the executor slots a single job's tail
+        # leaves idle. Temp-view names are unique per call (the
+        # _ngff_wib_ counter), so concurrent batches never collide.
+        # The phase span wraps the WHOLE overlapped region once —
+        # per-batch spans would overlap and sum to more than the wall
+        # actually spent, corrupting the pixel_jobs tripwire.
+        with phase("pixel_jobs"):
+            if len(batches) == 1:
+                _write_one(batches[0])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    for _ in pool.map(_write_one, batches):
+                        pass
         with phase("consolidate"):
             for im, _ap, prefix in members:
                 sub = open_store(f"{store_path}/{prefix}")

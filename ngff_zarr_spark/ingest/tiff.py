@@ -275,7 +275,6 @@ def _decode_page(data: bytes, endian: str, tags: dict) -> np.ndarray:
         raise ValueError(f"unsupported TIFF planar configuration {planar}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    dtype = np.dtype(f"{endian}u{bits // 8}")
 
     def segment(raw: bytes, sh, sw) -> np.ndarray:
         buf = _decompress(raw, compression)
@@ -295,6 +294,10 @@ def _decode_page(data: bytes, endian: str, tags: dict) -> np.ndarray:
         raise ValueError(f"bad TIFF geometry h={h} w={w} spp={spp}")
     if bits not in (8, 16, 32):
         raise ValueError(f"unsupported TIFF bit depth {bits}")
+    # constructed only after the bits guard: a malformed depth like 0
+    # or 24 must raise the ValueError above, not np.dtype's TypeError
+    # (ADVICE r18 — the dtype construction left the guard partially dead)
+    dtype = np.dtype(f"{endian}u{bits // 8}")
     # plausibility cap on declared pixel volume vs bytes actually
     # stored for the page: a flipped dimension bit declares a 10^7×
     # expansion and previously MemoryErrored on the output allocation;

@@ -465,6 +465,23 @@ def write_image_batch(
         return
     spark = fields[0][0].sparkSession
     register(spark)
+    # Thread-safety for the overlapped-jobs caller (hcs.write_hcs_fields
+    # runs independent batches from a small pool — guide §2.6): the JVM
+    # resolves Python data sources through the THREAD-LOCAL active
+    # session, and a fresh Python thread's JVM thread has none, so the
+    # ome_zarr lookup dies with DATA_SOURCE_NOT_FOUND. Pin this thread's
+    # active session to the DataFrames' own session for the duration of
+    # the call and restore the previous one after (the foreachBatch
+    # caller thread's active session is the micro-batch clone and must
+    # come back). Classic-mode only; Spark Connect has no JVM handle and
+    # no per-thread session lookup of this form.
+    _jcls = _prev_active = None
+    try:
+        _jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+        _prev_active = _jcls.getActiveSession()
+        _jcls.setActiveSession(spark._jsparkSession)
+    except Exception:  # noqa: BLE001 - non-classic backend: lookup works as-is
+        _jcls = None
     grid = [-(-shape[d] // chunks.get(d, 1)) for d in dims]
     n_chunks = math.prod(grid)
     if (
@@ -541,6 +558,14 @@ def write_image_batch(
     finally:
         for nm in view_names:
             spark.catalog.dropTempView(nm)
+        if _jcls is not None:
+            try:
+                if _prev_active is not None and _prev_active.isDefined():
+                    _jcls.setActiveSession(_prev_active.get())
+                else:
+                    _jcls.clearActiveSession()
+            except Exception:  # noqa: BLE001 - best-effort restore
+                pass
 
 
 def read_image(

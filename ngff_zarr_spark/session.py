@@ -54,6 +54,16 @@ def get_spark(
         # no query function has to mutate shared conf mid-session.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # environment passthrough for scale-dependent tuning (r19): a
+    # cluster deployment overrides per-job settings without code edits,
+    # e.g. SPARK_GRAFT_EXTRA_CONF='{"spark.sql.shuffle.partitions":"2000"}'.
+    # Applied before caller extra_conf so explicit callers still win.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -751,7 +751,7 @@ class StoreBase:
                 cfg = sharding["configuration"]
                 inner = tuple(cfg["chunk_shape"])
                 if len(inner) != len(grid_chunks) or any(
-                    i < 1 or g % i for g, i in zip(grid_chunks, inner)
+                    i < 1 or g < 1 or g % i for g, i in zip(grid_chunks, inner)
                 ):
                     # the v3 spec requires the shard shape to be a
                     # whole multiple of the inner chunk shape; the //

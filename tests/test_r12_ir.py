@@ -116,10 +116,20 @@ def test_tfidf_topk_plan_has_no_cartesian(spark):
     import contextlib
     import io
 
-    df = tfidf_topk(_docs_df(spark), k=3)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+    from ngff_zarr_spark.functions import _scope
+
+    # r19: tfidf_topk returns a checkpoint leaf (call-scoped weight
+    # cache); flip the inspection escape to receive the lazy plan
+    old = _scope.PLAN_INSPECTION
+    _scope.PLAN_INSPECTION = True
+    try:
+        df = tfidf_topk(_docs_df(spark), k=3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+    finally:
+        _scope.PLAN_INSPECTION = old
+        spark.catalog.clearCache()
     plan = buf.getvalue()
     # 1-row N broadcast is the only nested-loop-ish join allowed
     assert plan.count("CartesianProduct") == 0

@@ -120,7 +120,17 @@ def test_bm25_query_plan_broadcasts_query_terms(spark):
     """The serving plan broadcasts the request-sized query term list
     onto the corpus tf join — the tf table never shuffles for a
     lookup — and contains no cartesian product."""
-    plan = _plan(bm25_query_topk(_docs_df(spark), [(0, "the quick brown fox")]))
+    from ngff_zarr_spark.functions import _scope
+
+    # r19: bm25_query_topk returns a checkpoint leaf (call-scoped tf
+    # cache); flip the inspection escape to receive the lazy plan
+    old = _scope.PLAN_INSPECTION
+    _scope.PLAN_INSPECTION = True
+    try:
+        plan = _plan(bm25_query_topk(_docs_df(spark), [(0, "the quick brown fox")]))
+    finally:
+        _scope.PLAN_INSPECTION = old
+        spark.catalog.clearCache()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 

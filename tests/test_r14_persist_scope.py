@@ -33,6 +33,17 @@ PERSIST_GATES = [
     "text_bpe_merges",        # bpe._learn words generations
     "events_percentiles_bucketed",  # events descent stats/hist/rows
     "ir_rrf_fusion",          # gate tf = _shingle_tf().persist()
+    # r19: call-scoped tf/weight caches inside the IR operators (the
+    # four-reference tf subtree planned once — see functions/ir.py)
+    "ir_bm25_topk",
+    "ir_bm25_query",
+    "ir_tfidf_topk",
+    "ir_eval_metrics",        # reaches bm25_topk's scoped tf persist
+    # r19: quantizer/list + signature caches (semantic_dedup bal/e;
+    # multimodal_dedup_verdict standalone ahash/audio tables)
+    "semantic_dedup",
+    "multimodal_dedup_verdict",
+    "corpus_filter_pipeline",  # r19: keyed (doc_id, lang, md5) cache
 ]
 
 
@@ -103,6 +114,9 @@ def test_inventory_is_complete():
         "functions/graph.py",
         "functions/lm.py",
         "functions/events.py",
+        "functions/ir.py",    # r19: call-scoped tf/weight caches
+        "functions/similarity.py",  # r19: semantic_dedup bal/e caches
+        "functions/corpus.py",      # r19: filter_pipeline keyed cache
     }
     unknown = sorted({h.rsplit(":", 1)[0] for h in hits} - known)
     assert not unknown, (
