@@ -706,12 +706,21 @@ def ngram_jaccard_pairs(
     ``max_df=None`` to opt out explicitly — exact whole-vocabulary
     jaccard, safe only when the corpus is known stop-phrase-free."""
     sh = shingle_df(docs, k)
+    owned = []
     if max_df is not None:
+        # the raw shingle table feeds BOTH the df aggregate and the
+        # capped join side; without a persist the tokenize→shingle
+        # pipeline executes twice when the capped table first
+        # materializes (dfreq's subtree is not canonically equal to the
+        # join side, so ReusedExchange never fires) — r19, guide §2.4
+        sh = sh.persist()
+        owned.append(sh)
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
             sh.join(dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle")
         )
     sh = sh.cache()
+    owned.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -734,7 +743,7 @@ def ngram_jaccard_pairs(
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard),
-        sh,
+        *owned,
     )
 
 
@@ -1007,7 +1016,6 @@ def write_ref_index(
     hi_row = ref_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     hi = int(hi_row) if hi_row is not None else -1
     wide = minhash_signatures_wide(ref_docs, num_perm)
-    bands = _capped_ref_bands(wide, num_perm, band_size, max_bucket)
     # batch-scoped staging (crash safety, r15): every admission —
     # including this base build — lands in its own batch=<hi> partition
     # directory, and the _meta.json high-water mark is the COMMIT
@@ -1016,9 +1024,18 @@ def write_ref_index(
     # directory, and a retry overwrites exactly that directory
     # (mode=overwrite on the batch dir) — no duplicate signatures, no
     # half-admitted band rows, bit-identical to a crash-free run.
-    wide.repartition(n_files, "doc_id").write.mode("overwrite").parquet(
-        os.path.join(path, "wide", f"batch={hi}")
+    wide_dir = os.path.join(path, "wide", f"batch={hi}")
+    wide.repartition(n_files, "doc_id").write.mode("overwrite").parquet(wide_dir)
+    # derive the band table from the JUST-WRITTEN wide parquet, not the
+    # live plan: the band projection is a deterministic function of the
+    # wide rows, and re-reading 17 narrow columns is far cheaper than
+    # re-running the shingle+md5+min-aggregate pipeline a second time
+    # (the two writes each executed the full signature computation).
+    # Same rows by construction — the stored signatures ARE the batch.
+    stored_wide = ref_docs.sparkSession.read.parquet(wide_dir).select(
+        "doc_id", *[f"m{p}" for p in range(num_perm)]
     )
+    bands = _capped_ref_bands(stored_wide, num_perm, band_size, max_bucket)
     (
         bands.repartition(n_files, "band_key")
         .write.mode("overwrite")
