@@ -528,7 +528,17 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
     for _ in range(max_iters):
         if converged:
             break
-        # large-star over the symmetrized neighborhoods
+        # large-star over the symmetrized neighborhoods. The
+        # neighborhood minimum is a WHOLE-PARTITION WINDOW over u, not
+        # a groupBy+join pair: the join form shuffled sym twice per
+        # star (once combined into the aggregate, once in full as the
+        # probe side) while the window shuffles it once — and the
+        # per-key concentration is identical, since the join probe
+        # already shipped every (u, *) row to u's partition (r19,
+        # guide §2.4 "two operations keyed the same way share one
+        # exchange").
+        from pyspark.sql import Window
+
         sym = edges.select(
             F.explode(
                 F.array(
@@ -537,17 +547,16 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
                 )
             ).alias("e")
         ).select("e.u", "e.w")
-        mins = sym.groupBy("u").agg(F.min("w").alias("mn"))
-        # the intermediate distinct is load-bearing at scale (r19
-        # audit): on a near-clique component every neighbor u of w
-        # emits the same (component-min, w) row, so the deduped
-        # large-star output is O(nodes) where the raw multiset is
-        # O(edges) — the distinct is what bounds the small-star
-        # aggregate's input on dense components. Removing it measured
-        # wall-neutral at sf0.1 and amplifies at scale; kept.
+        # the trailing distinct is load-bearing at scale (r19 audit):
+        # on a near-clique component every neighbor u of w emits the
+        # same (component-min, w) row, so the deduped large-star
+        # output is O(nodes) where the raw multiset is O(edges) — the
+        # distinct is what bounds the small-star input on dense
+        # components. Removing it measured wall-neutral at sf0.1 and
+        # amplifies at scale; kept.
         ls = (
-            sym.filter(F.col("w") > F.col("u"))
-            .join(mins, "u")
+            sym.withColumn("mn", F.min("w").over(Window.partitionBy("u")))
+            .filter(F.col("w") > F.col("u"))
             .select(
                 F.least("mn", F.col("u")).alias("s"), F.col("w").alias("b")
             )
@@ -555,13 +564,15 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
             .distinct()
         )
         # small-star on the large→small orientation (every ls edge
-        # already has s < b, so b is the large endpoint)
-        mins2 = ls.groupBy("b").agg(F.min("s").alias("mn"))
+        # already has s < b, so b is the large endpoint). The per-b
+        # minimum is the same window shape; the (mn, b) attach rows
+        # are emitted once per edge instead of once per b — the final
+        # distinct dedupes them, so the edge SET is unchanged.
+        lsm = ls.withColumn("mn", F.min("s").over(Window.partitionBy("b")))
         ss = (
-            ls.join(mins2, "b")
-            .select(F.col("mn").alias("s"), F.col("s").alias("b"))
+            lsm.select(F.col("mn").alias("s"), F.col("s").alias("b"))
             .unionByName(
-                mins2.select(F.col("mn").alias("s"), F.col("b").alias("b"))
+                lsm.select(F.col("mn").alias("s"), F.col("b").alias("b"))
             )
             .filter(F.col("s") < F.col("b"))
             .distinct()
