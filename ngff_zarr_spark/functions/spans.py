@@ -37,12 +37,23 @@ from .text import h64, spread, tokens_col
 SPAN_N = 4  # minimum duplicated-window length in tokens
 
 
+def _toksed(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks): the normalized token array — the shared
+    tokenization every gram/total derivation in this module starts
+    from."""
+    return spread(docs).select(
+        "doc_id", tokens_col(_norm_text(F.col("text"))).alias("toks")
+    )
+
+
 def _positioned_grams(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, pos, gh): the h64 of the n-token window at each token
     position. posexplode keeps the start offset the span merge needs."""
-    toksed = spread(docs).select(
-        "doc_id", tokens_col(_norm_text(F.col("text"))).alias("toks")
-    )
+    return _grams_of(_toksed(docs), n)
+
+
+def _grams_of(toksed: DataFrame, n: int) -> DataFrame:
+    """Positioned grams from a prebuilt (doc_id, toks) frame."""
     toks = F.col("toks")
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
@@ -64,10 +75,20 @@ def duplicated_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     """Maximal per-document spans of tokens covered by corpus-duplicated
     n-grams: (doc_id, span_start, span_end, n_tokens, n_windows);
     span_end is inclusive, token units."""
+    # r19 (guide §2.4): the corpus frequency test is a WHOLE-PARTITION
+    # window over gh, not an aggregate joined back onto its own input —
+    # the join shape computed the tokenize→gram pipeline twice (the
+    # aggregate branch and the probe branch never canonicalize
+    # together) and shuffled pg twice; the window shuffles pg by gh
+    # exactly once. Hot grams concentrate identically either way (the
+    # SMJ probe already shipped every (gh, ·) row to gh's partition)
+    # and WindowExec spills per-group state to disk.
     pg = _positioned_grams(docs, n)
-    df_counts = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
     dup = (
-        pg.join(df_counts.filter(F.col("c") >= 2), "gh")
+        pg.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("c") >= 2)
         .select("doc_id", "pos")
     )
     # two stacked windows over the same (doc_id, pos) ordering — Spark
@@ -129,32 +150,29 @@ def duplicated_span_removal(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     row a removal pass keeps; everything else is the cut set.
 
     100 TB posture (same as duplicated_spans, one aggregate wider):
-    the gram-keyed count aggregate ALSO carries min(struct(doc_id,
-    pos)) — map-side combine absorbs hot grams before the exchange —
-    and the join back matches each position row with exactly one
-    (gh, n_occ, witness) row, so output cardinality == input
-    cardinality and boilerplate grams cannot blow up the join. Only
-    hashes and positions shuffle, never text."""
-    pg = _positioned_grams(docs, n)
-    stats = pg.groupBy("gh").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occ"),
-        F.min(F.struct("doc_id", "pos")).alias("wit"),
-    )
-    rep = stats.filter(F.col("n_occ") >= 2).select(
-        "gh", "n_occ",
-        F.col("wit.doc_id").alias("rep_doc"),
-        F.col("wit.pos").cast("long").alias("rep_pos"),
-    )
-    return pg.join(rep, "gh").select(
+    count and witness are whole-partition windows over the gram hash —
+    one shuffle of the position table, output cardinality == input
+    cardinality by construction, boilerplate grams spill per-group
+    window state instead of blowing up a join. Only hashes and
+    positions shuffle, never text."""
+    # r19 (guide §2.4): count + witness as whole-partition windows over
+    # gh instead of a gram-keyed aggregate joined back onto its own
+    # input — same single-shuffle rationale as duplicated_spans above,
+    # one aggregate wider (min(struct) rides the same window frame).
+    wgh = Window.partitionBy("gh")
+    pg = _positioned_grams(docs, n).withColumn(
+        "n_occ", F.count(F.lit(1)).over(wgh).cast("long")
+    ).withColumn("wit", F.min(F.struct("doc_id", "pos")).over(wgh))
+    return pg.filter(F.col("n_occ") >= 2).select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
         "gh",
         "n_occ",
-        "rep_doc",
-        "rep_pos",
+        F.col("wit.doc_id").alias("rep_doc"),
+        F.col("wit.pos").cast("long").alias("rep_pos"),
         (
-            (F.col("doc_id") == F.col("rep_doc"))
-            & (F.col("pos") == F.col("rep_pos"))
+            (F.col("doc_id") == F.col("wit.doc_id"))
+            & (F.col("pos") == F.col("wit.pos"))
         ).alias("is_canonical"),
     )
 
@@ -261,11 +279,12 @@ def line_dedup(
       * block construction is a pure projection over the token array
         (slice + array_join inside codegen) — no explode-regroup
         round-trip, no shuffle until the frequency aggregate;
-      * the duplicate test shuffles 64-bit line hashes, never text,
-        and each block row joins EXACTLY ONE frequency row (the same
-        cardinality-preserving shape as duplicated_spans — a
-        boilerplate line repeated a million times cannot blow up the
-        join);
+      * the duplicate test shuffles each block row once by its 64-bit
+        line hash and attaches the distinct-document frequency with
+        whole-partition windows (the same cardinality-preserving,
+        single-shuffle shape as duplicated_spans — a boilerplate line
+        repeated a million times spills one window group, it cannot
+        blow up a join);
       * reassembly is one groupBy(doc_id) whose state is the document
         itself — bounded by the longest document, not the corpus.
     """
@@ -300,11 +319,28 @@ def line_dedup(
             .select("doc_id", F.posexplode(blocks_col).alias("blk", "line"))
             .withColumn("lh", h64(F.col("line")))
         )
-    freq = blocks.groupBy("lh", "doc_id").agg(F.lit(1)).groupBy("lh").agg(
-        F.count(F.lit(1)).alias("line_df")
-    )
-    flagged = blocks.join(freq, "lh").withColumn(
-        "keep", F.col("line_df") <= max_df
+    # r19 (guide §2.4): the distinct-document frequency is computed as
+    # two windows over ONE explicit lh exchange instead of a two-level
+    # aggregate joined back onto its own input (which computed the
+    # segment pipeline twice and shuffled blocks twice). Window 1 flags
+    # one row per (lh, doc_id) pair; window 2 sums the flags per lh —
+    # hashpartitioning(lh) satisfies both, and the (lh, doc_id, blk)
+    # sort serves both frames, so the plan is one Exchange + one Sort.
+    flagged = (
+        blocks.repartition("lh")
+        .withColumn(
+            "df_first",
+            (
+                F.row_number().over(
+                    Window.partitionBy("lh", "doc_id").orderBy("blk")
+                )
+                == 1
+            ).cast("long"),
+        )
+        .withColumn(
+            "line_df", F.sum("df_first").over(Window.partitionBy("lh"))
+        )
+        .withColumn("keep", F.col("line_df") <= max_df)
     )
     kept_struct = F.when(F.col("keep"), F.struct("blk", "line"))
     return flagged.groupBy("doc_id").agg(
@@ -345,6 +381,13 @@ def contamination_scan(docs: DataFrame, bench: DataFrame, n: int = CONTAM_N) -> 
         multiplies nothing;
       * text never leaves its scan: only 64-bit hashes move.
     """
+    # r19 audited, kept composed (guide §1.2): a fused one-pass variant
+    # (gram rows carrying the per-doc total through a left join into a
+    # single aggregate) measured ~40% SLOWER solo — it pushes EVERY
+    # gram row through the per-doc aggregate, where this shape's inner
+    # broadcast join drops non-hits before any aggregation and totals
+    # is a tokenize-only projection with no explode. Two cheap passes
+    # beat one expensive one here.
     hits = contamination_hits(docs, bench, n)
     return compose_contamination(contamination_totals(docs, n), hits)
 
