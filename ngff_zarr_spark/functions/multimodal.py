@@ -325,14 +325,31 @@ def attach_audio(docs: DataFrame) -> DataFrame:
     from .text import spread
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r19 (guide §4.2): the sample formula evaluates over the whole
+        # Arrow batch in one int64 pass (the per-doc arange+mod loop
+        # paid ~5 numpy calls per ~70-sample doc); only the container
+        # framing stays per-document. Same integers: (d·37 + i·13) mod
+        # 2048 with d·37 < 2^63 — exact in int64 either way.
         for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                n = AUD_LEN_BASE + d % AUD_LEN_MOD
-                wave = ((d * AUD_A + np.arange(n) * AUD_I) % AUD_MOD).astype("<i2")
-                rows.append((d, wav_encode(wave, sample_rate=AUD_RATE)))
-            yield pd.DataFrame(rows, columns=["doc_id", "audio"])
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                yield pd.DataFrame({"doc_id": [], "audio": []})
+                continue
+            lens = AUD_LEN_BASE + ids % AUD_LEN_MOD
+            bnds = np.cumsum(lens)
+            i_local = np.arange(bnds[-1]) - np.repeat(bnds - lens, lens)
+            vals = (
+                (np.repeat(ids * AUD_A, lens) + i_local * AUD_I) % AUD_MOD
+            ).astype("<i2")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "audio": [
+                        wav_encode(w, sample_rate=AUD_RATE)
+                        for w in np.split(vals, bnds[:-1])
+                    ],
+                }
+            )
 
     return spread(docs).select("doc_id").mapInPandas(gen, "doc_id long, audio binary")
 
@@ -601,21 +618,48 @@ def audio_fingerprint(docs: DataFrame) -> DataFrame:
 
     def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         k = AUD_FP_FRAMES
+        # r19 (guide §4.2): the energy fold is batched across the
+        # whole Arrow batch instead of ~50 numpy/Python steps per doc
+        # (np.add.at scatter + a k-iteration bit loop dominated this
+        # UDF). Same integers exactly: frame f of an n-sample wave is
+        # the contiguous slice [⌈fn/k⌉, ⌈(f+1)n/k⌉) — the same mapping
+        # as frame(i) = (i·k)//n — so per-frame Σ sample² falls out of
+        # ONE int64 prefix-sum over the concatenated batch (samples²
+        # ≤ 2^30, batch total < 2^50: exact), and the k−1 rising-energy
+        # bits pack with one boolean matmul against 2^(k−1−f) weights.
+        weights = (1 << np.arange(k - 2, -1, -1)).astype(np.int64)
+        frel = np.arange(k + 1, dtype=np.int64)
         for pdf in batches:
-            rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
-                wave, _rate = wav_decode(bytes(blob))
-                wave = wave.astype(np.int64)
-                n = len(wave)
-                frames = (np.arange(n) * k) // n
-                energy = np.zeros(k, dtype=np.int64)
-                np.add.at(energy, frames, wave * wave)
-                fp = 0
-                for f in range(1, k):
-                    if energy[f] > energy[f - 1]:
-                        fp |= 1 << (k - 1 - f)
-                rows.append((int(doc_id), n, fp))
-            yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "fp"])
+            waves = [
+                wav_decode(bytes(blob))[0].astype(np.int64)
+                for blob in pdf["audio"]
+            ]
+            b = len(waves)
+            if b == 0:
+                yield pd.DataFrame(
+                    {"doc_id": [], "n_samples": [], "fp": []}
+                ).astype(np.int64)
+                continue
+            lens = np.fromiter((len(w) for w in waves), dtype=np.int64, count=b)
+            cat = (
+                np.concatenate(waves)
+                if lens.sum()
+                else np.zeros(0, dtype=np.int64)
+            )
+            cs = np.zeros(len(cat) + 1, dtype=np.int64)
+            np.cumsum(cat * cat, out=cs[1:])
+            offs = np.zeros(b, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            bounds = offs[:, None] + (frel[None, :] * lens[:, None] + k - 1) // k
+            energy = cs[bounds[:, 1:]] - cs[bounds[:, :-1]]
+            fp = (energy[:, 1:] > energy[:, :-1]).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "n_samples": lens,
+                    "fp": fp,
+                }
+            )
 
     return auds.mapInPandas(fps, "doc_id long, n_samples long, fp long")
 
@@ -647,8 +691,18 @@ def video_frame_tokens(docs: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fb = FRAME_H * FRAME_W
+        # acc = (acc·B + px) mod M folded over a frame's fb pixels is
+        # Σ px_j · B^(fb−1−j) mod M — precompute the power-mod vector
+        # once per task and evaluate each frame as ONE int64 dot (px <
+        # 2^8, B^j mod M < 2^31, fb = 16 terms → the sum stays < 2^43:
+        # exact, one trailing mod replaces fb per-pixel Python steps)
+        pows = np.empty(fb, dtype=np.int64)
+        p = 1
+        for j in range(fb - 1, -1, -1):
+            pows[j] = p
+            p = (p * VID_TOKEN_BASE) % VID_TOKEN_MOD
         for pdf in batches:
-            rows = []
+            ids, frames, toks = [], [], []
             for d in pdf["doc_id"]:
                 d = int(d)
                 nf = N_FRAMES_BASE + d % N_FRAMES_MOD
@@ -656,12 +710,11 @@ def video_frame_tokens(docs: DataFrame) -> DataFrame:
                 # token fold consumes decoded frames, never the formula
                 raw = decode_video_frames(synth_video_bytes(d, nf))
                 raw = raw.reshape(nf, fb).astype(np.int64)
-                for f in range(nf):
-                    acc = 0
-                    for px in raw[f]:
-                        acc = (acc * VID_TOKEN_BASE + int(px)) % VID_TOKEN_MOD
-                    rows.append((d, f, acc))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame", "token"])
+                t = (raw @ pows) % VID_TOKEN_MOD
+                ids.extend([d] * nf)
+                frames.extend(range(nf))
+                toks.extend(t.tolist())
+            yield pd.DataFrame({"doc_id": ids, "frame": frames, "token": toks})
 
     return (
         spread(docs)
