@@ -44,7 +44,9 @@ def test_hcs_pathless_image_entry_skipped(spark, tmp_path):
     store = str(tmp_path / "p.ome.zarr")
     to_hcs_zarr(_plate(), store)
     # a well doc whose image list mixes valid and malformed entries:
-    # no-path dict, non-dict, non-string path — only "0" is addressable
+    # a no-path dict and a non-dict entry are unaddressable and must be
+    # skipped; a JSON-integer path is spec-lax but addressable and is
+    # coerced to str (ADVICE r18) rather than silently dropped
     (tmp_path / "p.ome.zarr/A/1").mkdir(parents=True)
     (tmp_path / "p.ome.zarr/A/1/.zattrs").write_text(
         json.dumps(
@@ -55,6 +57,7 @@ def test_hcs_pathless_image_entry_skipped(spark, tmp_path):
                         "junk",
                         {"path": 7},
                         {"path": "0", "acquisition": 0},
+                        {"path": True},
                     ],
                     "version": "0.4",
                 }
@@ -62,8 +65,8 @@ def test_hcs_pathless_image_entry_skipped(spark, tmp_path):
         )
     )
     cat = from_hcs_zarr(spark, store)
-    rows = [(r.well_path, r.image_path) for r in cat["well_images"].collect()]
-    assert rows == [("A/1", "A/1/0")]
+    rows = {(r.well_path, r.image_path) for r in cat["well_images"].collect()}
+    assert rows == {("A/1", "A/1/7"), ("A/1", "A/1/0")}
 
 
 def _write_png(path, h, w):
