@@ -543,9 +543,13 @@ def write_hcs_fields(
         # overlap the independent per-batch Spark jobs (guide §2.6):
         # each batched write is latency-bound (64 coalesce-1 map tasks
         # + a handful of write tasks never fill the cluster), and the
-        # batches touch DISJOINT array paths of the store, so 2-3 jobs
-        # in flight back-fill the executor slots a single job's tail
-        # leaves idle. Temp-view names are unique per call (the
+        # batches touch DISJOINT array paths of the store, so jobs in
+        # flight back-fill the executor slots a single job's tail
+        # leaves idle. These jobs are scheduling-latency-bound, not
+        # executor-bound, so wider beats the guide's 2-3 rule of thumb:
+        # 6 workers measured pixel_jobs 9.0 -> 6.0 s over three
+        # interleaved solo pairs vs 3 workers (r19).
+        # Temp-view names are unique per call (the
         # _ngff_wib_ counter), so concurrent batches never collide.
         # The phase span wraps the WHOLE overlapped region once —
         # per-batch spans would overlap and sum to more than the wall
@@ -556,7 +560,7 @@ def write_hcs_fields(
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=3) as pool:
+                with ThreadPoolExecutor(max_workers=6) as pool:
                     for _ in pool.map(_write_one, batches):
                         pass
         with phase("consolidate"):
