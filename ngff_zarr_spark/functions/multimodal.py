@@ -387,27 +387,28 @@ def document_image_features(
     :func:`decode_image_pixels` frame) derives the identical features
     without re-decoding (same sum/round arithmetic, digest-stable)."""
     if pixels is not None:
-
-        def feats_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                rows = []
-                for doc_id, arr in _iter_pixel_rows(pdf):
-                    rows.append(
-                        (
-                            doc_id,
-                            int(arr.shape[0]),
-                            int(arr.shape[1]),
-                            int(arr.size),
-                            round(float(arr.sum()) / arr.size, 6),
-                        )
-                    )
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "img_h", "img_w", "n_px", "px_mean"]
-                )
-
-        imgs = pixels.mapInPandas(
-            feats_px,
-            "doc_id long, img_h long, img_w long, n_px long, px_mean double",
+        # r19 (guide §4.1 — prefer built-ins): the decoded-checkpoint
+        # path needs no Python stage at all; the stats are a JVM
+        # aggregate over the px array. Bit-equal to the decode path:
+        # the integer sum is exact (Σpx ≤ 96·255 ≪ 2^53), the double
+        # division is the same IEEE op, and ROUND-HALF_UP ≡ Python
+        # round here because a 6-decimal tie needs 2·10⁶·sum/size to
+        # be an ODD integer — impossible while v2(2·10⁶) = 7 and
+        # size ≤ 96 < 2⁷ (pinned px≡decode in
+        # tests/test_r16_decoded_checkpoint.py).
+        n_px = F.col("img_h") * F.col("img_w")
+        imgs = pixels.select(
+            "doc_id",
+            "img_h",
+            "img_w",
+            n_px.alias("n_px"),
+            F.round(
+                F.aggregate(
+                    "px", F.lit(0).cast("long"), lambda a, x: a + x
+                ).cast("double")
+                / n_px.cast("double"),
+                6,
+            ).alias("px_mean"),
         )
     else:
         imgs = image_features(attach_images(docs))

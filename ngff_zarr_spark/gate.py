@@ -2195,16 +2195,31 @@ def q_multimodal_pipeline_battery(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     px = decode_image_pixels(docs).localCheckpoint()
-    feats = document_image_features(docs, pixels=px).localCheckpoint()
+    # r19: feats is a pure JVM derivation over the px checkpoint now
+    # (document_image_features pixels= path, guide §4.1), so it no
+    # longer rates its own eager checkpoint — its two consumers (the
+    # digest, the size-cut ids) replan a cached-scan + aggregate at
+    # JVM speed instead of paying one more sequential job.
+    feats = document_image_features(docs, pixels=px)
     kept_ids = feats.filter(F.col("n_px") >= MPIPE_MIN_PX).select("doc_id")
     s2 = docs.join(F.broadcast(kept_ids), "doc_id").localCheckpoint()
     px2 = px.join(F.broadcast(kept_ids), "doc_id")
-    # ONE aHash pass serves both the near-dup pairing and the verdict
-    ah2 = image_ahash(s2, pixels=px2).localCheckpoint()
-    pairs = image_near_dup(s2, max_hamming=1, ahash=ah2)
+    # ONE aHash pass serves both the near-dup pairing and the verdict;
     # ONE audio-fingerprint pass (r17): without the checkpoint the
-    # verdict's rep self-join decodes every WAV twice
-    afp2 = audio_fingerprint(s2).localCheckpoint()
+    # verdict's rep self-join decodes every WAV twice. The two
+    # materializations are INDEPENDENT (both consume only s2/px2), so
+    # they run overlapped from a 2-worker pool (guide §2.6) — each is
+    # a short Arrow-UDF stage that never fills the executors alone.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _ah2_f = _pool.submit(
+            lambda: image_ahash(s2, pixels=px2).localCheckpoint()
+        )
+        _afp2_f = _pool.submit(lambda: audio_fingerprint(s2).localCheckpoint())
+        ah2 = _ah2_f.result()
+        afp2 = _afp2_f.result()
+    pairs = image_near_dup(s2, max_hamming=1, ahash=ah2)
     verdict = multimodal_dedup_verdict(s2, ahash=ah2, audio=afp2).localCheckpoint()
     s4_ids = verdict.filter(F.col("keep") == "yes").select("doc_id")
     s4 = s2.join(F.broadcast(s4_ids), "doc_id")
@@ -2359,8 +2374,11 @@ def q_imaging_pipeline_battery(spark, sf_dir):
         l0, IPIPE.shape, F3D, chunks=dict(IPIPE_CHUNKS), fixed_point_bits=8
     ).localCheckpoint()
     # renormalize the fixed-point kernel mass back out so the stored
-    # level keeps the base dtype (what a real pyramid store does)
-    l1n = l1.withColumn("v", F.expr(f"v div {IPIPE_S3}")).localCheckpoint()
+    # level keeps the base dtype (what a real pyramid store does).
+    # r19: no checkpoint — this is a single projection over the l1
+    # checkpoint with ONE consumer (the store write), so pinning it
+    # was a pure extra sequential job re-materializing cached blocks.
+    l1n = l1.withColumn("v", F.expr(f"v div {IPIPE_S3}"))
 
     # --- stage 3: sharded zstd 0.5 write + scale1 read-back ---
     scale1, translation1 = next_scale_metadata(IPIPE_SCALE, IPIPE_TRANSLATION, F3D)
