@@ -810,41 +810,50 @@ def multimodal_dedup_verdict(
 
     ``ahash=`` / ``audio=`` (r17 for audio, VERDICT r16 ask #3) accept
     precomputed signature tables so a composed pipeline pays each
-    modality's decode once: un-checkpointed, the rep self-join below
-    feeds the signature scan to BOTH its aggregate and probe sides and
-    Catalyst executes the decode twice. r19: STANDALONE calls now pay
-    the decode once too — a locally-built signature table is persisted
-    for the call and released on return (the measured standalone plan
-    decoded every PNG and WAV twice, exactly the duplication the
-    ``ahash=``/``audio=`` path exists to avoid; guide §2.4/§5)."""
+    modality's decode once. r19: each modality's canonical-rep test is
+    a WHOLE-PARTITION window over its group key instead of a
+    min-aggregate joined back (the change-#7/#9 shape, guide §2.4):
+    the join form shuffled every signature table twice (once combined
+    into the aggregate, once in full as the probe side) — and on the
+    standalone path fed the decode UDF to both sides, which is why it
+    needed a call-scoped persist. The window shuffles each table ONCE,
+    every signature scan has exactly one consumer, and the persists
+    (plus their eager checkpoint job) disappear. Identical rows: min
+    over partition ≡ grouped min joined back — the group keys (md5,
+    aHash halves, fingerprint) are non-null by construction, so the
+    inner join never dropped rows either."""
+    from pyspark.sql import Window
+
     from .dedup import _norm_text
 
-    owned = []
     ids = docs.select("doc_id")
     tkey = docs.select(
         "doc_id", F.md5(_norm_text(F.col("text"))).alias("ck")
     )
-    trep = tkey.groupBy("ck").agg(F.min("doc_id").alias("rep"))
-    tdup = tkey.join(trep, "ck").select(
-        "doc_id", (F.col("doc_id") != F.col("rep")).alias("text_dup")
+    tdup = tkey.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("ck"))
+        ).alias("text_dup"),
     )
-    if ahash is None:
-        ah = image_ahash(docs, pixels=pixels).persist()
-        owned.append(ah)
-    else:
-        ah = ahash
-    arep = ah.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("rep"))
-    adup = ah.join(arep, ["h_hi", "h_lo"]).select(
-        "doc_id", (F.col("doc_id") != F.col("rep")).alias("image_dup")
+    ah = image_ahash(docs, pixels=pixels) if ahash is None else ahash
+    adup = ah.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("h_hi", "h_lo"))
+        ).alias("image_dup"),
     )
-    if audio is None:
-        fp = audio_fingerprint(docs).select("doc_id", "fp").persist()
-        owned.append(fp)
-    else:
-        fp = audio.select("doc_id", "fp")
-    frep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
-    fdup = fp.join(frep, "fp").select(
-        "doc_id", (F.col("doc_id") != F.col("rep")).alias("audio_dup")
+    fp = (
+        audio_fingerprint(docs) if audio is None else audio
+    ).select("doc_id", "fp")
+    fdup = fp.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("audio_dup"),
     )
     j = ids.join(tdup, "doc_id").join(adup, "doc_id").join(fdup, "doc_id")
     reason = (
@@ -853,7 +862,7 @@ def multimodal_dedup_verdict(
         .when(F.col("audio_dup"), F.lit("audio_dup"))
         .otherwise(F.lit("unique"))
     )
-    out = j.select(
+    return j.select(
         "doc_id",
         reason.alias("reason"),
         F.when(
@@ -861,8 +870,3 @@ def multimodal_dedup_verdict(
             F.lit("no"),
         ).otherwise(F.lit("yes")).alias("keep"),
     )
-    if not owned:
-        return out
-    from ._scope import checkpointed
-
-    return checkpointed(out, *owned)

@@ -39,10 +39,12 @@ PERSIST_GATES = [
     "ir_bm25_query",
     "ir_tfidf_topk",
     "ir_eval_metrics",        # reaches bm25_topk's scoped tf persist
-    # r19: quantizer/list + signature caches (semantic_dedup bal/e;
-    # multimodal_dedup_verdict standalone ahash/audio tables)
+    # r19: quantizer/list caches (semantic_dedup bal/e).
+    # multimodal_dedup_verdict left this list in r19: its rep tests
+    # became whole-partition windows, so each signature table has ONE
+    # consumer and the standalone persists disappeared with the
+    # double-decode they guarded against.
     "semantic_dedup",
-    "multimodal_dedup_verdict",
     "corpus_filter_pipeline",  # r19: keyed (doc_id, lang, md5) cache
 ]
 
