@@ -26,32 +26,34 @@ from .text import gopher_quality
 def filter_pipeline(docs: DataFrame, keep_lang: str = "en") -> DataFrame:
     """doc_id, reason ('duplicate' | 'lang' | 'quality' | 'kept'),
     keep — the composed filter decision per document."""
-    # keyed carries (doc_id, lang, md5) — no text — and feeds BOTH the
-    # representative aggregate and the verdict join; the call-scoped
-    # persist makes the text scan + md5 pass run once instead of once
-    # per reference (r19, guide §2.3/§2.4 — previously the second pass
-    # hid inside an exact_dedup(docs) call that re-derived the
-    # identical content key from scratch)
+    # keyed carries (doc_id, lang, md5) — no text. r19 second pass
+    # (the multimodal-verdict shape, guide §2.4): the representative
+    # test is a whole-partition min WINDOW over content_md5 instead of
+    # a min-aggregate joined back — one shuffle of the key table
+    # instead of two, a single consumer for the md5 pass (so the
+    # call-scoped persist and its checkpoint job go away), and the
+    # md5 key is non-null by construction so the old inner join never
+    # dropped rows either.
+    from pyspark.sql import Window
+
     keyed = docs.select(
         "doc_id", "lang", F.md5(_norm_text(F.col("text"))).alias("content_md5")
-    ).persist()
-    reps = keyed.groupBy("content_md5").agg(
-        F.min("doc_id").alias("representative")
+    )
+    dup = keyed.withColumn(
+        "representative",
+        F.min("doc_id").over(Window.partitionBy("content_md5")),
     )
     gq = gopher_quality(docs).select("doc_id", F.col("passes").alias("gopher_passes"))
-    j = keyed.join(reps, "content_md5").join(gq, "doc_id")
+    j = dup.join(gq, "doc_id")
     reason = (
         F.when(F.col("doc_id") != F.col("representative"), F.lit("duplicate"))
         .when(F.col("lang") != keep_lang, F.lit("lang"))
         .when(~F.col("gopher_passes"), F.lit("quality"))
         .otherwise(F.lit("kept"))
     )
-    out = j.select(
+    return j.select(
         "doc_id", reason.alias("reason")
     ).withColumn("keep", F.col("reason") == "kept")
-    from ._scope import checkpointed
-
-    return checkpointed(out, keyed)
 
 
 def chunk_documents(

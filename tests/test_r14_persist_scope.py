@@ -45,7 +45,8 @@ PERSIST_GATES = [
     # consumer and the standalone persists disappeared with the
     # double-decode they guarded against.
     "semantic_dedup",
-    "corpus_filter_pipeline",  # r19: keyed (doc_id, lang, md5) cache
+    # corpus_filter_pipeline also left in r19 — same window rewrite,
+    # the keyed (doc_id, lang, md5) cache had one consumer left.
 ]
 
 
@@ -118,7 +119,6 @@ def test_inventory_is_complete():
         "functions/events.py",
         "functions/ir.py",    # r19: call-scoped tf/weight caches
         "functions/similarity.py",  # r19: semantic_dedup bal/e caches
-        "functions/corpus.py",      # r19: filter_pipeline keyed cache
     }
     unknown = sorted({h.rsplit(":", 1)[0] for h in hits} - known)
     assert not unknown, (
