@@ -122,10 +122,19 @@ def tfidf_weights(
     shares it (VERDICT r12 watch item)."""
     if tf is None:
         tf = _shingle_tf(docs)
-    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # r19 (guide §2.4): df attaches to EVERY tf row here, so the
+    # count-aggregate-joined-back form shuffled tf by term twice (the
+    # partial-agg exchange plus the full probe side); a whole-partition
+    # count window is the same df on one term shuffle. (bm25 keeps its
+    # df_tab aggregate: there df only decorates the request-sized query
+    # term list, and a window would shuffle the full tf table for it.)
+    from pyspark.sql import Window
+
     total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
-        tf.join(df_tab, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+        )
         .filter(F.col("df") <= int(max_df))
         .crossJoin(F.broadcast(total))
         .select(
@@ -165,9 +174,11 @@ def tfidf_topk(
     # pipeline once instead of once per consumer — the pair-sized
     # result is checkpointed and the caches released (r19, guide §2.4/§5)
     owned = []
+    # r19: with the weight build's df window (tfidf_weights), tf has
+    # exactly ONE reference in this plan, so an owned tf no longer
+    # rates a persist — only the thrice-consumed weight table does.
     if tf is None:
-        tf = _shingle_tf(docs).persist()
-        owned.append(tf)
+        tf = _shingle_tf(docs)
     w = tfidf_weights(docs, max_df=max_df, tf=tf).persist()
     owned.append(w)
     norms = w.groupBy("doc_id").agg(
