@@ -719,16 +719,22 @@ def ngram_jaccard_pairs(
     sh = shingle_df(docs, k)
     owned = []
     if max_df is not None:
-        # the raw shingle table feeds BOTH the df aggregate and the
-        # capped join side; without a persist the tokenize→shingle
-        # pipeline executes twice when the capped table first
-        # materializes (dfreq's subtree is not canonically equal to the
-        # join side, so ReusedExchange never fires) — r19, guide §2.4
-        sh = sh.persist()
-        owned.append(sh)
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # r19 second pass (guide §2.4): the df cap is a whole-partition
+        # count WINDOW over shingle instead of a frequency aggregate
+        # joined back — the raw shingle table then has exactly ONE
+        # consumer, so the r19 first-pass persist (which existed to
+        # stop the tokenize→shingle pipeline running for both the
+        # aggregate and the probe side) disappears along with the
+        # join; the capped table's cache build below is one tokenize
+        # pass + one shingle shuffle.
+        from pyspark.sql import Window
+
         sh = (
-            sh.join(dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle")
+            sh.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df") <= max_df)
+            .drop("df")
         )
     sh = sh.cache()
     owned.append(sh)
@@ -767,16 +773,19 @@ def dup_shingle_frac(docs: DataFrame, k: int = SHINGLE_K, min_df: int = 2) -> Da
     passes a near-dup threshold). Returns
     (doc_id, n_shingles, n_dup_shingles, dup_frac).
 
-    100 TB posture: one shingle document-frequency aggregate (map-side
-    combine over the shingle vocabulary) joined back to the
-    inverted-index rows — the join is df-bounded fan-out, never
-    quadratic; text never shuffles."""
-    from ._scope import checkpointed
+    100 TB posture: one shingle shuffle — the document frequency rides
+    a whole-partition count window over the inverted-index rows (r19,
+    guide §2.4: df decorates EVERY row here, so the old aggregate
+    joined back shuffled the shingle table twice and needed a cache to
+    keep the tokenize pass single); per-doc stats re-aggregate the
+    windowed rows; text never shuffles."""
+    from pyspark.sql import Window
 
-    sh = shingle_df(docs, k).cache()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return checkpointed(
-        sh.join(dfreq, "shingle")
+    sh = shingle_df(docs, k)
+    return (
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -787,8 +796,7 @@ def dup_shingle_frac(docs: DataFrame, k: int = SHINGLE_K, min_df: int = 2) -> Da
             "n_shingles",
             "n_dup_shingles",
             F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6).alias("dup_frac"),
-        ),
-        sh,
+        )
     )
 
 

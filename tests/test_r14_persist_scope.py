@@ -23,8 +23,9 @@ from ngff_zarr_spark import gate
 # (grep -rn "\.persist()\|\.cache()" ngff_zarr_spark/functions ngff_zarr_spark/gate.py)
 PERSIST_GATES = [
     "dedup_minhash",          # dedup._capped_band_pairs bx + minhash_candidates wide
-    "dedup_ngram_jaccard",    # dedup.ngram_jaccard_pairs sh
-    "dedup_shingle_frac",     # dedup.dup_shingle_frac sh
+    "dedup_ngram_jaccard",    # dedup.ngram_jaccard_pairs capped-sh cache
+    # dedup_shingle_frac left in r19: its df ride a count window now —
+    # one shingle pass, nothing to cache
     "multimodal_image_dedup", # multimodal.image_near_dup ah
     "graph_pagerank",         # graph.pagerank ed
     "graph_triangles",        # graph.triangle_stats canon/oriented
