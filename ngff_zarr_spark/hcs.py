@@ -431,6 +431,13 @@ def _upsert_well_attrs(
     else:
         raise ValueError(f"Unsupported OME-Zarr version: {version}")
     store.write_group(well_path, well_attrs, zarr_format)
+    # r19: hand the merged Well back so a multi-field caller can chain
+    # upserts without re-reading the JSON it just wrote (the store
+    # read happens once per well per call instead of once per field —
+    # N GET + N PUT → W GET + N PUT driver/store round trips on a
+    # 384-field acquisition batch). Same bytes: each write carries the
+    # full image list accumulated so far, exactly as the re-read path.
+    return well_metadata
 
 
 def write_hcs_fields(
@@ -468,6 +475,11 @@ def write_hcs_fields(
     store = open_store(store_path)
     batchable = not to_zarr_kwargs  # extra kwargs → per-field semantics
     groups: dict = {}
+    # per-well merged attrs cache (r19): the first field of a well
+    # reads whatever the store already holds (prior micro-batches),
+    # later fields of the same well chain the in-memory Well instead
+    # of re-reading the JSON this loop just wrote
+    well_cache: dict = {}
     for entry in fields:
         row_name, column_name, field_index, multiscales = entry[:4]
         acquisition_id = entry[4] if len(entry) > 4 else 0
@@ -475,9 +487,9 @@ def write_hcs_fields(
         if not any(w.path == well_path for w in plate_metadata.wells):
             raise ValueError(f"Well '{well_path}' not found in plate metadata")
         with phase("attr_upsert"):
-            _upsert_well_attrs(
-                store, well_path, field_index, acquisition_id, None, version,
-                zarr_format,
+            well_cache[well_path] = _upsert_well_attrs(
+                store, well_path, field_index, acquisition_id,
+                well_cache.get(well_path), version, zarr_format,
             )
         prefix = f"{well_path}/{field_index}"
         ms = multiscales
