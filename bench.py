@@ -874,6 +874,7 @@ def main():
         ).stdout.strip() or None
     except Exception:
         head = None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -882,6 +883,10 @@ def main():
         "first_run": first_run,
         "runs": n_runs,
         "sf": sf,
+        # core count the run executed at (local[cpus]) — lets a reader
+        # of a stamped bench_out_<cpus>.json verify which scaling run
+        # produced it (VERDICT r19 ask #2)
+        "cpus": cpus,
         "git_head": head,
         # load average when the run started — a solo capture on this
         # 32-cpu box starts near 0; anything above the bar means the
@@ -921,16 +926,24 @@ def main():
     line = json.dumps(out)
     # persist the FULL record to a file first: the graded artifact must
     # not depend on stdout capture (BENCH_r10.json lost its best-of-3
-    # dict to a driver-side tail truncation — VERDICT r10 ask #7)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_out.json"),
-            "w",
-        ) as fh:
-            fh.write(line + "\n")
-    except OSError as exc:
-        print(f"# bench_out.json write failed: {exc}", file=sys.stderr)
+    # dict to a driver-side tail truncation — VERDICT r10 ask #7).
+    # ALSO stamp bench_out_<cpus>.json (VERDICT r19 ask #2): the driver
+    # runs the bench twice (main + low-core scaling); each run
+    # overwrites bench_out.json, so the r19 8-core run clobbered the
+    # 32-core per-query detail and PERF_r19's per_query/scaling tables
+    # came up empty. The per-cpus stamp preserves BOTH runs' per-query
+    # maps. (The map cannot ride the stdout one-line JSON: the driver
+    # keeps a 2000-char stdout tail — measured exactly 2000 in
+    # BENCH_r19.json — and the 112-entry map alone is 2681 chars
+    # compact, so inlining it would truncate the line and null the
+    # whole artifact, the r10 failure mode again.)
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("bench_out.json", f"bench_out_{cpus}.json"):
+        try:
+            with open(os.path.join(bench_dir, fname), "w") as fh:
+                fh.write(line + "\n")
+        except OSError as exc:
+            print(f"# {fname} write failed: {exc}", file=sys.stderr)
     # stdout gets a TOTALS-ONLY line (VERDICT r15 ask #1): the driver
     # keeps only a 2000-char TAIL of stdout, so a line carrying the
     # 110-entry per-query dict loses its opening brace and parses null.
@@ -949,7 +962,13 @@ def main():
         "load_avg_end": out["load_avg_end"],
         "foreign_cpu_avg": out["foreign_cpu_avg"],
         "contended": out["contended"],
+        "cpus": out["cpus"],
         "detail": "bench_out.json",
+        # per-core-count stamp that SURVIVES the driver's second
+        # (low-core) run — the per-query map for THIS run lives here
+        # (VERDICT r19 ask #2; additions-only, every existing key is
+        # byte-compatible)
+        "detail_per_cpus": f"bench_out_{cpus}.json",
     }
     print(json.dumps(slim))
 
