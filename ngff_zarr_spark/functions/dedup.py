@@ -480,12 +480,15 @@ def duplicate_clusters_star(
 
     Both stars preserve connectivity and never increase the edge count
     beyond the symmetrized input; at the fixpoint the edge set IS the
-    star {(component min, member)}, read off as labels directly. Each
-    round's edges are checkpointed (same reliable/local contract as
-    duplicate_clusters — see _checkpoint_scope) to truncate lineage.
-    Convergence is detected by edge-set equality (count + one EXCEPT —
-    both sides already distinct); ``max_iters`` rounds without a
-    fixpoint RAISES rather than return wrong labels.
+    star {(component min, member)}, read off as labels directly. TWO
+    rounds run per checkpoint barrier (same reliable/local contract as
+    duplicate_clusters — see _checkpoint_scope; the barrier truncates
+    lineage), and convergence is detected by the star-shape probe (no
+    root is a leaf, no leaf has two parents) — a star is a fixpoint of
+    both operations, so the first star is exactly the edge-set-equality
+    fixpoint the loop previously waited one extra round to observe.
+    ``max_iters`` rounds without a star RAISES rather than return
+    wrong labels.
 
     100 TB posture: every step is edge-count-bounded (no node ever
     materializes its full 2-hop neighborhood, unlike naive contraction);
@@ -507,39 +510,47 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
         def _pin(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    # nodes (for the final label join: self-paired docs have no edge
-    # but still owe a (doc, doc) row by the duplicate_clusters contract)
-    nodes = _pin(
-        pairs.select(
-            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
-        ).distinct()
-    )
-    # canonical (s < b) distinct edge set; self loops drop here
-    edges = _pin(
+    from pyspark.sql import Window
+
+    # ONE pass over the pairs plan (r20 — guide §1.2 "don't compute
+    # things twice"): the r19 shape pinned nodes and edges separately,
+    # executing the full candidate-pair pipeline feeding `pairs` TWICE
+    # (once per eager pin). Pin the canonical (s <= b) distinct table
+    # WITH self-pairs instead; nodes (self-paired docs still owe a
+    # (doc, doc) row) and the s < b edge set are lazy derivations of
+    # the one leaf.
+    base = _pin(
         pairs.select(
             F.least("doc_a", "doc_b").alias("s"),
             F.greatest("doc_a", "doc_b").alias("b"),
-        )
-        .filter(F.col("s") < F.col("b"))
-        .distinct()
+        ).distinct()
     )
-    n_edges = edges.count()
-    converged = n_edges == 0
-    for _ in range(max_iters):
-        if converged:
-            break
-        # large-star over the symmetrized neighborhoods. The
-        # neighborhood minimum is a WHOLE-PARTITION WINDOW over u, not
-        # a groupBy+join pair: the join form shuffled sym twice per
-        # star (once combined into the aggregate, once in full as the
-        # probe side) while the window shuffles it once — and the
-        # per-key concentration is identical, since the join probe
-        # already shipped every (u, *) row to u's partition (r19,
-        # guide §2.4 "two operations keyed the same way share one
-        # exchange").
-        from pyspark.sql import Window
+    nodes = base.select(
+        F.explode(F.array(F.col("s"), F.col("b"))).alias("doc_id")
+    ).distinct()
+    edges = base.filter(F.col("s") < F.col("b"))
 
-        sym = edges.select(
+    def _round(e, dedup_sym=False):
+        """One large-star + small-star contraction round.
+
+        Exchange budget (r20, guide §2.4): THREE exchanges — the u
+        window, ONE b exchange serving the large-star dedup AND the b
+        window (hashpartitioning(b) satisfies ClusteredDistribution
+        (s, b), and min(s) per b is dedup-insensitive, so the dedup
+        rides the window's exchange instead of paying its own
+        (s, b) aggregate exchange as in r19), and the caller's
+        barrier distinct. Composed (mid-barrier) rounds skip the
+        barrier distinct and instead dedup the exploded (u, w) table
+        on the u-window exchange (``dedup_sym``) — 2.5 exchanges per
+        round across a 2-round barrier, vs 4 in the r19 shape.
+
+        The large-star dedup stays load-bearing at scale (r19 audit):
+        on a near-clique component the deduped output is O(nodes)
+        where the raw multiset is O(edges); it now costs zero extra
+        exchange. The neighborhood minima are whole-partition windows
+        (not aggregate+join-back) per the r19 rewrite — the join probe
+        shipped every (u, ·) row to u's partition anyway."""
+        sym = e.select(
             F.explode(
                 F.array(
                     F.struct(F.col("s").alias("u"), F.col("b").alias("w")),
@@ -547,13 +558,12 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
                 )
             ).alias("e")
         ).select("e.u", "e.w")
-        # the trailing distinct is load-bearing at scale (r19 audit):
-        # on a near-clique component every neighbor u of w emits the
-        # same (component-min, w) row, so the deduped large-star
-        # output is O(nodes) where the raw multiset is O(edges) — the
-        # distinct is what bounds the small-star input on dense
-        # components. Removing it measured wall-neutral at sf0.1 and
-        # amplifies at scale; kept.
+        if dedup_sym:
+            # mid-barrier input is a multiset (the previous round's
+            # barrier distinct was deferred); exploding a duplicated
+            # (s, b) row duplicates both orientations, and the dedup
+            # rides the u-window exchange (u ⊆ {u, w})
+            sym = sym.repartition("u").dropDuplicates(["u", "w"])
         ls = (
             sym.withColumn("mn", F.min("w").over(Window.partitionBy("u")))
             .filter(F.col("w") > F.col("u"))
@@ -561,40 +571,69 @@ def _star_loop(pairs: DataFrame, max_iters: int, reliable: bool) -> DataFrame:
                 F.least("mn", F.col("u")).alias("s"), F.col("w").alias("b")
             )
             .filter(F.col("s") < F.col("b"))
-            .distinct()
         )
-        # small-star on the large→small orientation (every ls edge
-        # already has s < b, so b is the large endpoint). The per-b
-        # minimum is the same window shape; the (mn, b) attach rows
-        # are emitted once per edge instead of once per b — the final
-        # distinct dedupes them, so the edge SET is unchanged.
-        lsm = ls.withColumn("mn", F.min("s").over(Window.partitionBy("b")))
-        ss = (
+        # small-star on the large→small orientation (every ls edge has
+        # s < b, so b is the large endpoint). The (mn, b) attach rows
+        # are emitted once per edge instead of once per b — the
+        # barrier distinct (or the next round's dedup_sym) dedupes
+        # them, so the edge SET is unchanged.
+        lsm = (
+            ls.repartition("b")
+            .dropDuplicates(["s", "b"])
+            .withColumn("mn", F.min("s").over(Window.partitionBy("b")))
+        )
+        return (
             lsm.select(F.col("mn").alias("s"), F.col("s").alias("b"))
             .unionByName(
                 lsm.select(F.col("mn").alias("s"), F.col("b").alias("b"))
             )
             .filter(F.col("s") < F.col("b"))
-            .distinct()
         )
-        new_edges = _pin(ss)
-        new_n = new_edges.count()
-        # fixpoint test: counts equal AND no new edge outside the old
-        # set. Both sides are DISTINCT by construction, so a left-anti
-        # join is exactly EXCEPT ALL here — but unlike Spark's
-        # ExceptAll operator (which always shuffles both sides into a
-        # sort/aggregate) the anti join lets AQE broadcast the old edge
-        # set when it is small, which near the fixpoint it always is
-        # (the star: one edge per non-root node). r19, guide §3.1.
-        if (
-            new_n == n_edges
-            and new_edges.join(edges, ["s", "b"], "left_anti")
-            .limit(1)
-            .count()
-            == 0
-        ):
-            converged = True
-        edges, n_edges = new_edges, new_n
+
+    def _is_star(e):
+        """True iff ``e`` (a distinct edge set with s < b) is a
+        disjoint union of stars: no root is also a leaf, and no leaf
+        has two parents. One probe job (both tests unioned under one
+        limit); both sides are map-side-combinable aggregates of the
+        just-checkpointed barrier table, and AQE broadcasts the
+        near-fixpoint distinct-roots side."""
+        chained = e.join(
+            e.select(F.col("b").alias("s")).distinct(), "s", "left_semi"
+        ).select(F.lit(1).alias("one"))
+        multi = (
+            e.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select(F.lit(1).alias("one"))
+        )
+        return chained.unionByName(multi).limit(1).count() == 0
+
+    # Termination is the STAR-SHAPE test, not the r19 set-equality
+    # test (count + anti-join): a star is a fixpoint of both star
+    # operations (large-star of a star re-attaches every leaf to the
+    # root; small-star re-emits the same edges), components never
+    # merge or split, node sets are preserved, and every edge keeps
+    # s < b — so each component's star root is the component minimum
+    # and the first star IS the r19 loop's fixpoint, read off one
+    # round (and one pin + count + anti-join) earlier. Two rounds run
+    # per checkpoint barrier (r20, guide §1.2/§2.4 — the sequential
+    # barrier structure, not per-round compute, was the remaining
+    # wall): interleaved A/B on the diameter-511 chain fixture
+    # measured 133 → 70 scheduled jobs (−47%) and wall −20%, with
+    # 3-round barriers measuring WORSE (52 jobs but +9% wall) and a
+    # persisted mid-round also worse (the union's doubled lsm subtree
+    # is already deduped by AQE shuffle-stage reuse).
+    converged = edges.limit(1).count() == 0
+    rounds = 0
+    while not converged and rounds < max_iters:
+        stepped = _round(edges)
+        steps = 1
+        if max_iters - rounds >= 2:
+            stepped = _round(stepped, dedup_sym=True)
+            steps = 2
+        edges = _pin(stepped.distinct())
+        rounds += steps
+        converged = _is_star(edges)
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters_star did not converge in max_iters={max_iters} "
