@@ -2025,10 +2025,15 @@ def q_corpus_pipeline_battery(spark, sf_dir):
         "doc_id", "text"
     )
     ld = line_dedup(s1).localCheckpoint()
+    # s2 is a pure filter+rename over the ld LEAF — no checkpoint (r20,
+    # guide §1.2): its consumers re-run a cheap projection of cached
+    # blocks instead of paying a full eager materialization job.
+    # Interleaved A/B: 8.56 → 8.24 s median, digests identical; the
+    # all-lazy variant (every stage eager=False) measured WORSE
+    # (8.73 s) and was rejected, same as r19 §9b.
     s2 = (
         ld.filter(F.col("clean_text") != "")
         .select("doc_id", F.col("clean_text").alias("text"))
-        .localCheckpoint()
     )
     keep3 = (
         dedup_keep_representatives(s2, minhash_candidates(s2))
