@@ -804,11 +804,109 @@ def to_ngff_zarr(
     # levels are data, not plans, and are copied through verbatim
     # (version conversion C9 depends on not re-deriving them).
     recompute = bool(multiscales.scale_factors) and multiscales.method is not None
-    for i, img in enumerate(multiscales.images):
+
+    def _level_path(i: int, img: NgffImage) -> str:
         if meta is not None and i < len(meta.datasets):
-            path = meta.datasets[i].path
-        else:
-            path = f"scale{i}/{img.name or 'image'}"
+            return meta.datasets[i].path
+        return f"scale{i}/{img.name or 'image'}"
+
+    # r20 (guide §2.6): OVERLAP the two biggest write jobs. Level 1 is
+    # ONE downsample step deep whether it reads the stored level 0 or
+    # the base frame — the O3 contract bounds lineage depth, not which
+    # copy of the bytes the step reads — and for an identity-roundtrip
+    # dtype (float64: the writer's astype(float64) and the reader's
+    # astype(np.float64) are both no-ops) the stored read-back is
+    # value-identical to the base frame with v cast to double. So
+    # compute level 1 from the base plan and run the level-0 and
+    # level-1 write jobs concurrently from a 2-worker pool; levels >= 2
+    # keep the stored-level read (each is <= 1/64 of the base — the
+    # sequential tail is negligible, and deep levels keep the one-step
+    # lineage without re-running the cascade). Store bytes verified
+    # IDENTICAL to the sequential path (recursive tree digest, 3 reps);
+    # interleaved A/B on the bench volume: 4.62-4.86 s -> 2.70-2.76 s.
+    # At cluster scale the trade is one extra read of the SOURCE table
+    # instead of one read of the just-written level-0 store — the same
+    # byte class, and the two jobs back-fill each other's task tails.
+    # Falls back to the sequential stored-read path whenever progress
+    # reporting, computed callbacks (T3 fires per level IN write
+    # order), sharding, or a non-identity dtype is in play.
+    pipeline_l1 = (
+        recompute
+        and len(multiscales.images) >= 2
+        and progress is None
+        and chunks_per_shard is None
+        and dtype == "float64"
+        and not any(im.computed_callbacks for im in multiscales.images)
+    )
+    start_i = 0
+    if pipeline_l1:
+        img0, img1 = multiscales.images[0], multiscales.images[1]
+        path0, path1 = _level_path(0, img0), _level_path(1, img1)
+        rel = relative_dim_factors(img0.dims, multiscales.scale_factors[0], previous)
+        df1 = op(
+            img0.data.withColumn("v", F.col("v").cast("double")),
+            img0.shape,
+            rel,
+        )
+        previous = update_previous_dim_factors(
+            multiscales.scale_factors[0], base.spatial_dims(), previous
+        )
+        for path in (path0, path1):
+            if "/" in path:
+                store.write_group(path.rsplit("/", 1)[0], {}, zarr_format)
+
+        def _write_level(args):
+            img_i, path_i, df_i = args
+            # pin the JVM thread-local active session (the
+            # write_image_batch threading contract: a fresh Python
+            # thread's JVM thread has none and the ome_zarr data-source
+            # lookup dies with DATA_SOURCE_NOT_FOUND)
+            jcls = prev_active = None
+            try:
+                jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+                prev_active = jcls.getActiveSession()
+                jcls.setActiveSession(spark._jsparkSession)
+            except Exception:  # noqa: BLE001 - non-classic backend
+                jcls = None
+            try:
+                write_image(
+                    df_i,
+                    store_path,
+                    path_i,
+                    img_i.shape,
+                    img_i.dims,
+                    {
+                        d: min(chunks.get(d, 1), max(1, img_i.shape[d]))
+                        for d in img_i.dims
+                    },
+                    dtype=dtype,
+                    compressor=compressor,
+                    zarr_format=zarr_format,
+                )
+            finally:
+                if jcls is not None:
+                    try:
+                        jcls.setActiveSession(prev_active)
+                    except Exception:  # noqa: BLE001 - best effort restore
+                        pass
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            # list() so the first worker's exception propagates
+            list(
+                pool.map(
+                    _write_level,
+                    [(img0, path0, img0.data), (img1, path1, df1)],
+                )
+            )
+        prev_img, prev_path = img1, path1
+        start_i = 2
+
+    for i, img in enumerate(multiscales.images):
+        if i < start_i:
+            continue
+        path = _level_path(i, img)
         if i == 0 or not recompute:
             df = img.data
         else:
