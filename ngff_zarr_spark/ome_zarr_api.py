@@ -13,6 +13,7 @@ for level i+1 reads only the (8x smaller) level i.
 
 from __future__ import annotations
 
+import contextlib
 import math
 import threading
 from typing import Callable, Optional
@@ -810,6 +811,81 @@ def to_ngff_zarr(
             return meta.datasets[i].path
         return f"scale{i}/{img.name or 'image'}"
 
+    def _level_cps(img: NgffImage, lvl_chunks: dict[str, int]):
+        """Per-level shard geometry: int → same count per spatial dim,
+        t/c stay 1; tuple → positional over the image dims (reference
+        _configure_sharding, to_ngff_zarr.py:446-489); clamp so a shard
+        never exceeds the level's chunk grid."""
+        if chunks_per_shard is None:
+            return None
+        if isinstance(chunks_per_shard, dict):
+            as_dict = chunks_per_shard
+        elif isinstance(chunks_per_shard, (tuple, list)):
+            if len(chunks_per_shard) != len(img.dims):
+                raise ValueError(
+                    f"chunks_per_shard tuple needs {len(img.dims)} values"
+                    f" for dims {img.dims}, got {len(chunks_per_shard)}"
+                )
+            as_dict = dict(zip(img.dims, chunks_per_shard))
+        else:
+            as_dict = {
+                d: chunks_per_shard for d in img.dims if d in ("z", "y", "x")
+            }
+        cps = {}
+        for d in img.dims:
+            grid_d = -(-img.shape[d] // lvl_chunks[d])
+            cps[d] = max(1, min(int(as_dict.get(d, 1)), grid_d))
+        return cps
+
+    @contextlib.contextmanager
+    def _write_pool(workers: int):
+        """Concurrent level writes: yields a submit((img, path, df,
+        cps)) function; exiting the block waits for every write and
+        propagates the first failure. Each worker pins the JVM
+        thread-local active session (the write_image_batch threading
+        contract: a fresh Python thread's JVM thread has none and the
+        ome_zarr data-source lookup dies with DATA_SOURCE_NOT_FOUND)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_level(args):
+            img_i, path_i, df_i, cps_i = args
+            jcls = prev_active = None
+            try:
+                jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+                prev_active = jcls.getActiveSession()
+                jcls.setActiveSession(spark._jsparkSession)
+            except Exception:  # noqa: BLE001 - non-classic backend
+                jcls = None
+            try:
+                spark.sparkContext.setJobDescription(f"pyramid write {path_i}")
+                write_image(
+                    df_i,
+                    store_path,
+                    path_i,
+                    img_i.shape,
+                    img_i.dims,
+                    {
+                        d: min(chunks.get(d, 1), max(1, img_i.shape[d]))
+                        for d in img_i.dims
+                    },
+                    dtype=dtype,
+                    compressor=compressor,
+                    zarr_format=zarr_format,
+                    chunks_per_shard=cps_i,
+                )
+            finally:
+                if jcls is not None:
+                    try:
+                        jcls.setActiveSession(prev_active)
+                    except Exception:  # noqa: BLE001 - best effort restore
+                        pass
+
+        futs = []
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            yield lambda args: futs.append(pool.submit(_write_level, args))
+            for f in futs:
+                f.result()
+
     # r20 (guide §2.6): OVERLAP the two biggest write jobs. Level 1 is
     # ONE downsample step deep whether it reads the stored level 0 or
     # the base frame — the O3 contract bounds lineage depth, not which
@@ -855,53 +931,42 @@ def to_ngff_zarr(
             if "/" in path:
                 store.write_group(path.rsplit("/", 1)[0], {}, zarr_format)
 
-        def _write_level(args):
-            img_i, path_i, df_i = args
-            # pin the JVM thread-local active session (the
-            # write_image_batch threading contract: a fresh Python
-            # thread's JVM thread has none and the ome_zarr data-source
-            # lookup dies with DATA_SOURCE_NOT_FOUND)
-            jcls = prev_active = None
-            try:
-                jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
-                prev_active = jcls.getActiveSession()
-                jcls.setActiveSession(spark._jsparkSession)
-            except Exception:  # noqa: BLE001 - non-classic backend
-                jcls = None
-            try:
-                write_image(
-                    df_i,
-                    store_path,
-                    path_i,
-                    img_i.shape,
-                    img_i.dims,
-                    {
-                        d: min(chunks.get(d, 1), max(1, img_i.shape[d]))
-                        for d in img_i.dims
-                    },
-                    dtype=dtype,
-                    compressor=compressor,
-                    zarr_format=zarr_format,
-                )
-            finally:
-                if jcls is not None:
-                    try:
-                        jcls.setActiveSession(prev_active)
-                    except Exception:  # noqa: BLE001 - best effort restore
-                        pass
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            # list() so the first worker's exception propagates
-            list(
-                pool.map(
-                    _write_level,
-                    [(img0, path0, img0.data), (img1, path1, df1)],
-                )
-            )
+        with _write_pool(2) as submit:
+            submit((img0, path0, img0.data, None))
+            submit((img1, path1, df1, None))
         prev_img, prev_path = img1, path1
         start_i = 2
+
+    # r20 (guide §2.6, the copy-through sibling of pipeline_l1): when
+    # the pyramid carries NO build recipe (read-back pyramids being
+    # converted/copied, or explicitly materialized per-level frames
+    # like the imaging gate's sharded store), every level already has
+    # its OWN independent frame — the level writes have no data
+    # dependency at all, so they run from the same 2-worker pool. Same
+    # fallbacks as pipeline_l1 (progress reporting and computed
+    # callbacks keep the sequential per-level order).
+    parallel_copy = (
+        not recompute
+        and start_i == 0
+        and len(multiscales.images) >= 2
+        and progress is None
+        and not any(im.computed_callbacks for im in multiscales.images)
+    )
+    if parallel_copy:
+        jobs = []
+        for i, img in enumerate(multiscales.images):
+            path = _level_path(i, img)
+            lvl_chunks = {
+                d: min(chunks.get(d, 1), max(1, img.shape[d])) for d in img.dims
+            }
+            if "/" in path:
+                store.write_group(path.rsplit("/", 1)[0], {}, zarr_format)
+            jobs.append((img, path, img.data, _level_cps(img, lvl_chunks)))
+        with _write_pool(2) as submit:
+            for job in jobs:
+                submit(job)
+        prev_img, prev_path = multiscales.images[-1], jobs[-1][1]
+        start_i = len(multiscales.images)
 
     for i, img in enumerate(multiscales.images):
         if i < start_i:
@@ -916,27 +981,7 @@ def to_ngff_zarr(
             df = op(source, prev_img.shape, rel)
             previous = update_previous_dim_factors(level, base.spatial_dims(), previous)
         lvl_chunks = {d: min(chunks.get(d, 1), max(1, img.shape[d])) for d in img.dims}
-        cps = None
-        if chunks_per_shard is not None:
-            # int → same count per spatial dim, t/c stay 1; tuple →
-            # positional over the image dims (reference
-            # _configure_sharding, to_ngff_zarr.py:446-489); clamp so a
-            # shard never exceeds the level's chunk grid
-            if isinstance(chunks_per_shard, dict):
-                as_dict = chunks_per_shard
-            elif isinstance(chunks_per_shard, (tuple, list)):
-                if len(chunks_per_shard) != len(img.dims):
-                    raise ValueError(
-                        f"chunks_per_shard tuple needs {len(img.dims)} values"
-                        f" for dims {img.dims}, got {len(chunks_per_shard)}"
-                    )
-                as_dict = dict(zip(img.dims, chunks_per_shard))
-            else:
-                as_dict = {d: chunks_per_shard for d in img.dims if d in ("z", "y", "x")}
-            cps = {}
-            for d in img.dims:
-                grid_d = -(-img.shape[d] // lvl_chunks[d])
-                cps[d] = max(1, min(int(as_dict.get(d, 1)), grid_d))
+        cps = _level_cps(img, lvl_chunks)
         if progress is not None:
             progress.update(f"scale{i}", i, len(multiscales.images))
         if "/" in path:

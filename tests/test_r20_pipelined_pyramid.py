@@ -92,6 +92,31 @@ def test_non_identity_dtype_falls_back_and_roundtrips(spark, tmp_path):
     assert _tree_digest(a) == _tree_digest(b)
 
 
+def test_parallel_copy_through_matches_sequential_bytes(spark, tmp_path):
+    # recompute=False path (read-back/explicit pyramids): every level
+    # has its own frame and the writes run from a pool — bytes must
+    # match the sequential order, including the v3 sharded layout
+    from ngff_zarr_spark.ome_zarr_api import from_ngff_zarr, to_ngff_zarr
+
+    src = str(tmp_path / "src.ome.zarr")
+    to_ngff_zarr(src, _ms(spark), version="0.4", compressor="gzip")
+    ms2 = from_ngff_zarr(spark, src)  # no build recipe -> copy-through
+    assert not ms2.scale_factors
+    a = str(tmp_path / "copyA.ome.zarr")
+    b = str(tmp_path / "copyB.ome.zarr")
+    ms2.metadata.version = "0.5"
+    to_ngff_zarr(
+        a, ms2, version="0.5", compressor="zstd", chunks_per_shard=2
+    )
+    ms2b = from_ngff_zarr(spark, src)
+    ms2b.metadata.version = "0.5"
+    to_ngff_zarr(
+        b, ms2b, version="0.5", compressor="zstd", chunks_per_shard=2,
+        progress=_Prog(),
+    )
+    assert _tree_digest(a) == _tree_digest(b)
+
+
 def test_callbacks_still_fire_in_level_order(spark, tmp_path):
     ms = _ms(spark)
     fired = []
